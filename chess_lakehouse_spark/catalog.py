@@ -1,0 +1,64 @@
+"""Table catalog over the Parquet lake.
+
+The reference's "catalog" is a directory of single-table DuckDB files
+attached read-only per query (reference: src/find-openings.ts:62,
+src/export-to-parquet.ts:67). Spark needs no attach concept: a table is a
+Parquet path; this module centralizes path -> DataFrame resolution and
+temp-view registration so every operator/query reads through one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated synthetic tables (TESTDATA.md).
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table. Plain `spark.read.parquet` keeps the scan inside
+    the vectorized Parquet reader with predicate pushdown + column pruning.
+
+    events.ts is TIMESTAMP(NANOS) in the fixture Parquet; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanosecond long
+    and is converted here to a micro-precision timestamp — the same
+    truncation DuckDB applies, so oracle values agree.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Register each table as a temp view so SQL-expressed operators can run
+    through spark.sql(...) — same Catalyst plan as the DataFrame API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

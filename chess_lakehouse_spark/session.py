@@ -1,0 +1,92 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference delegates execution to a DuckDB subprocess per stage
+(reference: src/read-pgn.ts:52, src/export-to-parquet.ts:98); here the
+equivalent "engine config" is the SparkSession. Defaults are chosen for
+correctness-parity with the DuckDB oracle (UTC session timezone) and for
+scale (AQE on, skew-join handling, partial-aggregation pushdown left to
+Catalyst, Arrow for any Pandas-UDF stage).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf applied to every session we build, and re-applied (runtime-settable
+#: subset) to sessions handed to us by the test/verify driver.
+RUNTIME_CONF: dict[str, str] = {
+    # DuckDB timestamps are UTC-naive; pin Spark to UTC so values compare equal.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime partition coalescing + skew-join splitting.
+    # At 100 TB these are not optional — AQE re-plans around stats we can't
+    # know statically (per-key skew in the contains-join, post-filter sizes).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for the (few) Pandas-UDF stages.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The reference wipes-and-rewrites its export dir for determinism
+    # (src/export-to-parquet.ts:51-56); static overwrite matches that.
+    "spark.sql.sources.partitionOverwriteMode": "static",
+    # The events fixture stores TIMESTAMP(NANOS) which the Parquet reader
+    # rejects; read as long and convert to micros in the catalog (DuckDB
+    # likewise truncates nanos to its micro-precision TIMESTAMP).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally-built session.
+
+    The correctness driver builds its own SparkSession; session timezone and
+    AQE flags are runtime-settable, so queries() entries call this defensively.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on a running session — keep whatever the driver chose.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "chess_lakehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    shuffle_partitions defaults to the local core count: the 200-partition
+    Spark default over-parallelizes local tests and under-parallelizes a real
+    cluster; deployments should size it to ~2-3x total executor cores.
+    """
+    par = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{par}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or par))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_conf(spark)

@@ -1,0 +1,465 @@
+"""Reference-surface queries (SURVEY.md §2) over the synthetic testdata.
+
+Each query re-expresses one operator family the reference declares in its
+TypeScript-assembled SQL, mapped onto the TPC-H-ish tables. File:line
+citations point at the reference declaration being covered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.catalog import load_table
+from chess_lakehouse_spark.operators.enrich import enrich_top1_mapside
+from chess_lakehouse_spark.operators.relational import align_and_union, top_k, top_k_per_group
+from chess_lakehouse_spark.session import apply_runtime_conf
+
+# Exact order-independent sum of a double expression: per-row decimal cast,
+# exact decimal sum, lossless cast back (see suite/__init__.py contract).
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def q_qc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped + conditional COUNT(*) — the reference's QC probes
+    (src/read-pgn.ts:55 total+parse-error counts; src/export-to-parquet.ts:103)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("games"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long").alias("flagged"),
+    )
+
+
+def q_filter_null_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL predicates (src/read-pgn.ts:55 `parse_error IS NOT
+    NULL`; src/find-openings.ts:68 `Opening IS NULL`). Testdata has no NULLs, so
+    NULLs are derived with nullif — the predicate semantics are what's gated."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    derived = ev.withColumn("maybe_null", F.expr("nullif(event_type, 'error')"))
+    return derived.where(F.col("maybe_null").isNull()).select("event_id", "user_id")
+
+
+def q_export_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export stage's fixed projection: renames, literal DataSource column,
+    year()/zero-padded-month derivation, COALESCE fallback, and the hygiene
+    filter (src/export-to-parquet.ts:70-93: 20-col SELECT; :85 COALESCE;
+    :88 literal; :89-90 year/strftime '%m'; :92-93 filter)."""
+    apply_runtime_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderdate").isNotNull() & (F.year("o_orderdate") >= 1996))
+        .select(
+            F.col("o_orderkey").alias("OrderKey"),
+            F.col("o_orderstatus").alias("Status"),
+            F.coalesce(F.expr("nullif(o_orderpriority, '1-URGENT')"), F.lit("URGENT-DEFAULT")).alias(
+                "Priority"
+            ),
+            F.round("o_totalprice", 2).alias("TotalPrice"),
+            F.lit("ORDERS").alias("DataSource"),
+            F.year("o_orderdate").alias("year"),
+            F.date_format("o_orderdate", "MM").alias("month"),
+        )
+    )
+
+
+def q_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with schema alignment — the CTAS-then-INSERT source loop
+    (src/export-to-parquet.ts:58-100) + additive schema evolution
+    (src/find-openings.ts:60): the second source lacks a column, NULL-filled."""
+    apply_runtime_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    src1 = o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.lit("src_O").alias("src"),
+        F.col("o_totalprice").alias("extra"),
+    )
+    src2 = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.lit("src_F").alias("src"),
+    )
+    return align_and_union([src1, src2])
+
+
+def q_enrich_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE centerpiece: correlated top-1 contains-join (argmax enrichment),
+    the reference's LATERAL `CONTAINS(movetext, pgn) ORDER BY ply DESC LIMIT 1`
+    (src/find-openings.ts:73-79) as a surrogate on part: for each part, the
+    longest dictionary word contained in its name, tie-broken ascending
+    (deterministic tie-break per SURVEY.md §2.3 ⚠). Map-side: zero shuffle of
+    the fact side (see operators/enrich.py)."""
+    apply_runtime_conf(spark)
+    part = load_table(spark, sf_dir, "part")
+    dim = (
+        part.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .distinct()
+        .withColumn("wlen", F.length("word"))
+    )
+    enriched = enrich_top1_mapside(
+        fact=part.select("p_partkey", "p_name"),
+        dim=dim,
+        predicate=lambda probe, c: probe.contains(c["word"]),
+        fact_probe_col="p_name",
+        rank_col="wlen",
+        payload_cols=["word", "wlen"],
+        tiebreak_cols=["word"],
+        out_prefix="best_",
+    )
+    # Inner-lateral semantics: rows with no match are dropped (ON TRUE inner).
+    return enriched.where(F.col("best_word").isNotNull()).select(
+        "p_partkey", "p_name", "best_word", F.col("best_wlen").alias("best_len")
+    )
+
+
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation (TPC-H Q1 shape): sums/avg/count over lineitem.
+    GROUP BY is absent from the reference (SURVEY.md §2.5 'comes free') —
+    this gates the Spark surface for it. Partial (map-side) aggregation means
+    the shuffle carries one row per (group, partition), not per input row."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum('l_quantity')} AS sum_qty,
+               {_dsum('l_extendedprice')} AS sum_base,
+               {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               ROUND({_dsum('l_quantity')} / COUNT(*), 4) AS avg_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join over the star schema + grouped agg (join surface per
+    SURVEY.md §2.3 'come free with df.join'). nation/region are broadcast
+    (bounded dims); lineitem⋈orders⋈customer are shuffle joins on their keys
+    and AQE picks broadcast at runtime when a side is small."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having at least one 'F' order."""
+    apply_runtime_conf(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    apply_runtime_conf(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window — the Spark expression of the
+    reference's per-row top-1 (src/find-openings.ts:77-78), generalized
+    (SURVEY.md §2.6). Total order: (totalprice DESC, orderkey ASC)."""
+    apply_runtime_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        rank_name="rk",
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (top-k). Planned as TakeOrderedAndProject —
+    per-partition local top-k merged on the driver, no global sort shuffle."""
+    apply_runtime_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return top_k(
+        o.select("o_orderkey", "o_totalprice"),
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=100,
+    )
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — set-op surface (SURVEY.md §2.8)."""
+    apply_runtime_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — set-op surface (SURVEY.md §2.8)."""
+    apply_runtime_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(_dsum("l_quantity")).alias("sum_qty"),
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: linestatus values to columns, decimal-exact sums."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.expr(_dsum("l_quantity")))
+    )
+
+
+def q_scalar_kitchen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (SURVEY.md §2.9): year, zero-padded month,
+    split+size (string_split/array_length at src/find-openings.ts:65),
+    contains (src/find-openings.ts:76), coalesce (src/export-to-parquet.ts:85),
+    regexp extraction, casts."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.date_format("ts", "MM").alias("m"),
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("long").alias("k_val"),
+        F.col("event_type").contains("ick").alias("has_ick"),
+        F.size(F.split("props", " ")).alias("n_words"),
+        F.upper("event_type").alias("et_upper"),
+        F.substring("event_type", 1, 3).alias("et3"),
+        F.coalesce(F.expr("nullif(event_type, 'view')"), F.lit("VIEWED")).alias("et_coalesced"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch analog of the streaming path,
+    SURVEY.md §2.10/§7): hourly buckets as epoch seconds."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(_dsum("value")).alias("sum_value"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session count with a 30-min inactivity gap —
+    lag window + cumulative flag sum, all JVM-side. The 100 TB version
+    shuffles once on user_id and AQE splits skewed users."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.lag("ts").over(w)).alias("prev_us"),
+    ).select(
+        "user_id",
+        F.when(
+            F.col("prev_us").isNull() | ((F.col("ts_us") - F.col("prev_us")) > gap_us), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return flagged.groupBy("user_id").agg(F.sum("is_new").cast("long").alias("n_sessions"))
+
+
+QUERIES = {
+    "qc_count": q_qc_count,
+    "filter_null_predicate": q_filter_null_predicate,
+    "export_projection": q_export_projection,
+    "union_append": q_union_append,
+    "enrich_argmax": q_enrich_argmax,
+    "groupby_agg": q_groupby_agg,
+    "join_star": q_join_star,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "window_topk": q_window_topk,
+    "sort_limit": q_sort_limit,
+    "intersect": q_intersect,
+    "except": q_except,
+    "rollup": q_rollup,
+    "pivot": q_pivot,
+    "scalar_kitchen": q_scalar_kitchen,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "qc_count": """
+        SELECT COUNT(*) AS games,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+        FROM lineitem
+    """,
+    "filter_null_predicate": """
+        SELECT event_id, user_id FROM events WHERE nullif(event_type, 'error') IS NULL
+    """,
+    "export_projection": """
+        SELECT o_orderkey AS OrderKey,
+               o_orderstatus AS Status,
+               COALESCE(nullif(o_orderpriority, '1-URGENT'), 'URGENT-DEFAULT') AS Priority,
+               ROUND(o_totalprice, 2) AS TotalPrice,
+               'ORDERS' AS DataSource,
+               CAST(year(o_orderdate) AS INT) AS year,
+               strftime(o_orderdate, '%m') AS month
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND year(o_orderdate) >= 1996
+    """,
+    "union_append": """
+        SELECT o_orderkey, o_orderstatus AS status, 'src_O' AS src, o_totalprice AS extra
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus AS status, 'src_F' AS src, CAST(NULL AS DOUBLE) AS extra
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "enrich_argmax": """
+        WITH words AS (
+            SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word FROM part
+        ),
+        ranked AS (SELECT word, CAST(length(word) AS INT) AS wlen FROM words)
+        SELECT p.p_partkey, p.p_name, o.word AS best_word, o.wlen AS best_len
+        FROM part p, LATERAL (
+            SELECT r.word, r.wlen FROM ranked r
+            WHERE contains(p.p_name, r.word)
+            ORDER BY r.wlen DESC, r.word ASC
+            LIMIT 1
+        ) o
+    """,
+    "groupby_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+               CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_star": """
+        SELECT r_name, n_name,
+               CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "window_topk": """
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    "sort_limit": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    "intersect": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "except": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "rollup": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "pivot": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS O,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS F
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "scalar_kitchen": """
+        SELECT event_id,
+               CAST(year(ts) AS INT) AS y,
+               strftime(ts, '%m') AS m,
+               CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
+               contains(event_type, 'ick') AS has_ick,
+               CAST(len(string_split(props, ' ')) AS INT) AS n_words,
+               upper(event_type) AS et_upper,
+               substring(event_type, 1, 3) AS et3,
+               COALESCE(nullif(event_type, 'view'), 'VIEWED') AS et_coalesced
+        FROM events
+    """,
+    "events_hourly": """
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 1000000 AS BIGINT) AS hour_epoch,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH x AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM x GROUP BY user_id
+    """,
+}
