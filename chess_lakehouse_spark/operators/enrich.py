@@ -73,7 +73,9 @@ def enrich_top1_mapside(
     src/find-openings.ts:68).
     """
     tiebreak_cols = list(tiebreak_cols or [])
-    struct_cols = [rank_col, *tiebreak_cols, *[c for c in payload_cols if c not in tiebreak_cols and c != rank_col]]
+    # All dim columns ride along in the struct — the predicate may probe any
+    # of them (e.g. the `pgn` prefix string), not just rank/payload.
+    struct_cols = [rank_col, *[c for c in dim.columns if c != rank_col]]
 
     # Materialize the bounded dim on the driver and embed it as a typed
     # literal array — semantically a broadcast variable, but expressed as a

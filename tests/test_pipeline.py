@@ -1,0 +1,110 @@
+"""End-to-end pipeline contract tests (SURVEY.md §5 pipeline invariants,
+FIXTURES.md §B): ingest → enrich → export with all required value coverage —
+multi-opening games (longest wins), equal-ply tie-break, no-match game,
+NULL/ancient UTCDate filtered, COALESCE timecontrol fallback, partition
+layout on disk."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.plans.pipeline import (
+    EXPORT_COLUMNS,
+    enrich,
+    export_combined,
+    ingest,
+    run_pipeline,
+)
+
+# Openings dimension (FIXTURES.md §B.2): nested prefixes + equal-ply pair.
+OPENINGS = [
+    # (eco, name, pgn, uci)
+    ("B10", "Caro-Kann Defense", "1. e4 c6", "e2e4 c7c6"),
+    ("B12", "Caro-Kann Defense: Advance Variation", "1. e4 c6 2. d4 d5 3. e5", "e2e4 c7c6 d2d4 d7d5 e4e5"),
+    ("C20", "King's Pawn Game", "1. e4 e5", "e2e4 e7e5"),
+    ("C40", "King's Knight Opening", "1. e4 e5 2. Nf3", "e2e4 e7e5 g1f3"),
+    # Equal-ply pair sharing a prefix — tie must break on eco then name.
+    ("A40", "Queen's Pawn Game", "1. d4 d5", "d2d4 d7d5"),
+    ("A41", "Queen's Pawn Game: Alt", "1. d4 d5", "d2d4 d7d5"),
+]
+
+
+def make_games_pgn(tmp_path):
+    games = [
+        # Matches B10 (2 ply) AND B12 (5 ply) → longest (B12) must win.
+        '[Event "g1"]\n[White "w"]\n[Black "b"]\n[Result "1-0"]\n'
+        '[UTCDate "2021.01.31"]\n[TimeControl "600+5"]\n\n'
+        "1. e4 c6 2. d4 d5 3. e5 e6 1-0\n",
+        # Matches C20 and C40 → C40 (3 ply) wins.
+        '[Event "g2"]\n[White "w"]\n[Black "b"]\n[Result "0-1"]\n'
+        '[UTCDate "2021.02.01"]\n[TimeControl "bogus tc"]\n\n'
+        "1. e4 e5 2. Nf3 Nc6 0-1\n",
+        # Matches the equal-ply pair A40/A41 → A40 by eco tie-break.
+        '[Event "g3"]\n[White "w"]\n[Black "b"]\n[Result "*"]\n'
+        '[UTCDate "2021.03.05"]\n\n'
+        "1. d4 d5 2. c4 *\n",
+        # Matches nothing → Opening stays NULL, row still exported.
+        '[Event "g4"]\n[White "w"]\n[Black "b"]\n[Result "*"]\n'
+        '[UTCDate "2021.04.01"]\n\n'
+        "1. h4 h5 *\n",
+        # NULL date → dropped at export.
+        '[Event "g5"]\n[White "w"]\n[Black "b"]\n[Result "*"]\n\n1. e4 *\n',
+        # Ancient date (< 1500) → dropped at export (src/export-to-parquet.ts:93).
+        '[Event "g6"]\n[White "w"]\n[Black "b"]\n[Result "*"]\n'
+        '[UTCDate "1475.01.01"]\n\n1. e4 e5 *\n',
+    ]
+    p = tmp_path / "src1.pgn"
+    p.write_text("\n".join(games))
+    return str(p)
+
+
+@pytest.fixture()
+def openings_df(spark):
+    return spark.createDataFrame(OPENINGS, "eco string, name string, pgn string, uci string")
+
+
+def test_enrich_argmax_semantics(spark, tmp_path, openings_df):
+    games = ingest(spark, make_games_pgn(tmp_path))
+    enriched = enrich(games, openings_df, "TestSource")
+    by_event = {r["Event"]: r for r in enriched.collect()}
+    assert by_event["g1"]["ECO"] == "B12", "longest prefix must win"
+    assert by_event["g2"]["ECO"] == "C40"
+    assert by_event["g3"]["ECO"] == "A40", "equal-ply tie must break on eco asc"
+    assert by_event["g4"]["ECO"] is None and by_event["g4"]["Opening"] is None
+    assert all(r["DataSource"] == "TestSource" for r in by_event.values())
+
+
+def test_enrich_only_touches_null_opening(spark, openings_df):
+    games = spark.createDataFrame(
+        [("pre", "Existing Opening", "E99", "1. e4 c6 2. d4 d5 3. e5")],
+        "Event string, Opening string, ECO string, clean_movetext string",
+    )
+    out = enrich(games, openings_df, "S").collect()[0]
+    assert out["Opening"] == "Existing Opening" and out["ECO"] == "E99"
+
+
+def test_export_schema_filter_and_coalesce(spark, tmp_path, openings_df):
+    games = ingest(spark, make_games_pgn(tmp_path))
+    enriched = enrich(games, openings_df, "TestSource")
+    exported = export_combined([enriched])
+    assert list(exported.columns) == list(EXPORT_COLUMNS)
+    rows = {r["Event"]: r for r in exported.collect()}
+    assert set(rows) == {"g1", "g2", "g3", "g4"}, "NULL/ancient dates must drop"
+    assert rows["g1"]["TimeControl"] == "600+5"
+    assert rows["g2"]["TimeControl"] == "bogus tc", "unparseable TC falls back to raw"
+    assert rows["g1"]["year"] == 2021 and rows["g1"]["month"] == "01"
+    assert rows["g1"]["ECO"] == "B12"
+
+
+def test_full_pipeline_partition_layout(spark, tmp_path, openings_df):
+    out = str(tmp_path / "lake")
+    counts = run_pipeline(
+        spark, {"SrcA": make_games_pgn(tmp_path)}, openings_df, out
+    )
+    assert counts["rows"] == 4
+    assert os.path.isdir(os.path.join(out, "DataSource=SrcA", "year=2021", "month=01"))
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    # partition pruning columns materialize correctly
+    assert back.where(F.col("month") == "01").count() == 1
