@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs every suite query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all timed queries (each materialized
+with a count-style action so the full plan executes but results never
+funnel through the driver). A short warmup query first absorbs JVM/codegen
+startup so per-query numbers measure the engine, not session bring-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from chess_lakehouse_spark import suite
+    from chess_lakehouse_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="chess_lakehouse_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # Warmup: touch the biggest fact table so JVM/codegen/FS caches are hot.
+    t0 = time.perf_counter()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    warmup_s = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in suite.QUERIES.items():
+        start = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            # Materialize every operator in the plan without collecting rows
+            # to the driver (matches how the 100 TB deployment consumes
+            # results: write/aggregate, never driver collect).
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - report, don't abort the bench
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    out = {
+        "metric": "suite_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "warmup_sec": round(warmup_s, 4),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

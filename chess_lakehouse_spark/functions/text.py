@@ -1,0 +1,143 @@
+"""Text-analysis column functions for training-data pipelines.
+
+North-star extension (SURVEY.md §7 step 8): language-ID (marker-token
+heuristic), quality scoring (length/stopword/word-shape ratios), token
+counting (whitespace + BPE-ish subword estimate), and winnowing document
+fingerprints. Everything is pure Column expressions (WholeStageCodegen,
+zero Python in the executor path) and every float output is either a ratio
+of integers (bit-identical across engines) or rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.dedup import md5_hash64
+
+#: Small marker-token lists per language for the n-gram/stopword heuristic.
+#: Deterministic and mirrored literally into the oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def token_lengths_sum(toks: Column) -> Column:
+    """Sequential int fold of token lengths (order-independent: ints)."""
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality metrics + a composite score.
+
+    score = 0.4·ln(1+n_chars) + 0.3·stopword_ratio + 0.3·min(avg_len/10, 1)
+    — all inputs are exact int ratios, ln/± are IEEE-identical, rounded at
+    the end. Narrow (per-row) — no shuffle at any scale.
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_tokens = F.size(toks)
+    sum_len = token_lengths_sum(toks)
+    stop = stopword_hits(toks, LANG_MARKERS["en"])
+    avg_len = sum_len.cast("double") / n_tokens
+    stop_ratio = stop.cast("double") / n_tokens
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.log(F.lit(1.0) + F.length(t).cast("double"))
+            + 0.3 * stop_ratio
+            + 0.3 * F.least(avg_len / 10.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def langid_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-token language-ID: score per language = marker hits / n_tokens;
+    predicted = argmax with alphabetical tie-break (deterministic). Narrow."""
+    toks = ws_tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    score_cols = {
+        lang: F.round(stopword_hits(toks, words).cast("double") / n_tokens, 6)
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+    # argmax with (score DESC, lang ASC) tie-break via greatest over structs:
+    # encode as struct(score, negated-rank-by-lang) — simpler: iterate.
+    pred = None
+    best = None
+    for lang in sorted(LANG_MARKERS):  # alphabetical ⇒ first wins ties via strict >
+        s = score_cols[lang]
+        if pred is None:
+            pred, best = F.lit(lang), s
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+    return df.select(
+        F.col(id_col),
+        *[score_cols[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate:
+    ceil(len(token)/4) summed over tokens (≈ byte-pair units for 4-char
+    average merges). Integer arithmetic only — exact. Narrow."""
+    toks = ws_tokens(F.col(text_col))
+    subwords = F.expr(
+        f"aggregate(transform(split({text_col}, '\\\\s+'), "
+        "t -> CAST((length(t) + 3) div 4 AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_ws_tokens"),
+        subwords.alias("n_subword_tokens"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 8
+) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style): hash every char k-gram
+    (portable md5 int), bucket positions into fixed windows of ``window``
+    grams, keep the min hash per window. Returns one row per (id, win_idx)
+    with the selected fingerprint — the per-window min makes the fingerprint
+    set robust to local edits. One doc-keyed map-side-combined shuffle.
+    """
+    grams = (
+        df.select(id_col, F.col(text_col).alias("t"))
+        .where(F.length("t") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))")
+            ).alias("pos", "gram"),
+        )
+    )
+    return (
+        grams.select(
+            F.col(id_col),
+            F.expr(f"CAST(pos div {window} AS INT)").alias("win_idx"),
+            md5_hash64(F.col("gram")).alias("gh"),
+        )
+        .groupBy(id_col, "win_idx")
+        .agg(F.min("gh").alias("fingerprint"))
+    )

@@ -1,0 +1,299 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (north-star extension, SURVEY.md §7 step 8):
+exact dedup, MinHash+LSH near-dup, SimHash near-dup, and n-gram Jaccard —
+each designed so the only shuffles are key-partitioned aggregations/joins
+that AQE can coalesce and skew-split at 100 TB.
+
+Portability contract with the DuckDB oracle: every hash is derived from
+``md5`` of a string (identical hex in any engine); engine-integer hashes
+(xxhash64, DuckDB ``hash()``) are never used because their values differ
+across engines. A 60-bit integer form is obtained via the first 15 hex
+chars (``conv(hex,16,10)`` in Spark == ``CAST('0x'||hex AS BIGINT)`` in
+DuckDB — parity-tested in tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_hash64(col: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (regex split, same in the oracle)."""
+    return F.split(text, r"\s+")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle).
+
+    The shingle array is built with ``transform(sequence(...))`` so the whole
+    stage stays inside WholeStageCodegen — no Python in the hot path. Guarded
+    with a CASE because Spark's ``sequence(1, 0)`` counts *down* ([1, 0])
+    rather than returning an empty array.
+    """
+    toks = tokens(F.col(text_col))
+    shingled = (
+        df.select(id_col, toks.alias("toks"))
+        .where(F.size("toks") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("i"),
+            "toks",
+        )
+        .select(id_col, F.concat_ws(" ", *[F.element_at(F.col("toks"), F.col("i") + j) for j in range(k)]).alias("shingle"))
+        .distinct()
+    )
+    return shingled
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
+    """One row per doc with columns h0..h{n-1}: lexicographic-min of
+    ``md5(i || '|' || shingle)`` per hash index.
+
+    min-of-md5-with-salt is a valid MinHash family; using the hex *string*
+    min (not an int) keeps it bit-identical across engines. All ``num_hashes``
+    signatures come from ONE map-side-combined groupBy over the exploded
+    shingles — a single shuffle keyed by doc id, no per-hash pass.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(f"h{h}")
+        for h in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Unpivot signatures into (id, band, bsig): band signature = concat of
+    ``band_size`` consecutive minhashes. Narrow (no shuffle)."""
+    n_bands = num_hashes // band_size
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"h{b * band_size + j}") for j in range(band_size)]).alias("bsig"),
+        )
+        for b in range(n_bands)
+    ]
+    return signatures.select(
+        id_col, F.explode(F.array(*entries)).alias("x")
+    ).select(id_col, F.col("x.band").alias("band"), F.col("x.bsig").alias("bsig"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+
+    Equi-join on (band, bsig): hash-partitioned, so at 100 TB each bucket is
+    co-located; AQE skew-join splits pathological buckets (e.g. boilerplate
+    text that collapses thousands of docs into one signature).
+    """
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bsig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bsig")
+    return (
+        a.join(b, on=["band", "bsig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float, precision: int = 6
+) -> DataFrame:
+    """Exact shingle-set Jaccard for each candidate pair; keeps pairs with
+    ``jaccard >= threshold``. Returns (id_a, id_b, jaccard).
+
+    intersection via a shingle-equality join restricted to candidate pairs;
+    union from per-doc shingle counts (|A|+|B|-|A∩B|). Jaccard is a ratio of
+    integers, so double division is bit-identical across engines; rounded
+    only for output stability.
+    """
+    counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                precision,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup: shingle → minhash → band →
+    bucket-join → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    sh = word_shingles(df, id_col, text_col, k=k)
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    bands = lsh_bands(sig, id_col, num_hashes=num_hashes, band_size=band_size)
+    cand = lsh_candidate_pairs(bands, id_col)
+    return jaccard_verify(cand, sh, id_col, threshold=threshold)
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document over frequency-weighted whitespace tokens.
+
+    Token hash = portable 60-bit md5 int; bit i of the signature is set when
+    the sum over tokens of ±1 (per the token hash's bit i) is positive.
+    All 32 bit-sums come from ONE map-side-combined groupBy (single doc-keyed
+    shuffle); the per-bit CASE expressions are codegen'd JVM-side.
+    """
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    hashed = tok.select(id_col, md5_hash64(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(F.expr(f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"s{i}")
+        for i in range(32)
+    ]
+    sums = hashed.groupBy(id_col).agg(*bit_sums)
+    sim = sums.select(
+        id_col,
+        sum(
+            [F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0) for i in range(32)],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    return sim
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash banding: two signatures within hamming
+    distance ``max_hamming`` of each other on 32 bits must agree exactly on
+    at least one of 4 bytes (pigeonhole for distance <= 6 over 4 blocks is
+    not guaranteed — but is for <= 3; we still *verify* with bit_count, the
+    bands only prune). Blocking on (byte_idx, byte_val) keeps the join
+    equi-keyed — no cross join — which is the property that survives 100 TB.
+    Returns (id_a, id_b, hamming).
+    """
+    bands = sim.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("byte_idx"),
+                        F.expr(f"(simhash >> {8 * b}) & 255").alias("byte_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, "simhash", F.col("x.byte_idx").alias("bi"), F.col("x.byte_val").alias("bv"))
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "bi", "bv")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "bi", "bv")
+    return (
+        a.join(b, on=["bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct character n-grams per document: (id, gram). Pure codegen
+    (sequence + substring), no Python."""
+    return (
+        df.select(id_col, F.col(text_col).alias("t"))
+        .where(F.length("t") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"transform(sequence(1, length(t) - {n - 1}), i -> substring(t, i, {n}))")
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard near-dup within a blocking key (e.g. source): pairs are
+    generated only by the gram-equality join *within the block*, never a
+    cross join, then scored |A∩B| / (|A|+|B|-|A∩B|). Returns
+    (id_a, id_b, jaccard >= threshold).
+    """
+    grams = (
+        df.select(id_col, F.col(block_col).alias("blk"), F.col(text_col).alias("t"))
+        .where(F.length("t") >= n)
+        .select(
+            id_col,
+            "blk",
+            F.explode(
+                F.expr(f"transform(sequence(1, length(t) - {n - 1}), i -> substring(t, i, {n}))")
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    counts = grams.groupBy(id_col, "blk").agg(F.count(F.lit(1)).alias("n_g"))
+    a = grams.select(F.col(id_col).alias("id_a"), "blk", "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "blk", "gram")
+    inter = (
+        a.join(b, on=["blk", "gram"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with the
+    canonical (min) id and the copy count. Single map-side-combined shuffle
+    on the md5 — the 100 TB-scale exact-dedup primitive."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (SURVEY.md §7 step 8): brute-force cosine top-k as the
+exact baseline, and random-hyperplane LSH bucketing as the scale path.
+
+Numeric determinism contract (parity-tested against DuckDB in
+tests/test_llm_ops.py): dot products are computed as a *sequential*
+left-fold of doubles in array order (``F.aggregate``), which bit-matches
+DuckDB's ``list_dot_product`` over ``DOUBLE[]``; cosines are rounded to 6
+decimals before ranking, and every ranking carries a unique-id tie-break,
+so ordering is engine-independent.
+
+Scale notes: the probe set is broadcast (bounded by construction), so the
+corpus is scanned exactly once with no shuffle for brute-force scoring; the
+LSH variant turns scoring into an equi-join on the bucket id — the shape
+that survives a 1000-executor 100 TB corpus. Per-query top-k is a window
+over query_id: the shuffle carries only candidate rows, already pruned.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — bit-matches DuckDB list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column, precision: int = 6) -> Column:
+    """Rounded cosine similarity. sqrt/division are IEEE-correctly-rounded,
+    so identical double inputs give identical doubles in any engine."""
+    return F.round(dot(a, b) / F.sqrt(dot(a, a) * dot(b, b)), precision)
+
+
+def knn_brute_force(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: every probe against every corpus vector (self
+    excluded). Probes are broadcast; corpus partitions never move.
+    Returns (query_id, cand_id, sim, rk)."""
+    p = F.broadcast(
+        probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(p)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", "rk")
+    )
+
+
+def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes, derived from md5 parity of
+    "plane|dim" so the oracle SQL can embed the *same* literals. Driver-side
+    only (num_planes × dim scalars — bounded), shipped as literals into the
+    plan, never a shuffle."""
+    planes: list[list[float]] = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def rhp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(plane_p · vec) > 0.
+    Pure column expressions — codegen, no Python in the executor path."""
+    bits = []
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(s) for s in row])
+        bits.append(F.when(dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the probe's LSH bucket, then
+    exact cosine re-rank. Bucketing turns the cross join into an equi-join on
+    the bucket id — per-bucket co-location at scale, AQE splits hot buckets.
+    Returns (query_id, cand_id, sim, rk); probes with an empty bucket simply
+    produce no rows (inner-join semantics)."""
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        rhp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            rhp_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(p, on="bucket")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", "rk")
+    )
+
+
+def cosine_near_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key (id_a < id_b,
+    sim >= threshold). The block equi-join bounds pair generation; the
+    unblocked 100 TB path composes rhp_bucket as the block instead.
+    Returns (id_a, id_b, sim)."""
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    return (
+        a.join(b, on="blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

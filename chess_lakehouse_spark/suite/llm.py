@@ -1,7 +1,394 @@
 """Training-data-pipeline queries: dedup, similarity search, text analysis
-over documents/embeddings. Filled in per SURVEY.md §7 step 8."""
+over the documents/embeddings tables (north-star extensions, SURVEY.md §7
+step 8). Each query has a DuckDB oracle built on the same portable-hash
+contract (md5-derived, engine-independent — see operators/dedup.py).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.catalog import load_table
+from chess_lakehouse_spark.functions.text import (
+    LANG_MARKERS,
+    langid_scores,
+    quality_metrics,
+    token_counts,
+    winnow_fingerprints,
+)
+from chess_lakehouse_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash_near_pairs,
+)
+from chess_lakehouse_spark.operators.similarity import (
+    cosine_near_pairs,
+    hyperplane_signs,
+    knn_brute_force,
+    knn_lsh,
+)
+from chess_lakehouse_spark.session import apply_runtime_conf
+
+NUM_PLANES = 8
+EMB_DIM = 64
+PLANES = hyperplane_signs(NUM_PLANES, EMB_DIM)
+COSINE_DUP_THRESHOLD = 0.45
+JACCARD_THRESHOLD = 0.5
+KNN_PROBES = 10
+KNN_K = 5
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (single map-combined shuffle)."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: word 3-shingles → 8 minhashes → 4 bands of 2 →
+    bucket-join candidates → exact-Jaccard verify >= 0.5."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs: byte-banding (equi-join blocking) + hamming <= 6."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash32(docs, "doc_id", "text"), "doc_id", max_hamming=6)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard near-dup blocked by source."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="source", n=3, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label, sim >= 0.45."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the probe set (vec_id < 10), probes broadcast."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < KNN_PROBES)
+    return knn_brute_force(emb, probes, "vec_id", "embedding", k=KNN_K)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: random-hyperplane LSH bucket prefilter + exact
+    cosine re-rank within the bucket."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < KNN_PROBES)
+    return knn_lsh(emb, probes, "vec_id", "embedding", PLANES, k=KNN_K)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_metrics(docs, "doc_id", "text")
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_scores(docs, "doc_id", "text")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs, "doc_id", "text")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=5, window=8)
+
+
+# ---------------------------------------------------------------- oracles
+
+_HASH64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+_TOKS = r"string_split_regex(text, '\s+')"
+
+_SHINGLES_CTE = rf"""
+tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
+  FROM tok WHERE len(toks) >= 3
+)"""
+
+_MINHASH_AGGS = ",\n    ".join(
+    f"min(md5(concat('{h}|', shingle))) AS h{h}" for h in range(8)
+)
+
+_SIMHASH_SUMS = ",\n    ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(32)
+)
+_SIMHASH_BITS = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+
+_SIMHASH_CTE = rf"""
+tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, {_HASH64.format(expr='tok')} AS h FROM tok WHERE tok <> ''
+),
+bsum AS (
+  SELECT doc_id, {_SIMHASH_SUMS}
+  FROM th GROUP BY doc_id
+),
+simh AS (
+  SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM bsum
+)"""
+
+
+def _plane_literal(row: list[float]) -> str:
+    return "CAST([" + ", ".join(str(s) for s in row) + "] AS DOUBLE[])"
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_literal(PLANES[p])}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(NUM_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 6)"
+)
+
+_STOP = {lang: ", ".join(f"'{w}'" for w in words) for lang, words in LANG_MARKERS.items()}
+
+_LANG_SCORES = ",\n   ".join(
+    f"ROUND(CAST(len(list_filter(toks, t -> t IN ({_STOP[lang]}))) AS DOUBLE)"
+    f" / len(toks), 6) AS score_{lang}"
+    for lang in sorted(LANG_MARKERS)
+)
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash_lsh": rf"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+          SELECT doc_id, {_MINHASH_AGGS}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat(h0, h1) AS bsig FROM sig
+          UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM sig
+          UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM sig
+          UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT * FROM (
+          SELECT i.id_a, i.id_b,
+                 ROUND(CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common), 6) AS jaccard
+          FROM inter i
+          JOIN counts ca ON ca.doc_id = i.id_a
+          JOIN counts cb ON cb.doc_id = i.id_b
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH {_SIMHASH_CTE}
+        SELECT doc_id, simhash FROM simh
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH {_SIMHASH_CTE},
+        bands AS (
+          SELECT doc_id, simhash, b.bi, (simhash >> (8 * b.bi)) & 255 AS bv
+          FROM simh, (SELECT unnest([0, 1, 2, 3]) AS bi) b
+        )
+        SELECT * FROM (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ) WHERE hamming <= 6
+    """,
+    "dedup_ngram_jaccard": rf"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, source AS blk,
+            unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+                   i -> substring(text, i, 3))) AS gram
+          FROM documents WHERE length(text) >= 3
+        ),
+        c AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY 1),
+        i AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM g a JOIN g b
+            ON a.blk = b.blk AND a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT * FROM (
+          SELECT id_a, id_b,
+                 ROUND(CAST(n_common AS DOUBLE) / (ca.n_g + cb.n_g - n_common), 6) AS jaccard
+          FROM i JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_COS.format(a='a.v', b='b.v')} AS sim
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE sim >= {COSINE_DUP_THRESHOLD}
+    """,
+    "knn_brute_force": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT * FROM e WHERE vec_id < {KNN_PROBES}),
+        s AS (
+          SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+                 {_COS.format(a='p.v', b='c.v')} AS sim
+          FROM p JOIN e c ON c.vec_id <> p.vec_id
+        )
+        SELECT query_id, cand_id, sim, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rk
+          FROM s
+        ) WHERE rk <= {KNN_K}
+    """,
+    "knn_lsh": f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+          FROM embeddings
+        ),
+        p AS (SELECT * FROM e WHERE vec_id < {KNN_PROBES}),
+        s AS (
+          SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+                 {_COS.format(a='p.v', b='c.v')} AS sim
+          FROM p JOIN e c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+        )
+        SELECT query_id, cand_id, sim, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rk
+          FROM s
+        ) WHERE rk <= {KNN_K}
+    """,
+    "text_quality": rf"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(length(text) AS INT) AS n_chars,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 CAST(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+                   / len(toks) AS avg_len,
+                 CAST(len(list_filter(toks, x -> x IN ({_STOP['en']}))) AS DOUBLE)
+                   / len(toks) AS stop_ratio
+          FROM t
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               ROUND(avg_len, 4) AS avg_token_len,
+               ROUND(stop_ratio, 4) AS stopword_ratio,
+               ROUND(0.4 * ln(1.0 + CAST(n_chars AS DOUBLE))
+                     + 0.3 * stop_ratio
+                     + 0.3 * least(avg_len / 10.0, 1.0), 6) AS quality_score
+        FROM m
+    """,
+    "text_langid": rf"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+   {_LANG_SCORES}
+          FROM t
+        )
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE
+                 WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                 WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                 WHEN score_es >= score_fr THEN 'es'
+                 ELSE 'fr'
+               END AS pred_lang
+        FROM s
+    """,
+    "token_count": rf"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_ws_tokens,
+               CAST(list_reduce(list_transform(toks, x -> (len(x) + 3) // 4),
+                                (a, b) -> a + b) AS BIGINT) AS n_subword_tokens
+        FROM t
+    """,
+    "doc_fingerprint": rf"""
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(length(text) - 3, 1)),
+                        i -> struct_pack(pos := i - 1, gram := substring(text, i, 5)))) AS u
+          FROM documents WHERE length(text) >= 5
+        )
+        SELECT doc_id,
+               CAST(u.pos // 8 AS INT) AS win_idx,
+               MIN({_HASH64.format(expr='u.gram')}) AS fingerprint
+        FROM g
+        GROUP BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "knn_brute_force": q_knn_brute_force,
+    "knn_lsh": q_knn_lsh,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}

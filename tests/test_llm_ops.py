@@ -1,0 +1,117 @@
+"""Unit tests for the training-data-pipeline operators (dedup, similarity,
+text analysis) on tiny inline frames — the oracle harness covers the
+sf0.01 hash-match; these pin the semantics on readable examples."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.dedup import (
+    exact_dedup_groups,
+    md5_hash64,
+    minhash_lsh_dedup,
+    simhash32,
+    simhash_near_pairs,
+    word_shingles,
+)
+from chess_lakehouse_spark.operators.similarity import (
+    cosine,
+    hyperplane_signs,
+    knn_brute_force,
+)
+from chess_lakehouse_spark.functions.text import quality_metrics, token_counts, winnow_fingerprints
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_md5_hash64_matches_python(spark):
+    df = spark.createDataFrame([Row(s="abc")])
+    got = df.select(md5_hash64(F.col("s")).alias("h")).collect()[0].h
+    want = int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+    assert got == want
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    rows = {r.canonical_id: r.n_copies for r in exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "only two")])
+    assert word_shingles(df, "doc_id", "text", k=3).count() == 0
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    far = " ".join(f"x{i}" for i in range(30))
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.85
+
+
+def test_simhash_near_pairs_identical_docs(spark):
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")])
+    sim = simhash32(df, "doc_id", "text")
+    vals = {r.doc_id: r.simhash for r in sim.collect()}
+    assert vals[1] == vals[2]
+    pairs = simhash_near_pairs(sim, "doc_id", max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_cosine_orthogonal_and_identical(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[0.0, 1.0]), Row(a=[2.0, 0.0], b=[3.0, 0.0])]
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert [r.c for r in got] == [0.0, 1.0]
+
+
+def test_knn_brute_force_ranks_by_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+        ]
+    )
+    probes = emb.where(F.col("vec_id") == 0)
+    got = knn_brute_force(emb, probes, "vec_id", "embedding", k=2).collect()
+    assert [(r.cand_id, r.rk) for r in got] == [(1, 1), (2, 2)]
+
+
+def test_hyperplane_signs_deterministic():
+    a = hyperplane_signs(4, 8)
+    b = hyperplane_signs(4, 8)
+    assert a == b
+    assert all(s in (1.0, -1.0) for row in a for s in row)
+
+
+def test_quality_and_token_counts(spark):
+    df = _docs(spark, [(1, "the cat sat")])
+    q = quality_metrics(df, "doc_id", "text").collect()[0]
+    assert q.n_chars == 11 and q.n_tokens == 3
+    assert q.avg_token_len == 3.0
+    assert q.stopword_ratio == round(1 / 3, 4)
+    t = token_counts(df, "doc_id", "text").collect()[0]
+    assert t.n_ws_tokens == 3 and t.n_subword_tokens == 3  # ceil(3/4)=1 each
+
+
+def test_winnow_fingerprint_stable_under_suffix_edit(spark):
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    df = _docs(spark, [(1, base), (2, base + "EDITED")])
+    fp = winnow_fingerprints(df, "doc_id", "text", k=5, window=8)
+    by_doc = {
+        d: {(r.win_idx, r.fingerprint) for r in rows}
+        for d, rows in [(1, fp.where("doc_id=1").collect()), (2, fp.where("doc_id=2").collect())]
+    }
+    # early windows (away from the edit) are identical
+    shared = by_doc[1] & by_doc[2]
+    assert len(shared) >= 3
