@@ -1,0 +1,18 @@
+"""Structured Streaming extension (batch reference has no streams —
+SURVEY.md §2.10; this is the §7 step 8 north-star path)."""
+
+from chess_lakehouse_spark.streaming.jobs import (
+    hourly_event_counts,
+    read_events_stream,
+    run_available_now,
+    running_user_counts,
+    session_windows,
+)
+
+__all__ = [
+    "hourly_event_counts",
+    "read_events_stream",
+    "run_available_now",
+    "running_user_counts",
+    "session_windows",
+]

@@ -1,0 +1,143 @@
+"""Structured Streaming path over the events stream.
+
+The reference is batch-only (SURVEY.md §2.10) — this module is the
+north-star streaming extension (§7 step 8): file-source ingest, watermarked
+tumbling/session windows, and a custom stateful operator via
+``applyInPandasWithState``.
+
+Scale notes: every aggregation keys its state by (window, type) or user —
+state stores shard with the shuffle partitioning, so a 1000-executor
+deployment scales state horizontally; watermarks bound state size against
+late data; ``availableNow`` triggers give batch-backfill semantics with the
+same code path as the live stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    Schema is inferred from the existing files (file streams require an
+    explicit schema; we take it from a batch peek — one footer read), then
+    the nanos-long ts is converted to a micros timestamp exactly as the
+    batch catalog does, so batch and stream share downstream operators.
+    """
+    static = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    return stream
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of the batch
+    q_events_hourly query. Late rows beyond the watermark are dropped; state
+    per (window, event_type) is evicted once the watermark passes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (30-min inactivity gap) per user — the
+    streaming twin of the batch sessionize query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_COUNT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+RUNNING_COUNT_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("last_us", LongType())]
+)
+
+
+def _running_count_fn(
+    key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful op: per-user running event count + last-seen ts.
+    State is one (long, long) per user — O(users) across the cluster,
+    sharded by the groupBy shuffle."""
+    (user_id,) = key
+    n, last_us = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        if len(pdf):
+            batch_max = pdf["ts"].max()
+            last_us = max(last_us, int(pd.Timestamp(batch_max).value // 1000))
+    state.update((n, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id], dtype="int64"),
+            "n_events": pd.Series([n], dtype="int64"),
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+        }
+    )
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState custom stateful operator: cumulative per-user
+    event counts emitted every micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_count_fn,
+        outputStructType=RUNNING_COUNT_SCHEMA,
+        stateStructType=RUNNING_COUNT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> None:
+    """Drain everything currently in the source into an in-memory table named
+    ``query_name`` with batch semantics (availableNow), then stop. The test
+    harness entry point; production uses the same plan with a live trigger
+    and a durable sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,84 @@
+"""Streaming-path tests: file-source ingest, watermarked windows, session
+windows, and the applyInPandasWithState custom stateful operator — all
+driven with availableNow triggers so they run as bounded batch drains.
+
+Cross-checks: the streaming hourly counts must equal the batch groupBy on
+the same data (same code path contract), and session-window counts must
+equal the batch lag-based sessionize."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.catalog import load_table
+from chess_lakehouse_spark.streaming import (
+    hourly_event_counts,
+    read_events_stream,
+    run_available_now,
+    running_user_counts,
+    session_windows,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_hourly_counts_match_batch(spark, events_dir, tmp_path):
+    stream = hourly_event_counts(read_events_stream(spark, events_dir))
+    run_available_now(stream, "hourly_counts", str(tmp_path / "ckpt"))
+    got = {
+        (r.hour_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in spark.table("hourly_counts").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        (r.hour_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_windows_match_batch_sessionize(spark, events_dir, tmp_path):
+    stream = session_windows(read_events_stream(spark, events_dir))
+    run_available_now(stream, "session_win", str(tmp_path / "ckpt"))
+    got = (
+        spark.table("session_win")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got_map = {r.user_id: r.n_sessions for r in got.collect()}
+
+    from chess_lakehouse_spark.suite.core import q_sessionize
+
+    want_map = {r.user_id: r.n_sessions for r in q_sessionize(spark, SF_DIR).collect()}
+    assert got_map == want_map
+    assert len(got_map) > 0
+
+
+def test_running_user_counts_stateful(spark, events_dir, tmp_path):
+    stream = running_user_counts(read_events_stream(spark, events_dir))
+    run_available_now(stream, "running_counts", str(tmp_path / "ckpt"), output_mode="update")
+    # last update per user must equal the total batch count per user
+    got = (
+        spark.table("running_counts")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    got_map = {r.user_id: r.n_events for r in got.collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    want_map = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got_map == want_map
