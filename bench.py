@@ -47,6 +47,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in suite.QUERIES.items():
+        # operators persist intermediate frames; drop them between queries so
+        # one query's cache does not skew the next query's memory budget
+        spark.catalog.clearCache()
         start = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

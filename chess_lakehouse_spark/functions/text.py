@@ -118,26 +118,30 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Winnowing document fingerprints (MOSS-style): hash every char k-gram
     (portable md5 int), bucket positions into fixed windows of ``window``
-    grams, keep the min hash per window. Returns one row per (id, win_idx)
-    with the selected fingerprint — the per-window min makes the fingerprint
-    set robust to local edits. One doc-keyed map-side-combined shuffle.
+    grams, keep the min hash per window — the per-window min makes the
+    fingerprint set robust to local edits. Returns one row per (id, win_idx).
+
+    Entirely in the array domain (hash array → per-window ``array_min`` via
+    ``slice`` → posexplode of one value per window): a narrow, shuffle-free
+    plan that explodes ``n_grams / window`` rows instead of shuffling every
+    gram through a groupBy — the property that matters at 100 TB.
     """
-    grams = (
-        df.select(id_col, F.col(text_col).alias("t"))
-        .where(F.length("t") >= k)
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))")
-            ).alias("pos", "gram"),
-        )
+    hashes = F.expr(
+        f"transform(sequence(1, length(t) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10) AS BIGINT))"
     )
     return (
-        grams.select(
+        df.select(id_col, F.col(text_col).alias("t"))
+        .where(F.length("t") >= k)
+        .select(id_col, hashes.alias("hs"))
+        .select(
             F.col(id_col),
-            F.expr(f"CAST(pos div {window} AS INT)").alias("win_idx"),
-            md5_hash64(F.col("gram")).alias("gh"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(hs) - 1) div {window} AS INT)), "
+                    f"w -> array_min(slice(hs, w * {window} + 1, {window})))"
+                )
+            ).alias("win_idx", "fingerprint"),
         )
-        .groupBy(id_col, "win_idx")
-        .agg(F.min("gh").alias("fingerprint"))
+        .select(F.col(id_col), F.col("win_idx").cast("int").alias("win_idx"), "fingerprint")
     )

@@ -45,6 +45,16 @@ def cosine(a: Column, b: Column, precision: int = 6) -> Column:
     return F.round(dot(a, b) / F.sqrt(dot(a, a) * dot(b, b)), precision)
 
 
+def _paired_cosine(precision: int = 6) -> Column:
+    """Cosine from a pre-computed squared norm on each side: the per-pair work
+    is ONE fold (the cross dot product); ||a||²/||b||² are computed once per
+    vector, not once per pair. Same expression tree as the oracle
+    (``dot / sqrt(n2a * n2b)``) so doubles stay bit-identical."""
+    return F.round(
+        dot(F.col("qv"), F.col("cv")) / F.sqrt(F.col("qn2") * F.col("cn2")), precision
+    )
+
+
 def knn_brute_force(
     corpus: DataFrame,
     probes: DataFrame,
@@ -53,16 +63,25 @@ def knn_brute_force(
     k: int = 5,
 ) -> DataFrame:
     """Exact cosine top-k: every probe against every corpus vector (self
-    excluded). Probes are broadcast; corpus partitions never move.
+    excluded). Probes are broadcast; corpus partitions never move, and each
+    side's squared norm is computed once before the join.
     Returns (query_id, cand_id, sim, rk)."""
     p = F.broadcast(
-        probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
+    )
     scored = (
         c.crossJoin(p)
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "cand_id", _paired_cosine().alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
     return (
@@ -116,19 +135,21 @@ def knn_lsh(
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
         rhp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     p = F.broadcast(
         probes.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
             rhp_bucket(F.col(vec_col), planes).alias("bucket"),
         )
     )
     scored = (
         c.join(p, on="bucket")
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "cand_id", _paired_cosine().alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
     return (
@@ -150,14 +171,20 @@ def cosine_near_pairs(
     unblocked 100 TB path composes rhp_bucket as the block instead.
     Returns (id_a, id_b, sim)."""
     a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("qv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
+        F.col(block_col).alias("blk"),
     )
     b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("cv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
+        F.col(block_col).alias("blk"),
     )
     return (
         a.join(b, on="blk")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select("id_a", "id_b", _paired_cosine().alias("sim"))
         .where(F.col("sim") >= threshold)
     )

@@ -76,11 +76,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-3-gram Jaccard near-dup blocked by source."""
+    """Char-5-gram Jaccard near-dup blocked by source (5-grams over the
+    small synthetic vocabulary are selective enough that the gram-equality
+    join stays sparse; 3-grams degenerate toward a block-cross-join)."""
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", block_col="source", n=3, threshold=JACCARD_THRESHOLD
+        docs, "doc_id", "text", block_col="source", n=5, threshold=JACCARD_THRESHOLD
     )
 
 
@@ -260,9 +262,9 @@ ORACLES = {
     "dedup_ngram_jaccard": rf"""
         WITH g AS (
           SELECT DISTINCT doc_id, source AS blk,
-            unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
-                   i -> substring(text, i, 3))) AS gram
-          FROM documents WHERE length(text) >= 3
+            unnest(list_transform(range(1, greatest(length(text) - 3, 1)),
+                   i -> substring(text, i, 5))) AS gram
+          FROM documents WHERE length(text) >= 5
         ),
         c AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY 1),
         i AS (

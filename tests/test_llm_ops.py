@@ -115,3 +115,20 @@ def test_winnow_fingerprint_stable_under_suffix_edit(spark):
     # early windows (away from the edit) are identical
     shared = by_doc[1] & by_doc[2]
     assert len(shared) >= 3
+
+
+def test_ngram_prefix_strategy_matches_exhaustive(spark):
+    from chess_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "s1"),
+        (2, "the quick brown fox jumps over the lazy cat", "s1"),
+        (3, "entirely different content with no overlap here", "s1"),
+        (4, "the quick brown fox jumps over the lazy dog", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kw = dict(id_col="doc_id", text_col="text", block_col="source", n=3, threshold=0.5)
+    exhaustive = {tuple(r) for r in ngram_jaccard_pairs(df, **kw).collect()}
+    prefix = {tuple(r) for r in ngram_jaccard_pairs(df, strategy="prefix", **kw).collect()}
+    assert exhaustive == prefix
+    assert (1, 2) in {(a, b) for a, b, _ in exhaustive}
