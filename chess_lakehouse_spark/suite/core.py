@@ -307,6 +307,70 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("user_id").agg(F.sum("is_new").cast("long").alias("n_sessions"))
 
 
+def q_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE … FROM (join-update / MERGE) semantics, functionally: left-join
+    the update set, COALESCE-overwrite matched rows, keep the rest
+    (src/find-openings.ts:70-80 — Spark mapping per SURVEY.md §2.4: no
+    in-place mutation on an immutable lake; recompute-and-overwrite)."""
+    apply_runtime_conf(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    updates = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("new_segment", F.lit("HAS_FINISHED"))
+    )
+    return c.join(updates, c.c_custkey == updates.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("new_segment", "c_mktsegment").alias("mktsegment"),
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT …) per group — distinct aggregation surface (absent in
+    the reference, SURVEY.md §2.5). Plans as a two-phase aggregate: partial
+    dedup before the shuffle, so the exchange carries distinct pairs only."""
+    apply_runtime_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all subtotal combinations)."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(_dsum("l_quantity")).alias("sum_qty"),
+    )
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LATERAL construct *literally* (src/find-openings.ts:73-79
+    `JOIN LATERAL (… ORDER BY … LIMIT 1) ON TRUE`): Spark >= 3.2 plans
+    correlated lateral subqueries natively (SURVEY.md §4.2), here picking each
+    part's longest name-word with a deterministic tie-break. The DataFrame
+    argmax (q_enrich_argmax) is the preferred scale form; this gates the SQL
+    surface itself."""
+    apply_runtime_conf(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, o.best_word, o.wlen
+        FROM part p, LATERAL (
+          SELECT word AS best_word, CAST(length(word) AS INT) AS wlen
+          FROM (SELECT explode(split(p.p_name, ' ')) AS word)
+          ORDER BY wlen DESC, word ASC
+          LIMIT 1
+        ) o
+        """
+    )
+
+
 QUERIES = {
     "qc_count": q_qc_count,
     "filter_null_predicate": q_filter_null_predicate,
@@ -326,6 +390,10 @@ QUERIES = {
     "scalar_kitchen": q_scalar_kitchen,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "merge_update": q_merge_update,
+    "distinct_agg": q_distinct_agg,
+    "cube": q_cube,
+    "lateral_topk": q_lateral_topk,
 }
 
 ORACLES = {
@@ -451,6 +519,37 @@ ORACLES = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "merge_update": """
+        SELECT c_custkey,
+               COALESCE(u.new_segment, c_mktsegment) AS mktsegment
+        FROM customer
+        LEFT JOIN (
+          SELECT DISTINCT o_custkey, 'HAS_FINISHED' AS new_segment
+          FROM orders WHERE o_orderstatus = 'F'
+        ) u ON c_custkey = u.o_custkey
+    """,
+    "distinct_agg": """
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_cust,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "cube": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "lateral_topk": """
+        SELECT p.p_partkey, o.best_word, o.wlen
+        FROM part p, LATERAL (
+          SELECT word AS best_word, CAST(length(word) AS INT) AS wlen
+          FROM (SELECT unnest(string_split(p.p_name, ' ')) AS word)
+          ORDER BY wlen DESC, word ASC
+          LIMIT 1
+        ) o
     """,
     "sessionize": """
         WITH x AS (

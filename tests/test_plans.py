@@ -1,0 +1,78 @@
+"""Physical-plan property tests — the scale contract, enforced.
+
+Correctness is gated by the oracle harness; these tests instead pin the
+*plan shapes* that make the operators viable at 100 TB: filters reaching
+the Parquet scan, column pruning, broadcast (never cartesian) joins,
+map-side partial aggregation, shuffle-free map-side enrichment, and
+top-k without a global sort. A regression that silently flips one of these
+(e.g. a broadcast falling back to cartesian) changes no rows at sf0.01 but
+is fatal at scale — this is where it gets caught."""
+
+from __future__ import annotations
+
+import pytest
+
+from chess_lakehouse_spark.suite import core, llm
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def explain(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_export_projection_pushdown_and_pruning(spark):
+    plan = explain(spark, core.q_export_projection(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    # only the 5 referenced columns are read; anything else means pruning broke
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "o_orderkey" in read and "o_clerk" not in read and "o_comment" not in read
+
+
+def test_join_star_broadcasts_and_partial_agg(spark):
+    plan = explain(spark, core.q_join_star(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # nation/region at minimum
+    # partial aggregation: HashAggregate on both sides of the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_enrich_argmax_is_shuffle_free(spark):
+    plan = explain(spark, core.q_enrich_argmax(spark, SF_DIR))
+    # map-side argmax: literal-array dim + HOF reduce — no join, no exchange
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_sort_limit_avoids_global_sort(spark):
+    plan = explain(spark, core.q_sort_limit(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_knn_broadcasts_probes(spark):
+    plan = explain(spark, llm.q_knn_brute_force(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_lsh_is_equi_join(spark):
+    plan = explain(spark, llm.q_knn_lsh(spark, SF_DIR))
+    # bucket prefilter must plan as a hash join on the bucket id,
+    # not a nested-loop over the corpus
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_groupby_agg_partial_aggregation(spark):
+    plan = explain(spark, core.q_groupby_agg(spark, SF_DIR))
+    before, _, after = plan.partition("Exchange")
+    assert "HashAggregate" in before and "HashAggregate" in after
+    assert "PushedFilters" in plan
+
+
+def test_doc_fingerprint_shuffle_free(spark):
+    plan = explain(spark, llm.q_doc_fingerprint(spark, SF_DIR))
+    assert "Exchange" not in plan  # array-domain winnowing needs no groupBy
