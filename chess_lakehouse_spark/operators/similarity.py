@@ -159,6 +159,96 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: partition the corpus into
+    centroid-owned lists, search only the probe's ``nprobe`` nearest lists.
+
+    Centroids here are the ``n_centroids`` lowest-id vectors — a
+    deterministic surrogate for offline k-means training (the list/probe
+    mechanics are identical; training is a separate seeded batch job).
+    Assignment is an argmax over a literal centroid array (HOF, map-side,
+    zero shuffle — same pattern as the openings enrichment); candidate
+    scoring is an equi-join on list_id, so at 100 TB each list is a
+    co-located partition and only ``nprobe/n_centroids`` of the corpus is
+    touched per query. Returns (query_id, cand_id, sim, rk).
+    """
+    cent = (
+        corpus.where(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
+        )
+        .collect()
+    )
+    # literal centroid array; cn2 was computed by the engine's own fold so
+    # downstream arithmetic matches the oracle bit-for-bit
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.cv]).alias("ccv"),
+                F.lit(float(r.cn2)).alias("ccn2"),
+            )
+            for r in sorted(cent, key=lambda r: r.cid)
+        ]
+    )
+
+    def ranked_lists(vec: Column, n2: Column) -> Column:
+        """Centroid ids sorted by (cosine DESC, cid ASC) — struct sort on
+        (negated rounded sim, cid)."""
+        return F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    (-F.round(dot(vec, c["ccv"]) / F.sqrt(n2 * c["ccn2"]), 6)).alias("negsim"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
+    ).withColumn("list_id", ranked_lists(F.col("cv"), F.col("cn2"))[0]["cid"])
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
+        )
+        .withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(ranked_lists(F.col("qv"), F.col("qn2")), 1, nprobe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    scored = (
+        c.join(p, on="list_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _paired_cosine().alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", "rk")
+    )
+
+
 def cosine_near_pairs(
     vectors: DataFrame,
     id_col: str,

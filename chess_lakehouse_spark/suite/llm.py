@@ -28,6 +28,7 @@ from chess_lakehouse_spark.operators.similarity import (
     cosine_near_pairs,
     hyperplane_signs,
     knn_brute_force,
+    knn_ivf,
     knn_lsh,
 )
 from chess_lakehouse_spark.session import apply_runtime_conf
@@ -110,6 +111,14 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < KNN_PROBES)
     return knn_lsh(emb, probes, "vec_id", "embedding", PLANES, k=KNN_K)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: 16 centroid lists, probe the 2 nearest."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < KNN_PROBES)
+    return knn_ivf(emb, probes, "vec_id", "embedding", n_centroids=16, nprobe=2, k=KNN_K)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,6 +330,38 @@ ORACLES = {
           FROM s
         ) WHERE rk <= {KNN_K}
     """,
+    "knn_ivf": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        assigned AS (
+          SELECT e.vec_id, e.v, a.cid AS list_id
+          FROM e, LATERAL (
+            SELECT c.cid FROM cent c
+            ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cid ASC
+            LIMIT 1
+          ) a
+        ),
+        p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {KNN_PROBES}),
+        plists AS (
+          SELECT p.query_id, p.qv, a.cid AS list_id
+          FROM p, LATERAL (
+            SELECT c.cid FROM cent c
+            ORDER BY {_COS.format(a='p.qv', b='c.cv')} DESC, c.cid ASC
+            LIMIT 2
+          ) a
+        ),
+        s AS (
+          SELECT pl.query_id, t.vec_id AS cand_id,
+                 {_COS.format(a='pl.qv', b='t.v')} AS sim
+          FROM plists pl
+          JOIN assigned t ON t.list_id = pl.list_id AND t.vec_id <> pl.query_id
+        )
+        SELECT query_id, cand_id, sim, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rk
+          FROM s
+        ) WHERE rk <= {KNN_K}
+    """,
     "text_quality": rf"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
         m AS (
@@ -389,6 +430,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "knn_brute_force": q_knn_brute_force,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "token_count": q_token_count,
