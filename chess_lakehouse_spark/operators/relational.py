@@ -55,3 +55,38 @@ def top_k_per_group(
 
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return df.withColumn(rank_name, F.row_number().over(w)).where(F.col(rank_name) <= k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: identical results to ``left.join(right,
+    key, how)``, but a hot key's rows spread over ``n_salts`` reducers.
+
+    The left (large/skewed) side gets a deterministic per-row salt
+    (``xxhash64`` of the whole row, mod n_salts — salt only affects
+    placement, never the result); the right side is replicated once per
+    salt value. The join key becomes (key, salt), so one pathological key
+    no longer lands on a single reducer.
+
+    Use when AQE's skew-join splitting can't help: AQE splits oversized
+    *partitions* of sort-merge joins, but a build-side that must be
+    replicated anyway (medium-sized dim, too big to broadcast whole but
+    fine to broadcast n_salts times) or an engine without AQE needs the
+    explicit form. Supported how: inner / left (semantics preserved because
+    every left row carries exactly one salt and every right row exists for
+    every salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lsalt = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    return lsalt.join(rsalt, on=[key, "__salt"], how=how).drop("__salt")

@@ -132,3 +132,18 @@ def test_ngram_prefix_strategy_matches_exhaustive(spark):
     prefix = {tuple(r) for r in ngram_jaccard_pairs(df, strategy="prefix", **kw).collect()}
     assert exhaustive == prefix
     assert (1, 2) in {(a, b) for a, b, _ in exhaustive}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from chess_lakehouse_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", f"k{i % 5}")], ["key", "val"]
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("k0", "A"), ("k3", "B"), ("missing", "X")], ["key", "attr"]
+    )
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in left.join(right, "key", how).collect()}
+        salted = {tuple(r) for r in salted_join(left, right, "key", n_salts=4, how=how).collect()}
+        assert salted == plain
