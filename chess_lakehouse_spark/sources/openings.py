@@ -1,0 +1,55 @@
+"""Openings dimension source — the reference's remote Parquet glob scan.
+
+Reference (dvc.yaml:3):
+    CREATE TABLE IF NOT EXISTS openings AS
+    SELECT * FROM 'hf://datasets/Lichess/chess-openings/**/*.parquet'
+
+Hadoop has no ``hf://`` filesystem, so the Spark mapping (SURVEY.md §1.3)
+is a driver-side snapshot download followed by a recursive local/remote-FS
+glob read. The download is gated behind an import-try: this container has
+no ``huggingface_hub`` and no network, so tests exercise the recursive
+glob + schema + ply-derivation path on local fixture files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Columns the pipeline consumes (reference: src/find-openings.ts:65,71,74,76).
+OPENINGS_COLUMNS = ("eco", "name", "pgn", "uci")
+
+
+def resolve_openings_path(location: str) -> str:
+    """Return a Spark-readable path for the openings dataset.
+
+    ``hf://datasets/<repo>/...`` → local snapshot dir (driver-side download,
+    bounded: the dataset is one small dimension table). Anything else is
+    returned unchanged (local dir, s3://, hdfs:// — real filesystems Spark
+    can glob natively).
+    """
+    if not location.startswith("hf://"):
+        return location
+    try:
+        from huggingface_hub import snapshot_download  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "hf:// locations need the huggingface_hub package for the "
+            "driver-side snapshot download (not available in this "
+            "environment); pass a local/remote-FS path instead"
+        ) from exc
+    repo_id = "/".join(location.removeprefix("hf://datasets/").split("/")[:2])
+    return snapshot_download(repo_id=repo_id, repo_type="dataset")  # pragma: no cover
+
+
+def load_openings(spark: SparkSession, location: str) -> DataFrame:
+    """Read the openings dimension (recursive glob over parquet files) and
+    derive ``opening_ply`` = UCI move count — precomputed once per opening
+    row, exactly like the reference's CTE (src/find-openings.ts:64-66),
+    never per (game, opening) pair."""
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(resolve_openings_path(location))
+        .select(*OPENINGS_COLUMNS)
+    )
+    return df.withColumn("opening_ply", F.size(F.split("uci", " ")))

@@ -108,3 +108,34 @@ def test_full_pipeline_partition_layout(spark, tmp_path, openings_df):
     assert back.count() == 4
     # partition pruning columns materialize correctly
     assert back.where(F.col("month") == "01").count() == 1
+
+
+def test_load_openings_recursive_glob(spark, tmp_path):
+    from chess_lakehouse_spark.sources.openings import load_openings
+
+    rows = [
+        ("B10", "Caro-Kann Defense", "1. e4 c6", "e2e4 c7c6"),
+        ("C20", "King's Pawn Game", "1. e4 e5", "e2e4 e7e5"),
+    ]
+    df = spark.createDataFrame(rows, "eco string, name string, pgn string, uci string")
+    # nested dirs — the reference's `**/*.parquet` glob shape
+    df.limit(1).write.parquet(str(tmp_path / "a" / "part1"))
+    df.subtract(df.limit(1)).write.parquet(str(tmp_path / "b" / "c" / "part2"))
+
+    got = load_openings(spark, str(tmp_path))
+    assert sorted((r.eco, r.opening_ply) for r in got.collect()) == [("B10", 2), ("C20", 2)]
+
+
+def test_load_openings_hf_requires_hub(spark):
+    import pytest as _pytest
+
+    from chess_lakehouse_spark.sources.openings import resolve_openings_path
+
+    try:
+        import huggingface_hub  # noqa: F401
+
+        _pytest.skip("hub present; download path not exercised offline")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError):
+        resolve_openings_path("hf://datasets/Lichess/chess-openings/x.parquet")
