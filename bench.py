@@ -39,9 +39,19 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
-    # Warmup: touch the biggest fact table so JVM/codegen/FS caches are hot.
+    # Warmup: touch the biggest fact table (JVM/codegen/FS caches) and run one
+    # trivial pandas_udf so Python worker spin-up is paid once here, not by
+    # the first UDF-bearing query.
     t0 = time.perf_counter()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s):
+        return s
+
+    spark.range(4).select(_noop(F.col("id"))).count()
     warmup_s = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

@@ -82,3 +82,55 @@ def test_running_user_counts_stateful(spark, events_dir, tmp_path):
     ev = load_table(spark, SF_DIR, "events")
     want_map = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got_map == want_map
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data handling + checkpoint recovery: three availableNow runs
+    against ONE checkpoint (watermark persists across restarts). Run 1 sets
+    the watermark from the on-time rows; run 2 delivers a 9-days-late row,
+    which must be dropped; run 3 advances the watermark past the on-time
+    window so append mode finalizes it. Had the late row been accepted, its
+    long-closed window would appear in the sink (it would finalize
+    immediately) — the sink accumulating across runs makes that visible."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def run_with_file(name, stamps):
+        pdf = pd.DataFrame({"user_id": [1] * len(stamps), "ts": pd.to_datetime(stamps)})
+        # micros precision so nanosAsLong doesn't turn ts into bigint
+        pdf.to_parquet(src / f"{name}.parquet", index=False, coerce_timestamps="us")
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            # parquet NTZ → session-tz timestamp: watermarks need TIMESTAMP
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_with_file("a", ["2024-02-10 10:00", "2024-02-10 10:30"])  # on-time
+    run_with_file("b", ["2024-02-01 00:00"])  # late: far below the watermark
+    run_with_file("c", ["2024-02-10 13:00"])  # pushes watermark past 11:00
+
+    rows = {(str(r.start), r.n) for r in spark.read.parquet(out).collect()}
+    assert rows == {("2024-02-10 10:00:00", 2)}
