@@ -56,21 +56,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name, fn in suite.QUERIES.items():
-        # operators persist intermediate frames; drop them between queries so
-        # one query's cache does not skew the next query's memory budget
-        spark.catalog.clearCache()
-        start = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # Materialize every operator in the plan without collecting rows
-            # to the driver (matches how the 100 TB deployment consumes
-            # results: write/aggregate, never driver collect).
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001 - report, don't abort the bench
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = None
+        for _ in range(reps):
+            # operators persist intermediate frames; drop them between runs so
+            # one run's cache does not skew the next run's memory budget
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # Materialize every operator in the plan without collecting
+                # rows to the driver (matches how the 100 TB deployment
+                # consumes results: write/aggregate, never driver collect).
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 - report, don't abort
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                best = None
+                break
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None or elapsed < best else best
+        if best is not None:
+            # min over reps: wall-clock noise is one-sided, the min is the
+            # least-contended measurement of the actual plan cost
+            timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     try:
