@@ -90,3 +90,56 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )
     return lsalt.join(rsalt, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Left as-of join: for each left row, the payload of the latest right
+    row with the same key and ``right_ts <= left_ts`` (NULL if none) —
+    an operator the reference lists as absent (SURVEY.md §2.3) and Spark
+    has no native form for.
+
+    Implemented as union + window ``last_value(ignorenulls)`` rather than a
+    per-row correlated subquery or a range join: ONE shuffle by key, then a
+    single ordered pass per key — the shape that survives 100 TB (a range
+    join explodes on wide time spans; a lateral subquery is a nested loop).
+    Ties on right_ts resolve to the greatest tiebreak_cols (deterministic).
+    Right columns other than key/ts/payload/tiebreak are dropped.
+    """
+    key_cols = list(key_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    from pyspark.sql.window import Window
+
+    need = {*key_cols, right_ts, *payload_cols, *tiebreak_cols}
+    r = (
+        right.select(*[c for c in right.columns if c in need])
+        .withColumnRenamed(right_ts, "__ts")
+        .withColumn("__side", F.lit(0))
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal __ts (side 0 < 1), so a
+    # payload stamped exactly at left_ts is visible to that left row; among
+    # equal-ts right rows the greatest tiebreak comes last and wins
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *[F.col(c).asc() for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u
+    for c in payload_cols:
+        out = out.withColumn(f"__asof_{c}", F.last(c, ignorenulls=True).over(w))
+    return (
+        out.where(F.col("__side") == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in payload_cols],
+        )
+    )

@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from chess_lakehouse_spark.catalog import load_table
 from chess_lakehouse_spark.operators.enrich import enrich_top1_mapside
-from chess_lakehouse_spark.operators.relational import align_and_union, top_k, top_k_per_group
+from chess_lakehouse_spark.operators.relational import (
+    align_and_union,
+    asof_join,
+    top_k,
+    top_k_per_group,
+)
 from chess_lakehouse_spark.session import apply_runtime_conf
 
 # Exact order-independent sum of a double expression: per-row decimal cast,
@@ -371,6 +376,36 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from the reference AND from native Spark,
+    SURVEY.md §2.3): each event picks up the latest order of the same
+    customer at-or-before the event time. Union + ordered window — one
+    key shuffle, no range-join blowup, no per-row subquery."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        # ntz → session-tz (UTC) timestamp so it unions with events.ts
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderkey",
+    )
+    out = asof_join(
+        ev,
+        orders,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+    )
+
+
 QUERIES = {
     "qc_count": q_qc_count,
     "filter_null_predicate": q_filter_null_predicate,
@@ -394,6 +429,7 @@ QUERIES = {
     "distinct_agg": q_distinct_agg,
     "cube": q_cube,
     "lateral_topk": q_lateral_topk,
+    "asof_join": q_asof_join,
 }
 
 ORACLES = {
@@ -550,6 +586,18 @@ ORACLES = {
           ORDER BY wlen DESC, word ASC
           LIMIT 1
         ) o
+    """,
+    "asof_join": """
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               o.o_orderkey AS last_orderkey
+        FROM events e
+        LEFT JOIN LATERAL (
+          SELECT o_orderkey FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+          LIMIT 1
+        ) o ON TRUE
     """,
     "sessionize": """
         WITH x AS (

@@ -147,3 +147,26 @@ def test_salted_join_matches_plain_join(spark):
         plain = {tuple(r) for r in left.join(right, "key", how).collect()}
         salted = {tuple(r) for r in salted_join(left, right, "key", n_salts=4, how=how).collect()}
         assert salted == plain
+
+
+def test_asof_join_semantics(spark):
+    from chess_lakehouse_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "e1"), (1, 200, "e2"), (2, 50, "e3")], ["k", "t", "event"]
+    )
+    right = spark.createDataFrame(
+        # k=1: two rows at t=100 (tie -> greater v wins), one later at t=150
+        [(1, 90, 10), (1, 100, 11), (1, 100, 12), (1, 150, 13), (3, 10, 99)],
+        ["k", "t", "v"],
+    )
+    out = asof_join(
+        left, right, key_cols=["k"], left_ts="t", right_ts="t",
+        payload_cols=["v"], tiebreak_cols=["v"],
+    )
+    got = {(r.k, r.t, r.asof_v) for r in out.collect()}
+    assert got == {
+        (1, 100, 12),  # boundary inclusive + tie -> max v at t=100
+        (1, 200, 13),  # latest at-or-before
+        (2, 50, None),  # no right rows for key -> NULL
+    }
