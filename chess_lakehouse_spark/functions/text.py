@@ -113,6 +113,37 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tfidf(df: DataFrame, id_col: str, text_col: str, min_tf: int = 2) -> DataFrame:
+    """Per-(doc, term) TF-IDF over whitespace tokens:
+    ``tf · ln(N / df)`` with raw counts (exact integer inputs to ln/division,
+    so scores are bit-identical across engines), rounded to 6 decimals.
+
+    Two map-side-combined shuffles (term counts by (doc, term); document
+    frequency by term) and one broadcast of the per-term idf — the df table
+    is vocabulary-sized, bounded far below the corpus. ``min_tf`` prunes the
+    long unigram tail before the join (output-size control at 100 TB).
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.where(F.col("tf") >= min_tf)
+        .join(F.broadcast(dfreq), "term")
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.col("df"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 8
 ) -> DataFrame:

@@ -143,3 +143,44 @@ def asof_join(
             *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in payload_cols],
         )
     )
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval) join — right rows with
+    ``left_ts + lower_us <= right_ts <= left_ts + upper_us`` — executed as an
+    equi-join on time *bands* (absent from the reference, SURVEY.md §2.3;
+    Spark plans a raw inequality join as BroadcastNestedLoop/cartesian).
+
+    Band width = the interval span, so every qualifying pair shares one of
+    two adjacent bands: each left row probes band(b) and band(b+1) via a
+    2-element explode, the join is hash-partitioned on the band id, and the
+    exact predicate filters band-mates. Cost is O(pairs-in-band), never
+    O(|left|·|right|) — the property that survives 100 TB of events.
+    Output: all left columns + right columns (right ts renamed __rts).
+    """
+    if upper_us <= lower_us:
+        raise ValueError("banded_range_join: need upper_us > lower_us")
+    if how != "inner":
+        raise ValueError("banded_range_join supports inner only (left rows would "
+                         "duplicate across band probes); outer-style semantics via "
+                         "joining the result back onto left")
+    width = upper_us - lower_us
+    l = left.withColumn("__lus", F.unix_micros(F.col(left_ts)))
+    r = right.withColumn("__rus", F.unix_micros(F.col(right_ts))).withColumn(
+        "__band", F.expr(f"__rus div {width}")
+    )
+    probe0 = F.expr(f"(__lus + {lower_us}) div {width}")
+    l = l.withColumn("__band", F.explode(F.array(probe0, probe0 + 1)))
+    joined = l.join(r, on="__band", how="inner").where(
+        (F.col("__rus") >= F.col("__lus") + lower_us)
+        & (F.col("__rus") <= F.col("__lus") + upper_us)
+    )
+    return joined.drop("__band", "__lus", "__rus")

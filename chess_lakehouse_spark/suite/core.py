@@ -15,6 +15,7 @@ from chess_lakehouse_spark.operators.enrich import enrich_top1_mapside
 from chess_lakehouse_spark.operators.relational import (
     align_and_union,
     asof_join,
+    banded_range_join,
     top_k,
     top_k_per_group,
 )
@@ -406,6 +407,26 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (absent from the reference, SURVEY.md §2.3): for
+    each event, how many other events landed in the previous 10 minutes —
+    executed as a banded equi-join (never the BroadcastNestedLoop Spark
+    would plan for a raw time-inequality join)."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("event_id", "ts")
+    b = ev.select(F.col("event_id").alias("b_event_id"), F.col("ts").alias("b_ts"))
+    pairs = banded_range_join(a, b, "ts", "b_ts", lower_us=-600_000_000, upper_us=0).where(
+        F.col("b_event_id") != F.col("event_id")
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        a.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_recent"))
+    )
+
+
 QUERIES = {
     "qc_count": q_qc_count,
     "filter_null_predicate": q_filter_null_predicate,
@@ -430,6 +451,7 @@ QUERIES = {
     "cube": q_cube,
     "lateral_topk": q_lateral_topk,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLES = {
@@ -586,6 +608,14 @@ ORACLES = {
           ORDER BY wlen DESC, word ASC
           LIMIT 1
         ) o
+    """,
+    "range_join": """
+        SELECT a.event_id, COUNT(b.event_id) AS n_recent
+        FROM events a LEFT JOIN events b
+          ON b.ts >= a.ts - INTERVAL 10 MINUTE
+         AND b.ts <= a.ts
+         AND b.event_id <> a.event_id
+        GROUP BY a.event_id
     """,
     "asof_join": """
         SELECT e.event_id, e.user_id,

@@ -14,6 +14,7 @@ from chess_lakehouse_spark.functions.text import (
     LANG_MARKERS,
     langid_scores,
     quality_metrics,
+    tfidf,
     token_counts,
     winnow_fingerprints,
 )
@@ -60,6 +61,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=JACCARD_THRESHOLD
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (iterative min-label propagation, operators/graph.py) — each doc
+    in a dup group mapped to its canonical (min-id) representative."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=JACCARD_THRESHOLD
+    )
+    return connected_components(pairs.select("id_a", "id_b"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,6 +156,13 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(docs, "doc_id", "text")
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF vectorization over the documents table (min_tf=2)."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf(docs, "doc_id", "text", min_tf=2)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -172,6 +194,42 @@ _SIMHASH_SUMS = ",\n    ".join(
     f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(32)
 )
 _SIMHASH_BITS = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+
+#: The full MinHash-LSH pipeline as composable CTEs ending in `pairs` —
+#: shared by the pairs oracle and the recursive clustering oracle.
+_MINHASH_PAIRS_CTES = rf"""{_SHINGLES_CTE},
+        sig AS (
+          SELECT doc_id, {_MINHASH_AGGS}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat(h0, h1) AS bsig FROM sig
+          UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM sig
+          UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM sig
+          UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b
+        ),
+        pairs AS (
+          SELECT * FROM (
+            SELECT i.id_a, i.id_b,
+                   ROUND(CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common), 6) AS jaccard
+            FROM inter i
+            JOIN counts ca ON ca.doc_id = i.id_a
+            JOIN counts cb ON cb.doc_id = i.id_b
+          ) WHERE jaccard >= {JACCARD_THRESHOLD}
+        )"""
 
 _SIMHASH_CTE = rf"""
 tok AS (
@@ -221,37 +279,22 @@ ORACLES = {
         FROM documents GROUP BY 1
     """,
     "dedup_minhash_lsh": rf"""
-        WITH {_SHINGLES_CTE},
-        sig AS (
-          SELECT doc_id, {_MINHASH_AGGS}
-          FROM sh GROUP BY doc_id
+        WITH {_MINHASH_PAIRS_CTES}
+        SELECT id_a, id_b, jaccard FROM pairs
+    """,
+    "dedup_clusters": rf"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
         ),
-        bands AS (
-          SELECT doc_id, 0 AS band, concat(h0, h1) AS bsig FROM sig
-          UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM sig
-          UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM sig
-          UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM sig
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-        ),
-        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-          FROM cand c
-          JOIN sh a ON a.doc_id = c.id_a
-          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-          GROUP BY c.id_a, c.id_b
+        reach(id, lbl) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst
         )
-        SELECT * FROM (
-          SELECT i.id_a, i.id_b,
-                 ROUND(CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common), 6) AS jaccard
-          FROM inter i
-          JOIN counts ca ON ca.doc_id = i.id_a
-          JOIN counts cb ON cb.doc_id = i.id_b
-        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+        SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
     """,
     "dedup_simhash": f"""
         WITH {_SIMHASH_CTE}
@@ -408,6 +451,20 @@ ORACLES = {
                                 (a, b) -> a + b) AS BIGINT) AS n_subword_tokens
         FROM t
     """,
+    "tfidf": rf"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+               ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 6) AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+        WHERE tf.tf >= 2
+    """,
     "doc_fingerprint": rf"""
         WITH g AS (
           SELECT doc_id,
@@ -426,6 +483,7 @@ ORACLES = {
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -436,5 +494,6 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "token_count": q_token_count,
+    "tfidf": q_tfidf,
     "doc_fingerprint": q_doc_fingerprint,
 }

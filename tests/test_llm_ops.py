@@ -170,3 +170,14 @@ def test_asof_join_semantics(spark):
         (1, 200, 13),  # latest at-or-before
         (2, 50, None),  # no right rows for key -> NULL
     }
+
+
+def test_connected_components_chain_and_island(spark):
+    from chess_lakehouse_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3) + separate pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {(r.id, r.component) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
