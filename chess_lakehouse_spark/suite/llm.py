@@ -77,6 +77,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+QUALITY_THRESHOLD = 2.2
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end-to-end: quality-filter the
+    corpus (score >= 2.2 keeps ~75%), find near-dup clusters among the
+    survivors (MinHash-LSH → connected components), keep exactly one
+    canonical doc per cluster plus every unclustered doc. Returns surviving
+    doc_ids — the 'clean corpus' selection a 100 TB pretraining pipeline
+    materializes as its output manifest."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        quality_metrics(docs, "doc_id", "text")
+        .where(F.col("quality_score") >= QUALITY_THRESHOLD)
+        .select("doc_id")
+    )
+    filtered = docs.join(keep, "doc_id")
+    pairs = minhash_lsh_dedup(
+        filtered, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        filtered.join(comp, filtered.doc_id == comp.id, "left")
+        .where(F.col("id").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document."""
     apply_runtime_conf(spark)
@@ -296,6 +327,37 @@ ORACLES = {
         )
         SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
     """,
+    "pipeline_clean_corpus": rf"""
+        WITH RECURSIVE documents AS (
+          SELECT * FROM (
+            SELECT d.*,
+                   ROUND(0.4 * ln(1.0 + CAST(length(d.text) AS DOUBLE))
+                   + 0.3 * (CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                                                 x -> x IN ({_STOP['en']}))) AS DOUBLE)
+                            / len(string_split_regex(d.text, '\s+')))
+                   + 0.3 * least((CAST(list_reduce(list_transform(string_split_regex(d.text, '\s+'),
+                                                                  x -> len(x)),
+                                                   (a, b) -> a + b) AS DOUBLE)
+                                  / len(string_split_regex(d.text, '\s+'))) / 10.0, 1.0), 6) AS q
+            FROM main.documents d
+          ) WHERE q >= {QUALITY_THRESHOLD}
+        ),
+        {_MINHASH_PAIRS_CTES},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, lbl) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst
+        ),
+        comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN comp c ON c.id = d.doc_id
+        WHERE c.id IS NULL OR c.component = d.doc_id
+    """,
     "dedup_simhash": f"""
         WITH {_SIMHASH_CTE}
         SELECT doc_id, simhash FROM simh
@@ -484,6 +546,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
