@@ -23,18 +23,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Edge-count ceiling for the driver-side fast path. Near-dup graphs are
+#: already LSH-pruned, so edge lists are usually far below this even when
+#: the corpus is huge; the distributed loop only pays off beyond it.
+DRIVER_UNION_FIND_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(pairs: list[tuple]) -> list[tuple]:
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps the canonical representative deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = DRIVER_UNION_FIND_MAX_EDGES,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list.
 
     Returns (id, component) for every node appearing in ``edges``, where
     ``component`` is the smallest node id in the connected component —
     a deterministic canonical representative.
+
+    Hybrid execution, same spirit as a broadcast join: when the (already
+    LSH-pruned) edge list is bounded (``<= driver_max_edges``), collect it
+    and run union-find on the driver — O(E α(E)), no per-iteration job
+    latency. Beyond the bound, fall back to the distributed iterative loop.
+    Both paths produce identical output.
     """
+    if driver_max_edges and edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
+        pairs = [(r[0], r[1]) for r in edges.select(id_a, id_b).collect()]
+        spark = edges.sparkSession
+        if not pairs:
+            return spark.createDataFrame([], schema=f"id long, component long")
+        return spark.createDataFrame(
+            sorted(_driver_union_find(pairs)), schema="id long, component long"
+        )
+
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )

@@ -179,5 +179,11 @@ def test_connected_components_chain_and_island(spark):
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
     )
-    got = {(r.id, r.component) for r in connected_components(edges).collect()}
-    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    # driver union-find fast path and the distributed iterative loop must agree
+    fast = {(r.id, r.component) for r in connected_components(edges).collect()}
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert fast == want and dist == want
