@@ -156,14 +156,28 @@ def winnow_fingerprints(
     ``slice`` → posexplode of one value per window): a narrow, shuffle-free
     plan that explodes ``n_grams / window`` rows instead of shuffling every
     gram through a groupBy — the property that matters at 100 TB.
+
+    The gram hash is the classical winnowing polynomial over codepoints
+    (``Σ code(c_j)·B^(k-1-j)``, exact BIGINT, no modulus needed: max
+    codepoint 0x10FFFF × B^4 × k < 2^63 for k=5) — ~5 integer mults per
+    gram in codegen where an md5-based hash costs a full digest, and
+    portable because both engines compute identical integer arithmetic.
     """
-    hashes = F.expr(
-        f"transform(sequence(1, length(t) - {k - 1}), "
-        f"i -> CAST(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10) AS BIGINT))"
+    base = 131
+    poly = " + ".join(
+        f"element_at(codes, i + {j}) * CAST({base ** (k - 1 - j)} AS BIGINT)"
+        for j in range(k)
     )
+    hashes = F.expr(f"transform(sequence(1, size(codes) - {k - 1}), i -> {poly})")
     return (
         df.select(id_col, F.col(text_col).alias("t"))
         .where(F.length("t") >= k)
+        .select(
+            id_col,
+            F.expr("transform(sequence(1, length(t)), p -> ascii(substring(t, p, 1)))").alias(
+                "codes"
+            ),
+        )
         .select(id_col, hashes.alias("hs"))
         .select(
             F.col(id_col),

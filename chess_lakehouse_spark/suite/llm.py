@@ -528,15 +528,22 @@ ORACLES = {
         WHERE tf.tf >= 2
     """,
     "doc_fingerprint": rf"""
-        WITH g AS (
+        WITH c AS (
           SELECT doc_id,
-                 unnest(list_transform(range(1, greatest(length(text) - 3, 1)),
-                        i -> struct_pack(pos := i - 1, gram := substring(text, i, 5)))) AS u
+                 list_transform(range(1, length(text) + 1),
+                                p -> ascii(substring(text, p, 1))) AS codes
           FROM documents WHERE length(text) >= 5
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(codes) - 3, 1)),
+                        i -> struct_pack(pos := i - 1,
+                                         gh := {" + ".join(f"codes[i + {j}] * CAST({131 ** (4 - j)} AS BIGINT)" for j in range(5))}))) AS u
+          FROM c
         )
         SELECT doc_id,
                CAST(u.pos // 8 AS INT) AS win_idx,
-               MIN({_HASH64.format(expr='u.gram')}) AS fingerprint
+               MIN(u.gh) AS fingerprint
         FROM g
         GROUP BY 1, 2
     """,
