@@ -70,14 +70,17 @@ def connected_components(
     latency. Beyond the bound, fall back to the distributed iterative loop.
     Both paths produce identical output.
     """
-    if driver_max_edges and edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
-        pairs = [(r[0], r[1]) for r in edges.select(id_a, id_b).collect()]
-        spark = edges.sparkSession
-        if not pairs:
-            return spark.createDataFrame([], schema=f"id long, component long")
-        return spark.createDataFrame(
-            sorted(_driver_union_find(pairs)), schema="id long, component long"
-        )
+    if driver_max_edges:
+        # one job answers both "is it bounded?" and "give me the edges"
+        head = edges.select(id_a, id_b).take(driver_max_edges + 1)
+        if len(head) <= driver_max_edges:
+            spark = edges.sparkSession
+            if not head:
+                return spark.createDataFrame([], schema="id long, component long")
+            pairs = [(r[0], r[1]) for r in head]
+            return spark.createDataFrame(
+                sorted(_driver_union_find(pairs)), schema="id long, component long"
+            )
 
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
