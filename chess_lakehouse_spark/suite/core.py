@@ -427,6 +427,30 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped join through supplier: revenue per supplier nation,
+    restricted to orders where supplier and customer share the nation —
+    exercises the remaining catalog table and a two-path join to the same
+    broadcast dimension."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 QUERIES = {
     "qc_count": q_qc_count,
     "filter_null_predicate": q_filter_null_predicate,
@@ -452,6 +476,7 @@ QUERIES = {
     "lateral_topk": q_lateral_topk,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "supplier_revenue": q_supplier_revenue,
 }
 
 ORACLES = {
@@ -608,6 +633,18 @@ ORACLES = {
           ORDER BY wlen DESC, word ASC
           LIMIT 1
         ) o
+    """,
+    "supplier_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
     """,
     "range_join": """
         SELECT a.event_id, COUNT(b.event_id) AS n_recent
