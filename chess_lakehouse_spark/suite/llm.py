@@ -227,8 +227,9 @@ _SIMHASH_SUMS = ",\n    ".join(
 _SIMHASH_BITS = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
 
 #: The full MinHash-LSH pipeline as composable CTEs ending in `pairs` —
-#: shared by the pairs oracle and the recursive clustering oracle.
-_MINHASH_PAIRS_CTES = rf"""{_SHINGLES_CTE},
+#: shared by the pairs oracle and the recursive clustering oracle. `{{src}}`
+#: is the corpus relation (the base table, or a filtering CTE).
+_MINHASH_PAIRS_CTES_TPL = rf"""{_SHINGLES_CTE.replace("FROM documents", "FROM {src}")},
         sig AS (
           SELECT doc_id, {_MINHASH_AGGS}
           FROM sh GROUP BY doc_id
@@ -261,6 +262,8 @@ _MINHASH_PAIRS_CTES = rf"""{_SHINGLES_CTE},
             JOIN counts cb ON cb.doc_id = i.id_b
           ) WHERE jaccard >= {JACCARD_THRESHOLD}
         )"""
+
+_MINHASH_PAIRS_CTES = _MINHASH_PAIRS_CTES_TPL.format(src="documents")
 
 _SIMHASH_CTE = rf"""
 tok AS (
@@ -328,7 +331,7 @@ ORACLES = {
         SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
     """,
     "pipeline_clean_corpus": rf"""
-        WITH RECURSIVE documents AS (
+        WITH RECURSIVE kept AS (
           SELECT * FROM (
             SELECT d.*,
                    ROUND(0.4 * ln(1.0 + CAST(length(d.text) AS DOUBLE))
@@ -339,10 +342,10 @@ ORACLES = {
                                                                   x -> len(x)),
                                                    (a, b) -> a + b) AS DOUBLE)
                                   / len(string_split_regex(d.text, '\s+'))) / 10.0, 1.0), 6) AS q
-            FROM main.documents d
+            FROM documents d
           ) WHERE q >= {QUALITY_THRESHOLD}
         ),
-        {_MINHASH_PAIRS_CTES},
+        {_MINHASH_PAIRS_CTES_TPL.format(src="kept")},
         sym AS (
           SELECT id_a AS src, id_b AS dst FROM pairs
           UNION
@@ -354,7 +357,7 @@ ORACLES = {
           SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst
         ),
         comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
-        SELECT d.doc_id FROM documents d
+        SELECT d.doc_id FROM kept d
         LEFT JOIN comp c ON c.id = d.doc_id
         WHERE c.id IS NULL OR c.component = d.doc_id
     """,
