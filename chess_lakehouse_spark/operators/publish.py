@@ -52,3 +52,29 @@ def qc_counts(spark: SparkSession, df: DataFrame, error_predicate=None) -> dict[
         aggs.append(F.sum(F.when(error_predicate, 1).otherwise(0)).alias("error_rows"))
     row = df.agg(*aggs).collect()[0]
     return {k: int(v) for k, v in row.asDict().items()}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table sink: pre-shuffles ONCE at write time
+    so that every later equi-join or aggregation on ``bucket_cols`` between
+    co-bucketed tables runs with ZERO exchange — the write-amortized answer
+    to repeated joins at 100 TB (a fact table is written once, joined
+    thousands of times).
+
+    Spark bucketing requires a catalog table (`saveAsTable`); n_buckets
+    should be sized so one bucket of the LARGEST co-bucketed table fits an
+    executor core's working memory (e.g. 100 TB / 32768 buckets ≈ 3 GB).
+    sort_cols additionally sorts within buckets, letting sort-merge joins
+    skip their sort phase entirely.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

@@ -76,3 +76,37 @@ def test_groupby_agg_partial_aggregation(spark):
 def test_doc_fingerprint_shuffle_free(spark):
     plan = explain(spark, llm.q_doc_fingerprint(spark, SF_DIR))
     assert "Exchange" not in plan  # array-domain winnowing needs no groupBy
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables joined on the bucket key must plan without any
+    Exchange — the write-time shuffle is amortized across every later join."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.publish import write_bucketed
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "o_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    # disable auto-broadcast: at test scale the planner would broadcast and
+    # skip bucketing; at 100 TB neither side broadcasts, which is the case
+    # bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = explain(spark, joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides pre-bucketed: no shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
