@@ -110,3 +110,35 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned publish + partition-pruned read: a DataSource/year
+    filter must show up as PartitionFilters on the scan (pruning, not a
+    full-lake read) — the reason the lake is partitioned at all."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.publish import write_partitioned
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("SrcA").alias("DataSource"),
+        F.year("o_orderdate").alias("year"),
+        F.date_format("o_orderdate", "MM").alias("month"),
+    )
+    out = str(tmp_path / "lake")
+    write_partitioned(o, out, ("DataSource", "year", "month"))
+
+    read = spark.read.parquet(out).where(
+        (F.col("DataSource") == "SrcA") & (F.col("year") == 1995)
+    )
+    plan = explain(spark, read)
+    assert "PartitionFilters" in plan and "year" in plan.split("PartitionFilters", 1)[1][:200]
+    assert read.count() > 0
+    # one directory per (DataSource, year, month); no small-file explosion
+    import glob
+
+    files = glob.glob(f"{out}/DataSource=SrcA/year=1995/month=*/*.parquet")
+    months = glob.glob(f"{out}/DataSource=SrcA/year=1995/month=*")
+    assert 0 < len(files) <= len(months) * 2
