@@ -91,6 +91,9 @@ def _strip_blocks(text: str) -> str:
 def _normalize_one(raw: str | None) -> str | None:
     if raw is None:
         return None
+    # PGN escape mechanism: a line whose FIRST char is '%' is ignored wholesale
+    if "%" in raw:
+        raw = "\n".join(line for line in raw.split("\n") if not line.startswith("%"))
     stripped = _strip_blocks(raw)
     plies: list[str] = []
     for tok in stripped.split():

@@ -105,3 +105,8 @@ def test_moves_normalize_udf_batch(spark):
         pd.DataFrame({"movetext": ["1.e4 {x} e5 1-0", None, "d4 d5 *"]})
     ).select(moves_normalize("movetext").alias("clean"))
     assert [r["clean"] for r in df.collect()] == ["1. e4 e5", None, "1. d4 d5"]
+
+
+def test_escape_lines_and_semicolon_comments():
+    raw = "1. e4 e5 ; line comment\n%escape line ignored\n2. Nf3 Nc6 1-0"
+    assert _normalize_one(raw) == "1. e4 e5 2. Nf3 Nc6"
