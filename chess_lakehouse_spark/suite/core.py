@@ -451,6 +451,21 @@ def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props payload column (JSON
+    function surface — absent from the reference, standard lake need).
+    get_json_object stays JVM-side; missing paths yield NULL."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        (k % 10).alias("k_mod"),
+    )
+
+
 QUERIES = {
     "qc_count": q_qc_count,
     "filter_null_predicate": q_filter_null_predicate,
@@ -477,6 +492,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "supplier_revenue": q_supplier_revenue,
+    "json_extract": q_json_extract,
 }
 
 ORACLES = {
@@ -633,6 +649,13 @@ ORACLES = {
           ORDER BY wlen DESC, word ASC
           LIMIT 1
         ) o
+    """,
+    "json_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               json_extract_string(props, '$.missing') AS missing_val,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+        FROM events
     """,
     "supplier_revenue": """
         SELECT n_name,
