@@ -1,0 +1,114 @@
+"""Stage CLIs, flag-compatible with the reference's DVC wiring.
+
+The reference runs three per-stage scripts under DVC (dvc.yaml:28,41,53):
+
+    bun run src/read-pgn.ts        --key K --inDir D --outDir O
+    bun run src/find-openings.ts   --key K --inDir D --outDir O --openingsDb P --dataSource S
+    bun run src/export-to-parquet.ts --inDir D --outDir O --outDb P
+
+This module exposes the same stages with the same flags so the DVC graph
+can swap `bun run src/x.ts` for `python scripts/pipeline_cli.py x` without
+touching dvc.yaml's dependency structure. Differences by design: staging
+zones are Parquet directories instead of DuckDB files (immutable,
+recompute-don't-mutate — SURVEY.md §2.4), `--openingsDb` takes a Parquet
+path/glob (or hf:// with huggingface_hub present), and `--outDb` writes a
+single combined Parquet directory instead of a .duckdb file.
+
+Usage:
+    python scripts/pipeline_cli.py read-pgn        --key K --inDir D --outDir O
+    python scripts/pipeline_cli.py find-openings   --key K --inDir D --outDir O \
+        --openingsDb openings_parquet_dir --dataSource LumbrasGigabase_Online
+    python scripts/pipeline_cli.py export-parquet  --inDir D --outDir O [--outDb P]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _spark():
+    from chess_lakehouse_spark.session import get_spark
+
+    return get_spark(app_name="chess_lakehouse_pipeline")
+
+
+def cmd_read_pgn(args: argparse.Namespace) -> None:
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.publish import qc_counts
+    from chess_lakehouse_spark.plans.pipeline import ingest
+
+    spark = _spark()
+    games = ingest(spark, args.inDir)
+    games.write.mode("overwrite").parquet(args.outDir)
+    # QC report, as the reference prints per ingest (src/read-pgn.ts:54-56)
+    staged = spark.read.parquet(args.outDir)
+    qc = qc_counts(spark, staged, error_predicate=F.col("parse_error").isNotNull())
+    print(f"[read-pgn] key={args.key} games={qc['rows']} parse_errors={qc['error_rows']}")
+
+
+def cmd_find_openings(args: argparse.Namespace) -> None:
+    from chess_lakehouse_spark.plans.pipeline import enrich
+    from chess_lakehouse_spark.sources.openings import load_openings
+
+    spark = _spark()
+    games = spark.read.parquet(args.inDir)
+    openings = load_openings(spark, args.openingsDb)
+    enriched = enrich(games, openings.select("eco", "name", "pgn", "uci"), args.dataSource)
+    enriched.write.mode("overwrite").parquet(args.outDir)
+    print(f"[find-openings] key={args.key} dataSource={args.dataSource} rows={spark.read.parquet(args.outDir).count()}")
+
+
+def cmd_export_parquet(args: argparse.Namespace) -> None:
+    from chess_lakehouse_spark.plans.pipeline import export_combined
+    from chess_lakehouse_spark.operators.publish import write_partitioned
+
+    spark = _spark()
+    # one subdir per enriched source, processed in sorted order
+    # (deterministic union order — src/export-to-parquet.ts:40-42)
+    src_dirs = sorted(str(p) for p in Path(args.inDir).iterdir() if p.is_dir())
+    sources = [spark.read.parquet(d) for d in src_dirs]
+    combined = export_combined(sources)
+    write_partitioned(combined, args.outDir, ("DataSource", "year", "month"))
+    n = spark.read.parquet(args.outDir).count()
+    if args.outDb:
+        spark.read.parquet(args.outDir).write.mode("overwrite").parquet(args.outDb)
+    print(f"[export-parquet] sources={len(sources)} rows={n}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="pipeline_cli")
+    sub = p.add_subparsers(dest="stage", required=True)
+
+    rp = sub.add_parser("read-pgn")
+    rp.add_argument("--key", required=True)
+    rp.add_argument("--inDir", required=True)
+    rp.add_argument("--outDir", required=True)
+    rp.set_defaults(fn=cmd_read_pgn)
+
+    fo = sub.add_parser("find-openings")
+    fo.add_argument("--key", required=True)
+    fo.add_argument("--inDir", required=True)
+    fo.add_argument("--outDir", required=True)
+    fo.add_argument("--openingsDb", required=True)
+    fo.add_argument("--dataSource", required=True)
+    fo.set_defaults(fn=cmd_find_openings)
+
+    ep = sub.add_parser("export-parquet")
+    ep.add_argument("--inDir", required=True)
+    ep.add_argument("--outDir", required=True)
+    ep.add_argument("--outDb", required=False, default=None)
+    ep.set_defaults(fn=cmd_export_parquet)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

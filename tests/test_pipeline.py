@@ -139,3 +139,43 @@ def test_load_openings_hf_requires_hub(spark):
         pass
     with _pytest.raises(NotImplementedError):
         resolve_openings_path("hf://datasets/Lichess/chess-openings/x.parquet")
+
+
+def test_pipeline_cli_stages(spark, tmp_path):
+    """The three stage CLIs run end-to-end with the reference's flag names
+    (dvc.yaml:28,41,53) over a fixture PGN + openings dir."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    pgn_dir = tmp_path / "pgn"
+    pgn_dir.mkdir()
+    make_games_pgn(pgn_dir)  # writes src1.pgn into the dir
+
+    op_dir = tmp_path / "openings"
+    spark.createDataFrame(
+        OPENINGS, "eco string, name string, pgn string, uci string"
+    ).write.parquet(str(op_dir))
+
+    raw, enr, lake = str(tmp_path / "raw"), str(tmp_path / "enriched" / "k1"), str(tmp_path / "lake")
+    pipeline_cli.main(["read-pgn", "--key", "k1", "--inDir", str(pgn_dir), "--outDir", raw])
+    pipeline_cli.main([
+        "find-openings", "--key", "k1", "--inDir", raw, "--outDir", enr,
+        "--openingsDb", str(op_dir), "--dataSource", "SrcCLI",
+    ])
+    pipeline_cli.main([
+        "export-parquet", "--inDir", str(tmp_path / "enriched"), "--outDir", lake,
+        "--outDb", str(tmp_path / "combined"),
+    ])
+
+    out = spark.read.parquet(lake)
+    rows = {r.Event: (r.ECO, r.Opening, r.DataSource) for r in out.collect()}
+    assert rows["g1"] == ("B12", "Caro-Kann Defense: Advance Variation", "SrcCLI")
+    assert rows["g2"][0] == "C40"
+    # Hive partition dirs exist
+    import glob
+
+    assert glob.glob(f"{lake}/DataSource=SrcCLI/year=*/month=*")
+    assert spark.read.parquet(str(tmp_path / "combined")).count() == out.count()
