@@ -466,6 +466,23 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HyperLogLog distinct count and quantile
+    sketch. At 100 TB these replace exact COUNT(DISTINCT)/percentile when
+    the exact form's shuffle dominates: sketches merge map-side, the
+    exchange carries kilobytes. Values are sketch-implementation-specific,
+    so there is deliberately NO SQL oracle (driver records the rows-only
+    check); accuracy vs exact is pinned in tests/test_llm_ops.py."""
+    apply_runtime_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias(
+            "price_quantiles"
+        ),
+    )
+
+
 QUERIES = {
     "qc_count": q_qc_count,
     "filter_null_predicate": q_filter_null_predicate,
@@ -493,6 +510,7 @@ QUERIES = {
     "range_join": q_range_join,
     "supplier_revenue": q_supplier_revenue,
     "json_extract": q_json_extract,
+    "approx_stats": q_approx_stats,
 }
 
 ORACLES = {

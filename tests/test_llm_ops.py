@@ -187,3 +187,15 @@ def test_connected_components_chain_and_island(spark):
         for r in connected_components(edges, driver_max_edges=0).collect()
     }
     assert fast == want and dist == want
+
+
+def test_approx_stats_close_to_exact(spark):
+    from chess_lakehouse_spark.suite.core import q_approx_stats
+
+    sf = "/root/testdata/sf0.01"
+    row = q_approx_stats(spark, sf).collect()[0]
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact_orders = li.select("l_orderkey").distinct().count()
+    assert abs(row.approx_orders - exact_orders) / exact_orders < 0.05
+    exact_median = li.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
+    assert abs(row.price_quantiles[0] - exact_median) / exact_median < 0.05
