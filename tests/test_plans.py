@@ -142,3 +142,38 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     files = glob.glob(f"{out}/DataSource=SrcA/year=1995/month=*/*.parquet")
     months = glob.glob(f"{out}/DataSource=SrcA/year=1995/month=*")
     assert 0 < len(files) <= len(months) * 2
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE skew-join config must actually engage: a 95%-hot
+    key through a sort-merge join gets its partition split at runtime
+    (SortMergeJoin(skew=true) in the executed plan). This is the safety net
+    the 100 TB contains-join and band-joins rely on."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        j = left.join(right, "k")
+        rows = j.count()
+        # execute THIS dataframe's plan so the AQE-final plan is observable
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        # 190,000 hot-key rows + 50 multiple-of-20 ids below 1000
+        assert rows == 190_050
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
