@@ -483,6 +483,30 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (ROWS UNBOUNDED PRECEDING): per-customer running
+    order total in (date, orderkey) order. The running sum accumulates
+    DECIMAL (exact, so every prefix is engine-identical) and is emitted as
+    DOUBLE. One shuffle on the partition key."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
 QUERIES = {
     "qc_count": q_qc_count,
     "filter_null_predicate": q_filter_null_predicate,
@@ -511,6 +535,7 @@ QUERIES = {
     "supplier_revenue": q_supplier_revenue,
     "json_extract": q_json_extract,
     "approx_stats": q_approx_stats,
+    "running_sum": q_running_sum,
 }
 
 ORACLES = {
@@ -667,6 +692,15 @@ ORACLES = {
           ORDER BY wlen DESC, word ASC
           LIMIT 1
         ) o
+    """,
+    "running_sum": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM orders
     """,
     "json_extract": """
         SELECT event_id,
