@@ -169,6 +169,34 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb, probes, "vec_id", "embedding", n_centroids=16, nprobe=2, k=KNN_K)
 
 
+def q_source_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats via grouped-map ``applyInPandas`` — the
+    Arrow-batched grouped transform surface (one group = one pandas frame).
+    Used here for a numpy-style computation (mean + interpolated median of
+    doc lengths); values are rounded so numpy's (a+b)/2 midpoint and the
+    oracle's interpolation agree. One shuffle on the group key; per-group
+    memory is bounded by the largest group (sources are balanced blocks)."""
+    apply_runtime_conf(spark)
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["n_chars"].astype("float64")
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": pd.Series([len(pdf)], dtype="int64"),
+                "mean_chars": [round(float(n.mean()), 6)],
+                "median_chars": [round(float(n.median()), 6)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        stats, schema="source string, n_docs long, mean_chars double, median_chars double"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -472,6 +500,13 @@ ORACLES = {
           FROM s
         ) WHERE rk <= {KNN_K}
     """,
+    "source_stats_pandas": """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+               ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS median_chars
+        FROM documents GROUP BY source
+    """,
     "text_quality": rf"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
         m AS (
@@ -564,6 +599,7 @@ QUERIES = {
     "knn_brute_force": q_knn_brute_force,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "source_stats_pandas": q_source_stats_pandas,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "token_count": q_token_count,

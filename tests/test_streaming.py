@@ -180,3 +180,37 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination()
     got = {(r.imp_id, str(r.cts)) for r in spark.table("ss_join").collect()}
     assert got == {(1, "2024-02-10 10:20:00")}
+
+
+def test_foreachbatch_streams_into_partitioned_lake(spark, events_dir, tmp_path):
+    """foreachBatch bridges streaming into the batch lake writers: each
+    micro-batch lands through write_partitioned (append), producing the
+    same Hive layout the batch export stage owns."""
+    from chess_lakehouse_spark.operators.publish import write_partitioned
+
+    lake = str(tmp_path / "lake")
+    ev = read_events_stream(spark, events_dir).select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("DataSource"),
+        F.year("ts").alias("year"),
+        F.date_format("ts", "MM").alias("month"),
+    )
+
+    def sink(batch_df, batch_id):
+        write_partitioned(batch_df, lake, ("DataSource", "year", "month"), mode="append")
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import glob
+
+    out = spark.read.parquet(lake)
+    src = spark.read.parquet(f"{events_dir}")
+    assert out.count() == src.count()
+    assert glob.glob(f"{lake}/DataSource=*/year=*/month=*")
