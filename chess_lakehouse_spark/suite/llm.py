@@ -197,6 +197,41 @@ def q_source_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark's SQL-callable table function — the
+    declarative twin of the mapInPandas table-function pattern used by the
+    PGN source): word bigrams with positions, invoked via correlated
+    LATERAL in SQL."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram string, pos int")
+    class WordBigrams:
+        def eval(self, text: str):
+            toks = text.split()
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1], i)
+
+    spark.udtf.register("word_bigrams", WordBigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, b.gram, b.pos FROM documents d, LATERAL word_bigrams(d.text) b"
+    )
+
+
+def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (UDAF surface): per-source geometric mean of
+    document lengths — Arrow-batched per group, partial aggregation is not
+    available for arbitrary Python aggs so the group's values ship to one
+    task (bounded: sources are blocks). Rounded so numpy's pairwise mean
+    and the oracle's sequential AVG agree."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.pandas_aggs import gmean
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(F.round(gmean("n_chars"), 6).alias("gmean_chars"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -500,6 +535,21 @@ ORACLES = {
           FROM s
         ) WHERE rk <= {KNN_K}
     """,
+    "udtf_bigrams": rf"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id, u.gram, u.pos FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks), 1)),
+                        i -> struct_pack(gram := toks[i] || ' ' || toks[i + 1],
+                                         pos := CAST(i - 1 AS INT)))) AS u
+          FROM t WHERE len(toks) >= 2
+        )
+    """,
+    "udaf_gmean": """
+        SELECT source,
+               ROUND(exp(AVG(ln(CAST(n_chars AS DOUBLE)))), 6) AS gmean_chars
+        FROM documents GROUP BY source
+    """,
     "source_stats_pandas": """
         SELECT source,
                COUNT(*) AS n_docs,
@@ -600,6 +650,8 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "source_stats_pandas": q_source_stats_pandas,
+    "udtf_bigrams": q_udtf_bigrams,
+    "udaf_gmean": q_udaf_gmean,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "token_count": q_token_count,
