@@ -507,6 +507,18 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the distinct, sorted set of order statuses per
+    customer segment-year (collect_set + sort_array — deterministic array
+    output despite unordered aggregation)."""
+    apply_runtime_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES = {
     "qc_count": q_qc_count,
     "filter_null_predicate": q_filter_null_predicate,
@@ -536,6 +548,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "approx_stats": q_approx_stats,
     "running_sum": q_running_sum,
+    "collect_set": q_collect_set,
 }
 
 ORACLES = {
@@ -692,6 +705,12 @@ ORACLES = {
           ORDER BY wlen DESC, word ASC
           LIMIT 1
         ) o
+    """,
+    "collect_set": """
+        SELECT CAST(year(o_orderdate) AS INT) AS year,
+               list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
     """,
     "running_sum": """
         SELECT o_custkey, o_orderkey,
