@@ -117,6 +117,11 @@ def asof_join(
     tiebreak_cols = list(tiebreak_cols)
     from pyspark.sql.window import Window
 
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        # the window's last(ignorenulls) would read the LEFT row's own value
+        # as a payload candidate — silently wrong results, so refuse
+        raise ValueError(f"asof_join: payload columns already exist on left: {sorted(clash)}")
     need = {*key_cols, right_ts, *payload_cols, *tiebreak_cols}
     r = (
         right.select(*[c for c in right.columns if c in need])
