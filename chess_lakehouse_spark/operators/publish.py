@@ -78,3 +78,89 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def merge_overwrite(
+    spark: SparkSession,
+    lake_dir: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] = ("DataSource", "year", "month"),
+) -> None:
+    """UPSERT into the partitioned lake without a table format: the
+    functional answer to the reference's in-place ``UPDATE games SET ...``
+    (src/find-openings.ts:61,70-80) on immutable Parquet (SURVEY.md §2.4).
+
+    Only the partitions present in ``updates`` are touched: existing rows of
+    those partitions that do NOT match an update key survive (left-anti),
+    update rows replace/append the rest, and the write uses *dynamic*
+    partition overwrite so untouched partitions are never rewritten. This is
+    the Delta-MERGE shape expressed on plain Parquet — at 100 TB the cost is
+    proportional to the partitions being merged, not the lake.
+
+    Keys must be unique within ``updates``. Not concurrent-writer-safe
+    (plain Parquet has no transaction log); serialize merges per lake.
+
+    Two subtleties this handles (both produce silent data corruption if
+    skipped): partition VALUES must round-trip as the exact directory
+    strings — type inference would read ``month=01`` back as int 1 and
+    overwrite a *different* directory ``month=1`` — so the existing lake is
+    read with inference off and update partition values are cast to string;
+    and the merged frame is materialized (localCheckpoint) BEFORE the write,
+    because its lineage reads the very files the overwrite replaces.
+    """
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        existing = spark.read.parquet(lake_dir)
+    finally:
+        spark.conf.set(infer_key, prev_infer)
+    for c in partition_cols:
+        updates = updates.withColumn(c, F.col(c).cast("string"))
+    affected = updates.select(*partition_cols).distinct()
+    # partition-pruned read of only the affected partitions
+    target = existing.join(F.broadcast(affected), on=list(partition_cols), how="left_semi")
+    keep = target.join(updates.select(*key_cols), on=list(key_cols), how="left_anti")
+    merged = keep.unionByName(updates.select(*keep.columns)).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(lake_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    lake_dir: str,
+    partition_cols: Sequence[str] = ("DataSource", "year", "month"),
+    target_partitions: int | None = None,
+) -> None:
+    """Small-files compaction: rewrite the lake so each Hive partition is
+    produced by as few tasks as carry its data (the maintenance job that
+    undoes streaming-append / per-batch fragmentation — the reference's
+    export produced 7,584 files for 5.7 GB, dvc.lock:2022). Content is
+    byte-identical; only file layout changes. Run periodically, or per
+    partition after heavy append traffic.
+    """
+    snapshot = spark.read.parquet(lake_dir)
+    cols = [F.col(c) for c in partition_cols]
+    repartitioned = (
+        snapshot.repartition(target_partitions, *cols)
+        if target_partitions
+        else snapshot.repartition(*cols)
+    )
+    # rewrite via a temp location: Spark cannot overwrite a path it is
+    # concurrently reading from
+    tmp = lake_dir.rstrip("/") + ".compacting"
+    repartitioned.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    import shutil
+
+    shutil.rmtree(lake_dir)
+    shutil.move(tmp, lake_dir)

@@ -179,3 +179,57 @@ def test_pipeline_cli_stages(spark, tmp_path):
 
     assert glob.glob(f"{lake}/DataSource=SrcCLI/year=*/month=*")
     assert spark.read.parquet(str(tmp_path / "combined")).count() == out.count()
+
+
+def test_merge_overwrite_touches_only_affected_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.publish import merge_overwrite, write_partitioned
+
+    lake = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "old1", "A", 2020, "01"), (2, "old2", "A", 2020, "01"), (3, "old3", "B", 2021, "02")],
+        ["id", "val", "DataSource", "year", "month"],
+    )
+    write_partitioned(base, lake)
+    untouched_files = sorted(glob.glob(f"{lake}/DataSource=B/**/*.parquet", recursive=True))
+    untouched_mtime = [os.path.getmtime(f) for f in untouched_files]
+
+    updates = spark.createDataFrame(
+        [(2, "NEW2", "A", 2020, "01"), (9, "NEW9", "A", 2020, "01")],
+        ["id", "val", "DataSource", "year", "month"],
+    )
+    merge_overwrite(spark, lake, updates, key_cols=["id"])
+
+    got = {r.id: r.val for r in spark.read.parquet(lake).collect()}
+    assert got == {1: "old1", 2: "NEW2", 3: "old3", 9: "NEW9"}
+    # partition B untouched on disk (dynamic overwrite skipped it)
+    assert [os.path.getmtime(f) for f in untouched_files] == untouched_mtime
+
+
+def test_compact_partitions_reduces_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.publish import compact_partitions
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.lit("A").alias("DataSource"),
+        F.lit(2020).alias("year"),
+        (F.col("id") % 2).cast("string").alias("month"),
+    )
+    # fragment: many tasks × every partition
+    df.repartition(16).write.partitionBy("DataSource", "year", "month").parquet(lake)
+    before = len(glob.glob(f"{lake}/**/*.parquet", recursive=True))
+    data_before = sorted(r.id for r in spark.read.parquet(lake).collect())
+
+    compact_partitions(spark, lake)
+    after = len(glob.glob(f"{lake}/**/*.parquet", recursive=True))
+    assert after < before and after <= 4
+    assert sorted(r.id for r in spark.read.parquet(lake).collect()) == data_before
