@@ -472,14 +472,18 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact form's shuffle dominates: sketches merge map-side, the
     exchange carries kilobytes. Values are sketch-implementation-specific,
     so there is deliberately NO SQL oracle (driver records the rows-only
-    check); accuracy vs exact is pinned in tests/test_llm_ops.py."""
+    check); accuracy vs exact is pinned in tests/test_llm_ops.py.
+
+    Quantiles are projected as separate DOUBLE columns (p50/p95), never an
+    array — the driver's canonicalizer cannot hash array cells (round-1
+    CORRECTNESS err: "unhashable type: numpy.ndarray")."""
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias(
-            "price_quantiles"
-        ),
+        q.getItem(0).alias("price_p50"),
+        q.getItem(1).alias("price_p95"),
     )
 
 
@@ -509,12 +513,15 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: the distinct, sorted set of order statuses per
-    customer segment-year (collect_set + sort_array — deterministic array
-    output despite unordered aggregation)."""
+    order-year (collect_set + sort_array — deterministic array output
+    despite unordered aggregation). The gated projection joins the array
+    into one comma-separated string: the driver's canonicalizer cannot
+    hash array cells (round-1 CORRECTNESS err "unhashable numpy.ndarray"),
+    and a sorted join is an equally strong equality check."""
     apply_runtime_conf(spark)
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy(F.year("o_orderdate").alias("year")).agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -708,7 +715,7 @@ ORACLES = {
     """,
     "collect_set": """
         SELECT CAST(year(o_orderdate) AS INT) AS year,
-               list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+               array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
                COUNT(*) AS n_orders
         FROM orders GROUP BY 1
     """,

@@ -198,4 +198,6 @@ def test_approx_stats_close_to_exact(spark):
     exact_orders = li.select("l_orderkey").distinct().count()
     assert abs(row.approx_orders - exact_orders) / exact_orders < 0.05
     exact_median = li.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
-    assert abs(row.price_quantiles[0] - exact_median) / exact_median < 0.05
+    assert abs(row.price_p50 - exact_median) / exact_median < 0.05
+    exact_p95 = li.approxQuantile("l_extendedprice", [0.95], 0.0)[0]
+    assert abs(row.price_p95 - exact_p95) / exact_p95 < 0.05
