@@ -148,19 +148,46 @@ def compact_partitions(
     export produced 7,584 files for 5.7 GB, dvc.lock:2022). Content is
     byte-identical; only file layout changes. Run periodically, or per
     partition after heavy append traffic.
-    """
-    snapshot = spark.read.parquet(lake_dir)
-    cols = [F.col(c) for c in partition_cols]
-    repartitioned = (
-        snapshot.repartition(target_partitions, *cols)
-        if target_partitions
-        else snapshot.repartition(*cols)
-    )
-    # rewrite via a temp location: Spark cannot overwrite a path it is
-    # concurrently reading from
-    tmp = lake_dir.rstrip("/") + ".compacting"
-    repartitioned.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
-    import shutil
 
-    shutil.rmtree(lake_dir)
-    shutil.move(tmp, lake_dir)
+    Partition values round-trip exactly: the snapshot is read with
+    partition type inference OFF (same hazard as ``merge_overwrite`` —
+    inference would read ``month=01`` back as int 1 and rewrite the
+    directory as ``month=1``, silently changing values and schema).
+
+    The directory swap goes through the Hadoop FileSystem API, so the
+    operator works on any supported scheme (file://, hdfs://, s3a://, ...).
+    On HDFS/local-FS the final rename is atomic; on S3-like stores rename
+    is copy+delete, leaving a non-atomic window in which readers see a
+    partial lake — schedule compaction in a maintenance window there, or
+    use a table format with a transaction log for concurrent readers.
+    """
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        snapshot = spark.read.parquet(lake_dir)
+        cols = [F.col(c) for c in partition_cols]
+        repartitioned = (
+            snapshot.repartition(target_partitions, *cols)
+            if target_partitions
+            else snapshot.repartition(*cols)
+        )
+        # rewrite via a temp location: Spark cannot overwrite a path it is
+        # concurrently reading from
+        tmp = lake_dir.rstrip("/") + ".compacting"
+        repartitioned.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    finally:
+        spark.conf.set(infer_key, prev_infer)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(lake_dir)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst.getFileSystem(hconf)
+    if not fs.delete(dst, True):
+        raise IOError(f"compact_partitions: failed to remove {lake_dir}")
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"compact_partitions: rename {tmp} -> {lake_dir} failed; "
+            "compacted data is intact in the .compacting directory"
+        )

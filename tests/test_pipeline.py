@@ -233,3 +233,45 @@ def test_compact_partitions_reduces_files(spark, tmp_path):
     after = len(glob.glob(f"{lake}/**/*.parquet", recursive=True))
     assert after < before and after <= 4
     assert sorted(r.id for r in spark.read.parquet(lake).collect()) == data_before
+
+
+def test_compact_partitions_preserves_padded_partition_values(spark, tmp_path):
+    """Zero-padded month=01-style directories must survive compaction
+    byte-identically: with partition type inference on, month=01 reads back
+    as int 1 and compaction would rewrite the directory as month=1, changing
+    both values and schema (and breaking month == "01" filters plus any
+    subsequent merge_overwrite keyed on the string form)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.publish import compact_partitions
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        F.lit("A").alias("DataSource"),
+        F.lit("2020").alias("year"),
+        F.when(F.col("id") % 2 == 0, "01").otherwise("11").alias("month"),
+    )
+    df.repartition(8).write.partitionBy("DataSource", "year", "month").parquet(lake)
+    dirs_before = sorted(
+        os.path.relpath(p, lake) for p in glob.glob(f"{lake}/*/*/*") if os.path.isdir(p)
+    )
+    assert any(d.endswith("month=01") for d in dirs_before)
+
+    compact_partitions(spark, lake)
+    dirs_after = sorted(
+        os.path.relpath(p, lake) for p in glob.glob(f"{lake}/*/*/*") if os.path.isdir(p)
+    )
+    assert dirs_after == dirs_before
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        back = spark.read.parquet(lake)
+        assert dict(back.dtypes)["month"] == "string"
+        assert back.where(F.col("month") == "01").count() == 100
+    finally:
+        spark.conf.set(infer_key, prev)
