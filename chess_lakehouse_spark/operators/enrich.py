@@ -58,6 +58,7 @@ def enrich_top1_mapside(
     tiebreak_cols: Sequence[str] | None = None,
     out_prefix: str = "",
     only_if_null: str | None = None,
+    max_dim_rows: int = 10_000,
 ) -> DataFrame:
     """Map-side argmax enrichment: no shuffle of the fact table at all.
 
@@ -69,10 +70,22 @@ def enrich_top1_mapside(
     src/find-openings.ts:79).
 
     only_if_null: name of an existing fact column; rows where it is already
-    non-NULL are left as-is (reference enriches only ``Opening IS NULL`` rows,
-    src/find-openings.ts:68).
+    non-NULL are not enriched (reference enriches only ``Opening IS NULL``
+    rows, src/find-openings.ts:68): each output column keeps its existing
+    fact value on those rows (NULL if the output column is new).
+
+    max_dim_rows guards the plan: the dim is embedded as a literal
+    array<struct> whose size is linear in the dim (serialized into every
+    task binary, compiled into the plan). Beyond the cap this raises —
+    use ``enrich_top1_join``, which broadcasts through the exchange
+    machinery instead of the plan, for larger dimensions.
     """
     tiebreak_cols = list(tiebreak_cols or [])
+    if only_if_null is not None and only_if_null not in fact.columns:
+        raise ValueError(
+            f"enrich_top1_mapside: only_if_null column {only_if_null!r} "
+            f"not found on the fact side (columns: {fact.columns})"
+        )
     # All dim columns ride along in the struct — the predicate may probe any
     # of them (e.g. the `pgn` prefix string), not just rank/payload.
     struct_cols = [rank_col, *[c for c in dim.columns if c != rank_col]]
@@ -86,6 +99,12 @@ def enrich_top1_mapside(
     elem_type = dim.select(F.struct(*[F.col(c) for c in struct_cols]).alias("s")).schema[
         "s"
     ].dataType
+    if dim.select(*struct_cols).distinct().limit(max_dim_rows + 1).count() > max_dim_rows:
+        raise ValueError(
+            f"enrich_top1_mapside: dimension exceeds max_dim_rows={max_dim_rows}; "
+            "the literal-array plan would bloat linearly with the dim — "
+            "use enrich_top1_join for large dimensions"
+        )
     dim_rows = sorted(
         dim.select(*struct_cols).distinct().collect(),
         key=lambda r: tuple((v is None, v) for v in r),
@@ -111,8 +130,9 @@ def enrich_top1_mapside(
     for c in payload_cols:
         new = f"{out_prefix}{c}"
         val = F.col("__best")[c]
-        if only_if_null is not None and new in fact.columns:
-            val = F.when(F.col(new).isNull(), val).otherwise(F.col(new))
+        if only_if_null is not None:
+            keep = F.col(new) if new in fact.columns else F.lit(None)
+            val = F.when(F.col(only_if_null).isNull(), val).otherwise(keep)
         out = out.withColumn(new, val)
     return out.drop("__best")
 

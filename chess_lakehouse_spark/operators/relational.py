@@ -112,6 +112,13 @@ def asof_join(
     join explodes on wide time spans; a lateral subquery is a nested loop).
     Ties on right_ts resolve to the greatest tiebreak_cols (deterministic).
     Right columns other than key/ts/payload/tiebreak are dropped.
+
+    NULL payloads are faithful: the window carries a struct of ALL payload
+    columns that is non-NULL exactly on right rows, so the most recent right
+    row wins even when its payload values are NULL — ``last(col,
+    ignorenulls)`` directly would skip it and silently fall back to an older
+    right row, diverging from the LATERAL ... ORDER BY ts DESC LIMIT 1
+    semantics this operator promises.
     """
     key_cols = list(key_cols)
     tiebreak_cols = list(tiebreak_cols)
@@ -138,14 +145,15 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *[F.col(c).asc() for c in tiebreak_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u
-    for c in payload_cols:
-        out = out.withColumn(f"__asof_{c}", F.last(c, ignorenulls=True).over(w))
+    marked = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in payload_cols])
+    )
+    out = u.withColumn("__asof", F.last(marked, ignorenulls=True).over(w))
     return (
         out.where(F.col("__side") == 1)
         .select(
             *left.columns,
-            *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in payload_cols],
+            *[F.col("__asof").getField(c).alias(f"asof_{c}") for c in payload_cols],
         )
     )
 

@@ -163,6 +163,13 @@ def _parse_game(text: str, path: str) -> dict:
             if saw_tags:
                 in_moves = True
             continue
+        if line.startswith("%"):
+            # PGN escape mechanism (spec §6): a line whose FIRST column is
+            # '%' is ignored entirely. Must be dropped here while line
+            # structure still exists — after the " ".join below the newlines
+            # are gone and escape content would leak into movetext as bogus
+            # SAN tokens (breaking the contains()-based opening match).
+            continue
         in_moves = True
         moves.append(stripped)
     row["movetext"] = " ".join(moves) if moves else None

@@ -172,6 +172,23 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_null_payload_not_skipped(spark):
+    """The most recent right row must win even when its payload is NULL —
+    last(col, ignorenulls) directly would fall back to the older non-NULL
+    row, diverging from LATERAL ... ORDER BY ts DESC LIMIT 1 semantics."""
+    from chess_lakehouse_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 200, "e1")], ["k", "t", "event"])
+    right = spark.createDataFrame(
+        [(1, 90, 10), (1, 150, None)], ["k", "t", "v"]
+    )
+    out = asof_join(
+        left, right, key_cols=["k"], left_ts="t", right_ts="t",
+        payload_cols=["v"], tiebreak_cols=[],
+    )
+    assert [(r.k, r.t, r.asof_v) for r in out.collect()] == [(1, 200, None)]
+
+
 def test_connected_components_chain_and_island(spark):
     from chess_lakehouse_spark.operators.graph import connected_components
 

@@ -102,6 +102,26 @@ def test_splits_parse_each_game_exactly_once(spark, tmp_path, split_bytes):
     assert len(set(events)) == n, "duplicate games across splits"
 
 
+def test_percent_escape_lines_dropped_on_reader_path(spark, tmp_path):
+    """PGN spec §6: a line whose first column is '%' is ignored. Must happen
+    inside _parse_game while line structure exists — downstream
+    moves_normalize sees space-joined movetext where the escape content
+    would otherwise masquerade as SAN tokens."""
+    game = (
+        '[Event "Esc"]\n[White "W"]\n[Black "B"]\n[Result "1-0"]\n\n'
+        "% this whole line is escape content and must vanish\n"
+        "1. e4 e5\n"
+        "%eval +0.3 another escape\n"
+        "2. Nf3 1-0\n"
+    )
+    p = tmp_path / "esc.pgn"
+    p.write_text(game)
+    rows = read_pgn(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0]["movetext"] == "1. e4 e5 2. Nf3 1-0"
+    assert rows[0]["parse_error"] is None
+
+
 def test_multiple_files_and_dir(spark, tmp_path):
     (tmp_path / "a.pgn").write_text(CLEAN_GAME)
     sub = tmp_path / "sub"

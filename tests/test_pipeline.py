@@ -84,6 +84,62 @@ def test_enrich_only_touches_null_opening(spark, openings_df):
     assert out["Opening"] == "Existing Opening" and out["ECO"] == "E99"
 
 
+def test_enrich_mapside_only_if_null_gates_on_named_column(spark, openings_df):
+    """only_if_null must gate on the NAMED fact column's nullity — including
+    when out_prefix writes to brand-new output columns (which were silently
+    never gated before)."""
+    from chess_lakehouse_spark.operators.enrich import enrich_top1_mapside
+
+    dim = openings_df.select("eco", "name", "pgn", F.length("pgn").alias("ply"))
+    fact = spark.createDataFrame(
+        [("keep", "Already Set", "1. e4 c6 2. d4 d5"),
+         ("fill", None, "1. e4 c6 2. d4 d5")],
+        "Event string, Opening string, clean_movetext string",
+    )
+    out = enrich_top1_mapside(
+        fact=fact,
+        dim=dim,
+        predicate=lambda probe, c: probe.contains(c["pgn"]),
+        fact_probe_col="clean_movetext",
+        rank_col="ply",
+        payload_cols=["eco", "name"],
+        tiebreak_cols=["eco", "name"],
+        out_prefix="m_",
+        only_if_null="Opening",
+    )
+    rows = {r["Event"]: r for r in out.collect()}
+    assert rows["fill"]["m_eco"] is not None and rows["fill"]["m_name"] is not None
+    # gated row: new output columns stay NULL, existing columns untouched
+    assert rows["keep"]["m_eco"] is None and rows["keep"]["m_name"] is None
+    assert rows["keep"]["Opening"] == "Already Set"
+
+    with pytest.raises(ValueError, match="only_if_null"):
+        enrich_top1_mapside(
+            fact=fact, dim=dim,
+            predicate=lambda probe, c: probe.contains(c["pgn"]),
+            fact_probe_col="clean_movetext", rank_col="ply",
+            payload_cols=["eco"], only_if_null="NoSuchColumn",
+        )
+
+
+def test_enrich_mapside_dim_size_guard(spark):
+    """The literal-array plan grows linearly with the dim — beyond
+    max_dim_rows the operator must refuse and point at enrich_top1_join."""
+    from chess_lakehouse_spark.operators.enrich import enrich_top1_mapside
+
+    fact = spark.createDataFrame([("x",)], "probe string")
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("ply"), F.conv("id", 10, 16).alias("pgn")
+    )
+    with pytest.raises(ValueError, match="max_dim_rows"):
+        enrich_top1_mapside(
+            fact=fact, dim=dim,
+            predicate=lambda probe, c: probe.contains(c["pgn"]),
+            fact_probe_col="probe", rank_col="ply", payload_cols=["pgn"],
+            max_dim_rows=10,
+        )
+
+
 def test_export_schema_filter_and_coalesce(spark, tmp_path, openings_df):
     games = ingest(spark, make_games_pgn(tmp_path))
     enriched = enrich(games, openings_df, "TestSource")
