@@ -1,0 +1,54 @@
+"""Markdown QC report rendering.
+
+Parity with the reference's per-stage QC output, which pipes its probe
+queries through the DuckDB CLI in markdown mode (``-markdown`` flag,
+src/read-pgn.ts:55, src/export-to-parquet.ts:103): a Games count table,
+a parse-error count table, and the parse-error rows themselves. Here the
+same tables are rendered from DataFrames/dicts without shelling out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+#: Cap on rows pulled to the driver for the error-row table. The reference
+#: SELECT *s every error row through the CLI; at lake scale that is a
+#: driver-OOM foot-gun, so the report keeps a bounded sample and says so.
+DEFAULT_MAX_ERROR_ROWS = 100
+
+
+def markdown_table(cols: Sequence[str], rows: Sequence[Sequence]) -> str:
+    """Render a GitHub-style markdown table. NULLs render as empty cells
+    (the DuckDB CLI markdown default the reference's output shows)."""
+    def cell(v) -> str:
+        return "" if v is None else str(v).replace("|", "\\|").replace("\n", " ")
+
+    header = "| " + " | ".join(cols) + " |"
+    sep = "|" + "|".join("---" for _ in cols) + "|"
+    body = ["| " + " | ".join(cell(v) for v in r) + " |" for r in rows]
+    return "\n".join([header, sep, *body])
+
+
+def qc_markdown_report(
+    df: DataFrame,
+    counts: dict[str, int],
+    error_predicate=None,
+    max_error_rows: int = DEFAULT_MAX_ERROR_ROWS,
+) -> str:
+    """The reference's three-table QC report (src/read-pgn.ts:55):
+    row count, error count, and the error rows (bounded sample)."""
+    parts = [
+        markdown_table(["Games"], [[counts.get("rows", 0)]]),
+        "",
+        markdown_table(["Games with Parse Errors"], [[counts.get("error_rows", 0)]]),
+    ]
+    if error_predicate is not None and counts.get("error_rows"):
+        sample = df.where(error_predicate).limit(max_error_rows + 1).collect()
+        truncated = len(sample) > max_error_rows
+        sample = sample[:max_error_rows]
+        parts += ["", markdown_table(df.columns, [[r[c] for c in df.columns] for r in sample])]
+        if truncated:
+            parts.append(f"\n(error rows truncated to the first {max_error_rows})")
+    return "\n".join(parts)

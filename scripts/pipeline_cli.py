@@ -49,8 +49,15 @@ def cmd_read_pgn(args: argparse.Namespace) -> None:
     games.write.mode("overwrite").parquet(args.outDir)
     # QC report, as the reference prints per ingest (src/read-pgn.ts:54-56)
     staged = spark.read.parquet(args.outDir)
-    qc = qc_counts(spark, staged, error_predicate=F.col("parse_error").isNotNull())
-    print(f"[read-pgn] key={args.key} games={qc['rows']} parse_errors={qc['error_rows']}")
+    err = F.col("parse_error").isNotNull()
+    qc = qc_counts(spark, staged, error_predicate=err)
+    if args.markdown:
+        # reference renders QC through `duckdb -markdown` (src/read-pgn.ts:55)
+        from chess_lakehouse_spark.report import qc_markdown_report
+
+        print(qc_markdown_report(staged, qc, error_predicate=err))
+    else:
+        print(f"[read-pgn] key={args.key} games={qc['rows']} parse_errors={qc['error_rows']}")
 
 
 def cmd_find_openings(args: argparse.Namespace) -> None:
@@ -79,7 +86,14 @@ def cmd_export_parquet(args: argparse.Namespace) -> None:
     n = spark.read.parquet(args.outDir).count()
     if args.outDb:
         spark.read.parquet(args.outDir).write.mode("overwrite").parquet(args.outDb)
-    print(f"[export-parquet] sources={len(sources)} rows={n}")
+    if args.markdown:
+        # reference: `duckdb -markdown ... SELECT COUNT(*) FROM combined`
+        # (src/export-to-parquet.ts:103)
+        from chess_lakehouse_spark.report import markdown_table
+
+        print(markdown_table(["Rows"], [[n]]))
+    else:
+        print(f"[export-parquet] sources={len(sources)} rows={n}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -90,6 +104,8 @@ def main(argv: list[str] | None = None) -> None:
     rp.add_argument("--key", required=True)
     rp.add_argument("--inDir", required=True)
     rp.add_argument("--outDir", required=True)
+    rp.add_argument("--markdown", action="store_true",
+                    help="render QC as markdown tables (reference: duckdb -markdown)")
     rp.set_defaults(fn=cmd_read_pgn)
 
     fo = sub.add_parser("find-openings")
@@ -104,6 +120,8 @@ def main(argv: list[str] | None = None) -> None:
     ep.add_argument("--inDir", required=True)
     ep.add_argument("--outDir", required=True)
     ep.add_argument("--outDb", required=False, default=None)
+    ep.add_argument("--markdown", action="store_true",
+                    help="render QC as markdown tables (reference: duckdb -markdown)")
     ep.set_defaults(fn=cmd_export_parquet)
 
     args = p.parse_args(argv)

@@ -237,6 +237,42 @@ def test_pipeline_cli_stages(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "combined")).count() == out.count()
 
 
+def test_pipeline_cli_markdown_qc_report(spark, tmp_path, capsys):
+    """--markdown renders the reference's three-table QC report (the
+    `duckdb -markdown` output of src/read-pgn.ts:55): Games count, parse
+    error count, and the error rows themselves as markdown tables."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    pgn_dir = tmp_path / "pgn"
+    pgn_dir.mkdir()
+    make_games_pgn(pgn_dir)
+    raw = str(tmp_path / "raw")
+    pipeline_cli.main(
+        ["read-pgn", "--key", "k1", "--inDir", str(pgn_dir), "--outDir", raw, "--markdown"]
+    )
+    out = capsys.readouterr().out
+    assert "| Games |" in out and "| 6 |" in out
+    assert "| Games with Parse Errors |" in out
+    # the fixture has no parse errors -> no error-row table
+    assert "| 0 |" in out and "parse_error" not in out
+
+
+def test_markdown_table_rendering():
+    from chess_lakehouse_spark.report import markdown_table
+
+    got = markdown_table(["a", "b"], [[1, None], ["x|y", "z\nw"]])
+    assert got == (
+        "| a | b |\n"
+        "|---|---|\n"
+        "| 1 |  |\n"
+        "| x\\|y | z w |"
+    )
+
+
 def test_merge_overwrite_touches_only_affected_partitions(spark, tmp_path):
     import glob
     import os
