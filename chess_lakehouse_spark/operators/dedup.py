@@ -212,11 +212,13 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 6) -> Dat
     not guaranteed — but is for <= 3; we still *verify* with bit_count, the
     bands only prune). Blocking on (byte_idx, byte_val) keeps the join
     equi-keyed — no cross join, AQE splits hot byte-buckets. The signature
-    frame is persisted because the self-join would otherwise run the
-    (token-explode + 32-aggregate) simhash subtree twice.
+    frame is deliberately NOT persisted: the self-join's two sides are the
+    identical subtree, so ReuseExchange computes it once anyway (measured at
+    sf0.1: no-persist 3.4s vs persist 4.0s cold), and a persist here would
+    leak cache in long-lived sessions (no safe point to unpersist a lazily
+    returned frame). At 100 TB, stage signatures to a table between jobs.
     Returns (id_a, id_b, hamming).
     """
-    sim = sim.persist()
     bands = sim.select(
         id_col,
         "simhash",
@@ -302,7 +304,11 @@ def ngram_jaccard_pairs(
     if strategy == "prefix":
         from pyspark.sql.window import Window
 
-        grams = grams.persist()
+        # No persist: the gram frame feeds dfreq, the ranked join, and the
+        # verify stage, but each consumer pipelines the scan+explode inside
+        # codegen and ReuseExchange dedupes repeated shuffles — measured at
+        # sf0.1 the persist cost 21.5s vs 14.6s without, and it would leak
+        # cache in long-lived sessions. At 100 TB, stage grams to a table.
         dfreq = grams.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("gdf"))
         w = Window.partitionBy(id_col).orderBy(F.col("gdf").asc(), F.col("gram").asc())
         ranked = (

@@ -134,6 +134,57 @@ def test_ngram_prefix_strategy_matches_exhaustive(spark):
     assert (1, 2) in {(a, b) for a, b, _ in exhaustive}
 
 
+def test_ngram_prefix_matches_exhaustive_zipfian(spark):
+    """Prefix-filter equivalence on a Zipfian-skewed corpus — the regime the
+    prefix strategy is designed for (rare-tail grams are discriminative),
+    unlike the shared-vocab fixture above where it prunes almost nothing."""
+    import random
+
+    from chess_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(42)
+    # Zipf-ish vocabulary: token i drawn with weight 1/(i+1).
+    vocab = [f"w{i}" for i in range(50)]
+    weights = [1.0 / (i + 1) for i in range(50)]
+
+    def doc():
+        return " ".join(rng.choices(vocab, weights=weights, k=12))
+
+    rows = []
+    for i in range(40):
+        text = doc()
+        rows.append((2 * i, text, f"s{i % 2}"))
+        # near-duplicate partner: same text with a small suffix edit
+        rows.append((2 * i + 1, text + (" zz" if i % 3 == 0 else ""), f"s{i % 2}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kw = dict(id_col="doc_id", text_col="text", block_col="source", n=3, threshold=0.6)
+    exhaustive = {tuple(r) for r in ngram_jaccard_pairs(df, **kw).collect()}
+    prefix = {tuple(r) for r in ngram_jaccard_pairs(df, strategy="prefix", **kw).collect()}
+    assert exhaustive == prefix
+    assert len(exhaustive) >= 40  # every identical/near-dup partner pair found
+
+
+def test_dedup_operators_leave_no_cached_rdds(spark):
+    """Hygiene sweep: dedup operators must not leak persisted RDDs into a
+    long-lived session (they are invoked per-query by the suite and have no
+    safe point to unpersist a lazily returned frame)."""
+    df = _docs(
+        spark,
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "q r s t u v w y")],
+    )
+    sim = simhash32(df, "doc_id", "text")
+    simhash_near_pairs(sim, "doc_id").count()
+    minhash_lsh_dedup(df, "doc_id", "text").count()
+    from chess_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    src = df.withColumn("source", F.lit("s"))
+    for strategy in ("exhaustive", "prefix"):
+        ngram_jaccard_pairs(
+            df=src, id_col="doc_id", text_col="text", block_col="source", strategy=strategy
+        ).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+
 def test_salted_join_matches_plain_join(spark):
     from chess_lakehouse_spark.operators.relational import salted_join
 
