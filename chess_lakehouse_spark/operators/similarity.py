@@ -159,6 +159,124 @@ def knn_lsh(
     )
 
 
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side sequential left-fold dot product — IEEE doubles added in
+    array order, bit-identical to ``dot`` (F.aggregate) and DuckDB
+    ``list_dot_product``."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _centroid_literal_array(cent_rows: list[tuple[int, list[float], float]]) -> Column:
+    """Literal array of (cid, ccv, ccn2) structs, sorted by cid. Bounded by
+    construction (n_centroids × dim scalars), shipped into the plan — the
+    map-side argmax pattern, zero shuffle for assignment."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("ccv"),
+                F.lit(float(cn2)).alias("ccn2"),
+            )
+            for cid, cv, cn2 in sorted(cent_rows, key=lambda r: r[0])
+        ]
+    )
+
+
+def _ranked_lists(cent_arr: Column, vec: Column, n2: Column) -> Column:
+    """Centroid ids sorted by (cosine DESC, cid ASC) — struct sort on
+    (negated rounded sim, cid)."""
+    return F.array_sort(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (-F.round(dot(vec, c["ccv"]) / F.sqrt(n2 * c["ccn2"]), 6)).alias("negsim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 0,
+) -> list[tuple[int, list[float]]]:
+    """Seeded distributed k-means training over a DataFrame — the offline
+    trainer that feeds ``knn_ivf(..., centroids=...)``.
+
+    Spherical variant: assignment is argmax cosine (rounded to 6 decimals,
+    cid tie-break — identical to the IVF probe ranking), update is the
+    per-dimension arithmetic mean. Every step is engine-portable so a fixed
+    (k, iters, seed) run is oracle-checkable in SQL with the loop unrolled:
+
+    - init: the ``k`` vectors with the smallest ``md5(seed || '|' || id)``
+      (id tie-break) — a deterministic pseudo-random draw both engines
+      compute identically; cid = 0..k-1 in that order.
+    - assignment: map-side HOF argmax over the literal centroid array —
+      zero shuffle, same pattern as ``knn_ivf``.
+    - update: mean per (cid, dim) via exact DECIMAL(18,6) per-row casts and
+      an exact decimal SUM (summation-order-independent), then ONE double
+      division + ROUND(·, 6) — so distributed execution cannot perturb bits.
+      One map-combined groupBy shuffle per iteration, carrying k × dim cells.
+    - empty clusters keep their previous centroid.
+
+    Per-iteration driver collect is k × dim scalars (bounded by
+    construction, like the centroid literals themselves). Returns
+    ``[(cid, centroid_vector), ...]`` sorted by cid.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
+    )
+    init_rows = (
+        vecs.select(
+            "vid", "dv", F.md5(F.concat(F.lit(f"{seed}|"), F.col("vid").cast("string"))).alias("mk")
+        )
+        .orderBy("mk", "vid")
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r.dv])
+        for i, r in enumerate(sorted(init_rows, key=lambda r: (r.mk, r.vid)))
+    ]
+    for _ in range(iters):
+        cent_arr = _centroid_literal_array(
+            [(cid, cv, _py_dot(cv, cv)) for cid, cv in cents]
+        )
+        assigned = vecs.withColumn("n2", dot(F.col("dv"), F.col("dv"))).withColumn(
+            "list_id", _ranked_lists(cent_arr, F.col("dv"), F.col("n2"))[0]["cid"]
+        )
+        mean_rows = (
+            assigned.select("list_id", F.posexplode("dv").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mval")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cid.setdefault(int(r.list_id), {})[int(r.pos)] = float(r.mval)
+        cents = [
+            (
+                cid,
+                [d[p] for p in sorted(d)] if (d := by_cid.get(cid)) else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def knn_ivf(
     corpus: DataFrame,
     probes: DataFrame,
@@ -167,53 +285,41 @@ def knn_ivf(
     n_centroids: int = 16,
     nprobe: int = 2,
     k: int = 5,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate kNN: partition the corpus into
     centroid-owned lists, search only the probe's ``nprobe`` nearest lists.
 
-    Centroids here are the ``n_centroids`` lowest-id vectors — a
-    deterministic surrogate for offline k-means training (the list/probe
-    mechanics are identical; training is a separate seeded batch job).
-    Assignment is an argmax over a literal centroid array (HOF, map-side,
-    zero shuffle — same pattern as the openings enrichment); candidate
-    scoring is an equi-join on list_id, so at 100 TB each list is a
-    co-located partition and only ``nprobe/n_centroids`` of the corpus is
-    touched per query. Returns (query_id, cand_id, sim, rk).
+    ``centroids`` (as returned by ``kmeans_fit``) selects the trained-list
+    layout; when omitted, the ``n_centroids`` lowest-id vectors serve as a
+    deterministic surrogate (the list/probe mechanics are identical —
+    training is a separate seeded batch job). Assignment is an argmax over
+    a literal centroid array (HOF, map-side, zero shuffle — same pattern as
+    the openings enrichment); candidate scoring is an equi-join on list_id,
+    so at 100 TB each list is a co-located partition and only
+    ``nprobe/n_centroids`` of the corpus is touched per query.
+    Returns (query_id, cand_id, sim, rk).
     """
-    cent = (
-        corpus.where(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cv"),
-            dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
-        )
-        .collect()
-    )
-    # literal centroid array; cn2 was computed by the engine's own fold so
-    # downstream arithmetic matches the oracle bit-for-bit
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.cv]).alias("ccv"),
-                F.lit(float(r.cn2)).alias("ccn2"),
+    if centroids is not None:
+        cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
+    else:
+        collected = (
+            corpus.where(F.col(id_col) < n_centroids)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cv"),
+                dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
             )
-            for r in sorted(cent, key=lambda r: r.cid)
-        ]
-    )
+            .collect()
+        )
+        # cn2 computed by the engine's own fold so downstream arithmetic
+        # matches the oracle bit-for-bit (the driver fold matches too, but
+        # keep the engine as the source of truth for corpus-derived values)
+        cent_rows = [(int(r.cid), list(r.cv), float(r.cn2)) for r in collected]
+    cent_arr = _centroid_literal_array(cent_rows)
 
     def ranked_lists(vec: Column, n2: Column) -> Column:
-        """Centroid ids sorted by (cosine DESC, cid ASC) — struct sort on
-        (negated rounded sim, cid)."""
-        return F.array_sort(
-            F.transform(
-                cent_arr,
-                lambda c: F.struct(
-                    (-F.round(dot(vec, c["ccv"]) / F.sqrt(n2 * c["ccn2"]), 6)).alias("negsim"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
+        return _ranked_lists(cent_arr, vec, n2)
 
     c = corpus.select(
         F.col(id_col).alias("cand_id"),

@@ -28,6 +28,7 @@ from chess_lakehouse_spark.operators.dedup import (
 from chess_lakehouse_spark.operators.similarity import (
     cosine_near_pairs,
     hyperplane_signs,
+    kmeans_fit,
     knn_brute_force,
     knn_ivf,
     knn_lsh,
@@ -167,6 +168,27 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < KNN_PROBES)
     return knn_ivf(emb, probes, "vec_id", "embedding", n_centroids=16, nprobe=2, k=KNN_K)
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_SEED = 0
+
+
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over k-means-TRAINED centroid lists (k=8, 2 iterations,
+    seed 0): the trainer is ``kmeans_fit`` — seeded md5 init, map-side
+    argmax assignment, DECIMAL-exact means — so the whole train+search run
+    is deterministic and the oracle unrolls the two iterations in SQL."""
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS, seed=KMEANS_SEED
+    )
+    probes = emb.where(F.col("vec_id") < KNN_PROBES)
+    return knn_ivf(
+        emb, probes, "vec_id", "embedding", nprobe=2, k=KNN_K, centroids=cents
+    )
 
 
 def q_source_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,6 +384,32 @@ _COS = (
     "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 6)"
 )
 
+
+def _kmeans_iter_ctes(prev: str, idx: int) -> str:
+    """One unrolled k-means iteration as CTEs: assign each vector to its
+    argmax-cosine centroid in ``prev``, then recompute per-(cid, dim) means
+    with the same DECIMAL(18,6)-exact arithmetic as ``kmeans_fit``; empty
+    clusters keep their previous centroid (COALESCE)."""
+    cos = _COS.format(a="e.v", b="c.cv")
+    return f"""a{idx} AS (
+          SELECT e.vec_id, e.v, l.cid AS list_id
+          FROM e, LATERAL (
+            SELECT c.cid FROM {prev} c
+            ORDER BY {cos} DESC, c.cid ASC LIMIT 1
+          ) l
+        ),
+        m{idx} AS (
+          SELECT list_id AS cid, pos,
+                 ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mval
+          FROM (SELECT list_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a{idx})
+          GROUP BY 1, 2
+        ),
+        c{idx} AS (
+          SELECT i.cid, COALESCE(m.cv, i.cv) AS cv
+          FROM {prev} i LEFT JOIN
+            (SELECT cid, list(mval ORDER BY pos) AS cv FROM m{idx} GROUP BY cid) m USING (cid)
+        )"""
+
 _STOP = {lang: ", ".join(f"'{w}'" for w in words) for lang, words in LANG_MARKERS.items()}
 
 _LANG_SCORES = ",\n   ".join(
@@ -535,6 +583,44 @@ ORACLES = {
           FROM s
         ) WHERE rk <= {KNN_K}
     """,
+    "knn_ivf_kmeans": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0 AS (
+          SELECT CAST(rn - 1 AS INT) AS cid, v AS cv FROM (
+            SELECT v, row_number() OVER (
+              ORDER BY md5('{KMEANS_SEED}|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM e
+          ) WHERE rn <= {KMEANS_K}
+        ),
+        {_kmeans_iter_ctes('c0', 1)},
+        {_kmeans_iter_ctes('c1', 2)},
+        assigned AS (
+          SELECT e.vec_id, e.v, a.cid AS list_id
+          FROM e, LATERAL (
+            SELECT c.cid FROM c2 c
+            ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cid ASC LIMIT 1
+          ) a
+        ),
+        p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {KNN_PROBES}),
+        plists AS (
+          SELECT p.query_id, p.qv, a.cid AS list_id
+          FROM p, LATERAL (
+            SELECT c.cid FROM c2 c
+            ORDER BY {_COS.format(a='p.qv', b='c.cv')} DESC, c.cid ASC LIMIT 2
+          ) a
+        ),
+        s AS (
+          SELECT pl.query_id, t.vec_id AS cand_id,
+                 {_COS.format(a='pl.qv', b='t.v')} AS sim
+          FROM plists pl
+          JOIN assigned t ON t.list_id = pl.list_id AND t.vec_id <> pl.query_id
+        )
+        SELECT query_id, cand_id, sim, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rk
+          FROM s
+        ) WHERE rk <= {KNN_K}
+    """,
     "udtf_bigrams": rf"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
         SELECT doc_id, u.gram, u.pos FROM (
@@ -649,6 +735,7 @@ QUERIES = {
     "knn_brute_force": q_knn_brute_force,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_kmeans": q_knn_ivf_kmeans,
     "source_stats_pandas": q_source_stats_pandas,
     "udtf_bigrams": q_udtf_bigrams,
     "udaf_gmean": q_udaf_gmean,

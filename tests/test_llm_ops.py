@@ -257,6 +257,54 @@ def test_connected_components_chain_and_island(spark):
     assert fast == want and dist == want
 
 
+def test_kmeans_fit_deterministic_and_separates_clusters(spark):
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.operators.similarity import kmeans_fit
+
+    # two tight direction clusters on the 4-sphere
+    rows = [Row(vec_id=i, embedding=[1.0, 0.02 * i, 0.0, 0.0]) for i in range(5)]
+    rows += [Row(vec_id=10 + i, embedding=[0.0, 0.0, 1.0, 0.02 * i]) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    cents = kmeans_fit(df, "vec_id", "embedding", k=2, iters=3, seed=0)
+    assert cents == kmeans_fit(df, "vec_id", "embedding", k=2, iters=3, seed=0)
+    assert len(cents) == 2 and all(len(v) == 4 for _, v in cents)
+    # each trained centroid points into exactly one cluster's dominant axis
+    axes = sorted((0 if v[0] > v[2] else 2) for _, v in cents)
+    assert axes == [0, 2]
+    for _, v in cents:
+        dom, off = (v[0], v[2]) if v[0] > v[2] else (v[2], v[0])
+        assert dom > 0.9 and off == 0.0
+
+
+def test_ivf_trained_centroids_beat_surrogate_recall(spark):
+    """recall@5 vs brute force on probes DISJOINT from the surrogate's
+    centroid ids (probes that double as centroids get cells centered on
+    themselves — an unfair advantage). Deterministic data + seeded trainer
+    → fixed recalls (measured 0.56 trained vs 0.39 surrogate at sf0.01)."""
+    from chess_lakehouse_spark.operators.similarity import (
+        kmeans_fit,
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = emb.where("vec_id >= 100 AND vec_id < 120")
+    args = (emb, probes, "vec_id", "embedding")
+    bf = {(r.query_id, r.cand_id) for r in knn_brute_force(*args, k=5).collect()}
+    surr = {
+        (r.query_id, r.cand_id)
+        for r in knn_ivf(*args, n_centroids=8, nprobe=2, k=5).collect()
+    }
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2, seed=0)
+    trained = {
+        (r.query_id, r.cand_id)
+        for r in knn_ivf(*args, nprobe=2, k=5, centroids=cents).collect()
+    }
+    assert len(trained & bf) / len(bf) >= 0.5
+    assert len(trained & bf) > len(surr & bf)
+
+
 def test_approx_stats_close_to_exact(spark):
     from chess_lakehouse_spark.suite.core import q_approx_stats
 
