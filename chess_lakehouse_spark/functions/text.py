@@ -190,3 +190,34 @@ def winnow_fingerprints(
         )
         .select(F.col(id_col), F.col("win_idx").cast("int").alias("win_idx"), "fingerprint")
     )
+
+
+#: PII scrub patterns — deliberately simple expressions that parse
+#: identically under Java regex (Spark) and RE2 (DuckDB): no backreferences,
+#: no lookaround, no possessive quantifiers. Order matters (emails before
+#: bare domains would, e.g., otherwise leak the local part).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for dedup/tokenization: lowercase, collapse all
+    whitespace runs to single spaces, trim. Pure codegen column expression
+    — narrow, zero shuffle, byte-identical across engines (ASCII-safe
+    lower + regexp on the \\s class)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens — the redaction pass a training corpus gets before
+    publication. Patterns are the portable subset shared by Java regex and
+    RE2 (see PII_PATTERNS); replacement is global in both engines (Spark
+    regexp_replace replaces all matches; the oracle passes the 'g' flag)."""
+    out = text
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out

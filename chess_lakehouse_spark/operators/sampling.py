@@ -1,0 +1,99 @@
+"""Deterministic sampling and domain-mixing operators.
+
+Training-data pipelines need REPRODUCIBLE sampling: the same document must
+be kept or dropped on every run, on any cluster, at any partitioning —
+otherwise incremental runs churn the corpus and downstream dedup/mixing
+decisions flap. Spark's ``df.sample``/``sampleBy`` are RNG-per-partition
+(order-dependent) and engine-specific, so everything here derives the keep
+decision from ``md5(seed|id)`` instead — the portable-hash contract shared
+with operators/dedup.py (bit-identical in any engine, DuckDB-oracle-gated).
+
+All operators are narrow (filter / project only): zero shuffle, perfect
+linear scaling (the hash predicate evaluates per-row after the pruned
+column scan; only the id/strata columns are read). The hash is uniform on
+[0, 2^60) via the first 15 md5 hex chars, so ``keep iff hash < rate·2^60``
+samples at ``rate`` with deterministic membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 60
+
+
+def sample_hash(col: Column, seed: int = 0) -> Column:
+    """Uniform 60-bit sampling hash for a key column (md5-derived, portable:
+    ``conv(hex,16,10)`` in Spark == ``CAST('0x'||hex AS BIGINT)`` DuckDB)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, seed: int = 0) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by id hash.
+
+    Membership is a pure function of (seed, id): re-runs, re-partitions and
+    engine swaps keep exactly the same rows, and samples at different rates
+    are NESTED (rate 0.1 ⊂ rate 0.2 for the same seed) — the property that
+    makes staged scale-up experiments comparable.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"hash_sample: rate must be in [0, 1], got {rate}")
+    threshold = int(rate * _HASH_SPACE)
+    return df.where(sample_hash(F.col(id_col), seed) < F.lit(threshold))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Domain mixing: keep a per-stratum deterministic fraction of rows —
+    the 'sample web at 30%, books at 100%' step of a pretraining data
+    recipe, as one zero-shuffle filter.
+
+    ``rates`` maps stratum value → keep rate; strata absent from the map
+    use ``default_rate``. The keep decision hashes only (seed, id), so a
+    document keeps/drops consistently even if its stratum label is later
+    corrected, and per-stratum samples stay nested across rate changes.
+    """
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(
+                f"stratified_hash_sample: rate for {stratum!r} must be in [0, 1], got {rate}"
+            )
+    threshold: Column = F.lit(int(default_rate * _HASH_SPACE))
+    for stratum, rate in sorted(rates.items()):
+        threshold = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(rate * _HASH_SPACE)))
+            .otherwise(threshold)
+        )
+    return df.where(sample_hash(F.col(id_col), seed) < threshold)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    eval_frac: float = 0.01,
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/eval split column: ``eval`` for the hash-lowest
+    ``eval_frac`` of ids, ``train`` otherwise. Assignment is stable across
+    runs and engines, so eval contamination checks (exact/near-dup overlap
+    between splits) are reproducible; a narrow projection, zero shuffle.
+    """
+    if not 0.0 <= eval_frac <= 1.0:
+        raise ValueError(f"split_assign: eval_frac must be in [0, 1], got {eval_frac}")
+    threshold = int(eval_frac * _HASH_SPACE)
+    return df.withColumn(
+        out_col,
+        F.when(sample_hash(F.col(id_col), seed) < F.lit(threshold), F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

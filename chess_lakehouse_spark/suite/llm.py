@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from chess_lakehouse_spark.catalog import load_table
 from chess_lakehouse_spark.functions.text import (
     LANG_MARKERS,
+    PII_PATTERNS,
     langid_scores,
     quality_metrics,
     tfidf,
@@ -170,6 +171,47 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb, probes, "vec_id", "embedding", n_centroids=16, nprobe=2, k=KNN_K)
 
 
+SAMPLE_RATE = 0.25
+SAMPLE_SEED = 0
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIX_DEFAULT_RATE = 0.1
+EVAL_FRAC = 0.05
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus sample by id hash — membership is a pure
+    function of (seed, doc_id), so re-runs/re-partitions/engine swaps keep
+    exactly the same rows. Zero shuffle; the scan reads only 2 columns."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", rate=SAMPLE_RATE, seed=SAMPLE_SEED).select(
+        "doc_id", "source"
+    )
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing + split assignment, the data-recipe step of a
+    pretraining pipeline: per-source keep rates (src0 100%, src1 50%,
+    src2 25%, others 10%) and a deterministic train/eval split over the
+    survivors — both pure hash functions of doc_id, one zero-shuffle
+    filter + projection."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import (
+        split_assign,
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = stratified_hash_sample(
+        docs, "doc_id", "source", MIX_RATES, default_rate=MIX_DEFAULT_RATE, seed=SAMPLE_SEED
+    )
+    return split_assign(mixed, "doc_id", eval_frac=EVAL_FRAC, seed=SAMPLE_SEED + 1).select(
+        "doc_id", "source", "split"
+    )
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_SEED = 0
@@ -252,6 +294,20 @@ def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(F.round(gmean("n_chars"), 6).alias("gmean_chars"))
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus canonicalization + PII redaction in one narrow pass:
+    lowercase / whitespace-collapse / trim, then typed placeholder
+    substitution for emails, phones, IPv4 (portable Java-regex∩RE2
+    patterns). Pure codegen, zero shuffle at any scale."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import normalize_text, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", scrub_pii(normalize_text(F.col("text"))).alias("norm_text")
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,6 +439,15 @@ _COS = (
     "ROUND(list_dot_product({a}, {b}) / "
     "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 6)"
 )
+
+
+def _scrub_sql() -> str:
+    """normalize_text + scrub_pii as one DuckDB expression, generated from
+    the same PII_PATTERNS source of truth as the Spark column function."""
+    expr = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    for pattern, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+    return expr
 
 
 def _kmeans_iter_ctes(prev: str, idx: int) -> str:
@@ -583,6 +648,28 @@ ORACLES = {
           FROM s
         ) WHERE rk <= {KNN_K}
     """,
+    "sample_hash": f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_HASH64.format(expr=f"concat('{SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))")}
+              < {int(SAMPLE_RATE * (1 << 60))}
+    """,
+    "sample_mix": f"""
+        WITH hs AS (
+          SELECT doc_id, source,
+                 {_HASH64.format(expr=f"concat('{SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))")} AS h_mix,
+                 {_HASH64.format(expr=f"concat('{SAMPLE_SEED + 1}|', CAST(doc_id AS VARCHAR))")} AS h_split
+          FROM documents
+        )
+        SELECT doc_id, source,
+               CASE WHEN h_split < {int(EVAL_FRAC * (1 << 60))}
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM hs
+        WHERE h_mix < CASE source
+          WHEN 'src0' THEN {int(MIX_RATES['src0'] * (1 << 60))}
+          WHEN 'src1' THEN {int(MIX_RATES['src1'] * (1 << 60))}
+          WHEN 'src2' THEN {int(MIX_RATES['src2'] * (1 << 60))}
+          ELSE {int(MIX_DEFAULT_RATE * (1 << 60))} END
+    """,
     "knn_ivf_kmeans": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c0 AS (
@@ -643,6 +730,7 @@ ORACLES = {
                ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS median_chars
         FROM documents GROUP BY source
     """,
+    "text_normalize": f"SELECT doc_id, {_scrub_sql()} AS norm_text FROM documents",
     "text_quality": rf"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
         m AS (
@@ -736,6 +824,9 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_kmeans": q_knn_ivf_kmeans,
+    "sample_hash": q_sample_hash,
+    "sample_mix": q_sample_mix,
+    "text_normalize": q_text_normalize,
     "source_stats_pandas": q_source_stats_pandas,
     "udtf_bigrams": q_udtf_bigrams,
     "udaf_gmean": q_udaf_gmean,

@@ -305,6 +305,80 @@ def test_ivf_trained_centroids_beat_surrogate_recall(spark):
     assert len(trained & bf) > len(surr & bf)
 
 
+def test_hash_sample_deterministic_nested_and_unbiased(spark):
+    from chess_lakehouse_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s25 = {r.doc_id for r in hash_sample(df, "doc_id", 0.25).collect()}
+    assert s25 == {r.doc_id for r in hash_sample(df, "doc_id", 0.25).collect()}
+    # nested: lower-rate sample is a subset of the higher-rate one (same seed)
+    s10 = {r.doc_id for r in hash_sample(df, "doc_id", 0.10).collect()}
+    assert s10 <= s25
+    # unbiased within binomial tolerance
+    assert abs(len(s25) / 2000 - 0.25) < 0.04
+    # a different seed draws a materially different sample
+    other = {r.doc_id for r in hash_sample(df, "doc_id", 0.25, seed=7).collect()}
+    assert other != s25
+
+
+def test_stratified_sample_and_split(spark):
+    from pyspark.sql import functions as SF
+
+    from chess_lakehouse_spark.operators.sampling import (
+        split_assign,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(3000).select(
+        SF.col("id").alias("doc_id"),
+        SF.concat(SF.lit("src"), (SF.col("id") % 3).cast("string")).alias("source"),
+    )
+    out = stratified_hash_sample(
+        df, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, default_rate=0.0
+    )
+    by_src = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert by_src["src0"] == 1000  # rate 1.0 keeps everything
+    assert "src2" not in by_src  # default_rate 0.0 drops the stratum
+    assert abs(by_src["src1"] / 1000 - 0.5) < 0.06
+    # membership hashes only the id: same ids survive under a renamed stratum
+    relabeled = df.withColumn("source", SF.regexp_replace("source", "src1", "srcX"))
+    out2 = stratified_hash_sample(
+        relabeled, "doc_id", "source", {"src0": 1.0, "srcX": 0.5}, default_rate=0.0
+    )
+    assert {r.doc_id for r in out2.collect()} == {r.doc_id for r in out.collect()}
+
+    split = split_assign(df, "doc_id", eval_frac=0.1)
+    frac = split.where("split = 'eval'").count() / 3000
+    assert abs(frac - 0.1) < 0.03
+    assert split.count() == 3000  # projection only, no rows dropped
+
+
+def test_normalize_and_scrub_pii(spark):
+    from chess_lakehouse_spark.functions.text import normalize_text, scrub_pii
+
+    df = _docs(
+        spark,
+        [
+            (1, "  Hello\t WORLD \n again "),
+            (2, "mail a.user+tag@example.co.uk or call 555-867-5309 now"),
+            (3, "server at 192.168.1.100 port 80"),
+            (4, "version 1.2.3.4.5 is not an ip boundary-wise... but 10.0.0.1 is"),
+        ],
+    )
+    out = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", scrub_pii(normalize_text(F.col("text"))).alias("t")
+        ).collect()
+    }
+    assert out[1] == "hello world again"
+    assert out[2] == "mail <EMAIL> or call <PHONE> now"
+    assert out[3] == "server at <IP> port 80"
+    # a dotted run longer than 4 octets gets its 4-octet prefix redacted
+    # ("4→." is a word boundary) — accepted over-redaction, same in RE2
+    assert out[4] == "version <IP>.5 is not an ip boundary-wise... but <IP> is"
+
+
 def test_approx_stats_close_to_exact(spark):
     from chess_lakehouse_spark.suite.core import q_approx_stats
 
