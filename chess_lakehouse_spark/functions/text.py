@@ -221,3 +221,45 @@ def scrub_pii(text: Column) -> Column:
     for pattern, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, repl)
     return out
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public): the
+    duplicate-token fraction and the most-frequent-bigram fraction per
+    document — high values flag boilerplate/spam for corpus filtering.
+
+    dup_token_frac stays in the array domain (size vs array_distinct size —
+    narrow, no shuffle); top_bigram_frac needs the per-doc modal bigram, one
+    explode + two map-combined groupBys keyed by doc id. Both ratios of
+    integers, rounded — engine-portable. Docs with < 2 tokens are excluded
+    (no bigram is defined). Returns (id, dup_token_frac, top_bigram_frac).
+    """
+    toks = ws_tokens(F.col(text_col))
+    base = (
+        df.select(id_col, toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    dup = base.select(
+        id_col,
+        F.round(
+            1.0 - F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 6
+        ).alias("dup_token_frac"),
+    )
+    bigram_counts = (
+        base.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_bigram_frac")
+        )
+    )
+    return dup.join(bigram_counts, id_col)

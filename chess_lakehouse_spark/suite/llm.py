@@ -212,6 +212,41 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination audit — the check every training pipeline
+    runs before reporting numbers: assign the deterministic train/eval
+    split, then find eval documents whose exact content (md5) also appears
+    in train. One hash-equi join keyed by content digest (map-combined,
+    AQE-splittable); returns each contaminated eval doc with its duplicate
+    count and the smallest offending train id."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = split_assign(docs, "doc_id", eval_frac=EVAL_FRAC, seed=SAMPLE_SEED + 1)
+    ev = split.where(F.col("split") == "eval").select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    tr = split.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), F.md5(F.col("text")).alias("h")
+    )
+    return ev.join(tr, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_train_copies"),
+        F.min("train_id").alias("first_train_id"),
+    )
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: duplicate-token fraction
+    (array-domain, narrow) + modal-bigram fraction (explode + two
+    map-combined groupBys on doc id)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_SEED = 0
@@ -670,6 +705,44 @@ ORACLES = {
           WHEN 'src2' THEN {int(MIX_RATES['src2'] * (1 << 60))}
           ELSE {int(MIX_DEFAULT_RATE * (1 << 60))} END
     """,
+    "split_contamination": f"""
+        WITH s AS (
+          SELECT doc_id, md5(text) AS h,
+                 CASE WHEN {_HASH64.format(expr=f"concat('{SAMPLE_SEED + 1}|', CAST(doc_id AS VARCHAR))")}
+                           < {int(EVAL_FRAC * (1 << 60))}
+                      THEN 'eval' ELSE 'train' END AS split
+          FROM documents
+        )
+        SELECT e.doc_id, COUNT(*) AS n_train_copies, MIN(t.doc_id) AS first_train_id
+        FROM s e JOIN s t ON e.h = t.h AND e.split = 'eval' AND t.split = 'train'
+        GROUP BY 1
+    """,
+    "repetition_metrics": rf"""
+        WITH b AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+          WHERE len({_TOKS}) >= 2
+        ),
+        dup AS (
+          SELECT doc_id,
+                 ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                   AS dup_token_frac
+          FROM b
+        ),
+        bc AS (
+          SELECT doc_id, bigram, COUNT(*) AS n FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+            FROM b
+          ) GROUP BY 1, 2
+        ),
+        tb AS (
+          SELECT doc_id, ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_frac
+          FROM bc GROUP BY 1
+        )
+        SELECT doc_id, dup_token_frac, top_bigram_frac
+        FROM dup JOIN tb USING (doc_id)
+    """,
     "knn_ivf_kmeans": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c0 AS (
@@ -826,6 +899,8 @@ QUERIES = {
     "knn_ivf_kmeans": q_knn_ivf_kmeans,
     "sample_hash": q_sample_hash,
     "sample_mix": q_sample_mix,
+    "split_contamination": q_split_contamination,
+    "repetition_metrics": q_repetition_metrics,
     "text_normalize": q_text_normalize,
     "source_stats_pandas": q_source_stats_pandas,
     "udtf_bigrams": q_udtf_bigrams,

@@ -379,6 +379,41 @@ def test_normalize_and_scrub_pii(spark):
     assert out[4] == "version <IP>.5 is not an ip boundary-wise... but <IP> is"
 
 
+def test_repetition_metrics_values(spark):
+    from chess_lakehouse_spark.functions.text import repetition_metrics
+
+    df = _docs(spark, [(1, "a a a a"), (2, "a b c d"), (3, "solo")])
+    out = {r.doc_id: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # single-token doc has no bigram
+    assert out[1].dup_token_frac == 0.75 and out[1].top_bigram_frac == 1.0
+    assert out[2].dup_token_frac == 0.0 and out[2].top_bigram_frac == round(1 / 3, 6)
+
+
+def test_split_contamination_finds_exact_dupes_across_split(spark):
+    from chess_lakehouse_spark.operators.sampling import split_assign
+
+    # many ids sharing one text guarantees both splits get copies
+    df = _docs(spark, [(i, "identical content") for i in range(200)])
+    split = {r.doc_id: r.split for r in split_assign(df, "doc_id", 0.1).collect()}
+    ev = {i for i, s in split.items() if s == "eval"}
+    tr = {i for i, s in split.items() if s == "train"}
+    assert ev and tr
+
+    e = split_assign(df, "doc_id", 0.1)
+    eh = e.where("split = 'eval'").select("doc_id", F.md5("text").alias("h"))
+    th = e.where("split = 'train'").select(F.col("doc_id").alias("train_id"), F.md5("text").alias("h"))
+    got = {
+        r.doc_id: (r.n_train_copies, r.first_train_id)
+        for r in eh.join(th, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_train_copies"), F.min("train_id").alias("first_train_id"))
+        .collect()
+    }
+    assert set(got) == ev
+    for n, first in got.values():
+        assert n == len(tr) and first == min(tr)
+
+
 def test_approx_stats_close_to_exact(spark):
     from chess_lakehouse_spark.suite.core import q_approx_stats
 
