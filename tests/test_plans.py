@@ -144,6 +144,41 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert 0 < len(files) <= len(months) * 2
 
 
+def test_sampling_queries_are_shuffle_free_and_pruned(spark):
+    """Deterministic sampling / mixing / split must stay narrow: the md5
+    keep-predicate and split projection add NO Exchange, and the scan reads
+    only the referenced columns (not text/embedding payloads)."""
+    for q in (llm.q_sample_hash, llm.q_sample_mix):
+        plan = explain(spark, q(spark, SF_DIR))
+        assert "Exchange" not in plan and "Join" not in plan
+        read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+        assert "doc_id" in read and "text" not in read
+
+
+def test_text_normalize_is_narrow(spark):
+    plan = explain(spark, llm.q_text_normalize(spark, SF_DIR))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_repetition_metrics_partial_agg_no_cartesian(spark):
+    plan = explain(spark, llm.q_repetition_metrics(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # modal-bigram count must partial-aggregate before its exchanges
+    assert "partial_count" in plan and "partial_max" in plan
+
+
+def test_split_contamination_is_hash_equi_join(spark):
+    plan = explain(spark, llm.q_split_contamination(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_knn_ivf_trained_scoring_is_equi_join(spark):
+    plan = explain(spark, llm.q_knn_ivf_kmeans(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_aqe_splits_skewed_join(spark):
     """The session's AQE skew-join config must actually engage: a 95%-hot
     key through a sort-merge join gets its partition split at runtime
