@@ -42,6 +42,27 @@ def resolve_openings_path(location: str) -> str:
     return snapshot_download(repo_id=repo_id, repo_type="dataset")  # pragma: no cover
 
 
+def materialize_openings(spark: SparkSession, location: str, target: str) -> DataFrame:
+    """``CREATE TABLE IF NOT EXISTS`` semantics for the openings dimension
+    (reference dvc.yaml:3): if ``target`` already holds a committed snapshot
+    (Spark's ``_SUCCESS`` marker), the remote source is NOT touched — the
+    idempotency that makes re-running the ingest stage free. Otherwise the
+    source is read once and published to ``target``.
+
+    Existence is probed through the Hadoop FileSystem API so the snapshot
+    can live on any supported scheme (file://, hdfs://, s3a://). Returns
+    the materialized dimension (read back from ``target`` in both cases,
+    so callers always consume the snapshot, never the remote)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    tpath = jvm.org.apache.hadoop.fs.Path(target)
+    fs = tpath.getFileSystem(hconf)
+    marker = jvm.org.apache.hadoop.fs.Path(target + "/_SUCCESS")
+    if not fs.exists(marker):
+        load_openings(spark, location).write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target)
+
+
 def load_openings(spark: SparkSession, location: str) -> DataFrame:
     """Read the openings dimension (recursive glob over parquet files) and
     derive ``opening_ply`` = UCI move count — precomputed once per opening

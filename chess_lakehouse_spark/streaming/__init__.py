@@ -7,6 +7,7 @@ from chess_lakehouse_spark.streaming.jobs import (
     run_available_now,
     running_user_counts,
     session_windows,
+    streaming_dedup,
 )
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "run_available_now",
     "running_user_counts",
     "session_windows",
+    "streaming_dedup",
 ]

@@ -125,6 +125,24 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, drop every
+    later duplicate — the ingest-time guard against at-least-once sources
+    replaying rows into the lake.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store by ``key_cols``
+    alone and evicts each entry once the watermark passes its event time —
+    bounded state, unlike plain ``dropDuplicates(key_cols)`` whose state
+    grows forever. The trade: a duplicate arriving later than the watermark
+    window is no longer detected (every streaming dedup makes this trade).
+    State shards with the shuffle partitioning, so capacity scales with
+    executors exactly like the windowed aggregations above.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
 ) -> None:

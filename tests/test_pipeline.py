@@ -64,6 +64,26 @@ def openings_df(spark):
     return spark.createDataFrame(OPENINGS, "eco string, name string, pgn string, uci string")
 
 
+def test_materialize_openings_is_idempotent(spark, tmp_path, openings_df):
+    """CREATE TABLE IF NOT EXISTS semantics: the second call must serve the
+    committed snapshot WITHOUT touching the source — proven by pointing the
+    source at a path that no longer exists."""
+    from chess_lakehouse_spark.sources.openings import materialize_openings
+
+    src = str(tmp_path / "remote_openings")
+    openings_df.write.parquet(src)
+    target = str(tmp_path / "openings_tbl")
+    first = materialize_openings(spark, src, target)
+    assert first.count() == len(OPENINGS)
+    assert "opening_ply" in first.columns
+
+    import shutil
+
+    shutil.rmtree(src)  # source gone: a re-read would fail loudly
+    again = materialize_openings(spark, src, target)
+    assert again.count() == len(OPENINGS)
+
+
 def test_enrich_argmax_semantics(spark, tmp_path, openings_df):
     games = ingest(spark, make_games_pgn(tmp_path))
     enriched = enrich(games, openings_df, "TestSource")

@@ -182,6 +182,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == {(1, "2024-02-10 10:20:00")}
 
 
+def test_streaming_dedup_drops_replayed_rows(spark, tmp_path):
+    """At-least-once replay guard: the same event_id arriving again (even
+    with a different payload timestamp inside the watermark window) must be
+    dropped; distinct ids all pass. Two availableNow drains against one
+    checkpoint prove the dedup state survives restarts."""
+    import pandas as pd
+
+    from chess_lakehouse_spark.streaming import streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(name, ids, stamps):
+        pdf = pd.DataFrame({"event_id": ids, "ts": pd.to_datetime(stamps)})
+        pdf.to_parquet(src / f"{name}.parquet", index=False, coerce_timestamps="us")
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            streaming_dedup(stream, ["event_id"])
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    feed("a", [1, 2, 2], ["2024-02-10 10:00", "2024-02-10 10:05", "2024-02-10 10:20"])
+    feed("b", [1, 3], ["2024-02-10 10:40", "2024-02-10 11:00"])  # 1 is a replay
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
+
+
 def test_foreachbatch_streams_into_partitioned_lake(spark, events_dir, tmp_path):
     """foreachBatch bridges streaming into the batch lake writers: each
     micro-batch lands through write_partitioned (append), producing the
