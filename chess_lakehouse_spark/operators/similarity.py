@@ -108,10 +108,12 @@ def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
 
 def rhp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(plane_p · vec) > 0.
-    Pure column expressions — codegen, no Python in the executor path."""
+    Pure column expressions — codegen, no Python in the executor path.
+    Each plane is ONE array literal (num_planes nodes total, not
+    num_planes × dim)."""
     bits = []
     for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(s) for s in row])
+        plane = F.lit([float(s) for s in row])
         bits.append(F.when(dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
@@ -172,12 +174,15 @@ def _py_dot(a: list[float], b: list[float]) -> float:
 def _centroid_literal_array(cent_rows: list[tuple[int, list[float], float]]) -> Column:
     """Literal array of (cid, ccv, ccn2) structs, sorted by cid. Bounded by
     construction (n_centroids × dim scalars), shipped into the plan — the
-    map-side argmax pattern, zero shuffle for assignment."""
+    map-side argmax pattern, zero shuffle for assignment. Each centroid
+    vector is ONE array literal (``F.lit(list)``), not dim separate nodes —
+    keeps the plan k·3 expression nodes instead of k·(dim+2), which is what
+    dominates compile time for wide embeddings."""
     return F.array(
         *[
             F.struct(
                 F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("ccv"),
+                F.lit([float(x) for x in cv]).alias("ccv"),
                 F.lit(float(cn2)).alias("ccn2"),
             )
             for cid, cv, cn2 in sorted(cent_rows, key=lambda r: r[0])
