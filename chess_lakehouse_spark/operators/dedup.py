@@ -176,6 +176,54 @@ def minhash_lsh_dedup(
     return jaccard_verify(cand, sh, id_col, threshold=threshold)
 
 
+def incremental_near_dups(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dups of a NEW batch against an existing corpus — the daily-ingest
+    shape of dedup at 100 TB, where re-running the full self-join every day
+    is the scale-killer. ``corpus_sigs`` is the staged signatures table
+    (written once by ``minhash_signatures``, appended per batch); this job
+    pays signature cost ONLY for the new batch, joins new bands against
+    staged corpus bands (an equi-join, never the corpus self-join), and
+    re-shingles only the corpus docs that appear as candidates (semi-join
+    pushdown on id). Returns (new_id, corpus_id, jaccard >= threshold).
+
+    Cost model per batch: O(|new|) shingling + one band equi-join against
+    the staged table + verification bounded by candidate count — fully
+    incremental; the corpus text is touched only for candidates.
+    """
+    new_sh = word_shingles(new_docs, id_col, text_col, k=k)
+    new_sigs = minhash_signatures(new_sh, id_col, num_hashes=num_hashes)
+    nb = lsh_bands(new_sigs, id_col, num_hashes=num_hashes, band_size=band_size).select(
+        F.col(id_col).alias("new_id"), "band", "bsig"
+    )
+    cb = lsh_bands(corpus_sigs, id_col, num_hashes=num_hashes, band_size=band_size).select(
+        F.col(id_col).alias("corpus_id"), "band", "bsig"
+    )
+    cand = nb.join(cb, on=["band", "bsig"]).select("new_id", "corpus_id").distinct()
+    cand_corpus = corpus_docs.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "semi"
+    )
+    corpus_sh = word_shingles(cand_corpus, id_col, text_col, k=k)
+    pairs = cand.select(
+        F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+    )
+    verified = jaccard_verify(
+        pairs, new_sh.unionByName(corpus_sh), id_col, threshold=threshold
+    )
+    return verified.select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"), "jaccard"
+    )
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per document over frequency-weighted whitespace tokens.
 

@@ -79,6 +79,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: near-dups of the NEW batch (doc_id % 10 == 9)
+    against the existing corpus, with corpus signatures taken from a staged
+    table (computed here inline; in production written once and appended).
+    Signature cost is paid only for the new batch; the corpus self-join
+    never happens — the shape that keeps dedup incremental at 100 TB."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 9)
+    corpus = docs.where(F.col("doc_id") % 10 != 9)
+    corpus_sigs = minhash_signatures(word_shingles(corpus, "doc_id", "text", k=3), "doc_id")
+    return incremental_near_dups(
+        new, corpus_sigs, corpus, "doc_id", "text",
+        k=3, num_hashes=8, band_size=2, threshold=JACCARD_THRESHOLD,
+    )
+
+
 QUALITY_THRESHOLD = 2.2
 
 
@@ -683,6 +706,40 @@ ORACLES = {
           FROM s
         ) WHERE rk <= {KNN_K}
     """,
+    "dedup_incremental": rf"""
+        WITH {_SHINGLES_CTE.strip()},
+        sig AS (
+          SELECT doc_id, {_MINHASH_AGGS}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band, concat(h0, h1) AS bsig FROM sig
+          UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM sig
+          UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM sig
+          UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig
+          WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.new_id, c.corpus_id, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.new_id
+          JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT * FROM (
+          SELECT i.new_id, i.corpus_id,
+                 ROUND(CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common), 6) AS jaccard
+          FROM inter i
+          JOIN counts ca ON ca.doc_id = i.new_id
+          JOIN counts cb ON cb.doc_id = i.corpus_id
+        ) WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
     "sample_hash": f"""
         SELECT doc_id, source FROM documents
         WHERE {_HASH64.format(expr=f"concat('{SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))")}
@@ -887,6 +944,7 @@ ORACLES = {
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "dedup_simhash": q_dedup_simhash,

@@ -257,6 +257,45 @@ def test_connected_components_chain_and_island(spark):
     assert fast == want and dist == want
 
 
+def test_incremental_near_dups_matches_full_self_join(spark):
+    """The staged-signatures incremental path must find exactly the
+    cross-batch pairs the full self-join finds (restricted to new×corpus),
+    with identical jaccard values."""
+    from chess_lakehouse_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "one two three four five six"),
+        (19, "alpha beta gamma delta epsilon zeta"),  # new: dup of 1, near 2
+        (29, "completely unrelated text goes here now"),  # new: no match
+    ]
+    docs = _docs(spark, rows)
+    new = docs.where("doc_id % 10 = 9")
+    corpus = docs.where("doc_id % 10 <> 9")
+    sigs = minhash_signatures(word_shingles(corpus, "doc_id", "text"), "doc_id")
+    got = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in incremental_near_dups(
+            new, sigs, corpus, "doc_id", "text", band_size=2, threshold=0.3
+        ).collect()
+    }
+    full = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.jaccard)
+        for r in minhash_lsh_dedup(
+            docs, "doc_id", "text", band_size=2, threshold=0.3
+        ).collect()
+        # keep only cross-split pairs (new id is always the larger here)
+        if (max(r.id_a, r.id_b) % 10 == 9) != (min(r.id_a, r.id_b) % 10 == 9)
+    }
+    assert got == full
+    assert any(p[:2] == (19, 1) for p in got)
+
+
 def test_kmeans_fit_deterministic_and_separates_clusters(spark):
     from pyspark.sql import Row
 
