@@ -360,6 +360,81 @@ def knn_ivf(
     )
 
 
+def sparse_cosine_pairs(
+    weights: DataFrame,
+    id_col: str,
+    term_col: str,
+    weight_col: str,
+    threshold: float,
+    max_df: int | None = None,
+    block_col: str | None = None,
+    precision: int = 6,
+) -> DataFrame:
+    """Sparse-vector cosine similarity via an inverted-index join — the
+    sparse (TF-IDF) counterpart of the dense ``cosine_near_pairs``: pairs
+    are generated ONLY for documents sharing a term, never all-pairs.
+
+    ``weights`` is a (id, term, weight) frame (e.g. the ``tfidf`` output).
+    Pair-generation cost is Σ_t df(t)², so high-df terms (stopwords) are
+    the scale hazard. Two orthogonal fan-out controls:
+
+    - ``max_df`` prunes high-df terms before pair generation — right for a
+      Zipfian corpus where stopwords carry join cost but near-zero tf-idf
+      signal. (On a shared-vocabulary corpus where EVERY term is high-df it
+      would prune everything; there, block instead.)
+    - ``block_col`` (a column of ``weights``, one value per id) scopes
+      pair generation to documents in the same block — CDC/blocking-style.
+      The join key becomes (block, term), so Σ_t df(t)² is bounded per
+      block regardless of the global df distribution. Norms are computed
+      over ALL kept terms of a doc, so the cosine itself is unblocked —
+      blocking only constrains which pairs are *generated*.
+
+    Determinism: per-term products and squares are cast to DECIMAL(18,6)
+    before the exact decimal SUM, so distributed summation order cannot
+    perturb bits (the suite-wide pattern); the final cosine is ONE double
+    division + sqrt, rounded. Returns (id_a, id_b, sim >= threshold).
+    """
+    cols = [F.col(id_col).alias("id"), F.col(term_col).alias("term"), F.col(weight_col).alias("w")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    w = weights.select(*cols)
+    if max_df is not None:
+        keep = F.broadcast(
+            w.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("pdf"))
+            .where(F.col("pdf") <= max_df)
+            .select("term")
+        )
+        w = w.join(keep, "term")
+    norms = w.groupBy("id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(18,6)")).cast("double").alias("n2")
+    )
+    join_keys = ["term"] if block_col is None else ["blk", "term"]
+    pair_cols = ["term"] if block_col is None else ["term", "blk"]
+    a = w.select(F.col("id").alias("id_a"), *pair_cols, F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), *pair_cols, F.col("w").alias("wb"))
+    dots = (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(18,6)")).cast("double").alias("dp")
+        )
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dp") / F.sqrt(F.col("n2a") * F.col("n2b")), precision).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def cosine_near_pairs(
     vectors: DataFrame,
     id_col: str,

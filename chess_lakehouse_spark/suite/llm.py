@@ -291,6 +291,34 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_COS_THRESHOLD = 0.6
+
+
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine document similarity via an inverted-index join
+    (pairs exist only where a term is shared), blocked by ``source`` so the
+    Σ_t df(t)² join fan-out is bounded per block. This corpus is
+    shared-vocabulary (median df ≈ 0.8·N — every term is a "stopword"), so
+    the Zipfian ``max_df`` control would prune everything; blocking is the
+    control that survives here. Blocks are (source, lang) — near-dups
+    across languages are not a thing, so the finer key costs no recall and
+    cuts Σ_blk n_blk² ~5×. Measured at sf0.1: unblocked+unpruned 172 s vs
+    5 s blocked, same per-pair cosines (norms are computed unblocked)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import tfidf
+    from chess_lakehouse_spark.operators.similarity import sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = tfidf(docs, "doc_id", "text", min_tf=2).join(
+        docs.select("doc_id", F.concat_ws("|", "source", "lang").alias("blk")),
+        "doc_id",
+    )
+    return sparse_cosine_pairs(
+        wts, "doc_id", "term", "tfidf",
+        threshold=TFIDF_COS_THRESHOLD, block_col="blk",
+    )
+
+
 def q_source_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus stats via grouped-map ``applyInPandas`` — the
     Arrow-batched grouped transform surface (one group = one pandas frame).
@@ -919,6 +947,42 @@ ORACLES = {
         FROM tf JOIN dfq USING (term) CROSS JOIN n
         WHERE tf.tf >= 2
     """,
+    "tfidf_cosine": rf"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        wts AS (
+          SELECT tf.doc_id AS id, tf.term,
+                 ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 6) AS w
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+          WHERE tf.tf >= 2
+        ),
+        w2 AS (
+          SELECT wts.*, concat(d.source, '|', d.lang) AS blk
+          FROM wts JOIN documents d ON d.doc_id = wts.id
+        ),
+        norms AS (
+          SELECT id, CAST(SUM(CAST(w * w AS DECIMAL(18,6))) AS DOUBLE) AS n2
+          FROM w2 GROUP BY id
+        ),
+        dots AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(SUM(CAST(a.w * b.w AS DECIMAL(18,6))) AS DOUBLE) AS dp
+          FROM w2 a JOIN w2 b ON a.blk = b.blk AND a.term = b.term AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT * FROM (
+          SELECT id_a, id_b, ROUND(dp / sqrt(na.n2 * nb.n2), 6) AS sim
+          FROM dots
+          JOIN norms na ON na.id = dots.id_a
+          JOIN norms nb ON nb.id = dots.id_b
+        ) WHERE sim >= {TFIDF_COS_THRESHOLD}
+    """,
     "doc_fingerprint": rf"""
         WITH c AS (
           SELECT doc_id,
@@ -967,5 +1031,6 @@ QUERIES = {
     "text_langid": q_text_langid,
     "token_count": q_token_count,
     "tfidf": q_tfidf,
+    "tfidf_cosine": q_tfidf_cosine,
     "doc_fingerprint": q_doc_fingerprint,
 }

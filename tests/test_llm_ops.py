@@ -296,6 +296,52 @@ def test_incremental_near_dups_matches_full_self_join(spark):
     assert any(p[:2] == (19, 1) for p in got)
 
 
+def test_sparse_cosine_pairs_inverted_index(spark):
+    from chess_lakehouse_spark.functions.text import tfidf
+    from chess_lakehouse_spark.operators.similarity import sparse_cosine_pairs
+
+    # doc1 ≡ doc3; doc2 shares only the zero-idf term 'x' with them
+    df = _docs(spark, [(1, "x x q q"), (2, "x x r r"), (3, "x x q q")])
+    wts = tfidf(df, "doc_id", "text", min_tf=2)
+    got = sparse_cosine_pairs(wts, "doc_id", "term", "tfidf", threshold=0.3).collect()
+    assert [(r.id_a, r.id_b, r.sim) for r in got] == [(1, 3, 1.0)]
+    # pruning the corpus-wide term 'x' (df=3) must not change the result —
+    # high-df terms carry join fan-out, not cosine signal
+    pruned = sparse_cosine_pairs(
+        wts, "doc_id", "term", "tfidf", threshold=0.3, max_df=2
+    ).collect()
+    assert [(r.id_a, r.id_b, r.sim) for r in pruned] == [(1, 3, 1.0)]
+
+
+def test_sparse_cosine_pairs_block_scoped(spark):
+    import pyspark.sql.functions as F
+    from chess_lakehouse_spark.functions.text import tfidf
+    from chess_lakehouse_spark.operators.similarity import sparse_cosine_pairs
+
+    df = _docs(spark, [(1, "q q z z"), (2, "r r z z"), (3, "q q z z"), (4, "q q z z")])
+    wts = tfidf(df, "doc_id", "text", min_tf=2).withColumn(
+        "blk", (F.col("doc_id") % 2).cast("int")
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in sparse_cosine_pairs(
+            wts, "doc_id", "term", "tfidf", threshold=0.3, block_col="blk"
+        ).collect()
+    )
+    # identical docs 1,3 share block 1 -> kept; identical pair (1,4)/(3,4)
+    # crosses blocks (4%2=0) -> suppressed by blocking
+    assert got == [(1, 3, 1.0)]
+    # unblocked keeps all three identical pairs — blocking only changes
+    # which pairs are generated, not the cosine values
+    full = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in sparse_cosine_pairs(
+            wts, "doc_id", "term", "tfidf", threshold=0.3
+        ).collect()
+    )
+    assert full == [(1, 3, 1.0), (1, 4, 1.0), (3, 4, 1.0)]
+
+
 def test_kmeans_fit_deterministic_and_separates_clusters(spark):
     from pyspark.sql import Row
 
