@@ -144,6 +144,92 @@ def tfidf(df: DataFrame, id_col: str, text_col: str, min_tf: int = 2) -> DataFra
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unigram-LM negative log-likelihood per document — the CCNet/KenLM-style
+    in-distribution quality score (Wenzek et al. 2020, public): fit p(token)
+    on the corpus itself (count / total), score each doc by the mean
+    ``-ln p(token)``. Outliers (boilerplate, non-language noise, wrong-domain
+    text) score high and get filtered before pretraining.
+
+    Plan: one explode + map-combined term-count groupBy (vocabulary-sized
+    result), the total-token scalar (single-row driver agg, bounded), a
+    vocabulary-sized broadcast of per-term log-probs back onto the token
+    stream, then one per-doc groupBy. Two shuffles, both map-combined — the
+    same shape as ``tfidf``, linear at 100 TB.
+
+    Determinism: per-term logp = ROUND(ln(ctf / total), 6) over exact
+    integer inputs; the per-doc sum goes through DECIMAL(18,6) so summation
+    order cannot perturb bits (suite-wide contract). Returns
+    (id, n_tokens, nll) with nll rounded to 6 decimals.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    ctf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    total = ctf.agg(F.sum("ctf").alias("t")).collect()[0]["t"]  # 1 row: bounded
+    logp = F.broadcast(
+        ctf.select(
+            "term",
+            F.round(F.log(F.col("ctf").cast("double") / F.lit(float(total))), 6).alias("lp"),
+        )
+    )
+    return (
+        terms.join(logp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+    )
+
+
+def chunk_tokens(
+    df: DataFrame, id_col: str, text_col: str, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    ``window``-token chunks every ``stride`` tokens — the step that turns a
+    cleaned corpus into trainable sequences (and RAG indexing units).
+
+    Entirely in the array domain (filtered token array → per-chunk ``slice``
+    inside one ``transform`` → ``posexplode``): narrow and shuffle-free at
+    any scale; the only row growth is the ~n/stride output fan-out itself.
+
+    Chunk count is exact integer arithmetic (``1 + max(n-window,0) ceil-div
+    stride`` with non-negative operands, so truncating and flooring division
+    agree across engines). The last chunk is short rather than padded;
+    ``n_chunk_tokens`` records its true length. Returns
+    (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"chunk_tokens: window/stride must be >= 1, got {window}/{stride}")
+    base = df.select(
+        F.col(id_col),
+        F.filter(ws_tokens(F.col(text_col)), lambda t: t != "").alias("toks"),
+    ).where(F.size("toks") > 0)
+    n_chunks_expr = f"(1 + (greatest(size(toks) - {window}, 0) + {stride - 1}) div {stride})"
+    return base.select(
+        F.col(id_col),
+        F.size("toks").alias("n"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks_expr} - 1), "
+                f"i -> concat_ws(' ', slice(toks, i * {stride} + 1, {window})))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(window), F.col("n") - F.col("chunk_idx") * stride)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 8
 ) -> DataFrame:

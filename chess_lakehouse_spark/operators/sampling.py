@@ -76,6 +76,58 @@ def stratified_hash_sample(
     return df.where(sample_hash(F.col(id_col), seed) < threshold)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    part_col: str,
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-cut sequence packing: assign every document a position in
+    a fixed-``budget`` token stream — the GPT-style packing step that turns
+    a document corpus into dense training sequences (documents are
+    concatenated in (part, id) order and the stream is cut every ``budget``
+    tokens; a document crossing a cut spans two sequences, recorded by its
+    offset).
+
+    seq_id = exclusive-prefix-sum(n_tokens) div budget, seq_offset = the
+    remainder — pure integer window arithmetic over (part_col ORDER BY id),
+    so the packing is deterministic under any partitioning or engine. ONE
+    shuffle (the window by part_col). At 100 TB the hazard is a mega-part
+    dominating a single window partition: pre-split such parts with a
+    hash-derived sub-part key (the packing stays deterministic because the
+    order key never changes).
+
+    Returns (id, part, n_tokens, seq_id, seq_offset).
+    """
+    if budget < 1:
+        raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)).cast("long")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(part_col),
+            F.col(n_tokens_col).cast("long").alias("n_tokens"),
+            prefix.alias("__prefix"),
+        )
+        # integer div/mod (never double division: exact for any BIGINT prefix)
+        .select(
+            id_col,
+            part_col,
+            "n_tokens",
+            F.expr(f"__prefix div {budget}").alias("seq_id"),
+            (F.col("__prefix") % budget).alias("seq_offset"),
+        )
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,

@@ -259,6 +259,105 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FP_OVERLAP_THRESHOLD = 0.8
+
+
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram contamination audit — the GPT-3-style complement of the exact
+    md5 check in ``split_contamination``: an eval document is contaminated
+    if a high fraction of its winnowing fingerprints (char-5-gram windows)
+    also occur ANYWHERE in train. The train side is collapsed to a DISTINCT
+    fingerprint set before the join, so cost is |eval fps| × lookup — a
+    semi-join shape with no quadratic doc-pair term (at 100 TB the train fp
+    set is a table, not a broadcast, and the join shuffles on fingerprint).
+    Returns contaminated eval docs with fp counts and the overlap fraction."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = split_assign(docs, "doc_id", eval_frac=EVAL_FRAC, seed=SAMPLE_SEED + 1)
+    ev_fp = (
+        winnow_fingerprints(split.where(F.col("split") == "eval"), "doc_id", "text", k=5, window=8)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+    tr_fp = (
+        winnow_fingerprints(split.where(F.col("split") == "train"), "doc_id", "text", k=5, window=8)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        ev_fp.join(tr_fp, "fingerprint", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.count("__hit").alias("n_shared"),
+        )
+        .withColumn(
+            "overlap_frac",
+            F.round(F.col("n_shared").cast("double") / F.col("n_fp"), 6),
+        )
+        .where(F.col("overlap_frac") >= FP_OVERLAP_THRESHOLD)
+    )
+
+
+PACK_BUDGET = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: documents concatenated in
+    (source, doc_id) order, cut every 2048 tokens — each doc mapped to its
+    (seq_id, seq_offset) in the training stream. Integer window arithmetic,
+    one shuffle."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_counts(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return pack_sequences(tc, "doc_id", "source", "n_ws_tokens", budget=PACK_BUDGET)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM negative log-likelihood per document (CCNet-style
+    in-distribution quality score): corpus term probabilities → mean
+    -ln p(token) per doc. Two map-combined shuffles + one vocabulary-sized
+    broadcast."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text")
+
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 64-token windows every 48
+    tokens per document — narrow array-domain plan, zero shuffle."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, "doc_id", "text", window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+
+
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over int8-quantized vectors (scales cancel in cosine, so
+    all per-pair math is exact integer arithmetic): the 4×-less-memory scan
+    path for a 100 TB ANN corpus."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import knn_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < KNN_PROBES)
+    return knn_quantized(emb, probes, "vec_id", "embedding", k=KNN_K)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters: duplicate-token fraction
     (array-domain, narrow) + modal-bigram fraction (explode + two
@@ -983,6 +1082,113 @@ ORACLES = {
           JOIN norms nb ON nb.id = dots.id_b
         ) WHERE sim >= {TFIDF_COS_THRESHOLD}
     """,
+    "contamination_ngram": rf"""
+        WITH s AS (
+          SELECT doc_id, text,
+                 CASE WHEN {_HASH64.format(expr=f"concat('{SAMPLE_SEED + 1}|', CAST(doc_id AS VARCHAR))")}
+                           < {int(EVAL_FRAC * (1 << 60))}
+                      THEN 'eval' ELSE 'train' END AS split
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, split,
+                 list_transform(range(1, length(text) + 1),
+                                p -> ascii(substring(text, p, 1))) AS codes
+          FROM s WHERE length(text) >= 5
+        ),
+        g AS (
+          SELECT doc_id, split,
+                 unnest(list_transform(range(1, greatest(len(codes) - 3, 1)),
+                        i -> struct_pack(pos := i - 1,
+                                         gh := {" + ".join(f"codes[i + {j}] * CAST({131 ** (4 - j)} AS BIGINT)" for j in range(5))}))) AS u
+          FROM c
+        ),
+        fp AS (
+          SELECT doc_id, split, u.pos // 8 AS win_idx, MIN(u.gh) AS fingerprint
+          FROM g GROUP BY 1, 2, 3
+        ),
+        ev AS (SELECT DISTINCT doc_id, fingerprint FROM fp WHERE split = 'eval'),
+        tr AS (SELECT DISTINCT fingerprint FROM fp WHERE split = 'train')
+        SELECT * FROM (
+          SELECT e.doc_id, COUNT(*) AS n_fp, COUNT(t.fingerprint) AS n_shared,
+                 ROUND(CAST(COUNT(t.fingerprint) AS DOUBLE) / COUNT(*), 6) AS overlap_frac
+          FROM ev e LEFT JOIN tr t ON t.fingerprint = e.fingerprint
+          GROUP BY 1
+        ) WHERE overlap_frac >= {FP_OVERLAP_THRESHOLD}
+    """,
+    "pack_sequences": rf"""
+        WITH tc AS (
+          SELECT doc_id, source, len({_TOKS}) AS n FROM documents
+        ),
+        p AS (
+          SELECT doc_id, source, n,
+                 CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS BIGINT) AS pfx
+          FROM tc
+        )
+        SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+               pfx // {PACK_BUDGET} AS seq_id,
+               pfx % {PACK_BUDGET} AS seq_offset
+        FROM p
+    """,
+    "lm_score": rf"""
+        WITH tt AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        t2 AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+        ctf AS (SELECT term, COUNT(*) AS ctf FROM t2 GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS total FROM ctf),
+        lp AS (
+          SELECT term, ROUND(ln(CAST(ctf AS DOUBLE) / total), 6) AS lp
+          FROM ctf CROSS JOIN tot
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(-CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS nll
+        FROM t2 JOIN lp USING (term)
+        GROUP BY 1
+    """,
+    "doc_chunks": rf"""
+        WITH t AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
+        ),
+        b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        c AS (
+          SELECT doc_id, toks, n,
+                 1 + (greatest(n - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} AS nc
+          FROM b
+        ),
+        e AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM c)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(least({CHUNK_WINDOW}, n - i * {CHUNK_STRIDE}) AS INT) AS n_chunk_tokens,
+               array_to_string(toks[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_WINDOW})], ' ') AS chunk_text
+        FROM e
+    """,
+    "knn_quantized": rf"""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(x * (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0 END)) AS DOUBLE)) AS qv
+          FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x))) AS amax
+            FROM embeddings
+          )
+        ),
+        n2 AS (
+          SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM qz
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ROUND(list_dot_product(q.qv, c.qv) / sqrt(q.n2 * c.n2), 6) AS sim
+          FROM n2 q JOIN n2 c
+            ON q.vec_id < {KNN_PROBES} AND c.vec_id <> q.vec_id
+           AND q.n2 > 0 AND c.n2 > 0
+        )
+        SELECT query_id, cand_id, sim, CAST(rk AS INT) AS rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, cand_id ASC) AS rk
+          FROM scored
+        ) WHERE rk <= {KNN_K}
+    """,
     "doc_fingerprint": rf"""
         WITH c AS (
           SELECT doc_id,
@@ -1033,4 +1239,9 @@ QUERIES = {
     "tfidf": q_tfidf,
     "tfidf_cosine": q_tfidf_cosine,
     "doc_fingerprint": q_doc_fingerprint,
+    "contamination_ngram": q_contamination_ngram,
+    "pack_sequences": q_pack_sequences,
+    "lm_score": q_lm_score,
+    "doc_chunks": q_doc_chunks,
+    "knn_quantized": q_knn_quantized,
 }

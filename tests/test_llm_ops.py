@@ -511,3 +511,93 @@ def test_approx_stats_close_to_exact(spark):
     assert abs(row.price_p50 - exact_median) / exact_median < 0.05
     exact_p95 = li.approxQuantile("l_extendedprice", [0.95], 0.0)[0]
     assert abs(row.price_p95 - exact_p95) / exact_p95 < 0.05
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from chess_lakehouse_spark.functions.text import chunk_tokens
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = _docs(spark, [(1, toks), (2, "short doc")])
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_tokens(df, "doc_id", "text", window=4, stride=3).collect()
+    )
+    # doc1: 10 tokens -> chunks at offsets 0,3,6; the last one ends exactly
+    # at the document end (offset 6 + window 4 = 10), so no short tail
+    assert [(c[1], c[2]) for c in got if c[0] == 1] == [(0, 4), (1, 4), (2, 4)]
+    assert got[0][3] == "t0 t1 t2 t3"
+    assert got[1][3] == "t3 t4 t5 t6"
+    assert got[2][3] == "t6 t7 t8 t9"
+    # doc2 fits one window
+    assert [(c[1], c[2], c[3]) for c in got if c[0] == 2] == [(0, 2, "short doc")]
+    # stride == window -> disjoint chunks cover every token exactly once
+    flat = " ".join(
+        r.chunk_text
+        for r in chunk_tokens(df.where("doc_id = 1"), "doc_id", "text", window=5, stride=5)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert flat == toks
+
+
+def test_pack_sequences_concat_and_cut(spark):
+    from chess_lakehouse_spark.operators.sampling import pack_sequences
+
+    rows = [
+        Row(doc_id=1, src="a", n=600),
+        Row(doc_id=2, src="a", n=600),
+        Row(doc_id=3, src="a", n=600),
+        Row(doc_id=4, src="b", n=50),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, "doc_id", "src", "n", budget=1000).collect()
+    }
+    # prefix sums in src a: 0, 600, 1200 -> seqs 0, 0, 1; src b restarts at 0
+    assert got == {1: (0, 0), 2: (0, 600), 3: (1, 200), 4: (0, 0)}
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from chess_lakehouse_spark.functions.text import unigram_logprob
+
+    df = _docs(spark, [(1, "a a a a"), (2, "a a a rare")])
+    got = {r.doc_id: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+    # doc2 contains the corpus-rare token -> higher NLL (lower likelihood)
+    assert got[2].nll > got[1].nll
+    # doc1 is all modal tokens: nll = -ln(7/8)
+    import math
+
+    assert abs(got[1].nll - (-round(math.log(7 / 8), 6))) < 1e-9
+
+
+def test_knn_quantized_agrees_with_brute_force(spark):
+    from chess_lakehouse_spark.operators.similarity import knn_quantized
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.where("vec_id < 5")
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in knn_brute_force(emb, probes, "vec_id", "embedding", k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.cand_id)
+        for r in knn_quantized(emb, probes, "vec_id", "embedding", k=5).collect()
+    }
+    # int8 quantization keeps cosine ranks nearly intact: recall@5 >= 0.8
+    assert len(exact & quant) / len(exact) >= 0.8
+
+
+def test_knn_quantized_zero_vector_excluded(spark):
+    from chess_lakehouse_spark.operators.similarity import knn_quantized
+
+    rows = [
+        Row(vec_id=0, v=[1.0, 0.0]),
+        Row(vec_id=1, v=[2.0, 0.0]),
+        Row(vec_id=2, v=[0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = knn_quantized(df, df.where("vec_id = 0"), "vec_id", "v", k=5).collect()
+    # the zero vector can't be scored (undefined cosine) and must not crash
+    assert [(r.cand_id, r.sim) for r in got] == [(1, 1.0)]

@@ -179,6 +179,52 @@ def test_knn_ivf_trained_scoring_is_equi_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_doc_chunks_is_narrow(spark):
+    """Chunking must stay in the array domain: no Exchange, no Join — the
+    only row growth is the explode itself."""
+    plan = explain(spark, llm.q_doc_chunks(spark, SF_DIR))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Concat-and-cut packing is ONE hash exchange (the window by source) on
+    top of the token-count projection — no join-shaped shuffles."""
+    plan = explain(spark, llm.q_pack_sequences(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + the source join
+    assert "Window" in plan
+
+
+def test_lm_score_partial_agg_and_broadcast(spark):
+    """Unigram-LM scoring: term counts partial-aggregate map-side and the
+    vocabulary-sized log-prob table is broadcast, never shuffled onto the
+    token stream."""
+    plan = explain(spark, llm.q_lm_score(spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_ngram_no_cartesian(spark):
+    plan = explain(spark, llm.q_contamination_ngram(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_tfidf_cosine_is_blocked_equi_join(spark):
+    """The inverted-index join must be equi-keyed on (block, term) — a
+    cartesian/BNLJ here is the Σdf² blow-up the blocking exists to prevent."""
+    plan = explain(spark, llm.q_tfidf_cosine(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_knn_quantized_broadcasts_probes(spark):
+    plan = explain(spark, llm.q_knn_quantized(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_aqe_splits_skewed_join(spark):
     """The session's AQE skew-join config must actually engage: a 95%-hot
     key through a sort-merge join gets its partition split at runtime
