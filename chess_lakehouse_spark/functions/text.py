@@ -122,12 +122,19 @@ def tfidf(df: DataFrame, id_col: str, text_col: str, min_tf: int = 2) -> DataFra
     frequency by term) and one broadcast of the per-term idf — the df table
     is vocabulary-sized, bounded far below the corpus. ``min_tf`` prunes the
     long unigram tail before the join (output-size control at 100 TB).
+
+    ``N`` (distinct doc count) is part of the SAME plan: a scalar subquery
+    (``DataFrame.scalar()``) over the corpus, the DataFrame-API analog of
+    the oracle's ``CROSS JOIN n`` (suite/llm.py). Building this frame
+    launches zero jobs and one action computes everything — no separate
+    full-corpus ``count()`` pre-scan per invocation (a full extra corpus
+    read at 100 TB).
     """
     terms = df.select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n")).scalar()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.where(F.col("tf") >= min_tf)
@@ -138,7 +145,7 @@ def tfidf(df: DataFrame, id_col: str, text_col: str, min_tf: int = 2) -> DataFra
             "tf",
             F.col("df"),
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(n_docs.cast("double") / F.col("df")), 6
             ).alias("tfidf"),
         )
     )
@@ -152,10 +159,11 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     text) score high and get filtered before pretraining.
 
     Plan: one explode + map-combined term-count groupBy (vocabulary-sized
-    result), the total-token scalar (single-row driver agg, bounded), a
-    vocabulary-sized broadcast of per-term log-probs back onto the token
-    stream, then one per-doc groupBy. Two shuffles, both map-combined — the
-    same shape as ``tfidf``, linear at 100 TB.
+    result), the total-token scalar as a scalar subquery in the SAME plan
+    (``DataFrame.scalar()`` — no separate corpus-scanning action per
+    invocation), a vocabulary-sized broadcast of per-term log-probs back
+    onto the token stream, then one per-doc groupBy. Two shuffles, both
+    map-combined — the same shape as ``tfidf``, linear at 100 TB.
 
     Determinism: per-term logp = ROUND(ln(ctf / total), 6) over exact
     integer inputs; the per-doc sum goes through DECIMAL(18,6) so summation
@@ -166,11 +174,11 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     ctf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
-    total = ctf.agg(F.sum("ctf").alias("t")).collect()[0]["t"]  # 1 row: bounded
+    total = ctf.agg(F.sum("ctf").alias("t")).scalar()  # scalar subquery, same plan
     logp = F.broadcast(
         ctf.select(
             "term",
-            F.round(F.log(F.col("ctf").cast("double") / F.lit(float(total))), 6).alias("lp"),
+            F.round(F.log(F.col("ctf").cast("double") / total.cast("double")), 6).alias("lp"),
         )
     )
     return (

@@ -21,10 +21,79 @@ from __future__ import annotations
 
 from chess_lakehouse_spark.suite import chess, core, llm, mm
 
-# mm before llm deliberately: round 1's driver run recorded no correctness
-# entry for the two mm_ queries (they were last in iteration order and the
-# harness stopped after the llm block) even though they pass the local
-# oracle compare — keep the cheap mm pair early so a tail timeout can't
-# drop them again.
-QUERIES = {**core.QUERIES, **chess.QUERIES, **mm.QUERIES, **llm.QUERIES}
-ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
+_ALL_QUERIES = {**core.QUERIES, **chess.QUERIES, **mm.QUERIES, **llm.QUERIES}
+_ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
+
+# The driver's correctness harness records exactly the FIRST 50 entries of
+# queries() in dict-iteration order, so the window must be budgeted like a
+# scarce resource.  Priority (see VERDICT r02 "Next round #1"):
+#   1. the 7 queries that have never had a driver oracle row in any round,
+#   2. the 8 queries that were green in r01 but fell outside r02's window,
+#   3. the 9 queries whose only green row is r02, plus the rows-only
+#      approx_stats check,
+#   4. 25 of the 40 queries already hash-green in BOTH r01 and r02.
+# The 15 left outside the window are all double-verified (r01 AND r02)
+# simple relational queries; scripts/verify_local.py still runs the full
+# suite and its output is committed per round as VERIFY_LOCAL_r{N}.txt.
+_WINDOW_ORDER = [
+    # never driver-verified (r01, r02)
+    "text_normalize",
+    "tfidf_cosine",
+    "contamination_ngram",
+    "pack_sequences",
+    "lm_score",
+    "doc_chunks",
+    "knn_quantized",
+    # green in r01 only (fell outside r02's window)
+    "doc_fingerprint",
+    "source_stats_pandas",
+    "text_langid",
+    "text_quality",
+    "tfidf",
+    "token_count",
+    "udaf_gmean",
+    "udtf_bigrams",
+    # green in r02 only
+    "collect_set",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "dedup_incremental",
+    "knn_ivf_kmeans",
+    "sample_hash",
+    "sample_mix",
+    "split_contamination",
+    "repetition_metrics",
+    "approx_stats",  # rows-only by design (no SQL-expressible oracle)
+    # double-green (r01 and r02); the intricate operators stay in-window
+    "enrich_argmax",
+    "lateral_topk",
+    "chess_enrich",
+    "chess_export",
+    "merge_update",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "pipeline_clean_corpus",
+    "knn_brute_force",
+    "knn_lsh",
+    "knn_ivf",
+    "asof_join",
+    "join_star",
+    "supplier_revenue",
+    "groupby_agg",
+    "scalar_kitchen",
+    "events_hourly",
+    "json_extract",
+    "export_projection",
+    "filter_null_predicate",
+]
+
+QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}
+QUERIES.update(
+    (name, fn) for name, fn in sorted(_ALL_QUERIES.items()) if name not in QUERIES
+)
+ORACLES = {name: _ALL_ORACLES[name] for name in QUERIES if name in _ALL_ORACLES}

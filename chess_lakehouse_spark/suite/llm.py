@@ -144,7 +144,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs: byte-banding (equi-join blocking) + hamming <= 6."""
     apply_runtime_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash32(docs, "doc_id", "text"), "doc_id", max_hamming=6)
+    return simhash_near_pairs(
+        simhash32(docs, "doc_id", "text"), "doc_id", max_hamming=6, persist_signatures=True
+    )
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -225,6 +225,34 @@ def test_knn_quantized_broadcasts_probes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tfidf_plan_construction_launches_no_jobs(spark):
+    """tfidf's N (distinct doc count) must live INSIDE the plan (a scalar
+    subquery via DataFrame.scalar()), not as a separate driver
+    count() action — at 100 TB a pre-scan per invocation is a full extra
+    corpus read. Building the frame may only launch the parquet footer
+    schema-read that every ``spark.read.parquet`` performs (single-stage,
+    one per table read) — never a multi-stage job (the old
+    ``distinct().count()`` shuffle) nor more jobs than table reads;
+    tfidf_cosine composes tfidf and inherits the property."""
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf_build_probe", "plan construction must be lazy")
+    try:
+        df1 = llm.q_tfidf(spark, SF_DIR)  # 1 load_table
+        df2 = llm.q_tfidf_cosine(spark, SF_DIR)  # 2 load_table
+        jobs = sc.statusTracker().getJobIdsForGroup("tfidf_build_probe")
+        assert len(jobs) <= 3, f"more jobs than table reads: {jobs}"
+        for j in jobs:
+            info = sc.statusTracker().getJobInfo(j)
+            assert info is not None and len(info.stageIds) == 1, (
+                f"multi-stage job {j} during plan construction — an eager "
+                f"aggregate action leaked into tfidf"
+            )
+    finally:
+        sc.setJobGroup("", "")
+    # and the plan still computes correctly in one action
+    assert df1.limit(5).count() >= 0 and df2.limit(5).count() >= 0
+
+
 def test_aqe_splits_skewed_join(spark):
     """The session's AQE skew-join config must actually engage: a 95%-hot
     key through a sort-merge join gets its partition split at runtime
