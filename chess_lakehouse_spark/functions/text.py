@@ -292,7 +292,10 @@ def winnow_fingerprints(
 #: bare domains would, e.g., otherwise leak the local part).
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    # \b digit guards (supported by both Java regex and RE2) stop the
+    # pattern matching the middle of longer digit runs — without them
+    # '91234-567-89012' would partially redact to '9<PHONE>2'.
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )
 

@@ -321,11 +321,25 @@ def simhash_near_pairs(
     ).select(id_col, "simhash", F.col("x.byte_idx").alias("bi"), F.col("x.byte_val").alias("bv"))
     a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "bi", "bv")
     b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "bi", "bv")
+    # A pair agreeing on k bytes would surface k times from the band join;
+    # instead of a distinct (a full shuffle of every candidate pair), keep
+    # each pair only where it matched its FIRST agreeing byte — bi is
+    # canonical because both full signatures ride in the joined row, so
+    # "no earlier byte agrees" is a map-side predicate. Zero post-join
+    # shuffles; the hamming filter also runs map-side.
+    no_earlier_band = F.expr(
+        "CASE bi WHEN 0 THEN true ELSE "
+        + " AND ".join(
+            f"(bi <= {j} OR ((sim_a >> {8 * j}) & 255) != ((sim_b >> {8 * j}) & 255))"
+            for j in range(3)
+        )
+        + " END"
+    )
     out = (
         a.join(b, on=["bi", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(no_earlier_band)
         .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"))
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
     if lease is not None:

@@ -99,16 +99,17 @@ def enrich_top1_mapside(
     elem_type = dim.select(F.struct(*[F.col(c) for c in struct_cols]).alias("s")).schema[
         "s"
     ].dataType
-    if dim.select(*struct_cols).distinct().limit(max_dim_rows + 1).count() > max_dim_rows:
+    # One job both guards and collects: fetch max_dim_rows+1 rows — if the
+    # limit row materializes, the dim is too big (and we never executed the
+    # dim subtree twice).
+    fetched = dim.select(*struct_cols).distinct().limit(max_dim_rows + 1).collect()
+    if len(fetched) > max_dim_rows:
         raise ValueError(
             f"enrich_top1_mapside: dimension exceeds max_dim_rows={max_dim_rows}; "
             "the literal-array plan would bloat linearly with the dim — "
             "use enrich_top1_join for large dimensions"
         )
-    dim_rows = sorted(
-        dim.select(*struct_cols).distinct().collect(),
-        key=lambda r: tuple((v is None, v) for v in r),
-    )
+    dim_rows = sorted(fetched, key=lambda r: tuple((v is None, v) for v in r))
     arr = F.array(
         *[
             F.struct(

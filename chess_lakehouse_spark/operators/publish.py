@@ -179,15 +179,29 @@ def compact_partitions(
     finally:
         spark.conf.set(infer_key, prev_infer)
 
+    # Swap by renaming the live directory ASIDE first (dst -> dst.old),
+    # then src -> dst, then deleting dst.old. A crash between the two
+    # renames leaves a one-rename no-data window plus a rollback copy in
+    # .old — unlike delete-then-rename, the lake is never the ONLY copy
+    # destroyed (each single rename/delete is atomic on HDFS/local FS).
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     dst = jvm.org.apache.hadoop.fs.Path(lake_dir)
     src = jvm.org.apache.hadoop.fs.Path(tmp)
+    old = jvm.org.apache.hadoop.fs.Path(lake_dir.rstrip("/") + ".old")
     fs = dst.getFileSystem(hconf)
-    if not fs.delete(dst, True):
-        raise IOError(f"compact_partitions: failed to remove {lake_dir}")
+    if fs.exists(old) and not fs.delete(old, True):
+        raise IOError(f"compact_partitions: failed to clear stale {old}")
+    if not fs.rename(dst, old):
+        raise IOError(f"compact_partitions: failed to move {lake_dir} aside")
     if not fs.rename(src, dst):
+        fs.rename(old, dst)  # roll back: restore the original lake
         raise IOError(
             f"compact_partitions: rename {tmp} -> {lake_dir} failed; "
-            "compacted data is intact in the .compacting directory"
+            "original lake restored, compacted data intact in .compacting"
+        )
+    if not fs.delete(old, True):
+        raise IOError(
+            f"compact_partitions: swap succeeded but could not remove {old}; "
+            "delete it manually"
         )

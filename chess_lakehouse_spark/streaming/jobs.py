@@ -126,7 +126,10 @@ def running_user_counts(events: DataFrame) -> DataFrame:
 
 
 def streaming_dedup(
-    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming exact dedup: keep the first arrival per key, drop every
     later duplicate — the ingest-time guard against at-least-once sources
@@ -138,9 +141,10 @@ def streaming_dedup(
     grows forever. The trade: a duplicate arriving later than the watermark
     window is no longer detected (every streaming dedup makes this trade).
     State shards with the shuffle partitioning, so capacity scales with
-    executors exactly like the windowed aggregations above.
+    executors exactly like the windowed aggregations above. ``ts_col``
+    names the event-time column the watermark tracks.
     """
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
 def run_available_now(

@@ -50,7 +50,13 @@ class Dataset:
 
 def decode_html_entities(text: str) -> str:
     """Minimal entity decoding for the strings seen on the catalog page
-    (scrape-lumbras.ts:11-20): named entities + numeric charrefs."""
+    (scrape-lumbras.ts:11-20): named entities + numeric charrefs.
+
+    Intentional divergence from the reference: ``chr()`` decodes the full
+    Unicode code point, while the reference's ``String.fromCharCode``
+    truncates astral-plane charrefs (> 0xFFFF) to a lone UTF-16 code unit.
+    ``chr`` is the correct behavior; current catalog content contains no
+    astral charrefs, so outputs agree in practice."""
     for ent, ch in _ENTITIES.items():
         text = text.replace(ent, ch)
     return re.sub(r"&#(\d+);", lambda m: chr(int(m.group(1))), text)

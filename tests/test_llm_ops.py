@@ -470,6 +470,7 @@ def test_normalize_and_scrub_pii(spark):
             (2, "mail a.user+tag@example.co.uk or call 555-867-5309 now"),
             (3, "server at 192.168.1.100 port 80"),
             (4, "version 1.2.3.4.5 is not an ip boundary-wise... but 10.0.0.1 is"),
+            (5, "id 91234-567-89012 is not a phone; 123-456-7890 is"),
         ],
     )
     out = {
@@ -484,6 +485,8 @@ def test_normalize_and_scrub_pii(spark):
     # a dotted run longer than 4 octets gets its 4-octet prefix redacted
     # ("4→." is a word boundary) — accepted over-redaction, same in RE2
     assert out[4] == "version <IP>.5 is not an ip boundary-wise... but <IP> is"
+    # \b digit guards: no partial redaction inside longer digit runs
+    assert out[5] == "id 91234-567-89012 is not a phone; <PHONE> is"
 
 
 def test_repetition_metrics_values(spark):
