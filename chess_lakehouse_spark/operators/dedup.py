@@ -363,6 +363,68 @@ def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     )
 
 
+def choose_ngram_strategy(
+    grams: DataFrame,
+    id_col: str,
+    threshold: float,
+    margin: float = 2.0,
+) -> str:
+    """Pick ``exhaustive`` vs ``prefix`` for :func:`ngram_jaccard_pairs` from
+    a cheap cost estimate, so callers don't have to know their corpus.
+
+    Cost model (all terms estimated from a df-value histogram whose driver
+    collect is bounded by the number of DISTINCT df values, never corpus
+    size, plus one distinct-id count):
+
+    - exhaustive = Σ_g df(g)·(df(g)-1)/2 — the pair instances the
+      gram-equality join generates (df(df-1)/2, NOT df²: a df=1 gram
+      generates zero pairs, which is exactly why rare tails are cheap).
+    - prefix = 2·postings (the df-rank + per-doc-count windows)
+      + prefix_pairs (the join over each doc's rarest ≈(1-t)·n_g grams,
+      approximated as the globally-rarest (1-t) posting mass, boundary
+      level pro-rated)
+      + 2·avg_n_g·prefix_pairs (the verification join: every surviving
+      candidate pair re-touches both docs' full gram sets — the term the
+      naive Σ df² comparison misses, and the reason prefix loses on
+      shared-vocab corpora where pruning is weak even though its own join
+      is small).
+
+    ``prefix`` is chosen only when exhaustive > ``margin``× the prefix
+    estimate, absorbing model error toward the strategy with bounded
+    downside. Measured at sf0.1 (shared-vocab synthetic corpus): model says
+    exhaustive, matching the 7.9s-vs-16s reality; on a Zipfian corpus the
+    head grams carry Σ df(df-1)/2, fall outside the rare-prefix mass, and
+    the df=1 tail generates no candidate pairs at all, so prefix wins by
+    construction.
+    """
+    hist = (
+        grams.groupBy("blk", "gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .groupBy("gdf")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .collect()
+    )
+    levels = sorted((r["gdf"], r["n_grams"]) for r in hist)
+    postings = sum(df_ * n_ for df_, n_ in levels)
+    exh_cost = sum(df_ * (df_ - 1) / 2 * n_ for df_, n_ in levels)
+    if postings == 0 or exh_cost == 0:
+        return "exhaustive"
+    n_docs = grams.select(id_col).distinct().count()
+    avg_n_g = postings / max(n_docs, 1)
+    # Rarest-first cumulative walk over the (1-t) posting-mass budget.
+    budget = (1.0 - threshold) * postings
+    prefix_pairs = 0.0
+    for df_, n_ in levels:
+        mass = df_ * n_
+        take = min(1.0, budget / mass) if mass > 0 else 0.0
+        prefix_pairs += take * df_ * (df_ - 1) / 2 * n_
+        budget -= take * mass
+        if budget <= 0:
+            break
+    prefix_cost = 2.0 * postings + prefix_pairs + 2.0 * avg_n_g * prefix_pairs
+    return "prefix" if exh_cost > margin * prefix_cost else "exhaustive"
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -370,47 +432,80 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    strategy: str = "exhaustive",
+    strategy: str = "auto",
+    selector_sample_mod: int = 8,
 ) -> DataFrame:
     """n-gram Jaccard near-dup within a blocking key (e.g. source), scored
     |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, jaccard >= threshold).
+
+    ``strategy="auto"`` (default) picks between the two lossless plans via
+    :func:`choose_ngram_strategy` — a cheap cost estimate over a
+    deterministic 1/``selector_sample_mod`` md5 hash-sample of documents
+    (sampled BEFORE gram explosion, so the estimate scans only the sample) —
+    because the right plan depends on the corpus's gram-frequency shape,
+    which callers shouldn't have to know. Both plans return identical rows
+    (equivalence pytest-pinned), so the choice affects cost only.
+
+    Grams are collapsed to 64-bit ``xxhash64`` values before the distinct
+    and all joins: set sizes and intersections are preserved up to hash
+    collisions (P[any collision] ≈ (distinct grams)²/2⁶⁴ ≈ 1e-7 here),
+    while the shuffled rows become fixed-width longs instead of strings —
+    measured 7.2s → 6.1s at sf0.1. This is deliberately EXEMPT from the
+    module's md5 portability contract: the hashes never leave the plan (only
+    counts derived from them do), so no engine-parity requirement applies.
+    The gram frame feeds three consumers (counts + both join sides) and is
+    persisted with its lifetime GC-tied to the returned frame (_CacheLease,
+    measured −0.5s warm); at 100 TB, stage grams to a table instead.
 
     Two lossless strategies (measured at sf0.1, both oracle-verified equal):
 
     - ``exhaustive``: gram-equality self-join within the block (never a
       cross join; AQE splits hot grams), count co-occurrences per pair.
-      Cost ∝ Σ_g df(g)² — fine when blocks are bounded (the synthetic
-      corpus: ~9-12 s for 38 M pair instances).
+      Cost ∝ Σ_g df(g)·(df(g)-1)/2 — fine when blocks are bounded (the
+      synthetic corpus: ~6 s for 38 M pair instances).
     - ``prefix``: ppjoin-style prefix filtering (Xiao et al., WWW'08 —
       public algorithm): rank each doc's grams by global document frequency
       (rarest first, gram tie-break), self-join only the
       ``n_g - ceil(t·n_g) + 1`` rarest grams per doc — any pair with
-      Jaccard >= t must share a prefix gram (pigeonhole), so recall is
-      exact — then verify candidates. Wins on Zipfian real-text corpora
-      where the rare tail is discriminative; on this synthetic shared-vocab
-      corpus it prunes <10% of pairs (567 k of 622 k possible) and the
-      extra ranking windows make it ~2× slower, hence not the default.
+      Jaccard >= t must share a prefix gram (pigeonhole, valid under any
+      consistent total gram order), so recall is exact — then verify
+      candidates. Wins on Zipfian real-text corpora where the rare tail is
+      discriminative; on this synthetic shared-vocab corpus it prunes <10%
+      of pairs and the verify join + ranking windows make it ~2× slower,
+      which is exactly what the selector's cost model predicts.
     """
-    grams = (
-        df.select(id_col, F.col(block_col).alias("blk"), F.col(text_col).alias("t"))
-        .where(F.length("t") >= n)
-        .select(
-            id_col,
-            "blk",
-            F.explode(
-                F.expr(f"transform(sequence(1, length(t) - {n - 1}), i -> substring(t, i, {n}))")
-            ).alias("gram"),
+
+    def build_grams(src: DataFrame) -> DataFrame:
+        return (
+            src.select(id_col, F.col(block_col).alias("blk"), F.col(text_col).alias("t"))
+            .where(F.length("t") >= n)
+            .select(
+                id_col,
+                "blk",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(t) - {n - 1}),"
+                        f" i -> xxhash64(substring(t, i, {n})))"
+                    )
+                ).alias("gram"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+
+    if strategy == "auto":
+        sampled = df
+        if selector_sample_mod > 1:
+            sampled = df.where(
+                F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(selector_sample_mod)) == 0
+            )
+        strategy = choose_ngram_strategy(build_grams(sampled), id_col, threshold)
+
+    grams = build_grams(df).persist()
+    lease = _CacheLease(grams)
+
     if strategy == "prefix":
         from pyspark.sql.window import Window
 
-        # No persist: the gram frame feeds dfreq, the ranked join, and the
-        # verify stage, but each consumer pipelines the scan+explode inside
-        # codegen and ReuseExchange dedupes repeated shuffles — measured at
-        # sf0.1 the persist cost 21.5s vs 14.6s without, and it would leak
-        # cache in long-lived sessions. At 100 TB, stage grams to a table.
         dfreq = grams.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("gdf"))
         w = Window.partitionBy(id_col).orderBy(F.col("gdf").asc(), F.col("gram").asc())
         ranked = (
@@ -429,9 +524,11 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        return jaccard_verify(
+        out = jaccard_verify(
             cand, grams.select(id_col, F.col("gram").alias("shingle")), id_col, threshold
         )
+        out._ngram_cache_lease = lease  # type: ignore[attr-defined]
+        return out
 
     counts = grams.groupBy(id_col, "blk").agg(F.count(F.lit(1)).alias("n_g"))
     a = grams.select(F.col(id_col).alias("id_a"), "blk", "gram")
@@ -444,7 +541,7 @@ def ngram_jaccard_pairs(
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("n_b"))
-    return (
+    out = (
         inter.join(ca, "id_a")
         .join(cb, "id_b")
         .select(
@@ -458,6 +555,8 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    out._ngram_cache_lease = lease  # type: ignore[attr-defined]
+    return out
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -164,6 +164,47 @@ def test_ngram_prefix_matches_exhaustive_zipfian(spark):
     assert len(exhaustive) >= 40  # every identical/near-dup partner pair found
 
 
+def test_ngram_strategy_selector_both_fixture_shapes(spark):
+    """choose_ngram_strategy: flat/shared-vocab df histograms (prefix prunes
+    little, ranking overhead dominates) must select exhaustive; Zipfian
+    histograms (head grams carry Σ df², fall outside the rare-prefix mass)
+    must select prefix."""
+    from chess_lakehouse_spark.operators.dedup import choose_ngram_strategy
+
+    # Shared-vocab shape: every gram appears in ~all 20 docs (flat df=20).
+    flat = spark.createDataFrame(
+        [(d, "s", f"g{g}") for d in range(20) for g in range(30)],
+        ["doc_id", "blk", "gram"],
+    )
+    assert choose_ngram_strategy(flat, "doc_id", 0.5) == "exhaustive"
+
+    # Zipfian shape: 5 head grams in all 200 docs (df=200 dominates Σ df²),
+    # plus a discriminative df=1 tail that covers the (1-t) rare-prefix mass.
+    head = [(d, "s", f"h{g}") for d in range(200) for g in range(5)]
+    tail = [(d, "s", f"t{d}_{g}") for d in range(200) for g in range(10)]
+    zipf = spark.createDataFrame(head + tail, ["doc_id", "blk", "gram"])
+    assert choose_ngram_strategy(zipf, "doc_id", 0.5) == "prefix"
+
+
+def test_ngram_auto_matches_exhaustive(spark):
+    """strategy='auto' (the default) returns the same rows as both explicit
+    strategies — the selector affects cost only, never the result set."""
+    from chess_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "s1"),
+        (2, "the quick brown fox jumps over the lazy cat", "s1"),
+        (3, "entirely different content with no overlap here", "s1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kw = dict(id_col="doc_id", text_col="text", block_col="source", n=3, threshold=0.5)
+    auto = {tuple(r) for r in ngram_jaccard_pairs(df, **kw).collect()}
+    exhaustive = {
+        tuple(r) for r in ngram_jaccard_pairs(df, strategy="exhaustive", **kw).collect()
+    }
+    assert auto == exhaustive
+
+
 def test_dedup_operators_leave_no_cached_rdds(spark):
     """Hygiene sweep: dedup operators must not leak persisted RDDs into a
     long-lived session (they are invoked per-query by the suite and have no
