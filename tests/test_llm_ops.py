@@ -205,6 +205,95 @@ def test_ngram_auto_matches_exhaustive(spark):
     assert auto == exhaustive
 
 
+def test_tfidf_cosine_blocking_loses_no_recall(spark):
+    """Recall pin for the tfidf_cosine blocking parameters: on a corpus with
+    no cross-block near-pairs, the blocked inverted-index result must equal
+    the unblocked (brute-force) one — blocking may only prune pair
+    GENERATION, never drop a true near-pair. (The unblocked inverted-index
+    join is itself exact: a pair sharing zero terms has cosine 0.)"""
+    from chess_lakehouse_spark.functions.text import tfidf
+    from chess_lakehouse_spark.operators.similarity import sparse_cosine_pairs
+
+    rows = [
+        (1, "apple banana cherry apple banana cherry", "s1"),
+        (2, "apple banana cherry apple banana date date", "s1"),
+        (3, "mango papaya kiwi grape lime melon", "s1"),
+        (4, "xray yankee zulu xray yankee zulu", "s2"),
+        (5, "xray yankee zulu xray yankee whiskey whiskey", "s2"),
+        (6, "golf hotel india juliet echo fox", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    wts = tfidf(docs, "doc_id", "text", min_tf=2).join(
+        docs.select("doc_id", F.col("source").alias("blk")), "doc_id"
+    )
+    kw = dict(id_col="doc_id", term_col="term", weight_col="tfidf", threshold=0.5)
+    blocked = {(r.id_a, r.id_b, r.sim) for r in sparse_cosine_pairs(wts, block_col="blk", **kw).collect()}
+    brute = {(r.id_a, r.id_b, r.sim) for r in sparse_cosine_pairs(wts, block_col=None, **kw).collect()}
+    assert blocked == brute
+    assert {(a, b) for a, b, _ in blocked} == {(1, 2), (4, 5)}
+
+
+def test_contamination_fingerprint_recall_vs_python_reference(spark):
+    """Recall pin for the contamination fingerprint parameters (char-5-gram
+    winnowing, window 8, overlap >= 0.8): per-doc overlap fractions must
+    match an independent pure-Python winnowing implementation, an exact
+    train copy must score 1.0, a suffix-edited copy must still clear the
+    0.8 gate (winnowing's local-edit robustness), and an unrelated doc must
+    score ~0 — guarding k/window/threshold against silent recall loss."""
+    from chess_lakehouse_spark.functions.text import winnow_fingerprints
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank today "
+        "while the tall grey heron watches from the reeds and a cold north wind "
+        "bends the willow branches over the slow clear water below the old stone bridge"
+    )
+    train_texts = {101: base, 102: "completely separate training material about spark plans"}
+    eval_texts = {
+        1: base,                      # exact copy -> overlap 1.0
+        2: base[:-5] + "XYZWQ",       # local suffix edit -> high overlap
+        3: "unrelated evaluation text with its own fresh vocabulary entirely",
+    }
+
+    def py_winnow(text, k=5, window=8):
+        if len(text) < k:
+            return set()
+        hs = [
+            sum(ord(text[i + j]) * 131 ** (k - 1 - j) for j in range(k))
+            for i in range(len(text) - k + 1)
+        ]
+        return {min(hs[w : w + window]) for w in range(0, len(hs), window)}
+
+    train_fps = set().union(*(py_winnow(t) for t in train_texts.values()))
+    expect = {
+        d: round(len(py_winnow(t) & train_fps) / len(py_winnow(t)), 6)
+        for d, t in eval_texts.items()
+    }
+
+    tr = spark.createDataFrame(list(train_texts.items()), ["doc_id", "text"])
+    ev = spark.createDataFrame(list(eval_texts.items()), ["doc_id", "text"])
+    tr_fp = (
+        winnow_fingerprints(tr, "doc_id", "text", k=5, window=8)
+        .select("fingerprint").distinct().withColumn("__hit", F.lit(1))
+    )
+    ev_fp = (
+        winnow_fingerprints(ev, "doc_id", "text", k=5, window=8)
+        .select("doc_id", "fingerprint").distinct()
+    )
+    got = {
+        r.doc_id: r.frac
+        for r in ev_fp.join(tr_fp, "fingerprint", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.count("__hit").cast("double") / F.count(F.lit(1)), 6).alias("frac")
+        )
+        .collect()
+    }
+    assert got == expect
+    assert got[1] == 1.0
+    assert got[2] >= 0.8  # FP_OVERLAP_THRESHOLD: edited copy still flagged
+    assert got[3] < 0.2
+
+
 def test_dedup_operators_leave_no_cached_rdds(spark):
     """Hygiene sweep: dedup operators must not leak persisted RDDs into a
     long-lived session (they are invoked per-query by the suite and have no
