@@ -42,10 +42,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation DuckDB applies, so oracle values agree.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) fixtures arrive as
+            # TIMESTAMP_NTZ; reinterpret the wall-clock as a UTC instant
+            # (session tz is UTC) so unix_micros/windows/watermarks — all
+            # LTZ-only — keep working, with values identical to DuckDB's
+            # naive-epoch reading.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

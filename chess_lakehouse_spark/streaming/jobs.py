@@ -40,8 +40,14 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """
     static = spark.read.parquet(events_dir)
     stream = spark.readStream.schema(static.schema).parquet(events_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    elif ts_type == "timestamp_ntz":
+        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+        # TIMESTAMP_NTZ, which watermarks reject (EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE); reinterpret as instant in the session tz (UTC).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
