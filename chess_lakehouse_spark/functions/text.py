@@ -360,3 +360,101 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     )
     return dup.join(bigram_counts, id_col)
+
+
+def high_df_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df_pct: int = 60,
+    max_vocab_rows: int = 100_000,
+) -> list[str]:
+    """Tokens whose document frequency exceeds ``max_df_pct`` percent of the
+    corpus — the boilerplate/stopword vocabulary for
+    :func:`strip_boilerplate`.
+
+    ONE action: per-doc distinct tokens (array_distinct, map-side) feed a
+    token-df groupBy with the corpus row count crossJoined in as a 1-row
+    aggregate — no separate count job. The threshold compares integers
+    (``df·100 > pct·n_docs``) so Spark and the SQL oracle select the
+    identical vocabulary with no float edge.
+
+    The result is bounded BY CONSTRUCTION, independent of corpus size: at
+    most Σ tokens-per-doc · 100 / max_df_pct distinct tokens can exceed the
+    bar (each high-df token consumes ≥ pct·n_docs/100 postings), i.e.
+    ~avg_doc_tokens·100/pct entries — driver-collect and literal-array
+    safe at 100 TB. The ``max_vocab_rows`` guard raises if a degenerate
+    corpus (tiny n_docs) breaks the assumption rather than silently
+    collecting unbounded rows.
+    """
+    toks = df.select(
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("token")
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab_df = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .crossJoin(n)
+        .where(F.col("dfreq") * 100 > F.lit(int(max_df_pct)) * F.col("n_docs"))
+        .select("token")
+    )
+    rows = vocab_df.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"high_df_vocab: >{max_vocab_rows} tokens above {max_df_pct}% df — "
+            "raise max_df_pct or max_vocab_rows"
+        )
+    return sorted(r["token"] for r in rows)
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df_pct: int = 60,
+    max_vocab_rows: int = 100_000,
+) -> DataFrame:
+    """Remove ubiquitous (document frequency > ``max_df_pct``%) tokens from
+    every document, preserving the order of the survivors — the
+    vocabulary-driven boilerplate strip of a training-data pipeline.
+
+    Two-phase shape: the vocabulary is ONE bounded aggregation
+    (:func:`high_df_vocab`), then the strip itself is a pure map-side
+    array filter against the vocabulary as a literal array — the document
+    table is scanned once with ZERO shuffle, the same
+    bounded-dim-as-literal pattern as the openings argmax enrich and the
+    IVF centroid assignment. Returns (id, clean_text, n_removed).
+    """
+    vocab = high_df_vocab(df, id_col, text_col, max_df_pct, max_vocab_rows)
+    vocab_arr = (
+        F.lit(vocab) if vocab else F.array().cast("array<string>")
+    )
+    toks = ws_tokens(F.col(text_col))
+    kept = F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("int").alias("n_removed"),
+    )
+
+
+def vocab_top_k(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
+    """Global token-frequency table, top-``k`` by total occurrences — vocab
+    building / corpus inspection. One groupBy shuffle (the distinct-doc
+    count rides in the same aggregate), then a TakeOrderedAndProject for
+    the top-k (count DESC, token ASC tie-break); the rank window runs over
+    only the k surviving rows, never the full vocabulary.
+    Returns (token, n_total, n_docs, rk)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("did"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("did").alias("n_docs"),
+    )
+    topk = counts.orderBy(F.col("n_total").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n_total").desc(), F.col("token").asc())
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))

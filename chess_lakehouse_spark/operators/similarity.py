@@ -536,3 +536,71 @@ def cosine_near_pairs(
         .select("id_a", "id_b", _paired_cosine().alias("sim"))
         .where(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    threshold: float = 0.45,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space, find
+    cosine near-duplicates WITHIN each cluster only, and keep one canonical
+    representative per duplicate group.
+
+    Plan shape: assignment is the map-side argmax over a literal centroid
+    array (zero shuffle — identical machinery to :func:`knn_ivf`; pass
+    ``centroids`` from :func:`kmeans_fit` for trained clusters, else the
+    ``n_centroids`` lowest-id vectors serve as the deterministic surrogate
+    layout). Near-pairs come from the ``list_id`` equi-join — never an
+    all-pairs comparison — and a vector is dropped iff it has a LOWER-id
+    neighbor with cosine >= ``threshold``, which keeps exactly the minimal
+    id of every within-cluster duplicate group (the SemDeDup "keep one per
+    ε-ball" rule with a deterministic representative).
+
+    100 TB: cluster populations are bounded by choosing ``n_centroids`` ∝
+    corpus_size / target_cluster_size (the paper runs ~50k clusters at
+    LAION scale), so the per-cluster join is a bounded equi-join; a skewed
+    cluster can be sub-blocked with :func:`rhp_bucket` exactly as
+    :func:`cosine_near_pairs` composes it. Returns surviving
+    ``(id_col, list_id)`` rows.
+    """
+    if centroids is not None:
+        cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
+    else:
+        collected = (
+            corpus.where(F.col(id_col) < n_centroids)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cv"),
+                dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
+            )
+            .collect()
+        )
+        cent_rows = [(int(r.cid), list(r.cv), float(r.cn2)) for r in collected]
+    cent_arr = _centroid_literal_array(cent_rows)
+
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
+    ).withColumn("list_id", _ranked_lists(cent_arr, F.col("v"), F.col("n2"))[0]["cid"])
+    a = c.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("qv"), F.col("n2").alias("qn2"), "list_id"
+    )
+    b = c.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("cv"), F.col("n2").alias("cn2"), "list_id"
+    )
+    dropped = (
+        a.join(b, on="list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_paired_cosine() >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return c.join(dropped, on="vid", how="left_anti").select(
+        F.col("vid").alias(id_col), "list_id"
+    )

@@ -26,17 +26,40 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 
 # The driver's correctness harness records exactly the FIRST 50 entries of
 # queries() in dict-iteration order, so the window must be budgeted like a
-# scarce resource.  Priority (see VERDICT r02 "Next round #1"):
-#   1. the 7 queries that have never had a driver oracle row in any round,
-#   2. the 8 queries that were green in r01 but fell outside r02's window,
-#   3. the 9 queries whose only green row is r02, plus the rows-only
-#      approx_stats check,
-#   4. 25 of the 40 queries already hash-green in BOTH r01 and r02.
-# The 15 left outside the window are all double-verified (r01 AND r02)
-# simple relational queries; scripts/verify_local.py still runs the full
-# suite and its output is committed per round as VERIFY_LOCAL_r{N}.txt.
+# scarce resource. Round-4 priority:
+#   1. the 4 queries new this round (never driver-verified),
+#   2. the 15 simple relational queries that fell outside r03's window
+#      (their newest green row is r02 — rotate them back in),
+#   3. the operators whose ONLY green row is r03 (verified once, newest
+#      evidence — keep a second row accumulating),
+#   4. intricate operators already green in multiple rounds, by cost
+#      descending, until the 50 slots run out.
+# Every query outside the window is hash-green in at least two prior
+# driver rounds AND in scripts/verify_local.py's full-suite run, committed
+# per round as VERIFY_LOCAL_r{N}.txt.
 _WINDOW_ORDER = [
-    # never driver-verified (r01, r02)
+    # new in r04 — never driver-verified
+    "dedup_semantic",
+    "boilerplate_strip",
+    "vocab_topk",
+    "quality_buckets",
+    # outside r03's window (newest green row: r02) — rotate back in
+    "anti_join",
+    "cube",
+    "distinct_agg",
+    "except",
+    "intersect",
+    "pivot",
+    "qc_count",
+    "range_join",
+    "rollup",
+    "running_sum",
+    "semi_join",
+    "sessionize",
+    "sort_limit",
+    "union_append",
+    "window_topk",
+    # single-green (r03 only) — keep evidence accumulating
     "text_normalize",
     "tfidf_cosine",
     "contamination_ngram",
@@ -44,7 +67,15 @@ _WINDOW_ORDER = [
     "lm_score",
     "doc_chunks",
     "knn_quantized",
-    # green in r01 only (fell outside r02's window)
+    "dedup_incremental",
+    "knn_ivf_kmeans",
+    "sample_hash",
+    "sample_mix",
+    "split_contamination",
+    "repetition_metrics",
+    "collect_set",
+    "mm_decode_meta",
+    "mm_frame_sample",
     "doc_fingerprint",
     "source_stats_pandas",
     "text_langid",
@@ -53,43 +84,20 @@ _WINDOW_ORDER = [
     "token_count",
     "udaf_gmean",
     "udtf_bigrams",
-    # green in r02 only
-    "collect_set",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "dedup_incremental",
-    "knn_ivf_kmeans",
-    "sample_hash",
-    "sample_mix",
-    "split_contamination",
-    "repetition_metrics",
     "approx_stats",  # rows-only by design (no SQL-expressible oracle)
-    # double-green (r01 and r02); the intricate operators stay in-window
-    "enrich_argmax",
-    "lateral_topk",
-    "chess_enrich",
-    "chess_export",
-    "merge_update",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    # multi-green intricate operators, cost-descending
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
     "pipeline_clean_corpus",
-    "knn_brute_force",
-    "knn_lsh",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
     "knn_ivf",
-    "asof_join",
-    "join_star",
-    "supplier_revenue",
-    "groupby_agg",
-    "scalar_kitchen",
-    "events_hourly",
-    "json_extract",
-    "export_projection",
-    "filter_null_predicate",
+    "knn_lsh",
+    "knn_brute_force",
+    "enrich_argmax",
+    "chess_enrich",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

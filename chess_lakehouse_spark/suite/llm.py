@@ -360,6 +360,90 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_quantized(emb, probes, "vec_id", "embedding", k=KNN_K)
 
 
+SEMANTIC_CENTROIDS = 16
+SEMANTIC_THRESHOLD = 0.45
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings (map-side argmax
+    over literal centroids, zero shuffle), cosine near-pairs via the
+    list_id equi-join only, keep the min-id representative per duplicate
+    group. Returns survivors (vec_id, list_id)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding",
+        n_centroids=SEMANTIC_CENTROIDS, threshold=SEMANTIC_THRESHOLD,
+    )
+
+
+BOILERPLATE_MAX_DF_PCT = 60
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-driven boilerplate removal: tokens present in > 60% of
+    documents are stripped corpus-wide, survivor order preserved. The
+    vocabulary is one bounded aggregation; the strip is a zero-shuffle
+    map-side array filter against the vocab literal."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate(
+        docs, "doc_id", "text", max_df_pct=BOILERPLATE_MAX_DF_PCT
+    )
+
+
+VOCAB_TOP_K = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by total occurrences
+    with per-token document frequency — one aggregation shuffle + a
+    TakeOrdered top-k."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import vocab_top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_top_k(docs, "doc_id", "text", k=VOCAB_TOP_K)
+
+
+QUALITY_N_BUCKETS = 10
+
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score stratification: exact deciles over the composite
+    quality score (ntile with a doc_id tie-break so both engines cut
+    identically), then per-bucket population stats. The exact global ntile
+    is chosen for oracle checkability; the 100 TB path swaps in
+    approx-quantile cut points (one pass, no global sort) with the same
+    downstream aggregation."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.functions.text import quality_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(docs, "doc_id", "text")
+    w = Window.orderBy(F.col("quality_score").asc(), F.col("doc_id").asc())
+    return (
+        m.withColumn("bucket", F.ntile(QUALITY_N_BUCKETS).over(w).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_chars"),
+        )
+    )
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters: duplicate-token fraction
     (array-domain, narrow) + modal-bigram fraction (explode + two
@@ -1211,6 +1295,93 @@ ORACLES = {
         FROM g
         GROUP BY 1, 2
     """,
+    "dedup_semantic": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMANTIC_CENTROIDS}),
+        assigned AS (
+          SELECT e.vec_id, e.v, CAST(a.cid AS INT) AS list_id
+          FROM e, LATERAL (
+            SELECT c.cid FROM cent c
+            ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cid ASC
+            LIMIT 1
+          ) a
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          WHERE {_COS.format(a='a.v', b='b.v')} >= {SEMANTIC_THRESHOLD}
+        )
+        SELECT vec_id, list_id FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    "boilerplate_strip": rf"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        vocab AS (
+          SELECT token FROM (
+            SELECT doc_id, unnest(list_distinct(tk)) AS token FROM toks
+          )
+          GROUP BY token
+          HAVING COUNT(*) * 100 > {BOILERPLATE_MAX_DF_PCT} * (SELECT n_docs FROM n)
+        ),
+        kept AS (
+          SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM (
+            SELECT doc_id, unnest(tk) AS token,
+                   unnest(range(1, len(tk) + 1)) AS pos
+            FROM toks
+          )
+          WHERE token NOT IN (SELECT token FROM vocab)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(k.clean_text, '') AS clean_text,
+               CAST(len(t.tk) - coalesce(k.n_kept, 0) AS INT) AS n_removed
+        FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    """,
+    "vocab_topk": rf"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        c AS (
+          SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+          FROM t GROUP BY token
+        )
+        SELECT token, n_total, n_docs, rk FROM (
+          SELECT *, CAST(row_number() OVER (ORDER BY n_total DESC, token ASC) AS INT) AS rk
+          FROM c
+        ) WHERE rk <= {VOCAB_TOP_K}
+    """,
+    "quality_buckets": rf"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(length(text) AS INT) AS n_chars,
+                 CAST(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+                   / len(toks) AS avg_len,
+                 CAST(len(list_filter(toks, x -> x IN ({_STOP['en']}))) AS DOUBLE)
+                   / len(toks) AS stop_ratio
+          FROM t
+        ),
+        scored AS (
+          SELECT doc_id, n_chars,
+                 ROUND(0.4 * ln(1.0 + CAST(n_chars AS DOUBLE))
+                       + 0.3 * stop_ratio
+                       + 0.3 * least(avg_len / 10.0, 1.0), 6) AS quality_score
+          FROM m
+        ),
+        bucketed AS (
+          SELECT *, CAST(ntile({QUALITY_N_BUCKETS}) OVER (
+            ORDER BY quality_score ASC, doc_id ASC) AS INT) AS bucket
+          FROM scored
+        )
+        SELECT bucket, COUNT(*) AS n_docs,
+               MIN(quality_score) AS min_score,
+               MAX(quality_score) AS max_score,
+               ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_chars
+        FROM bucketed GROUP BY bucket
+    """,
 }
 
 QUERIES = {
@@ -1246,4 +1417,8 @@ QUERIES = {
     "lm_score": q_lm_score,
     "doc_chunks": q_doc_chunks,
     "knn_quantized": q_knn_quantized,
+    "dedup_semantic": q_dedup_semantic,
+    "boilerplate_strip": q_boilerplate_strip,
+    "vocab_topk": q_vocab_topk,
+    "quality_buckets": q_quality_buckets,
 }

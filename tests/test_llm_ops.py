@@ -756,3 +756,109 @@ def test_knn_quantized_zero_vector_excluded(spark):
     got = knn_quantized(df, df.where("vec_id = 0"), "vec_id", "v", k=5).collect()
     # the zero vector can't be scored (undefined cosine) and must not crash
     assert [(r.cand_id, r.sim) for r in got] == [(1, 1.0)]
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    from chess_lakehouse_spark.operators.similarity import semantic_dedup
+
+    # Two orthogonal clusters; ids 0/1 are the surrogate centroids. 0 and 2
+    # are near-identical (same cluster -> 2 dropped, 0 kept as min id);
+    # 1 and 3 are opposite-ish directions but 3 still lands on centroid 1's
+    # cluster only if similar — make 3 near-dup of 1 (dropped). 4 is alone.
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0]),   # ~= 0
+        Row(vec_id=3, embedding=[0.01, 0.999, 0.0]),   # ~= 1
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),      # own direction
+    ]
+    df = spark.createDataFrame(rows)
+    out = semantic_dedup(df, "vec_id", "embedding", n_centroids=2, threshold=0.95)
+    survivors = {r.vec_id for r in out.collect()}
+    assert survivors == {0, 1, 4}
+
+
+def test_semantic_dedup_cross_cluster_pair_survives(spark):
+    from chess_lakehouse_spark.operators.similarity import semantic_dedup
+
+    # 2 and 3 are identical vectors but get assigned to the SAME cluster
+    # (same argmax), so one drops. But a pair split by clustering survives:
+    # with centroids 0=[1,0], 1=[0,1], vectors at 45 degrees tie -> both go
+    # to cid 0 (tie-break), still same cluster. Instead verify: near-dup of
+    # centroid 0 in cluster 0 vs near-dup of centroid 1 in cluster 1 are
+    # NOT compared even if similar to each other (they aren't here).
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0]),
+        Row(vec_id=2, embedding=[0.9, 0.436]),  # cluster 0, not >=0.99 to 0
+        Row(vec_id=3, embedding=[0.436, 0.9]),  # cluster 1, not >=0.99 to 1
+    ]
+    df = spark.createDataFrame(rows)
+    out = semantic_dedup(df, "vec_id", "embedding", n_centroids=2, threshold=0.99)
+    # sim(2,3) = 0.785 < .99 anyway; all survive — and list assignment is
+    # the argmax cluster
+    got = {r.vec_id: r.list_id for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[2] == 0 and got[3] == 1
+
+
+def test_strip_boilerplate_removes_high_df_preserving_order(spark):
+    from chess_lakehouse_spark.functions.text import strip_boilerplate
+
+    df = _docs(
+        spark,
+        [
+            (1, "the quick fox the"),
+            (2, "the lazy dog"),
+            (3, "the cat naps"),
+        ],
+    )
+    # 'the' df=3/3 > 60%; all others df=1/3
+    out = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           strip_boilerplate(df, "doc_id", "text", max_df_pct=60).collect()}
+    assert out[1] == ("quick fox", 2)
+    assert out[2] == ("lazy dog", 1)
+    assert out[3] == ("cat naps", 1)
+
+
+def test_strip_boilerplate_all_removed_yields_empty(spark):
+    from chess_lakehouse_spark.functions.text import strip_boilerplate
+
+    df = _docs(spark, [(1, "a a"), (2, "a"), (3, "a b")])
+    out = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           strip_boilerplate(df, "doc_id", "text", max_df_pct=60).collect()}
+    assert out[1] == ("", 2)
+    assert out[2] == ("", 1)
+    assert out[3] == ("b", 1)
+
+
+def test_high_df_vocab_guard_raises(spark):
+    import pytest
+
+    from chess_lakehouse_spark.functions.text import high_df_vocab
+
+    df = _docs(spark, [(1, "x y z"), (2, "x y z")])
+    with pytest.raises(ValueError, match="high_df_vocab"):
+        high_df_vocab(df, "doc_id", "text", max_df_pct=60, max_vocab_rows=2)
+
+
+def test_vocab_top_k_counts_and_tiebreak(spark):
+    from chess_lakehouse_spark.functions.text import vocab_top_k
+
+    df = _docs(spark, [(1, "b a b"), (2, "a b c")])
+    rows = {r.token: (r.n_total, r.n_docs, r.rk) for r in
+            vocab_top_k(df, "doc_id", "text", k=2).collect()}
+    # a:3? no — a appears 1+1=2, b appears 2+1=3, c once. top2 = b(3), a(2)
+    assert rows == {"b": (3, 2, 1), "a": (2, 2, 2)}
+
+
+def test_quality_buckets_partition_docs(spark):
+    from chess_lakehouse_spark.suite.llm import q_quality_buckets
+
+    out = q_quality_buckets(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 10
+    assert sum(r.n_docs for r in out) == 500
+    by_bucket = {r.bucket: r for r in out}
+    # decile boundaries are monotone in score
+    for b in range(1, 10):
+        assert by_bucket[b].max_score <= by_bucket[b + 1].min_score
