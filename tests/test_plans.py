@@ -286,3 +286,35 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_semantic_dedup_assignment_is_map_side(spark):
+    """Centroid assignment must be a literal-array argmax (no join to a
+    centroid table) and intra-cluster pairs an equi-join on list_id —
+    never a cartesian."""
+    plan = explain(spark, llm.q_dedup_semantic(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_boilerplate_strip_is_shuffle_free(spark):
+    """The strip itself is a map-side array filter against the vocab
+    literal: the returned plan has no Exchange and no Join — the vocab
+    aggregation ran as a separate bounded action."""
+    plan = explain(spark, llm.q_boilerplate_strip(spark, SF_DIR))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_vocab_topk_partial_agg_take_ordered(spark):
+    plan = explain(spark, llm.q_vocab_topk(spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_buckets_single_sort(spark):
+    """Exact ntile implies one global sort; anything beyond that (joins,
+    extra exchanges) would mean the score computation stopped being
+    narrow."""
+    plan = explain(spark, llm.q_quality_buckets(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
