@@ -604,3 +604,34 @@ def semantic_dedup(
     return c.join(dropped, on="vid", how="left_anti").select(
         F.col("vid").alias(id_col), "list_id"
     )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str,
+    vec_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-label embedding centroid (arithmetic mean per dimension) — class
+    prototypes for few-shot heads, clustering init, or drift monitoring.
+
+    One map-combined groupBy carrying |labels| × dim cells (posexplode →
+    partial sums absorb row-count skew before the exchange). Means follow
+    the DECIMAL(18,6) exactness contract — per-row casts, exact decimal
+    SUM, one double division, ROUND — so the result is independent of
+    partitioning and bit-matches any engine. Emitted exploded as
+    (label, pos, mval, n_vecs): scalar cells, no array-hash portability
+    concerns, and the natural layout for a downstream centroid literal.
+    """
+    return (
+        corpus.select(F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                precision,
+            ).alias("mval"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

@@ -43,6 +43,7 @@ _WINDOW_ORDER = [
     "boilerplate_strip",
     "vocab_topk",
     "quality_buckets",
+    "label_centroids",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

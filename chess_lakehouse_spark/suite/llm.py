@@ -444,6 +444,16 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: one map-combined groupBy carrying
+    |labels| × dim cells, DECIMAL-exact means, exploded scalar layout."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters: duplicate-token fraction
     (array-domain, narrow) + modal-bigram fraction (explode + two
@@ -1352,6 +1362,19 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "label_centroids": """
+        SELECT label,
+               CAST(pos AS INT) AS pos,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mval,
+               COUNT(*) AS n_vecs
+        FROM (
+          SELECT label,
+                 unnest(range(0, len(embedding))) AS pos,
+                 unnest(CAST(embedding AS DOUBLE[])) AS val
+          FROM embeddings
+        )
+        GROUP BY label, pos
+    """,
     "quality_buckets": rf"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
         m AS (
@@ -1418,6 +1441,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "knn_quantized": q_knn_quantized,
     "dedup_semantic": q_dedup_semantic,
+    "label_centroids": q_label_centroids,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,

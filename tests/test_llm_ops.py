@@ -862,3 +862,21 @@ def test_quality_buckets_partition_docs(spark):
     # decile boundaries are monotone in score
     for b in range(1, 10):
         assert by_bucket[b].max_score <= by_bucket[b + 1].min_score
+
+
+def test_label_centroids_exact_means(spark):
+    from chess_lakehouse_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            Row(label=0, embedding=[1.0, 2.0]),
+            Row(label=0, embedding=[3.0, 4.0]),
+            Row(label=1, embedding=[5.0, 6.0]),
+        ]
+    )
+    got = {(r.label, r.pos): (r.mval, r.n_vecs) for r in
+           label_centroids(df, "label", "embedding").collect()}
+    assert got == {
+        (0, 0): (2.0, 2), (0, 1): (3.0, 2),
+        (1, 0): (5.0, 1), (1, 1): (6.0, 1),
+    }
