@@ -40,36 +40,77 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real image decode — STUB. The Spark plumbing around it is real; only
-    the codec is absent from this container."""
+def _pil_image():
+    """Soft import: the PIL Image module, or None in codec-less containers."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no PIL in container
+        from PIL import Image
+
+        return Image
+    except ImportError:  # pragma: no cover - no PIL in container
+        return None
+
+
+def _fake_dims(n_bytes: int) -> tuple[int, int]:
+    """Deterministic stand-in dimensions, mirrored in the oracle SQL."""
+    return n_bytes % 640, (n_bytes * 7) % 480
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """(width, height) via PIL when importable, else the deterministic fake
+    — the operator upgrades automatically in environments that ship codecs
+    while staying runnable (and oracle-deterministic) here."""
+    image_mod = _pil_image()
+    if image_mod is not None:  # pragma: no cover - no PIL in container
+        import io
+
+        with image_mod.open(io.BytesIO(payload)) as im:
+            return int(im.width), int(im.height)
+    return _fake_dims(len(payload))
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Strict real decode: PIL or NotImplementedError — for pipelines that
+    must fail loudly rather than emit fake dimensions."""
+    if _pil_image() is None:
         raise NotImplementedError(
             "image decode requires PIL, not available in this environment; "
-            "the pipeline uses the deterministic fake decode instead"
-        ) from exc
-    raise NotImplementedError("real decode path is intentionally stubbed")  # pragma: no cover
+            "use decode_image (soft fallback) or codec='fake'"
+        )
+    return decode_image(payload)  # pragma: no cover - no PIL in container
 
 
-def decode_meta(payloads: DataFrame) -> DataFrame:
+def decode_meta(payloads: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-payload typed metadata via mapInPandas (Arrow batches).
 
-    Fake decode: width/height derived arithmetically from the byte length,
-    checksum = md5 of the payload bytes — deterministic, so the DuckDB
-    oracle can compute the identical values from the source text.
+    ``codec='fake'`` (default, oracle-gated): width/height derived
+    arithmetically from the byte length — deterministic, so the DuckDB
+    oracle computes identical values from the source text. ``codec='auto'``:
+    real PIL decode when the library is importable, fake otherwise (soft
+    upgrade). ``codec='real'``: PIL or fail loudly. The Arrow plumbing —
+    schema, batch shape, checksum — is identical on every path.
     """
+    if codec not in ("fake", "auto", "real"):
+        raise ValueError(f"unknown codec mode: {codec!r}")
+    if codec == "real" and _pil_image() is None:
+        raise NotImplementedError("codec='real' requires PIL in the executor environment")
+    use_real = codec in ("auto", "real") and _pil_image() is not None
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
+            if use_real:  # pragma: no cover - no PIL in container
+                dims = pdf["payload"].map(decode_image)
+                width = dims.map(lambda d: d[0]).astype("int32")
+                height = dims.map(lambda d: d[1]).astype("int32")
+            else:
+                width = (n_bytes % 640).astype("int32")
+                height = ((n_bytes * 7) % 480).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes.astype("int64"),
-                    "width": (n_bytes % 640).astype("int32"),
-                    "height": ((n_bytes * 7) % 480).astype("int32"),
+                    "width": width,
+                    "height": height,
                     "checksum": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
                 }
             )

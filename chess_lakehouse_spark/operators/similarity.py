@@ -192,15 +192,27 @@ def _centroid_literal_array(cent_rows: list[tuple[int, list[float], float]]) -> 
 
 def _ranked_lists(cent_arr: Column, vec: Column, n2: Column) -> Column:
     """Centroid ids sorted by (cosine DESC, cid ASC) — struct sort on
-    (negated rounded sim, cid)."""
-    return F.array_sort(
+    (negated rounded sim, cid). ``n2`` is bound ONCE per row through a
+    1-element-array transform (poor man's LET): when callers pass a
+    same-projection column, CollapseProject would otherwise inline its
+    dot(vec, vec) subtree into the per-centroid lambda — k re-evaluations
+    per row (same pathology measured in quantize_int8)."""
+    return F.element_at(
         F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                (-F.round(dot(vec, c["ccv"]) / F.sqrt(n2 * c["ccn2"]), 6)).alias("negsim"),
-                c["cid"].alias("cid"),
+            F.array(n2),
+            lambda nn: F.array_sort(
+                F.transform(
+                    cent_arr,
+                    lambda c: F.struct(
+                        (-F.round(dot(vec, c["ccv"]) / F.sqrt(nn * c["ccn2"]), 6)).alias(
+                            "negsim"
+                        ),
+                        c["cid"].alias("cid"),
+                    ),
+                )
             ),
-        )
+        ),
+        1,
     )
 
 
@@ -379,7 +391,17 @@ def quantize_int8(vec: Column) -> Column:
     doubles half-away-from-zero and the inputs are identical doubles."""
     amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
-    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("int"))
+    # Bind scale ONCE per row via a 1-element-array transform (a poor man's
+    # LET): referencing `scale` directly inside the per-element lambda
+    # inlines the array_max subtree into every element — O(dim²) per row,
+    # measured 2.8 s -> 0.9 s at sf0.1 for the quantize+norm projection.
+    return F.element_at(
+        F.transform(
+            F.array(scale),
+            lambda s: F.transform(vec, lambda x: F.round(x.cast("double") * s).cast("int")),
+        ),
+        1,
+    )
 
 
 def knn_quantized(
