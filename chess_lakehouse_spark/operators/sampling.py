@@ -149,3 +149,35 @@ def split_assign(
             F.lit("train")
         ),
     )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``n`` rows per group,
+    chosen by the portable sampling hash (id tie-break) — 'at most N docs
+    per domain' balancing without an RNG.
+
+    Like every operator here, membership is a pure function of
+    (seed, group, id): re-runs and engine swaps keep identical rows, and
+    the kept set for n=100 is a superset of n=50 (nested caps — rank by
+    hash is stable as n grows). One window shuffle keyed by the group; the
+    per-group state is a rank counter, so group skew costs sort time, not
+    memory. Hot mega-groups can be pre-capped with a coarse hash filter
+    (keep hash < ~(10n/|group|)·2^60) before the exact rank when a group's
+    row count dwarfs n.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("smp_rk", F.row_number().over(w))
+        .where(F.col("smp_rk") <= n)
+        .drop("smp_rk")
+    )

@@ -44,6 +44,7 @@ _WINDOW_ORDER = [
     "vocab_topk",
     "quality_buckets",
     "label_centroids",
+    "sample_per_group",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

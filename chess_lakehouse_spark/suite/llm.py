@@ -454,6 +454,22 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+GROUP_CAP_N = 15
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap (at most 15 per source, chosen
+    by the portable sampling hash): domain balancing with reproducible,
+    nested membership. One window shuffle keyed by source."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import top_n_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_n_per_group(docs, "doc_id", "source", n=GROUP_CAP_N, seed=SAMPLE_SEED).select(
+        "doc_id", "source"
+    )
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters: duplicate-token fraction
     (array-domain, narrow) + modal-bigram fraction (explode + two
@@ -1362,6 +1378,16 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "sample_per_group": f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_HASH64.format(expr=f"concat('{SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))")} ASC,
+                            doc_id ASC) AS rk
+          FROM documents
+        ) WHERE rk <= {GROUP_CAP_N}
+    """,
     "label_centroids": """
         SELECT label,
                CAST(pos AS INT) AS pos,
@@ -1442,6 +1468,7 @@ QUERIES = {
     "knn_quantized": q_knn_quantized,
     "dedup_semantic": q_dedup_semantic,
     "label_centroids": q_label_centroids,
+    "sample_per_group": q_sample_per_group,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,

@@ -880,3 +880,22 @@ def test_label_centroids_exact_means(spark):
         (0, 0): (2.0, 2), (0, 1): (3.0, 2),
         (1, 0): (5.0, 1), (1, 1): (6.0, 1),
     }
+
+
+def test_top_n_per_group_caps_and_nests(spark):
+    from chess_lakehouse_spark.operators.sampling import top_n_per_group
+
+    rows = [(i, f"t{i}", f"s{i % 2}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    small = top_n_per_group(df, "doc_id", "source", n=3)
+    big = top_n_per_group(df, "doc_id", "source", n=6)
+    per_group = {r.source: 0 for r in small.collect()}
+    for r in small.collect():
+        per_group[r.source] += 1
+    assert all(v == 3 for v in per_group.values())
+    # nested caps: n=3 selection is a subset of n=6
+    assert {r.doc_id for r in small.collect()} <= {r.doc_id for r in big.collect()}
+    # deterministic across runs
+    assert {r.doc_id for r in small.collect()} == {
+        r.doc_id for r in top_n_per_group(df, "doc_id", "source", n=3).collect()
+    }
