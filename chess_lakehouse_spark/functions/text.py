@@ -40,13 +40,29 @@ def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
-def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document quality metrics + a composite score.
+def quality_score(text: Column) -> Column:
+    """The composite quality score as a reusable column expression —
+    identical math whether applied batch (`quality_metrics`) or on a
+    stream (`corpus_ingest_clean`).
 
     score = 0.4·ln(1+n_chars) + 0.3·stopword_ratio + 0.3·min(avg_len/10, 1)
     — all inputs are exact int ratios, ln/± are IEEE-identical, rounded at
     the end. Narrow (per-row) — no shuffle at any scale.
     """
+    toks = ws_tokens(text)
+    n_tokens = F.size(toks)
+    avg_len = token_lengths_sum(toks).cast("double") / n_tokens
+    stop_ratio = stopword_hits(toks, LANG_MARKERS["en"]).cast("double") / n_tokens
+    return F.round(
+        0.4 * F.log(F.lit(1.0) + F.length(text).cast("double"))
+        + 0.3 * stop_ratio
+        + 0.3 * F.least(avg_len / 10.0, F.lit(1.0)),
+        6,
+    )
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality metrics + the composite `quality_score`."""
     t = F.col(text_col)
     toks = ws_tokens(t)
     n_tokens = F.size(toks)
@@ -60,12 +76,7 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.round(avg_len, 4).alias("avg_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(
-            0.4 * F.log(F.lit(1.0) + F.length(t).cast("double"))
-            + 0.3 * stop_ratio
-            + 0.3 * F.least(avg_len / 10.0, F.lit(1.0)),
-            6,
-        ).alias("quality_score"),
+        quality_score(t).alias("quality_score"),
     )
 
 

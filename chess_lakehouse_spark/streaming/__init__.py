@@ -2,18 +2,24 @@
 SURVEY.md §2.10; this is the §7 step 8 north-star path)."""
 
 from chess_lakehouse_spark.streaming.jobs import (
+    corpus_ingest_clean,
     hourly_event_counts,
+    read_documents_stream,
     read_events_stream,
     run_available_now,
+    stream_corpus_to_jsonl_shards,
     running_user_counts,
     session_windows,
     streaming_dedup,
 )
 
 __all__ = [
+    "corpus_ingest_clean",
     "hourly_event_counts",
+    "read_documents_stream",
     "read_events_stream",
     "run_available_now",
+    "stream_corpus_to_jsonl_shards",
     "running_user_counts",
     "session_windows",
     "streaming_dedup",

@@ -169,3 +169,68 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream over a directory of documents parquet shards —
+    the daily-drop ingest shape (new shards appear, the stream picks them
+    up). Schema from one batch footer read; never inferred per micro-batch."""
+    static = spark.read.parquet(docs_dir)
+    return spark.readStream.schema(static.schema).parquet(docs_dir)
+
+
+def corpus_ingest_clean(
+    docs: DataFrame,
+    min_quality: float,
+    dedup_window: str = "10 minutes",
+) -> DataFrame:
+    """Streaming corpus cleaning: quality gate + replay-safe exact dedup —
+    the ingest-time half of the batch `pipeline_clean_corpus`.
+
+    The quality score is the SAME column expression the batch path uses
+    (`functions.text.quality_score` — narrow, zero state), so batch and
+    stream classify identically. Dedup keys on the content md5; documents
+    carry no event time, so the watermark rides on an ingest processing
+    timestamp: duplicates arriving within ``dedup_window`` are dropped with
+    bounded state (at-least-once replay guard), and the state store evicts
+    each digest once the watermark passes it.
+    """
+    from chess_lakehouse_spark.functions.text import quality_score
+
+    return (
+        docs.withColumn("quality_score", quality_score(F.col("text")))
+        .where(F.col("quality_score") >= min_quality)
+        .withColumn("content_md5", F.md5(F.col("text")))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", dedup_window)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+
+
+def stream_corpus_to_jsonl_shards(
+    clean_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_records_per_file: int = 100_000,
+) -> None:
+    """Land the cleaned stream as size-budgeted JSONL training shards via
+    foreachBatch (same sink contract as `sources.jsonl.write_jsonl_shards`,
+    append-per-micro-batch). availableNow drains what exists and stops —
+    the test/backfill trigger; production swaps in a live trigger on the
+    identical plan."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.drop("ingest_ts")
+            .write.option("maxRecordsPerFile", max_records_per_file)
+            .mode("append")
+            .json(out_dir)
+        )
+
+    q = (
+        clean_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

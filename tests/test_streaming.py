@@ -254,3 +254,45 @@ def test_foreachbatch_streams_into_partitioned_lake(spark, events_dir, tmp_path)
     src = spark.read.parquet(f"{events_dir}")
     assert out.count() == src.count()
     assert glob.glob(f"{lake}/DataSource=*/year=*/month=*")
+
+
+def test_corpus_ingest_clean_matches_batch_and_shards(spark, tmp_path):
+    """Streaming corpus cleaning (quality gate + content dedup) must keep
+    exactly the content set the batch computation keeps, landing as JSONL
+    shards through foreachBatch."""
+    import glob
+    import json
+    import shutil
+
+    from chess_lakehouse_spark.functions.text import quality_score
+    from chess_lakehouse_spark.streaming import (
+        corpus_ingest_clean,
+        read_documents_stream,
+        stream_corpus_to_jsonl_shards,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-000.parquet")
+
+    min_q = 2.2
+    out = str(tmp_path / "shards")
+    clean = corpus_ingest_clean(read_documents_stream(spark, str(d)), min_quality=min_q)
+    stream_corpus_to_jsonl_shards(clean, out, str(tmp_path / "ckpt"), max_records_per_file=50)
+
+    got = set()
+    for path in glob.glob(f"{out}/*.json"):
+        with open(path) as fh:
+            for line in fh:
+                got.add(json.loads(line)["content_md5"])
+
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("q", quality_score(F.col("text")))
+        .where(F.col("q") >= min_q)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    want = {r.h for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0
