@@ -110,3 +110,38 @@ def connected_components(
         f"connected_components did not converge in {max_iter} iterations — "
         "component diameter exceeds the safety rail; raise max_iter"
     )
+
+
+def priority_canonical(
+    components: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    priority_col: str,
+) -> DataFrame:
+    """Source-priority canonical selection over duplicate clusters: for each
+    component, keep the member with the LOWEST priority rank (curated
+    sources beat crawls), id ascending as the tie-break — the 'which copy
+    do we train on' step after near-dup clustering.
+
+    One equi-join (component ids × member attributes) + one map-combined
+    groupBy; the selection aggregate is MIN over a (priority, id) struct —
+    lexicographic struct ordering makes the canonical pick deterministic
+    under any partitioning. Returns (component, canonical_id, n_members).
+    """
+    from pyspark.sql import functions as F
+
+    joined = components.join(
+        attrs.select(F.col(id_col).alias("id"), F.col(priority_col).alias("prio")), "id"
+    )
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.min(F.struct(F.col("prio"), F.col("id"))).alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component",
+            F.col("best.id").alias("canonical_id"),
+            "n_members",
+        )
+    )

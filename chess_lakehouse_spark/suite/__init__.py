@@ -45,6 +45,7 @@ _WINDOW_ORDER = [
     "quality_buckets",
     "label_centroids",
     "sample_per_group",
+    "dedup_priority",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

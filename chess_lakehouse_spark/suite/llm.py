@@ -454,6 +454,36 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+#: Source-priority ranks for canonical selection: curated sources first,
+#: everything unlisted at rank 99 (crawl tier).
+PRIORITY_RANKS = {"src3": 0, "src7": 1}
+PRIORITY_DEFAULT = 99
+
+
+def q_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-aware canonical selection: near-dup clusters (MinHash-LSH +
+    connected components), then per cluster keep the member from the most
+    trusted source (rank via a literal CASE map, id tie-break) — 'which
+    copy do we train on' as one join + one map-combined groupBy."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.graph import connected_components, priority_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    prio = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in PRIORITY_RANKS.items()
+        ],
+        F.lit(PRIORITY_DEFAULT),
+    )
+    attrs = docs.select("doc_id", prio.cast("int").alias("prio_rank"))
+    return priority_canonical(comp, attrs, "doc_id", "prio_rank")
+
+
 GROUP_CAP_N = 15
 
 
@@ -1378,6 +1408,32 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "dedup_priority": rf"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, lbl) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst
+        ),
+        comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+        member AS (
+          SELECT c.component, c.id,
+                 CASE d.source WHEN 'src3' THEN 0 WHEN 'src7' THEN 1 ELSE 99 END AS prio
+          FROM comp c JOIN documents d ON d.doc_id = c.id
+        )
+        SELECT component, id AS canonical_id, n_members FROM (
+          SELECT component, id,
+                 COUNT(*) OVER (PARTITION BY component) AS n_members,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY prio ASC, id ASC) AS rk
+          FROM member
+        ) WHERE rk = 1
+    """,
     "sample_per_group": f"""
         SELECT doc_id, source FROM (
           SELECT doc_id, source,
@@ -1469,6 +1525,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "label_centroids": q_label_centroids,
     "sample_per_group": q_sample_per_group,
+    "dedup_priority": q_dedup_priority,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,

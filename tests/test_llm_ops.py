@@ -899,3 +899,21 @@ def test_top_n_per_group_caps_and_nests(spark):
     assert {r.doc_id for r in small.collect()} == {
         r.doc_id for r in top_n_per_group(df, "doc_id", "source", n=3).collect()
     }
+
+
+def test_priority_canonical_prefers_trusted_source(spark):
+    from chess_lakehouse_spark.operators.graph import priority_canonical
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], ["id", "component"]
+    )
+    # doc 3 is from the trusted source (rank 0) despite the highest id;
+    # component 5 ties on rank -> min id wins
+    attrs = spark.createDataFrame(
+        [(1, 99), (2, 99), (3, 0), (5, 99), (6, 99)], ["doc_id", "prio_rank"]
+    )
+    got = {
+        r.component: (r.canonical_id, r.n_members)
+        for r in priority_canonical(comp, attrs, "doc_id", "prio_rank").collect()
+    }
+    assert got == {1: (3, 3), 5: (5, 2)}
