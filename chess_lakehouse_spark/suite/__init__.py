@@ -46,6 +46,7 @@ _WINDOW_ORDER = [
     "label_centroids",
     "sample_per_group",
     "dedup_priority",
+    "chunk_dedup",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

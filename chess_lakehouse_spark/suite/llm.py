@@ -454,6 +454,33 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+PASSAGE_WINDOW = 32
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup audit: non-overlapping 32-token chunks,
+    first occurrence wins (global (doc_id, chunk_idx) order on the chunk
+    content hash), per-doc duplicate-passage counts. One window shuffle
+    keyed by chunk hash — per-hash state is a rank counter — plus the
+    map-combined per-doc rollup."""
+    apply_runtime_conf(spark)
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.functions.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_tokens(docs, "doc_id", "text", window=PASSAGE_WINDOW, stride=PASSAGE_WINDOW)
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+    return (
+        chunks.withColumn("occ", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        )
+    )
+
+
 #: Source-priority ranks for canonical selection: curated sources first,
 #: everything unlisted at rank 99 (crawl tier).
 PRIORITY_RANKS = {"src3": 0, "src7": 1}
@@ -1408,6 +1435,31 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "chunk_dedup": rf"""
+        WITH t AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
+        ),
+        b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        c AS (
+          SELECT doc_id, toks, n,
+                 1 + (greatest(n - {PASSAGE_WINDOW}, 0) + {PASSAGE_WINDOW - 1}) // {PASSAGE_WINDOW} AS nc
+          FROM b
+        ),
+        e AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM c),
+        ch AS (
+          SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                 md5(array_to_string(toks[(i * {PASSAGE_WINDOW} + 1):(i * {PASSAGE_WINDOW} + {PASSAGE_WINDOW})], ' ')) AS h
+          FROM e
+        ),
+        occ AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk
+          FROM ch
+        )
+        SELECT doc_id, COUNT(*) AS n_chunks,
+               SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+        FROM occ GROUP BY doc_id
+    """,
     "dedup_priority": rf"""
         WITH RECURSIVE {_MINHASH_PAIRS_CTES},
         sym AS (
@@ -1526,6 +1578,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "sample_per_group": q_sample_per_group,
     "dedup_priority": q_dedup_priority,
+    "chunk_dedup": q_chunk_dedup,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,
