@@ -318,3 +318,28 @@ def test_quality_buckets_single_sort(spark):
     plan = explain(spark, llm.q_quality_buckets(spark, SF_DIR))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_label_centroids_partial_agg(spark):
+    plan = explain(spark, llm.q_label_centroids(spark, SF_DIR))
+    assert "partial_" in plan and "Join" not in plan
+
+
+def test_sample_per_group_partial_group_limit(spark):
+    plan = explain(spark, llm.q_sample_per_group(spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # rank<=n is pushed map-side BEFORE the single group exchange
+    # (WindowGroupLimit): only candidate survivors shuffle
+    assert "WindowGroupLimit" in plan
+    assert len([ln for ln in plan.splitlines() if "Exchange" in ln and "(" in ln and "Reused" not in ln]) <= 2
+
+
+def test_dedup_priority_no_cartesian(spark):
+    plan = explain(spark, llm.q_dedup_priority(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_chunk_dedup_window_plus_rollup(spark):
+    plan = explain(spark, llm.q_chunk_dedup(spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan and "partial_count" in plan
