@@ -469,3 +469,69 @@ def vocab_top_k(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataF
     topk = counts.orderBy(F.col("n_total").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n_total").desc(), F.col("token").asc())
     return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bigram-LM negative log-likelihood per document with add-1/2
+    smoothing — the order-2 upgrade of :func:`unigram_logprob` (CCNet-style
+    LM quality filtering, Wenzek et al. 2020, public method):
+
+        p(w2|w1) = (c(w1,w2) + 1/2) / (c(w1·) + V/2)
+                 = (2·c(w1,w2) + 1) / (2·c(w1·) + V)
+
+    The rational form keeps every model input an exact integer (bigram
+    count, context count, vocabulary size), so per-bigram
+    ``lp = ROUND(ln(int/int), 6)`` is engine-identical, and the per-doc
+    sum rides the DECIMAL(18,6) exactness contract.
+
+    Plan: one explode + two map-combined groupBys (bigram and context
+    tables — both vocabulary-sized), the vocab-size scalar as a scalar
+    subquery in the same plan, one equi-join of the bigram stream against
+    the log-prob table (AQE broadcasts it when it fits; at 100 TB a
+    web-scale bigram table stays a shuffled table — the join is keyed,
+    never all-pairs), then one per-doc groupBy.
+    Returns (id, n_bigrams, nll).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(ws_tokens(F.col(text_col)), lambda t: t != "").alias("toks"),
+    )
+    pairs = toks.where(F.size("toks") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    vocab = (
+        toks.select(F.explode("toks").alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+        .scalar()
+    )
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    lp = cb.join(cu, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(
+                (2 * F.col("cb") + 1).cast("double")
+                / (2 * F.col("cu") + vocab).cast("double")
+            ),
+            6,
+        ).alias("lp"),
+    )
+    return (
+        pairs.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+    )

@@ -605,11 +605,18 @@ def semantic_dedup(
         cent_rows = [(int(r.cid), list(r.cv), float(r.cn2)) for r in collected]
     cent_arr = _centroid_literal_array(cent_rows)
 
+    # The assigned frame feeds THREE consumers (both pair-join sides and
+    # the survivor anti-join); without a persist the k-centroid argmax fold
+    # re-runs once per consumer — measured 3x assignment cost. Lifetime is
+    # GC-tied to the returned frame (_CacheLease, as in ngram_jaccard).
+    from chess_lakehouse_spark.operators.dedup import _CacheLease
+
     c = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
-    ).withColumn("list_id", _ranked_lists(cent_arr, F.col("v"), F.col("n2"))[0]["cid"])
+    ).withColumn("list_id", _ranked_lists(cent_arr, F.col("v"), F.col("n2"))[0]["cid"]).persist()
+    lease = _CacheLease(c)
     a = c.select(
         F.col("vid").alias("id_a"), F.col("v").alias("qv"), F.col("n2").alias("qn2"), "list_id"
     )
@@ -623,9 +630,11 @@ def semantic_dedup(
         .select(F.col("id_b").alias("vid"))
         .distinct()
     )
-    return c.join(dropped, on="vid", how="left_anti").select(
+    out = c.join(dropped, on="vid", how="left_anti").select(
         F.col("vid").alias(id_col), "list_id"
     )
+    out._semantic_cache_lease = lease  # type: ignore[attr-defined]
+    return out
 
 
 def label_centroids(

@@ -47,6 +47,7 @@ _WINDOW_ORDER = [
     "sample_per_group",
     "dedup_priority",
     "chunk_dedup",
+    "lm_score_bigram",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

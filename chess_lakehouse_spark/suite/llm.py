@@ -360,7 +360,7 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_quantized(emb, probes, "vec_id", "embedding", k=KNN_K)
 
 
-SEMANTIC_CENTROIDS = 16
+SEMANTIC_CENTROIDS = 32
 SEMANTIC_THRESHOLD = 0.45
 
 
@@ -452,6 +452,16 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroids(emb, "label", "embedding")
+
+
+def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM NLL with add-1/2 smoothing — integer-exact model inputs
+    ((2c+1)/(2c+V) rational form), DECIMAL-exact per-doc sums."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text")
 
 
 PASSAGE_WINDOW = 32
@@ -1435,6 +1445,36 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "lm_score_bigram": rf"""
+        WITH t AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
+        ),
+        pairs AS (
+          SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS u
+            FROM t WHERE len(toks) >= 2
+          )
+        ),
+        cb AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+        cu AS (SELECT w1, COUNT(*) AS cu FROM pairs GROUP BY 1),
+        v AS (
+          SELECT COUNT(DISTINCT term) AS v FROM (
+            SELECT unnest(toks) AS term FROM t
+          )
+        ),
+        lp AS (
+          SELECT cb.w1, cb.w2,
+                 ROUND(ln(CAST(2 * cb.cb + 1 AS DOUBLE)
+                          / CAST(2 * cu.cu + (SELECT v FROM v) AS DOUBLE)), 6) AS lp
+          FROM cb JOIN cu ON cu.w1 = cb.w1
+        )
+        SELECT p.doc_id, COUNT(*) AS n_bigrams,
+               ROUND(-CAST(SUM(CAST(l.lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS nll
+        FROM pairs p JOIN lp l ON l.w1 = p.w1 AND l.w2 = p.w2
+        GROUP BY p.doc_id
+    """,
     "chunk_dedup": rf"""
         WITH t AS (
           SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
@@ -1579,6 +1619,7 @@ QUERIES = {
     "sample_per_group": q_sample_per_group,
     "dedup_priority": q_dedup_priority,
     "chunk_dedup": q_chunk_dedup,
+    "lm_score_bigram": q_lm_score_bigram,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,
