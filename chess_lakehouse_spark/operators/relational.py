@@ -197,3 +197,36 @@ def banded_range_join(
         & (F.col("__rus") <= F.col("__lus") + upper_us)
     )
     return joined.drop("__band", "__lus", "__rus")
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Snapshot diff between two versions of a table: per id, classify
+    ``added`` (only in new), ``removed`` (only in old), or ``changed``
+    (both, different content digest) — the audit step between corpus
+    releases (what moved since the last training run?).
+
+    One full-outer equi-join on the id with md5 content digests computed
+    map-side on each branch; unchanged rows are filtered out inside the
+    join's codegen stage, so the result is |delta|-sized, not corpus-sized.
+    Returns (id, change).
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("oh"))
+    n = new.select(F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("nh"))
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            "id",
+            F.when(F.col("oh").isNull(), F.lit("added"))
+            .when(F.col("nh").isNull(), F.lit("removed"))
+            .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+            .alias("change"),
+        )
+        .where(F.col("change").isNotNull())
+    )

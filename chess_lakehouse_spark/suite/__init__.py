@@ -48,6 +48,7 @@ _WINDOW_ORDER = [
     "dedup_priority",
     "chunk_dedup",
     "lm_score_bigram",
+    "corpus_delta",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

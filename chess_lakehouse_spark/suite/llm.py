@@ -454,6 +454,24 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff: snapshot A = docs with doc_id % 5 != 0 and a
+    simulated edit on doc_id % 7 == 0; snapshot B = the corpus. Classifies
+    added/removed/changed per id via one full-outer digest join —
+    |delta|-sized output."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import snapshot_delta
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v1")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_delta(old, docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
 def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM NLL with add-1/2 smoothing — integer-exact model inputs
     ((2c+1)/(2c+V) rational form), DECIMAL-exact per-doc sums."""
@@ -1445,6 +1463,21 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "corpus_delta": """
+        WITH o AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS oh
+          FROM documents WHERE doc_id % 5 <> 0
+        ),
+        n AS (SELECT doc_id, md5(text) AS nh FROM documents)
+        SELECT doc_id, change FROM (
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.oh IS NULL THEN 'added'
+                      WHEN n.nh IS NULL THEN 'removed'
+                      WHEN o.oh <> n.nh THEN 'changed' END AS change
+          FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+        ) WHERE change IS NOT NULL
+    """,
     "lm_score_bigram": rf"""
         WITH t AS (
           SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
@@ -1620,6 +1653,7 @@ QUERIES = {
     "dedup_priority": q_dedup_priority,
     "chunk_dedup": q_chunk_dedup,
     "lm_score_bigram": q_lm_score_bigram,
+    "corpus_delta": q_corpus_delta,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,

@@ -917,3 +917,28 @@ def test_priority_canonical_prefers_trusted_source(spark):
         for r in priority_canonical(comp, attrs, "doc_id", "prio_rank").collect()
     }
     assert got == {1: (3, 3), 5: (5, 2)}
+
+
+def test_bigram_logprob_small_example(spark):
+    import math
+
+    from chess_lakehouse_spark.functions.text import bigram_logprob
+
+    # corpus: doc1 "a b a b", doc2 "a b". bigrams: d1 [ab, ba, ab], d2 [ab]
+    # c(a,b)=3, c(b,a)=1; c(a·)=3, c(b·)=1; V=2
+    df = _docs(spark, [(1, "a b a b"), (2, "a b")])
+    got = {r.doc_id: (r.n_bigrams, r.nll) for r in bigram_logprob(df, "doc_id", "text").collect()}
+    lp_ab = round(math.log((2 * 3 + 1) / (2 * 3 + 2)), 6)
+    lp_ba = round(math.log((2 * 1 + 1) / (2 * 1 + 2)), 6)
+    assert got[2] == (1, round(-lp_ab, 6))
+    assert got[1][0] == 3
+    assert abs(got[1][1] - round(-(2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+
+
+def test_snapshot_delta_classifies(spark):
+    from chess_lakehouse_spark.operators.relational import snapshot_delta
+
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"])
+    new = spark.createDataFrame([(2, "b"), (3, "C"), (4, "d")], ["doc_id", "text"])
+    got = {r.id: r.change for r in snapshot_delta(old, new, "doc_id", "text").collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
