@@ -230,3 +230,54 @@ def snapshot_delta(
         )
         .where(F.col("change").isNotNull())
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score outlier flagging: |value - mean| >= z·stddev within
+    each group — the metric-anomaly sweep over an event stream.
+
+    Two-pass shape: one map-combined groupBy computes the group moments
+    (Σv, Σv² through exact DECIMAL casts, so the moments — and therefore
+    mean/std — are identical under any partitioning; population variance),
+    then the moment table (|groups| rows — bounded) broadcasts back onto
+    the stream for a narrow per-row flag. At petabyte scale with extreme
+    value ranges, swap the decimal moments for Welford/built-in stddev_pop
+    and accept float associativity — the structure (tiny stats table
+    broadcast onto an un-shuffled stream) is unchanged.
+    Returns (id, group, value, z) for flagged rows only.
+    """
+    from pyspark.sql import functions as F
+
+    vdec = F.col(value_col).cast("decimal(18,6)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    ).select(
+        group_col,
+        F.round((F.col("s1").cast("double") / F.col("n")), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("s2").cast("double") - F.col("s1").cast("double")
+                 * F.col("s1").cast("double") / F.col("n"))
+                / F.col("n")
+            ),
+            6,
+        ).alias("std"),
+    )
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.round((F.col(value_col) - F.col("mean")) / F.col("std"), 6).alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= z_threshold)
+    )

@@ -49,6 +49,7 @@ _WINDOW_ORDER = [
     "chunk_dedup",
     "lm_score_bigram",
     "corpus_delta",
+    "event_outliers",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

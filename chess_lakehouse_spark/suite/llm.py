@@ -454,6 +454,19 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+Z_THRESHOLD = 2.0
+
+
+def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| >= 2): exact-decimal group
+    moments broadcast back onto the un-shuffled stream."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import zscore_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return zscore_outliers(events, "event_id", "event_type", "value", z_threshold=Z_THRESHOLD)
+
+
 def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus release diff: snapshot A = docs with doc_id % 5 != 0 and a
     simulated edit on doc_id % 7 == 0; snapshot B = the corpus. Classifies
@@ -1463,6 +1476,23 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "event_outliers": f"""
+        WITH stats AS (
+          SELECT event_type,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean,
+                 ROUND(sqrt(
+                   (CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                      * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                   / COUNT(*)), 6) AS std
+          FROM events GROUP BY event_type
+        )
+        SELECT event_id, event_type, value, z FROM (
+          SELECT e.event_id, e.event_type, e.value,
+                 ROUND((e.value - s.mean) / s.std, 6) AS z
+          FROM events e JOIN stats s ON s.event_type = e.event_type
+        ) WHERE abs(z) >= {Z_THRESHOLD}
+    """,
     "corpus_delta": """
         WITH o AS (
           SELECT doc_id,
@@ -1654,6 +1684,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "lm_score_bigram": q_lm_score_bigram,
     "corpus_delta": q_corpus_delta,
+    "event_outliers": q_event_outliers,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,

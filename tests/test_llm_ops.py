@@ -942,3 +942,13 @@ def test_snapshot_delta_classifies(spark):
     new = spark.createDataFrame([(2, "b"), (3, "C"), (4, "d")], ["doc_id", "text"])
     got = {r.id: r.change for r in snapshot_delta(old, new, "doc_id", "text").collect()}
     assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_zscore_outliers_flags_extreme_value(spark):
+    from chess_lakehouse_spark.operators.relational import zscore_outliers
+
+    rows = [(i, "t", 10.0) for i in range(9)] + [(9, "t", 100.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = zscore_outliers(df, "event_id", "event_type", "value", z_threshold=2.0).collect()
+    assert [r.event_id for r in got] == [9]
+    assert got[0].z == 3.0  # mean 19, std 27: (100-19)/27
