@@ -666,3 +666,89 @@ def label_centroids(
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+def publish_ivf_index(
+    corpus: DataFrame,
+    out_dir: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> None:
+    """Materialize an IVF index AS LAKE LAYOUT: assign every vector to its
+    centroid list (map-side argmax — zero shuffle for assignment) and write
+    the corpus Hive-partitioned by ``list_id``.
+
+    This turns ANN search into PARTITION PRUNING: a probe that touches
+    ``nprobe`` lists reads exactly those ``list_id=`` directories — the
+    scan itself skips (n_centroids - nprobe)/n_centroids of a 100 TB
+    corpus, before any executor sees a row. The write shuffles once on
+    list_id (file-count control, same as ``write_partitioned``).
+    """
+    from chess_lakehouse_spark.operators.publish import write_partitioned
+
+    cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
+    cent_arr = _centroid_literal_array(cent_rows)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
+    ).withColumn("list_id", _ranked_lists(cent_arr, F.col(vec_col), F.col("n2"))[0]["cid"])
+    write_partitioned(assigned, out_dir, ("list_id",))
+
+
+def search_ivf_index(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Probe a published IVF index: rank the probe's lists, scan ONLY those
+    ``list_id=`` partitions (the IN-filter reaches the scan as a
+    PartitionFilter — plan-tested), score with the shared paired-cosine,
+    window top-k. Returns (query_id, cand_id, sim, rk)."""
+    cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
+    cent_arr = _centroid_literal_array(cent_rows)
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
+        ).withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(_ranked_lists(cent_arr, F.col("qv"), F.col("qn2")), 1, nprobe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    probe_lists = sorted(
+        {r["list_id"] for r in p.select("list_id").distinct().collect()}
+    )
+    c = (
+        spark.read.parquet(index_dir)
+        .where(F.col("list_id").isin(probe_lists))
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            F.col("n2").alias("cn2"),
+            "list_id",
+        )
+    )
+    scored = (
+        c.join(p, on="list_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _paired_cosine().alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", "rk")
+    )

@@ -1,0 +1,40 @@
+"""Published IVF index: lake layout partitioned by list_id, probe reads
+pruned to the probed partitions, results identical to in-memory knn_ivf."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.catalog import load_table
+from chess_lakehouse_spark.operators.similarity import (
+    kmeans_fit,
+    knn_ivf,
+    publish_ivf_index,
+    search_ivf_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_index_publish_prune_and_match(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1, seed=0)
+    idx = str(tmp_path / "ivf")
+    publish_ivf_index(emb, idx, "vec_id", "embedding", cents)
+    # one Hive partition per centroid list
+    parts = sorted(glob.glob(f"{idx}/list_id=*"))
+    assert 1 < len(parts) <= 4
+
+    probes = emb.where(F.col("vec_id") < 3)
+    got = search_ivf_index(spark, idx, probes, "vec_id", "embedding", cents, nprobe=2, k=5)
+
+    # partition pruning reaches the scan
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+
+    want = knn_ivf(emb, probes, "vec_id", "embedding", nprobe=2, k=5, centroids=cents)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
