@@ -535,3 +535,68 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+def pmi_top_k(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    ``PMI(w1,w2) = ln(c12·T / (c1·c2))`` over adjacent token pairs, with a
+    ``min_count`` support floor (PMI is noise without it).
+
+    Every ln input is a ratio of exact integer products, so scores are
+    engine-identical; ranking carries a (PMI DESC, w1, w2) total order.
+    One explode + two map-combined groupBys (pair + unigram tables), the
+    corpus totals as scalar subqueries, a keyed join of pair counts to the
+    two unigram rows, then TakeOrdered top-k. At web scale the integer
+    products c12·T / c1·c2 outgrow BIGINT — subtract logs instead
+    (ln c12 + ln T - ln c1 - ln c2) and accept float associativity; the
+    plan shape is unchanged. Returns (w1, w2, n_pair, pmi, rk).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(ws_tokens(F.col(text_col)), lambda t: t != "").alias("toks"),
+    )
+    pairs = toks.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    total_pairs = pairs.agg(F.count(F.lit(1)).alias("t")).scalar()
+    cb = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    c1 = cu.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    c2 = cu.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    scored = (
+        cb.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * total_pairs).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()).limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -50,6 +50,7 @@ _WINDOW_ORDER = [
     "lm_score_bigram",
     "corpus_delta",
     "event_outliers",
+    "pmi_topk",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

@@ -454,6 +454,20 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+PMI_TOP_K = 50
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI over adjacent token pairs (support >= 5):
+    integer-exact ln inputs, TakeOrdered top-k."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import pmi_top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_top_k(docs, "doc_id", "text", k=PMI_TOP_K, min_count=PMI_MIN_COUNT)
+
+
 Z_THRESHOLD = 2.0
 
 
@@ -1476,6 +1490,39 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "pmi_topk": rf"""
+        WITH t AS (
+          SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
+        ),
+        pairs AS (
+          SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                          i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS u
+            FROM t WHERE len(toks) >= 2
+          )
+        ),
+        cu AS (
+          SELECT w, COUNT(*) AS cw FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+        ),
+        tot AS (SELECT COUNT(*) AS t FROM pairs),
+        cb AS (
+          SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY 1, 2
+          HAVING COUNT(*) >= {PMI_MIN_COUNT}
+        ),
+        scored AS (
+          SELECT cb.w1, cb.w2, cb.n_pair,
+                 ROUND(ln(CAST(cb.n_pair * (SELECT t FROM tot) AS DOUBLE)
+                          / CAST(u1.cw * u2.cw AS DOUBLE)), 6) AS pmi
+          FROM cb
+          JOIN cu u1 ON u1.w = cb.w1
+          JOIN cu u2 ON u2.w = cb.w2
+        )
+        SELECT w1, w2, n_pair, pmi, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+            ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INT) AS rk
+          FROM scored
+        ) WHERE rk <= {PMI_TOP_K}
+    """,
     "event_outliers": f"""
         WITH stats AS (
           SELECT event_type,
@@ -1685,6 +1732,7 @@ QUERIES = {
     "lm_score_bigram": q_lm_score_bigram,
     "corpus_delta": q_corpus_delta,
     "event_outliers": q_event_outliers,
+    "pmi_topk": q_pmi_topk,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,

@@ -952,3 +952,14 @@ def test_zscore_outliers_flags_extreme_value(spark):
     got = zscore_outliers(df, "event_id", "event_type", "value", z_threshold=2.0).collect()
     assert [r.event_id for r in got] == [9]
     assert got[0].z == 3.0  # mean 19, std 27: (100-19)/27
+
+
+def test_pmi_topk_ranks_collocation(spark):
+    from chess_lakehouse_spark.functions.text import pmi_top_k
+
+    # 'x y' always co-occur (perfect collocation); 'a' pairs diffusely
+    rows = [(i, "x y a x y a a x y") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = pmi_top_k(df, "doc_id", "text", k=3, min_count=3).collect()
+    assert got[0].w1 == "x" and got[0].w2 == "y" and got[0].rk == 1
+    assert got[0].pmi > 0
