@@ -281,3 +281,31 @@ def zscore_outliers(
         )
         .where(F.abs(F.col("z")) >= z_threshold)
     )
+
+
+def dq_violations(
+    df: DataFrame,
+    rules: dict[str, "Column"],
+) -> DataFrame:
+    """Declarative data-quality audit: ``rules`` maps rule name → a boolean
+    Column that is true when the row VIOLATES the rule. Returns one row per
+    rule with its violation count and the scanned total — computed in ONE
+    pass (every rule is a conditional sum in the same aggregate, so a
+    50-rule audit costs exactly one corpus scan at 100 TB).
+
+    Uniqueness-style rules need a distinct count, which cannot ride a
+    row-conditional sum — compose them separately (e.g. compare
+    ``count vs approx_count_distinct`` from the same aggregate).
+    Returns (rule, n_violations, n_rows) sorted by rule for determinism.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"v_{name}")
+        for name, cond in sorted(rules.items())
+    ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(f"'{name}', v_{name}" for name in sorted(rules))
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stacked}) AS (rule, n_violations)", "n_rows"
+    ).select("rule", "n_violations", "n_rows")

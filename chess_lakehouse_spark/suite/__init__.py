@@ -51,6 +51,8 @@ _WINDOW_ORDER = [
     "corpus_delta",
     "event_outliers",
     "pmi_topk",
+    "dq_check",
+    "shipping_priority",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

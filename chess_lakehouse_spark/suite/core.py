@@ -451,6 +451,32 @@ def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: selective date filters
+    pushed to both fact scans, two keyed joins, revenue rollup per order,
+    top-10 by (revenue DESC, o_orderdate, orderkey) via TakeOrdered."""
+    apply_runtime_conf(spark)
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-01-01")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue")
+    )
+    out = agg.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        F.col("o_orderpriority").alias("orderpriority"),
+        "revenue",
+    )
+    return out.orderBy(
+        F.col("revenue").desc(), F.col("orderdate_us").asc(), F.col("orderkey").asc()
+    ).limit(10)
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction over the events.props payload column (JSON
     function surface — absent from the reference, standard lake need).
@@ -552,6 +578,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "supplier_revenue": q_supplier_revenue,
+    "shipping_priority": q_shipping_priority,
     "json_extract": q_json_extract,
     "approx_stats": q_approx_stats,
     "running_sum": q_running_sum,
@@ -734,6 +761,23 @@ ORACLES = {
                json_extract_string(props, '$.missing') AS missing_val,
                CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
         FROM events
+    """,
+    "shipping_priority": """
+        SELECT orderkey, orderdate_us, orderpriority, revenue FROM (
+          SELECT l_orderkey AS orderkey,
+                 epoch_us(o_orderdate) AS orderdate_us,
+                 o_orderpriority AS orderpriority,
+                 CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2, 3
+        )
+        ORDER BY revenue DESC, orderdate_us ASC, orderkey ASC
+        LIMIT 10
     """,
     "supplier_revenue": """
         SELECT n_name,

@@ -454,6 +454,25 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+def q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over orders: null keys, domain
+    violations, range violations — every rule a conditional sum inside ONE
+    aggregate (one scan regardless of rule count)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import dq_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return dq_violations(
+        orders,
+        {
+            "custkey_null": F.col("o_custkey").isNull(),
+            "status_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "price_nonpositive": F.col("o_totalprice") <= 0,
+            "priority_null": F.col("o_orderpriority").isNull(),
+        },
+    )
+
+
 PMI_TOP_K = 50
 PMI_MIN_COUNT = 5
 
@@ -1490,6 +1509,22 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "dq_check": """
+        WITH w AS (
+          SELECT COUNT(*) AS n_rows,
+                 SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_custkey_null,
+                 SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS v_status_domain,
+                 SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price_nonpositive,
+                 SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v_priority_null
+          FROM orders
+        )
+        SELECT rule, n_violations, n_rows FROM (
+          SELECT 'custkey_null' AS rule, v_custkey_null AS n_violations, n_rows FROM w
+          UNION ALL SELECT 'price_nonpositive', v_price_nonpositive, n_rows FROM w
+          UNION ALL SELECT 'priority_null', v_priority_null, n_rows FROM w
+          UNION ALL SELECT 'status_domain', v_status_domain, n_rows FROM w
+        )
+    """,
     "pmi_topk": rf"""
         WITH t AS (
           SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
@@ -1733,6 +1768,7 @@ QUERIES = {
     "corpus_delta": q_corpus_delta,
     "event_outliers": q_event_outliers,
     "pmi_topk": q_pmi_topk,
+    "dq_check": q_dq_check,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,

@@ -343,3 +343,17 @@ def test_chunk_dedup_window_plus_rollup(spark):
     plan = explain(spark, llm.q_chunk_dedup(spark, SF_DIR))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan and "partial_count" in plan
+
+
+def test_shipping_priority_pushdown_broadcast_takeordered(spark):
+    plan = explain(spark, core.q_shipping_priority(spark, SF_DIR))
+    assert "PushedFilters" in plan and "IsNotNull" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dq_check_single_aggregate(spark):
+    plan = explain(spark, llm.q_dq_check(spark, SF_DIR))
+    assert "Join" not in plan and "Exchange" in plan  # one final agg exchange
+    # formatted explain names each node twice (tree + details): one Generate
+    assert plan.count("Generate") <= 2  # the stack()
