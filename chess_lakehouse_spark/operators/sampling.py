@@ -181,3 +181,45 @@ def top_n_per_group(
         .where(F.col("smp_rk") <= n)
         .drop("smp_rk")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_tokens_col: Column,
+    budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Token-budget mixture sampling: per group, admit documents in the
+    deterministic hash order until the group's cumulative token count
+    reaches ``budget`` — 'take ~1B tokens per domain' as one windowed pass.
+
+    The running sum is an integer prefix sum over the (hash, id)-ordered
+    window, so admission is exact and reproducible: the kept set is a pure
+    function of (seed, budget, group contents), independent of partitioning
+    — and budgets are NESTED (budget B's picks are a prefix of B' > B's).
+    The first document of a group is always admitted (a budget smaller
+    than any single doc still yields data, and truncation-at-doc-boundary
+    semantics stay simple). One window shuffle keyed by the group.
+    Returns (id, group, n_tokens, cum_tokens).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(sample_hash(F.col(id_col), seed).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            n_tokens_col.cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(
+            (F.col("cum_tokens") <= budget)
+            | (F.col("cum_tokens") == F.col("n_tokens"))  # first doc always
+        )
+    )

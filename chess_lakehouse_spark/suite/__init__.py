@@ -53,6 +53,7 @@ _WINDOW_ORDER = [
     "pmi_topk",
     "dq_check",
     "shipping_priority",
+    "budget_sample",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

@@ -454,6 +454,23 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+TOKEN_BUDGET = 500
+
+
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling: admit docs in deterministic hash
+    order until ~500 whitespace tokens per source — integer prefix sums
+    over one group window."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    return token_budget_sample(
+        docs, "doc_id", "source", n_toks, budget=TOKEN_BUDGET, seed=SAMPLE_SEED
+    )
+
+
 def q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality audit over orders: null keys, domain
     violations, range violations — every rule a conditional sum inside ONE
@@ -1509,6 +1526,23 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "budget_sample": rf"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter({_TOKS}, x -> x <> '')) AS BIGINT) AS n_tokens,
+                 {_HASH64.format(expr=f"concat('{SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))")} AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= {TOKEN_BUDGET} OR cum_tokens = n_tokens
+    """,
     "dq_check": """
         WITH w AS (
           SELECT COUNT(*) AS n_rows,
@@ -1769,6 +1803,7 @@ QUERIES = {
     "event_outliers": q_event_outliers,
     "pmi_topk": q_pmi_topk,
     "dq_check": q_dq_check,
+    "budget_sample": q_budget_sample,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,

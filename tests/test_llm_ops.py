@@ -963,3 +963,19 @@ def test_pmi_topk_ranks_collocation(spark):
     got = pmi_top_k(df, "doc_id", "text", k=3, min_count=3).collect()
     assert got[0].w1 == "x" and got[0].w2 == "y" and got[0].rk == 1
     assert got[0].pmi > 0
+
+
+def test_token_budget_sample_truncates_and_nests(spark):
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "s", 10) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "nt"])
+    small = token_budget_sample(df, "doc_id", "source", F.col("nt"), budget=30)
+    big = token_budget_sample(df, "doc_id", "source", F.col("nt"), budget=60)
+    assert small.count() == 3 and big.count() == 6
+    assert {r.doc_id for r in small.collect()} <= {r.doc_id for r in big.collect()}
+    # a budget below any single doc still admits the first doc
+    tiny = token_budget_sample(df, "doc_id", "source", F.col("nt"), budget=5)
+    assert tiny.count() == 1
