@@ -357,3 +357,33 @@ def test_dq_check_single_aggregate(spark):
     assert "Join" not in plan and "Exchange" in plan  # one final agg exchange
     # formatted explain names each node twice (tree + details): one Generate
     assert plan.count("Generate") <= 2  # the stack()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning: with a selective filter on the
+    build side, Spark injects a might_contain() probe-side predicate so the
+    big fact scan drops non-joining rows BEFORE the shuffle — at 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~matching fraction. Local fixture sizes sit under the
+    default thresholds, so the test lowers them to prove the rule fires;
+    production keeps the defaults."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        plan = explain(spark, li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
