@@ -54,6 +54,7 @@ _WINDOW_ORDER = [
     "dq_check",
     "shipping_priority",
     "budget_sample",
+    "embedding_drift",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

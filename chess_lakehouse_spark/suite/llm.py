@@ -454,6 +454,39 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two corpus snapshots (old = even
+    vec_ids, new = odd): DECIMAL-exact per-label means on each half, cosine
+    between the two centroids — the embedding-space monitoring step between
+    corpus releases. Two map-combined groupBys carrying |labels| x dim
+    cells; the centroid join is |labels|-sized."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = label_centroids(emb.where(F.col("vec_id") % 2 == 0), "label", "embedding")
+    new = label_centroids(emb.where(F.col("vec_id") % 2 == 1), "label", "embedding")
+    o = old.select("label", "pos", F.col("mval").alias("ov"))
+    n = new.select("label", "pos", F.col("mval").alias("nv"))
+    j = o.join(n, ["label", "pos"])
+    agg = j.groupBy("label").agg(
+        F.sum(F.col("ov").cast("decimal(18,6)") * F.col("nv").cast("decimal(18,6)"))
+        .alias("dp"),
+        F.sum(F.col("ov").cast("decimal(18,6)") * F.col("ov").cast("decimal(18,6)"))
+        .alias("o2"),
+        F.sum(F.col("nv").cast("decimal(18,6)") * F.col("nv").cast("decimal(18,6)"))
+        .alias("n2"),
+    )
+    return agg.select(
+        "label",
+        F.round(
+            F.col("dp").cast("double")
+            / F.sqrt(F.col("o2").cast("double") * F.col("n2").cast("double")),
+            6,
+        ).alias("centroid_cos"),
+    )
+
+
 TOKEN_BUDGET = 500
 
 
@@ -1526,6 +1559,30 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "embedding_drift": """
+        WITH halves AS (
+          SELECT label, CAST(vec_id % 2 AS INT) AS half,
+                 unnest(range(0, len(embedding))) AS pos,
+                 unnest(CAST(embedding AS DOUBLE[])) AS val
+          FROM embeddings
+        ),
+        cents AS (
+          SELECT label, half, pos,
+                 ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mval
+          FROM halves GROUP BY label, half, pos
+        ),
+        j AS (
+          SELECT o.label, o.mval AS ov, n.mval AS nv
+          FROM cents o JOIN cents n
+            ON n.label = o.label AND n.pos = o.pos AND o.half = 0 AND n.half = 1
+        )
+        SELECT label,
+               ROUND(CAST(SUM(CAST(ov AS DECIMAL(18,6)) * CAST(nv AS DECIMAL(18,6))) AS DOUBLE)
+                     / sqrt(CAST(SUM(CAST(ov AS DECIMAL(18,6)) * CAST(ov AS DECIMAL(18,6))) AS DOUBLE)
+                            * CAST(SUM(CAST(nv AS DECIMAL(18,6)) * CAST(nv AS DECIMAL(18,6))) AS DOUBLE)), 6)
+                 AS centroid_cos
+        FROM j GROUP BY label
+    """,
     "budget_sample": rf"""
         WITH t AS (
           SELECT doc_id, source,
@@ -1804,6 +1861,7 @@ QUERIES = {
     "pmi_topk": q_pmi_topk,
     "dq_check": q_dq_check,
     "budget_sample": q_budget_sample,
+    "embedding_drift": q_embedding_drift,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,
