@@ -55,6 +55,8 @@ _WINDOW_ORDER = [
     "shipping_priority",
     "budget_sample",
     "embedding_drift",
+    "user_retention",
+    "event_funnel",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

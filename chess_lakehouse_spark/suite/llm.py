@@ -454,6 +454,65 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted again on
+    each later active day offset — first-seen via one min-aggregate (no
+    window over the raw stream), activity distinct per (user, day), one
+    keyed join. Returns (cohort_us, day_offset, n_users)."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            F.unix_micros(F.col("cohort")).alias("cohort_us"),
+            F.datediff(F.col("day"), F.col("cohort")).cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase within 24h end-to-end) per
+    user: per-stage event times reduced to per-user sorted arrays?  No —
+    pure windows: for each purchase, the latest prior click; for that
+    click, the latest prior view; keep chains inside the window. Expressed
+    as two keyed self-joins on user_id with inequality predicates bounded
+    by the 1h band (never a cartesian across users). Returns per-user
+    completed-funnel counts."""
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("t_view")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("t_click")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("t_buy")
+    )
+    chains = (
+        p.join(c, "u")
+        .where(
+            (F.col("t_click") < F.col("t_buy"))
+            & (F.col("t_click") >= F.col("t_buy") - F.expr("INTERVAL 24 HOUR"))
+        )
+        .join(v, "u")
+        .where(
+            (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_view") >= F.col("t_buy") - F.expr("INTERVAL 24 HOUR"))
+        )
+        .select("u", "t_buy")
+        .distinct()
+    )
+    return chains.groupBy(F.col("u").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_funnels")
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid drift between two corpus snapshots (old = even
     vec_ids, new = odd): DECIMAL-exact per-label means on each half, cosine
@@ -1559,6 +1618,33 @@ ORACLES = {
           FROM c
         ) WHERE rk <= {VOCAB_TOP_K}
     """,
+    "user_retention": """
+        WITH days AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ),
+        first AS (SELECT user_id, MIN(day) AS cohort FROM days GROUP BY user_id)
+        SELECT epoch_us(cohort) AS cohort_us,
+               CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+               COUNT(DISTINCT d.user_id) AS n_users
+        FROM days d JOIN first f ON f.user_id = d.user_id
+        GROUP BY 1, 2
+    """,
+    "event_funnel": """
+        WITH v AS (SELECT user_id AS u, ts AS t_view FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id AS u, ts AS t_click FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id AS u, ts AS t_buy FROM events WHERE event_type = 'purchase'),
+        chains AS (
+          SELECT DISTINCT p.u, p.t_buy
+          FROM p
+          JOIN c ON c.u = p.u
+           AND c.t_click < p.t_buy
+           AND c.t_click >= p.t_buy - INTERVAL 24 HOUR
+          JOIN v ON v.u = p.u
+           AND v.t_view < c.t_click
+           AND v.t_view >= p.t_buy - INTERVAL 24 HOUR
+        )
+        SELECT u AS user_id, COUNT(*) AS n_funnels FROM chains GROUP BY u
+    """,
     "embedding_drift": """
         WITH halves AS (
           SELECT label, CAST(vec_id % 2 AS INT) AS half,
@@ -1862,6 +1948,8 @@ QUERIES = {
     "dq_check": q_dq_check,
     "budget_sample": q_budget_sample,
     "embedding_drift": q_embedding_drift,
+    "user_retention": q_user_retention,
+    "event_funnel": q_event_funnel,
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,
