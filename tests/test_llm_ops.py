@@ -979,3 +979,35 @@ def test_token_budget_sample_truncates_and_nests(spark):
     # a budget below any single doc still admits the first doc
     tiny = token_budget_sample(df, "doc_id", "source", F.col("nt"), budget=5)
     assert tiny.count() == 1
+
+
+def test_ngram_strategies_equivalent_property(spark):
+    """Property: exhaustive and prefix return identical pair sets on
+    randomized corpora (mixed vocab shapes, uneven doc lengths, multiple
+    blocks) — the pigeonhole prefix filter must never lose recall."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chess_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    @settings(max_examples=5, deadline=None)
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    def check(seed):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(rng.randint(5, 40))]
+        rows = []
+        for i in range(rng.randint(6, 24)):
+            k = rng.randint(1, 15)
+            text = " ".join(rng.choice(vocab) for _ in range(k))
+            rows.append((i, text, f"s{i % 2}"))
+            if rng.random() < 0.5:
+                rows.append((100 + i, text + " zz", f"s{i % 2}"))
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        kw = dict(id_col="doc_id", text_col="text", block_col="source", n=3, threshold=0.5)
+        ex = {tuple(r) for r in ngram_jaccard_pairs(df, strategy="exhaustive", **kw).collect()}
+        pf = {tuple(r) for r in ngram_jaccard_pairs(df, strategy="prefix", **kw).collect()}
+        assert ex == pf
+
+    check()
