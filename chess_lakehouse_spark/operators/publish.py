@@ -24,6 +24,7 @@ def write_partitioned(
     partition_cols: Sequence[str] = ("DataSource", "year", "month"),
     mode: str = "overwrite",
     target_partitions: int | None = None,
+    compression: str = "zstd",
 ) -> None:
     """Hive-partitioned Parquet write with file-count control.
 
@@ -33,11 +34,16 @@ def write_partitioned(
     (N x |partitions| files — the reference's 7,584-file lake). For very hot
     partition keys, pass target_partitions to cap the shuffle width and let
     AQE split skewed reducers.
+
+    ``compression`` defaults to zstd: at 100 TB the lake's at-rest size and
+    scan throughput both beat snappy (~30% smaller at comparable decode
+    cost on modern CPUs); pass "snappy" to match older readers.
     """
     cols = [F.col(c) for c in partition_cols]
     repartitioned = df.repartition(target_partitions, *cols) if target_partitions else df.repartition(*cols)
     (
         repartitioned.write.mode(mode)
+        .option("compression", compression)
         .partitionBy(*partition_cols)
         .parquet(out_dir)
     )

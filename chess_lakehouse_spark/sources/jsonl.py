@@ -107,3 +107,40 @@ def write_jsonl_shards(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    strict: bool = False,
+) -> DataFrame:
+    """CSV twin of :func:`read_jsonl` with the same contract: pinned schema
+    (no inference pass), PERMISSIVE corrupt-line quarantine via
+    ``_corrupt_record`` (feed to :func:`split_corrupt`), FAILFAST under
+    ``strict``. Same text-scan + ``from_csv`` shape as the JSONL path (the
+    native source rejects corrupt-only plans); header lines are dropped by
+    exact match against the schema's column list."""
+    schema = schema or DOC_SCHEMA
+    if strict:
+        return (
+            spark.read.schema(schema)
+            .option("header", header)
+            .option("mode", "FAILFAST")
+            .csv(path)
+        )
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    raw = spark.read.text(path)
+    if header:
+        header_line = ",".join(f.name for f in schema.fields)
+        raw = raw.where(F.col("value") != header_line)
+    return raw.select(
+        F.from_csv(
+            F.col("value"),
+            with_corrupt.simpleString(),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("r")
+    ).select("r.*")

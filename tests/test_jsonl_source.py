@@ -75,3 +75,34 @@ def test_write_jsonl_shards_partitioned(spark, tmp_path):
     back, _ = split_corrupt(read_jsonl(spark, out + "/source=s0"))
     # partition column is encoded in the path, not the rows
     assert back.drop("source").count() == 3
+
+
+def test_read_csv_clean_and_quarantine(spark, tmp_path):
+    from chess_lakehouse_spark.sources.jsonl import read_csv
+
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "part-000.csv").write_text(
+        "doc_id,text,lang,source\n"
+        "1,hello,en,s0\n"
+        "2,world,en,s0\n"
+        "not_a_number,broken,en,s0\n"
+    )
+    clean, bad = split_corrupt(read_csv(spark, str(p)))
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    assert bad.count() == 1
+
+
+def test_write_partitioned_compression_codec(spark, tmp_path):
+    import glob
+
+    from chess_lakehouse_spark.operators.publish import write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "a", "s0"), (2, "b", "s1")], ["doc_id", "text", "source"]
+    )
+    out = str(tmp_path / "lake")
+    write_partitioned(df, out, ("source",))
+    files = glob.glob(f"{out}/source=*/*.parquet")
+    assert files and all(".zstd." in f for f in files)
+    assert spark.read.parquet(out).count() == 2
