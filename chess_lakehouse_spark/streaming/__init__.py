@@ -10,6 +10,7 @@ from chess_lakehouse_spark.streaming.jobs import (
     stream_corpus_to_jsonl_shards,
     running_user_counts,
     session_windows,
+    sliding_event_counts,
     streaming_dedup,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "stream_corpus_to_jsonl_shards",
     "running_user_counts",
     "session_windows",
+    "sliding_event_counts",
     "streaming_dedup",
 ]

@@ -234,3 +234,21 @@ def stream_corpus_to_jsonl_shards(
         .start()
     )
     q.awaitTermination()
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide
+    overlapping windows) — trend smoothing over the stream. State per
+    (window, type) is evicted at the watermark exactly like the tumbling
+    variant; the only extra cost is the window/slide fan-out factor."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )

@@ -296,3 +296,24 @@ def test_corpus_ingest_clean_matches_batch_and_shards(spark, tmp_path):
     want = {r.h for r in batch.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_sliding_counts_match_batch(spark, events_dir, tmp_path):
+    from chess_lakehouse_spark.streaming import sliding_event_counts
+
+    stream = sliding_event_counts(read_events_stream(spark, events_dir))
+    run_available_now(stream, "sliding_counts", str(tmp_path / "ckpt"))
+    got = {
+        (r.win_start, r.event_type): r.n
+        for r in spark.table("sliding_counts").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        (r.win["start"], r.event_type): r.n
+        for r in ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
