@@ -223,3 +223,26 @@ def token_budget_sample(
             | (F.col("cum_tokens") == F.col("n_tokens"))  # first doc always
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    rate_col: Column,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-row weighted sampling: keep each row with probability
+    ``rate_col`` (clamped to [0, 1]) — quality-weighted corpus resampling
+    ('keep high-quality docs with p=1.0, boilerplate with p=0.1') as one
+    zero-shuffle filter.
+
+    Membership stays a pure function of (seed, id, rate): the uniform
+    draw is hash/2^60 compared AS A DOUBLE against the rate (2^60 is a
+    power of two, so the division is exact and the comparison is
+    engine-identical — never cast a rate·2^60 product to integer, where
+    truncate-vs-round semantics differ between engines). Rows with higher
+    rate are supersets of the same rows at lower rate (same draw).
+    """
+    u = sample_hash(F.col(id_col), seed).cast("double") / F.lit(float(_HASH_SPACE))
+    r = F.least(F.lit(1.0), F.greatest(F.lit(0.0), rate_col.cast("double")))
+    return df.where(u < r)

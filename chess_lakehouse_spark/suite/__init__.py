@@ -57,6 +57,7 @@ _WINDOW_ORDER = [
     "embedding_drift",
     "user_retention",
     "event_funnel",
+    "sample_weighted",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

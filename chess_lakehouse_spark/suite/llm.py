@@ -563,6 +563,21 @@ def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted resampling: keep probability ramps linearly with
+    the quality score (0 below 2.0, 1 above 3.0) — zero-shuffle filter,
+    membership a pure function of (seed, doc_id, score)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import quality_score
+    from chess_lakehouse_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (quality_score(F.col("text")) - F.lit(2.0)) / F.lit(1.0)
+    return weighted_sample(docs, "doc_id", rate, seed=SAMPLE_SEED).select(
+        "doc_id", "source"
+    )
+
+
 def q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality audit over orders: null keys, domain
     violations, range violations — every rule a conditional sum inside ONE
@@ -1686,6 +1701,22 @@ ORACLES = {
         SELECT doc_id, source, n_tokens, cum_tokens FROM c
         WHERE cum_tokens <= {TOKEN_BUDGET} OR cum_tokens = n_tokens
     """,
+    "sample_weighted": rf"""
+        WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+        m AS (
+          SELECT doc_id, source,
+                 ROUND(0.4 * ln(1.0 + CAST(length(text) AS DOUBLE))
+                       + 0.3 * (CAST(len(list_filter(toks, x -> x IN ({_STOP['en']}))) AS DOUBLE) / len(toks))
+                       + 0.3 * least((CAST(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b) AS DOUBLE) / len(toks)) / 10.0, 1.0), 6) AS q
+          FROM t
+        )
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 CAST({_HASH64.format(expr=f"concat('{SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))")} AS DOUBLE) / 1152921504606846976.0 AS u,
+                 least(1.0, greatest(0.0, (q - 2.0) / 1.0)) AS r
+          FROM m
+        ) WHERE u < r
+    """,
     "dq_check": """
         WITH w AS (
           SELECT COUNT(*) AS n_rows,
@@ -1946,6 +1977,7 @@ QUERIES = {
     "event_outliers": q_event_outliers,
     "pmi_topk": q_pmi_topk,
     "dq_check": q_dq_check,
+    "sample_weighted": q_sample_weighted,
     "budget_sample": q_budget_sample,
     "embedding_drift": q_embedding_drift,
     "user_retention": q_user_retention,

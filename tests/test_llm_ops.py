@@ -1011,3 +1011,15 @@ def test_ngram_strategies_equivalent_property(spark):
         assert ex == pf
 
     check()
+
+
+def test_weighted_sample_monotone_in_rate(spark):
+    from chess_lakehouse_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, 0.3) for i in range(200)], ["doc_id", "r"])
+    low = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("r") * 0).collect()}
+    mid = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("r")).collect()}
+    high = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("r") * 3).collect()}
+    assert low == set() and mid <= high
+    assert len(high) == 200  # rate clamps to 1.0
+    assert 30 <= len(mid) <= 90  # ~30% of 200, generous band
