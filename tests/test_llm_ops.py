@@ -1019,7 +1019,7 @@ def test_weighted_sample_monotone_in_rate(spark):
     df = spark.createDataFrame([(i, 0.3) for i in range(200)], ["doc_id", "r"])
     low = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("r") * 0).collect()}
     mid = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("r")).collect()}
-    high = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("r") * 3).collect()}
+    high = {r.doc_id for r in weighted_sample(df, "doc_id", F.col("r") * 4).collect()}
     assert low == set() and mid <= high
     assert len(high) == 200  # rate clamps to 1.0
     assert 30 <= len(mid) <= 90  # ~30% of 200, generous band
