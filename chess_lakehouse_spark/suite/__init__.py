@@ -58,6 +58,7 @@ _WINDOW_ORDER = [
     "user_retention",
     "event_funnel",
     "sample_weighted",
+    "split_leakage_safe",
     # outside r03's window (newest green row: r02) — rotate back in
     "anti_join",
     "cube",

@@ -563,6 +563,37 @@ def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: the split key is the near-dup
+    CLUSTER canonical (connected components over MinHash-LSH pairs), not
+    the doc id — so near-duplicates can never straddle the split and leak
+    eval content into train. Docs outside any cluster key on themselves.
+    Returns (doc_id, split_key, split)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.graph import connected_components
+    from chess_lakehouse_spark.operators.sampling import sample_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    with_key = docs.join(comp, docs.doc_id == comp.id, "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key")
+    )
+    return with_key.select(
+        "doc_id",
+        "split_key",
+        F.when(
+            sample_hash(F.col("split_key"), seed=SAMPLE_SEED + 1)
+            < F.lit(int(EVAL_FRAC * (1 << 60))),
+            F.lit("eval"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted resampling: keep probability ramps linearly with
     the quality score (0 below 2.0, 1 above 3.0) — zero-shuffle filter,
@@ -1701,6 +1732,29 @@ ORACLES = {
         SELECT doc_id, source, n_tokens, cum_tokens FROM c
         WHERE cum_tokens <= {TOKEN_BUDGET} OR cum_tokens = n_tokens
     """,
+    "split_leakage_safe": rf"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, lbl) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst
+        ),
+        comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+        keyed AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        )
+        SELECT doc_id, split_key,
+               CASE WHEN {_HASH64.format(expr=f"concat('{SAMPLE_SEED + 1}|', CAST(split_key AS VARCHAR))")}
+                         < {int(EVAL_FRAC * (1 << 60))}
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM keyed
+    """,
     "sample_weighted": rf"""
         WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
         m AS (
@@ -1978,6 +2032,7 @@ QUERIES = {
     "pmi_topk": q_pmi_topk,
     "dq_check": q_dq_check,
     "sample_weighted": q_sample_weighted,
+    "split_leakage_safe": q_split_leakage_safe,
     "budget_sample": q_budget_sample,
     "embedding_drift": q_embedding_drift,
     "user_retention": q_user_retention,

@@ -1023,3 +1023,20 @@ def test_weighted_sample_monotone_in_rate(spark):
     assert low == set() and mid <= high
     assert len(high) == 200  # rate clamps to 1.0
     assert 30 <= len(mid) <= 90  # ~30% of 200, generous band
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Every near-dup pair must land in the same split (the property the
+    cluster-keyed split exists for)."""
+    from chess_lakehouse_spark.suite.llm import q_split_leakage_safe
+    from chess_lakehouse_spark.operators.dedup import minhash_lsh_dedup
+    from chess_lakehouse_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    split = {r.doc_id: r.split for r in q_split_leakage_safe(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", k=3, num_hashes=8,
+                              band_size=2, threshold=0.5).collect()
+    assert len(split) > 0
+    for p in pairs:
+        assert split[p.id_a] == split[p.id_b]
