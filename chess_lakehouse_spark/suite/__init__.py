@@ -27,16 +27,14 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # The driver's correctness harness records exactly the FIRST 50 entries of
 # queries() in dict-iteration order, so the window must be budgeted like a
 # scarce resource. Round-4 priority:
-#   1. the 4 queries new this round (never driver-verified),
+#   1. the 21 queries new this round (never driver-verified),
 #   2. the 15 simple relational queries that fell outside r03's window
 #      (their newest green row is r02 — rotate them back in),
-#   3. the operators whose ONLY green row is r03 (verified once, newest
-#      evidence — keep a second row accumulating),
-#   4. intricate operators already green in multiple rounds, by cost
-#      descending, until the 50 slots run out.
+#   3. as many r03-only single-green operators as fit the remaining slots.
 # Every query outside the window is hash-green in at least two prior
-# driver rounds AND in scripts/verify_local.py's full-suite run, committed
-# per round as VERIFY_LOCAL_r{N}.txt.
+# driver rounds (tests/test_suite_order.py derives and enforces this from
+# the recorded CORRECTNESS files) AND in scripts/verify_local.py's
+# full-suite run, committed per round as VERIFY_LOCAL_r{N}.txt.
 _WINDOW_ORDER = [
     # new in r04 — never driver-verified
     "dedup_semantic",
