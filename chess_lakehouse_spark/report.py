@@ -52,3 +52,57 @@ def qc_markdown_report(
         if truncated:
             parts.append(f"\n(error rows truncated to the first {max_error_rows})")
     return "\n".join(parts)
+
+
+def corpus_card(docs: DataFrame, id_col: str, text_col: str) -> str:
+    """Dataset-card markdown for a document corpus: per-source rows with
+    doc counts, token totals, mean quality, and language mix — ALL metrics
+    from ONE aggregation pass over the corpus (conditional/grouped
+    aggregates; no per-metric jobs), then a bounded |sources|-row driver
+    collect for rendering.
+
+    The training-data analog of the reference's per-stage QC markdown
+    (src/read-pgn.ts:55): the artifact a corpus release ships next to its
+    shards.
+    """
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.text import quality_score, ws_tokens
+
+    per_source = (
+        docs.select(
+            F.col("source"),
+            F.col("lang"),
+            F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("nt"),
+            quality_score(F.col(text_col)).alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_quality"),
+            F.concat_ws(
+                " ",
+                F.array_sort(F.collect_set("lang")),
+            ).alias("langs"),
+        )
+        .orderBy("source")
+    )
+    rows = per_source.collect()
+    total_docs = sum(r.n_docs for r in rows)
+    total_tokens = sum(r.n_tokens for r in rows)
+    lines = [
+        "# Corpus card",
+        "",
+        f"- documents: {total_docs}",
+        f"- whitespace tokens: {total_tokens}",
+        f"- sources: {len(rows)}",
+        "",
+        markdown_table(
+            ["source", "n_docs", "n_tokens", "mean_quality", "langs"],
+            [[r.source, r.n_docs, r.n_tokens, r.mean_quality, r.langs] for r in rows],
+        ),
+    ]
+    return "\n".join(lines)

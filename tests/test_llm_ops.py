@@ -1040,3 +1040,14 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     assert len(split) > 0
     for p in pairs:
         assert split[p.id_a] == split[p.id_b]
+
+
+def test_corpus_card_renders_per_source(spark):
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.report import corpus_card
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    card = corpus_card(docs, "doc_id", "text")
+    assert card.startswith("# Corpus card")
+    assert "- documents: 500" in card
+    assert "| source |" in card and "| src0 |" in card
