@@ -1724,9 +1724,9 @@ ORACLES = {
         ),
         c AS (
           SELECT doc_id, source, n_tokens,
-                 SUM(n_tokens) OVER (
+                 CAST(SUM(n_tokens) OVER (
                    PARTITION BY source ORDER BY h ASC, doc_id ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
           FROM t
         )
         SELECT doc_id, source, n_tokens, cum_tokens FROM c
@@ -1774,10 +1774,10 @@ ORACLES = {
     "dq_check": """
         WITH w AS (
           SELECT COUNT(*) AS n_rows,
-                 SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_custkey_null,
-                 SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS v_status_domain,
-                 SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price_nonpositive,
-                 SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v_priority_null
+                 CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_custkey_null,
+                 CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+                 CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_nonpositive,
+                 CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_priority_null
           FROM orders
         )
         SELECT rule, n_violations, n_rows FROM (
@@ -1904,7 +1904,7 @@ ORACLES = {
           FROM ch
         )
         SELECT doc_id, COUNT(*) AS n_chunks,
-               SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+               CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM occ GROUP BY doc_id
     """,
     "dedup_priority": rf"""

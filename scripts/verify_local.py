@@ -1,8 +1,17 @@
 """Local emulation of the driver's correctness gate.
 
 Runs every queries() entry on Spark and its oracle_sql() on DuckDB over the
-same sf dir, then compares: row count, column names, and exact cell values
-(order-insensitive: rows sorted by all columns, columns sorted by name).
+same sf dir, then compares: row count, column names, exact cell values
+(order-insensitive: rows sorted by all columns, columns sorted by name) AND
+result types.
+
+The type check exists because value normalization alone hid two real
+driver divergences (r1: collect_set ndarray; r4: DuckDB HUGEINT from un-cast
+integer SUMs hashing differently from Spark BIGINT). The driver hashes typed
+representations, so this script must fail whenever the DuckDB output type is
+not the exact counterpart of the Spark column type — even if the normalized
+values are equal.
+
 Run:  python scripts/verify_local.py [sf_dir] [query ...]
 """
 
@@ -21,6 +30,32 @@ sys.path.insert(0, str(REPO))
 import __spark_entry__ as entry_mod  # noqa: E402
 from chess_lakehouse_spark.catalog import TESTDATA_TABLES  # noqa: E402
 from chess_lakehouse_spark.session import get_spark  # noqa: E402
+
+
+# Spark dtype -> the ONE DuckDB type the driver hashes identically.
+# Anything outside this table (HUGEINT, DECIMAL, TIMESTAMP, lists, ...)
+# is a divergence the oracle SQL must fix with an explicit CAST.
+_TYPE_MAP = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+}
+
+
+def _type_mismatches(s_dtypes, d_cols, d_types):
+    """Pair Spark and DuckDB columns by name; return incompatible pairs."""
+    duck = {c: str(t) for c, t in zip(d_cols, d_types)}
+    bad = []
+    for col, sdt in s_dtypes:
+        expected = _TYPE_MAP.get(sdt)
+        actual = duck.get(col)
+        if actual is None:
+            continue  # column-name mismatch is reported separately
+        if expected is None or actual != expected:
+            bad.append((col, sdt, actual))
+    return bad
 
 
 def _norm_cell(v):
@@ -79,12 +114,20 @@ def main() -> int:
             print(f"  ok {name}: rows-only ({len(s_rows)} rows, {spark_s:.1f}s spark) [no oracle]")
             continue
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = list(rel.types)
+            d_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
+            continue
+
+        type_bad = _type_mismatches(sdf.dtypes, d_cols, d_types)
+        if type_bad:
+            failures.append(name)
+            detail = ", ".join(f"{c}: spark={s} duckdb={d}" for c, s, d in type_bad)
+            print(f"FAIL {name}: type mismatch ({detail})")
             continue
 
         sc, sr = _normalize(s_rows, s_cols)

@@ -73,6 +73,37 @@ def test_window_is_exactly_declared_order() -> None:
     names = list(suite.QUERIES)
     assert len(names) == len(set(names))
     assert len(names) >= 50
+    assert names[: len(suite._WINDOW_ORDER)] == suite._WINDOW_ORDER
+    assert set(names) == set(suite._ALL_QUERIES)
+
+
+def _newest_green_round() -> dict[str, int]:
+    out: dict[str, int] = {}
+    for rnd, data in enumerate(_records(), start=1):
+        for k, v in data.items():
+            if v.get("hash_match"):
+                out[k] = rnd
+    return out
+
+
+def test_no_query_goes_stale() -> None:
+    """Rotation policy: every query must either sit in the upcoming window
+    or have been hash-green in the latest recorded round — i.e. after the
+    upcoming round completes, no query's newest green row is older than two
+    rounds. Rows-only-by-design queries are exempt from the hash criterion
+    but still must rotate through the window to accumulate rows-only rows
+    (enforced only when they have never been recorded)."""
+    records = _records()
+    latest = len(records)
+    newest = _newest_green_round()
+    window = set(list(suite.QUERIES)[:50])
+    exempt = _rows_only_by_design()
+    stale = [
+        n
+        for n in suite.QUERIES
+        if n not in window and newest.get(n, 0) < latest and n not in exempt
+    ]
+    assert not stale, f"queries going >1 round without driver evidence: {stale}"
 
 
 def test_all_oracle_queries_have_matching_columns_contract() -> None:
