@@ -297,9 +297,20 @@ def dq_violations(
     row-conditional sum — compose them separately (e.g. compare
     ``count vs approx_count_distinct`` from the same aggregate).
     Returns (rule, n_violations, n_rows) sorted by rule for determinism.
+
+    Rule names are interpolated into generated SQL (aliases + ``stack``
+    literals), so they must be plain identifiers.
     """
+    import re
+
     from pyspark.sql import functions as F
 
+    for name in rules:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"rule name {name!r} must match [A-Za-z_][A-Za-z0-9_]* "
+                "(it is interpolated into generated SQL)"
+            )
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"v_{name}")
         for name, cond in sorted(rules.items())

@@ -246,3 +246,67 @@ def weighted_sample(
     u = sample_hash(F.col(id_col), seed).cast("double") / F.lit(float(_HASH_SPACE))
     r = F.least(F.lit(1.0), F.greatest(F.lit(0.0), rate_col.cast("double")))
     return df.where(u < r)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    eval_frac: float = 0.01,
+    seed: int = 0,
+    components: DataFrame | None = None,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Leakage-safe train/eval split: the split key is the near-dup CLUSTER
+    canonical (connected component over the similarity graph), not the doc
+    id — so near-duplicates can never straddle the split and leak eval
+    content into train. Docs outside any cluster key on themselves.
+
+    ``components`` is the staged-reuse path (mirroring
+    :func:`~chess_lakehouse_spark.operators.similarity.semantic_dedup`'s
+    ``centroids=``): pass a precomputed ``(id, component)`` cluster table —
+    the output of :func:`~chess_lakehouse_spark.operators.graph.connected_components`,
+    typically materialized once per corpus snapshot — and the expensive
+    MinHash-LSH + connected-components subtree is not rebuilt. A 100 TB
+    pipeline stages that table once and feeds the SAME frame to this split,
+    to :func:`~chess_lakehouse_spark.operators.graph.priority_canonical`,
+    and to any other cluster consumer. When ``components`` is None,
+    ``text_col`` is required and the cluster table is computed inline with
+    the given MinHash-LSH parameters.
+
+    Returns ``(id_col, split_key, split)`` with split in {'train', 'eval'};
+    assignment is the portable hash of the split key, so it is stable
+    across runs, engines, and partitionings.
+    """
+    if not 0.0 <= eval_frac <= 1.0:
+        raise ValueError(f"leakage_safe_split: eval_frac must be in [0, 1], got {eval_frac}")
+    if components is None:
+        if text_col is None:
+            raise ValueError("leakage_safe_split: pass text_col or a staged components frame")
+        from chess_lakehouse_spark.operators.dedup import minhash_lsh_dedup
+        from chess_lakehouse_spark.operators.graph import connected_components
+
+        pairs = minhash_lsh_dedup(
+            docs,
+            id_col,
+            text_col,
+            k=k,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            threshold=threshold,
+        )
+        components = connected_components(pairs.select("id_a", "id_b"))
+    keyed = docs.join(components, docs[id_col] == components["id"], "left").select(
+        id_col, F.coalesce(F.col("component"), F.col(id_col)).alias("split_key")
+    )
+    thr = int(eval_frac * _HASH_SPACE)
+    return keyed.select(
+        id_col,
+        "split_key",
+        F.when(sample_hash(F.col("split_key"), seed) < F.lit(thr), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -54,7 +54,12 @@ def qc_markdown_report(
     return "\n".join(parts)
 
 
-def corpus_card(docs: DataFrame, id_col: str, text_col: str) -> str:
+def corpus_card(
+    docs: DataFrame,
+    text_col: str,
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> str:
     """Dataset-card markdown for a document corpus: per-source rows with
     doc counts, token totals, mean quality, and language mix — ALL metrics
     from ONE aggregation pass over the corpus (conditional/grouped
@@ -71,8 +76,8 @@ def corpus_card(docs: DataFrame, id_col: str, text_col: str) -> str:
 
     per_source = (
         docs.select(
-            F.col("source"),
-            F.col("lang"),
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("lang"),
             F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("nt"),
             quality_score(F.col(text_col)).alias("q"),
         )

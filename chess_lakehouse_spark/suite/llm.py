@@ -477,11 +477,10 @@ def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view -> click -> purchase within 24h end-to-end) per
-    user: per-stage event times reduced to per-user sorted arrays?  No —
-    pure windows: for each purchase, the latest prior click; for that
-    click, the latest prior view; keep chains inside the window. Expressed
-    as two keyed self-joins on user_id with inequality predicates bounded
-    by the 1h band (never a cartesian across users). Returns per-user
+    user: for each purchase, the latest prior click; for that click, the
+    latest prior view; keep chains inside the window. Expressed as two
+    keyed self-joins on user_id with inequality predicates bounded by the
+    24h interval band (never a cartesian across users). Returns per-user
     completed-funnel counts."""
     apply_runtime_conf(spark)
     ev = load_table(spark, sf_dir, "events")
@@ -568,29 +567,25 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLUSTER canonical (connected components over MinHash-LSH pairs), not
     the doc id — so near-duplicates can never straddle the split and leak
     eval content into train. Docs outside any cluster key on themselves.
-    Returns (doc_id, split_key, split)."""
+
+    Demonstrates the staged-components pattern: the cluster table is built
+    ONCE here (connected_components' bounded driver fast path makes it a
+    local relation — the LSH subtree runs once, eagerly, and never appears
+    in the split's plan) and handed to ``leakage_safe_split(components=)``;
+    a production pipeline passes the same staged frame to every cluster
+    consumer (this split, priority_canonical, ...). Returns
+    (doc_id, split_key, split)."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.graph import connected_components
-    from chess_lakehouse_spark.operators.sampling import sample_hash
+    from chess_lakehouse_spark.operators.sampling import leakage_safe_split
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(
         docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=JACCARD_THRESHOLD
     )
     comp = connected_components(pairs.select("id_a", "id_b"))
-    with_key = docs.join(comp, docs.doc_id == comp.id, "left").select(
-        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key")
-    )
-    return with_key.select(
-        "doc_id",
-        "split_key",
-        F.when(
-            sample_hash(F.col("split_key"), seed=SAMPLE_SEED + 1)
-            < F.lit(int(EVAL_FRAC * (1 << 60))),
-            F.lit("eval"),
-        )
-        .otherwise(F.lit("train"))
-        .alias("split"),
+    return leakage_safe_split(
+        docs, "doc_id", eval_frac=EVAL_FRAC, seed=SAMPLE_SEED + 1, components=comp
     )
 
 
@@ -720,7 +715,12 @@ def q_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority-aware canonical selection: near-dup clusters (MinHash-LSH +
     connected components), then per cluster keep the member from the most
     trusted source (rank via a literal CASE map, id tie-break) — 'which
-    copy do we train on' as one join + one map-combined groupBy."""
+    copy do we train on' as one join + one map-combined groupBy.
+
+    priority_canonical's first argument IS the staged-components reuse
+    path: a pipeline that has already materialized the cluster table (see
+    q_split_leakage_safe) passes that same frame here instead of
+    recomputing LSH + connected components per consumer."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.graph import connected_components, priority_canonical
 

@@ -1047,7 +1047,69 @@ def test_corpus_card_renders_per_source(spark):
     from chess_lakehouse_spark.report import corpus_card
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    card = corpus_card(docs, "doc_id", "text")
+    card = corpus_card(docs, "text")
+    renamed = docs.withColumnRenamed("source", "src").withColumnRenamed("lang", "lg")
+    assert corpus_card(renamed, "text", source_col="src", lang_col="lg") == card
     assert card.startswith("# Corpus card")
     assert "- documents: 500" in card
     assert "| source |" in card and "| src0 |" in card
+
+
+def test_dq_violations_rejects_non_identifier_rule_names(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.relational import dq_violations
+
+    df = spark.range(3)
+    for bad in ("has space", "has-hyphen", "has'quote", "1starts_digit", ""):
+        with pytest.raises(ValueError, match="rule name"):
+            dq_violations(df, {bad: F.col("id") < 0})
+
+
+def test_leakage_safe_split_staged_components_reuse(spark):
+    """The staged-components path must (a) match the inline-computed path
+    bit-for-bit, (b) feed multiple cluster consumers from ONE cluster
+    table, and (c) keep the LSH subtree out of the split's plan."""
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.operators.dedup import minhash_lsh_dedup
+    from chess_lakehouse_spark.operators.graph import connected_components, priority_canonical
+    from chess_lakehouse_spark.operators.sampling import leakage_safe_split
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", k=3, num_hashes=8,
+                              band_size=2, threshold=0.5)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+
+    staged = leakage_safe_split(docs, "doc_id", eval_frac=0.1, seed=7, components=comp)
+    inline = leakage_safe_split(docs, "doc_id", "text", eval_frac=0.1, seed=7,
+                                k=3, num_hashes=8, band_size=2, threshold=0.5)
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, inline.collect()))
+
+    # same staged frame drives a second consumer without recomputing LSH
+    canon = priority_canonical(
+        comp, docs.select("doc_id", F.lit(0).alias("p")), "doc_id", "p"
+    )
+    assert canon.count() == comp.select("component").distinct().count()
+
+    # the staged split's physical plan reads the corpus exactly once: the
+    # cluster table is a staged local relation, not a rebuilt LSH subtree
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial sections once executed; count within one
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1  # the docs scan only
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "explode" not in plan  # no shingle/minhash machinery in-plan
+
+
+def test_leakage_safe_split_validates_args(spark):
+    import pytest
+
+    from chess_lakehouse_spark.operators.sampling import leakage_safe_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="text_col or a staged components"):
+        leakage_safe_split(df, "doc_id")
+    with pytest.raises(ValueError, match="eval_frac"):
+        leakage_safe_split(df, "doc_id", "text", eval_frac=1.5)
