@@ -6,9 +6,12 @@ Reference (dvc.yaml:3):
 
 Hadoop has no ``hf://`` filesystem, so the Spark mapping (SURVEY.md §1.3)
 is a driver-side snapshot download followed by a recursive local/remote-FS
-glob read. The download is gated behind an import-try: this container has
-no ``huggingface_hub`` and no network, so tests exercise the recursive
-glob + schema + ply-derivation path on local fixture files.
+glob read. The download is soft-imported (same pattern as the PIL codec in
+operators/multimodal.py): with ``huggingface_hub`` present the snapshot is
+downloaded and globbed; without it a clear NotImplementedError points at
+the local/remote-FS path. Tests cover BOTH branches (the hub path via a
+stubbed module — this container has no network) plus the recursive glob +
+schema + ply-derivation on local fixture files.
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ def resolve_openings_path(location: str) -> str:
             "environment); pass a local/remote-FS path instead"
         ) from exc
     repo_id = "/".join(location.removeprefix("hf://datasets/").split("/")[:2])
-    return snapshot_download(repo_id=repo_id, repo_type="dataset")  # pragma: no cover
+    return snapshot_download(repo_id=repo_id, repo_type="dataset")
 
 
 def materialize_openings(spark: SparkSession, location: str, target: str) -> DataFrame:

@@ -217,6 +217,32 @@ def test_load_openings_hf_requires_hub(spark):
         resolve_openings_path("hf://datasets/Lichess/chess-openings/x.parquet")
 
 
+def test_resolve_openings_hf_download_path(monkeypatch, tmp_path):
+    """When huggingface_hub IS importable, hf:// resolves via a driver-side
+    snapshot download of the dataset repo (stubbed module — no network),
+    and the returned local snapshot dir is what Spark globs."""
+    import sys
+    import types
+
+    from chess_lakehouse_spark.sources import openings as op
+
+    calls = {}
+
+    def snapshot_download(repo_id, repo_type):
+        calls["args"] = (repo_id, repo_type)
+        return str(tmp_path / "snapshot")
+
+    fake = types.ModuleType("huggingface_hub")
+    fake.snapshot_download = snapshot_download
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
+
+    got = op.resolve_openings_path("hf://datasets/Lichess/chess-openings/**/*.parquet")
+    assert got == str(tmp_path / "snapshot")
+    assert calls["args"] == ("Lichess/chess-openings", "dataset")
+    # non-hf locations pass through untouched, hub present or not
+    assert op.resolve_openings_path("s3a://bucket/openings") == "s3a://bucket/openings"
+
+
 def test_pipeline_cli_stages(spark, tmp_path):
     """The three stage CLIs run end-to-end with the reference's flag names
     (dvc.yaml:28,41,53) over a fixture PGN + openings dir."""
