@@ -600,3 +600,97 @@ def pmi_top_k(
     topk = scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()).limit(k)
     w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
     return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def canary_hits(
+    df: DataFrame,
+    text_col: str,
+    canaries: tuple[str, ...],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Eval-canary contamination scan: count documents whose text contains
+    each literal canary string (benchmark canaries, GUID tripwires,
+    honeypot sentences), optionally broken down by a group column — the
+    audit a release pipeline runs before shipping a corpus that must not
+    contain its own eval set.
+
+    Plan shape: the canary list is a literal array exploded per row (no
+    join, no second scan), the containment test is a JVM substring search,
+    and the only shuffle is the final |canaries| x |groups|-row count
+    aggregate — one corpus pass regardless of canary count. Canaries with
+    zero hits produce no row (count them from the returned frame's
+    complement against the input list).
+
+    Returns (canary[, group], n_docs) — deterministic, fully
+    SQL-expressible.
+    """
+    if not canaries:
+        raise ValueError("canary_hits: need at least one canary string")
+    exploded = df.select(
+        *( [F.col(group_col).alias("grp")] if group_col else [] ),
+        F.col(text_col).alias("_t"),
+        F.explode(F.array(*[F.lit(c) for c in canaries])).alias("canary"),
+    ).where(F.contains(F.col("_t"), F.col("canary")))
+    keys = ["canary"] + (["grp"] if group_col else [])
+    out = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))
+    if group_col:
+        out = out.withColumnRenamed("grp", group_col)
+    return out
+
+
+def source_unigram_kl(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-group unigram-distribution KL divergence against the whole
+    corpus: KL(P_g || P) = (1/T_g) * sum_w c_gw * ln((c_gw * T)/(T_g * c_w))
+    — the domain-skew monitor a mixture pipeline tracks per source (a
+    rising KL means a source drifted away from the corpus mixture).
+
+    Exactness contract: each ln() input is a ratio of exact integer
+    products (token counts; both engines compute the identical double
+    quotient), the per-word ln is ROUNDed to ``precision``, multiplied by
+    the integer count and summed as DECIMAL(18,6) — exact, order-free —
+    with the single double division + ROUND at the end. Plan shape: one
+    explode + map-combined (group, word) count; word totals and group
+    totals derive from that count frame — its shuffle output is deduped at
+    runtime by AQE exchange/stage reuse (verified: the executed plan shows
+    a ReusedQueryStage, not a second corpus explode); at 100 TB a pipeline
+    stages the (group, word) count table to the lake once and derives all
+    three aggregates from it. The word-total join is hash-partitioned on
+    word, group totals ride a broadcast. Everything after the explode is
+    bounded by vocab x groups.
+
+    Returns (group, n_tokens, kl).
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("w"),
+    )
+    cgw = toks.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c_gw"))
+    cw = cgw.groupBy("w").agg(F.sum("c_gw").alias("c_w"))
+    tg = cgw.groupBy("grp").agg(F.sum("c_gw").alias("t_g"))
+    total = cw.agg(F.sum("c_w").alias("t")).scalar()
+    term = F.round(
+        F.log(
+            (F.col("c_gw") * total).cast("double")
+            / (F.col("t_g") * F.col("c_w")).cast("double")
+        ),
+        precision,
+    )
+    return (
+        cgw.join(cw, "w")
+        .join(F.broadcast(tg), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("t_g").alias("n_tokens"),
+            F.round(
+                F.sum((F.col("c_gw") * term).cast("decimal(18,6)")).cast("double")
+                / F.max("t_g"),
+                precision,
+            ).alias("kl"),
+        )
+        .select(F.col("grp").alias(group_col), "n_tokens", "kl")
+    )

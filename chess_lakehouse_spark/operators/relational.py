@@ -320,3 +320,64 @@ def dq_violations(
     return wide.selectExpr(
         f"stack({len(rules)}, {stacked}) AS (rule, n_violations)", "n_rows"
     ).select("rule", "n_violations", "n_rows")
+
+
+def winsorize(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    lower_pct: float = 0.01,
+    upper_pct: float = 0.99,
+) -> DataFrame:
+    """Rank-based per-group winsorization: clip ``value_col`` to the exact
+    [lower_pct, upper_pct] quantile values of its group — the robust-stats
+    companion to :func:`z_outliers` (clip instead of flag, so downstream
+    aggregates see a bounded domain).
+
+    Exact-by-rank: the threshold is the value AT row_number
+    ``ceil(pct * n)`` under the total order (value, id) — integer rank
+    arithmetic, no interpolation, so any engine picks the identical
+    threshold row. Plan: one window shuffle keyed by the group computes
+    ranks, the two threshold rows per group collapse to a |groups|-row
+    frame, broadcast back onto the unclipped rows. At 100 TB swap the
+    exact rank for approx_percentile per group (same clip join; the
+    rank window's per-group sort is the scale bound), mirroring the
+    quality_buckets exact-for-oracle / approx-at-scale contract.
+
+    Returns (id, group, value, clipped).
+    """
+    from pyspark.sql.window import Window
+
+    if not 0.0 <= lower_pct < upper_pct <= 1.0:
+        raise ValueError(
+            f"winsorize: need 0 <= lower_pct < upper_pct <= 1, got {lower_pct}, {upper_pct}"
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("value"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("value").asc(), F.col("id").asc())
+    ranked = base.select(
+        "grp",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    lo_rn = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(lower_pct)))
+    hi_rn = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(upper_pct)))
+    bounds = (
+        ranked.where((F.col("rn") == lo_rn) | (F.col("rn") == hi_rn))
+        .groupBy("grp")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    return (
+        base.join(F.broadcast(bounds), "grp")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("clipped"),
+        )
+    )

@@ -310,3 +310,44 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    seed: int = 0,
+    precision: int = 6,
+) -> DataFrame:
+    """Temperature-based domain mixing: flatten the group-size distribution
+    by keeping each group at rate ``(n_min / n_group) ** (1 - alpha)`` —
+    the deterministic sampling-without-replacement form of the multilingual
+    temperature-sampling recipe (rates ∝ p^alpha renormalized so the rarest
+    group keeps everything). ``alpha = 1`` keeps the natural distribution,
+    ``alpha = 0`` equalizes expected group sizes.
+
+    One map-combined count aggregate (|groups| rows), a broadcast join of
+    the per-group rate, and the zero-shuffle hash filter — the corpus scan
+    itself never shuffles, so the operator is a constant-factor pass at
+    100 TB. Rates are ROUNDed to ``precision`` before the compare so the
+    pow() low bits can't flip membership between engines; membership is
+    then a pure function of (seed, id, group sizes).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"temperature_sample: alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    n_min = counts.agg(F.min("_n_g").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        F.col(group_col),
+        F.round(
+            F.pow(
+                F.col("_n_min").cast("double") / F.col("_n_g").cast("double"),
+                F.lit(1.0 - alpha),
+            ),
+            precision,
+        ).alias("_rate"),
+    )
+    joined = df.join(F.broadcast(rates), group_col)
+    kept = weighted_sample(joined, id_col, F.col("_rate"), seed=seed)
+    return kept.drop("_rate")

@@ -752,3 +752,66 @@ def search_ivf_index(
         .where(F.col("rk") <= k)
         .select("query_id", "cand_id", "sim", "rk")
     )
+
+
+def knn_two_stage(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_dims: int,
+    pool: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Coarse-to-fine two-stage ANN: score with only the first
+    ``coarse_dims`` dimensions to shortlist ``pool`` candidates per query,
+    then exact-cosine re-rank the shortlist on full vectors — the
+    retrieve-then-rerank shape (Matryoshka-style prefix scoring) that cuts
+    the dominant full-corpus scan cost by dim/coarse_dims at 100 TB while
+    the exact stage touches only |probes| x pool rows.
+
+    Stage 1 reuses :func:`knn_brute_force` on sliced vectors (probes
+    broadcast, corpus unshuffled); stage 2 joins the shortlist back to the
+    full vectors (shortlist is the small side — broadcast), recomputes the
+    exact rounded cosine, and takes top-k per query with the
+    (sim DESC, cand_id ASC) total order. Recall is governed by
+    pool/coarse_dims; pool >= k always returns k rows per query when the
+    corpus has k eligible candidates.
+
+    Returns (query_id, cand_id, sim, rk) with EXACT full-dim sims.
+    """
+    if coarse_dims < 1:
+        raise ValueError(f"knn_two_stage: coarse_dims must be >= 1, got {coarse_dims}")
+    if pool < k:
+        raise ValueError(f"knn_two_stage: pool ({pool}) must be >= k ({k})")
+    sliced_corpus = corpus.select(
+        F.col(id_col), F.slice(as_double(F.col(vec_col)), 1, coarse_dims).alias(vec_col)
+    )
+    sliced_probes = probes.select(
+        F.col(id_col), F.slice(as_double(F.col(vec_col)), 1, coarse_dims).alias(vec_col)
+    )
+    shortlist = knn_brute_force(sliced_corpus, sliced_probes, id_col, vec_col, k=pool).select(
+        "query_id", "cand_id"
+    )
+    q = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(c, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "cand_id", _paired_cosine().alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", "rk")
+    )

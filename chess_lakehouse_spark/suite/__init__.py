@@ -39,15 +39,21 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #   2. approx_stats, rows-only by design and never yet in a recorded window,
 #   3. all 34 queries whose newest green row is r03 (out of r04's window) —
 #      rotated back in so no query's newest green falls >1 round behind,
-#   4. 12 of the 17 r04-new single-green queries, most-intricate first
+#   4. the 5 queries NEW this round (sample_temperature, winsorize,
+#      canary_scan, source_kl, knn_two_stage) — never driver-verified,
+#   5. 7 of the 17 r04-new single-green queries, most-intricate first
 #      (dedup_priority / split_leakage_safe also gained the components=
-#      reuse path this round, so they must re-verify); the remaining 5
-#      simple ones (boilerplate_strip, sample_per_group, sample_weighted,
-#      shipping_priority, vocab_topk) rotate in next round.
-# Every query outside the window is hash-green in >=2 prior driver rounds
-# (tests/test_suite_order.py derives and enforces this from the recorded
-# CORRECTNESS files) AND in scripts/verify_local.py's full-suite run,
-# committed per round as VERIFY_LOCAL_r{N}.txt.
+#      reuse path this round, so they must re-verify); the remaining 10
+#      single-green-r04 queries (boilerplate_strip, sample_per_group,
+#      sample_weighted, shipping_priority, vocab_topk, event_funnel,
+#      user_retention, label_centroids, embedding_drift, quality_buckets)
+#      rotate in next round — allowed out-of-window because r04 (the
+#      latest recorded round) has them green.
+# Every query outside the window is hash-green in the LATEST recorded
+# driver round or in >=2 prior rounds (tests/test_suite_order.py derives
+# and enforces this from the recorded CORRECTNESS files) AND in
+# scripts/verify_local.py's full-suite run, committed per round as
+# VERIFY_LOCAL_r{N}.txt.
 _WINDOW_ORDER = [
     # driver-red in r04 (oracle HUGEINT) — fixed, re-verify first
     "chunk_dedup",
@@ -90,6 +96,12 @@ _WINDOW_ORDER = [
     "knn_brute_force",
     "enrich_argmax",
     "chess_enrich",
+    # new in r05 — never driver-verified
+    "sample_temperature",
+    "winsorize",
+    "canary_scan",
+    "source_kl",
+    "knn_two_stage",
     # single-green (r04 only), intricate first — accumulate a second row
     "dedup_priority",
     "split_leakage_safe",
@@ -98,11 +110,6 @@ _WINDOW_ORDER = [
     "pmi_topk",
     "corpus_delta",
     "event_outliers",
-    "event_funnel",
-    "user_retention",
-    "label_centroids",
-    "embedding_drift",
-    "quality_buckets",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

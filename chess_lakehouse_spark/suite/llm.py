@@ -924,6 +924,98 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "doc_id", "text", k=5, window=8)
 
 
+MIX_ALPHA = 0.5
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (alpha=0.5): per-language keep
+    rate (n_min/n_lang)^(1-alpha) — rarest language kept whole, the
+    dominant one flattened toward it (the multilingual pretraining
+    rebalance). One |langs|-row count aggregate, broadcast rate join,
+    zero-shuffle hash filter."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "doc_id", "lang", alpha=MIX_ALPHA, seed=SAMPLE_SEED
+    ).select("doc_id", "lang")
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization: clip values to the exact rank-based
+    [p01, p99] of their group — one window shuffle for ranks, a
+    |groups|-row bounds frame broadcast back onto the rows."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorize(
+        ev, "event_id", "event_type", "value", lower_pct=WINSOR_LO, upper_pct=WINSOR_HI
+    )
+
+
+#: Literal canary strings for the contamination tripwire scan. The first
+#: two occur in the synthetic corpus vocabulary; the GUID-style one must
+#: never match (its absence from the result is part of the contract).
+CANARIES = (
+    "batch batch batch",
+    "window window",
+    "canary-7f3a9c2e-eval-do-not-train",
+)
+
+
+def q_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-canary contamination scan: per (canary, source) count of
+    documents containing each literal tripwire string — one corpus pass,
+    literal-array explode, JVM substring search, tiny final aggregate."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import canary_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return canary_hits(docs, "text", CANARIES, group_col="source")
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence against the corpus distribution —
+    the domain-skew monitor. One explode + map-combined (source, word)
+    counts; word/source totals derived from that frame (single corpus
+    scan); DECIMAL-exact summation of integer-weighted rounded ln terms."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import source_unigram_kl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_unigram_kl(docs, "source", "text")
+
+
+TWO_STAGE_COARSE_DIMS = 16
+TWO_STAGE_POOL = 20
+
+
+def q_knn_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine ANN: shortlist pool=20 per query on the first 16
+    dims (4x cheaper corpus scan), exact-cosine re-rank the shortlist on
+    full vectors, top-5. Exact sims, bounded rerank."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import knn_two_stage
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < KNN_PROBES)
+    return knn_two_stage(
+        emb,
+        probes,
+        "vec_id",
+        "embedding",
+        coarse_dims=TWO_STAGE_COARSE_DIMS,
+        pool=TWO_STAGE_POOL,
+        k=KNN_K,
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _HASH64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
@@ -1986,6 +2078,89 @@ ORACLES = {
                  AS avg_chars
         FROM bucketed GROUP BY bucket
     """,
+    "sample_temperature": rf"""
+        WITH c AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+        m AS (SELECT MIN(n_g) AS n_min FROM c),
+        r AS (
+          SELECT lang,
+                 ROUND(power(CAST((SELECT n_min FROM m) AS DOUBLE)
+                             / CAST(n_g AS DOUBLE), {1.0 - MIX_ALPHA}), 6) AS rate
+          FROM c
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r ON r.lang = d.lang
+        WHERE CAST({_HASH64.format(expr=f"concat('{SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+              / 1152921504606846976.0 < r.rate
+    """,
+    "winsorize": f"""
+        WITH b AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value ASC, event_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ),
+        t AS (
+          SELECT event_type, MIN(value) AS lo, MAX(value) AS hi FROM b
+          WHERE rn = greatest(1, CAST(ceil(n * {WINSOR_LO}) AS BIGINT))
+             OR rn = greatest(1, CAST(ceil(n * {WINSOR_HI}) AS BIGINT))
+          GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               least(greatest(e.value, t.lo), t.hi) AS clipped
+        FROM events e JOIN t ON t.event_type = e.event_type
+    """,
+    "canary_scan": f"""
+        SELECT c.canary, d.source, COUNT(*) AS n_docs
+        FROM documents d,
+             (SELECT unnest([{", ".join(f"'{c}'" for c in CANARIES)}]) AS canary) c
+        WHERE contains(d.text, c.canary)
+        GROUP BY c.canary, d.source
+    """,
+    "source_kl": rf"""
+        WITH toks AS (
+          SELECT source AS grp, unnest(list_filter({_TOKS}, x -> x <> '')) AS w
+          FROM documents
+        ),
+        cgw AS (SELECT grp, w, COUNT(*) AS c_gw FROM toks GROUP BY grp, w),
+        cw AS (SELECT w, CAST(SUM(c_gw) AS BIGINT) AS c_w FROM cgw GROUP BY w),
+        tg AS (SELECT grp, CAST(SUM(c_gw) AS BIGINT) AS t_g FROM cgw GROUP BY grp),
+        tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t FROM cw)
+        SELECT cgw.grp AS source,
+               MAX(t_g) AS n_tokens,
+               ROUND(CAST(SUM(CAST(c_gw * ROUND(ln(
+                         CAST(c_gw * (SELECT t FROM tot) AS DOUBLE)
+                         / CAST(t_g * c_w AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / MAX(t_g), 6) AS kl
+        FROM cgw JOIN cw USING (w) JOIN tg USING (grp)
+        GROUP BY cgw.grp
+    """,
+    "knn_two_stage": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        es AS (SELECT vec_id, v[1:{TWO_STAGE_COARSE_DIMS}] AS v FROM e),
+        ps AS (SELECT * FROM es WHERE vec_id < {KNN_PROBES}),
+        coarse AS (
+          SELECT query_id, cand_id FROM (
+            SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY {_COS.format(a='p.v', b='c.v')} DESC, c.vec_id ASC) AS crk
+            FROM ps p JOIN es c ON c.vec_id <> p.vec_id
+          ) WHERE crk <= {TWO_STAGE_POOL}
+        ),
+        rescored AS (
+          SELECT s.query_id, s.cand_id,
+                 {_COS.format(a='q.v', b='c.v')} AS sim
+          FROM coarse s
+          JOIN e q ON q.vec_id = s.query_id
+          JOIN e c ON c.vec_id = s.cand_id
+        )
+        SELECT query_id, cand_id, sim, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rk
+          FROM rescored
+        ) WHERE rk <= {KNN_K}
+    """,
 }
 
 QUERIES = {
@@ -2040,4 +2215,9 @@ QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "vocab_topk": q_vocab_topk,
     "quality_buckets": q_quality_buckets,
+    "sample_temperature": q_sample_temperature,
+    "winsorize": q_winsorize,
+    "canary_scan": q_canary_scan,
+    "source_kl": q_source_kl,
+    "knn_two_stage": q_knn_two_stage,
 }

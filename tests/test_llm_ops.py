@@ -1113,3 +1113,88 @@ def test_leakage_safe_split_validates_args(spark):
         leakage_safe_split(df, "doc_id")
     with pytest.raises(ValueError, match="eval_frac"):
         leakage_safe_split(df, "doc_id", "text", eval_frac=1.5)
+
+
+def test_temperature_sample_flattens_groups(spark):
+    from chess_lakehouse_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(440)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    # alpha=1 keeps the natural distribution: every row survives
+    assert temperature_sample(df, "doc_id", "grp", alpha=1.0).count() == 440
+    # the rarest group is always kept whole (rate exactly 1.0)
+    kept = temperature_sample(df, "doc_id", "grp", alpha=0.5, seed=3)
+    by_grp = {r.grp: r.cnt for r in kept.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert by_grp["small"] == 40
+    # the dominant group is downsampled toward rate (40/400)^0.5 ~ 0.316
+    assert 0.15 * 400 < by_grp["big"] < 0.5 * 400
+    import pytest
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "doc_id", "grp", alpha=1.5)
+
+
+def test_winsorize_clips_to_rank_bounds(spark):
+    from chess_lakehouse_spark.operators.relational import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(1, 101)]  # values 1..100
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    out = {r.id: r.clipped for r in winsorize(df, "id", "grp", "v", 0.10, 0.90).collect()}
+    # rank ceil(0.1*100)=10 -> lo=10.0; rank 90 -> hi=90.0
+    assert out[1] == 10.0 and out[5] == 10.0 and out[10] == 10.0
+    assert out[50] == 50.0
+    assert out[90] == 90.0 and out[95] == 90.0 and out[100] == 90.0
+    import pytest
+    with pytest.raises(ValueError, match="lower_pct"):
+        winsorize(df, "id", "grp", "v", 0.9, 0.1)
+
+
+def test_canary_hits_counts_and_omits_clean(spark):
+    import pytest
+
+    from chess_lakehouse_spark.functions.text import canary_hits
+
+    df = spark.createDataFrame(
+        [(1, "the EVAL-123 marker", "a"), (2, "clean text", "a"), (3, "EVAL-123 again", "b")],
+        ["doc_id", "text", "src"],
+    )
+    got = {(r.canary, r.src): r.n_docs
+           for r in canary_hits(df, "text", ("EVAL-123", "absent"), group_col="src").collect()}
+    assert got == {("EVAL-123", "a"): 1, ("EVAL-123", "b"): 1}
+    ungrouped = {r.canary: r.n_docs for r in canary_hits(df, "text", ("EVAL-123",)).collect()}
+    assert ungrouped == {"EVAL-123": 2}
+    with pytest.raises(ValueError, match="at least one canary"):
+        canary_hits(df, "text", ())
+
+
+def test_source_unigram_kl_zero_for_identical_distributions(spark):
+    from chess_lakehouse_spark.functions.text import source_unigram_kl
+
+    same = spark.createDataFrame(
+        [(1, "a b c", "g1"), (2, "a b c", "g2")], ["doc_id", "text", "grp"]
+    )
+    for r in source_unigram_kl(same, "grp", "text").collect():
+        assert r.kl == 0.0 and r.n_tokens == 3
+    skewed = spark.createDataFrame(
+        [(1, "a a a a", "g1"), (2, "b b b b", "g2")], ["doc_id", "text", "grp"]
+    )
+    for r in source_unigram_kl(skewed, "grp", "text").collect():
+        assert r.kl > 0.5  # disjoint vocab: KL = ln(2) per token
+
+
+def test_knn_two_stage_full_pool_matches_brute_force(spark):
+    import pytest
+
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.operators.similarity import knn_brute_force, knn_two_stage
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+    probes = emb.where(F.col("vec_id") < 3)
+    exact = knn_brute_force(emb, probes, "vec_id", "embedding", k=4).collect()
+    # pool = whole corpus -> stage 2 rescans everything: identical to exact
+    two = knn_two_stage(emb, probes, "vec_id", "embedding",
+                        coarse_dims=8, pool=60, k=4).collect()
+    assert sorted(map(tuple, two)) == sorted(map(tuple, exact))
+    with pytest.raises(ValueError, match="pool"):
+        knn_two_stage(emb, probes, "vec_id", "embedding", coarse_dims=8, pool=2, k=4)
+    with pytest.raises(ValueError, match="coarse_dims"):
+        knn_two_stage(emb, probes, "vec_id", "embedding", coarse_dims=0, pool=10, k=4)
