@@ -98,7 +98,33 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+
+    # The harness records only a bounded tail of this process's stdout
+    # (observed: BENCH_r04 captured 2000 chars and failed to parse the
+    # 85-query line -> "parsed": null). Keep the printed line comfortably
+    # under that bound: emit the slowest queries until the line would
+    # exceed the budget, roll the rest into one "other" bucket, and write
+    # the COMPLETE per-query map next to this script for auditing.
+    full_path = os.path.join(_REPO, "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    budget = 1800
+    compact = dict(out)
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    for keep in range(len(ranked), -1, -1):
+        shown = dict(ranked[:keep])
+        rest = round(sum(t for _, t in ranked[keep:]), 4)
+        if rest:
+            shown["_other"] = rest
+        compact["queries"] = shown
+        if keep < len(ranked):
+            compact["queries_omitted"] = len(ranked) - keep
+            compact["full_timings"] = "BENCH_FULL.json"
+        line = json.dumps(compact)
+        if len(line) <= budget:
+            break
+    print(line)
 
 
 if __name__ == "__main__":
