@@ -694,3 +694,44 @@ def source_unigram_kl(
         )
         .select(F.col("grp").alias(group_col), "n_tokens", "kl")
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-document token Shannon entropy (nats): H = ln(n) - (1/n) *
+    sum_w c_w ln(c_w) — the repetition/diversity quality signal (low
+    entropy = templated or repetitive text) complementing
+    :func:`repetition_metrics`' exact-duplication fractions.
+
+    The second form keeps the sum integer-weighted: each ln(c_w) is
+    ROUNDed to ``precision``, multiplied by the integer count and summed
+    as DECIMAL(18,6) (exact, order-free); the ln(n) correction and the
+    single division happen once per document. Plan: one explode +
+    map-combined (doc, token) count + one map-combined per-doc aggregate —
+    the same two-shuffle shape as any unigram statistic; nothing is
+    corpus-global, so documents stream through independently at 100 TB.
+    Empty documents produce no row (no tokens to explode).
+
+    Returns (id, n_tokens, entropy).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("w"),
+    )
+    counts = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(F.log(F.col("c").cast("double")), precision)
+    agg = counts.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        F.sum((F.col("c") * term).cast("decimal(18,6)")).cast("double").alias("s"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n").alias("n_tokens"),
+        F.round(F.log(F.col("n").cast("double")) - F.col("s") / F.col("n"), precision).alias(
+            "entropy"
+        ),
+    )

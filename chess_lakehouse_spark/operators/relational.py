@@ -381,3 +381,87 @@ def winsorize(
             F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("clipped"),
         )
     )
+
+
+def rolling_time_mean(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_s: int,
+    precision: int = 6,
+) -> DataFrame:
+    """Trailing time-RANGE moving mean per key: for every row, the mean of
+    ``value_col`` over the key's rows in the last ``window_s`` seconds
+    (inclusive of the current row) — the time-series smoothing window
+    (7-day user averages, hourly sensor rollups) that a ROWS frame cannot
+    express when event spacing is irregular.
+
+    The frame is a RANGE window over integer epoch MICROSECONDS, so frame
+    membership is exact integer arithmetic (no timestamp-precision or
+    timezone drift between engines), and tied timestamps are peers in any
+    engine. The mean follows the DECIMAL(18,6) exactness contract: exact
+    decimal SUM over the frame, one double division, ROUND — identical
+    under any partitioning. One shuffle, keyed by ``key_col``; at 100 TB
+    the same frame rides the shuffle that any per-key window already pays,
+    and a skewed key is bounded by its time span, not corpus size.
+
+    Returns (id, key, ts_us, value, mean) with ts as epoch micros.
+    """
+    from pyspark.sql.window import Window
+
+    ts_us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_us.asc())
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(key_col),
+        ts_us.alias("ts_us"),
+        F.col(value_col).alias("value"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            precision,
+        ).alias("mean"),
+    )
+
+
+#: Integer epoch-day divisor (micros per day) shared with the oracle SQL.
+_US_PER_DAY = 86_400_000_000
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: per key, maximal runs of CONSECUTIVE active days
+    (a day with >= 1 event) — retention streaks, sensor-uptime runs.
+
+    Classic islands construction kept engine-exact: activity days are
+    integer epoch days (``unix_micros div us_per_day`` — integer division,
+    never a cast of a float quotient), and the island id is
+    ``day - row_number()`` per key, constant exactly within a consecutive
+    run. Plan: one distinct on (key, day) — map-combined, collapses the
+    raw event volume first — then one window + one aggregate on the same
+    key partitioning (a single shuffle reused by all three steps).
+
+    Returns (key, start_day, streak_days) with start_day as epoch day.
+    """
+    from pyspark.sql.window import Window
+
+    days = df.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros({ts_col}) div {_US_PER_DAY}").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("key").orderBy(F.col("day").asc())
+    islands = days.withColumn("island", F.col("day") - F.row_number().over(w))
+    return (
+        islands.groupBy("key", "island")
+        .agg(F.min("day").alias("start_day"), F.count(F.lit(1)).alias("streak_days"))
+        .select(F.col("key").alias(key_col), "start_day", "streak_days")
+    )

@@ -39,16 +39,16 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #   2. approx_stats, rows-only by design and never yet in a recorded window,
 #   3. all 34 queries whose newest green row is r03 (out of r04's window) —
 #      rotated back in so no query's newest green falls >1 round behind,
-#   4. the 5 queries NEW this round (sample_temperature, winsorize,
-#      canary_scan, source_kl, knn_two_stage) — never driver-verified,
-#   5. 7 of the 17 r04-new single-green queries, most-intricate first
-#      (dedup_priority / split_leakage_safe also gained the components=
-#      reuse path this round, so they must re-verify); the remaining 10
-#      single-green-r04 queries (boilerplate_strip, sample_per_group,
-#      sample_weighted, shipping_priority, vocab_topk, event_funnel,
-#      user_retention, label_centroids, embedding_drift, quality_buckets)
-#      rotate in next round — allowed out-of-window because r04 (the
-#      latest recorded round) has them green.
+#   4. the 9 queries NEW this round (sample_temperature, winsorize,
+#      canary_scan, source_kl, knn_two_stage, rolling_avg,
+#      activity_islands, token_entropy, dup_matrix) — never
+#      driver-verified,
+#   5. 3 of the 17 r04-new single-green queries (dedup_priority /
+#      split_leakage_safe gained the components= reuse path this round so
+#      they must re-verify; dedup_semantic is the most intricate); the
+#      remaining 14 single-green-r04 queries rotate in next round —
+#      allowed out-of-window because r04 (the latest recorded round) has
+#      them green.
 # Every query outside the window is hash-green in the LATEST recorded
 # driver round or in >=2 prior rounds (tests/test_suite_order.py derives
 # and enforces this from the recorded CORRECTNESS files) AND in
@@ -102,14 +102,14 @@ _WINDOW_ORDER = [
     "canary_scan",
     "source_kl",
     "knn_two_stage",
-    # single-green (r04 only), intricate first — accumulate a second row
+    "rolling_avg",
+    "activity_islands",
+    "token_entropy",
+    "dup_matrix",
+    # single-green (r04 only): changed this round / most intricate
     "dedup_priority",
     "split_leakage_safe",
     "dedup_semantic",
-    "lm_score_bigram",
-    "pmi_topk",
-    "corpus_delta",
-    "event_outliers",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

@@ -1016,6 +1016,67 @@ def q_knn_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_WINDOW_S = 7 * 86400
+
+
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user moving average of event values — a time-RANGE
+    window over integer epoch micros (exact frame membership, tied
+    timestamps are peers in any engine), DECIMAL-exact mean."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import rolling_time_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_time_mean(
+        ev, "event_id", "user_id", "ts", "value", window_s=ROLLING_WINDOW_S
+    )
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-active-day streaks (gaps & islands): integer
+    epoch days, island id = day - row_number, one distinct + one window +
+    one aggregate all on the user partitioning."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import activity_streaks
+
+    ev = load_table(spark, sf_dir, "events")
+    return activity_streaks(ev, "user_id", "ts")
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy (nats): diversity/repetition
+    quality signal; integer-weighted rounded ln terms, DECIMAL-exact sum."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs, "doc_id", "text")
+
+
+def q_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash-LSH near-dup pairs labeled
+    with both docs' sources (order-normalized), counted per source pair —
+    the 'where does duplicate mass live' release diagnostic. Two bounded
+    equi-joins onto the pair list; output is |sources|^2-bounded."""
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=JACCARD_THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a"
+        )
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("source_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 # ---------------------------------------------------------------- oracles
 
 _HASH64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
@@ -2135,6 +2196,55 @@ ORACLES = {
         FROM cgw JOIN cw USING (w) JOIN tg USING (grp)
         GROUP BY cgw.grp
     """,
+    "rolling_avg": f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 6) AS mean
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+                     RANGE BETWEEN {ROLLING_WINDOW_S * 1_000_000} PRECEDING
+                           AND CURRENT ROW)
+    """,
+    "activity_islands": """
+        WITH days AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        ),
+        isl AS (
+          SELECT user_id, d,
+                 d - row_number() OVER (PARTITION BY user_id ORDER BY d ASC) AS island
+          FROM days
+        )
+        SELECT user_id, MIN(d) AS start_day, COUNT(*) AS streak_days
+        FROM isl GROUP BY user_id, island
+    """,
+    "token_entropy": rf"""
+        WITH t AS (
+          SELECT doc_id, unnest(list_filter({_TOKS}, x -> x <> '')) AS w
+          FROM documents
+        ),
+        c AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w),
+        a AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(CAST(c * ROUND(ln(CAST(c AS DOUBLE)), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS s
+          FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, n AS n_tokens,
+               ROUND(ln(CAST(n AS DOUBLE)) - s / n, 6) AS entropy
+        FROM a
+    """,
+    "dup_matrix": rf"""
+        WITH {_MINHASH_PAIRS_CTES},
+        lab AS (
+          SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.id_a
+          JOIN documents db ON db.doc_id = p.id_b
+        )
+        SELECT source_a, source_b, COUNT(*) AS n_pairs
+        FROM lab GROUP BY source_a, source_b
+    """,
     "knn_two_stage": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         es AS (SELECT vec_id, v[1:{TWO_STAGE_COARSE_DIMS}] AS v FROM e),
@@ -2220,4 +2330,8 @@ QUERIES = {
     "canary_scan": q_canary_scan,
     "source_kl": q_source_kl,
     "knn_two_stage": q_knn_two_stage,
+    "rolling_avg": q_rolling_avg,
+    "activity_islands": q_activity_islands,
+    "token_entropy": q_token_entropy,
+    "dup_matrix": q_dup_matrix,
 }

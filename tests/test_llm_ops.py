@@ -1198,3 +1198,60 @@ def test_knn_two_stage_full_pool_matches_brute_force(spark):
         knn_two_stage(emb, probes, "vec_id", "embedding", coarse_dims=8, pool=2, k=4)
     with pytest.raises(ValueError, match="coarse_dims"):
         knn_two_stage(emb, probes, "vec_id", "embedding", coarse_dims=0, pool=10, k=4)
+
+
+def test_rolling_time_mean_window_membership(spark):
+    """Rows outside the trailing window must not contribute; ties at the
+    boundary (exactly window_s old) are included."""
+    import datetime as dt
+
+    from chess_lakehouse_spark.operators.relational import rolling_time_mean
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 7, t0, 10.0),
+        (2, 7, t0 + dt.timedelta(seconds=50), 30.0),   # within 60s of row 1
+        (3, 7, t0 + dt.timedelta(seconds=120), 50.0),  # row 1 aged out, row 2 kept (70s>60? no: 120-50=70 -> out)
+        (4, 8, t0, 99.0),                              # other key: independent
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "ts", "v"])
+    got = {r.id: r.mean for r in rolling_time_mean(df, "id", "k", "ts", "v", window_s=60).collect()}
+    assert got[1] == 10.0
+    assert got[2] == 20.0          # (10+30)/2
+    assert got[3] == 50.0          # both earlier rows aged out (70s, 120s ago)
+    assert got[4] == 99.0
+
+
+def test_activity_streaks_islands(spark):
+    import datetime as dt
+
+    from chess_lakehouse_spark.operators.relational import activity_streaks
+
+    def day(n, h=3):
+        return dt.datetime(2026, 1, 1 + n, h)
+
+    rows = [
+        (7, day(0)), (7, day(0, 9)),  # same day twice -> one activity day
+        (7, day(1)), (7, day(2)),     # 3-day streak: days 0,1,2
+        (7, day(5)), (7, day(6)),     # 2-day streak: days 5,6
+        (9, day(3)),                  # other user: singleton
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = sorted(
+        (r.user_id, r.streak_days) for r in activity_streaks(df, "user_id", "ts").collect()
+    )
+    assert got == [(7, 2), (7, 3), (9, 1)]
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    import math
+
+    from chess_lakehouse_spark.functions.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a"), (3, "a a b b")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.n_tokens, r.entropy) for r in token_entropy(df, "doc_id", "text").collect()}
+    assert got[1] == (4, round(math.log(4), 6))  # uniform: H = ln(4)
+    assert got[2] == (4, 0.0)                    # single token: H = 0
+    assert abs(got[3][1] - math.log(2)) < 1e-5   # two equiprobable tokens
