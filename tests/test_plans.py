@@ -387,3 +387,70 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_canary_scan_single_scan_no_join(spark):
+    plan = explain(spark, llm.q_canary_scan(spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE)) == 1
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "text" in read and "doc_id" not in read  # pruned to text+source
+
+
+def test_sample_temperature_broadcast_rate_no_corpus_shuffle(spark):
+    plan = explain(spark, llm.q_sample_temperature(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the per-group rate table joins back via broadcast, never a sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_broadcast_bounds(spark):
+    plan = explain(spark, llm.q_winsorize(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # |groups|-row bounds frame
+    assert plan.count("Window") >= 1
+
+
+def test_source_kl_partial_agg_no_cartesian(spark):
+    plan = explain(spark, llm.q_source_kl(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight, Inner" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for counts
+
+
+def test_knn_two_stage_no_cartesian_broadcast_shortlist(spark):
+    plan = explain(spark, llm.q_knn_two_stage(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # rerank joins are hash joins keyed on ids (shortlist/probes broadcast)
+    assert "BroadcastHashJoin" in plan
+
+
+def _exchange_count(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+
+
+def test_rolling_avg_single_window_shuffle(spark):
+    plan = explain(spark, llm.q_rolling_avg(spark, SF_DIR))
+    assert "Join" not in plan
+    # one exchange for the per-user window, nothing else
+    assert _exchange_count(plan) == 1
+    assert "Window" in plan
+
+
+def test_activity_islands_one_shared_partitioning(spark):
+    plan = explain(spark, llm.q_activity_islands(spark, SF_DIR))
+    assert "Join" not in plan
+    # distinct + window + final agg all key on user: the distinct needs its
+    # own pre-shuffle; the window and aggregate must reuse, not re-shuffle
+    assert _exchange_count(plan) <= 2
+
+
+def test_token_entropy_partial_aggs(spark):
+    plan = explain(spark, llm.q_token_entropy(spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # two map-combined groupBys
