@@ -19,6 +19,8 @@ Usage:
     python scripts/pipeline_cli.py find-openings   --key K --inDir D --outDir O \
         --openingsDb openings_parquet_dir --dataSource LumbrasGigabase_Online
     python scripts/pipeline_cli.py export-parquet  --inDir D --outDir O [--outDb P]
+    python scripts/pipeline_cli.py clean-corpus    --inDir jsonl_glob --outDir O \
+        [--minQuality 2.2 --threshold 0.5 --evalFrac 0.05 --seed 0]
 """
 
 from __future__ import annotations
@@ -96,6 +98,68 @@ def cmd_export_parquet(args: argparse.Namespace) -> None:
         print(f"[export-parquet] sources={len(sources)} rows={n}")
 
 
+def cmd_clean_corpus(args: argparse.Namespace) -> None:
+    """Training-data stage (beyond the reference's surface): JSONL corpus →
+    corrupt-line quarantine → quality gate → near-dup canonical selection →
+    leakage-safe train/eval split → split-partitioned JSONL shards + a
+    dataset-card markdown.
+
+    The near-dup cluster table is computed ONCE and fed to both consumers
+    (canonical selection and the split) — the staged-components pattern
+    (operators/sampling.py: leakage_safe_split) that a 100 TB pipeline
+    materializes to the lake between stages.
+    """
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.text import quality_score
+    from chess_lakehouse_spark.operators.dedup import minhash_lsh_dedup
+    from chess_lakehouse_spark.operators.graph import connected_components
+    from chess_lakehouse_spark.operators.sampling import leakage_safe_split
+    from chess_lakehouse_spark.report import corpus_card
+    from chess_lakehouse_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl_shards,
+    )
+
+    spark = _spark()
+    out = Path(args.outDir)
+    docs, quarantined = split_corrupt(read_jsonl(spark, args.inDir))
+    n_bad = quarantined.count()
+    if n_bad:
+        quarantined.write.mode("overwrite").text(str(out / "quarantine"))
+
+    kept = docs.where(quality_score(F.col("text")) >= args.minQuality)
+    pairs = minhash_lsh_dedup(
+        kept, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=args.threshold
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))  # staged once
+    canonical = (
+        kept.join(comp, kept.doc_id == comp.id, "left")
+        .where(F.col("id").isNull() | (F.col("component") == F.col("doc_id")))
+        .drop("id", "component")
+    )
+    split = leakage_safe_split(
+        kept, "doc_id", eval_frac=args.evalFrac, seed=args.seed, components=comp
+    )
+    final = canonical.join(split.select("doc_id", "split"), "doc_id")
+    write_jsonl_shards(
+        final,
+        str(out / "corpus"),
+        max_records_per_file=args.maxRecordsPerFile,
+        partition_by=("split",),
+    )
+    published = spark.read.json(str(out / "corpus"))
+    card = corpus_card(published, "text")
+    (out / "dataset_card.md").write_text(card + "\n")
+    counts = {r.split: r.n for r in published.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(
+        f"[clean-corpus] in={docs.count()} quarantined={n_bad} "
+        f"kept={kept.count()} published={sum(counts.values())} "
+        f"train={counts.get('train', 0)} eval={counts.get('eval', 0)}"
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="pipeline_cli")
     sub = p.add_subparsers(dest="stage", required=True)
@@ -123,6 +187,16 @@ def main(argv: list[str] | None = None) -> None:
     ep.add_argument("--markdown", action="store_true",
                     help="render QC as markdown tables (reference: duckdb -markdown)")
     ep.set_defaults(fn=cmd_export_parquet)
+
+    cc = sub.add_parser("clean-corpus")
+    cc.add_argument("--inDir", required=True, help="JSONL corpus path/glob")
+    cc.add_argument("--outDir", required=True)
+    cc.add_argument("--minQuality", type=float, default=2.2)
+    cc.add_argument("--threshold", type=float, default=0.5, help="near-dup Jaccard threshold")
+    cc.add_argument("--evalFrac", type=float, default=0.05)
+    cc.add_argument("--seed", type=int, default=0)
+    cc.add_argument("--maxRecordsPerFile", type=int, default=100_000)
+    cc.set_defaults(fn=cmd_clean_corpus)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -413,3 +413,49 @@ def test_compact_partitions_preserves_padded_partition_values(spark, tmp_path):
         assert back.where(F.col("month") == "01").count() == 100
     finally:
         spark.conf.set(infer_key, prev)
+
+
+def test_pipeline_cli_clean_corpus(spark, tmp_path, capsys):
+    """The clean-corpus stage end-to-end: quarantine, quality gate, near-dup
+    canonical selection, leakage-safe split, split-partitioned shards, and
+    the dataset card — from one CLI invocation."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    lines = []
+    for i in range(20):
+        # disjoint vocabulary per doc; docs 0 and 1 are identical (planted dup)
+        text = " ".join(f"w{0 if i <= 1 else i}_{j}" for j in range(40))
+        lines.append(json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": f"s{i % 2}"}
+        ))
+    lines.append('{"doc_id": broken json')  # quarantine candidate
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "part0.jsonl").write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(out),
+        "--minQuality", "0.0", "--threshold", "0.5", "--evalFrac", "0.3",
+    ])
+
+    stdout = capsys.readouterr().out
+    assert "[clean-corpus]" in stdout and "quarantined=1" in stdout
+    assert (out / "quarantine").exists()
+    assert (out / "dataset_card.md").read_text().startswith("# Corpus card")
+    published = spark.read.json(str(out / "corpus")).collect()
+    # docs 0 and 1 are identical near-dups -> one canonical survives
+    assert len(published) == 19
+    assert {r.split for r in published} <= {"train", "eval"}
+    # deterministic: rerun produces the identical published set
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(out),
+        "--minQuality", "0.0", "--threshold", "0.5", "--evalFrac", "0.3",
+    ])
+    again = spark.read.json(str(out / "corpus")).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, published))
