@@ -1255,3 +1255,94 @@ def test_token_entropy_uniform_and_degenerate(spark):
     assert got[1] == (4, round(math.log(4), 6))  # uniform: H = ln(4)
     assert got[2] == (4, 0.0)                    # single token: H = 0
     assert abs(got[3][1] - math.log(2)) < 1e-5   # two equiprobable tokens
+
+
+def test_temperature_sample_nested_in_alpha(spark):
+    """Rates are monotone in alpha and the draw u is fixed per doc, so kept
+    sets must be NESTED: alpha=0.2 keeps a subset of alpha=0.8."""
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lo = {r.doc_id for r in temperature_sample(docs, "doc_id", "lang", alpha=0.2, seed=5).collect()}
+    hi = {r.doc_id for r in temperature_sample(docs, "doc_id", "lang", alpha=0.8, seed=5).collect()}
+    assert lo and lo <= hi
+
+
+def test_token_entropy_bounds_on_corpus(spark):
+    """0 <= H <= ln(n_tokens) for every document (with rounding slack)."""
+    import math
+
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.functions.text import token_entropy
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for r in token_entropy(docs, "doc_id", "text").collect():
+        assert -1e-5 <= r.entropy <= math.log(r.n_tokens) + 1e-5
+
+
+def test_activity_streaks_conserve_days(spark):
+    """Sum of streak lengths per user == number of distinct active days."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.operators.relational import activity_streaks
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        r.user_id: r.total
+        for r in activity_streaks(ev, "user_id", "ts")
+        .groupBy("user_id").agg(F.sum("streak_days").alias("total")).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in ev.select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .distinct().groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_rolling_time_mean_infinite_window_is_cumulative(spark):
+    """A window wider than the data span equals the running cumulative mean."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.operators.relational import rolling_time_mean
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(2000)
+    wide = rolling_time_mean(ev, "event_id", "user_id", "ts", "value",
+                             window_s=10 * 365 * 86400)
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts").asc())
+         .rangeBetween(Window.unboundedPreceding, 0))
+    cum = ev.select(
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w), 6,
+        ).alias("mean"),
+    )
+    got = {r.event_id: r.mean for r in wide.collect()}
+    want = {r.event_id: r.mean for r in cum.collect()}
+    assert got == want
+
+
+def test_winsorize_output_bounded_and_interior_untouched(spark):
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.operators.relational import winsorize
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = winsorize(ev, "event_id", "event_type", "value", 0.05, 0.95).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for grp in by_type.values():
+        los = min(r.clipped for r in grp)
+        his = max(r.clipped for r in grp)
+        n_clipped = sum(1 for r in grp if r.clipped != r.value)
+        # every raw value inside (lo, hi) passes through untouched
+        for r in grp:
+            if los < r.value < his:
+                assert r.clipped == r.value
+        # ~10% of each group sits outside [p05, p95]
+        assert 0 < n_clipped <= 0.2 * len(grp) + 2
