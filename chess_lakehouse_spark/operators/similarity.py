@@ -815,3 +815,98 @@ def knn_two_stage(
         .where(F.col("rk") <= k)
         .select("query_id", "cand_id", "sim", "rk")
     )
+
+
+def search_ivf_index_two_stage(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    coarse_dims: int = 16,
+    pool: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """The full production ANN read path, all three cost cuts composed:
+
+    1. **Partition pruning** (:func:`search_ivf_index`): only the probed
+       ``list_id=`` directories are read — the scan skips
+       (n_lists - nprobe)/n_lists of the corpus before any executor sees
+       a row.
+    2. **Prefix-dim coarse scoring** (:func:`knn_two_stage`): within the
+       pruned scan, candidates are scored on the first ``coarse_dims``
+       dimensions only and shortlisted to ``pool`` per query — the
+       dominant per-row CPU cost drops by dim/coarse_dims.
+    3. **Exact rerank**: the |probes| x pool shortlist (broadcast) joins
+       back to full vectors for the exact rounded cosine and final top-k.
+
+    Returns (query_id, cand_id, sim, rk) with EXACT full-dim sims; recall
+    is governed by (nprobe, pool) exactly as in the component operators.
+    """
+    if pool < k:
+        raise ValueError(f"search_ivf_index_two_stage: pool ({pool}) must be >= k ({k})")
+    cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
+    cent_arr = _centroid_literal_array(cent_rows)
+    qs = F.slice(as_double(F.col("qv")), 1, coarse_dims)
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
+        )
+        .withColumn("qvs", qs)
+        .withColumn("qn2s", dot(F.col("qvs"), F.col("qvs")))
+        .withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(_ranked_lists(cent_arr, F.col("qv"), F.col("qn2")), 1, nprobe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    probe_lists = sorted({r["list_id"] for r in p.select("list_id").distinct().collect()})
+    pruned = spark.read.parquet(index_dir).where(F.col("list_id").isin(probe_lists))
+    cs = F.slice(as_double(F.col("cv")), 1, coarse_dims)
+    c_coarse = pruned.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "list_id"
+    ).withColumn("cvs", cs).withColumn("cn2s", dot(F.col("cvs"), F.col("cvs")))
+    coarse_sim = F.round(
+        dot(F.col("qvs"), F.col("cvs")) / F.sqrt(F.col("qn2s") * F.col("cn2s")), 6
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("sim_c").desc(), F.col("cand_id").asc())
+    shortlist = (
+        c_coarse.join(p.select("query_id", "qvs", "qn2s", "list_id"), on="list_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", coarse_sim.alias("sim_c"))
+        .withColumn("crk", F.row_number().over(wc))
+        .where(F.col("crk") <= pool)
+        .select("query_id", "cand_id")
+    )
+    cand_full = pruned.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    q_full = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
+        )
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(cand_full, "cand_id")
+        .join(q_full, "query_id")
+        .select("query_id", "cand_id", _paired_cosine().alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id").asc())
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", "rk")
+    )

@@ -38,3 +38,45 @@ def test_ivf_index_publish_prune_and_match(spark, tmp_path):
 
     want = knn_ivf(emb, probes, "vec_id", "embedding", nprobe=2, k=5, centroids=cents)
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_ivf_index_two_stage_full_pool_matches_exact(spark, tmp_path):
+    """All three read-path cost cuts composed (partition pruning + coarse
+    prefix scoring + exact rerank): with every list probed and the pool as
+    large as the corpus, the result must equal exact brute force; with
+    nprobe < n_lists the scan stays partition-pruned."""
+    import pytest
+
+    from chess_lakehouse_spark.operators.similarity import (
+        knn_brute_force,
+        search_ivf_index_two_stage,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1, seed=0)
+    idx = str(tmp_path / "ivf2")
+    publish_ivf_index(emb, idx, "vec_id", "embedding", cents)
+    probes = emb.where(F.col("vec_id") < 3)
+
+    got = search_ivf_index_two_stage(
+        spark, idx, probes, "vec_id", "embedding", cents,
+        nprobe=4, coarse_dims=8, pool=n, k=5,
+    )
+    want = knn_brute_force(emb, probes, "vec_id", "embedding", k=5)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    pruned = search_ivf_index_two_stage(
+        spark, idx, probes, "vec_id", "embedding", cents,
+        nprobe=1, coarse_dims=8, pool=20, k=5,
+    )
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert pruned.count() > 0
+
+    with pytest.raises(ValueError, match="pool"):
+        search_ivf_index_two_stage(
+            spark, idx, probes, "vec_id", "embedding", cents, pool=2, k=5
+        )
