@@ -1346,3 +1346,29 @@ def test_winsorize_output_bounded_and_interior_untouched(spark):
                 assert r.clipped == r.value
         # ~10% of each group sits outside [p05, p95]
         assert 0 < n_clipped <= 0.2 * len(grp) + 2
+
+
+def test_new_operators_handle_empty_input(spark):
+    """Empty frames flow through every new operator without error and yield
+    empty results — the 'first day of an incremental pipeline' case."""
+    import datetime as dt
+
+    from chess_lakehouse_spark.functions.text import canary_hits, source_unigram_kl, token_entropy
+    from chess_lakehouse_spark.operators.relational import (
+        activity_streaks,
+        rolling_time_mean,
+        winsorize,
+    )
+    from chess_lakehouse_spark.operators.sampling import leakage_safe_split, temperature_sample
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string, source string")
+    ev = spark.createDataFrame([], "event_id long, user_id long, ts timestamp, value double")
+
+    assert temperature_sample(docs, "doc_id", "lang").count() == 0
+    assert canary_hits(docs, "text", ("x",), group_col="source").count() == 0
+    assert source_unigram_kl(docs, "source", "text").count() == 0
+    assert token_entropy(docs, "doc_id", "text").count() == 0
+    assert winsorize(ev, "event_id", "user_id", "value").count() == 0
+    assert rolling_time_mean(ev, "event_id", "user_id", "ts", "value", 60).count() == 0
+    assert activity_streaks(ev, "user_id", "ts").count() == 0
+    assert leakage_safe_split(docs, "doc_id", "text").count() == 0
