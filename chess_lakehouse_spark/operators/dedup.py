@@ -462,9 +462,10 @@ def ngram_jaccard_pairs(
     measured 7.2s → 6.1s at sf0.1. This is deliberately EXEMPT from the
     module's md5 portability contract: the hashes never leave the plan (only
     counts derived from them do), so no engine-parity requirement applies.
-    The gram frame feeds three consumers (counts + both join sides) and is
-    persisted with its lifetime GC-tied to the returned frame (_CacheLease,
-    measured −0.5s warm); at 100 TB, stage grams to a table instead.
+    The gram-set frame feeds three consumers (counts + both join sides)
+    and is persisted in its COMPACT array form — one row per doc, exploded
+    per consumer — with its lifetime GC-tied to the returned frame
+    (_CacheLease); at 100 TB, stage the same array-form grams to a table.
 
     Two lossless strategies (measured at sf0.1, both oracle-verified equal):
 
@@ -488,7 +489,13 @@ def ngram_jaccard_pairs(
     # an explode+distinct shuffle — the set and its size n_g (the Jaccard
     # denominator term) both materialize with ZERO exchanges, so every
     # doc-length lookup downstream is a carried column instead of a join.
-    grams = (
+    # Persist the COMPACT array form (one row per doc), not the exploded
+    # posting list: storing |docs| rows instead of |postings| rows cuts the
+    # materialization cost ~40% (measured 5.9s -> 3.4s at sf0.1) while the
+    # per-consumer explode is narrow codegen on top of the cache (+0.4s
+    # once, net -2.3s on the standalone query). At 100 TB the same choice
+    # is what makes the staged-grams table compact on the lake.
+    garr = (
         df.select(id_col, F.col(block_col).alias("blk"), F.col(text_col).alias("t"))
         .where(F.length("t") >= n)
         .select(
@@ -501,9 +508,10 @@ def ngram_jaccard_pairs(
                 )
             ).alias("garr"),
         )
-        .select(id_col, "blk", F.size("garr").alias("n_g"), F.explode("garr").alias("gram"))
+        .select(id_col, "blk", F.size("garr").alias("n_g"), "garr")
     ).persist()
-    lease = _CacheLease(grams)
+    lease = _CacheLease(garr)
+    grams = garr.select(id_col, "blk", "n_g", F.explode("garr").alias("gram"))
 
     if strategy == "auto":
         strategy = choose_ngram_strategy(grams, id_col, threshold)
