@@ -14,7 +14,11 @@ recompute-don't-mutate — SURVEY.md §2.4), `--openingsDb` takes a Parquet
 path/glob (or hf:// with huggingface_hub present), and `--outDb` writes a
 single combined Parquet directory instead of a .duckdb file.
 
+An example DVC wiring of the full stage DAG (the reference's dvc.yaml with
+the bun commands swapped for these stages) ships in examples/dvc.yaml.
+
 Usage:
+    python scripts/pipeline_cli.py materialize-openings --location L --target T
     python scripts/pipeline_cli.py read-pgn        --key K --inDir D --outDir O
     python scripts/pipeline_cli.py find-openings   --key K --inDir D --outDir O \
         --openingsDb openings_parquet_dir --dataSource LumbrasGigabase_Online
@@ -96,6 +100,18 @@ def cmd_export_parquet(args: argparse.Namespace) -> None:
         print(markdown_table(["Rows"], [[n]]))
     else:
         print(f"[export-parquet] sources={len(sources)} rows={n}")
+
+
+def cmd_materialize_openings(args: argparse.Namespace) -> None:
+    """Openings-dimension stage (reference dvc.yaml:3 — `CREATE TABLE IF NOT
+    EXISTS openings AS SELECT * FROM 'hf://...'`): idempotent snapshot of
+    the openings dataset into a Parquet target; a committed target is never
+    re-downloaded (same `IF NOT EXISTS` semantics, `_SUCCESS`-guarded)."""
+    from chess_lakehouse_spark.sources.openings import materialize_openings
+
+    spark = _spark()
+    dim = materialize_openings(spark, args.location, args.target)
+    print(f"[materialize-openings] target={args.target} rows={dim.count()}")
 
 
 def cmd_clean_corpus(args: argparse.Namespace) -> None:
@@ -187,6 +203,12 @@ def main(argv: list[str] | None = None) -> None:
     ep.add_argument("--markdown", action="store_true",
                     help="render QC as markdown tables (reference: duckdb -markdown)")
     ep.set_defaults(fn=cmd_export_parquet)
+
+    mo = sub.add_parser("materialize-openings")
+    mo.add_argument("--location", required=True,
+                    help="openings dataset: local/remote-FS glob dir, or hf:// with huggingface_hub")
+    mo.add_argument("--target", required=True, help="Parquet snapshot dir")
+    mo.set_defaults(fn=cmd_materialize_openings)
 
     cc = sub.add_parser("clean-corpus")
     cc.add_argument("--inDir", required=True, help="JSONL corpus path/glob")

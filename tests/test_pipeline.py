@@ -459,3 +459,23 @@ def test_pipeline_cli_clean_corpus(spark, tmp_path, capsys):
     ])
     again = spark.read.json(str(out / "corpus")).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, published))
+
+
+def test_pipeline_cli_materialize_openings_idempotent(spark, tmp_path, capsys):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    src = str(tmp_path / "remote")
+    spark.createDataFrame(OPENINGS, "eco string, name string, pgn string, uci string") \
+        .write.parquet(src)
+    target = str(tmp_path / "snap")
+    pipeline_cli.main(["materialize-openings", "--location", src, "--target", target])
+    assert f"rows={len(OPENINGS)}" in capsys.readouterr().out
+
+    import shutil
+    shutil.rmtree(src)  # committed target must be served without the source
+    pipeline_cli.main(["materialize-openings", "--location", src, "--target", target])
+    assert f"rows={len(OPENINGS)}" in capsys.readouterr().out
