@@ -11,10 +11,12 @@ from chess_lakehouse_spark.streaming.jobs import (
     running_user_counts,
     session_windows,
     sliding_event_counts,
+    stream_incremental_dedup,
     streaming_dedup,
 )
 
 __all__ = [
+    "stream_incremental_dedup",
     "corpus_ingest_clean",
     "hourly_event_counts",
     "read_documents_stream",

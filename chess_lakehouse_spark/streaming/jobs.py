@@ -252,3 +252,108 @@ def sliding_event_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n")
     )
+
+
+def stream_incremental_dedup(
+    new_docs: DataFrame,
+    corpus_dir: str,
+    sigs_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> None:
+    """The production daily-ingest dedup LOOP, streaming: each micro-batch
+    of new documents is near-dup-checked within itself AND against the
+    staged corpus (``incremental_near_dups`` — band equi-join against the
+    staged signature table, never a corpus self-join), detected pairs land
+    in ``pairs_dir``, and only the surviving canonicals are admitted: their
+    text is appended to ``corpus_dir`` and their MinHash signatures to
+    ``sigs_dir``, so every later batch dedups against everything admitted
+    before it.
+
+    Restart safety: foreachBatch replays a batch id after a crash, so every
+    write goes to a ``batch_id=N`` subdirectory with overwrite semantics —
+    a replayed batch rewrites its own partition byte-identically instead of
+    double-appending (the standard idempotent-foreachBatch contract). The
+    staged tables read back through the partition-discovering parent-dir
+    scan, so batch partitioning is invisible to consumers.
+
+    Cost per batch is the incremental shape: O(|batch|) shingling + one
+    band equi-join against staged signatures + candidate-bounded verify —
+    the corpus text is touched only for candidate ids. availableNow drains
+    and stops (test/backfill); production uses a live trigger on the same
+    plan.
+    """
+    from chess_lakehouse_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_lsh_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(hconf).exists(p)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            # within-batch near-dups: min id per pair is the batch canonical
+            intra = minhash_lsh_dedup(
+                batch_df, id_col, text_col,
+                k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
+            ).select(
+                F.col("id_a"), F.col("id_b"), "jaccard", F.lit("intra").alias("kind")
+            )
+            if _exists(spark, sigs_dir):
+                corpus_sigs = spark.read.parquet(sigs_dir)
+                corpus_docs = spark.read.parquet(corpus_dir)
+                cross = incremental_near_dups(
+                    batch_df, corpus_sigs, corpus_docs, id_col, text_col,
+                    k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
+                ).select(
+                    F.col("new_id").alias("id_a"),
+                    F.col("corpus_id").alias("id_b"),
+                    "jaccard",
+                    F.lit("cross").alias("kind"),
+                )
+            else:
+                cross = intra.limit(0)
+            pairs = intra.unionByName(cross).persist()
+            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+
+            # dropped: anything with a corpus near-dup, or the higher id of
+            # an intra-batch pair (min id stays, matching batch dedup)
+            dropped = (
+                pairs.where(F.col("kind") == "cross").select(F.col("id_a").alias(id_col))
+                .unionByName(
+                    pairs.where(F.col("kind") == "intra").select(F.col("id_b").alias(id_col))
+                )
+                .distinct()
+            )
+            admitted = batch_df.join(dropped, id_col, "left_anti").persist()
+            admitted.write.mode("overwrite").parquet(f"{corpus_dir}/batch_id={batch_id}")
+            sigs = minhash_signatures(
+                word_shingles(admitted, id_col, text_col, k=k), id_col, num_hashes=num_hashes
+            )
+            sigs.write.mode("overwrite").parquet(f"{sigs_dir}/batch_id={batch_id}")
+            pairs.unpersist()
+            admitted.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        new_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -317,3 +317,64 @@ def test_sliding_counts_match_batch(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_incremental_dedup_daily_drops(spark, tmp_path):
+    """The streaming daily-ingest dedup loop: drop 1 admits canonicals and
+    stages signatures; drop 2's near-dup of an ADMITTED doc is caught by
+    the cross-batch band join and kept out of the corpus; the checkpoint
+    prevents reprocessing on restart."""
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.streaming import stream_incremental_dedup
+
+    def doc(i, text):
+        return Row(doc_id=i, text=text)
+
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    third = " ".join(f"y{i}" for i in range(30))
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        import glob
+        import shutil
+
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet")
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_incremental_dedup(stream, corpus, sigs, pairs, ckpt,
+                                 k=3, num_hashes=8, band_size=2, threshold=0.5)
+
+    # drop 1: doc 1/2 are intra-batch identical; doc 3 distinct
+    land("d1", [doc(1, base), doc(2, base), doc(3, other)])
+    run()
+    admitted1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert admitted1 == {1, 3}  # intra dup 2 dropped, min id kept
+    p1 = {(r.id_a, r.id_b, r.kind) for r in spark.read.parquet(pairs).collect()}
+    assert (1, 2, "intra") in p1
+
+    # drop 2: doc 10 near-dups ADMITTED doc 1 (cross-batch); doc 11 is new
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    land("d2", [doc(10, near), doc(11, third)])
+    run()
+    admitted2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert admitted2 == {1, 3, 11}  # 10 rejected against the staged corpus
+    p2 = {(r.id_a, r.id_b, r.kind) for r in spark.read.parquet(pairs).collect()}
+    assert (10, 1, "cross") in p2
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    run()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 11}
+    assert {tuple(r) for r in spark.read.parquet(sigs).select("doc_id").collect()} \
+        == {(1,), (3,), (11,)}
