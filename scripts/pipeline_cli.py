@@ -124,6 +124,12 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
     (canonical selection and the split) — the staged-components pattern
     (operators/sampling.py: leakage_safe_split) that a 100 TB pipeline
     materializes to the lake between stages.
+
+    With ``--stageForStreaming`` the stage also writes the published
+    corpus + its MinHash signatures under ``batch_id=bootstrap``
+    partitions — the staged tables ``stream_incremental_dedup`` continues
+    from, so the batch backfill and the daily streaming loop form one
+    pipeline (integration-tested end-to-end).
     """
     from pyspark.sql import functions as F
 
@@ -168,6 +174,23 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
     published = spark.read.json(str(out / "corpus"))
     card = corpus_card(published, "text")
     (out / "dataset_card.md").write_text(card + "\n")
+    if args.stageForStreaming:
+        # Bootstrap the streaming daily-ingest loop (stream_incremental_dedup):
+        # stage the published canonicals' text and MinHash signatures under
+        # batch_id=bootstrap partitions so the stream's first live batch
+        # dedups against this batch-built corpus.
+        from chess_lakehouse_spark.operators.dedup import (
+            minhash_signatures,
+            word_shingles,
+        )
+
+        canon_docs = final.select("doc_id", "text", "lang", "source")
+        canon_docs.write.mode("overwrite").parquet(
+            str(out / "staged_corpus" / "batch_id=bootstrap")
+        )
+        minhash_signatures(
+            word_shingles(canon_docs, "doc_id", "text", k=3), "doc_id"
+        ).write.mode("overwrite").parquet(str(out / "staged_sigs" / "batch_id=bootstrap"))
     counts = {r.split: r.n for r in published.groupBy("split").agg(F.count("*").alias("n")).collect()}
     print(
         f"[clean-corpus] in={docs.count()} quarantined={n_bad} "
@@ -218,6 +241,9 @@ def main(argv: list[str] | None = None) -> None:
     cc.add_argument("--evalFrac", type=float, default=0.05)
     cc.add_argument("--seed", type=int, default=0)
     cc.add_argument("--maxRecordsPerFile", type=int, default=100_000)
+    cc.add_argument("--stageForStreaming", action="store_true",
+                    help="also stage the published corpus + MinHash signatures "
+                         "(batch_id=bootstrap) for stream_incremental_dedup to continue from")
     cc.set_defaults(fn=cmd_clean_corpus)
 
     args = p.parse_args(argv)

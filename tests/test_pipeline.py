@@ -479,3 +479,61 @@ def test_pipeline_cli_materialize_openings_idempotent(spark, tmp_path, capsys):
     shutil.rmtree(src)  # committed target must be served without the source
     pipeline_cli.main(["materialize-openings", "--location", src, "--target", target])
     assert f"rows={len(OPENINGS)}" in capsys.readouterr().out
+
+
+def test_clean_corpus_bootstraps_streaming_loop(spark, tmp_path):
+    """Batch backfill -> streaming continuation: clean-corpus stages the
+    published corpus + signatures, and stream_incremental_dedup's first
+    live drop is near-dup-checked against that batch-built corpus."""
+    import glob
+    import json
+    import shutil
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import Row
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    from chess_lakehouse_spark.streaming import stream_incremental_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        json.dumps({"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(40)),
+                    "lang": "en", "source": "s0"})
+        for i in range(8)
+    ]
+    (src / "part0.jsonl").write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(out),
+        "--minQuality", "0.0", "--evalFrac", "0.2", "--stageForStreaming",
+    ])
+    staged_corpus = str(out / "staged_corpus")
+    staged_sigs = str(out / "staged_sigs")
+    assert spark.read.parquet(staged_sigs).count() == 8
+
+    # streaming drop: doc 100 near-dups batch-published doc 2; doc 101 is new
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    near = " ".join(f"w2_{j}" for j in range(39)) + " zz"
+    fresh = " ".join(f"q{j}" for j in range(40))
+    staging = tmp_path / "_stage"
+    spark.createDataFrame([Row(doc_id=100, text=near, lang="en", source="live"),
+                           Row(doc_id=101, text=fresh, lang="en", source="live")]) \
+        .coalesce(1).write.parquet(str(staging))
+    shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], drops / "d1.parquet")
+
+    static = spark.read.parquet(str(drops))
+    stream = spark.readStream.schema(static.schema).parquet(str(drops))
+    stream_incremental_dedup(
+        stream, staged_corpus, staged_sigs, str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), k=3, num_hashes=8, band_size=2, threshold=0.5,
+    )
+    pairs = {(r.id_a, r.id_b, r.kind)
+             for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    assert (100, 2, "cross") in pairs
+    admitted = {r.doc_id for r in spark.read.parquet(staged_corpus).collect()}
+    assert 101 in admitted and 100 not in admitted and 2 in admitted
