@@ -315,6 +315,15 @@ def stream_incremental_dedup(
             )
             if _exists(spark, sigs_dir):
                 corpus_sigs = spark.read.parquet(sigs_dir)
+                want = {f"h{i}" for i in range(num_hashes)}
+                have = set(corpus_sigs.columns)
+                if not want <= have:
+                    raise ValueError(
+                        f"staged signature table {sigs_dir} has columns {sorted(have)} "
+                        f"but num_hashes={num_hashes} needs {sorted(want)} — the loop's "
+                        "MinHash parameters must match the staged table it continues "
+                        "(re-bootstrap the stage or pass the original num_hashes)"
+                    )
                 corpus_docs = spark.read.parquet(corpus_dir)
                 cross = incremental_near_dups(
                     batch_df, corpus_sigs, corpus_docs, id_col, text_col,

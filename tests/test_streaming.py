@@ -378,3 +378,36 @@ def test_stream_incremental_dedup_daily_drops(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 11}
     assert {tuple(r) for r in spark.read.parquet(sigs).select("doc_id").collect()} \
         == {(1,), (3,), (11,)}
+
+
+def test_stream_incremental_dedup_rejects_mismatched_sig_schema(spark, tmp_path):
+    """Continuing a staged signature table with different MinHash params
+    must fail loudly, not silently miss duplicates."""
+    import glob
+    import shutil
+
+    import pytest
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.streaming import stream_incremental_dedup
+
+    # staged table with only h0..h3 (num_hashes=4)
+    spark.createDataFrame([Row(doc_id=1, **{f"h{i}": "x" for i in range(4)})]) \
+        .write.parquet(str(tmp_path / "sigs" / "batch_id=bootstrap"))
+    spark.createDataFrame([Row(doc_id=1, text="a b c d")]) \
+        .write.parquet(str(tmp_path / "corpus" / "batch_id=bootstrap"))
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    staging = tmp_path / "_stage"
+    spark.createDataFrame([Row(doc_id=2, text="a b c d e")]).coalesce(1) \
+        .write.parquet(str(staging))
+    shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], drops / "d.parquet")
+
+    static = spark.read.parquet(str(drops))
+    stream = spark.readStream.schema(static.schema).parquet(str(drops))
+    with pytest.raises(Exception, match="num_hashes=8 needs"):
+        stream_incremental_dedup(
+            stream, str(tmp_path / "corpus"), str(tmp_path / "sigs"),
+            str(tmp_path / "pairs"), str(tmp_path / "ckpt"), num_hashes=8,
+        )
