@@ -329,6 +329,7 @@ def winsorize(
     value_col: str,
     lower_pct: float = 0.01,
     upper_pct: float = 0.99,
+    exact: bool = True,
 ) -> DataFrame:
     """Rank-based per-group winsorization: clip ``value_col`` to the exact
     [lower_pct, upper_pct] quantile values of its group — the robust-stats
@@ -340,10 +341,15 @@ def winsorize(
     arithmetic, no interpolation, so any engine picks the identical
     threshold row. Plan: one window shuffle keyed by the group computes
     ranks, the two threshold rows per group collapse to a |groups|-row
-    frame, broadcast back onto the unclipped rows. At 100 TB swap the
-    exact rank for approx_percentile per group (same clip join; the
-    rank window's per-group sort is the scale bound), mirroring the
-    quality_buckets exact-for-oracle / approx-at-scale contract.
+    frame, broadcast back onto the unclipped rows.
+
+    ``exact=False`` is the 100 TB path (mirroring the quality_buckets
+    exact-for-oracle / approx-at-scale contract): group thresholds come
+    from ``approx_percentile`` in one map-combined aggregate — no rank
+    window, no per-group sort — and the identical broadcast clip join
+    follows. The exact form exists for oracle checkability and small
+    groups; at scale the sketch error (~1e-4 relative rank) is far below
+    the clip percentiles' own arbitrariness.
 
     Returns (id, group, value, clipped).
     """
@@ -358,20 +364,26 @@ def winsorize(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("value"),
     )
-    w = Window.partitionBy("grp").orderBy(F.col("value").asc(), F.col("id").asc())
-    ranked = base.select(
-        "grp",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
-    )
-    lo_rn = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(lower_pct)))
-    hi_rn = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(upper_pct)))
-    bounds = (
-        ranked.where((F.col("rn") == lo_rn) | (F.col("rn") == hi_rn))
-        .groupBy("grp")
-        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    )
+    if exact:
+        w = Window.partitionBy("grp").orderBy(F.col("value").asc(), F.col("id").asc())
+        ranked = base.select(
+            "grp",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+        )
+        lo_rn = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(lower_pct)))
+        hi_rn = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(upper_pct)))
+        bounds = (
+            ranked.where((F.col("rn") == lo_rn) | (F.col("rn") == hi_rn))
+            .groupBy("grp")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        )
+    else:
+        bounds = base.groupBy("grp").agg(
+            F.expr(f"approx_percentile(value, {lower_pct}, 10000)").alias("lo"),
+            F.expr(f"approx_percentile(value, {upper_pct}, 10000)").alias("hi"),
+        )
     return (
         base.join(F.broadcast(bounds), "grp")
         .select(
