@@ -477,3 +477,48 @@ def activity_streaks(
         .agg(F.min("day").alias("start_day"), F.count(F.lit(1)).alias("streak_days"))
         .select(F.col("key").alias(key_col), "start_day", "streak_days")
     )
+
+
+def score_buckets(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_buckets: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Global score stratification: every row tagged with its quantile
+    bucket (1..n_buckets) — the 'quality deciles' step of corpus curation.
+
+    ``exact=True``: ntile over the (score, id) total order — one global
+    sort, chosen when bucket boundaries must be engine-exact (the oracle
+    form). ``exact=False`` is the 100 TB path: the n-1 cut points come
+    from ONE ``approx_percentile`` aggregate (no global sort anywhere),
+    ship as a 1-row broadcast, and the bucket is a map-side count of cut
+    points below the score. Bucket populations then deviate only by the
+    sketch's ~1e-4 relative rank error; ties at a cut point go to the
+    upper bucket deterministically.
+
+    Returns the input columns plus ``bucket`` (int).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"score_buckets: n_buckets must be >= 1, got {n_buckets}")
+    if exact:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        return df.withColumn("bucket", F.ntile(n_buckets).over(w).cast("int"))
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    cuts = df.agg(
+        F.expr(f"approx_percentile({score_col}, array({qs}), 10000)").alias("cuts")
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            (
+                F.lit(1)
+                + F.size(F.filter(F.col("cuts"), lambda c: c < F.col(score_col)))
+            ).cast("int"),
+        )
+        .drop("cuts")
+    )

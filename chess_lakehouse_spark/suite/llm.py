@@ -416,20 +416,17 @@ QUALITY_N_BUCKETS = 10
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score stratification: exact deciles over the composite
     quality score (ntile with a doc_id tie-break so both engines cut
-    identically), then per-bucket population stats. The exact global ntile
-    is chosen for oracle checkability; the 100 TB path swaps in
-    approx-quantile cut points (one pass, no global sort) with the same
-    downstream aggregation."""
+    identically), then per-bucket population stats. Exact form for oracle
+    checkability; `score_buckets(exact=False)` is the one-pass
+    approx-cutpoint 100 TB path (pytest-pinned against this form)."""
     apply_runtime_conf(spark)
-    from pyspark.sql.window import Window
-
     from chess_lakehouse_spark.functions.text import quality_metrics
+    from chess_lakehouse_spark.operators.relational import score_buckets
 
     docs = load_table(spark, sf_dir, "documents")
     m = quality_metrics(docs, "doc_id", "text")
-    w = Window.orderBy(F.col("quality_score").asc(), F.col("doc_id").asc())
     return (
-        m.withColumn("bucket", F.ntile(QUALITY_N_BUCKETS).over(w).cast("int"))
+        score_buckets(m, "doc_id", "quality_score", n_buckets=QUALITY_N_BUCKETS, exact=True)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

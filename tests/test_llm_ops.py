@@ -1398,3 +1398,33 @@ def test_winsorize_approx_matches_exact_at_high_accuracy(spark):
         ._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert "Window" not in plan
+
+
+def test_score_buckets_exact_and_approx(spark):
+    """Exact ntile stratification vs the one-pass approx-cutpoint scale
+    path: identical bucket labels at high sketch accuracy on this data,
+    and the approx plan carries no Window."""
+    from chess_lakehouse_spark.catalog import load_table
+    from chess_lakehouse_spark.functions.text import quality_metrics
+    from chess_lakehouse_spark.operators.relational import score_buckets
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    m = quality_metrics(docs, "doc_id", "text")
+    exact = {r.doc_id: r.bucket
+             for r in score_buckets(m, "doc_id", "quality_score", 10).collect()}
+    approx = {r.doc_id: r.bucket
+              for r in score_buckets(m, "doc_id", "quality_score", 10, exact=False).collect()}
+    assert set(exact) == set(approx)
+    # sketch boundaries may shift ties by one bucket; almost all agree
+    agree = sum(1 for k in exact if exact[k] == approx[k])
+    assert agree >= 0.95 * len(exact)
+    assert set(approx.values()) <= set(range(1, 11))
+
+    plan = score_buckets(m, "doc_id", "quality_score", 10, exact=False) \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "Window" not in plan
+
+    import pytest
+    with pytest.raises(ValueError, match="n_buckets"):
+        score_buckets(m, "doc_id", "quality_score", 0)
