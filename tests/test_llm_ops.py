@@ -1428,3 +1428,32 @@ def test_score_buckets_exact_and_approx(spark):
     import pytest
     with pytest.raises(ValueError, match="n_buckets"):
         score_buckets(m, "doc_id", "quality_score", 0)
+
+
+def test_md5_hash64_parity_with_duckdb_sweep(spark):
+    """The portable-hash contract every sampling/dedup membership decision
+    rests on: Spark's conv(substr(md5,1,15),16,10) must equal DuckDB's
+    CAST('0x'||substr(md5,1,15) AS BIGINT) on a diverse string sweep
+    (unicode, whitespace, empties, long strings, seed-prefixed forms)."""
+    import random
+
+    import duckdb
+
+    from chess_lakehouse_spark.operators.dedup import md5_hash64
+
+    rng = random.Random(7)
+    samples = (
+        ["", " ", "a", "0|1", "5|x y z", "héllo wörld", "多语言 текст", "\t\n"]
+        + ["".join(rng.choices("abcdefghij |0123456789", k=rng.randint(1, 200)))
+           for _ in range(192)]
+    )
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {r.s: r.h for r in df.select("s", md5_hash64(F.col("s")).alias("h")).collect()}
+
+    con = duckdb.connect()
+    want = {}
+    for s in samples:
+        want[s] = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", [s]
+        ).fetchone()[0]
+    assert got == want
