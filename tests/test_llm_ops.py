@@ -1457,3 +1457,34 @@ def test_md5_hash64_parity_with_duckdb_sweep(spark):
             "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", [s]
         ).fetchone()[0]
     assert got == want
+
+
+def test_dot_fold_parity_with_duckdb_sweep(spark):
+    """The vector contract: Spark's sequential F.aggregate fold must be
+    bit-identical to DuckDB's list_dot_product over DOUBLE[] — the claim
+    every cosine in the suite rests on, swept over random vectors
+    (including denormal-ish tiny values and mixed signs)."""
+    import random
+    import struct
+
+    import duckdb
+
+    from chess_lakehouse_spark.operators.similarity import dot
+
+    rng = random.Random(11)
+
+    def vec(n):
+        return [rng.uniform(-2, 2) * (10 ** rng.randint(-6, 2)) for _ in range(n)]
+
+    pairs = [(vec(n), vec(n)) for n in (1, 2, 7, 64) for _ in range(12)]
+    df = spark.createDataFrame([(i, a, b) for i, (a, b) in enumerate(pairs)],
+                               ["i", "a", "b"])
+    got = {r.i: r.d for r in df.select("i", dot(F.col("a"), F.col("b")).alias("d")).collect()}
+
+    con = duckdb.connect()
+    for i, (a, b) in enumerate(pairs):
+        want = con.execute(
+            "SELECT list_dot_product(CAST(? AS DOUBLE[]), CAST(? AS DOUBLE[]))", [a, b]
+        ).fetchone()[0]
+        # bit-identity, not approximate equality
+        assert struct.pack("<d", got[i]) == struct.pack("<d", want), (i, got[i], want)
