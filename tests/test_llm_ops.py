@@ -1488,3 +1488,29 @@ def test_dot_fold_parity_with_duckdb_sweep(spark):
         ).fetchone()[0]
         # bit-identity, not approximate equality
         assert struct.pack("<d", got[i]) == struct.pack("<d", want), (i, got[i], want)
+
+
+def test_round_ln_ratio_parity_with_duckdb_sweep(spark):
+    """The third portability pillar: ROUND(ln(intA/intB), 6) must agree
+    between engines for the integer-ratio inputs used by the PMI / LM /
+    KL / entropy oracles — swept over magnitude-spanning count pairs."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(13)
+    pairs = [(rng.randint(1, 10**9), rng.randint(1, 10**9)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {
+        (r.a, r.b): r.v
+        for r in df.select(
+            "a", "b",
+            F.round(F.log(F.col("a").cast("double") / F.col("b").cast("double")), 6).alias("v"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT ROUND(ln(CAST(? AS DOUBLE) / CAST(? AS DOUBLE)), 6)", [a, b]
+        ).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
