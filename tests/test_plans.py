@@ -454,3 +454,20 @@ def test_token_entropy_partial_aggs(spark):
     plan = explain(spark, llm.q_token_entropy(spark, SF_DIR))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # two map-combined groupBys
+
+
+def test_no_cartesian_product_in_any_query_plan(spark):
+    """Global scale guard: NO query in the whole suite may plan a
+    CartesianProduct — the one join shape that is categorically fatal at
+    100 TB. (BroadcastNestedLoopJoin with a bounded broadcast side — probe
+    sets, 1-row scalar frames — is legitimate and distinct.) Building all
+    94 plans also smoke-tests every query's analysis under the test
+    session."""
+    from chess_lakehouse_spark import suite
+
+    offenders = {}
+    for name, fn in suite.QUERIES.items():
+        plan = explain(spark, fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders, f"cartesian joins planned: {sorted(offenders)}"
