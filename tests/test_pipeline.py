@@ -537,3 +537,29 @@ def test_clean_corpus_bootstraps_streaming_loop(spark, tmp_path):
     assert (100, 2, "cross") in pairs
     admitted = {r.doc_id for r in spark.read.parquet(staged_corpus).collect()}
     assert 101 in admitted and 100 not in admitted and 2 in admitted
+
+
+def test_example_dvc_stages_reference_real_cli_subcommands():
+    """examples/dvc.yaml must only invoke pipeline_cli subcommands and flags
+    that the parser registers — the example must not rot."""
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    text = (repo / "examples" / "dvc.yaml").read_text()
+    cli_src = (repo / "scripts" / "pipeline_cli.py").read_text()
+
+    cmds = re.findall(
+        r"python scripts/pipeline_cli\.py ([a-z-]+)((?:\s+--\S+(?:\s+(?!--)\S+)?)*)",
+        text,
+    )
+    stages = [(s, re.findall(r"(--[A-Za-z]+)", flagstr)) for s, flagstr in cmds]
+    assert {s for s, _ in stages} == {
+        "materialize-openings", "read-pgn", "find-openings",
+        "export-parquet", "clean-corpus",
+    }
+    for stage, flags in stages:
+        assert f'add_parser("{stage}")' in cli_src, f"unknown stage in example: {stage}"
+        assert flags, f"stage {stage} example shows no flags"
+        for f in flags:
+            assert f'"{f}"' in cli_src, f"unknown flag in example: {stage} {f}"
