@@ -16,6 +16,6 @@ operator designed for a 1000-executor / 100 TB deployment even
 though tests run on local mode.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 from chess_lakehouse_spark.session import get_spark  # noqa: F401

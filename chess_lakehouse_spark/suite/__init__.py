@@ -22,6 +22,12 @@ Determinism contract (so the driver's order-insensitive value-hash matches):
   driver-safe oracle output types is {BIGINT, INTEGER, DOUBLE, VARCHAR,
   BOOLEAN}, enforced by tests/test_oracle_types.py (r4 postmortem:
   chunk_dedup / dq_check / budget_sample).
+
+The three cross-engine portability pillars these rules rest on are each
+sweep-tested in tests/test_llm_ops.py: the md5-derived 60-bit hash
+(Spark conv == DuckDB CAST hex), the sequential double fold
+(F.aggregate == list_dot_product, bit-identical), and ROUND(ln(int
+ratio), 6).
 """
 
 from __future__ import annotations
