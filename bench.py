@@ -111,6 +111,10 @@ def main() -> None:
 
     budget = 1800
     compact = dict(out)
+    if failures:
+        # failure messages can be long; the compact line carries only the
+        # names (full messages stay in BENCH_FULL.json)
+        compact["failures"] = {"n": len(failures), "names": sorted(failures)[:10]}
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
     for keep in range(len(ranked), -1, -1):
         shown = dict(ranked[:keep])
