@@ -49,6 +49,192 @@ def write_partitioned(
     )
 
 
+def write_clustered(
+    df: DataFrame,
+    out_dir: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Range-clustered sorted Parquet write: the data-layout lever BETWEEN
+    Hive partitioning (directory pruning) and nothing — Parquet footers
+    carry per-column min/max for every file and row group, and the scan
+    skips any unit whose [min,max] cannot satisfy a pushed predicate. That
+    skipping is only effective if the writer CLUSTERS values, so:
+
+    ``repartitionByRange`` (sampled, scale-safe range boundaries — no
+    driver materialization) makes the files cover DISJOINT key ranges, and
+    ``sortWithinPartitions`` tightens every row group inside each file.
+    A point/range predicate on ``cluster_cols[0]`` then touches O(1) of the
+    ``n_files`` files instead of all of them — at 100 TB the difference
+    between a 100 TB scan and a few-GB one for selective queries.
+
+    Reference parity: the reference has no intra-partition layout control
+    at all (``COPY ... PARTITION_BY`` only, src/export-to-parquet.ts:106-110);
+    this is the idiomatic lake-side upgrade. Single-column clustering wins
+    for one dominant predicate column; for two or three, use
+    ``write_zordered`` which trades per-column tightness for multi-column
+    skipping. Evidence: tests/test_clustering.py reads the written footers
+    with pyarrow and asserts disjoint per-file ranges + skip counts.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(out_dir)
+    )
+
+
+def zorder_key(
+    df: DataFrame,
+    cluster_cols: Sequence[str],
+    bits_per_col: int = 8,
+    rel_err: float = 0.01,
+):
+    """Z-order (Morton) key as a pure Column expression.
+
+    Each column is rank-bucketed into ``2**bits_per_col`` quantile buckets
+    (ONE approxQuantile pass computes the cutpoints for ALL columns; the
+    driver holds |cols| * 2**bits cutpoints — bounded), then the bucket
+    ids' bits are interleaved so that rows close in the z-value are close
+    in EVERY clustered dimension at once. Everything after the one stats
+    pass is a pure JVM column expression (a bounded fold over the literal
+    cutpoint array + bits*|cols| shift/mask terms) — no Python in the row
+    path, whole-stage-codegen friendly.
+
+    Quantile bucketing (not min/max linear bucketing) is deliberate: it is
+    skew-proof — each bucket holds ~equal row mass, so heavy-hitter values
+    cannot collapse the curve onto a few codes. NULLs map to bucket 0.
+    """
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    numeric = [F.col(c).cast("double") for c in cluster_cols]
+    stats_df = df.select(
+        *[c.alias(f"__q{i}") for i, c in enumerate(numeric)]
+    )
+    cutpoints = stats_df.approxQuantile(
+        [f"__q{i}" for i in range(len(cluster_cols))], probs, rel_err
+    )
+    z = F.lit(0).cast("long")
+    for i, (col, cuts) in enumerate(zip(numeric, cutpoints)):
+        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        # bucket id = #cutpoints <= value (sorted cuts => monotone rank)
+        bucket = F.aggregate(
+            cut_arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(c <= col, 1).otherwise(0),
+        )
+        bucket = F.when(col.isNull(), F.lit(0)).otherwise(bucket).cast("long")
+        for b in range(bits_per_col):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * len(cluster_cols) + i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    out_dir: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    bits_per_col: int = 8,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Multi-dimensional clustered write (Delta OPTIMIZE ZORDER-style, on
+    plain Parquet): range-partition + sort by the interleaved-bit
+    ``zorder_key`` so every file covers a compact region of the space-
+    filling curve — per-file min/max stay tight on EVERY clustered column
+    simultaneously, and selective predicates on ANY of them skip most
+    files. Use for the 2-3 columns that dominate the workload's predicates
+    when no single column does (single dominant column: ``write_clustered``
+    is strictly tighter).
+
+    Cost model at 100 TB: one sampled stats pass (approxQuantile) + one
+    range shuffle — the same shape as any sorted write; the z-expression
+    itself is JVM-side column math.
+    """
+    zc = "__zorder"
+    staged = df.withColumn(zc, zorder_key(df, cluster_cols, bits_per_col))
+    (
+        staged.repartitionByRange(n_files, F.col(zc))
+        .sortWithinPartitions(zc)
+        .drop(zc)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(out_dir)
+    )
+
+
+def write_skipping_manifest(
+    spark: SparkSession,
+    lake_dir: str,
+    stat_cols: Sequence[str],
+    manifest_dir: str | None = None,
+) -> str:
+    """Build a per-file min/max stats manifest for ``lake_dir`` — the
+    plain-Parquet equivalent of a table format's add-file statistics
+    (Delta/Iceberg data skipping), pairing with ``write_clustered`` /
+    ``write_zordered``: clustering makes per-file ranges tight, the
+    manifest makes them consultable WITHOUT touching the data files.
+
+    Built distributed (one column-pruned scan of just ``stat_cols``,
+    grouped by ``input_file_name()``) rather than by reading footers on the
+    driver: at 100 TB the footer walk is a million-file driver loop, while
+    this is an ordinary map-combined aggregation whose input is only the
+    stat columns' pages. Rebuild after compaction/merge (file set changed).
+
+    Returns the manifest path (default: ``<lake_dir>_manifest``).
+    """
+    out = manifest_dir or lake_dir.rstrip("/") + "_manifest"
+    df = spark.read.parquet(lake_dir)
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    man = (
+        df.select(F.input_file_name().alias("file"), *stat_cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    man.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    lake_dir: str,
+    ranges: dict[str, tuple],
+    manifest_dir: str | None = None,
+) -> DataFrame:
+    """Manifest-pruned read: consult the stats manifest, open ONLY the
+    files whose [min, max] can intersect every requested ``col: (lo, hi)``
+    range, and apply the residual predicate to the rows.
+
+    The driver materializes just the surviving FILE LIST (bounded by file
+    count, the same driver-side planning any table format does); the data
+    itself is never collected. With a clustered layout a point query opens
+    O(1) files — at 100 TB that is the difference between a full-lake scan
+    and a few tasks. Returns an empty DataFrame with the lake's schema
+    when no file qualifies.
+    """
+    man_path = manifest_dir or lake_dir.rstrip("/") + "_manifest"
+    man = spark.read.parquet(man_path)
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        cond = cond & (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
+    files = [r["file"] for r in man.filter(cond).select("file").collect()]
+    full = spark.read.parquet(lake_dir)
+    residual = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        residual = residual & F.col(c).between(F.lit(lo), F.lit(hi))
+    if not files:
+        return full.filter(F.lit(False))
+    return spark.read.parquet(*files).filter(residual)
+
+
 def qc_counts(spark: SparkSession, df: DataFrame, error_predicate=None) -> dict[str, int]:
     """The reference's QC probes: total row count + error-row count
     (src/read-pgn.ts:54-56, src/export-to-parquet.ts:102-104). One pass:

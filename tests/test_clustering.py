@@ -1,0 +1,186 @@
+"""Data-clustering layout operators: range-clustered and Z-ordered writes.
+
+These tests read the written Parquet FOOTERS back with pyarrow and measure
+the thing the operators exist to buy — tight per-file min/max statistics —
+rather than trusting the plan: a file whose [min, max] cannot satisfy a
+pushed predicate is skipped by the scan (file- and row-group-level), so
+footer tightness IS the 100 TB scan-pruning evidence.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from chess_lakehouse_spark.operators.publish import (
+    read_with_skipping,
+    write_clustered,
+    write_skipping_manifest,
+    write_zordered,
+    zorder_key,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_FILES = 8
+
+
+def _file_ranges(out_dir: str, column: str) -> list[tuple[float, float]]:
+    """Per-file (min, max) of ``column`` from the Parquet footer stats."""
+    ranges = []
+    for path in sorted(glob.glob(f"{out_dir}/*.parquet")):
+        meta = pq.ParquetFile(path).metadata
+        idx = meta.schema.names.index(column)
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        ranges.append((float(lo), float(hi)))
+    return ranges
+
+
+def _mean_coverage(ranges: list[tuple[float, float]]) -> float:
+    """Mean fraction of the global value range each file's stats span."""
+    glo = min(lo for lo, _ in ranges)
+    ghi = max(hi for _, hi in ranges)
+    span = ghi - glo
+    return sum((hi - lo) / span for lo, hi in ranges) / len(ranges)
+
+
+def _skippable(ranges: list[tuple[float, float]], point: float) -> int:
+    return sum(1 for lo, hi in ranges if point < lo or point > hi)
+
+
+def test_write_clustered_disjoint_ranges_and_point_skip(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "clustered")
+    write_clustered(li, out, ["l_orderkey"], n_files=N_FILES)
+
+    ranges = _file_ranges(out, "l_orderkey")
+    assert len(ranges) == N_FILES
+    # range partitioning => pairwise disjoint per-file key ranges
+    for (lo1, hi1), (lo2, hi2) in zip(sorted(ranges), sorted(ranges)[1:]):
+        assert hi1 <= lo2
+    # a point predicate can skip all but one file on footer stats alone
+    mid = sorted(ranges)[N_FILES // 2][0] + 1
+    assert _skippable(ranges, mid) == N_FILES - 1
+
+    # layout change only: content identical
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
+
+
+def test_write_clustered_beats_hash_layout(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    hashed = str(tmp_path / "hashed")
+    li.repartition(N_FILES).write.parquet(hashed)
+    clustered = str(tmp_path / "clustered")
+    write_clustered(li, clustered, ["l_orderkey"], n_files=N_FILES)
+
+    # hash layout: every file spans ~the whole key range -> no skipping
+    assert _mean_coverage(_file_ranges(hashed, "l_orderkey")) > 0.9
+    assert _mean_coverage(_file_ranges(clustered, "l_orderkey")) < 1 / (N_FILES - 1)
+
+
+def test_write_zordered_tightens_both_columns(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    hashed = str(tmp_path / "hashed")
+    li.repartition(N_FILES).write.parquet(hashed)
+    out = str(tmp_path / "zordered")
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], n_files=N_FILES)
+
+    for col in ("l_partkey", "l_suppkey"):
+        base = _mean_coverage(_file_ranges(hashed, col))
+        z = _mean_coverage(_file_ranges(out, col))
+        # every file must cover a strictly smaller slice of BOTH dimensions
+        # than the hash layout; a 1-D sort would leave the other column at
+        # ~full coverage, a 2-D z-curve tightens both at once.
+        assert base > 0.9
+        assert z < 0.75 * base, f"{col}: z={z:.3f} vs hash={base:.3f}"
+
+    back = spark.read.parquet(out)
+    assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
+
+
+def test_zorder_key_locality(spark):
+    """Rows adjacent on the z-curve are close in both dimensions: the key
+    of (bucket x, bucket y) interleaves bits, so the curve's endpoints map
+    to the corners of the 2-D bucket grid."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    z = zorder_key(li, ["l_partkey", "l_suppkey"], bits_per_col=4)
+    got = li.select(
+        z.alias("z"), "l_partkey", "l_suppkey"
+    ).orderBy("z")
+    rows = got.collect()
+    # z is monotone-bounded: 4 bits x 2 cols => z in [0, 2^8)
+    assert all(0 <= r["z"] < 256 for r in rows)
+    # the lowest z codes come from the low corner in BOTH columns, the
+    # highest from the high corner
+    lo, hi = rows[0], rows[-1]
+    pk = [r["l_partkey"] for r in rows]
+    sk = [r["l_suppkey"] for r in rows]
+    assert lo["l_partkey"] <= sorted(pk)[len(pk) // 4]
+    assert lo["l_suppkey"] <= sorted(sk)[len(sk) // 4]
+    assert hi["l_partkey"] >= sorted(pk)[-len(pk) // 4]
+    assert hi["l_suppkey"] >= sorted(sk)[-len(sk) // 4]
+
+
+def test_manifest_skipping_opens_one_file(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "lake")
+    write_clustered(li, out, ["l_orderkey"], n_files=N_FILES)
+    write_skipping_manifest(spark, out, ["l_orderkey"])
+
+    ranges = sorted(_file_ranges(out, "l_orderkey"))
+    lo, hi = ranges[N_FILES // 2]
+    point = int((lo + hi) // 2)
+    pruned = read_with_skipping(spark, out, {"l_orderkey": (point, point)})
+    # the manifest prunes the scan down to the single file that can match
+    assert len(pruned.inputFiles()) == 1
+    expect = li.filter(f"l_orderkey = {point}")
+    assert pruned.exceptAll(expect).count() == 0
+    assert expect.exceptAll(pruned).count() == 0
+
+
+def test_manifest_skipping_empty_range_keeps_schema(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "lake")
+    write_clustered(li, out, ["l_orderkey"], n_files=N_FILES)
+    write_skipping_manifest(spark, out, ["l_orderkey"])
+
+    empty = read_with_skipping(spark, out, {"l_orderkey": (-10, -5)})
+    assert empty.count() == 0
+    assert empty.schema == li.schema
+
+
+def test_manifest_multi_column_conjunction(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "lake")
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], n_files=N_FILES)
+    write_skipping_manifest(spark, out, ["l_partkey", "l_suppkey"])
+
+    pk = li.agg({"l_partkey": "min"}).collect()[0][0]
+    sk = li.agg({"l_suppkey": "min"}).collect()[0][0]
+    pruned = read_with_skipping(
+        spark, out, {"l_partkey": (pk, pk + 50), "l_suppkey": (sk, sk + 3)}
+    )
+    # z-layout + two-sided pruning: strictly fewer files than the lake holds
+    assert 0 < len(pruned.inputFiles()) < N_FILES
+    expect = li.filter(
+        f"l_partkey between {pk} and {pk + 50} and l_suppkey between {sk} and {sk + 3}"
+    )
+    assert pruned.exceptAll(expect).count() == 0
+    assert expect.exceptAll(pruned).count() == 0
+
+
+def test_zorder_key_null_safe(spark):
+    df = spark.createDataFrame(
+        [(None, 5.0), (1.0, None), (None, None), (2.0, 2.0)],
+        "a double, b double",
+    )
+    z = zorder_key(df, ["a", "b"], bits_per_col=2)
+    vals = [r[0] for r in df.select(z).collect()]
+    assert all(v is not None and v >= 0 for v in vals)
