@@ -168,6 +168,32 @@ def write_zordered(
     )
 
 
+def vacuum_lake(spark: SparkSession, lake_dir: str) -> list[str]:
+    """Remove crash leftovers around a lake directory: the ``.compacting``
+    staging copy and ``.old`` rollback copy that ``compact_partitions`` can
+    leave behind if interrupted, plus any ``_temporary`` task-attempt dirs
+    from a failed write inside the lake itself.
+
+    Safety rule: never touches the live lake's data files — only the three
+    well-known sidecar names this package itself creates. Returns the paths
+    it deleted. Run before re-attempting a failed compaction, or on a
+    maintenance schedule; at 100 TB a stranded ``.compacting`` copy is a
+    full extra lake of storage.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = lake_dir.rstrip("/")
+    removed: list[str] = []
+    for path_str in (base + ".compacting", base + ".old", base + "/_temporary"):
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            if not fs.delete(p, True):
+                raise IOError(f"vacuum_lake: failed to delete {path_str}")
+            removed.append(path_str)
+    return removed
+
+
 def write_skipping_manifest(
     spark: SparkSession,
     lake_dir: str,
@@ -232,7 +258,8 @@ def read_with_skipping(
         residual = residual & F.col(c).between(F.lit(lo), F.lit(hi))
     if not files:
         return full.filter(F.lit(False))
-    return spark.read.parquet(*files).filter(residual)
+    # basePath keeps Hive partition columns alive when reading leaf files
+    return spark.read.option("basePath", lake_dir).parquet(*files).filter(residual)
 
 
 def qc_counts(spark: SparkSession, df: DataFrame, error_predicate=None) -> dict[str, int]:

@@ -12,6 +12,7 @@ from __future__ import annotations
 import glob
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from chess_lakehouse_spark.operators.publish import (
     read_with_skipping,
@@ -174,6 +175,58 @@ def test_manifest_multi_column_conjunction(spark, tmp_path):
     )
     assert pruned.exceptAll(expect).count() == 0
     assert expect.exceptAll(pruned).count() == 0
+
+
+def test_manifest_skipping_keeps_hive_partition_columns(spark, tmp_path):
+    """Leaf-file reads drop Hive partition columns unless basePath is set —
+    the manifest-pruned read must preserve the full lake schema."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = str(tmp_path / "lake")
+    (
+        li.withColumn("flag", li.l_returnflag)
+        .repartition("flag")
+        .write.partitionBy("flag")
+        .parquet(out)
+    )
+    write_skipping_manifest(spark, out, ["l_orderkey"])
+    lo = li.agg({"l_orderkey": "min"}).collect()[0][0]
+    pruned = read_with_skipping(spark, out, {"l_orderkey": (lo, lo)})
+    assert "flag" in pruned.columns
+    assert pruned.count() == li.filter(f"l_orderkey = {lo}").count()
+    assert set(r["flag"] for r in pruned.select("flag").distinct().collect()) == set(
+        r["l_returnflag"]
+        for r in li.filter(f"l_orderkey = {lo}").select("l_returnflag").distinct().collect()
+    )
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Pin the column-expression bit interleave against an independent
+    Python Morton encoder over the same quantile cutpoints."""
+    import bisect
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(200)
+    bits = 4
+    cols = ["l_partkey", "l_suppkey"]
+    z = zorder_key(li, cols, bits_per_col=bits)
+    rows = li.select("l_partkey", "l_suppkey", z.alias("z")).collect()
+
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = li.select(
+        F.col(cols[0]).cast("double").alias("__q0"),
+        F.col(cols[1]).cast("double").alias("__q1"),
+    ).approxQuantile(["__q0", "__q1"], probs, 0.01)
+
+    def morton(vals):
+        out = 0
+        for i, (v, cut) in enumerate(zip(vals, cuts)):
+            bucket = bisect.bisect_right(sorted(cut), float(v))
+            for b in range(bits):
+                out |= ((bucket >> b) & 1) << (b * len(cols) + i)
+        return out
+
+    for r in rows:
+        assert r["z"] == morton([r["l_partkey"], r["l_suppkey"]])
 
 
 def test_zorder_key_null_safe(spark):

@@ -348,6 +348,29 @@ def test_merge_overwrite_touches_only_affected_partitions(spark, tmp_path):
     assert [os.path.getmtime(f) for f in untouched_files] == untouched_mtime
 
 
+def test_vacuum_lake_removes_only_sidecars(spark, tmp_path):
+    from chess_lakehouse_spark.operators.publish import vacuum_lake
+
+    lake = tmp_path / "lake"
+    spark.range(0, 10).write.parquet(str(lake))
+    data_before = sorted(r.id for r in spark.read.parquet(str(lake)).collect())
+    # simulate crash leftovers
+    (tmp_path / "lake.compacting").mkdir()
+    (tmp_path / "lake.compacting" / "part-0.parquet").write_bytes(b"x")
+    (tmp_path / "lake.old").mkdir()
+    (lake / "_temporary").mkdir()
+
+    removed = vacuum_lake(spark, str(lake))
+    assert len(removed) == 3
+    assert not (tmp_path / "lake.compacting").exists()
+    assert not (tmp_path / "lake.old").exists()
+    assert not (lake / "_temporary").exists()
+    # live data untouched
+    assert sorted(r.id for r in spark.read.parquet(str(lake)).collect()) == data_before
+    # idempotent: nothing left to remove
+    assert vacuum_lake(spark, str(lake)) == []
+
+
 def test_compact_partitions_reduces_files(spark, tmp_path):
     import glob
 
