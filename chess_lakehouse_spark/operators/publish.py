@@ -229,6 +229,63 @@ def write_skipping_manifest(
     return out
 
 
+def update_skipping_manifest(
+    spark: SparkSession,
+    lake_dir: str,
+    stat_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    affected: DataFrame,
+    manifest_dir: str | None = None,
+) -> str:
+    """Incrementally refresh the stats manifest after a partition-scoped
+    rewrite (``merge_overwrite``): drop the manifest rows whose files live
+    under the affected Hive partitions, re-scan ONLY those partition
+    directories, and splice the fresh stats in. A full
+    :func:`write_skipping_manifest` rebuild scans the whole lake; this
+    costs O(affected partitions) — the same proportionality contract as
+    the merge itself. (After ``compact_partitions``, which rewrites every
+    file, do a full rebuild instead.)
+
+    ``affected`` carries the distinct partition-value rows (the same frame
+    a merge derives from its updates); values must round-trip as directory
+    strings, so they are cast to string here exactly like the merge does.
+    Matching is on the ``/c1=v1/.../`` path segment, which is unique per
+    partition in a Hive layout.
+    """
+    man_path = manifest_dir or lake_dir.rstrip("/") + "_manifest"
+    vals = (
+        affected.select(
+            *[F.col(c).cast("string").alias(c) for c in partition_cols]
+        )
+        .distinct()
+        .collect()
+    )
+    segments = ["/".join(f"{c}={r[c]}" for c in partition_cols) for r in vals]
+    man = spark.read.parquet(man_path)
+    stale = F.lit(False)
+    for seg in segments:
+        stale = stale | F.col("file").contains(f"/{seg}/")
+    keep = man.filter(~stale)
+
+    base = lake_dir.rstrip("/")
+    dirs = [f"{base}/{seg}" for seg in segments]
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    fresh = (
+        spark.read.option("basePath", lake_dir)
+        .parquet(*dirs)
+        .select(F.input_file_name().alias("file"), *stat_cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    # materialize before overwriting the manifest the lineage reads
+    merged = keep.unionByName(fresh).localCheckpoint()
+    merged.coalesce(1).write.mode("overwrite").parquet(man_path)
+    return man_path
+
+
 def read_with_skipping(
     spark: SparkSession,
     lake_dir: str,
@@ -305,6 +362,7 @@ def merge_overwrite(
     updates: DataFrame,
     key_cols: Sequence[str],
     partition_cols: Sequence[str] = ("DataSource", "year", "month"),
+    evolve_schema: bool = False,
 ) -> None:
     """UPSERT into the partitioned lake without a table format: the
     functional answer to the reference's in-place ``UPDATE games SET ...``
@@ -327,6 +385,14 @@ def merge_overwrite(
     read with inference off and update partition values are cast to string;
     and the merged frame is materialized (localCheckpoint) BEFORE the write,
     because its lineage reads the very files the overwrite replaces.
+
+    ``evolve_schema=True`` is the additive-column path (the reference's
+    ``ALTER TABLE ... ADD COLUMN IF NOT EXISTS``, src/find-openings.ts:60,
+    expressed functionally): columns new in ``updates`` are added with
+    NULLs on surviving rows, columns absent from ``updates`` are NULLed on
+    update rows. Only the merged partitions gain the new column on disk —
+    read an evolved lake with ``option("mergeSchema", "true")`` so the
+    union schema wins over a single file's footer.
     """
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev_infer = spark.conf.get(infer_key)
@@ -341,7 +407,10 @@ def merge_overwrite(
     # partition-pruned read of only the affected partitions
     target = existing.join(F.broadcast(affected), on=list(partition_cols), how="left_semi")
     keep = target.join(updates.select(*key_cols), on=list(key_cols), how="left_anti")
-    merged = keep.unionByName(updates.select(*keep.columns)).localCheckpoint()
+    if evolve_schema:
+        merged = keep.unionByName(updates, allowMissingColumns=True).localCheckpoint()
+    else:
+        merged = keep.unionByName(updates.select(*keep.columns)).localCheckpoint()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -353,6 +422,92 @@ def merge_overwrite(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def delete_rows(
+    spark: SparkSession,
+    lake_dir: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] = ("DataSource", "year", "month"),
+) -> None:
+    """Row-level DELETE on the plain-Parquet lake — the right-to-be-
+    forgotten / takedown primitive a training-data lake must have. Same
+    functional shape as :func:`merge_overwrite`: rewrite only the
+    partitions that contain matching rows, via anti-join + dynamic
+    partition overwrite.
+
+    Pruning contract: if ``keys`` carries the partition columns, only
+    those partitions are scanned to locate victims; otherwise ONE pruned
+    pass over the lake finds the affected partitions first (cost ∝ lake
+    for the locate, ∝ affected partitions for the rewrite — ship partition
+    values with deletion requests whenever possible).
+
+    Dynamic partition overwrite has a deletion-specific trap this handles
+    explicitly: a partition whose rows are ALL deleted produces no output
+    rows, so the overwrite never touches it and the old files would
+    silently survive. Affected partitions with zero survivors are removed
+    through the FileSystem API after the write.
+    """
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        existing = spark.read.parquet(lake_dir)
+    finally:
+        spark.conf.set(infer_key, prev_infer)
+
+    if all(c in keys.columns for c in partition_cols):
+        affected = keys.select(
+            *[F.col(c).cast("string").alias(c) for c in partition_cols]
+        ).distinct()
+    else:
+        affected = (
+            existing.join(
+                keys.select(*key_cols), on=list(key_cols), how="left_semi"
+            )
+            .select(*partition_cols)
+            .distinct()
+        )
+    # bounded: one row per affected partition — needed below to clean up
+    # partitions that end up empty
+    affected_vals = affected.collect()
+    if not affected_vals:
+        return
+    affected = spark.createDataFrame(affected_vals, affected.schema)
+
+    target = existing.join(F.broadcast(affected), on=list(partition_cols), how="left_semi")
+    keep = target.join(keys.select(*key_cols), on=list(key_cols), how="left_anti")
+    merged = keep.localCheckpoint()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(lake_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    survivors = {
+        tuple(str(r[c]) for c in partition_cols)
+        for r in merged.select(*partition_cols).distinct().collect()
+    }
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = lake_dir.rstrip("/")
+    for r in affected_vals:
+        vals = tuple(str(r[c]) for c in partition_cols)
+        if vals in survivors:
+            continue
+        seg = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/{seg}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p) and not fs.delete(p, True):
+            raise IOError(f"delete_rows: failed to remove emptied partition {seg}")
 
 
 def compact_partitions(

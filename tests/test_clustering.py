@@ -15,7 +15,9 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from chess_lakehouse_spark.operators.publish import (
+    merge_overwrite,
     read_with_skipping,
+    update_skipping_manifest,
     write_clustered,
     write_skipping_manifest,
     write_zordered,
@@ -197,6 +199,51 @@ def test_manifest_skipping_keeps_hive_partition_columns(spark, tmp_path):
         r["l_returnflag"]
         for r in li.filter(f"l_orderkey = {lo}").select("l_returnflag").distinct().collect()
     )
+
+
+def test_update_skipping_manifest_matches_full_rebuild(spark, tmp_path):
+    """After a partition-scoped merge, the incremental manifest update must
+    equal a from-scratch rebuild (and replace exactly the stale rows)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    lake = str(tmp_path / "lake")
+    df = li.select(
+        "l_orderkey", "l_quantity", F.col("l_returnflag").alias("flag")
+    )
+    df.repartition("flag").write.partitionBy("flag").parquet(lake)
+    write_skipping_manifest(spark, lake, ["l_orderkey"])
+
+    # merge new rows into one partition only
+    updates = (
+        df.filter("flag = 'A'")
+        .limit(10)
+        .withColumn("l_quantity", F.lit(99.0))
+    )
+    merge_overwrite(
+        spark, lake, updates, key_cols=["l_orderkey"], partition_cols=["flag"]
+    )
+    update_skipping_manifest(
+        spark,
+        lake,
+        ["l_orderkey"],
+        ["flag"],
+        affected=updates.select("flag").distinct(),
+    )
+    incremental = spark.read.parquet(lake + "_manifest")
+
+    rebuilt_path = str(tmp_path / "manifest_full")
+    write_skipping_manifest(spark, lake, ["l_orderkey"], manifest_dir=rebuilt_path)
+    rebuilt = spark.read.parquet(rebuilt_path)
+
+    assert incremental.count() == rebuilt.count()
+    assert incremental.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(incremental).count() == 0
+
+    # and the pruned read still works against the updated manifest
+    lo = df.agg({"l_orderkey": "min"}).collect()[0][0]
+    pruned = read_with_skipping(spark, lake, {"l_orderkey": (lo, lo)})
+    expect = spark.read.parquet(lake).filter(f"l_orderkey = {lo}")
+    assert pruned.exceptAll(expect).count() == 0
+    assert expect.exceptAll(pruned).count() == 0
 
 
 def test_zorder_key_matches_python_reference(spark):

@@ -348,6 +348,87 @@ def test_merge_overwrite_touches_only_affected_partitions(spark, tmp_path):
     assert [os.path.getmtime(f) for f in untouched_files] == untouched_mtime
 
 
+def _mini_lake(spark, path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("val"),
+        F.when(F.col("id") < 40, "A").when(F.col("id") < 80, "B").otherwise("C").alias("p"),
+    )
+    df.repartition("p").write.partitionBy("p").parquet(path)
+    return df
+
+
+def test_delete_rows_prunes_and_preserves(spark, tmp_path):
+    import glob
+
+    from chess_lakehouse_spark.operators.publish import delete_rows
+
+    lake = str(tmp_path / "lake")
+    _mini_lake(spark, lake)
+    before_b = sorted(glob.glob(f"{lake}/p=B/*.parquet"))
+
+    # keys WITH partition values: only p=A is touched
+    keys = spark.createDataFrame([(3, "A"), (7, "A")], "id long, p string")
+    delete_rows(spark, lake, keys, key_cols=["id"], partition_cols=["p"])
+    back = spark.read.parquet(lake)
+    assert back.count() == 98
+    assert back.filter("id in (3, 7)").count() == 0
+    # untouched partition byte-stable
+    assert sorted(glob.glob(f"{lake}/p=B/*.parquet")) == before_b
+
+
+def test_delete_rows_without_partition_values_locates(spark, tmp_path):
+    from chess_lakehouse_spark.operators.publish import delete_rows
+
+    lake = str(tmp_path / "lake")
+    _mini_lake(spark, lake)
+    keys = spark.createDataFrame([(5,), (45,)], "id long")
+    delete_rows(spark, lake, keys, key_cols=["id"], partition_cols=["p"])
+    back = spark.read.parquet(lake)
+    assert back.count() == 98
+    assert back.filter("id in (5, 45)").count() == 0
+
+
+def test_delete_rows_removes_emptied_partition(spark, tmp_path):
+    from pathlib import Path
+
+    from chess_lakehouse_spark.operators.publish import delete_rows
+
+    lake = str(tmp_path / "lake")
+    _mini_lake(spark, lake)
+    # delete EVERY row of p=C: dynamic overwrite alone would leave the old
+    # files behind — the operator must remove the emptied directory
+    keys = spark.createDataFrame([(i, "C") for i in range(80, 100)], "id long, p string")
+    delete_rows(spark, lake, keys, key_cols=["id"], partition_cols=["p"])
+    assert not Path(f"{lake}/p=C").exists()
+    back = spark.read.parquet(lake)
+    assert back.count() == 80
+    assert set(r["p"] for r in back.select("p").distinct().collect()) == {"A", "B"}
+
+
+def test_merge_overwrite_evolve_schema_adds_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.publish import merge_overwrite
+
+    lake = str(tmp_path / "lake")
+    _mini_lake(spark, lake)
+    updates = spark.createDataFrame(
+        [(1, 111, "A", "checked")], "id long, val long, p string, note string"
+    )
+    merge_overwrite(
+        spark, lake, updates, key_cols=["id"], partition_cols=["p"], evolve_schema=True
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert "note" in back.columns
+    assert back.filter("id = 1").collect()[0]["note"] == "checked"
+    # surviving rows of the merged partition carry NULL for the new column
+    assert back.filter("p = 'A' and id <> 1 and note is not null").count() == 0
+    assert back.count() == 100
+
+
 def test_vacuum_lake_removes_only_sidecars(spark, tmp_path):
     from chess_lakehouse_spark.operators.publish import vacuum_lake
 
