@@ -25,6 +25,10 @@ Usage:
     python scripts/pipeline_cli.py export-parquet  --inDir D --outDir O [--outDb P]
     python scripts/pipeline_cli.py clean-corpus    --inDir jsonl_glob --outDir O \
         [--minQuality 2.2 --threshold 0.5 --evalFrac 0.05 --seed 0]
+    python scripts/pipeline_cli.py maintain-lake   --lakeDir L --op compact|vacuum|manifest \
+        [--partitionCols a,b --targetPartitions N --statCols x,y]
+    python scripts/pipeline_cli.py delete-rows     --lakeDir L --keysParquet P \
+        --keyCols id [--partitionCols a,b]
 """
 
 from __future__ import annotations
@@ -199,6 +203,50 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_maintain_lake(args: argparse.Namespace) -> None:
+    """Lake-maintenance stage: compaction, crash-sidecar vacuum, or
+    data-skipping manifest (re)build — the jobs a 100 TB lake schedules
+    periodically rather than per ingest."""
+    from chess_lakehouse_spark.operators.publish import (
+        compact_partitions,
+        vacuum_lake,
+        write_skipping_manifest,
+    )
+
+    spark = _spark()
+    pcols = [c for c in args.partitionCols.split(",") if c]
+    if args.op == "compact":
+        compact_partitions(
+            spark, args.lakeDir, partition_cols=pcols,
+            target_partitions=args.targetPartitions,
+        )
+        print(f"[maintain-lake] compacted {args.lakeDir}")
+    elif args.op == "vacuum":
+        removed = vacuum_lake(spark, args.lakeDir)
+        print(f"[maintain-lake] vacuumed {args.lakeDir} removed={len(removed)}")
+    else:  # manifest
+        if not args.statCols:
+            raise SystemExit("maintain-lake --op manifest requires --statCols")
+        scols = [c for c in args.statCols.split(",") if c]
+        path = write_skipping_manifest(spark, args.lakeDir, scols)
+        print(f"[maintain-lake] manifest {path} cols={','.join(scols)}")
+
+
+def cmd_delete_rows(args: argparse.Namespace) -> None:
+    """Row-level DELETE stage (takedown / right-to-be-forgotten): keys come
+    from a Parquet file; carrying the partition columns there makes the
+    delete partition-pruned."""
+    from chess_lakehouse_spark.operators.publish import delete_rows
+
+    spark = _spark()
+    keys = spark.read.parquet(args.keysParquet)
+    kcols = [c for c in args.keyCols.split(",") if c]
+    pcols = [c for c in args.partitionCols.split(",") if c]
+    n_keys = keys.count()
+    delete_rows(spark, args.lakeDir, keys, key_cols=kcols, partition_cols=pcols)
+    print(f"[delete-rows] lake={args.lakeDir} keys={n_keys}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="pipeline_cli")
     sub = p.add_subparsers(dest="stage", required=True)
@@ -245,6 +293,25 @@ def main(argv: list[str] | None = None) -> None:
                     help="also stage the published corpus + MinHash signatures "
                          "(batch_id=bootstrap) for stream_incremental_dedup to continue from")
     cc.set_defaults(fn=cmd_clean_corpus)
+
+    ml = sub.add_parser("maintain-lake")
+    ml.add_argument("--lakeDir", required=True)
+    ml.add_argument("--op", required=True, choices=["compact", "vacuum", "manifest"])
+    ml.add_argument("--partitionCols", default="DataSource,year,month",
+                    help="comma-separated Hive partition columns")
+    ml.add_argument("--targetPartitions", type=int, default=None,
+                    help="cap the compaction shuffle width")
+    ml.add_argument("--statCols", default=None,
+                    help="comma-separated stats columns (required for --op manifest)")
+    ml.set_defaults(fn=cmd_maintain_lake)
+
+    dr = sub.add_parser("delete-rows")
+    dr.add_argument("--lakeDir", required=True)
+    dr.add_argument("--keysParquet", required=True,
+                    help="Parquet of deletion keys; include partition cols to prune")
+    dr.add_argument("--keyCols", required=True, help="comma-separated key columns")
+    dr.add_argument("--partitionCols", default="DataSource,year,month")
+    dr.set_defaults(fn=cmd_delete_rows)
 
     args = p.parse_args(argv)
     args.fn(args)

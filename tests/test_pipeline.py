@@ -429,6 +429,54 @@ def test_merge_overwrite_evolve_schema_adds_column(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_pipeline_cli_lake_maintenance_stages(spark, tmp_path, capsys):
+    """maintain-lake (compact / vacuum / manifest) and delete-rows run
+    end-to-end over a small partitioned lake."""
+    import glob
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    lake = str(tmp_path / "lake")
+    _mini_lake(spark, lake)
+    # fragment it so compaction has something to do
+    spark.read.parquet(lake).repartition(8).write.mode("overwrite").partitionBy(
+        "p"
+    ).parquet(lake + "2")
+
+    pipeline_cli.main([
+        "maintain-lake", "--lakeDir", lake + "2", "--op", "compact",
+        "--partitionCols", "p",
+    ])
+    assert len(glob.glob(f"{lake}2/p=*/*.parquet")) <= 3
+
+    pipeline_cli.main([
+        "maintain-lake", "--lakeDir", lake + "2", "--op", "vacuum",
+        "--partitionCols", "p",
+    ])
+    pipeline_cli.main([
+        "maintain-lake", "--lakeDir", lake + "2", "--op", "manifest",
+        "--partitionCols", "p", "--statCols", "id,val",
+    ])
+    man = spark.read.parquet(lake + "2_manifest")
+    assert {"file", "min_id", "max_id", "min_val", "max_val"} <= set(man.columns)
+
+    keys = tmp_path / "keys"
+    spark.createDataFrame([(1, "A"), (2, "A")], "id long, p string").write.parquet(
+        str(keys)
+    )
+    pipeline_cli.main([
+        "delete-rows", "--lakeDir", lake + "2", "--keysParquet", str(keys),
+        "--keyCols", "id", "--partitionCols", "p",
+    ])
+    back = spark.read.parquet(lake + "2")
+    assert back.count() == 98 and back.filter("id in (1, 2)").count() == 0
+    out = capsys.readouterr().out
+    assert "[maintain-lake]" in out and "[delete-rows]" in out
+
+
 def test_vacuum_lake_removes_only_sidecars(spark, tmp_path):
     from chess_lakehouse_spark.operators.publish import vacuum_lake
 
@@ -660,7 +708,7 @@ def test_example_dvc_stages_reference_real_cli_subcommands():
     stages = [(s, re.findall(r"(--[A-Za-z]+)", flagstr)) for s, flagstr in cmds]
     assert {s for s, _ in stages} == {
         "materialize-openings", "read-pgn", "find-openings",
-        "export-parquet", "clean-corpus",
+        "export-parquet", "clean-corpus", "maintain-lake",
     }
     for stage, flags in stages:
         assert f'add_parser("{stage}")' in cli_src, f"unknown stage in example: {stage}"
