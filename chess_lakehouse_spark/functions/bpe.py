@@ -1,0 +1,187 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction.
+
+The tokenizer-training step of an LLM data pipeline, expressed Spark-first.
+The classic algorithm (Sennrich et al. 2016) iterates: count adjacent symbol
+pairs, merge the most frequent pair, repeat. The scale-critical observation
+is that BPE statistics live on the DISTINCT-WORD frequency table, not the
+corpus: a 100 TB corpus collapses to a ~10-100M-row (word, count) frame in
+one map-combined aggregation, and every merge round after that is a small
+job over that frame — pair counting is an explode over per-word symbol
+arrays weighted by the word count, the winning pair is a TakeOrdered(1)
+with a total order, and the merge itself is a JVM-side array fold. The
+driver holds only the merge list (bounded by n_merges).
+
+Reference surface parity note: the reference has no tokenizer (its text
+functions are the chess extension scalars, src/read-pgn.ts:48); this is
+part of the training-data extension surface (SURVEY.md §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: End-of-word marker appended to each word's final symbol, so merges can
+#: distinguish word-final from word-internal contexts (classic BPE).
+EOW = "</w>"
+
+#: Truncate the iterative lineage every this many merge rounds: each round
+#: rewrites the symbol arrays on top of the previous round's plan, and an
+#: unbounded plan stack is the classic iterative-algorithm failure mode
+#: (same pattern as operators/graph.py: connected_components).
+_CHECKPOINT_EVERY = 8
+
+
+def _word_symbols(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> distinct (word, n, syms) with syms = chars + EOW marker on
+    the last char. One explode + one map-combined count; everything after
+    operates on this vocabulary-bounded frame."""
+    words = (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = F.expr(
+        "transform("
+        "  transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+        f" (c, i) -> IF(i = length(w) - 1, c || '{EOW}', c))"
+    )
+    return words.select("w", "n", syms.alias("syms"))
+
+
+def _merge_expr(pa: str, pb: str):
+    """Array fold replacing every adjacent (pa, pb) with the concatenation —
+    left-to-right, non-overlapping (matches the sequential reference scan).
+
+    The fold carries (acc, pending) where ``pending`` is a 1-element buffer
+    holding a candidate ``pa`` that may still pair with the next symbol.
+    """
+    qa, qb = pa.replace("'", "\\'"), pb.replace("'", "\\'")
+    return F.expr(
+        "aggregate(syms,"
+        " named_struct('acc', CAST(array() AS array<string>), 'pend', CAST(NULL AS string)),"
+        " (s, x) -> CASE"
+        f"   WHEN s.pend = '{qa}' AND x = '{qb}'"
+        f"     THEN named_struct('acc', concat(s.acc, array('{qa}{qb}')), 'pend', CAST(NULL AS string))"
+        f"   WHEN x = '{qa}'"
+        "      THEN named_struct('acc', CASE WHEN s.pend IS NULL THEN s.acc ELSE concat(s.acc, array(s.pend)) END,"
+        f"                        'pend', x)"
+        "    ELSE named_struct('acc', concat(CASE WHEN s.pend IS NULL THEN s.acc ELSE concat(s.acc, array(s.pend)) END, array(x)),"
+        "                      'pend', CAST(NULL AS string)) END,"
+        " s -> CASE WHEN s.pend IS NULL THEN s.acc ELSE concat(s.acc, array(s.pend)) END)"
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus. Deterministic:
+    the winning pair has the total order (count DESC, pa ASC, pb ASC), so
+    any engine/partitioning learns the identical merge list (pinned against
+    a pure-Python reference implementation in tests/test_bpe.py).
+
+    Plan per round: adjacent pairs via a zip of the symbol array with its
+    tail (map-side), weighted count (map-combined partial agg), winner via
+    TakeOrderedAndProject(1); merge applied as a JVM array fold. Stops
+    early when the best pair's count falls below ``min_pair_count``.
+    """
+    if n_merges < 1:
+        raise ValueError(f"bpe_train: n_merges must be >= 1, got {n_merges}")
+    vocab = _word_symbols(df, text_col).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.expr("zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),"
+                       " (a, b) -> named_struct('pa', a, 'pb', b))")
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.pa", "p.pb")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pa").asc(), F.col("pb").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        pa, pb = best[0]["pa"], best[0]["pb"]
+        merges.append((pa, pb))
+        vocab = vocab.select("w", "n", _merge_expr(pa, pb).alias("syms"))
+        if (r + 1) % _CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list: (id, tokens).
+
+    This is one of the package's documented Arrow-batched Python
+    boundaries (alongside PGN parse and movetext normalize): applying
+    hundreds of merges as nested column expressions would stack n_merges
+    plan nodes per row, while a pandas UDF runs the standard
+    rank-priority merge loop per word with a per-batch word cache —
+    vectorized transfer, no per-row Python call overhead, embarrassingly
+    parallel over documents at 100 TB.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def _tok(texts):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = [c for c in w]
+            if syms:
+                syms[-1] = syms[-1] + EOW
+            while len(syms) > 1:
+                cand = [
+                    (ranks[(a, b)], i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in ranks
+                ]
+                if not cand:
+                    break
+                rk, i = min(cand)
+                pa, pb = merges[rk]
+                out = []
+                j = 0
+                while j < len(syms):
+                    if j < len(syms) - 1 and syms[j] == pa and syms[j + 1] == pb:
+                        out.append(pa + pb)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        return pd.Series(
+            [
+                [t for w in (s.split() if s else []) for t in word_tokens(w)]
+                for s in texts
+            ]
+        )
+
+    return df.select(F.col(id_col), _tok(F.col(text_col)).alias("tokens"))
