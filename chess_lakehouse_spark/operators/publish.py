@@ -25,6 +25,7 @@ def write_partitioned(
     mode: str = "overwrite",
     target_partitions: int | None = None,
     compression: str = "zstd",
+    sort_cols: Sequence[str] | None = None,
 ) -> None:
     """Hive-partitioned Parquet write with file-count control.
 
@@ -35,12 +36,23 @@ def write_partitioned(
     partition keys, pass target_partitions to cap the shuffle width and let
     AQE split skewed reducers.
 
+    ``sort_cols`` additionally sorts within each task by (partition cols,
+    sort cols): partition-col-first keeps one open writer per task (bounded
+    writer memory), and the sort cols give tight per-row-group min/max
+    inside every Hive partition — directory pruning from the partitioning
+    plus footer skipping from the clustering (see ``write_clustered`` for
+    the unpartitioned form).
+
     ``compression`` defaults to zstd: at 100 TB the lake's at-rest size and
     scan throughput both beat snappy (~30% smaller at comparable decode
     cost on modern CPUs); pass "snappy" to match older readers.
     """
     cols = [F.col(c) for c in partition_cols]
     repartitioned = df.repartition(target_partitions, *cols) if target_partitions else df.repartition(*cols)
+    if sort_cols:
+        repartitioned = repartitioned.sortWithinPartitions(
+            *partition_cols, *sort_cols
+        )
     (
         repartitioned.write.mode(mode)
         .option("compression", compression)

@@ -92,7 +92,10 @@ def cmd_export_parquet(args: argparse.Namespace) -> None:
     src_dirs = sorted(str(p) for p in Path(args.inDir).iterdir() if p.is_dir())
     sources = [spark.read.parquet(d) for d in src_dirs]
     combined = export_combined(sources)
-    write_partitioned(combined, args.outDir, ("DataSource", "year", "month"))
+    sort_cols = [c for c in (args.clusterBy or "").split(",") if c] or None
+    write_partitioned(
+        combined, args.outDir, ("DataSource", "year", "month"), sort_cols=sort_cols
+    )
     n = spark.read.parquet(args.outDir).count()
     if args.outDb:
         spark.read.parquet(args.outDir).write.mode("overwrite").parquet(args.outDb)
@@ -271,6 +274,9 @@ def main(argv: list[str] | None = None) -> None:
     ep.add_argument("--inDir", required=True)
     ep.add_argument("--outDir", required=True)
     ep.add_argument("--outDb", required=False, default=None)
+    ep.add_argument("--clusterBy", default=None,
+                    help="comma-separated columns to sort within each Hive "
+                         "partition (tight row-group min/max for footer skipping)")
     ep.add_argument("--markdown", action="store_true",
                     help="render QC as markdown tables (reference: duckdb -markdown)")
     ep.set_defaults(fn=cmd_export_parquet)

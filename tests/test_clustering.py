@@ -276,6 +276,25 @@ def test_zorder_key_matches_python_reference(spark):
         assert r["z"] == morton([r["l_partkey"], r["l_suppkey"]])
 
 
+def test_write_partitioned_sort_cols_orders_rows_in_files(spark, tmp_path):
+    """sort_cols clusters rows inside each Hive partition's files, so
+    row-group min/max stats are tight within every partition."""
+    from chess_lakehouse_spark.operators.publish import write_partitioned
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "flag", F.col("l_returnflag")
+    )
+    out = str(tmp_path / "lake")
+    write_partitioned(li, out, ("flag",), sort_cols=["l_orderkey"])
+    files = glob.glob(f"{out}/flag=*/*.parquet")
+    assert files
+    for path in files:
+        vals = pq.read_table(path, columns=["l_orderkey"])["l_orderkey"].to_pylist()
+        assert vals == sorted(vals)
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+
 def test_zorder_key_null_safe(spark):
     df = spark.createDataFrame(
         [(None, 5.0), (1.0, None), (None, None), (2.0, 2.0)],
