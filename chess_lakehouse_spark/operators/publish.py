@@ -314,6 +314,12 @@ def read_with_skipping(
     O(1) files — at 100 TB that is the difference between a full-lake scan
     and a few tasks. Returns an empty DataFrame with the lake's schema
     when no file qualifies.
+
+    Staleness contract: refresh the manifest after any mutation
+    (``update_skipping_manifest`` after a merge, full rebuild after
+    compaction). A stale manifest fails LOUDLY — pruned paths that no
+    longer exist raise at read — rather than silently serving rows from a
+    superseded lake state.
     """
     man_path = manifest_dir or lake_dir.rstrip("/") + "_manifest"
     man = spark.read.parquet(man_path)

@@ -198,6 +198,17 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         minhash_signatures(
             word_shingles(canon_docs, "doc_id", "text", k=3), "doc_id"
         ).write.mode("overwrite").parquet(str(out / "staged_sigs" / "batch_id=bootstrap"))
+    if args.bpeMerges:
+        # learn the tokenizer on the TRAIN split only (the eval split must
+        # not influence the vocabulary) and ship it as a pipeline artifact
+        from chess_lakehouse_spark.functions.bpe import bpe_train
+
+        merges = bpe_train(
+            published.where(F.col("split") == "train"), "text", args.bpeMerges
+        )
+        (out / "bpe_merges.txt").write_text(
+            "\n".join(f"{a}\t{b}" for a, b in merges) + ("\n" if merges else "")
+        )
     counts = {r.split: r.n for r in published.groupBy("split").agg(F.count("*").alias("n")).collect()}
     print(
         f"[clean-corpus] in={docs.count()} quarantined={n_bad} "
@@ -295,6 +306,9 @@ def main(argv: list[str] | None = None) -> None:
     cc.add_argument("--evalFrac", type=float, default=0.05)
     cc.add_argument("--seed", type=int, default=0)
     cc.add_argument("--maxRecordsPerFile", type=int, default=100_000)
+    cc.add_argument("--bpeMerges", type=int, default=0,
+                    help="also learn N BPE merges on the train split and "
+                         "write bpe_merges.txt")
     cc.add_argument("--stageForStreaming", action="store_true",
                     help="also stage the published corpus + MinHash signatures "
                          "(batch_id=bootstrap) for stream_incremental_dedup to continue from")

@@ -594,10 +594,15 @@ def test_pipeline_cli_clean_corpus(spark, tmp_path, capsys):
     pipeline_cli.main([
         "clean-corpus", "--inDir", str(src), "--outDir", str(out),
         "--minQuality", "0.0", "--threshold", "0.5", "--evalFrac", "0.3",
+        "--bpeMerges", "5",
     ])
 
     stdout = capsys.readouterr().out
     assert "[clean-corpus]" in stdout and "quarantined=1" in stdout
+    # tokenizer artifact: learned on the train split, tab-separated pairs
+    merges = (out / "bpe_merges.txt").read_text().splitlines()
+    assert 0 < len(merges) <= 5
+    assert all(len(m.split("\t")) == 2 for m in merges)
     assert (out / "quarantine").exists()
     assert (out / "dataset_card.md").read_text().startswith("# Corpus card")
     published = spark.read.json(str(out / "corpus")).collect()
