@@ -127,6 +127,56 @@ def test_bpe_apply_matches_reference(spark, corpus_df):
         assert rows[i] == _ref_tokenize(t, merges)
 
 
+def test_merge_expr_fold_matches_python_on_adversarial_arrays(spark):
+    """The SQL fold in _merge_expr is the trickiest expression in the
+    module (pending-buffer state machine); pin it against the Python
+    left-to-right non-overlapping merge on adversarial symbol arrays —
+    overlaps ('aaa'), pa==pb, pair at start/end, no match, quotes."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.bpe import _merge_expr
+
+    def py_merge(syms, pa, pb):
+        out, j = [], 0
+        while j < len(syms):
+            if j < len(syms) - 1 and syms[j] == pa and syms[j + 1] == pb:
+                out.append(pa + pb)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        return out
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["b", "a", "b"], "a", "b"),
+        (["a", "b"], "a", "b"),
+        (["a"], "a", "b"),
+        ([], "a", "b"),
+        (["x", "y", "z"], "a", "b"),
+        (["a", "b", "b", "a", "a", "b"], "a", "b"),
+        (["'", "b", "'", "b"], "'", "b"),
+        (["ab", "c" + EOW], "ab", "c" + EOW),
+    ]
+    rows = [(i, syms) for i, (syms, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, syms array<string>")
+    # one job: every case's merge expression evaluated as its own column
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            *[
+                _merge_expr(pa, pb).alias(f"m{i}")
+                for i, (_, pa, pb) in enumerate(cases)
+            ],
+        ).collect()
+    }
+    for i, (syms, pa, pb) in enumerate(cases):
+        assert got[i][f"m{i}"] == py_merge(syms, pa, pb), (syms, pa, pb)
+
+
 def test_bpe_apply_empty_and_single_char(spark):
     merges = [("l", "o" + EOW)]
     df = spark.createDataFrame([(0, ""), (1, "a"), (2, "lo")], "id long, text string")
