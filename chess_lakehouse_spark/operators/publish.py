@@ -280,20 +280,32 @@ def update_skipping_manifest(
     keep = man.filter(~stale)
 
     base = lake_dir.rstrip("/")
-    dirs = [f"{base}/{seg}" for seg in segments]
-    aggs = []
-    for c in stat_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    fresh = (
-        spark.read.option("basePath", lake_dir)
-        .parquet(*dirs)
-        .select(F.input_file_name().alias("file"), *stat_cols)
-        .groupBy("file")
-        .agg(*aggs)
-    )
+    # a mutation can remove an affected partition entirely (delete_rows on
+    # its last rows) — only re-scan the directories that still exist
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    dirs = []
+    for seg in segments:
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/{seg}")
+        if p.getFileSystem(hconf).exists(p):
+            dirs.append(f"{base}/{seg}")
+    if dirs:
+        aggs = []
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        fresh = (
+            spark.read.option("basePath", lake_dir)
+            .parquet(*dirs)
+            .select(F.input_file_name().alias("file"), *stat_cols)
+            .groupBy("file")
+            .agg(*aggs)
+        )
+        merged = keep.unionByName(fresh)
+    else:
+        merged = keep
     # materialize before overwriting the manifest the lineage reads
-    merged = keep.unionByName(fresh).localCheckpoint()
+    merged = merged.localCheckpoint()
     merged.coalesce(1).write.mode("overwrite").parquet(man_path)
     return man_path
 

@@ -295,6 +295,59 @@ def test_write_partitioned_sort_cols_orders_rows_in_files(spark, tmp_path):
     assert back.count() == li.count()
 
 
+def test_lake_lifecycle_composition(spark, tmp_path):
+    """The full lake story composed: sorted partitioned publish → manifest →
+    merge + incremental refresh → partition-emptying delete + refresh →
+    pruned reads stay exact → compact + full rebuild → vacuum finds nothing."""
+    from chess_lakehouse_spark.operators.publish import (
+        compact_partitions,
+        delete_rows,
+        vacuum_lake,
+        write_partitioned,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") * 7 % 100).alias("val"),
+        F.when(F.col("id") < 100, "A")
+        .when(F.col("id") < 200, "B")
+        .otherwise("C")
+        .alias("p"),
+    )
+    write_partitioned(df, lake, ("p",), sort_cols=["id"])
+    write_skipping_manifest(spark, lake, ["id"])
+
+    # merge into p=A, refresh incrementally
+    updates = spark.createDataFrame([(5, 999, "A")], "id long, val long, p string")
+    merge_overwrite(spark, lake, updates, key_cols=["id"], partition_cols=["p"])
+    update_skipping_manifest(
+        spark, lake, ["id"], ["p"], affected=updates.select("p").distinct()
+    )
+    got = read_with_skipping(spark, lake, {"id": (5, 5)})
+    assert [(r["id"], r["val"]) for r in got.collect()] == [(5, 999)]
+
+    # delete ALL of p=C, refresh — the emptied partition must vanish from
+    # both the lake and the manifest
+    keys = spark.createDataFrame([(i, "C") for i in range(200, 300)], "id long, p string")
+    delete_rows(spark, lake, keys, key_cols=["id"], partition_cols=["p"])
+    update_skipping_manifest(
+        spark, lake, ["id"], ["p"], affected=keys.select("p").distinct()
+    )
+    man = spark.read.parquet(lake + "_manifest")
+    assert man.filter(F.col("file").contains("/p=C/")).count() == 0
+    assert read_with_skipping(spark, lake, {"id": (250, 250)}).count() == 0
+    assert spark.read.parquet(lake).count() == 200
+
+    # compaction rewrites every file: full manifest rebuild, reads still exact
+    compact_partitions(spark, lake, partition_cols=["p"])
+    write_skipping_manifest(spark, lake, ["id"])
+    got = read_with_skipping(spark, lake, {"id": (150, 155)})
+    assert sorted(r["id"] for r in got.collect()) == list(range(150, 156))
+
+    assert vacuum_lake(spark, lake) == []
+
+
 def test_zorder_key_null_safe(spark):
     df = spark.createDataFrame(
         [(None, 5.0), (1.0, None), (None, None), (2.0, 2.0)],
