@@ -90,6 +90,10 @@ def write_clustered(
     skipping. Evidence: tests/test_clustering.py reads the written footers
     with pyarrow and asserts disjoint per-file ranges + skip counts.
     """
+    if not cluster_cols:
+        raise ValueError("write_clustered: cluster_cols must be non-empty")
+    if n_files < 1:
+        raise ValueError(f"write_clustered: n_files must be >= 1, got {n_files}")
     cols = [F.col(c) for c in cluster_cols]
     (
         df.repartitionByRange(n_files, *cols)
@@ -121,6 +125,14 @@ def zorder_key(
     skew-proof — each bucket holds ~equal row mass, so heavy-hitter values
     cannot collapse the curve onto a few codes. NULLs map to bucket 0.
     """
+    if not cluster_cols:
+        raise ValueError("zorder_key: cluster_cols must be non-empty")
+    if bits_per_col < 1 or bits_per_col * len(cluster_cols) > 62:
+        raise ValueError(
+            "zorder_key: need 1 <= bits_per_col and "
+            f"bits_per_col * |cols| <= 62 (long z-key), got {bits_per_col} "
+            f"bits x {len(cluster_cols)} cols"
+        )
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
     numeric = [F.col(c).cast("double") for c in cluster_cols]
@@ -226,6 +238,8 @@ def write_skipping_manifest(
 
     Returns the manifest path (default: ``<lake_dir>_manifest``).
     """
+    if not stat_cols:
+        raise ValueError("write_skipping_manifest: stat_cols must be non-empty")
     out = manifest_dir or lake_dir.rstrip("/") + "_manifest"
     df = spark.read.parquet(lake_dir)
     aggs = []
@@ -333,6 +347,8 @@ def read_with_skipping(
     longer exist raise at read — rather than silently serving rows from a
     superseded lake state.
     """
+    if not ranges:
+        raise ValueError("read_with_skipping: ranges must be non-empty")
     man_path = manifest_dir or lake_dir.rstrip("/") + "_manifest"
     man = spark.read.parquet(man_path)
     cond = F.lit(True)
@@ -583,11 +599,17 @@ def compact_partitions(
     finally:
         spark.conf.set(infer_key, prev_infer)
 
-    # Swap by renaming the live directory ASIDE first (dst -> dst.old),
-    # then src -> dst, then deleting dst.old. A crash between the two
-    # renames leaves a one-rename no-data window plus a rollback copy in
-    # .old — unlike delete-then-rename, the lake is never the ONLY copy
-    # destroyed (each single rename/delete is atomic on HDFS/local FS).
+    _swap_lake_dirs(spark, tmp, lake_dir, "compact_partitions")
+
+
+def _swap_lake_dirs(spark: SparkSession, tmp: str, lake_dir: str, op: str) -> None:
+    """Swap a rewritten copy into place by renaming the live directory ASIDE
+    first (dst -> dst.old), then src -> dst, then deleting dst.old. A crash
+    between the two renames leaves a one-rename no-data window plus a
+    rollback copy in .old — unlike delete-then-rename, the lake is never
+    the ONLY copy destroyed (each single rename/delete is atomic on
+    HDFS/local FS). Leftovers from a crash are exactly what
+    :func:`vacuum_lake` cleans."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     dst = jvm.org.apache.hadoop.fs.Path(lake_dir)
@@ -595,17 +617,45 @@ def compact_partitions(
     old = jvm.org.apache.hadoop.fs.Path(lake_dir.rstrip("/") + ".old")
     fs = dst.getFileSystem(hconf)
     if fs.exists(old) and not fs.delete(old, True):
-        raise IOError(f"compact_partitions: failed to clear stale {old}")
+        raise IOError(f"{op}: failed to clear stale {old}")
     if not fs.rename(dst, old):
-        raise IOError(f"compact_partitions: failed to move {lake_dir} aside")
+        raise IOError(f"{op}: failed to move {lake_dir} aside")
     if not fs.rename(src, dst):
         fs.rename(old, dst)  # roll back: restore the original lake
         raise IOError(
-            f"compact_partitions: rename {tmp} -> {lake_dir} failed; "
-            "original lake restored, compacted data intact in .compacting"
+            f"{op}: rename {tmp} -> {lake_dir} failed; "
+            f"original lake restored, rewritten data intact in {tmp}"
         )
     if not fs.delete(old, True):
         raise IOError(
-            f"compact_partitions: swap succeeded but could not remove {old}; "
-            "delete it manually"
+            f"{op}: swap succeeded but could not remove {old}; delete it manually"
         )
+
+
+def recluster_lake(
+    spark: SparkSession,
+    lake_dir: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    bits_per_col: int = 8,
+    compression: str = "zstd",
+) -> None:
+    """Layout-only rewrite of an (unpartitioned) lake directory into
+    clustered order — the plain-Parquet ``OPTIMIZE ... ZORDER BY``: one
+    column routes to :func:`write_clustered` (disjoint per-file ranges),
+    several to :func:`write_zordered` (Morton-interleaved quantile
+    buckets). Content is identical; only file layout and footer stats
+    change, so run it before building the skipping manifest. Uses the same
+    crash-safe rename-aside swap (and sidecar names) as
+    ``compact_partitions`` — :func:`vacuum_lake` cleans an interrupted run.
+    """
+    snapshot = spark.read.parquet(lake_dir)
+    tmp = lake_dir.rstrip("/") + ".compacting"
+    if len(cluster_cols) == 1:
+        write_clustered(snapshot, tmp, cluster_cols, n_files, compression=compression)
+    else:
+        write_zordered(
+            snapshot, tmp, cluster_cols, n_files,
+            bits_per_col=bits_per_col, compression=compression,
+        )
+    _swap_lake_dirs(spark, tmp, lake_dir, "recluster_lake")

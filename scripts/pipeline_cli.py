@@ -223,13 +223,23 @@ def cmd_maintain_lake(args: argparse.Namespace) -> None:
     periodically rather than per ingest."""
     from chess_lakehouse_spark.operators.publish import (
         compact_partitions,
+        recluster_lake,
         vacuum_lake,
         write_skipping_manifest,
     )
 
     spark = _spark()
     pcols = [c for c in args.partitionCols.split(",") if c]
-    if args.op == "compact":
+    if args.op == "recluster":
+        if not args.clusterCols:
+            raise SystemExit("maintain-lake --op recluster requires --clusterCols")
+        ccols = [c for c in args.clusterCols.split(",") if c]
+        recluster_lake(
+            spark, args.lakeDir, ccols, n_files=args.nFiles,
+            bits_per_col=args.bitsPerCol,
+        )
+        print(f"[maintain-lake] reclustered {args.lakeDir} by {','.join(ccols)}")
+    elif args.op == "compact":
         compact_partitions(
             spark, args.lakeDir, partition_cols=pcols,
             target_partitions=args.targetPartitions,
@@ -316,13 +326,20 @@ def main(argv: list[str] | None = None) -> None:
 
     ml = sub.add_parser("maintain-lake")
     ml.add_argument("--lakeDir", required=True)
-    ml.add_argument("--op", required=True, choices=["compact", "vacuum", "manifest"])
+    ml.add_argument("--op", required=True,
+                    choices=["compact", "vacuum", "manifest", "recluster"])
     ml.add_argument("--partitionCols", default="DataSource,year,month",
                     help="comma-separated Hive partition columns")
     ml.add_argument("--targetPartitions", type=int, default=None,
                     help="cap the compaction shuffle width")
     ml.add_argument("--statCols", default=None,
                     help="comma-separated stats columns (required for --op manifest)")
+    ml.add_argument("--clusterCols", default=None,
+                    help="comma-separated clustering columns (required for --op recluster)")
+    ml.add_argument("--nFiles", type=int, default=64,
+                    help="target file count for --op recluster")
+    ml.add_argument("--bitsPerCol", type=int, default=8,
+                    help="z-order bits per column for multi-column recluster")
     ml.set_defaults(fn=cmd_maintain_lake)
 
     dr = sub.add_parser("delete-rows")

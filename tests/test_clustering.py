@@ -348,6 +348,50 @@ def test_lake_lifecycle_composition(spark, tmp_path):
     assert vacuum_lake(spark, lake) == []
 
 
+def test_recluster_lake_reorders_in_place(spark, tmp_path):
+    """recluster_lake rewrites layout only: content identical, files become
+    range-disjoint, and the manifest built after makes point reads O(1)."""
+    from chess_lakehouse_spark.operators.publish import recluster_lake
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    lake = str(tmp_path / "lake")
+    li.repartition(N_FILES).write.parquet(lake)  # hash layout: no skipping
+    assert _mean_coverage(_file_ranges(lake, "l_orderkey")) > 0.9
+
+    recluster_lake(spark, lake, ["l_orderkey"], n_files=N_FILES)
+    ranges = _file_ranges(lake, "l_orderkey")
+    assert len(ranges) == N_FILES
+    assert _mean_coverage(ranges) < 1 / (N_FILES - 1)
+    back = spark.read.parquet(lake)
+    assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
+    # no sidecars left behind
+    assert not (tmp_path / "lake.compacting").exists()
+    assert not (tmp_path / "lake.old").exists()
+
+    # multi-column path routes through write_zordered
+    recluster_lake(spark, lake, ["l_partkey", "l_suppkey"], n_files=N_FILES)
+    for col in ("l_partkey", "l_suppkey"):
+        assert _mean_coverage(_file_ranges(lake, col)) < 0.7
+    back = spark.read.parquet(lake)
+    assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
+
+
+def test_cluster_api_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    with _pytest.raises(ValueError, match="n_files"):
+        write_clustered(li, str(tmp_path / "x"), ["l_orderkey"], n_files=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        write_clustered(li, str(tmp_path / "x"), [], n_files=4)
+    with _pytest.raises(ValueError, match="62"):
+        zorder_key(li, ["l_partkey", "l_suppkey"], bits_per_col=32)
+    with _pytest.raises(ValueError, match="non-empty"):
+        write_skipping_manifest(spark, str(tmp_path / "x"), [])
+    with _pytest.raises(ValueError, match="non-empty"):
+        read_with_skipping(spark, str(tmp_path / "x"), {})
+
+
 def test_zorder_key_null_safe(spark):
     df = spark.createDataFrame(
         [(None, 5.0), (1.0, None), (None, None), (2.0, 2.0)],

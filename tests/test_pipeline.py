@@ -463,6 +463,15 @@ def test_pipeline_cli_lake_maintenance_stages(spark, tmp_path, capsys):
     man = spark.read.parquet(lake + "2_manifest")
     assert {"file", "min_id", "max_id", "min_val", "max_val"} <= set(man.columns)
 
+    # recluster an unpartitioned copy
+    flat = str(tmp_path / "flat")
+    spark.read.parquet(lake + "2").repartition(4).write.parquet(flat)
+    pipeline_cli.main([
+        "maintain-lake", "--lakeDir", flat, "--op", "recluster",
+        "--clusterCols", "id", "--nFiles", "4",
+    ])
+    assert spark.read.parquet(flat).count() == 100
+
     keys = tmp_path / "keys"
     spark.createDataFrame([(1, "A"), (2, "A")], "id long, p string").write.parquet(
         str(keys)
