@@ -351,3 +351,125 @@ def temperature_sample(
     joined = df.join(F.broadcast(rates), group_col)
     kept = weighted_sample(joined, id_col, F.col("_rate"), seed=seed)
     return kept.drop("_rate")
+
+
+def dsir_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_buckets: int = 4096,
+    use_bigrams: bool = True,
+    seed: int = 0,
+    precision: int = 6,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): pick the ``k`` raw documents whose hashed n-gram
+    distribution looks most like the TARGET corpus, via importance weights
+    under two bag-of-hashed-features models plus Gumbel top-k resampling.
+
+    Model: features are whitespace unigrams (plus adjacent bigrams when
+    ``use_bigrams``) hashed into ``n_buckets`` buckets with the portable
+    md5 hash; target and raw bucket counts give add-1-smoothed categorical
+    distributions, and a document's log importance weight is
+    ``sum_f log(p_target(bucket(f)) / p_raw(bucket(f)))`` over its feature
+    instances. Selection adds deterministic Gumbel noise derived from
+    ``md5(seed|id)`` — resampling, not arg-top-k, so selected docs vary
+    around the weight distribution exactly as the paper prescribes, yet
+    every run/partitioning/engine picks the identical set.
+
+    Exactness contract (house rules): each per-bucket log ratio is
+    ``ROUND(ln(integer-product ratio), precision)`` (both engines compute
+    the identical double), per-doc sums go through DECIMAL(18,6), the
+    Gumbel draw is an exact power-of-two uniform, and the final order has
+    the (score DESC, id ASC) total order.
+
+    Scale shape: one pass per corpus to build the bucket tables (bounded:
+    ``n_buckets`` rows, broadcast), one explode+join+aggregate over raw
+    (the same two-shuffle shape as any unigram statistic), and a
+    TakeOrdered(k) — nothing global beyond the k-row result. Documents
+    with no tokens produce no weight row and are never selected.
+
+    Returns (id, logw, score) for the k selected documents.
+    """
+    if k < 1:
+        raise ValueError(f"dsir_topk: k must be >= 1, got {k}")
+    if n_buckets < 2:
+        raise ValueError(f"dsir_topk: n_buckets must be >= 2, got {n_buckets}")
+
+    from chess_lakehouse_spark.functions.text import ws_tokens
+
+    def features(df: DataFrame, *cols) -> DataFrame:
+        toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")
+        feats = toks
+        if use_bigrams:
+            # greatest(0, ...) guards the empty-token doc: slice rejects
+            # negative lengths
+            bigrams = F.expr(
+                "zip_with(slice(_toks, 1, greatest(0, size(_toks) - 1)),"
+                " slice(_toks, 2, greatest(0, size(_toks) - 1)),"
+                " (a, b) -> a || ' ' || b)"
+            )
+            feats = F.concat(F.col("_toks"), bigrams)
+        out = df.select(*cols, toks.alias("_toks"))
+        return out.select(
+            *cols, F.explode(feats if use_bigrams else F.col("_toks")).alias("f")
+        ).select(
+            *cols,
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{seed}|f|"), F.col("f"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_buckets),
+            ).alias("b"),
+        )
+
+    t_counts = features(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw_feats = features(raw, F.col(id_col).alias("id"))
+    q_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    t_total = t_counts.agg(F.sum("ct").alias("t")).scalar()
+    q_total = q_counts.agg(F.sum("cq").alias("q")).scalar()
+    ratios = (
+        t_counts.join(q_counts, "b", "full_outer")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (q_total + F.lit(n_buckets))
+                    ).cast("double")
+                    / (
+                        (F.coalesce(F.col("cq"), F.lit(0)) + 1)
+                        * (t_total + F.lit(n_buckets))
+                    ).cast("double")
+                ),
+                precision,
+            ).alias("lr"),
+        )
+    )
+    logw = (
+        raw_feats.join(F.broadcast(ratios), "b")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.col("lr").cast("decimal(18,6)")).cast("double"), precision
+            ).alias("logw")
+        )
+    )
+    u = (sample_hash(F.col("id"), seed).cast("double") + F.lit(1.0)) / F.lit(
+        float(_HASH_SPACE + 1)
+    )
+    gumbel = F.round(-F.log(-F.log(u)), precision)
+    return (
+        logw.select(
+            F.col("id").alias(id_col),
+            "logw",
+            F.round(F.col("logw") + gumbel, precision).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
