@@ -489,6 +489,9 @@ def delete_rows(
     for the locate, ∝ affected partitions for the rewrite — ship partition
     values with deletion requests whenever possible).
 
+    Like every mutation in this layer: single-writer only (plain Parquet
+    has no transaction log); serialize mutations per lake.
+
     Dynamic partition overwrite has a deletion-specific trap this handles
     explicitly: a partition whose rows are ALL deleted produces no output
     rows, so the overwrite never touches it and the old files would
@@ -648,6 +651,8 @@ def recluster_lake(
     change, so run it before building the skipping manifest. Uses the same
     crash-safe rename-aside swap (and sidecar names) as
     ``compact_partitions`` — :func:`vacuum_lake` cleans an interrupted run.
+    Single-writer only, like every mutation in this layer; on S3-like
+    stores the swap's rename is copy+delete (see ``compact_partitions``).
     """
     snapshot = spark.read.parquet(lake_dir)
     tmp = lake_dir.rstrip("/") + ".compacting"

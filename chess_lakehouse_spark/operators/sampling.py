@@ -371,10 +371,18 @@ def dsir_topk(
 
     Model: features are whitespace unigrams (plus adjacent bigrams when
     ``use_bigrams``) hashed into ``n_buckets`` buckets with the portable
-    md5 hash; target and raw bucket counts give add-1-smoothed categorical
+    md5 hash; target and raw bucket counts give smoothed categorical
     distributions, and a document's log importance weight is
     ``sum_f log(p_target(bucket(f)) / p_raw(bucket(f)))`` over its feature
-    instances. Selection adds deterministic Gumbel noise derived from
+    instances.
+
+    Smoothing is TOTAL-pseudo-mass 1 spread over the buckets
+    (``p(b) = (c_b + 1/B) / (total + 1)``), not add-1 per bucket:
+    with ``B >> |target features|`` a per-bucket pseudo-count swamps the
+    target model into near-uniform and the "importance" weight degenerates
+    to a document-length penalty (measured: target-matched docs ranked
+    LAST under add-1). The ratio stays a quotient of exact integer-derived
+    products: ``((c_t·B + 1)(Q + 1)) / ((c_q·B + 1)(T + 1))``. Selection adds deterministic Gumbel noise derived from
     ``md5(seed|id)`` — resampling, not arg-top-k, so selected docs vary
     around the weight distribution exactly as the paper prescribes, yet
     every run/partitioning/engine picks the identical set.
@@ -400,7 +408,9 @@ def dsir_topk(
 
     from chess_lakehouse_spark.functions.text import ws_tokens
 
-    def features(df: DataFrame, *cols) -> DataFrame:
+    def features(df: DataFrame, with_id: bool = False) -> DataFrame:
+        first = [F.col(id_col).alias("id")] if with_id else []
+        keep = ["id"] if with_id else []
         toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")
         feats = toks
         if use_bigrams:
@@ -412,11 +422,11 @@ def dsir_topk(
                 " (a, b) -> a || ' ' || b)"
             )
             feats = F.concat(F.col("_toks"), bigrams)
-        out = df.select(*cols, toks.alias("_toks"))
+        out = df.select(*first, toks.alias("_toks"))
         return out.select(
-            *cols, F.explode(feats if use_bigrams else F.col("_toks")).alias("f")
+            *keep, F.explode(feats if use_bigrams else F.col("_toks")).alias("f")
         ).select(
-            *cols,
+            *keep,
             F.pmod(
                 F.conv(
                     F.substring(F.md5(F.concat(F.lit(f"{seed}|f|"), F.col("f"))), 1, 15),
@@ -428,7 +438,7 @@ def dsir_topk(
         )
 
     t_counts = features(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    raw_feats = features(raw, F.col(id_col).alias("id"))
+    raw_feats = features(raw, with_id=True)
     q_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
     t_total = t_counts.agg(F.sum("ct").alias("t")).scalar()
     q_total = q_counts.agg(F.sum("cq").alias("q")).scalar()
@@ -438,14 +448,17 @@ def dsir_topk(
             "b",
             F.round(
                 F.log(
+                    # factors cast to double BEFORE the product: the
+                    # count*B terms fit a long, but their product with the
+                    # corpus total can exceed it at scale
                     (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                        * (q_total + F.lit(n_buckets))
-                    ).cast("double")
+                        (F.coalesce(F.col("ct"), F.lit(0)) * n_buckets + 1).cast("double")
+                        * (q_total + F.lit(1)).cast("double")
+                    )
                     / (
-                        (F.coalesce(F.col("cq"), F.lit(0)) + 1)
-                        * (t_total + F.lit(n_buckets))
-                    ).cast("double")
+                        (F.coalesce(F.col("cq"), F.lit(0)) * n_buckets + 1).cast("double")
+                        * (t_total + F.lit(1)).cast("double")
+                    )
                 ),
                 precision,
             ).alias("lr"),

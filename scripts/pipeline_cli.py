@@ -158,6 +158,19 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
     if n_bad:
         quarantined.write.mode("overwrite").text(str(out / "quarantine"))
 
+    n_in = docs.count()
+    if args.dsirTarget:
+        # DSIR selection BEFORE the quality gate: keep the --dsirKeep docs
+        # whose hashed n-gram distribution best matches the target corpus
+        from chess_lakehouse_spark.operators.sampling import dsir_topk
+
+        target = read_jsonl(spark, args.dsirTarget)
+        target, _ = split_corrupt(target)
+        selected = dsir_topk(docs, target, "doc_id", "text", k=args.dsirKeep)
+        docs = docs.join(
+            F.broadcast(selected.select("doc_id")), "doc_id", "left_semi"
+        )
+
     kept = docs.where(quality_score(F.col("text")) >= args.minQuality)
     pairs = minhash_lsh_dedup(
         kept, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=args.threshold
@@ -211,7 +224,7 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         )
     counts = {r.split: r.n for r in published.groupBy("split").agg(F.count("*").alias("n")).collect()}
     print(
-        f"[clean-corpus] in={docs.count()} quarantined={n_bad} "
+        f"[clean-corpus] in={n_in} quarantined={n_bad} "
         f"kept={kept.count()} published={sum(counts.values())} "
         f"train={counts.get('train', 0)} eval={counts.get('eval', 0)}"
     )
@@ -316,6 +329,10 @@ def main(argv: list[str] | None = None) -> None:
     cc.add_argument("--evalFrac", type=float, default=0.05)
     cc.add_argument("--seed", type=int, default=0)
     cc.add_argument("--maxRecordsPerFile", type=int, default=100_000)
+    cc.add_argument("--dsirTarget", default=None,
+                    help="JSONL target corpus: select --dsirKeep docs by DSIR "
+                         "importance resampling before the quality gate")
+    cc.add_argument("--dsirKeep", type=int, default=10_000)
     cc.add_argument("--bpeMerges", type=int, default=0,
                     help="also learn N BPE merges on the train split and "
                          "write bpe_merges.txt")

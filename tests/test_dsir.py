@@ -89,10 +89,20 @@ def test_dsir_logw_matches_python_reference(spark):
         want = 0.0
         for tok in text.split():
             b = bucket(tok)
-            num = (t_counts.get(b, 0) + 1) * (q_total + n_buckets)
-            den = (q_counts.get(b, 0) + 1) * (t_total + n_buckets)
+            num = (t_counts.get(b, 0) * n_buckets + 1) * (q_total + 1)
+            den = (q_counts.get(b, 0) * n_buckets + 1) * (t_total + 1)
             want += round(math.log(num / den), 6)
         assert got[i] == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def test_dsir_arbitrary_id_column_name(spark, corpora):
+    """Regression: the feature extractor must not re-apply the id alias on
+    an already-renamed frame (broke for any id_col other than 'id')."""
+    raw, target = corpora
+    raw2 = raw.withColumnRenamed("id", "doc_id")
+    got = dsir_topk(raw2, target, "doc_id", "text", k=10)
+    assert got.columns[0] == "doc_id"
+    assert len(got.collect()) == 10
 
 
 def test_dsir_skips_empty_docs_and_validates(spark, corpora):

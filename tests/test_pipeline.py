@@ -429,6 +429,53 @@ def test_merge_overwrite_evolve_schema_adds_column(spark, tmp_path):
     assert back.count() == 100
 
 
+def test_pipeline_cli_clean_corpus_dsir_selection(spark, tmp_path, capsys):
+    """--dsirTarget narrows the corpus to target-like docs before the
+    quality gate."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    chess = "king queen rook pawn bishop knight castle gambit endgame opening"
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = []
+    for i in range(6):
+        # enough distinct filler that chess docs are NOT near-dups of each
+        # other (they must survive the dedup stage), yet chess-dominated
+        filler = " ".join(f"extra{i}_{j}" for j in range(8))
+        lines.append(json.dumps(
+            {"doc_id": i, "text": f"{chess} {filler}", "lang": "en", "source": "s"}
+        ))
+    for i in range(6, 30):
+        text = " ".join(f"noise{i}_{j}" for j in range(12))
+        lines.append(json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s"}
+        ))
+    (src / "part0.jsonl").write_text("\n".join(lines) + "\n")
+    tgt = tmp_path / "target"
+    tgt.mkdir()
+    (tgt / "t.jsonl").write_text(
+        json.dumps({"doc_id": 1000, "text": chess, "lang": "en", "source": "t"}) + "\n"
+    )
+    out = tmp_path / "out"
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(out),
+        "--minQuality", "0.0", "--threshold", "0.5", "--evalFrac", "0.2",
+        "--dsirTarget", str(tgt), "--dsirKeep", "8",
+    ])
+    stdout = capsys.readouterr().out
+    assert "in=30" in stdout
+    published = spark.read.json(str(out / "corpus"))
+    ids = {r.doc_id for r in published.collect()}
+    assert len(ids) <= 8
+    # the chess docs dominate the selection
+    assert len([i for i in ids if i < 6]) >= 4
+
+
 def test_pipeline_cli_lake_maintenance_stages(spark, tmp_path, capsys):
     """maintain-lake (compact / vacuum / manifest) and delete-rows run
     end-to-end over a small partitioned lake."""
