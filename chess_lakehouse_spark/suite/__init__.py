@@ -60,6 +60,14 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # and enforces this from the recorded CORRECTNESS files) AND in
 # scripts/verify_local.py's full-suite run, committed per round as
 # VERIFY_LOCAL_r{N}.txt.
+# r6 window planning (for the next round's rotation): (1) the 14 queries
+# whose only green row is r04 (they sat out r5's window) rotate in first;
+# (2) this round's 12 window debutants (the 3 HUGEINT re-verifies, the 9
+# r5-new) need their r5 rows confirmed before rotating out; (3) candidate
+# NEW oracle-gated queries with implementations already pytest-pinned this
+# round: dsir_topk (operators/sampling.py), zorder/cluster layout reads
+# (operators/publish.py), bpe_train merge list (functions/bpe.py — oracle
+# expressible as an unrolled recursive CTE like knn_ivf_kmeans's).
 _WINDOW_ORDER = [
     # driver-red in r04 (oracle HUGEINT) — fixed, re-verify first
     "chunk_dedup",
