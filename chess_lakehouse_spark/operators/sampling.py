@@ -382,7 +382,9 @@ def dsir_topk(
     target model into near-uniform and the "importance" weight degenerates
     to a document-length penalty (measured: target-matched docs ranked
     LAST under add-1). The ratio stays a quotient of exact integer-derived
-    products: ``((c_t·B + 1)(Q + 1)) / ((c_q·B + 1)(T + 1))``. Selection adds deterministic Gumbel noise derived from
+    products: ``((c_t·B + 1)(Q + 1)) / ((c_q·B + 1)(T + 1))``.
+
+    Selection adds deterministic Gumbel noise derived from
     ``md5(seed|id)`` — resampling, not arg-top-k, so selected docs vary
     around the weight distribution exactly as the paper prescribes, yet
     every run/partitioning/engine picks the identical set.
