@@ -735,3 +735,86 @@ def token_entropy(
             "entropy"
         ),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    precision: int = 6,
+) -> DataFrame:
+    """Ad-hoc query retrieval: top-``k`` documents by Okapi BM25 — the
+    query->document companion to :func:`tfidf` / ``sparse_cosine_pairs``
+    (which serve document<->document similarity).
+
+    ``score(d) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*|d|/avgdl))`` over
+    the query's distinct terms, with the non-negative idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N + 2)/(2df + 1))`` — the
+    half-counts fold into an exact INTEGER ratio (x2 trick), so the ln
+    input is engine-identical, per-term contributions are ROUNDed to
+    ``precision``, the per-doc sum goes through DECIMAL(18,6), and the
+    final order is the (score DESC, id ASC) total order.
+
+    Scale shape: document lengths are one map-combined aggregate; term
+    statistics are computed ONLY for the query's terms (map-side literal-
+    array filter BEFORE any shuffle, so the posting shuffle carries the
+    query's postings, not the corpus vocabulary); avgdl and N ride a
+    1-row broadcast; the result is TakeOrdered(k). Documents containing
+    no query term score 0 and are not returned.
+    """
+    terms = sorted({t for t in query.split() if t})
+    if not terms:
+        raise ValueError("bm25_topk: query must contain at least one term")
+    if k < 1:
+        raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("t"),
+    )
+    lengths = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_d"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_d").alias("total_len")
+    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    postings = (
+        toks.where(F.array_contains(term_arr, F.col("t")))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+
+    n_docs = stats.select("n_docs").scalar()
+    total_len = stats.select("total_len").scalar()
+    idf = F.round(
+        F.log((2 * n_docs + F.lit(2)).cast("double") / (2 * F.col("df") + 1).cast("double")),
+        precision,
+    )
+    # avgdl = total_len / n_docs, folded in exactly:
+    # k1*(1 - b + b*n_d/avgdl) = k1*((1-b) + b*n_d*n_docs/total_len)
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b)
+        * (F.col("n_d") * n_docs).cast("double")
+        / total_len.cast("double")
+    )
+    contrib = F.round(idf * F.col("tf").cast("double") / denom, precision)
+    scored = (
+        postings.join(F.broadcast(dfreq), "t")
+        .join(lengths, "id")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(contrib.cast("decimal(18,6)")).cast("double"), precision
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select(F.col("id").alias(id_col), "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,82 @@
+"""Okapi BM25 retrieval, pinned against a pure-Python reference with the
+identical idf variant, rounding chain, and tie-break."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from chess_lakehouse_spark.functions.text import bm25_topk
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog chased the cat around the yard"),
+    (2, "quantum chromodynamics lattice gauge theory"),
+    (3, "cat cat cat cat"),
+    (4, "a dog is a loyal dog"),
+    (5, "mat weaving with reed fibers"),
+]
+
+
+def _ref_bm25(docs, query, k1=1.2, b=0.75):
+    terms = sorted({t for t in query.split() if t})
+    n_docs = len(docs)
+    lengths = {i: len(t.split()) for i, t in docs}
+    avgdl = sum(lengths.values()) / n_docs
+    dfreq = {
+        t: sum(1 for _, text in docs if t in text.split()) for t in terms
+    }
+    scores = {}
+    for i, text in docs:
+        toks = text.split()
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = round(math.log((2 * n_docs + 2) / (2 * dfreq[t] + 1)), 6)
+            s += round(idf * tf / (tf + k1 * (1 - b + b * lengths[i] / avgdl)), 6)
+        if s:
+            scores[i] = round(s, 6)
+    return scores
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "id long, text string")
+
+
+def test_bm25_matches_python_reference(spark, docs_df):
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_topk(docs_df, "id", "text", "cat mat", k=10).collect()
+    }
+    want = _ref_bm25(DOCS, "cat mat")
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=3e-6)
+
+
+def test_bm25_ordering_and_k(spark, docs_df):
+    rows = bm25_topk(docs_df, "id", "text", "cat", k=2).collect()
+    assert len(rows) == 2
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # doc 3 is pure repetition of 'cat'; saturation keeps doc 0 competitive
+    # but 3 still leads on tf
+    assert rows[0]["id"] == 3
+
+
+def test_bm25_no_match_and_validation(spark, docs_df):
+    assert bm25_topk(docs_df, "id", "text", "zebra", k=5).collect() == []
+    with pytest.raises(ValueError, match="at least one term"):
+        bm25_topk(docs_df, "id", "text", "   ")
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(docs_df, "id", "text", "cat", k=0)
+
+
+def test_bm25_rare_term_beats_common(spark, docs_df):
+    rows = bm25_topk(docs_df, "id", "text", "quantum the", k=6).collect()
+    # 'quantum' appears in one doc; its idf dwarfs the ubiquitous 'the'
+    assert rows[0]["id"] == 2
