@@ -818,3 +818,47 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str,
+    k: int = 10,
+    c: int = 60,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of any number of ranked
+    candidate lists — the standard hybrid-search combiner (e.g. BM25
+    lexical + embedding kNN): ``score(d) = sum_lists 1/(c + rank_d)``.
+
+    Inputs are the small per-query result frames (each bounded by its own
+    top-k), each carrying ``id_col`` and a 1-based integer ``rank_col`` —
+    the ANN operators return ``rk`` already; rank a score-ordered frame
+    first if needed. Every 1/(c + rk) term has an exact integer
+    denominator, is ROUNDed to 6 decimals, and sums through DECIMAL(18,6);
+    ties break on the id — fully deterministic, k-row output, and the
+    whole fusion runs over candidate-list-sized frames (never the corpus).
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked frame")
+    if k < 1 or c < 1:
+        raise ValueError(f"rrf_fuse: need k >= 1 and c >= 1, got k={k}, c={c}")
+    parts = [
+        df.select(
+            F.col(id_col).alias("id"),
+            F.round(F.lit(1.0) / (F.lit(c) + F.col(rank_col)).cast("double"), 6).alias(
+                "contrib"
+            ),
+        )
+        for df in ranked
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return (
+        allc.groupBy("id")
+        .agg(F.round(F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double"), 6).alias("score"))
+        .select(F.col("id").alias(id_col), "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

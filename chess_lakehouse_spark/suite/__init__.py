@@ -67,7 +67,8 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # NEW oracle-gated queries with implementations already pytest-pinned this
 # round: dsir_topk (operators/sampling.py), zorder/cluster layout reads
 # (operators/publish.py), bpe_train merge list (functions/bpe.py — oracle
-# expressible as an unrolled recursive CTE like knn_ivf_kmeans's).
+# expressible as an unrolled recursive CTE like knn_ivf_kmeans's),
+# bm25_topk and rrf_fuse (functions/text.py — both straightforward SQL).
 _WINDOW_ORDER = [
     # driver-red in r04 (oracle HUGEINT) — fixed, re-verify first
     "chunk_dedup",

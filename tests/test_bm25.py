@@ -76,6 +76,48 @@ def test_bm25_no_match_and_validation(spark, docs_df):
         bm25_topk(docs_df, "id", "text", "cat", k=0)
 
 
+def test_rrf_fuse_hybrid_matches_python_reference(spark, docs_df):
+    """Fuse a BM25 list with a second ranked list; exact Python parity."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.functions.text import rrf_fuse
+
+    bm = bm25_topk(docs_df, "id", "text", "cat mat", k=5)
+    bm_ranked = bm.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("id").asc())),
+    )
+    other = spark.createDataFrame(
+        [(2, 1), (0, 2), (5, 3)], "id long, rk int"
+    )
+    got = [
+        (r["id"], r["score"])
+        for r in rrf_fuse([bm_ranked, other], "id", k=10).collect()
+    ]
+
+    bm_ranks = {
+        r["id"]: r["rk"] for r in bm_ranked.collect()
+    }
+    other_ranks = {2: 1, 0: 2, 5: 3}
+    want = {}
+    for ranks in (bm_ranks, other_ranks):
+        for i, rk in ranks.items():
+            want[i] = round(want.get(i, 0.0) + round(1.0 / (60 + rk), 6), 6)
+    want_sorted = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(i, pytest.approx(s, abs=2e-6)) for i, s in want_sorted] == got
+
+
+def test_rrf_fuse_validation(spark):
+    from chess_lakehouse_spark.functions.text import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], "id")
+    df = spark.createDataFrame([(1, 1)], "id long, rk int")
+    with pytest.raises(ValueError, match="k >= 1"):
+        rrf_fuse([df], "id", k=0)
+
+
 def test_bm25_rare_term_beats_common(spark, docs_df):
     rows = bm25_topk(docs_df, "id", "text", "quantum the", k=6).collect()
     # 'quantum' appears in one doc; its idf dwarfs the ubiquitous 'the'
