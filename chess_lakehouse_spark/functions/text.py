@@ -862,3 +862,87 @@ def rrf_fuse(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_batch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    precision: int = 6,
+) -> DataFrame:
+    """Batch BM25: score EVERY query in ``queries`` against the corpus in
+    one pass — the 100 TB form of :func:`bm25_topk`, which rescans the
+    corpus per query. Identical scoring contract (same idf integer ratio,
+    rounding chain, and total order; equivalence pytest-pinned), different
+    plan shape: corpus statistics (doc lengths, avgdl, per-term df) are
+    computed ONCE, the query set explodes to DISTINCT (query, term) pairs
+    and joins corpus postings BY TERM — a hash shuffle on the term key —
+    and per-(query, doc) scores aggregate from there. Cost is one corpus
+    pass plus joins bounded by matching postings, independent of query
+    count; at scale you'd additionally stage the postings/lengths tables
+    to the lake and serve every batch from them.
+
+    Returns (query_id, doc_id, score, rk) with rk = 1..k per query.
+    """
+    if k < 1:
+        raise ValueError(f"bm25_batch: k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("t"),
+    )
+    lengths = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_d").alias("total_len")
+    )
+    n_docs = stats.select("n_docs").scalar()
+    total_len = stats.select("total_len").scalar()
+
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(F.filter(ws_tokens(F.col(query_text_col)), lambda t: t != ""))
+        ).alias("t"),
+    )
+    # postings restricted to terms ANY query uses (semi-join, term-keyed)
+    wanted = q_terms.select("t").distinct()
+    postings = (
+        toks.join(wanted, "t", "left_semi")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.round(
+        F.log((2 * n_docs + F.lit(2)).cast("double") / (2 * F.col("df") + 1).cast("double")),
+        precision,
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * (F.col("n_d") * n_docs).cast("double") / total_len.cast("double")
+    )
+    contrib = F.round(idf * F.col("tf").cast("double") / denom, precision)
+    scored = (
+        q_terms.join(postings, "t")
+        .join(F.broadcast(dfreq), "t")
+        .join(lengths, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(contrib.cast("decimal(18,6)")).cast("double"), precision
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )

@@ -108,6 +108,75 @@ def test_rrf_fuse_hybrid_matches_python_reference(spark, docs_df):
     assert [(i, pytest.approx(s, abs=2e-6)) for i, s in want_sorted] == got
 
 
+def test_bm25_batch_equals_per_query(spark, docs_df):
+    """The one-pass batch form must reproduce bm25_topk exactly for every
+    query (same idf, rounding, tie-break)."""
+    from chess_lakehouse_spark.functions.text import bm25_batch
+
+    qs = [("q1", "cat mat"), ("q2", "dog"), ("q3", "quantum the"), ("q4", "zebra")]
+    queries = spark.createDataFrame(qs, "qid string, qtext string")
+    batch = bm25_batch(docs_df, "id", "text", queries, "qid", "qtext", k=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rk"], r["doc_id"], r["score"]))
+    for qid, qtext in qs:
+        want = [
+            (i + 1, r["id"], r["score"])
+            for i, r in enumerate(bm25_topk(docs_df, "id", "text", qtext, k=4).collect())
+        ]
+        assert sorted(got.get(qid, [])) == want, qid
+
+
+def test_hybrid_search_end_to_end_on_testdata(spark):
+    """The full hybrid path over the real fixture tables: BM25 lexical
+    candidates over documents + brute-force cosine kNN over embeddings
+    (vec_id aligned with doc_id), fused with RRF."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.functions.text import bm25_topk, rrf_fuse
+    from chess_lakehouse_spark.operators.similarity import knn_brute_force
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    query_terms = " ".join(
+        docs.limit(1).collect()[0]["text"].split()[:5]
+    )
+    bm = bm25_topk(docs, "doc_id", "text", query_terms, k=10)
+    bm_ranked = bm.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rk")
+    probe = emb.limit(1).select(F.col("doc_id").alias("vec_id"), "embedding")
+    knn = knn_brute_force(
+        emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        probe, "vec_id", "embedding", k=10,
+    ).select(F.col("cand_id").alias("doc_id"), "rk")
+
+    fused = rrf_fuse([bm_ranked, knn], "doc_id", k=5)
+    rows = fused.collect()
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every fused candidate came from one of the two retrievers
+    cand = {r["doc_id"] for r in bm_ranked.collect()} | {
+        r["doc_id"] for r in knn.collect()
+    }
+    assert {r["doc_id"] for r in rows} <= cand
+    # a doc ranked by BOTH retrievers outscores one ranked by only one at
+    # similar ranks: the probe doc itself is rank-1 in knn
+    probe_id = probe.collect()[0]["vec_id"]
+    both = {r["doc_id"] for r in bm_ranked.collect()} & {
+        r["doc_id"] for r in knn.collect()
+    }
+    if probe_id in both:
+        assert rows[0]["doc_id"] == probe_id
+
+
 def test_rrf_fuse_validation(spark):
     from chess_lakehouse_spark.functions.text import rrf_fuse
 
