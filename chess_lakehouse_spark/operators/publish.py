@@ -144,6 +144,10 @@ def zorder_key(
     )
     z = F.lit(0).cast("long")
     for i, (col, cuts) in enumerate(zip(numeric, cutpoints)):
+        if not cuts:
+            # approxQuantile ignores NULLs; an all-NULL column has no
+            # cutpoints and contributes bucket 0 for every row
+            continue
         cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
         # bucket id = #cutpoints <= value (sorted cuts => monotone rank)
         bucket = F.aggregate(
@@ -180,6 +184,8 @@ def write_zordered(
     range shuffle — the same shape as any sorted write; the z-expression
     itself is JVM-side column math.
     """
+    if n_files < 1:
+        raise ValueError(f"write_zordered: n_files must be >= 1, got {n_files}")
     zc = "__zorder"
     staged = df.withColumn(zc, zorder_key(df, cluster_cols, bits_per_col))
     (

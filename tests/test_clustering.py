@@ -400,3 +400,16 @@ def test_zorder_key_null_safe(spark):
     z = zorder_key(df, ["a", "b"], bits_per_col=2)
     vals = [r[0] for r in df.select(z).collect()]
     assert all(v is not None and v >= 0 for v in vals)
+
+
+def test_zorder_key_all_null_column(spark):
+    """A column with no non-NULL values has no quantile cutpoints; it must
+    contribute bucket 0 everywhere instead of breaking the fold."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 5.0), (None, 9.0)], "a double, b double"
+    )
+    z = zorder_key(df, ["a", "b"], bits_per_col=2)
+    vals = sorted(r[0] for r in df.select(z).collect())
+    assert all(v is not None and v >= 0 for v in vals)
+    # the live column still discriminates
+    assert len(set(vals)) > 1
