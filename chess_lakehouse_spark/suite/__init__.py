@@ -65,10 +65,12 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # (2) this round's 12 window debutants (the 3 HUGEINT re-verifies, the 9
 # r5-new) need their r5 rows confirmed before rotating out; (3) candidate
 # NEW oracle-gated queries with implementations already pytest-pinned this
-# round: dsir_topk (operators/sampling.py), zorder/cluster layout reads
-# (operators/publish.py), bpe_train merge list (functions/bpe.py — oracle
-# expressible as an unrolled recursive CTE like knn_ivf_kmeans's),
-# bm25_topk and rrf_fuse (functions/text.py — both straightforward SQL).
+# round: dsir_topk and bm25_topk — their DuckDB oracles are ALREADY
+# written and parity-pinned (tests/test_dsir.py:_DSIR_ORACLE_TPL,
+# tests/test_bm25.py:_BM25_ORACLE_TPL — lift verbatim, parametrized);
+# also rrf_fuse (trivial SQL), zorder/cluster layout reads
+# (operators/publish.py), bpe_train merge list (functions/bpe.py —
+# unrolled-CTE oracle like knn_ivf_kmeans's).
 _WINDOW_ORDER = [
     # driver-red in r04 (oracle HUGEINT) — fixed, re-verify first
     "chunk_dedup",
