@@ -60,7 +60,12 @@ def _merge_expr(pa: str, pb: str):
     The fold carries (acc, pending) where ``pending`` is a 1-element buffer
     holding a candidate ``pa`` that may still pair with the next symbol.
     """
-    qa, qb = pa.replace("'", "\\'"), pb.replace("'", "\\'")
+    # backslash FIRST (it is the SQL escape char — escaping it after the
+    # quote pass would re-escape the quote's own backslash), then quotes;
+    # corpora with code/Windows paths hit both routinely
+    qa, qb = (
+        s.replace("\\", "\\\\").replace("'", "\\'") for s in (pa, pb)
+    )
     return F.expr(
         "aggregate(syms,"
         " named_struct('acc', CAST(array() AS array<string>), 'pend', CAST(NULL AS string)),"

@@ -135,7 +135,31 @@ def zorder_key(
         )
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    numeric = [F.col(c).cast("double") for c in cluster_cols]
+    # try_cast, not cast: under ANSI (Spark 4 default) a plain cast on a
+    # non-numeric string ABORTS approxQuantile with a task-level error;
+    # without ANSI it silently NULLs every row and the dimension would
+    # contribute bucket 0 everywhere while the write still claims
+    # multi-column skipping. Validate explicitly instead: one count-only
+    # pass over the cluster columns (cheap next to the full-lake sorted
+    # rewrite this key feeds) raises a clear error when any non-NULL value
+    # fails the DOUBLE cast — non-numeric columns must be rank-encoded to
+    # integers by the caller (dictionary/bucket id) before z-ordering.
+    numeric = [F.col(c).try_cast("double") for c in cluster_cols]
+    checks = df.agg(
+        *[F.count(F.col(c)).alias(f"__n{i}") for i, c in enumerate(cluster_cols)],
+        *[F.count(numeric[i]).alias(f"__d{i}") for i in range(len(cluster_cols))],
+    ).collect()[0]
+    bad = [
+        c
+        for i, c in enumerate(cluster_cols)
+        if checks[f"__n{i}"] > checks[f"__d{i}"]
+    ]
+    if bad:
+        raise ValueError(
+            f"zorder_key: cluster column(s) {bad} hold non-numeric values "
+            "(DOUBLE cast fails) — z-ordering needs numeric dimensions; "
+            "rank-encode string columns to integers first"
+        )
     stats_df = df.select(
         *[c.alias(f"__q{i}") for i, c in enumerate(numeric)]
     )
@@ -145,8 +169,6 @@ def zorder_key(
     z = F.lit(0).cast("long")
     for i, (col, cuts) in enumerate(zip(numeric, cutpoints)):
         if not cuts:
-            # approxQuantile ignores NULLs; an all-NULL column has no
-            # cutpoints and contributes bucket 0 for every row
             continue
         cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
         # bucket id = #cutpoints <= value (sorted cuts => monotone rank)
@@ -205,23 +227,68 @@ def vacuum_lake(spark: SparkSession, lake_dir: str) -> list[str]:
     from a failed write inside the lake itself.
 
     Safety rule: never touches the live lake's data files — only the three
-    well-known sidecar names this package itself creates. Returns the paths
-    it deleted. Run before re-attempting a failed compaction, or on a
-    maintenance schedule; at 100 TB a stranded ``.compacting`` copy is a
-    full extra lake of storage.
+    well-known sidecar names this package itself creates — and never
+    deletes the ONLY copy of the lake: if a crash landed inside
+    ``_swap_lake_dirs``'s one-rename window (live dir renamed aside to
+    ``.old``, replacement not yet in place) the live directory is ABSENT
+    and ``.old`` holds the sole copy, so vacuum first renames ``.old``
+    back into place (restore) and only then cleans the sidecars. The
+    restored path is included in the returned list prefixed with
+    ``restored:``; deleted paths are returned as-is. Run before
+    re-attempting a failed compaction, or on a maintenance schedule; at
+    100 TB a stranded ``.compacting`` copy is a full extra lake of
+    storage.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     base = lake_dir.rstrip("/")
+    live = jvm.org.apache.hadoop.fs.Path(base)
+    old = jvm.org.apache.hadoop.fs.Path(base + ".old")
+    fs = live.getFileSystem(hconf)
     removed: list[str] = []
+    if not fs.exists(live) and fs.exists(old):
+        # crash window of _swap_lake_dirs: .old is the only copy — restore
+        # it instead of deleting it (deleting here would be total data loss)
+        if not fs.rename(old, live):
+            raise IOError(
+                f"vacuum_lake: live lake {base} is missing and restoring "
+                f"{base}.old failed; NOT deleting any sidecar"
+            )
+        removed.append(f"restored:{base}.old")
     for path_str in (base + ".compacting", base + ".old", base + "/_temporary"):
         p = jvm.org.apache.hadoop.fs.Path(path_str)
-        fs = p.getFileSystem(hconf)
         if fs.exists(p):
             if not fs.delete(p, True):
                 raise IOError(f"vacuum_lake: failed to delete {path_str}")
             removed.append(path_str)
     return removed
+
+
+#: Characters Spark percent-escapes in Hive partition directory names
+#: (ExternalCatalogUtils.escapePathName semantics, verified empirically
+#: against Spark 4's parquet writer: space and '}' are NOT escaped).
+_PATH_ESCAPED = set('"#%\'*/:=?\\{[]^') | {chr(i) for i in range(0x20)} | {"\x7f"}
+
+
+def _escape_partition_value(v) -> str:
+    """Render a partition VALUE exactly as Spark renders it into the Hive
+    directory name, so FS-level partition lookups (emptied-partition
+    cleanup in ``delete_rows``, stale-row matching in
+    ``update_skipping_manifest``) agree with what the writer put on disk.
+    Raw ``f"{col}={value}"`` silently misses any value containing ':',
+    '/', '%', ... — the lookup then no-ops and 'deleted' rows survive."""
+    if v is None or v == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPED else ch for ch in str(v)
+    )
+
+
+def _partition_segment(cols: Sequence[str], vals: Sequence) -> str:
+    """``c1=v1/c2=v2`` path segment with writer-exact value escaping."""
+    return "/".join(
+        f"{c}={_escape_partition_value(v)}" for c, v in zip(cols, vals)
+    )
 
 
 def write_skipping_manifest(
@@ -292,11 +359,20 @@ def update_skipping_manifest(
         .distinct()
         .collect()
     )
-    segments = ["/".join(f"{c}={r[c]}" for c in partition_cols) for r in vals]
+    segments = [
+        _partition_segment(partition_cols, [r[c] for c in partition_cols])
+        for r in vals
+    ]
     man = spark.read.parquet(man_path)
+    # the manifest's file column holds input_file_name() URIs, which are
+    # URI-percent-encoded ON TOP of Hive's directory-name escaping (on-disk
+    # `src=s%3A1` appears as `src=s%253A1`, a space as `%20`). Decode the
+    # URI layer and match the Hive-escaped segment; literal '+' is
+    # protected first because url_decode is form-decoding (+ -> space).
+    decoded = F.url_decode(F.replace(F.col("file"), F.lit("+"), F.lit("%2B")))
     stale = F.lit(False)
     for seg in segments:
-        stale = stale | F.col("file").contains(f"/{seg}/")
+        stale = stale | decoded.contains(f"/{seg}/")
     keep = man.filter(~stale)
 
     base = lake_dir.rstrip("/")
@@ -360,7 +436,13 @@ def read_with_skipping(
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         cond = cond & (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
-    files = [r["file"] for r in man.filter(cond).select("file").collect()]
+    # manifest file values are input_file_name() URIs (percent-encoded on
+    # top of Hive's directory escaping); the reader wants literal on-disk
+    # paths, so decode the URI layer once (unquote leaves '+' alone, the
+    # exact inverse of the encoder — verified in tests/test_clustering.py)
+    from urllib.parse import unquote
+
+    files = [unquote(r["file"]) for r in man.filter(cond).select("file").collect()]
     full = spark.read.parquet(lake_dir)
     residual = F.lit(True)
     for c, (lo, hi) in ranges.items():
@@ -558,7 +640,7 @@ def delete_rows(
         vals = tuple(str(r[c]) for c in partition_cols)
         if vals in survivors:
             continue
-        seg = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+        seg = _partition_segment(partition_cols, vals)
         p = jvm.org.apache.hadoop.fs.Path(f"{base}/{seg}")
         fs = p.getFileSystem(hconf)
         if fs.exists(p) and not fs.delete(p, True):

@@ -159,6 +159,12 @@ def test_merge_expr_fold_matches_python_on_adversarial_arrays(spark):
         (["a", "b", "b", "a", "a", "b"], "a", "b"),
         (["'", "b", "'", "b"], "'", "b"),
         (["ab", "c" + EOW], "ab", "c" + EOW),
+        # backslashes (code/Windows-path corpora): the SQL literal splice
+        # must escape them BEFORE quote-escaping or the fold mis-merges
+        (["\\", "b", "\\", "b"], "\\", "b"),
+        (["a\\b", "c", "a\\b", "c"], "a\\b", "c"),
+        (["\\'", "x", "\\'", "x"], "\\'", "x"),
+        (["\\\\", "n" + EOW], "\\\\", "n" + EOW),
     ]
     rows = [(i, syms) for i, (syms, _, _) in enumerate(cases)]
     df = spark.createDataFrame(rows, "i long, syms array<string>")

@@ -413,3 +413,114 @@ def test_zorder_key_all_null_column(spark):
     assert all(v is not None and v >= 0 for v in vals)
     # the live column still discriminates
     assert len(set(vals)) > 1
+
+
+def test_zorder_key_rejects_non_numeric_column(spark):
+    """A string column casts to all-NULL doubles — previously it silently
+    contributed bucket 0 on every row while the write claimed clustering
+    on that dimension; now it must fail loudly."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("x", 1.0), ("y", 2.0), ("z", 3.0)], "a string, b double"
+    )
+    with _pytest.raises(ValueError, match="non-numeric"):
+        zorder_key(df, ["a", "b"], bits_per_col=2)
+
+
+def test_vacuum_restores_lake_from_crash_window(spark, tmp_path):
+    """Crash window of _swap_lake_dirs: live dir renamed aside to .old,
+    replacement not yet in place — .old is the ONLY copy. vacuum_lake must
+    RESTORE it (and clean the stranded .compacting), never delete it."""
+    import os
+
+    from chess_lakehouse_spark.operators.publish import vacuum_lake
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("p")
+    )
+    df.write.partitionBy("p").parquet(lake)
+    # simulate the crash: live -> .old done, .compacting stranded mid-swap
+    os.rename(lake, lake + ".old")
+    spark.range(0, 50).write.parquet(lake + ".compacting")
+    assert not os.path.exists(lake)
+
+    removed = vacuum_lake(spark, lake)
+    assert f"restored:{lake}.old" in removed
+    assert lake + ".compacting" in removed
+    assert os.path.exists(lake)
+    assert not os.path.exists(lake + ".old")
+    assert not os.path.exists(lake + ".compacting")
+    back = spark.read.parquet(lake)
+    assert back.count() == 50
+
+    # normal state afterwards: nothing left to clean
+    assert vacuum_lake(spark, lake) == []
+
+
+def test_delete_rows_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark percent-escapes in directory names (':', '/')
+    plus a space (not escaped): emptied-partition cleanup must find the
+    on-disk directory or 'deleted' rows silently survive."""
+    import os
+
+    from chess_lakehouse_spark.operators.publish import delete_rows
+
+    lake = str(tmp_path / "lake")
+    vals = ["a:b", "a/b", "a b", "plain"]
+    rows = [(i * 10 + j, v) for i, v in enumerate(vals) for j in range(3)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    df.write.partitionBy("src").parquet(lake)
+    dirs = {d for d in os.listdir(lake) if d.startswith("src=")}
+    assert "src=a%3Ab" in dirs and "src=a%2Fb" in dirs and "src=a b" in dirs
+
+    # delete ALL rows of the two escaped partitions and one of the space one
+    keys = spark.createDataFrame(
+        [(0, "a:b"), (1, "a:b"), (2, "a:b"), (10, "a/b"), (11, "a/b"),
+         (12, "a/b"), (20, "a b")],
+        "id long, src string",
+    )
+    delete_rows(spark, lake, keys, key_cols=["id"], partition_cols=["src"])
+
+    dirs = {d for d in os.listdir(lake) if d.startswith("src=")}
+    assert "src=a%3Ab" not in dirs and "src=a%2Fb" not in dirs
+    assert "src=a b" in dirs and "src=plain" in dirs
+    back = spark.read.parquet(lake)
+    assert sorted(r["id"] for r in back.collect()) == [21, 22, 30, 31, 32]
+
+
+def test_update_skipping_manifest_escaped_partition_values(spark, tmp_path):
+    """Stale-manifest-row matching must use the writer's escaped directory
+    segment; with raw values the stale rows survive and the manifest keeps
+    serving files the mutation rewrote."""
+    from chess_lakehouse_spark.operators.publish import delete_rows
+
+    lake = str(tmp_path / "lake")
+    rows = [(i, "s:1" if i < 20 else "s2", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, src string, v long")
+    df.write.partitionBy("src").parquet(lake)
+    write_skipping_manifest(spark, lake, ["id"])
+    man_before = spark.read.parquet(lake + "_manifest")
+    # input_file_name URIs carry the Hive escape percent-encoded again
+    old_files = {
+        r["file"]
+        for r in man_before.filter(F.col("file").contains("%253A")).collect()
+    }
+    assert old_files
+
+    # delete HALF the escaped partition's rows: the partition survives, is
+    # rewritten, and the incremental refresh must both drop the stale rows
+    # AND re-scan the escaped directory
+    keys = spark.createDataFrame([(i, "s:1") for i in range(10)], "id long, src string")
+    delete_rows(spark, lake, keys, key_cols=["id"], partition_cols=["src"])
+    update_skipping_manifest(
+        spark, lake, ["id"], ["src"], affected=keys.select("src").distinct()
+    )
+    man = spark.read.parquet(lake + "_manifest")
+    # every pre-rewrite file of the escaped partition dropped, fresh ones in
+    assert {r["file"] for r in man.collect()} & old_files == set()
+    assert man.filter(F.col("file").contains("%253A")).count() > 0
+    # pruned read agrees with ground truth after the refresh
+    got = read_with_skipping(spark, lake, {"id": (0, 39)})
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 40))
