@@ -130,8 +130,12 @@ def tfidf(df: DataFrame, id_col: str, text_col: str, min_tf: int = 2) -> DataFra
     so scores are bit-identical across engines), rounded to 6 decimals.
 
     Two map-side-combined shuffles (term counts by (doc, term); document
-    frequency by term) and one broadcast of the per-term idf — the df table
-    is vocabulary-sized, bounded far below the corpus. ``min_tf`` prunes the
+    frequency by term) and one keyed join of the per-term idf. The df table
+    is vocabulary-sized — far below the corpus, but NOT bounded on
+    web-scale noisy text, so no forced broadcast hint: AQE broadcasts it
+    when its runtime size fits, and falls back to a shuffled hash join when
+    a 100 TB crawl's vocabulary doesn't (a forced hint would override the
+    size threshold and OOM instead). ``min_tf`` prunes the
     long unigram tail before the join (output-size control at 100 TB).
 
     ``N`` (distinct doc count) is part of the SAME plan: a scalar subquery
@@ -149,7 +153,7 @@ def tfidf(df: DataFrame, id_col: str, text_col: str, min_tf: int = 2) -> DataFra
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.where(F.col("tf") >= min_tf)
-        .join(F.broadcast(dfreq), "term")
+        .join(dfreq, "term")
         .select(
             F.col(id_col),
             "term",
@@ -172,9 +176,12 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Plan: one explode + map-combined term-count groupBy (vocabulary-sized
     result), the total-token scalar as a scalar subquery in the SAME plan
     (``DataFrame.scalar()`` — no separate corpus-scanning action per
-    invocation), a vocabulary-sized broadcast of per-term log-probs back
-    onto the token stream, then one per-doc groupBy. Two shuffles, both
-    map-combined — the same shape as ``tfidf``, linear at 100 TB.
+    invocation), a keyed join of per-term log-probs back onto the token
+    stream (AQE broadcasts the vocabulary table when its runtime size
+    fits; on web-scale noisy text it is NOT bounded, so no forced hint —
+    same rationale as ``bigram_logprob``), then one per-doc groupBy. Two
+    shuffles, both map-combined — the same shape as ``tfidf``, linear at
+    100 TB.
 
     Determinism: per-term logp = ROUND(ln(ctf / total), 6) over exact
     integer inputs; the per-doc sum goes through DECIMAL(18,6) so summation
@@ -186,11 +193,9 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).where(F.col("term") != "")
     ctf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
     total = ctf.agg(F.sum("ctf").alias("t")).scalar()  # scalar subquery, same plan
-    logp = F.broadcast(
-        ctf.select(
-            "term",
-            F.round(F.log(F.col("ctf").cast("double") / total.cast("double")), 6).alias("lp"),
-        )
+    logp = ctf.select(
+        "term",
+        F.round(F.log(F.col("ctf").cast("double") / total.cast("double")), 6).alias("lp"),
     )
     return (
         terms.join(logp, "term")
@@ -581,9 +586,11 @@ def pmi_top_k(
     )
     c1 = cu.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
     c2 = cu.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    # unigram tables are vocabulary-sized: keyed joins, no forced broadcast
+    # hint (unbounded on web-scale text — AQE picks broadcast when it fits)
     scored = (
-        cb.join(F.broadcast(c1), "w1")
-        .join(F.broadcast(c2), "w2")
+        cb.join(c1, "w1")
+        .join(c2, "w2")
         .select(
             "w1",
             "w2",

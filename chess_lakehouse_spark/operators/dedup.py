@@ -113,27 +113,64 @@ _PAIR_EXPANSION = (
 )
 
 
-def cooccur_pairs(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+def cooccur_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """All unordered id pairs (id_a < id_b) co-occurring under the same key.
 
     One scan + one groupBy: ids are collected into a sorted set per key, and
     pairs expand in the array domain. A self-join on the key would compute
     the (often expensive) input subtree twice AND shuffle both copies; this
-    computes it once. Bucket skew = one large array; AQE can't split it, so
-    pathological keys (>~10⁴ ids) should be filtered or salted upstream —
-    at that size they are non-discriminative for dedup anyway.
+    computes it once.
+
+    Bucket skew = one large array + B²/2 pairs in a single task; AQE can't
+    split it, so ``max_bucket_size`` DROPS buckets holding more than that
+    many ids — deterministically, before pair expansion. At >~10⁴ members
+    a bucket is non-discriminative for dedup anyway (a band signature
+    shared by that many documents carries no similarity signal), so the cap
+    is a quality filter as much as an OOM guard. Pass ``None`` for
+    unlimited (primitive default); end-to-end operators default the cap on.
+    Audit what a cap would drop with :func:`oversized_buckets`.
     """
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"cooccur_pairs: max_bucket_size must be >= 2, got {max_bucket_size}"
+        )
+    grouped = df.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_set(id_col)).alias("ds")
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("ds") <= max_bucket_size)
     return (
-        df.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
-        .select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
+        grouped.select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
         .select("p.id_a", "p.id_b")
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+def oversized_buckets(
+    df: DataFrame, key_cols: list[str], id_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Accounting companion to ``cooccur_pairs(max_bucket_size=...)``: the
+    buckets a cap drops, as (key_cols..., n_ids) — run it on the same
+    inputs to log/monitor what the guarded pass skipped. Output is bounded
+    by the number of pathological keys (tiny), never the corpus."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count_distinct(F.col(id_col)).alias("n_ids"))
+        .where(F.col("n_ids") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket."""
-    return cooccur_pairs(bands, ["band", "bsig"], id_col).distinct()
+    return cooccur_pairs(
+        bands, ["band", "bsig"], id_col, max_bucket_size=max_bucket_size
+    ).distinct()
 
 
 def jaccard_verify(
@@ -182,6 +219,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 8,
     band_size: int = 1,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup: shingle → minhash → band →
     bucket-join → exact-Jaccard verify. Returns (id_a, id_b, jaccard).
@@ -191,11 +229,16 @@ def minhash_lsh_dedup(
     here (scan+explode pipelines inside codegen, while persist forces a
     materialization barrier). At 100 TB the shingle frame would instead be
     a checkpointed staging table between pipeline stages.
+
+    ``max_bucket_size`` (default 10k) deterministically drops band buckets
+    too popular to be discriminative — the single-task B²/2 expansion
+    guard (see ``cooccur_pairs``); audit candidates it would skip with
+    ``oversized_buckets(bands, ["band", "bsig"], id_col, cap)``.
     """
     sh = word_shingles(df, id_col, text_col, k=k)
     sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
     bands = lsh_bands(sig, id_col, num_hashes=num_hashes, band_size=band_size)
-    cand = lsh_candidate_pairs(bands, id_col)
+    cand = lsh_candidate_pairs(bands, id_col, max_bucket_size=max_bucket_size)
     return jaccard_verify(cand, sh, id_col, threshold=threshold)
 
 

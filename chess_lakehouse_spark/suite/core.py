@@ -461,7 +461,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-01-01")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # filtered customers broadcast comfortably at sf0.1, but at 100×
+        # the segment is still an O(customers) table — leave the choice to
+        # AQE's runtime size check instead of forcing it
+        .join(c, o.o_custkey == c.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue")

@@ -1528,3 +1528,46 @@ def test_round_ln_ratio_parity_with_duckdb_sweep(spark):
             "SELECT ROUND(ln(CAST(? AS DOUBLE) / CAST(? AS DOUBLE)), 6)", [a, b]
         ).fetchone()[0]
         assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+def test_cooccur_pairs_max_bucket_size_guard(spark):
+    """A pathological band bucket (one key shared by B ids) must be dropped
+    deterministically by the cap — not expanded into B^2/2 pairs in one
+    task — while small buckets are unaffected, and the accounting
+    companion reports exactly what was skipped."""
+    import pytest as _pytest
+
+    from chess_lakehouse_spark.operators.dedup import (
+        cooccur_pairs,
+        oversized_buckets,
+    )
+
+    rows = [("mega", i) for i in range(50)] + [("ok", 100), ("ok", 101)]
+    df = spark.createDataFrame(rows, "bucket string, id long")
+
+    uncapped = cooccur_pairs(df, ["bucket"], "id")
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+    capped = cooccur_pairs(df, ["bucket"], "id", max_bucket_size=10)
+    assert [(r["id_a"], r["id_b"]) for r in capped.collect()] == [(100, 101)]
+
+    dropped = oversized_buckets(df, ["bucket"], "id", max_bucket_size=10)
+    assert [(r["bucket"], r["n_ids"]) for r in dropped.collect()] == [("mega", 50)]
+
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        cooccur_pairs(df, ["bucket"], "id", max_bucket_size=1)
+
+
+def test_minhash_lsh_dedup_bucket_cap_threads_through(spark):
+    """With a tiny cap every band bucket of a duplicated corpus is dropped
+    and no pairs survive; with the default cap results are unchanged."""
+    from chess_lakehouse_spark.operators.dedup import minhash_lsh_dedup
+
+    texts = ["the quick brown fox jumps over the lazy dog"] * 8
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    assert minhash_lsh_dedup(df, "doc_id", "text").count() > 0
+    assert (
+        minhash_lsh_dedup(df, "doc_id", "text", max_bucket_size=4).count() == 0
+    )
