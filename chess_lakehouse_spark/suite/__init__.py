@@ -39,94 +39,86 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 
 # The driver's correctness harness records exactly the FIRST 50 entries of
 # queries() in dict-iteration order, so the window must be budgeted like a
-# scarce resource. Round-5 priority:
-#   1. the 3 queries driver-red in r04 (oracle HUGEINT, fixed this round
-#      with explicit CAST ... AS BIGINT) — they lead the window,
-#   2. approx_stats, rows-only by design and never yet in a recorded window,
-#   3. all 34 queries whose newest green row is r03 (out of r04's window) —
-#      rotated back in so no query's newest green falls >1 round behind,
-#   4. the 9 queries NEW this round (sample_temperature, winsorize,
-#      canary_scan, source_kl, knn_two_stage, rolling_avg,
-#      activity_islands, token_entropy, dup_matrix) — never
-#      driver-verified,
-#   5. 3 of the 17 r04-new single-green queries (dedup_priority /
-#      split_leakage_safe gained the components= reuse path this round so
-#      they must re-verify; dedup_semantic is the most intricate); the
-#      remaining 14 single-green-r04 queries rotate in next round —
-#      allowed out-of-window because r04 (the latest recorded round) has
-#      them green.
+# scarce resource. WINDOW_BUDGETED_FOR names the driver round this window
+# plans for (the staleness ratchet in tests/test_suite_order.py is
+# two-phase on it: strict latest-round evidence before that round's
+# CORRECTNESS file lands, latest-or-previous after, so pytest is green on
+# both sides of a driver run). Round-6 priority:
+#   1. the 4 queries NEW this round, never driver-verified — bm25_topk /
+#      rrf_fuse (oracles promoted verbatim from the r5 parity pins in
+#      tests/test_bm25.py), dsir_topk (tests/test_dsir.py), and
+#      lake_skipping_read (clustered write -> skipping manifest -> pruned
+#      read, values vs the raw table; pruning pinned by
+#      tests/test_clustering.py inputFiles() asserts),
+#   2. tfidf and dedup_minhash_lsh — re-verify: their code changed this
+#      round (vocabulary broadcast hint dropped; LSH bucket cap default),
+#   3. all 44 queries whose newest green row is r04 (they sat out r5's
+#      window) — rotated back in so no query's newest green evidence falls
+#      more than one recorded round behind.
 # Every query outside the window is hash-green in the LATEST recorded
-# driver round or in >=2 prior rounds (tests/test_suite_order.py derives
-# and enforces this from the recorded CORRECTNESS files) AND in
+# driver round (r05: 49 hash-green + approx_stats rows-only) AND in
 # scripts/verify_local.py's full-suite run, committed per round as
 # VERIFY_LOCAL_r{N}.txt.
-# r6 window planning (for the next round's rotation): (1) the 14 queries
-# whose only green row is r04 (they sat out r5's window) rotate in first;
-# (2) this round's 12 window debutants (the 3 HUGEINT re-verifies, the 9
-# r5-new) need their r5 rows confirmed before rotating out; (3) candidate
-# NEW oracle-gated queries with implementations already pytest-pinned this
-# round: dsir_topk and bm25_topk — their DuckDB oracles are ALREADY
-# written and parity-pinned (tests/test_dsir.py:_DSIR_ORACLE_TPL,
-# tests/test_bm25.py:_BM25_ORACLE_TPL — lift verbatim, parametrized);
-# also rrf_fuse (trivial SQL), zorder/cluster layout reads
-# (operators/publish.py), bpe_train merge list (functions/bpe.py —
-# unrolled-CTE oracle like knn_ivf_kmeans's).
+# r7 window planning: (1) the 47 queries green only in r5 (the 49 r5
+# window minus tfidf / dedup_minhash_lsh, which re-verify in r6) rotate
+# in; (2) that leaves 3 slots for new gated queries — bpe_train is the
+# standing candidate (unrolled-CTE oracle like knn_ivf_kmeans's).
+WINDOW_BUDGETED_FOR = 6
+
 _WINDOW_ORDER = [
-    # driver-red in r04 (oracle HUGEINT) — fixed, re-verify first
-    "chunk_dedup",
-    "dq_check",
-    "budget_sample",
-    # rows-only by design; never yet inside a recorded window
-    "approx_stats",
-    # newest green row r03 — rotate back in
-    "supplier_revenue",
-    "chess_export",
-    "dedup_exact",
-    "events_hourly",
-    "export_projection",
-    "filter_null_predicate",
-    "groupby_agg",
-    "join_star",
-    "json_extract",
-    "lateral_topk",
-    "merge_update",
-    "scalar_kitchen",
-    "asof_join",
-    "text_langid",
-    "text_quality",
+    # new in r06 — never driver-verified
+    "bm25_topk",
+    "rrf_fuse",
+    "dsir_topk",
+    "lake_skipping_read",
+    # re-verify: implementation changed in r06
     "tfidf",
-    "token_count",
-    "udaf_gmean",
-    "udtf_bigrams",
-    "source_stats_pandas",
-    "doc_fingerprint",
-    "mm_frame_sample",
-    "dedup_ngram_jaccard",
-    "pipeline_clean_corpus",
-    "dedup_clusters",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "knn_ivf",
-    "knn_lsh",
-    "knn_brute_force",
-    "enrich_argmax",
-    "chess_enrich",
-    # new in r05 — never driver-verified
-    "sample_temperature",
-    "winsorize",
-    "canary_scan",
-    "source_kl",
-    "knn_two_stage",
-    "rolling_avg",
-    "activity_islands",
-    "token_entropy",
-    "dup_matrix",
-    # single-green (r04 only): changed this round / most intricate
-    "dedup_priority",
-    "split_leakage_safe",
-    "dedup_semantic",
+    # newest green row r04 — rotate back in
+    "anti_join",
+    "boilerplate_strip",
+    "collect_set",
+    "contamination_ngram",
+    "corpus_delta",
+    "cube",
+    "dedup_incremental",
+    "distinct_agg",
+    "doc_chunks",
+    "embedding_drift",
+    "event_funnel",
+    "event_outliers",
+    "except",
+    "intersect",
+    "knn_ivf_kmeans",
+    "knn_quantized",
+    "label_centroids",
+    "lm_score",
+    "lm_score_bigram",
+    "mm_decode_meta",
+    "pack_sequences",
+    "pivot",
+    "pmi_topk",
+    "qc_count",
+    "quality_buckets",
+    "range_join",
+    "repetition_metrics",
+    "rollup",
+    "running_sum",
+    "sample_hash",
+    "sample_mix",
+    "sample_per_group",
+    "sample_weighted",
+    "semi_join",
+    "sessionize",
+    "shipping_priority",
+    "sort_limit",
+    "split_contamination",
+    "text_normalize",
+    "tfidf_cosine",
+    "union_append",
+    "user_retention",
+    "vocab_topk",
+    "window_topk",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

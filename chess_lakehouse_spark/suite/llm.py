@@ -1074,7 +1074,214 @@ def q_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("source_a", "source_b").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+#: BM25 retrieval constants shared by q_bm25_topk / q_rrf_fuse and their
+#: oracles (mixed document frequencies in the fixture vocabulary).
+BM25_QUERY = "join hash vector customer"
+BM25_K = 50
+RRF_LIST_K = 20
+RRF_K = 15
+DSIR_K = 100
+DSIR_BUCKETS = 256
+#: doc_id range served through the manifest-pruned lake read.
+LAKE_READ_RANGE = (100, 149)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ad-hoc retrieval over the documents corpus: postings are
+    filtered to the query's terms BEFORE the shuffle (map-side literal-
+    array filter), corpus stats ride scalar subqueries, result is
+    TakeOrdered(k). Scoring contract (integer-ratio idf, ROUND(·,6)
+    per-term, DECIMAL(18,6) sum, (score DESC, id) order) pinned against a
+    pure-Python reference in tests/test_bm25.py."""
+    from chess_lakehouse_spark.functions.text import bm25_topk
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", BM25_QUERY, k=BM25_K)
+
+
+def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: BM25 lexical candidates fused with a
+    length-prior ranking via reciprocal-rank fusion (Cormack et al. 2009).
+    Both input lists are k-bounded (TakeOrdered) before the rank windows,
+    so every window runs over ≤ RRF_LIST_K rows and the fusion itself
+    never touches the corpus."""
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.functions.text import bm25_topk, rrf_fuse
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, "doc_id", "text", BM25_QUERY, k=RRF_LIST_K)
+    bm_ranked = bm.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("int"),
+    ).select("doc_id", "rk")
+    prior = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(RRF_LIST_K)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+        .select("doc_id", "rk")
+    )
+    return rrf_fuse([bm_ranked, prior], "doc_id", k=RRF_K)
+
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): the every-10th
+    documents slice plays the in-domain TARGET corpus, the rest the raw
+    pool; hashed unigram+bigram bucket models give log importance weights
+    and deterministic Gumbel top-k picks the selection. Weight chain
+    pinned in tests/test_dsir.py against pure Python AND this oracle."""
+    from chess_lakehouse_spark.operators.sampling import dsir_topk
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    raw = docs.where(F.col("doc_id") % 10 != 0)
+    return dsir_topk(
+        raw, target, "doc_id", "text", k=DSIR_K, n_buckets=DSIR_BUCKETS
+    )
+
+
+def q_lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end lake-layout path: cluster the documents table by doc_id
+    into range-disjoint Parquet files, build the per-file min/max skipping
+    manifest, then serve a point-range query THROUGH the manifest — the
+    pruned read must return exactly what the raw table would (the oracle
+    checks values; file-level pruning itself is pinned by inputFiles()
+    asserts in tests/test_clustering.py). The lake is staged under a fresh
+    temp dir per invocation; at 100 TB this is the write-once/serve-many
+    layout whose point reads open O(1) of the files."""
+    import tempfile
+
+    from chess_lakehouse_spark.operators.publish import (
+        read_with_skipping,
+        write_clustered,
+        write_skipping_manifest,
+    )
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    lake = tempfile.mkdtemp(prefix="chess_lakehouse_sklake_") + "/docs"
+    write_clustered(docs, lake, ["doc_id"], n_files=8)
+    write_skipping_manifest(spark, lake, ["doc_id"])
+    lo, hi = LAKE_READ_RANGE
+    return read_with_skipping(spark, lake, {"doc_id": (lo, hi)})
+
+
 # ---------------------------------------------------------------- oracles
+
+#: Canonical BM25 DuckDB oracle (promoted from tests/test_bm25.py after the
+#: r5 parity pin; the test now imports THIS template so suite and pytest
+#: cannot diverge). Tokenization, integer-ratio idf, per-term ROUND(·,6),
+#: DECIMAL(18,6) sum and the (score DESC, id) total order mirror
+#: functions/text.py:bm25_topk exactly.
+_BM25_ORACLE_TPL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS t
+  FROM documents
+), lengths AS (
+  SELECT id, COUNT(*) AS n_d FROM toks GROUP BY id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(n_d) AS total_len FROM lengths
+), qterms(t) AS (VALUES {terms_values}),
+postings AS (
+  SELECT id, t, COUNT(*) AS tf FROM toks
+  WHERE t IN (SELECT t FROM qterms) GROUP BY id, t
+), dfreq AS (
+  SELECT t, COUNT(*) AS df FROM postings GROUP BY t
+)
+SELECT p.id AS doc_id,
+  CAST(ROUND(CAST(SUM(CAST(ROUND(
+      ROUND(ln(CAST(2*s.n_docs + 2 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE)), 6)
+      * CAST(p.tf AS DOUBLE)
+      / (CAST(p.tf AS DOUBLE)
+         + {k1} * ((1 - {b}) + {b} * CAST(l.n_d * s.n_docs AS DOUBLE)
+                                     / CAST(s.total_len AS DOUBLE)))
+    , 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS score
+FROM postings p JOIN dfreq d USING (t) JOIN lengths l ON p.id = l.id
+CROSS JOIN stats s
+GROUP BY p.id, s.n_docs, s.total_len
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_oracle(query: str, k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = sorted({t for t in query.split() if t})
+    return _BM25_ORACLE_TPL.format(
+        terms_values=", ".join(f"('{t}')" for t in terms), k1=k1, b=b, k=k
+    )
+
+
+#: Canonical DSIR oracle body (promoted from tests/test_dsir.py after the
+#: r5 parity pin; the test prepends WITH and registers raw_docs /
+#: target_docs views, the suite defines them as CTE slices of documents).
+#: md5 60-bit bucket hash, exact integer-product smoothing ratio,
+#: ROUND(ln(·),6) + DECIMAL(18,6) sums, and the Gumbel chain all mirror
+#: operators/sampling.py:dsir_topk.
+_DSIR_ORACLE_BODY = r"""raw_base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+  FROM raw_docs
+), tgt_base AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+  FROM target_docs
+), raw_idx AS (
+  SELECT id, ts, unnest(generate_series(1, list_count(ts))) AS i FROM raw_base
+), tgt_idx AS (
+  SELECT ts, unnest(generate_series(1, list_count(ts))) AS i FROM tgt_base
+), raw_feats AS (
+  SELECT id, ts[i] AS f FROM raw_idx
+  UNION ALL
+  SELECT id, ts[i] || ' ' || ts[i+1] FROM raw_idx WHERE i < list_count(ts)
+), tgt_feats AS (
+  SELECT ts[i] AS f FROM tgt_idx
+  UNION ALL
+  SELECT ts[i] || ' ' || ts[i+1] FROM tgt_idx WHERE i < list_count(ts)
+), raw_b AS (
+  SELECT id, CAST('0x' || substr(md5('{seed}|f|' || f), 1, 15) AS BIGINT) % {B} AS b
+  FROM raw_feats
+), tgt_b AS (
+  SELECT CAST('0x' || substr(md5('{seed}|f|' || f), 1, 15) AS BIGINT) % {B} AS b
+  FROM tgt_feats
+), cq AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cq FROM raw_b GROUP BY b
+), ct AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tgt_b GROUP BY b
+), totals AS (
+  SELECT (SELECT COUNT(*) FROM tgt_b) AS t_total,
+         (SELECT COUNT(*) FROM raw_b) AS q_total
+), lr AS (
+  SELECT cq.b,
+    ROUND(ln(
+      (CAST(COALESCE(ct.ct, 0) * {B} + 1 AS DOUBLE) * CAST(tt.q_total + 1 AS DOUBLE))
+      / (CAST(cq.cq * {B} + 1 AS DOUBLE) * CAST(tt.t_total + 1 AS DOUBLE))
+    ), {prec}) AS lr
+  FROM cq LEFT JOIN ct USING (b) CROSS JOIN totals tt
+), logw AS (
+  SELECT rb.id,
+    CAST(ROUND(CAST(SUM(CAST(lr.lr AS DECIMAL(18,6))) AS DOUBLE), {prec}) AS DOUBLE) AS logw
+  FROM raw_b rb JOIN lr USING (b) GROUP BY rb.id
+)
+SELECT id AS doc_id, logw,
+  ROUND(logw + ROUND(-ln(-ln(
+    (CAST(CAST('0x' || substr(md5('{seed}|' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
+    / (CAST({hash_space} AS DOUBLE) + 1.0)
+  )), {prec}), {prec}) AS score
+FROM logw
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
 
 _HASH64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
@@ -2268,6 +2475,49 @@ ORACLES = {
           FROM rescored
         ) WHERE rk <= {KNN_K}
     """,
+    "bm25_topk": _bm25_oracle(BM25_QUERY, BM25_K),
+    "dsir_topk": (
+        "WITH raw_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),\n"
+        "target_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),\n"
+        + _DSIR_ORACLE_BODY.format(
+            seed=0, B=DSIR_BUCKETS, prec=6, hash_space=1 << 60, k=DSIR_K
+        )
+    ),
+    "rrf_fuse": f"""
+        WITH bm AS (
+          {_bm25_oracle(BM25_QUERY, RRF_LIST_K)}
+        ),
+        bmr AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+          FROM bm
+        ),
+        pri AS (
+          SELECT doc_id, rk FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+            FROM documents
+          ) WHERE rk <= {RRF_LIST_K}
+        ),
+        allc AS (
+          SELECT doc_id,
+                 ROUND(CAST(1.0 AS DOUBLE) / CAST(60 + rk AS DOUBLE), 6) AS contrib
+          FROM bmr
+          UNION ALL
+          SELECT doc_id,
+                 ROUND(CAST(1.0 AS DOUBLE) / CAST(60 + rk AS DOUBLE), 6) AS contrib
+          FROM pri
+        )
+        SELECT doc_id,
+          CAST(ROUND(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS score
+        FROM allc GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT {RRF_K}
+    """,
+    "lake_skipping_read": f"""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE doc_id BETWEEN {LAKE_READ_RANGE[0]} AND {LAKE_READ_RANGE[1]}
+    """,
 }
 
 QUERIES = {
@@ -2331,4 +2581,8 @@ QUERIES = {
     "activity_islands": q_activity_islands,
     "token_entropy": q_token_entropy,
     "dup_matrix": q_dup_matrix,
+    "bm25_topk": q_bm25_topk,
+    "rrf_fuse": q_rrf_fuse,
+    "dsir_topk": q_dsir_topk,
+    "lake_skipping_read": q_lake_skipping_read,
 }

@@ -187,39 +187,10 @@ def test_rrf_fuse_validation(spark):
         rrf_fuse([df], "id", k=0)
 
 
-#: DuckDB oracle for bm25_topk, ready to lift into suite ORACLES next
-#: round (parametrized on {terms_values}, {k1}, {b}, {k}); tokenization,
-#: idf integer ratio, per-term ROUND(...,6), DECIMAL(18,6) sum, and the
-#: (score DESC, id) total order all mirror the Spark side exactly.
-_BM25_ORACLE_TPL = """
-WITH toks AS (
-  SELECT doc_id AS id,
-         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS t
-  FROM documents
-), lengths AS (
-  SELECT id, COUNT(*) AS n_d FROM toks GROUP BY id
-), stats AS (
-  SELECT COUNT(*) AS n_docs, SUM(n_d) AS total_len FROM lengths
-), qterms(t) AS (VALUES {terms_values}),
-postings AS (
-  SELECT id, t, COUNT(*) AS tf FROM toks
-  WHERE t IN (SELECT t FROM qterms) GROUP BY id, t
-), dfreq AS (
-  SELECT t, COUNT(*) AS df FROM postings GROUP BY t
-)
-SELECT p.id AS doc_id,
-  CAST(ROUND(CAST(SUM(CAST(ROUND(
-      ROUND(ln(CAST(2*s.n_docs + 2 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE)), 6)
-      * CAST(p.tf AS DOUBLE)
-      / (CAST(p.tf AS DOUBLE)
-         + {k1} * ((1 - {b}) + {b} * CAST(l.n_d * s.n_docs AS DOUBLE)
-                                     / CAST(s.total_len AS DOUBLE)))
-    , 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS score
-FROM postings p JOIN dfreq d USING (t) JOIN lengths l ON p.id = l.id
-CROSS JOIN stats s
-GROUP BY p.id, s.n_docs, s.total_len
-ORDER BY score DESC, doc_id ASC LIMIT {k}
-"""
+#: The canonical oracle now lives in suite/llm.py (gated as the bm25_topk
+#: driver query since r6); import it so this parity pin and the suite
+#: cannot diverge.
+from chess_lakehouse_spark.suite.llm import _BM25_ORACLE_TPL  # noqa: E402
 
 
 def test_bm25_duckdb_oracle_parity(spark):

@@ -105,63 +105,12 @@ def test_dsir_arbitrary_id_column_name(spark, corpora):
     assert len(got.collect()) == 10
 
 
-#: DuckDB oracle for dsir_topk (bigrams on), ready to lift into suite
-#: ORACLES next round; every construct is a proven portability pillar
-#: (md5-derived 60-bit hash, ROUND(ln(double-cast products), 6),
-#: DECIMAL(18,6) sums) plus the Gumbel chain, parity-swept 0/500 ids.
-_DSIR_ORACLE_TPL = """
-WITH raw_base AS (
-  SELECT doc_id AS id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
-  FROM raw_docs
-), tgt_base AS (
-  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
-  FROM target_docs
-), raw_idx AS (
-  SELECT id, ts, unnest(generate_series(1, list_count(ts))) AS i FROM raw_base
-), tgt_idx AS (
-  SELECT ts, unnest(generate_series(1, list_count(ts))) AS i FROM tgt_base
-), raw_feats AS (
-  SELECT id, ts[i] AS f FROM raw_idx
-  UNION ALL
-  SELECT id, ts[i] || ' ' || ts[i+1] FROM raw_idx WHERE i < list_count(ts)
-), tgt_feats AS (
-  SELECT ts[i] AS f FROM tgt_idx
-  UNION ALL
-  SELECT ts[i] || ' ' || ts[i+1] FROM tgt_idx WHERE i < list_count(ts)
-), raw_b AS (
-  SELECT id, CAST('0x' || substr(md5('{seed}|f|' || f), 1, 15) AS BIGINT) % {B} AS b
-  FROM raw_feats
-), tgt_b AS (
-  SELECT CAST('0x' || substr(md5('{seed}|f|' || f), 1, 15) AS BIGINT) % {B} AS b
-  FROM tgt_feats
-), cq AS (
-  SELECT b, CAST(COUNT(*) AS BIGINT) AS cq FROM raw_b GROUP BY b
-), ct AS (
-  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tgt_b GROUP BY b
-), totals AS (
-  SELECT (SELECT COUNT(*) FROM tgt_b) AS t_total,
-         (SELECT COUNT(*) FROM raw_b) AS q_total
-), lr AS (
-  SELECT cq.b,
-    ROUND(ln(
-      (CAST(COALESCE(ct.ct, 0) * {B} + 1 AS DOUBLE) * CAST(tt.q_total + 1 AS DOUBLE))
-      / (CAST(cq.cq * {B} + 1 AS DOUBLE) * CAST(tt.t_total + 1 AS DOUBLE))
-    ), {prec}) AS lr
-  FROM cq LEFT JOIN ct USING (b) CROSS JOIN totals tt
-), logw AS (
-  SELECT rb.id,
-    CAST(ROUND(CAST(SUM(CAST(lr.lr AS DECIMAL(18,6))) AS DOUBLE), {prec}) AS DOUBLE) AS logw
-  FROM raw_b rb JOIN lr USING (b) GROUP BY rb.id
-)
-SELECT id AS doc_id, logw,
-  ROUND(logw + ROUND(-ln(-ln(
-    (CAST(CAST('0x' || substr(md5('{seed}|' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
-    / (CAST({hash_space} AS DOUBLE) + 1.0)
-  )), {prec}), {prec}) AS score
-FROM logw
-ORDER BY score DESC, doc_id ASC LIMIT {k}
-"""
+#: The canonical oracle body now lives in suite/llm.py (gated as the
+#: dsir_topk driver query since r6); build the standalone template from
+#: it so this parity pin and the suite cannot diverge.
+from chess_lakehouse_spark.suite.llm import _DSIR_ORACLE_BODY  # noqa: E402
+
+_DSIR_ORACLE_TPL = "WITH " + _DSIR_ORACLE_BODY
 
 
 def test_dsir_duckdb_oracle_parity(spark, corpora):

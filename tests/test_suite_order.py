@@ -87,21 +87,38 @@ def _newest_green_round() -> dict[str, int]:
 
 
 def test_no_query_goes_stale() -> None:
-    """Rotation policy: every query must either sit in the upcoming window
-    or have been hash-green in the latest recorded round — i.e. after the
-    upcoming round completes, no query's newest green row is older than two
-    rounds. Rows-only-by-design queries are exempt from the hash criterion
-    but still must rotate through the window to accumulate rows-only rows
-    (enforced only when they have never been recorded)."""
+    """Rotation policy, two-phase on suite.WINDOW_BUDGETED_FOR so the suite
+    is green on BOTH sides of a driver run (r5 postmortem: the one-phase
+    form asserted against the latest recorded round unconditionally, which
+    is satisfiable only at commit time — the moment the driver lands the
+    round the window was budgeted for, every out-of-window query green
+    only in the previous round went red by construction).
+
+    - Pre-run (no CORRECTNESS file for the budgeted round yet): STRICT —
+      every out-of-window query must be hash-green in the latest recorded
+      round, forcing the commit-time rotation.
+    - Post-run (the budgeted round's file has landed, window not yet
+      re-planned): every out-of-window query was green at budget time —
+      require green in the budgeted round or the one before. A window
+      query that FAILED its budgeted run stays visible through the
+      driver's red row itself, not this ratchet.
+    - A budget more than one round behind the recorded files is a missed
+      rotation and fails loudly."""
     records = _records()
     latest = len(records)
+    budgeted = suite.WINDOW_BUDGETED_FOR
+    assert budgeted in (latest, latest + 1), (
+        f"WINDOW_BUDGETED_FOR={budgeted} but {latest} rounds are recorded — "
+        "plan a fresh window (rotate stale queries in, bump the budget)"
+    )
     newest = _newest_green_round()
     window = set(list(suite.QUERIES)[:50])
     exempt = _rows_only_by_design()
+    floor = latest if budgeted == latest + 1 else budgeted - 1
     stale = [
         n
         for n in suite.QUERIES
-        if n not in window and newest.get(n, 0) < latest and n not in exempt
+        if n not in window and newest.get(n, 0) < floor and n not in exempt
     ]
     assert not stale, f"queries going >1 round without driver evidence: {stale}"
 
