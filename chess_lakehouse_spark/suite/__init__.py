@@ -44,14 +44,18 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # two-phase on it: strict latest-round evidence before that round's
 # CORRECTNESS file lands, latest-or-previous after, so pytest is green on
 # both sides of a driver run). Round-6 priority:
-#   1. the 4 queries NEW this round, never driver-verified — bm25_topk /
+#   1. the 5 queries NEW this round, never driver-verified — bm25_topk /
 #      rrf_fuse (oracles promoted verbatim from the r5 parity pins in
-#      tests/test_bm25.py), dsir_topk (tests/test_dsir.py), and
+#      tests/test_bm25.py), dsir_topk (tests/test_dsir.py),
 #      lake_skipping_read (clustered write -> skipping manifest -> pruned
 #      read, values vs the raw table; pruning pinned by
-#      tests/test_clustering.py inputFiles() asserts),
-#   2. tfidf and dedup_minhash_lsh — re-verify: their code changed this
-#      round (vocabulary broadcast hint dropped; LSH bucket cap default),
+#      tests/test_clustering.py inputFiles() asserts), and bpe_train
+#      (unrolled-CTE oracle replaying every merge round, pinned vs both
+#      Spark and pure Python in tests/test_bpe.py),
+#   2. dedup_minhash_lsh — re-verify: its code changed this round (LSH
+#      bucket cap default). tfidf's broadcast-hint drop is plan-level
+#      only (values re-verified in VERIFY_LOCAL_r06.txt); it stays out,
+#      green in r5,
 #   3. all 44 queries whose newest green row is r04 (they sat out r5's
 #      window) — rotated back in so no query's newest green evidence falls
 #      more than one recorded round behind.
@@ -59,10 +63,11 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # driver round (r05: 49 hash-green + approx_stats rows-only) AND in
 # scripts/verify_local.py's full-suite run, committed per round as
 # VERIFY_LOCAL_r{N}.txt.
-# r7 window planning: (1) the 47 queries green only in r5 (the 49 r5
-# window minus tfidf / dedup_minhash_lsh, which re-verify in r6) rotate
-# in; (2) that leaves 3 slots for new gated queries — bpe_train is the
-# standing candidate (unrolled-CTE oracle like knn_ivf_kmeans's).
+# r7 window planning: (1) the 48 queries green only in r5 (the 49-query
+# r5 window minus dedup_minhash_lsh, which re-verifies in r6) rotate in;
+# (2) that leaves 2 slots for new gated queries. With bpe_train landing
+# this round, every oracle-checkable operator family is driver-gated —
+# r7's slots go to whatever new operators r7 builds.
 WINDOW_BUDGETED_FOR = 6
 
 _WINDOW_ORDER = [
@@ -71,8 +76,8 @@ _WINDOW_ORDER = [
     "rrf_fuse",
     "dsir_topk",
     "lake_skipping_read",
-    # re-verify: implementation changed in r06
-    "tfidf",
+    "bpe_train",
+    # re-verify: implementation changed in r06 (LSH bucket cap default)
     "dedup_minhash_lsh",
     # newest green row r04 — rotate back in
     "anti_join",

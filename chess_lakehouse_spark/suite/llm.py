@@ -1151,6 +1151,31 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Merge rounds learned by the gated bpe_train query (all rounds clear
+#: min_pair_count on the fixture corpus, so the early-stop path — pinned
+#: separately in tests/test_bpe.py — never truncates the oracle's chain).
+BPE_MERGES = 8
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction over the documents corpus: the
+    corpus collapses to the distinct-word frequency table in one
+    map-combined aggregation, then each merge round is pair-count explode →
+    weighted count → TakeOrdered(1) winner with the (count DESC, pa, pb)
+    total order → JVM array-fold merge. The driver holds only the merge
+    list (bounded by BPE_MERGES), returned as (rk, pa, pb) rows. The
+    oracle replays every round as an unrolled CTE chain (greedy leftmost
+    non-overlapping pair selection via run/island analysis — the same
+    unroll pattern as knn_ivf_kmeans's k-means oracle)."""
+    from chess_lakehouse_spark.functions.bpe import bpe_train
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=BPE_MERGES)
+    rows = [(i + 1, pa, pb) for i, (pa, pb) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rk int, pa string, pb string")
+
+
 def q_lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end lake-layout path: cluster the documents table by doc_id
     into range-disjoint Parquet files, build the per-file min/max skipping
@@ -1282,6 +1307,99 @@ SELECT id AS doc_id, logw,
 FROM logw
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+def _bpe_iter_ctes(r: int, min_pair_count: int) -> str:
+    """CTEs replaying BPE merge round ``r``: count adjacent pairs weighted
+    by word frequency, pick the winner under the (count DESC, pa, pb)
+    total order, then apply it with the Python/Spark fold's exact greedy
+    leftmost non-overlapping semantics. Consecutive match positions (only
+    possible when pa == pb, e.g. 'aaa') overlap, so the apply step selects
+    every OTHER match within each run of consecutive matches — run/island
+    analysis over the per-word position stream. MATERIALIZED is load-
+    bearing: vocab{r} is referenced three times and DuckDB would otherwise
+    re-inline the whole chain per reference (exponential blowup by round).
+    """
+    p, q = r, r + 1
+    return f"""
+pairs{p} AS MATERIALIZED (
+  SELECT syms[i] AS pa, syms[i+1] AS pb, SUM(n) AS cnt
+  FROM (SELECT n, syms, unnest(generate_series(1, list_count(syms) - 1)) AS i
+        FROM vocab{p} WHERE list_count(syms) >= 2)
+  GROUP BY 1, 2
+),
+best{p} AS MATERIALIZED (
+  SELECT pa, pb FROM pairs{p}
+  WHERE cnt >= {min_pair_count}
+  ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1
+),
+pos{p} AS (
+  SELECT v.w, v.n, i.i, v.syms[i.i] AS sym,
+         (i.i < list_count(v.syms)
+          AND v.syms[i.i] = b.pa AND v.syms[i.i+1] = b.pb) AS mt
+  FROM vocab{p} v
+  CROSS JOIN best{p} b
+  CROSS JOIN LATERAL unnest(generate_series(1, list_count(v.syms))) AS i(i)
+),
+grp{p} AS (
+  SELECT w, n, i, sym, mt,
+         CASE WHEN mt THEN i - ROW_NUMBER() OVER (
+           PARTITION BY w, mt ORDER BY i) END AS run
+  FROM pos{p}
+),
+sel{p} AS (
+  SELECT w, n, i, sym,
+         mt AND (i - MIN(i) OVER (PARTITION BY w, run)) % 2 = 0 AS picked
+  FROM grp{p}
+),
+lag{p} AS (
+  SELECT w, n, i, sym, picked,
+         COALESCE(LAG(picked) OVER (PARTITION BY w ORDER BY i), FALSE) AS prev
+  FROM sel{p}
+),
+applied{p} AS MATERIALIZED (
+  SELECT l.w, l.n,
+         list(CASE WHEN l.picked THEN b.pa || b.pb ELSE l.sym END ORDER BY l.i) AS syms
+  FROM lag{p} l CROSS JOIN best{p} b
+  WHERE l.picked OR NOT l.prev
+  GROUP BY l.w, l.n
+),
+vocab{q} AS MATERIALIZED (
+  -- early stop: with no winning pair this round, vocab passes through
+  SELECT * FROM applied{p}
+  UNION ALL
+  SELECT * FROM vocab{p} WHERE NOT EXISTS (SELECT 1 FROM best{p})
+)"""
+
+
+def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
+    """Full unrolled-CTE DuckDB oracle for ``bpe_train`` (functions/bpe.py):
+    vocab1 is the distinct-word frequency table with char symbols + the
+    EOW marker, then one :func:`_bpe_iter_ctes` block per round. Pinned
+    against BOTH the Spark implementation and the pure-Python reference in
+    tests/test_bpe.py."""
+    ctes = [
+        r"""vocab1 AS MATERIALIZED (
+  SELECT w, SUM(n) AS n, syms FROM (
+    SELECT w, COUNT(*) AS n,
+           list_transform(generate_series(1, length(w)),
+             i -> CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>'
+                       ELSE substr(w, i, 1) END) AS syms
+    FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+          FROM documents)
+    GROUP BY w
+  ) GROUP BY w, syms
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(_bpe_iter_ctes(r, min_pair_count))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rk, pa, pb FROM best{r}" for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\nSELECT CAST(rk AS INT) AS rk, pa, pb FROM ({finals}) ORDER BY rk"
+    )
+
 
 _HASH64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
@@ -2518,6 +2636,7 @@ ORACLES = {
         FROM documents
         WHERE doc_id BETWEEN {LAKE_READ_RANGE[0]} AND {LAKE_READ_RANGE[1]}
     """,
+    "bpe_train": _bpe_oracle(BPE_MERGES),
 }
 
 QUERIES = {
@@ -2585,4 +2704,5 @@ QUERIES = {
     "rrf_fuse": q_rrf_fuse,
     "dsir_topk": q_dsir_topk,
     "lake_skipping_read": q_lake_skipping_read,
+    "bpe_train": q_bpe_train,
 }

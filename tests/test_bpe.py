@@ -190,3 +190,48 @@ def test_bpe_apply_empty_and_single_char(spark):
     assert rows[0] == []
     assert rows[1] == ["a" + EOW]
     assert rows[2] == ["lo" + EOW]
+
+
+def test_bpe_train_duckdb_oracle_parity(spark):
+    """The suite's unrolled-CTE oracle (gated as the bpe_train driver query
+    since r6) replays every merge round — greedy leftmost non-overlapping
+    apply included — identically to BOTH the Spark implementation and the
+    pure-Python reference, on the real fixture corpus."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import _bpe_oracle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, "text", n_merges=5)
+    want = [(i + 1, pa, pb) for i, (pa, pb) in enumerate(merges)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    assert con.execute(_bpe_oracle(5)).fetchall() == want
+
+
+def test_bpe_oracle_early_stop_and_pair_runs(spark):
+    """Adversarial oracle semantics on a synthetic corpus: pa == pb runs
+    ('aaa' -> [aa, a], 'aaaa' -> [aa, aa]) where greedy selection inside a
+    match run matters, plus the early-stop passthrough when the corpus
+    runs out of pairs above min_pair_count (n_merges overshoots)."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import _bpe_oracle
+
+    texts = ["aaa aaa aaaa", "ab ab aab", "ba ab aaa"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    merges = bpe_train(df, "text", n_merges=12)
+    want = [(i + 1, pa, pb) for i, (pa, pb) in enumerate(merges)]
+    assert want == [
+        (i + 1, pa, pb) for i, (pa, pb) in enumerate(_ref_train(texts, 12))
+    ]
+
+    con = duckdb.connect()
+    con.register("docs_pd", df.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_pd")
+    got = con.execute(_bpe_oracle(12)).fetchall()
+    assert got == want
+    assert len(want) < 12  # the early-stop path actually engaged
