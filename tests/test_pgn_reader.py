@@ -130,3 +130,51 @@ def test_multiple_files_and_dir(spark, tmp_path):
     df = read_pgn(spark, str(tmp_path))
     assert df.count() == 2
     assert set(r["source_file"].split("/")[-1] for r in df.collect()) == {"a.pgn", "b.pgn"}
+
+
+def _adversarial_game(i: int, rng: random.Random) -> str:
+    """Export-format game whose movetext is littered with the byte shapes
+    the boundary scanner must NOT resynchronize on: lines starting with
+    '[' inside multi-line comments (no preceding blank line — the only
+    form legal in export format), ']' at line ends, and '%'-escape lines
+    between comment lines."""
+    tricks = rng.choice(
+        [
+            "{a comment spanning lines\n[Event \"fake inner tag\"]\nstill comment}",
+            "{r.\n[1] citation-style line\n[2] another}",
+            "{trailing bracket line]\n[leading bracket}",
+            "% escape line that mentions [Event \"nope\"]\n{c}",
+        ]
+    )
+    moves = " ".join(
+        f"{j + 1}. {rng.choice(['e4', 'd4', 'Nf3', 'c4'])} "
+        f"{rng.choice(['e5', 'd5', 'Nf6', 'c5'])}"
+        for j in range(rng.randint(1, 12))
+    )
+    return (
+        f'[Event "Adv {i}"]\n[White "W{i}"]\n[Black "B{i}"]\n[Result "*"]\n\n'
+        f"1. e4 {tricks}\n{moves} *\n"
+    )
+
+
+@pytest.mark.parametrize("split_bytes", [101, 257, 997, 4099])
+def test_splits_survive_bracket_lines_inside_comments(spark, tmp_path, split_bytes):
+    """Fuzz the boundary scanner with games whose comments contain
+    '[Tag ...]'-shaped lines at line starts (legal in export format as
+    long as no blank line precedes them): prime split sizes land split
+    starts at every byte alignment, and each game must still parse
+    exactly once. A blank line INSIDE a comment is the documented
+    out-of-contract case (export format reserves blank lines as game
+    separators — sources/pgn.py:_scan_boundary)."""
+    rng = random.Random(split_bytes)
+    n = 120
+    p = tmp_path / "adv.pgn"
+    p.write_text("\n".join(_adversarial_game(i, rng) for i in range(n)))
+    df = read_pgn(spark, str(p), split_bytes=split_bytes)
+    rows = df.collect()
+    events = [r["Event"] for r in rows]
+    assert len(events) == n, f"expected {n} games, got {len(events)}"
+    assert len(set(events)) == n, "duplicate/ghost games across splits"
+    assert all(r["parse_error"] is None for r in rows)
+    # the fake inner tags stayed in the movetext, never became real tags
+    assert all(r["Event"].startswith("Adv ") for r in rows)
