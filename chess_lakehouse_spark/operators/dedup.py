@@ -624,3 +624,81 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide first-occurrence paragraph dedup (the C4/RefinedWeb
+    line-level pass, Raffel et al. 2020 / Penedo et al. 2023): split every
+    document on ``sep``, and remove each repeated paragraph EVERYWHERE
+    except its first occurrence — "first" under the total order (doc id,
+    position), so the result is independent of partitioning and engine.
+    Complements :func:`exact_dedup_groups` (whole-document) and
+    ``strip_boilerplate`` (token-level): this is the granularity that
+    catches shared headers/footers/navigation blocks pasted across
+    millions of pages.
+
+    Paragraphs shorter than ``min_chars`` (after trim) are structural —
+    blank lines, separators — and are always kept, never treated as
+    duplicates.
+
+    Plan shape: one posexplode, ONE map-combined groupBy(md5(paragraph))
+    computing the min-(id, pos) struct (the canonical occurrence), a
+    keyed join back on the hash, and one per-document rebuild aggregate —
+    two shuffles plus one join, all hash-keyed on bounded keys; nothing is
+    pairwise and nothing is corpus-global beyond the paragraph-hash table.
+    At 100 TB the hash table is the distinct-paragraph count — large but
+    shuffled, never broadcast or collected.
+
+    Returns (id, clean_text, n_paras, n_removed); every input document is
+    present (a fully-duplicated document comes back with the structural
+    lines only, or empty).
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    eligible = paras.where(F.length(F.trim(F.col("para"))) >= min_chars)
+    first = (
+        eligible.groupBy(F.md5(F.col("para")).alias("h"))
+        .agg(F.min(F.struct("id", "pos")).alias("first_occ"))
+    )
+    flagged = paras.join(
+        first,
+        F.md5(F.col("para")) == F.col("h"),
+        "left",
+    ).select(
+        "id",
+        "pos",
+        "para",
+        # structural (<min_chars) paragraphs never join: md5 equality
+        # implies equal text and no short text is on the build side, so
+        # their first_occ is NULL and the coalesce keeps them everywhere
+        F.coalesce(
+            F.col("first_occ") == F.struct(F.col("id"), F.col("pos")),
+            F.lit(True),
+        ).alias("keep"),
+    )
+    rebuilt = flagged.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_paras"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("int").alias("n_removed"),
+    )
+    return rebuilt.select(
+        F.col("id").alias(id_col), "clean_text", "n_paras", "n_removed"
+    )

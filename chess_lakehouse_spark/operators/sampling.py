@@ -488,3 +488,68 @@ def dsir_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: assign every
+    row a shard and a position within it, both pure functions of
+    (seed, id) — the curation-to-training handoff step. A trainer reading
+    shard files in position order sees a uniform random permutation of the
+    corpus (the md5 hash order), yet any run / partitioning / engine
+    reproduces the identical layout, and a re-shuffle is just a new seed.
+
+    ``shard = pmod(h, n_shards)`` and ``pos = rank of h within the
+    shard`` (ties broken by id, so the order is total even on 60-bit hash
+    collisions). Plan: one zero-shuffle hash projection + one hash
+    repartition by shard with an in-shard sort (the rank window is
+    partitioned by shard — exactly the exchange the shard layout needs
+    anyway, no extra pass). At 100 TB pick n_shards so a shard fits a
+    trainer worker's read granularity; the shuffle is one exchange of the
+    corpus, the unavoidable minimum for a global permutation.
+
+    Returns the input columns plus (shard int, pos long), pos = 1-based
+    rank within the shard.
+    """
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"shard_assignments: n_shards must be >= 1, got {n_shards}")
+    h = sample_hash(
+        F.concat(F.lit("shuffle|"), F.col(id_col).cast("string")), seed
+    )
+    staged = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return staged.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Materialize :func:`shard_assignments` as a ``shard=K``-partitioned
+    Parquet lake with rows stored in position order inside every shard —
+    the on-disk layout a data loader streams sequentially. One exchange
+    (hash repartition by shard) + in-task sort by (shard, pos); each Hive
+    partition is written by the task that owns its shard, so file count
+    stays at O(n_shards), never tasks × shards."""
+    assigned = shard_assignments(df, id_col, n_shards, seed=seed)
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
