@@ -65,9 +65,11 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # VERIFY_LOCAL_r{N}.txt.
 # r7 window planning: (1) the 48 queries green only in r5 (the 49-query
 # r5 window minus dedup_minhash_lsh, which re-verifies in r6) rotate in;
-# (2) that leaves 2 slots for new gated queries. With bpe_train landing
-# this round, every oracle-checkable operator family is driver-gated —
-# r7's slots go to whatever new operators r7 builds.
+# (2) that leaves 2 slots for new gated queries. Standing candidates with
+# oracles ALREADY written and parity-pinned this round
+# (tests/test_shuffle_paragraphs.py): paragraph_dedup (window-rank
+# first-occurrence oracle) and shard_assignments (md5-permutation
+# shard/pos — SELECT over the same portable hash pillar).
 WINDOW_BUDGETED_FOR = 6
 
 _WINDOW_ORDER = [
