@@ -471,3 +471,56 @@ def test_no_cartesian_product_in_any_query_plan(spark):
         if "CartesianProduct" in plan:
             offenders[name] = True
     assert not offenders, f"cartesian joins planned: {sorted(offenders)}"
+
+
+def test_bm25_postings_filtered_before_shuffle(spark):
+    """The posting shuffle must carry only the query's terms: the literal
+    array_contains filter sits under the (doc, term) aggregate, so the
+    exchange is query-postings-sized, never vocabulary-sized; top-k is a
+    TakeOrdered, not a global sort."""
+    plan = explain(spark, llm.q_bm25_topk(spark, SF_DIR))
+    assert "array_contains" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_rrf_fuse_never_touches_corpus_after_lists(spark):
+    """Fusion operates on k-bounded candidate frames: both rank windows run
+    AFTER a TakeOrdered limit, and the final fuse is one aggregate over
+    <= 2k rows."""
+    plan = explain(spark, llm.q_rrf_fuse(spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 2  # both lists + final top-k
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_ratio_table_broadcast_no_cartesian(spark):
+    """The n_buckets-row log-ratio table joins the raw feature stream via
+    broadcast (it is bounded by construction — unlike a vocabulary table);
+    selection is TakeOrdered(k)."""
+    plan = explain(spark, llm.q_dsir_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_keyed_join_partial_agg(spark):
+    """Hash-table build is map-combined; the join back is hash-keyed (no
+    cartesian, no nested loop against the corpus)."""
+    from chess_lakehouse_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain(spark, paragraph_dedup(docs, "doc_id", "text", sep="value"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "partial_min" in plan  # canonical-(id,pos) map-side combine
+
+
+def test_shard_assignments_single_exchange(spark):
+    """The global permutation costs exactly ONE exchange — the shard hash
+    repartition the layout needs anyway; the rank window rides inside it."""
+    from chess_lakehouse_spark.operators.sampling import shard_assignments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    plan = explain(spark, shard_assignments(docs, "doc_id", 8))
+    assert plan.count("Exchange ") == 1
+    assert "Window" in plan
