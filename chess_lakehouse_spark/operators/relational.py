@@ -489,9 +489,13 @@ def score_buckets(
     """Global score stratification: every row tagged with its quantile
     bucket (1..n_buckets) — the 'quality deciles' step of corpus curation.
 
-    ``exact=True``: ntile over the (score, id) total order — one global
-    sort, chosen when bucket boundaries must be engine-exact (the oracle
-    form). ``exact=False`` is the 100 TB path: the n-1 cut points come
+    ``exact=True`` (the default, and the oracle form): ntile over the
+    (score, id) total order — one global sort, chosen when bucket
+    boundaries must be engine-exact. Pipelines composed at scale should
+    pass ``exact=False`` explicitly — a global sort of the corpus is the
+    single most expensive shape Spark can plan, and quality-decile
+    curation never needs engine-exact boundaries.
+    ``exact=False`` is that 100 TB path: the n-1 cut points come
     from ONE ``approx_percentile`` aggregate (no global sort anywhere),
     ship as a 1-row broadcast, and the bucket is a map-side count of cut
     points below the score. Bucket populations then deviate only by the
