@@ -1,0 +1,133 @@
+"""Hypothesis property tests for the two trickiest pure-expression state
+machines: the BPE merge fold (pending-buffer SQL aggregate) and
+paragraph_dedup's corpus-wide first-occurrence selection. Each property
+batch evaluates ALL generated cases in ONE Spark job (cases become rows /
+columns), so the fuzz stays fast despite the JVM round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SYMS = st.lists(
+    st.sampled_from(["a", "b", "ab", "ba", "\\", "'", "x</w>"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _py_merge(syms, pa, pb):
+    out, j = [], 0
+    while j < len(syms):
+        if j < len(syms) - 1 and syms[j] == pa and syms[j + 1] == pb:
+            out.append(pa + pb)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    cases=st.lists(
+        st.tuples(
+            SYMS,
+            st.sampled_from(["a", "b", "ab", "\\", "'"]),
+            st.sampled_from(["a", "b", "ba", "\\", "'"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_merge_expr_fold_property(spark, cases):
+    from chess_lakehouse_spark.functions.bpe import _merge_expr
+
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        "i long, syms array<string>",
+    )
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            *[
+                _merge_expr(pa, pb).alias(f"m{i}")
+                for i, (_, pa, pb) in enumerate(cases)
+            ],
+        ).collect()
+    }
+    for i, (syms, pa, pb) in enumerate(cases):
+        assert got[i][f"m{i}"] == _py_merge(syms, pa, pb), (syms, pa, pb)
+
+
+PARA = st.sampled_from(["", " ", "dup one", "dup two", "x", "yz", "unique-ish"])
+
+
+def _py_paragraph_dedup(docs, sep="\n", min_chars=1):
+    first = {}
+    for i, text in docs:
+        for pos, para in enumerate(text.split(sep)):
+            if len(para.strip()) >= min_chars and para not in first:
+                first[para] = (i, pos)
+    out = {}
+    for i, text in docs:
+        kept, removed, paras = [], 0, text.split(sep)
+        for pos, para in enumerate(paras):
+            if len(para.strip()) < min_chars or first.get(para) == (i, pos):
+                kept.append(para)
+            else:
+                removed += 1
+        out[i] = (sep.join(kept), len(paras), removed)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    docs=st.lists(
+        st.lists(PARA, min_size=1, max_size=6).map("\n".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_paragraph_dedup_property(spark, docs):
+    from chess_lakehouse_spark.operators.dedup import paragraph_dedup
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_removed"])
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == _py_paragraph_dedup(rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(seed=st.integers(min_value=0, max_value=10_000), n_shards=st.integers(1, 9))
+def test_shard_assignment_is_permutation_property(spark, seed, n_shards):
+    """Any (seed, n_shards): output is the input multiset, shards within
+    range, pos a 1..n permutation per shard."""
+    from chess_lakehouse_spark.operators.sampling import shard_assignments
+
+    df = spark.range(0, 60).selectExpr("id AS doc_id")
+    rows = shard_assignments(df, "doc_id", n_shards, seed=seed).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(60))
+    per = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        per.setdefault(r["shard"], []).append(r["pos"])
+    for poss in per.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
