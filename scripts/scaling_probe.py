@@ -1,0 +1,166 @@
+"""Empirical scaling curves for the headline training-data operators.
+
+SCALE.md's contracts ("one map-combined shuffle", "vocabulary-bounded, not
+corpus-bounded", "candidates only, never all-pairs") are plan-level claims;
+this probe measures them. It builds x1/x2/x4/x8 copies of the sf0.1
+documents/embeddings tables (doc ids offset per copy so every row is
+distinct — this measures CORPUS scaling, not duplicate collapse) and times
+each operator end-to-end. A near-linear (or flat) wall-clock curve across
+8x is the local evidence that the shape survives the next 100x on a real
+cluster, where the same shuffles spread over executors instead of cores.
+
+Usage: python scripts/scaling_probe.py [sf_dir] [factors...]
+Prints one JSON line per (operator, factor) plus a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+
+def _scaled(spark, src, id_col, factor, out, text_col=None):
+    """x-factor copies with distinct ids AND (for text) per-copy tokens
+    interleaved between every pair of words, so no shingle survives across
+    copies — the curve measures CORPUS growth, not duplicate collapse (a
+    verbatim-duplicated corpus legitimately produces quadratically more
+    near-dup pairs, which is output growth, not operator cost)."""
+    base = spark.read.parquet(src)
+    n = base.count()
+    copies = []
+    for i in range(factor):
+        c = base.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
+        if text_col is not None and i > 0:
+            # suffix every word with a per-copy tag: copy i's vocabulary is
+            # disjoint from copy j's, so each copy reproduces the ORIGINAL
+            # corpus's near-dup structure under renaming — output (and
+            # candidate pairs) grow linearly with the factor, as corpus
+            # growth should. (Inserting one shared token between words
+            # instead creates a boilerplate bomb: every doc in the copy
+            # shares the tag-word-tag shingles — see the stress stage.)
+            c = c.withColumn(
+                text_col,
+                F.regexp_replace(F.col(text_col), r"(\S+)", f"$1v{i}q"),
+            )
+        copies.append(c)
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.write.mode("overwrite").parquet(out)
+    return n * factor
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[2:]] or [1, 2, 4, 8]
+
+    from chess_lakehouse_spark.session import get_spark
+
+    spark = get_spark()  # the product session: 8g driver, AQE, Arrow
+    from chess_lakehouse_spark.functions.bpe import bpe_train
+    from chess_lakehouse_spark.functions.text import bm25_topk
+    from chess_lakehouse_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_dedup,
+        paragraph_dedup,
+    )
+    from chess_lakehouse_spark.operators.sampling import (
+        dsir_topk,
+        shard_assignments,
+    )
+    from chess_lakehouse_spark.operators.similarity import knn_ivf
+
+    tmp = tempfile.mkdtemp(prefix="scaling_probe_")
+    results: dict[str, dict[int, float]] = {}
+
+    def probe(name, factor, thunk):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            thunk()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results.setdefault(name, {})[factor] = round(best, 2)
+        print(json.dumps({"op": name, "factor": factor, "sec": round(best, 2)}), flush=True)
+
+    for factor in factors:
+        docs_path = f"{tmp}/docs_x{factor}"
+        emb_path = f"{tmp}/emb_x{factor}"
+        n_docs = _scaled(
+            spark, f"{sf_dir}/documents.parquet", "doc_id", factor, docs_path,
+            text_col="text",
+        )
+        _scaled(spark, f"{sf_dir}/embeddings.parquet", "vec_id", factor, emb_path)
+        docs = spark.read.parquet(docs_path)
+        emb = spark.read.parquet(emb_path)
+        probes = emb.where(F.col("vec_id") < 10)
+        print(json.dumps({"factor": factor, "n_docs": n_docs}), flush=True)
+
+        probe("dedup_exact", factor, lambda: exact_dedup_groups(docs, "doc_id", "text").count())
+        probe(
+            "dedup_minhash_lsh", factor,
+            lambda: minhash_lsh_dedup(docs, "doc_id", "text", band_size=2).count(),
+        )
+        probe(
+            "paragraph_dedup", factor,
+            lambda: paragraph_dedup(docs, "doc_id", "text", sep="value").count(),
+        )
+        probe(
+            "bm25_topk", factor,
+            lambda: bm25_topk(docs, "doc_id", "text", "join hash vector customer", k=50).count(),
+        )
+        probe(
+            "dsir_topk", factor,
+            lambda: dsir_topk(
+                docs.where(F.col("doc_id") % 10 != 0),
+                docs.where(F.col("doc_id") % 10 == 0),
+                "doc_id", "text", k=100, n_buckets=256,
+            ).count(),
+        )
+        probe(
+            "shard_assignments", factor,
+            lambda: shard_assignments(docs.select("doc_id"), "doc_id", 16).count(),
+        )
+        probe("bpe_train", factor, lambda: bpe_train(docs, "text", n_merges=4))
+        probe(
+            "knn_ivf", factor,
+            lambda: knn_ivf(emb, probes, "vec_id", "embedding", k=5).count(),
+        )
+
+    # Boilerplate-bomb stress: one shared token interleaved between every
+    # word of every doc makes ALL docs of the batch share the tag-word-tag
+    # shingles — band buckets hold the whole batch and the uncapped pair
+    # expansion is quadratic. The max_bucket_size guard must turn that into
+    # a bounded-cost (and *more correct*: those buckets carry no similarity
+    # signal) run.
+    bomb = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("text", F.regexp_replace(F.col("text"), " ", " zzq "))
+    )
+    bomb.write.mode("overwrite").parquet(f"{tmp}/bomb")
+    bomb = spark.read.parquet(f"{tmp}/bomb")
+    probe(
+        "minhash_bomb_capped256", 1,
+        lambda: minhash_lsh_dedup(
+            bomb, "doc_id", "text", band_size=2, max_bucket_size=256
+        ).count(),
+    )
+
+    print("\nop" + " " * 18 + "  ".join(f"x{f:<6}" for f in factors) + "x8/x1")
+    for name, by_f in results.items():
+        row = "  ".join(f"{by_f.get(f, float('nan')):<7}" for f in factors)
+        ratio = by_f.get(factors[-1], 0) / max(by_f.get(factors[0], 1e-9), 1e-9)
+        print(f"{name:<20}{row}{ratio:.1f}")
+
+
+if __name__ == "__main__":
+    main()
