@@ -63,7 +63,9 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # driver round (r05: 49 hash-green + approx_stats rows-only) AND in
 # scripts/verify_local.py's full-suite run, committed per round as
 # VERIFY_LOCAL_r{N}.txt.
-# r7 window planning: (1) the 48 queries green only in r5 (the 49-query
+# r7 window planning — FIRST bump WINDOW_BUDGETED_FOR to 7 when
+# re-planning (the ratchet asserts it is never more than one round ahead
+# of the recorded CORRECTNESS files): (1) the 48 queries green only in r5 (the 49-query
 # r5 window minus dedup_minhash_lsh, which re-verifies in r6) rotate in;
 # (2) that leaves 2 slots for new gated queries. Standing candidates with
 # oracles ALREADY written and parity-pinned this round
