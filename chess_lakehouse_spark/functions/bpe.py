@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chess_lakehouse_spark.functions.text import WS_SPLIT as _WS_SPLIT
+
 #: End-of-word marker appended to each word's final symbol, so merges can
 #: distinguish word-final from word-internal contexts (classic BPE).
 EOW = "</w>"
@@ -39,7 +41,9 @@ def _word_symbols(df: DataFrame, text_col: str) -> DataFrame:
     words = (
         df.select(
             F.explode(
-                F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+                F.filter(
+                    F.split(F.col(text_col), _WS_SPLIT), lambda w: w != ""
+                )
             ).alias("w")
         )
         .groupBy("w")

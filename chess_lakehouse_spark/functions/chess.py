@@ -132,7 +132,9 @@ def timecontrol_normalize(col: Column | str) -> Column:
     """Canonical TimeControl: whitespace stripped; NULL unless the compacted
     value matches the PGN grammar. Pure Column expr — stays in codegen."""
     c = F.col(col) if isinstance(col, str) else col
-    compact = F.regexp_replace(c, r"\s+", "")
+    from chess_lakehouse_spark.functions.text import WS_SPLIT
+
+    compact = F.regexp_replace(c, WS_SPLIT, "")
     return F.when(compact.rlike(_TC_RE), compact).otherwise(F.lit(None).cast("string"))
 
 

@@ -25,8 +25,23 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: Whitespace as an EXPLICIT character class, not ``\s``: Java regex
+#: ``\s`` is ``[ \t\n\x0B\f\r]`` but RE2 (DuckDB, Go, the oracle side)
+#: defines ``\s`` as ``[ \t\n\f\r]`` — NO vertical tab — so a corpus
+#: containing U+000B tokenizes differently between a query and its
+#: oracle (found by the cross-engine codepoint sweep in
+#: tests/test_tokenization_parity.py, which pins that the divergence set
+#: of ``\s`` is exactly {U+000B} and that this class agrees everywhere).
+#: The class below parses identically in both engines.
+WS_SPLIT = r"[ \t\n\r\f\x0B]+"
+
+#: The same pattern as it must appear inside a Spark SQL string literal
+#: (backslashes doubled once more for the SQL parser's escape pass).
+WS_SPLIT_SQL = r"[ \\t\\n\\r\\f\\x0B]+"
+
+
 def ws_tokens(text: Column) -> Column:
-    return F.split(text, r"\s+")
+    return F.split(text, WS_SPLIT)
 
 
 def token_lengths_sum(toks: Column) -> Column:
@@ -113,7 +128,7 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     average merges). Integer arithmetic only — exact. Narrow."""
     toks = ws_tokens(F.col(text_col))
     subwords = F.expr(
-        f"aggregate(transform(split({text_col}, '\\\\s+'), "
+        f"aggregate(transform(split({text_col}, '{WS_SPLIT_SQL}'), "
         "t -> CAST((length(t) + 3) div 4 AS BIGINT)), "
         "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
@@ -320,8 +335,8 @@ def normalize_text(text: Column) -> Column:
     """Canonical text form for dedup/tokenization: lowercase, collapse all
     whitespace runs to single spaces, trim. Pure codegen column expression
     — narrow, zero shuffle, byte-identical across engines (ASCII-safe
-    lower + regexp on the \\s class)."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    lower + regexp on the explicit whitespace class)."""
+    return F.trim(F.regexp_replace(F.lower(text), WS_SPLIT, " "))
 
 
 def scrub_pii(text: Column) -> Column:

@@ -48,8 +48,11 @@ def md5_hash64(col: Column) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (regex split, same in the oracle)."""
-    return F.split(text, r"\s+")
+    """Whitespace tokenization — the explicit class shared with the oracle
+    (see functions/text.py:WS_SPLIT for why not ``\s``)."""
+    from chess_lakehouse_spark.functions.text import WS_SPLIT
+
+    return F.split(text, WS_SPLIT)
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:

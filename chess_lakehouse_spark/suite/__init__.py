@@ -23,11 +23,13 @@ Determinism contract (so the driver's order-insensitive value-hash matches):
   BOOLEAN}, enforced by tests/test_oracle_types.py (r4 postmortem:
   chunk_dedup / dq_check / budget_sample).
 
-The three cross-engine portability pillars these rules rest on are each
-sweep-tested in tests/test_llm_ops.py: the md5-derived 60-bit hash
-(Spark conv == DuckDB CAST hex), the sequential double fold
-(F.aggregate == list_dot_product, bit-identical), and ROUND(ln(int
-ratio), 6).
+The cross-engine portability pillars these rules rest on are each
+sweep-tested: the md5-derived 60-bit hash (Spark conv == DuckDB CAST
+hex), the sequential double fold (F.aggregate == list_dot_product,
+bit-identical), ROUND(ln(int ratio), 6) (tests/test_llm_ops.py), and
+whitespace tokenization via the EXPLICIT class functions/text.py:WS_SPLIT
+— never ``\s``, whose Java-vs-RE2 definitions diverge on exactly U+000B
+(full-codepoint sweep in tests/test_tokenization_parity.py).
 """
 
 from __future__ import annotations

@@ -164,7 +164,7 @@ ORACLE_CHESS_EXPORT = f"""
          parsed AS (
             SELECT *,
                    CAST(try_strptime(UTCDate, '%Y.%m.%d') AS DATE) AS d,
-                   regexp_replace(TimeControl, '\\s+', '', 'g') AS tc_compact
+                   regexp_replace(TimeControl, '[ \t\n\r\f\x0B]+', '', 'g') AS tc_compact
             FROM games)
     SELECT Event,
            CAST(d AS VARCHAR) AS UTCDate,

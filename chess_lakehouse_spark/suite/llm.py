@@ -553,7 +553,9 @@ def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chess_lakehouse_spark.operators.sampling import token_budget_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    n_toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    from chess_lakehouse_spark.functions.text import WS_SPLIT
+
+    n_toks = F.size(F.filter(F.split(F.col("text"), WS_SPLIT), lambda t: t != ""))
     return token_budget_sample(
         docs, "doc_id", "source", n_toks, budget=TOKEN_BUDGET, seed=SAMPLE_SEED
     )
@@ -1214,7 +1216,7 @@ def q_lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_ORACLE_TPL = r"""
 WITH toks AS (
   SELECT doc_id AS id,
-         unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS t
+         unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), t -> t <> '')) AS t
   FROM documents
 ), lengths AS (
   SELECT id, COUNT(*) AS n_d FROM toks GROUP BY id
@@ -1257,10 +1259,10 @@ def _bm25_oracle(query: str, k: int, k1: float = 1.2, b: float = 0.75) -> str:
 #: operators/sampling.py:dsir_topk.
 _DSIR_ORACLE_BODY = r"""raw_base AS (
   SELECT doc_id AS id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS ts
   FROM raw_docs
 ), tgt_base AS (
-  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+  SELECT list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS ts
   FROM target_docs
 ), raw_idx AS (
   SELECT id, ts, unnest(generate_series(1, list_count(ts))) AS i FROM raw_base
@@ -1384,7 +1386,7 @@ def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
            list_transform(generate_series(1, length(w)),
              i -> CASE WHEN i = length(w) THEN substr(w, i, 1) || '</w>'
                        ELSE substr(w, i, 1) END) AS syms
-    FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+    FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
           FROM documents)
     GROUP BY w
   ) GROUP BY w, syms
@@ -1403,7 +1405,7 @@ def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
 
 _HASH64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
-_TOKS = r"string_split_regex(text, '\s+')"
+_TOKS = r"string_split_regex(text, '[ \t\n\r\f\x0B]+')"
 
 _SHINGLES_CTE = rf"""
 tok AS (
@@ -1502,7 +1504,7 @@ _COS = (
 def _scrub_sql() -> str:
     """normalize_text + scrub_pii as one DuckDB expression, generated from
     the same PII_PATTERNS source of truth as the Spark column function."""
-    expr = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    expr = r"trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))"
     for pattern, repl in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
     return expr
@@ -1569,13 +1571,13 @@ ORACLES = {
           SELECT * FROM (
             SELECT d.*,
                    ROUND(0.4 * ln(1.0 + CAST(length(d.text) AS DOUBLE))
-                   + 0.3 * (CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                   + 0.3 * (CAST(len(list_filter(string_split_regex(d.text, '[ \t\n\r\f\x0B]+'),
                                                  x -> x IN ({_STOP['en']}))) AS DOUBLE)
-                            / len(string_split_regex(d.text, '\s+')))
-                   + 0.3 * least((CAST(list_reduce(list_transform(string_split_regex(d.text, '\s+'),
+                            / len(string_split_regex(d.text, '[ \t\n\r\f\x0B]+')))
+                   + 0.3 * least((CAST(list_reduce(list_transform(string_split_regex(d.text, '[ \t\n\r\f\x0B]+'),
                                                                   x -> len(x)),
                                                    (a, b) -> a + b) AS DOUBLE)
-                                  / len(string_split_regex(d.text, '\s+'))) / 10.0, 1.0), 6) AS q
+                                  / len(string_split_regex(d.text, '[ \t\n\r\f\x0B]+'))) / 10.0, 1.0), 6) AS q
             FROM documents d
           ) WHERE q >= {QUALITY_THRESHOLD}
         ),

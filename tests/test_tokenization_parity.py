@@ -1,0 +1,83 @@
+"""Cross-engine tokenization parity — the portability pillar under every
+text oracle. Sweeps every codepoint through BOTH engines' split and pins:
+
+1. Java regex ``\\s`` and RE2 ``\\s`` genuinely diverge (on exactly
+   U+000B vertical tab) — the reason the suite tokenizes with the
+   explicit WS_SPLIT class instead;
+2. the WS_SPLIT class behaves identically in Spark (Java regex) and
+   DuckDB (RE2) for EVERY swept codepoint, vertical tab included.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.functions.text import WS_SPLIT
+
+#: ASCII + Latin-1 + the usual unicode-space suspects + separators.
+SWEEP = (
+    list(range(1, 0x300))
+    + [0x85, 0x2000, 0x2007, 0x200B, 0x2028, 0x2029, 0x205F, 0x3000, 0xFEFF]
+    + [0x4E2D, 0x1F389]  # CJK, emoji (astral)
+)
+
+
+def _cases():
+    out = []
+    for cp in SWEEP:
+        ch = chr(cp)
+        if ch in "'\"\\":  # quote/escape chars: covered by dedicated tests
+            continue
+        out.append((cp, f"a{ch}b"))
+    return out
+
+
+def _duck_split(rows, pattern_sql):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(cp BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    return {
+        cp: toks
+        for cp, toks in con.execute(
+            f"SELECT cp, string_split_regex(s, '{pattern_sql}') FROM t"
+        ).fetchall()
+    }
+
+
+def test_ws_split_class_identical_in_both_engines(spark):
+    rows = _cases()
+    df = spark.createDataFrame(rows, "cp long, s string")
+    got = {
+        r["cp"]: r["toks"]
+        for r in df.select(
+            "cp", F.split(F.col("s"), WS_SPLIT).alias("toks")
+        ).collect()
+    }
+    # WS_SPLIT is already literal-safe for a DuckDB SQL string ('\t' etc.
+    # pass through to RE2 as escapes)
+    duck = _duck_split(rows, WS_SPLIT)
+    diverging = [cp for cp in got if got[cp] != duck[cp]]
+    assert diverging == [], [
+        (hex(cp), got[cp], duck[cp]) for cp in diverging[:5]
+    ]
+    # and the class actually splits all five ASCII whitespace chars + VT
+    for cp in (0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20):
+        assert got[cp] == ["a", "b"], hex(cp)
+
+
+def test_backslash_s_divergence_is_exactly_vertical_tab(spark):
+    """Documents WHY WS_SPLIT exists: if the engines' \\s ever drift
+    further apart (or converge), this pin flags it so the contract can be
+    re-derived instead of silently rotting."""
+    rows = _cases()
+    df = spark.createDataFrame(rows, "cp long, s string")
+    got = {
+        r["cp"]: r["toks"]
+        for r in df.select(
+            "cp", F.split(F.col("s"), r"\s+").alias("toks")
+        ).collect()
+    }
+    duck = _duck_split(rows, r"\s+")
+    diverging = sorted(cp for cp in got if got[cp] != duck[cp])
+    assert diverging == [0x0B]
