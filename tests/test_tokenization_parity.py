@@ -81,3 +81,53 @@ def test_backslash_s_divergence_is_exactly_vertical_tab(spark):
     duck = _duck_split(rows, r"\s+")
     diverging = sorted(cp for cp in got if got[cp] != duck[cp])
     assert diverging == [0x0B]
+
+
+def test_split_edge_semantics_identical(spark):
+    """Leading/trailing/empty-string split behavior: Spark SQL split
+    (default limit -1, trailing empties KEPT — unlike Java String.split's
+    limit-0 default) must agree with DuckDB string_split_regex, because
+    unfiltered len(split(...)) appears in quality oracles."""
+    cases = [(0, "a b"), (1, "a b "), (2, " a b"), (3, "  "), (4, ""), (5, "a b  c   ")]
+    df = spark.createDataFrame(cases, "id long, t string")
+    sp = {
+        r["id"]: r["toks"]
+        for r in df.select("id", F.split(F.col("t"), WS_SPLIT).alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", cases)
+    for i, toks in con.execute(
+        f"SELECT id, string_split_regex(t, '{WS_SPLIT}') FROM t ORDER BY id"
+    ).fetchall():
+        assert toks == sp[i], (cases[i][1], sp[i], toks)
+
+
+def test_pii_pattern_parity(spark):
+    """The PII redaction patterns claim a Java-regex/RE2-portable subset;
+    pin it on adversarial inputs — digit-run \\b guards, dotted hostnames,
+    over-long IPs, unicode local parts (correctly NOT matched by the
+    ASCII classes in either engine)."""
+    from chess_lakehouse_spark.functions.text import PII_PATTERNS, scrub_pii
+
+    cases = [
+        "mail me at a.b+c%d@ex-ample.co.uk now",
+        "call 555-123-4567 or 555.123.4567 or 555 123 4567",
+        "91234-567-89012 should not fully redact",
+        "ip 192.168.0.1 and 999.999.999.999 and 1.2.3.4.5",
+        "a@b.c not-an-email @nope x@y.zz",
+        "edge.email@sub.domain.museum.",
+        "12.34.56.78text 555-123-4567x",
+        "unicode ñ@é.com 中文@例子.中国",
+    ]
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    sp = {r["id"]: r["o"] for r in df.select("id", scrub_pii(F.col("t")).alias("o")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    expr = "t"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    for i, o in con.execute(f"SELECT id, {expr} FROM t ORDER BY id").fetchall():
+        assert o == sp[i], (cases[i], sp[i], o)
