@@ -647,24 +647,42 @@ def label_centroids(
     prototypes for few-shot heads, clustering init, or drift monitoring.
 
     One map-combined groupBy carrying |labels| × dim cells (posexplode →
-    partial sums absorb row-count skew before the exchange). Means follow
-    the DECIMAL(18,6) exactness contract — per-row casts, exact decimal
-    SUM, one double division, ROUND — so the result is independent of
-    partitioning and bit-matches any engine. Emitted exploded as
-    (label, pos, mval, n_vecs): scalar cells, no array-hash portability
-    concerns, and the natural layout for a downstream centroid literal.
+    partial sums absorb row-count skew before the exchange). Emitted
+    exploded as (label, pos, mval, n_vecs): scalar cells, no array-hash
+    portability concerns, and the natural layout for a downstream
+    centroid literal.
+
+    The mean is rounded in EXACT INTEGER arithmetic, not via
+    ``ROUND(double_sum / n, 6)``: when the true quotient lands exactly on
+    a half at the 7th decimal (found at sf0.1: sum 0.616992 / 192 =
+    0.0032135 exactly), Spark's BigDecimal-HALF_UP of the nearest double
+    and DuckDB's floating ``round()`` resolve the tie differently — a
+    1e-6 divergence that no double-side rounding can make portable. With
+    the scale-6 sum held as an integer ``s6 = sum * 1e6``, half-away
+    rounding is ``(2*|s6| + n) div (2*n)`` — pure integer ops, identical
+    in every engine; the final ``/ 1e6`` double division is exact-input
+    and correctly rounded on both sides.
     """
-    return (
+    scale = 10**precision
+    agged = (
         corpus.select(F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                precision,
-            ).alias("mval"),
+            F.sum(
+                (F.col("val").cast("decimal(18,6)") * scale).cast("long")
+            ).alias("s6"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
+    )
+    rounded = F.when(
+        F.col("s6") >= 0,
+        F.expr("(2 * s6 + n_vecs) div (2 * n_vecs)"),
+    ).otherwise(-F.expr("(2 * (-s6) + n_vecs) div (2 * n_vecs)"))
+    return agged.select(
+        "label",
+        "pos",
+        (rounded.cast("double") / F.lit(float(scale))).alias("mval"),
+        "n_vecs",
     )
 
 

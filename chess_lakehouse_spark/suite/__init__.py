@@ -15,6 +15,14 @@ Determinism contract (so the driver's order-insensitive value-hash matches):
 - Timestamps are emitted as epoch microseconds (unix_micros / epoch_us), never
   raw timestamp values, to sidestep tz/precision formatting differences.
 - Every top-k / argmax has a total order (unique key as final tie-break).
+- MEANS of decimal sums must round in exact integer arithmetic
+  (``(2*|s6| + n) div (2*n)`` on the scale-6 integer sum — see
+  ``label_centroids``), never ``ROUND(double_sum / n, 6)``: a quotient
+  landing exactly on a half at the 7th decimal (data-dependent; first hit
+  at sf0.1) is resolved differently by Spark's BigDecimal-HALF_UP and
+  DuckDB's floating round(). Sum-over-rounded-terms chains (tfidf, lm
+  scores) are immune — each term is rounded before the exact decimal sum
+  — but any new sum-then-divide mean must use the integer form.
 - Oracle outputs must be explicitly cast: DuckDB widens integer SUM (plain
   AND windowed) to HUGEINT (int128), which the driver's value-hasher
   represents differently from Spark's BIGINT even when values are equal —

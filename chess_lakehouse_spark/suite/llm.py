@@ -2421,17 +2421,27 @@ ORACLES = {
         ) WHERE rk <= {GROUP_CAP_N}
     """,
     "label_centroids": """
-        SELECT label,
-               CAST(pos AS INT) AS pos,
-               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mval,
-               COUNT(*) AS n_vecs
+        SELECT label, pos,
+               -- exact integer half-away rounding of the scale-6 mean:
+               -- double-side ROUND diverges between engines on quotient
+               -- ties at the 7th decimal (see operators/similarity.py)
+               CAST(CASE WHEN s6 >= 0 THEN (2 * s6 + n_vecs) // (2 * n_vecs)
+                         ELSE -((2 * (-s6) + n_vecs) // (2 * n_vecs)) END
+                    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS mval,
+               n_vecs
         FROM (
           SELECT label,
-                 unnest(range(0, len(embedding))) AS pos,
-                 unnest(CAST(embedding AS DOUBLE[])) AS val
-          FROM embeddings
+                 CAST(pos AS INT) AS pos,
+                 CAST(SUM(CAST(CAST(val AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS s6,
+                 COUNT(*) AS n_vecs
+          FROM (
+            SELECT label,
+                   unnest(range(0, len(embedding))) AS pos,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings
+          )
+          GROUP BY label, pos
         )
-        GROUP BY label, pos
     """,
     "quality_buckets": rf"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),

@@ -131,3 +131,31 @@ def test_pii_pattern_parity(spark):
         expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
     for i, o in con.execute(f"SELECT id, {expr} FROM t ORDER BY id").fetchall():
         assert o == sp[i], (cases[i], sp[i], o)
+
+
+def test_label_centroid_mean_tie_is_portable(spark):
+    """Regression for the 7th-decimal quotient tie found at sf0.1
+    (sum 0.616992 over 192 vectors -> mean exactly 0.0032135): the
+    integer half-away rounding in label_centroids must agree with DuckDB
+    on the synthetic reproduction, where double-side ROUND did not."""
+    from chess_lakehouse_spark.operators.similarity import label_centroids
+
+    n = 192
+    # 192 values of 0.003213 plus one bump: sum = 0.616992 -> exact tie
+    vals = [0.003213] * n
+    vals[0] = 0.003213 + 0.000096  # 0.616992 total at decimal(18,6)
+    df = spark.createDataFrame(
+        [(9, [float(v)] ) for v in vals], "label long, embedding array<float>"
+    )
+    got = label_centroids(df, "label", "embedding").collect()
+    assert len(got) == 1
+    r = got[0]
+    con = duckdb.connect()
+    con.register("emb_pd", df.toPandas())
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM emb_pd")
+    from chess_lakehouse_spark.suite.llm import ORACLES
+
+    duck = con.execute(ORACLES["label_centroids"]).fetchall()
+    assert [(r["label"], r["pos"], r["mval"], r["n_vecs"])] == duck
+    # half-away tie resolves UP
+    assert r["mval"] == 0.003214
