@@ -212,16 +212,22 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "term",
         F.round(F.log(F.col("ctf").cast("double") / total.cast("double")), 6).alias("lp"),
     )
+    from chess_lakehouse_spark.functions.exact import mean6, sum6_long
+
     return (
         terms.join(logp, "term")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                -F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("nll"),
+            sum6_long(F.col("lp")).alias("_s6"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            # exact integer mean rounding (functions/exact.py) — the
+            # double-quotient ROUND diverges between engines on 7th-decimal
+            # ties; half-away is odd-symmetric so negate after
+            (-mean6("_s6", "n_tokens")).alias("nll"),
         )
     )
 
@@ -543,16 +549,19 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             6,
         ).alias("lp"),
     )
+    from chess_lakehouse_spark.functions.exact import mean6, sum6_long
+
     return (
         pairs.join(lp, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                -F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("nll"),
+            sum6_long(F.col("lp")).alias("_s6"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            (-mean6("_s6", "n_bigrams")).alias("nll"),
         )
     )
 

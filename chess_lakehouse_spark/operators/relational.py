@@ -254,14 +254,21 @@ def zscore_outliers(
     """
     from pyspark.sql import functions as F
 
+    from chess_lakehouse_spark.functions.exact import mean6, sum6_long
+
     vdec = F.col(value_col).cast("decimal(18,6)")
     stats = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
+        sum6_long(F.col(value_col)).alias("_s6"),
         F.sum(vdec).alias("s1"),
         F.sum(vdec * vdec).alias("s2"),
     ).select(
         group_col,
-        F.round((F.col("s1").cast("double") / F.col("n")), 6).alias("mean"),
+        # integer half-away mean (functions/exact.py — double-quotient
+        # ROUND ties are engine-divergent); std keeps the double domain:
+        # a sqrt output landing within an ulp of a 6-decimal half is the
+        # residual (measure-near-zero) risk documented in suite/__init__
+        mean6("_s6", "n").alias("mean"),
         F.round(
             F.sqrt(
                 (F.col("s2").cast("double") - F.col("s1").cast("double")
@@ -413,15 +420,19 @@ def rolling_time_mean(
     The frame is a RANGE window over integer epoch MICROSECONDS, so frame
     membership is exact integer arithmetic (no timestamp-precision or
     timezone drift between engines), and tied timestamps are peers in any
-    engine. The mean follows the DECIMAL(18,6) exactness contract: exact
-    decimal SUM over the frame, one double division, ROUND — identical
-    under any partitioning. One shuffle, keyed by ``key_col``; at 100 TB
-    the same frame rides the shuffle that any per-key window already pays,
-    and a skewed key is bounded by its time span, not corpus size.
+    engine. The mean rounds via exact integer half-away arithmetic on the
+    scale-6 frame sum (functions/exact.py — the double-quotient ROUND
+    diverges between engines on 7th-decimal ties), so it is identical
+    under any partitioning and engine. One shuffle, keyed by ``key_col``;
+    at 100 TB the same frame rides the shuffle that any per-key window
+    already pays, and a skewed key is bounded by its time span, not
+    corpus size.
 
     Returns (id, key, ts_us, value, mean) with ts as epoch micros.
     """
     from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.functions.exact import SCALE6, mean6
 
     ts_us = F.unix_micros(F.col(ts_col))
     w = (
@@ -429,16 +440,20 @@ def rolling_time_mean(
         .orderBy(ts_us.asc())
         .rangeBetween(-window_s * 1_000_000, 0)
     )
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         F.col(key_col),
         ts_us.alias("ts_us"),
         F.col(value_col).alias("value"),
-        F.round(
-            F.sum(F.col(value_col).cast("decimal(18,6)")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w),
-            precision,
-        ).alias("mean"),
+        F.sum(
+            (F.col(value_col).cast("decimal(18,6)") * SCALE6).cast("long")
+        )
+        .over(w)
+        .alias("_s6"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    return staged.select(
+        id_col, key_col, "ts_us", "value", mean6("_s6", "_n").alias("mean")
     )
 
 

@@ -16,13 +16,17 @@ Determinism contract (so the driver's order-insensitive value-hash matches):
   raw timestamp values, to sidestep tz/precision formatting differences.
 - Every top-k / argmax has a total order (unique key as final tie-break).
 - MEANS of decimal sums must round in exact integer arithmetic
-  (``(2*|s6| + n) div (2*n)`` on the scale-6 integer sum — see
-  ``label_centroids``), never ``ROUND(double_sum / n, 6)``: a quotient
+  (functions/exact.py sum6_long + mean6; SQL twins _sum6_sql/_mean6_sql
+  in suite/llm.py), never ``ROUND(double_sum / n, 6)``: a quotient
   landing exactly on a half at the 7th decimal (data-dependent; first hit
-  at sf0.1) is resolved differently by Spark's BigDecimal-HALF_UP and
-  DuckDB's floating round(). Sum-over-rounded-terms chains (tfidf, lm
-  scores) are immune — each term is rounded before the exact decimal sum
-  — but any new sum-then-divide mean must use the integer form.
+  at sf0.1 in label_centroids) is resolved differently by Spark's
+  BigDecimal-HALF_UP and DuckDB's floating round(). Every sum-then-divide
+  mean in the suite uses the integer form (centroids, lm scores, rolling
+  time mean, z-score group means, avg_chars, pandas source stats).
+  Residual accepted risk: ROUND of a transcendental output (ln/sqrt/pow
+  chains) can still diverge if the double lands within an ulp of a
+  6-decimal half — not integer-izable; measure-near-zero and unobserved
+  at either verified scale.
 - Oracle outputs must be explicitly cast: DuckDB widens integer SUM (plain
   AND windowed) to HUGEINT (int128), which the driver's value-hasher
   represents differently from Spark's BIGINT even when values are equal —

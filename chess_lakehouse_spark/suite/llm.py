@@ -420,6 +420,7 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkability; `score_buckets(exact=False)` is the one-pass
     approx-cutpoint 100 TB path (pytest-pinned against this form)."""
     apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.exact import mean6, sum6_long
     from chess_lakehouse_spark.functions.text import quality_metrics
     from chess_lakehouse_spark.operators.relational import score_buckets
 
@@ -432,11 +433,14 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("quality_score").alias("min_score"),
             F.max("quality_score").alias("max_score"),
-            F.round(
-                F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_chars"),
+            sum6_long(F.col("n_chars")).alias("_s6"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_score",
+            "max_score",
+            mean6("_s6", "n_docs").alias("avg_chars"),
         )
     )
 
@@ -829,11 +833,19 @@ def q_source_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         n = pdf["n_chars"].astype("float64")
+        # mean via exact integer half-away rounding (functions/exact.py):
+        # Python round() is half-EVEN, so a quotient tie at the 7th
+        # decimal would disagree with the oracle's half-away ROUND; the
+        # integer form agrees by construction. The median's midpoint of
+        # two ints has at most one decimal digit — no 6-decimal tie.
+        s6 = int(pdf["n_chars"].sum()) * 1_000_000
+        cnt = len(pdf)
+        mean_chars = ((2 * s6 + cnt) // (2 * cnt)) / 1e6
         return pd.DataFrame(
             {
                 "source": [pdf["source"].iloc[0]],
-                "n_docs": pd.Series([len(pdf)], dtype="int64"),
-                "mean_chars": [round(float(n.mean()), 6)],
+                "n_docs": pd.Series([cnt], dtype="int64"),
+                "mean_chars": [mean_chars],
                 "median_chars": [round(float(n.median()), 6)],
             }
         )
@@ -1403,6 +1415,23 @@ def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
     )
 
 
+def _sum6_sql(v: str) -> str:
+    """Exact scale-6 integer sum — DuckDB twin of functions/exact.py
+    sum6_long."""
+    return f"CAST(SUM(CAST(CAST({v} AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+
+
+def _mean6_sql(s6: str, n: str) -> str:
+    """Half-away-from-zero 6-decimal mean from integer sum/count — DuckDB
+    twin of functions/exact.py mean6 (double-quotient ROUND diverges
+    between engines on 7th-decimal ties; see label_centroids)."""
+    return (
+        f"CAST(CASE WHEN {s6} >= 0 THEN (2 * {s6} + {n}) // (2 * {n}) "
+        f"ELSE -((2 * (-({s6})) + {n}) // (2 * {n})) END AS DOUBLE) "
+        f"/ CAST(1000000 AS DOUBLE)"
+    )
+
+
 _HASH64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 _TOKS = r"string_split_regex(text, '[ \t\n\r\f\x0B]+')"
@@ -1855,12 +1884,17 @@ ORACLES = {
                ROUND(exp(AVG(ln(CAST(n_chars AS DOUBLE)))), 6) AS gmean_chars
         FROM documents GROUP BY source
     """,
-    "source_stats_pandas": """
-        SELECT source,
-               COUNT(*) AS n_docs,
-               ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
-               ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS median_chars
-        FROM documents GROUP BY source
+    "source_stats_pandas": f"""
+        SELECT source, n_docs,
+               {_mean6_sql("s6", "n_docs")} AS mean_chars,
+               median_chars
+        FROM (
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 {_sum6_sql("n_chars")} AS s6,
+                 ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS median_chars
+          FROM documents GROUP BY source
+        )
     """,
     "text_normalize": f"SELECT doc_id, {_scrub_sql()} AS norm_text FROM documents",
     "text_quality": rf"""
@@ -2016,10 +2050,11 @@ ORACLES = {
           SELECT term, ROUND(ln(CAST(ctf AS DOUBLE) / total), 6) AS lp
           FROM ctf CROSS JOIN tot
         )
-        SELECT doc_id, COUNT(*) AS n_tokens,
-               ROUND(-CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS nll
-        FROM t2 JOIN lp USING (term)
-        GROUP BY 1
+        SELECT doc_id, n_tokens, -({_mean6_sql("s6", "n_tokens")}) AS nll FROM (
+          SELECT doc_id, COUNT(*) AS n_tokens, {_sum6_sql("lp")} AS s6
+          FROM t2 JOIN lp USING (term)
+          GROUP BY 1
+        )
     """,
     "doc_chunks": rf"""
         WITH t AS (
@@ -2168,17 +2203,19 @@ ORACLES = {
         )
         SELECT u AS user_id, COUNT(*) AS n_funnels FROM chains GROUP BY u
     """,
-    "embedding_drift": """
+    "embedding_drift": f"""
         WITH halves AS (
           SELECT label, CAST(vec_id % 2 AS INT) AS half,
                  unnest(range(0, len(embedding))) AS pos,
                  unnest(CAST(embedding AS DOUBLE[])) AS val
           FROM embeddings
         ),
-        cents AS (
-          SELECT label, half, pos,
-                 ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mval
+        cents0 AS (
+          SELECT label, half, pos, {_sum6_sql("val")} AS s6, COUNT(*) AS n
           FROM halves GROUP BY label, half, pos
+        ),
+        cents AS (
+          SELECT label, half, pos, {_mean6_sql("s6", "n")} AS mval FROM cents0
         ),
         j AS (
           SELECT o.label, o.mval AS ov, n.mval AS nv
@@ -2298,15 +2335,19 @@ ORACLES = {
         ) WHERE rk <= {PMI_TOP_K}
     """,
     "event_outliers": f"""
-        WITH stats AS (
+        WITH stats0 AS (
           SELECT event_type,
-                 ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean,
+                 COUNT(*) AS n,
+                 {_sum6_sql("value")} AS s6,
                  ROUND(sqrt(
                    (CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                     - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                       * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
                    / COUNT(*)), 6) AS std
           FROM events GROUP BY event_type
+        ),
+        stats AS (
+          SELECT event_type, {_mean6_sql("s6", "n")} AS mean, std FROM stats0
         )
         SELECT event_id, event_type, value, z FROM (
           SELECT e.event_id, e.event_type, e.value,
@@ -2354,10 +2395,11 @@ ORACLES = {
                           / CAST(2 * cu.cu + (SELECT v FROM v) AS DOUBLE)), 6) AS lp
           FROM cb JOIN cu ON cu.w1 = cb.w1
         )
-        SELECT p.doc_id, COUNT(*) AS n_bigrams,
-               ROUND(-CAST(SUM(CAST(l.lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS nll
-        FROM pairs p JOIN lp l ON l.w1 = p.w1 AND l.w2 = p.w2
-        GROUP BY p.doc_id
+        SELECT doc_id, n_bigrams, -({_mean6_sql("s6", "n_bigrams")}) AS nll FROM (
+          SELECT p.doc_id, COUNT(*) AS n_bigrams, {_sum6_sql("l.lp")} AS s6
+          FROM pairs p JOIN lp l ON l.w1 = p.w1 AND l.w2 = p.w2
+          GROUP BY p.doc_id
+        )
     """,
     "chunk_dedup": rf"""
         WITH t AS (
@@ -2466,12 +2508,15 @@ ORACLES = {
             ORDER BY quality_score ASC, doc_id ASC) AS INT) AS bucket
           FROM scored
         )
-        SELECT bucket, COUNT(*) AS n_docs,
-               MIN(quality_score) AS min_score,
-               MAX(quality_score) AS max_score,
-               ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-                 AS avg_chars
-        FROM bucketed GROUP BY bucket
+        SELECT bucket, n_docs, min_score, max_score,
+               {_mean6_sql("s6", "n_docs")} AS avg_chars
+        FROM (
+          SELECT bucket, COUNT(*) AS n_docs,
+                 MIN(quality_score) AS min_score,
+                 MAX(quality_score) AS max_score,
+                 {_sum6_sql("n_chars")} AS s6
+          FROM bucketed GROUP BY bucket
+        )
     """,
     "sample_temperature": rf"""
         WITH c AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
@@ -2531,13 +2576,17 @@ ORACLES = {
         GROUP BY cgw.grp
     """,
     "rolling_avg": f"""
-        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-                     / COUNT(*) OVER w, 6) AS mean
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
-                     RANGE BETWEEN {ROLLING_WINDOW_S * 1_000_000} PRECEDING
-                           AND CURRENT ROW)
+        SELECT event_id, user_id, ts_us, value,
+               {_mean6_sql("s6", "n")} AS mean
+        FROM (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+                 SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) OVER w AS s6,
+                 COUNT(*) OVER w AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+                       RANGE BETWEEN {ROLLING_WINDOW_S * 1_000_000} PRECEDING
+                             AND CURRENT ROW)
+        )
     """,
     "activity_islands": """
         WITH days AS (
