@@ -85,7 +85,9 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # oracles ALREADY written and parity-pinned this round
 # (tests/test_shuffle_paragraphs.py): paragraph_dedup (window-rank
 # first-occurrence oracle) and shard_assignments (md5-permutation
-# shard/pos — SELECT over the same portable hash pillar).
+# shard/pos — SELECT over the same portable hash pillar); also
+# bm25_batch (tests/test_bm25.py:_BM25_BATCH_ORACLE_TPL, parity-pinned
+# on the fixture corpus) if a slot frees up.
 WINDOW_BUDGETED_FOR = 6
 
 _WINDOW_ORDER = [
