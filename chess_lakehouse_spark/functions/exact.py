@@ -1,16 +1,22 @@
 """Exact cross-engine mean rounding.
 
-``ROUND(double_sum / n, 6)`` is NOT portable: when the true quotient lands
-exactly on a half at the 7th decimal, Spark rounds the nearest double's
-full decimal expansion with BigDecimal HALF_UP while DuckDB's floating
-``round()`` works through ``x * 1e6`` arithmetic — the two can disagree by
-1e-6 (first observed on label_centroids at sf0.1: 0.616992 / 192 =
-0.0032135 exactly; see that operator's docstring). The portable form keeps
-the scale-6 sum as an INTEGER and rounds half-away-from-zero with pure
-integer ops — ``(2*|s6| + n) div (2*n)`` — identical in every engine; the
-final ``/ 1e6`` double division has exact inputs and one correctly-rounded
-result. ``suite/llm.py`` carries the matching SQL generator for the
-oracles (``_sum6_sql`` / ``_mean6_sql``).
+``ROUND(double_sum / n, p)`` is NOT portable: when the true quotient lands
+exactly on a half at decimal p+1, Spark rounds the nearest double's full
+decimal expansion with BigDecimal HALF_UP while DuckDB's floating
+``round()`` works through ``x * 10^p`` arithmetic — the two can disagree by
+10^-p (first observed on label_centroids at sf0.1 with p=6: 0.616992 / 192
+= 0.0032135 exactly; see that operator's docstring). The portable form
+keeps the scale-p sum as an INTEGER and rounds half-away-from-zero with
+pure integer ops — ``(2*|s| + n) div (2*n)`` — identical in every engine;
+the final ``/ 10^p`` double division has exact inputs and one
+correctly-rounded result. ``suite/llm.py`` carries the matching SQL
+generator for the oracles (``_sum6_sql`` / ``_mean6_sql``).
+
+The scale-6 specializations (``SCALE6`` / ``sum6_long`` / ``mean6``) are
+what the suite uses everywhere; the generic forms exist so operators that
+expose a ``precision`` parameter honor it exactly (r6 postmortem: the
+first integer-rounding sweep hardcoded scale 6 inside bodies that still
+accepted ``precision``, silently ignoring non-default values).
 """
 
 from __future__ import annotations
@@ -21,19 +27,48 @@ from pyspark.sql import functions as F
 #: 10^6 — the DECIMAL(18,6) scale factor shared with the oracle SQL.
 SCALE6 = 1_000_000
 
+#: Largest supported mean precision: the element cast is DECIMAL(18, p),
+#: which needs 18 - p integer digits to stay exact.
+MAX_PRECISION = 12
+
+
+def _check_precision(precision: int) -> None:
+    if not 0 <= precision <= MAX_PRECISION:
+        raise ValueError(
+            f"precision must be in [0, {MAX_PRECISION}], got {precision}"
+        )
+
+
+def sum_scaled_long(col: Column, precision: int = 6) -> Column:
+    """Aggregate expression: exact scale-``precision`` integer sum of
+    ``col``. Each element is cast to DECIMAL(18, precision) (exact
+    p-decimal value — the scale matches the multiplier, so the long cast
+    is exact, never a truncation), scaled to an integer, and summed as
+    longs — order-free and engine-exact."""
+    _check_precision(precision)
+    return F.sum(
+        (col.cast(f"decimal(18,{precision})") * (10**precision)).cast("long")
+    )
+
+
+def mean_scaled(s: str, n: str, precision: int = 6) -> Column:
+    """Half-away-from-zero ``precision``-decimal mean from integer
+    sum/count COLUMN NAMES (``DIV`` needs SQL expression form).
+    Odd-symmetric, so a negated mean may be built as ``-mean_scaled(...)``."""
+    _check_precision(precision)
+    scale = float(10**precision)
+    return F.expr(
+        f"CAST(CASE WHEN {s} >= 0 THEN (2 * {s} + {n}) DIV (2 * {n}) "
+        f"ELSE -((2 * (-{s}) + {n}) DIV (2 * {n})) END AS DOUBLE) / {scale!r}"
+    )
+
 
 def sum6_long(col: Column) -> Column:
-    """Aggregate expression: exact scale-6 integer sum of ``col``. Each
-    element is cast to DECIMAL(18,6) (exact 6-decimal value), scaled to an
-    integer, and summed as longs — order-free and engine-exact."""
-    return F.sum((col.cast("decimal(18,6)") * SCALE6).cast("long"))
+    """Scale-6 specialization of :func:`sum_scaled_long` (the suite/oracle
+    contract precision)."""
+    return sum_scaled_long(col, 6)
 
 
 def mean6(s6: str, n: str) -> Column:
-    """Half-away-from-zero 6-decimal mean from integer sum/count COLUMN
-    NAMES (``DIV`` needs SQL expression form). Odd-symmetric, so a negated
-    mean may be built as ``-mean6(...)``."""
-    return F.expr(
-        f"CAST(CASE WHEN {s6} >= 0 THEN (2 * {s6} + {n}) DIV (2 * {n}) "
-        f"ELSE -((2 * (-{s6}) + {n}) DIV (2 * {n})) END AS DOUBLE) / 1000000.0"
-    )
+    """Scale-6 specialization of :func:`mean_scaled`."""
+    return mean_scaled(s6, n, 6)

@@ -960,9 +960,14 @@ def bm25_batch(
         + F.lit(b) * (F.col("n_d") * n_docs).cast("double") / total_len.cast("double")
     )
     contrib = F.round(idf * F.col("tf").cast("double") / denom, precision)
+    # dfreq is bounded by the query BATCH's vocabulary, not one query's
+    # terms — a 10^6-query bulk-scoring batch makes a forced broadcast
+    # here the unbounded-hint class removed from tfidf/LM/PMI in r6, so
+    # no hint: AQE's size estimate picks broadcast when it actually fits
+    # (the per-query bm25_topk keeps its hint — one query's terms).
     scored = (
         q_terms.join(postings, "t")
-        .join(F.broadcast(dfreq), "t")
+        .join(dfreq, "t")
         .join(lengths, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(

@@ -47,6 +47,22 @@ def md5_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+#: Default LSH band-bucket cap (see ``cooccur_pairs``). Named so the suite
+#: oracles mirror the exact same value in their cand CTE (suite/llm.py
+#: ``_MINHASH_PAIRS_CTES``) — a cap applied by the engine but not the
+#: oracle would silently diverge the moment a corpus produces an
+#: oversized bucket.
+LSH_MAX_BUCKET_SIZE = 10_000
+
+
+def regex_quote(s: str) -> str:
+    """Quote a string as a literal Java regex (``Pattern.quote``
+    semantics: wrap in ``\\Q...\\E``, splicing any embedded ``\\E``).
+    Used wherever a user-supplied separator feeds a regex-taking function
+    (``F.split``) but must behave as a literal."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization — the explicit class shared with the oracle
     (see functions/text.py:WS_SPLIT for why not ``\s``)."""
@@ -222,7 +238,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 8,
     band_size: int = 1,
     threshold: float = 0.5,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup: shingle → minhash → band →
     bucket-join → exact-Jaccard verify. Returns (id_a, id_b, jaccard).
@@ -638,7 +654,9 @@ def paragraph_dedup(
 ) -> DataFrame:
     """Corpus-wide first-occurrence paragraph dedup (the C4/RefinedWeb
     line-level pass, Raffel et al. 2020 / Penedo et al. 2023): split every
-    document on ``sep``, and remove each repeated paragraph EVERYWHERE
+    document on the LITERAL separator ``sep`` (regex metacharacters are
+    quoted — split and rebuild use the same literal string, so the
+    round-trip is exact), and remove each repeated paragraph EVERYWHERE
     except its first occurrence — "first" under the total order (doc id,
     position), so the result is independent of partitioning and engine.
     Complements :func:`exact_dedup_groups` (whole-document) and
@@ -662,9 +680,14 @@ def paragraph_dedup(
     present (a fully-duplicated document comes back with the structural
     lines only, or empty).
     """
+    # ``sep`` is a LITERAL on both sides of the round-trip: F.split takes a
+    # Java regex, so the separator is Pattern.quote'd before splitting,
+    # matching the verbatim concat_ws rebuild (a raw '.' or '|' separator
+    # would otherwise split on the regex meaning and reassemble differently
+    # than it was split).
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), regex_quote(sep))).alias("pos", "para"),
     )
     eligible = paras.where(F.length(F.trim(F.col("para"))) >= min_chars)
     first = (

@@ -421,18 +421,18 @@ def rolling_time_mean(
     membership is exact integer arithmetic (no timestamp-precision or
     timezone drift between engines), and tied timestamps are peers in any
     engine. The mean rounds via exact integer half-away arithmetic on the
-    scale-6 frame sum (functions/exact.py — the double-quotient ROUND
-    diverges between engines on 7th-decimal ties), so it is identical
-    under any partitioning and engine. One shuffle, keyed by ``key_col``;
-    at 100 TB the same frame rides the shuffle that any per-key window
-    already pays, and a skewed key is bounded by its time span, not
-    corpus size.
+    scale-``precision`` frame sum (functions/exact.py — the
+    double-quotient ROUND diverges between engines on ties one decimal
+    past the precision), so it is identical under any partitioning and
+    engine. One shuffle, keyed by ``key_col``; at 100 TB the same frame
+    rides the shuffle that any per-key window already pays, and a skewed
+    key is bounded by its time span, not corpus size.
 
     Returns (id, key, ts_us, value, mean) with ts as epoch micros.
     """
     from pyspark.sql.window import Window
 
-    from chess_lakehouse_spark.functions.exact import SCALE6, mean6
+    from chess_lakehouse_spark.functions.exact import mean_scaled
 
     ts_us = F.unix_micros(F.col(ts_col))
     w = (
@@ -446,14 +446,21 @@ def rolling_time_mean(
         ts_us.alias("ts_us"),
         F.col(value_col).alias("value"),
         F.sum(
-            (F.col(value_col).cast("decimal(18,6)") * SCALE6).cast("long")
+            (
+                F.col(value_col).cast(f"decimal(18,{precision})")
+                * (10**precision)
+            ).cast("long")
         )
         .over(w)
-        .alias("_s6"),
+        .alias("_s"),
         F.count(F.lit(1)).over(w).alias("_n"),
     )
     return staged.select(
-        id_col, key_col, "ts_us", "value", mean6("_s6", "_n").alias("mean")
+        id_col,
+        key_col,
+        "ts_us",
+        "value",
+        mean_scaled("_s", "_n", precision).alias("mean"),
     )
 
 

@@ -653,35 +653,33 @@ def label_centroids(
     centroid literal.
 
     The mean is rounded in EXACT INTEGER arithmetic, not via
-    ``ROUND(double_sum / n, 6)``: when the true quotient lands exactly on
-    a half at the 7th decimal (found at sf0.1: sum 0.616992 / 192 =
-    0.0032135 exactly), Spark's BigDecimal-HALF_UP of the nearest double
-    and DuckDB's floating ``round()`` resolve the tie differently — a
-    1e-6 divergence that no double-side rounding can make portable. With
-    the scale-6 sum held as an integer ``s6 = sum * 1e6``, half-away
-    rounding is ``(2*|s6| + n) div (2*n)`` — pure integer ops, identical
-    in every engine; the final ``/ 1e6`` double division is exact-input
-    and correctly rounded on both sides.
+    ``ROUND(double_sum / n, p)``: when the true quotient lands exactly on
+    a half one decimal past the precision (found at sf0.1, p=6: sum
+    0.616992 / 192 = 0.0032135 exactly), Spark's BigDecimal-HALF_UP of
+    the nearest double and DuckDB's floating ``round()`` resolve the tie
+    differently — a 10^-p divergence that no double-side rounding can
+    make portable. With the scale-p sum held as an integer ``s = sum *
+    10^p`` (functions/exact.py — the element cast is DECIMAL(18, p), so
+    the scale matches the multiplier and the long cast is exact at ANY
+    precision, never a truncation), half-away rounding is ``(2*|s| + n)
+    div (2*n)`` — pure integer ops, identical in every engine; the final
+    ``/ 10^p`` double division is exact-input and correctly rounded on
+    both sides.
     """
-    scale = 10**precision
+    from chess_lakehouse_spark.functions.exact import mean_scaled, sum_scaled_long
+
     agged = (
         corpus.select(F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(
-            F.sum(
-                (F.col("val").cast("decimal(18,6)") * scale).cast("long")
-            ).alias("s6"),
+            sum_scaled_long(F.col("val"), precision).alias("s"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
-    rounded = F.when(
-        F.col("s6") >= 0,
-        F.expr("(2 * s6 + n_vecs) div (2 * n_vecs)"),
-    ).otherwise(-F.expr("(2 * (-s6) + n_vecs) div (2 * n_vecs)"))
     return agged.select(
         "label",
         "pos",
-        (rounded.cast("double") / F.lit(float(scale))).alias("mval"),
+        mean_scaled("s", "n_vecs", precision).alias("mval"),
         "n_vecs",
     )
 

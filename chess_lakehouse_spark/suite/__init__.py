@@ -57,93 +57,85 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # plans for (the staleness ratchet in tests/test_suite_order.py is
 # two-phase on it: strict latest-round evidence before that round's
 # CORRECTNESS file lands, latest-or-previous after, so pytest is green on
-# both sides of a driver run). Round-6 priority:
-#   1. the 5 queries NEW this round, never driver-verified — bm25_topk /
-#      rrf_fuse (oracles promoted verbatim from the r5 parity pins in
-#      tests/test_bm25.py), dsir_topk (tests/test_dsir.py),
-#      lake_skipping_read (clustered write -> skipping manifest -> pruned
-#      read, values vs the raw table; pruning pinned by
-#      tests/test_clustering.py inputFiles() asserts), and bpe_train
-#      (unrolled-CTE oracle replaying every merge round, pinned vs both
-#      Spark and pure Python in tests/test_bpe.py),
-#   2. dedup_minhash_lsh — re-verify: its code changed this round (LSH
-#      bucket cap default). tfidf's broadcast-hint drop is plan-level
-#      only (values re-verified in VERIFY_LOCAL_r06.txt); it stays out,
-#      green in r5,
-#   3. all 44 queries whose newest green row is r04 (they sat out r5's
-#      window) — rotated back in so no query's newest green evidence falls
-#      more than one recorded round behind.
+# both sides of a driver run). Round-7 priority:
+#   1. the 2 queries NEW to the gate, never driver-verified —
+#      paragraph_dedup (C4/RefinedWeb first-occurrence pass; window-rank
+#      oracle promoted from tests/test_shuffle_paragraphs.py, which now
+#      imports the suite template so they cannot diverge) and
+#      shard_assignments (deterministic md5-permutation shard/pos layout —
+#      the same portable-hash pillar as every sampling oracle),
+#   2. all 48 queries whose newest green row is r05 (the 49-query r5
+#      window minus approx_stats, rows-only by design) — rotated back in
+#      so no query's newest green evidence falls more than one recorded
+#      round behind.
 # Every query outside the window is hash-green in the LATEST recorded
-# driver round (r05: 49 hash-green + approx_stats rows-only) AND in
-# scripts/verify_local.py's full-suite run, committed per round as
-# VERIFY_LOCAL_r{N}.txt.
-# r7 window planning — FIRST bump WINDOW_BUDGETED_FOR to 7 when
+# driver round (r06: 50/50 hash-green) AND in scripts/verify_local.py's
+# full-suite run, committed per round as VERIFY_LOCAL_r{N}.txt (r7: both
+# sf0.01 and sf0.1).
+# r8 window planning — FIRST bump WINDOW_BUDGETED_FOR to 8 when
 # re-planning (the ratchet asserts it is never more than one round ahead
-# of the recorded CORRECTNESS files): (1) the 48 queries green only in r5 (the 49-query
-# r5 window minus dedup_minhash_lsh, which re-verifies in r6) rotate in;
-# (2) that leaves 2 slots for new gated queries. Standing candidates with
-# oracles ALREADY written and parity-pinned this round
-# (tests/test_shuffle_paragraphs.py): paragraph_dedup (window-rank
-# first-occurrence oracle) and shard_assignments (md5-permutation
-# shard/pos — SELECT over the same portable hash pillar); also
-# bm25_batch (tests/test_bm25.py:_BM25_BATCH_ORACLE_TPL, parity-pinned
-# on the fixture corpus) if a slot frees up.
-WINDOW_BUDGETED_FOR = 6
+# of the recorded CORRECTNESS files): (1) the 48 queries green only in r6
+# (the 50-query r6 window minus paragraph_dedup/shard_assignments' slots'
+# donors — i.e. the r6 window) rotate in; (2) the remaining slots go to
+# new gated queries. FIRST candidate with an oracle ALREADY written and
+# parity-pinned: bm25_batch (tests/test_bm25.py:_BM25_BATCH_ORACLE_TPL,
+# exercised on the fixture corpus at both scales; its query-vocabulary
+# broadcast hint was dropped in r7 ahead of gating).
+WINDOW_BUDGETED_FOR = 7
 
 _WINDOW_ORDER = [
-    # new in r06 — never driver-verified
-    "bm25_topk",
-    "rrf_fuse",
-    "dsir_topk",
-    "lake_skipping_read",
-    "bpe_train",
-    # re-verify: implementation changed in r06 (LSH bucket cap default)
-    "dedup_minhash_lsh",
-    # newest green row r04 — rotate back in
-    "anti_join",
-    "boilerplate_strip",
-    "collect_set",
-    "contamination_ngram",
-    "corpus_delta",
-    "cube",
-    "dedup_incremental",
-    "distinct_agg",
-    "doc_chunks",
-    "embedding_drift",
-    "event_funnel",
-    "event_outliers",
-    "except",
-    "intersect",
-    "knn_ivf_kmeans",
-    "knn_quantized",
-    "label_centroids",
-    "lm_score",
-    "lm_score_bigram",
-    "mm_decode_meta",
-    "pack_sequences",
-    "pivot",
-    "pmi_topk",
-    "qc_count",
-    "quality_buckets",
-    "range_join",
-    "repetition_metrics",
-    "rollup",
-    "running_sum",
-    "sample_hash",
-    "sample_mix",
-    "sample_per_group",
-    "sample_weighted",
-    "semi_join",
-    "sessionize",
-    "shipping_priority",
-    "sort_limit",
-    "split_contamination",
-    "text_normalize",
-    "tfidf_cosine",
-    "union_append",
-    "user_retention",
-    "vocab_topk",
-    "window_topk",
+    # new to the gate in r07 — never driver-verified
+    "paragraph_dedup",
+    "shard_assignments",
+    # newest green row r05 — rotate back in
+    "chunk_dedup",
+    "dq_check",
+    "budget_sample",
+    "supplier_revenue",
+    "chess_export",
+    "dedup_exact",
+    "events_hourly",
+    "export_projection",
+    "filter_null_predicate",
+    "groupby_agg",
+    "join_star",
+    "json_extract",
+    "lateral_topk",
+    "merge_update",
+    "scalar_kitchen",
+    "asof_join",
+    "text_langid",
+    "text_quality",
+    "tfidf",
+    "token_count",
+    "udaf_gmean",
+    "udtf_bigrams",
+    "source_stats_pandas",
+    "doc_fingerprint",
+    "mm_frame_sample",
+    "dedup_ngram_jaccard",
+    "pipeline_clean_corpus",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "knn_ivf",
+    "knn_lsh",
+    "knn_brute_force",
+    "enrich_argmax",
+    "chess_enrich",
+    "sample_temperature",
+    "winsorize",
+    "canary_scan",
+    "source_kl",
+    "knn_two_stage",
+    "rolling_avg",
+    "activity_islands",
+    "token_entropy",
+    "dup_matrix",
+    "dedup_priority",
+    "split_leakage_safe",
+    "dedup_semantic",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

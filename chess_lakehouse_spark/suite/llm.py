@@ -20,6 +20,7 @@ from chess_lakehouse_spark.functions.text import (
     winnow_fingerprints,
 )
 from chess_lakehouse_spark.operators.dedup import (
+    LSH_MAX_BUCKET_SIZE,
     exact_dedup_groups,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -1190,17 +1191,36 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rk int, pa string, pb string")
 
 
+#: One staging root per process for q_lake_skipping_read, removed at
+#: interpreter exit — a fresh mkdtemp per invocation leaked a full corpus
+#: copy under /tmp on every suite/bench run (r6 advice).
+_SKLAKE_ROOT: list[str] = []
+
+
+def _sklake_dir(sf_dir: str) -> str:
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    if not _SKLAKE_ROOT:
+        root = tempfile.mkdtemp(prefix="chess_lakehouse_sklake_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SKLAKE_ROOT.append(root)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{_SKLAKE_ROOT[0]}/{tag}/docs"
+
+
 def q_lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end lake-layout path: cluster the documents table by doc_id
     into range-disjoint Parquet files, build the per-file min/max skipping
     manifest, then serve a point-range query THROUGH the manifest — the
     pruned read must return exactly what the raw table would (the oracle
     checks values; file-level pruning itself is pinned by inputFiles()
-    asserts in tests/test_clustering.py). The lake is staged under a fresh
-    temp dir per invocation; at 100 TB this is the write-once/serve-many
-    layout whose point reads open O(1) of the files."""
-    import tempfile
-
+    asserts in tests/test_clustering.py). The lake is staged (overwrite
+    mode) under one per-process temp root keyed by sf_dir, removed at
+    exit; at 100 TB this is the write-once/serve-many layout whose point
+    reads open O(1) of the files."""
     from chess_lakehouse_spark.operators.publish import (
         read_with_skipping,
         write_clustered,
@@ -1211,11 +1231,48 @@ def q_lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    lake = tempfile.mkdtemp(prefix="chess_lakehouse_sklake_") + "/docs"
+    lake = _sklake_dir(sf_dir)
     write_clustered(docs, lake, ["doc_id"], n_files=8)
     write_skipping_manifest(spark, lake, ["doc_id"])
     lo, hi = LAKE_READ_RANGE
     return read_with_skipping(spark, lake, {"doc_id": (lo, hi)})
+
+
+#: paragraph_dedup separator for the gated query — a frequent fixture
+#: token, so documents actually split into multiple "paragraphs" and
+#: cross-document repeats occur (the synthetic corpus has no newlines).
+PARA_SEP = "value"
+#: shard_assignments layout for the gated query.
+SHARD_N = 16
+SHARD_SEED = 0
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence paragraph dedup (the C4/RefinedWeb
+    line-level pass): split on the literal PARA_SEP, drop every repeated
+    paragraph except its (doc_id, pos)-first occurrence, rebuild each
+    document. One posexplode + ONE map-combined groupBy(md5(para)) + a
+    keyed join + a per-doc rebuild — the paragraph-hash table is shuffled,
+    never broadcast (operators/dedup.py:paragraph_dedup)."""
+    from chess_lakehouse_spark.operators.dedup import paragraph_dedup
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "doc_id", "text", sep=PARA_SEP)
+
+
+def q_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle-shard layout: shard = pmod(h60, N),
+    pos = rank of the md5-derived hash within the shard — a pure function
+    of (seed, id), so any run / partitioning / engine reproduces the
+    identical training-serving layout (operators/sampling.py). The only
+    exchange is the per-shard rank window — the same repartition the
+    on-disk layout needs anyway."""
+    from chess_lakehouse_spark.operators.sampling import shard_assignments
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_assignments(docs, "doc_id", SHARD_N, seed=SHARD_SEED)
 
 
 # ---------------------------------------------------------------- oracles
@@ -1458,7 +1515,13 @@ _SIMHASH_BITS = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for 
 
 #: The full MinHash-LSH pipeline as composable CTEs ending in `pairs` —
 #: shared by the pairs oracle and the recursive clustering oracle. `{{src}}`
-#: is the corpus relation (the base table, or a filtering CTE).
+#: is the corpus relation (the base table, or a filtering CTE). The `okb`
+#: guard mirrors the engine's default band-bucket cap
+#: (operators/dedup.py:LSH_MAX_BUCKET_SIZE, counted over DISTINCT doc ids
+#: exactly as cooccur_pairs' collect_set does) — every Spark counterpart of
+#: these oracles calls minhash_lsh_dedup with the default cap, so engine
+#: and oracle drop the same oversized buckets the day a corpus produces
+#: one.
 _MINHASH_PAIRS_CTES_TPL = rf"""{_SHINGLES_CTE.replace("FROM documents", "FROM {src}")},
         sig AS (
           SELECT doc_id, {_MINHASH_AGGS}
@@ -1470,10 +1533,16 @@ _MINHASH_PAIRS_CTES_TPL = rf"""{_SHINGLES_CTE.replace("FROM documents", "FROM {s
           UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM sig
           UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM sig
         ),
+        okb AS (
+          SELECT band, bsig FROM bands GROUP BY band, bsig
+          HAVING COUNT(DISTINCT doc_id) <= {LSH_MAX_BUCKET_SIZE}
+        ),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+          FROM okb k
+          JOIN bands a ON a.band = k.band AND a.bsig = k.bsig
+          JOIN bands b ON b.band = k.band AND b.bsig = k.bsig
+                      AND a.doc_id < b.doc_id
         ),
         counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
@@ -1571,6 +1640,59 @@ _LANG_SCORES = ",\n   ".join(
     f" / len(toks), 6) AS score_{lang}"
     for lang in sorted(LANG_MARKERS)
 )
+
+#: Canonical paragraph_dedup DuckDB oracle (window-rank first occurrence),
+#: promoted from tests/test_shuffle_paragraphs.py — the test now imports
+#: THIS template so suite and pytest cannot diverge. ``{sep}`` is spliced
+#: as a SQL string literal; both engines treat the separator as a LITERAL
+#: (the Spark side Pattern.quote's it before F.split). The md5 partition
+#: key makes "same paragraph" the same equality the engine groups on.
+_PARAGRAPH_DEDUP_ORACLE_TPL = """
+WITH paras AS (
+  SELECT doc_id AS id, i - 1 AS pos, p[i] AS para
+  FROM (SELECT doc_id, string_split(text, '{sep}') AS p FROM documents),
+  LATERAL unnest(generate_series(1, len(p))) AS t(i)
+),
+flags AS (
+  SELECT id, pos, para,
+    length(trim(para)) < {min_chars}
+    OR ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY id, pos) = 1 AS keep
+  FROM paras
+)
+SELECT id AS doc_id,
+  COALESCE(string_agg(para, '{sep}' ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+  CAST(COUNT(*) AS INT) AS n_paras,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed
+FROM flags GROUP BY id
+"""
+
+
+def _paragraph_dedup_oracle(sep: str, min_chars: int = 1) -> str:
+    return _PARAGRAPH_DEDUP_ORACLE_TPL.format(
+        sep=sep.replace("'", "''"), min_chars=min_chars
+    )
+
+
+#: Canonical shard_assignments DuckDB oracle — the same portable-hash
+#: pillar as every sampling oracle (md5 hex -> 60-bit int), with the
+#: per-shard rank window mirroring the engine's (hash ASC, id ASC) total
+#: order. The hash is non-negative, so ``%`` == Spark's ``pmod``.
+_SHARD_ORACLE_TPL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('{seed}|shuffle|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS _h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(_h % {n} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY _h % {n} ORDER BY _h ASC, doc_id ASC) AS BIGINT) AS pos
+FROM h
+"""
+
+
+def _shard_oracle(n_shards: int, seed: int) -> str:
+    return _SHARD_ORACLE_TPL.format(n=n_shards, seed=seed)
+
 
 ORACLES = {
     "dedup_exact": """
@@ -2698,6 +2820,8 @@ ORACLES = {
         WHERE doc_id BETWEEN {LAKE_READ_RANGE[0]} AND {LAKE_READ_RANGE[1]}
     """,
     "bpe_train": _bpe_oracle(BPE_MERGES),
+    "paragraph_dedup": _paragraph_dedup_oracle(PARA_SEP),
+    "shard_assignments": _shard_oracle(SHARD_N, SHARD_SEED),
 }
 
 QUERIES = {
@@ -2766,4 +2890,6 @@ QUERIES = {
     "dsir_topk": q_dsir_topk,
     "lake_skipping_read": q_lake_skipping_read,
     "bpe_train": q_bpe_train,
+    "paragraph_dedup": q_paragraph_dedup,
+    "shard_assignments": q_shard_assignments,
 }

@@ -896,6 +896,51 @@ def test_label_centroids_exact_means(spark):
     }
 
 
+def test_label_centroids_honors_precision(spark):
+    """precision != 6 regression (r6 advice): the element cast is
+    DECIMAL(18, precision), so the scale matches the integer multiplier —
+    each element HALF-ROUNDS at the requested precision instead of
+    truncating the residual fraction before the sum."""
+    import pytest
+
+    from chess_lakehouse_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [Row(label=0, embedding=[0.335]), Row(label=0, embedding=[0.335])]
+    )
+    got = {
+        r.pos: r.mval
+        for r in label_centroids(df, "label", "embedding", precision=2).collect()
+    }
+    # 0.335 at scale 2 is 0.34 exactly (HALF_UP decimal cast); the old
+    # decimal(18,6)*100 long cast truncated 33.5 -> 33, yielding 0.33
+    assert got == {0: 0.34}
+    with pytest.raises(ValueError, match="precision"):
+        label_centroids(df, "label", "embedding", precision=13)
+
+
+def test_rolling_time_mean_honors_precision(spark):
+    """precision != 6 regression (r6 advice): the integer-exact rewrite
+    must round at the REQUESTED scale, not hardcoded scale 6."""
+    import datetime as dt
+
+    from chess_lakehouse_spark.operators.relational import rolling_time_mean
+
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 7, t0, 10.0), (2, 7, t0 + dt.timedelta(seconds=5), 10.5)],
+        ["id", "k", "ts", "v"],
+    )
+    got = {
+        r.id: r.mean
+        for r in rolling_time_mean(
+            df, "id", "k", "ts", "v", window_s=60, precision=1
+        ).collect()
+    }
+    # mean of (10.0, 10.5) = 10.25 -> half-away-from-zero at scale 1 = 10.3
+    assert got == {1: 10.0, 2: 10.3}
+
+
 def test_top_n_per_group_caps_and_nests(spark):
     from chess_lakehouse_spark.operators.sampling import top_n_per_group
 

@@ -485,6 +485,29 @@ def test_bm25_postings_filtered_before_shuffle(spark):
     assert "partial_count" in plan
 
 
+def test_bm25_batch_no_forced_dfreq_broadcast(spark):
+    """bm25_batch's dfreq table is bounded by the query BATCH's
+    vocabulary — unbounded at bulk-scoring scale, so it must carry NO
+    forced broadcast hint (AQE picks broadcast when the runtime size fits;
+    r7, matching the r6 removal of the tfidf/LM/PMI vocabulary hints). The
+    per-query bm25_topk hint (one query's terms) stays."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.text import bm25_batch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    queries = docs.limit(3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    df = bm25_batch(docs, "doc_id", "text", queries, "query_id", "query_text", k=5)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # the optimized plan keeps ResolvedHint/JoinHint markers for forced
+    # broadcasts; none may remain on this path
+    assert "ResolvedHint" not in logical and "broadcast" not in logical.lower()
+    plan = explain(spark, df)
+    assert "CartesianProduct" not in plan
+
+
 def test_rrf_fuse_never_touches_corpus_after_lists(spark):
     """Fusion operates on k-bounded candidate frames: both rank windows run
     AFTER a TakeOrdered limit, and the final fuse is one aggregate over

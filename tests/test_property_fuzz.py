@@ -111,6 +111,41 @@ def test_paragraph_dedup_property(spark, docs):
     assert got == _py_paragraph_dedup(rows)
 
 
+#: Separators that are regex metacharacters (or contain them) — the class
+#: that silently mis-split before r7's Pattern.quote fix (F.split treats
+#: its arg as a Java regex; the concat_ws rebuild is verbatim).
+META_SEPS = [".", "|", "**", "a.b", "\\n", "[", "(", "\\Q", "\\E", "+", "?"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    sep=st.sampled_from(META_SEPS),
+    paras=st.lists(
+        st.sampled_from(["dup", "dup", "x y", "zz", "", "unique-1"]),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_paragraph_dedup_separator_is_literal_property(spark, sep, paras):
+    """Any separator — including regex metacharacters — must behave as a
+    LITERAL on both the split and the rebuild, so a doc with no duplicate
+    paragraphs round-trips byte-identically and dedup counts match the
+    literal-split Python reference."""
+    from chess_lakehouse_spark.operators.dedup import paragraph_dedup
+
+    docs = [(0, sep.join(paras)), (1, sep.join(reversed(paras)))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_removed"])
+        for r in paragraph_dedup(df, "doc_id", "text", sep=sep).collect()
+    }
+    assert got == _py_paragraph_dedup(docs, sep=sep)
+
+
 @settings(
     max_examples=8,
     deadline=None,

@@ -1,6 +1,8 @@
 """Corpus-wide paragraph dedup (C4/RefinedWeb-style first-occurrence pass)
 and the deterministic shuffle-shard layout — pinned against pure-Python
-references and DuckDB drafts ready for r7 suite promotion."""
+references and the SUITE oracle templates (imported from suite/llm.py, the
+same anti-divergence pattern as tests/test_bm25.py: the driver-gated
+oracle and this parity pin are one string)."""
 
 from __future__ import annotations
 
@@ -65,44 +67,59 @@ def test_paragraph_dedup_deterministic_across_partitionings(spark):
 
 
 def test_paragraph_dedup_duckdb_oracle_parity(spark):
-    """DuckDB draft of the paragraph_dedup oracle (window-rank first
-    occurrence), ready to promote into suite ORACLES — run on the real
-    fixture corpus split on a token separator so multi-paragraph splits
-    actually occur."""
+    """The SUITE paragraph_dedup oracle (window-rank first occurrence,
+    imported — not re-stated — from suite/llm.py) against the engine on
+    the real fixture corpus at sf0.001, one scale below the driver's
+    gate, split on the suite's PARA_SEP so multi-paragraph splits and
+    cross-document repeats actually occur."""
     import duckdb
 
-    sep = "value"  # frequent fixture token => multi-part splits
+    from chess_lakehouse_spark.suite.llm import PARA_SEP, _paragraph_dedup_oracle
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     got = {
         r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_removed"])
-        for r in paragraph_dedup(docs, "doc_id", "text", sep=sep).collect()
+        for r in paragraph_dedup(docs, "doc_id", "text", sep=PARA_SEP).collect()
     }
 
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
     )
-    oracle = f"""
-    WITH paras AS (
-      SELECT doc_id AS id, i - 1 AS pos, p[i] AS para
-      FROM (SELECT doc_id, string_split(text, '{sep}') AS p FROM documents),
-      LATERAL unnest(generate_series(1, len(p))) AS t(i)
-    ),
-    flags AS (
-      SELECT id, pos, para,
-        length(trim(para)) < 1
-        OR ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY id, pos) = 1 AS keep
-      FROM paras
-    )
-    SELECT id AS doc_id,
-      COALESCE(string_agg(para, '{sep}' ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
-      CAST(COUNT(*) AS INT) AS n_paras,
-      CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed
-    FROM flags GROUP BY id
-    """
-    duck = {i: (c, np, nr) for i, c, np, nr in con.execute(oracle).fetchall()}
+    duck = {
+        i: (c, np, nr)
+        for i, c, np, nr in con.execute(_paragraph_dedup_oracle(PARA_SEP)).fetchall()
+    }
     assert duck == got
     assert any(v[2] > 0 for v in got.values())  # dedup actually fired
+
+
+def test_shard_assignments_duckdb_oracle_parity(spark):
+    """The SUITE shard_assignments oracle (imported from suite/llm.py)
+    against the engine on the fixture corpus at sf0.001 with the suite's
+    exact (SHARD_N, SHARD_SEED) layout."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import SHARD_N, SHARD_SEED, _shard_oracle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assignments(docs, "doc_id", SHARD_N, seed=SHARD_SEED).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    duck = {
+        i: (s, p)
+        for i, s, p in con.execute(_shard_oracle(SHARD_N, SHARD_SEED)).fetchall()
+    }
+    assert duck == got
+    assert len({s for s, _ in got.values()}) == SHARD_N  # every shard populated
 
 
 def _py_hash60(s: str) -> int:
