@@ -728,3 +728,113 @@ def paragraph_dedup(
     return rebuilt.select(
         F.col("id").alias(id_col), "clean_text", "n_paras", "n_removed"
     )
+
+
+def duplicate_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Corpus-wide duplicate-SPAN removal — the ExactSubstr pass of Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models Better")
+    at token-shingle granularity: any k-token window whose exact content
+    occurred earlier in the corpus (order: (doc id, position)) has all k
+    of its tokens removed; the first occurrence keeps its tokens. This is
+    the granularity BETWEEN ``paragraph_dedup`` (separator-delimited
+    blocks) and ``exact_dedup_groups`` (whole documents), and catches
+    templated sentences pasted mid-paragraph that neither of those sees.
+    (The paper finds duplicate substrings with a corpus suffix array —
+    inherently sequential; the k-token rolling window is the
+    shuffle-partitionable approximation, same spirit as winnowing
+    fingerprints vs full suffix structures.)
+
+    Semantics: tokens are non-empty WS_SPLIT words; output text is
+    whitespace-NORMALIZED (single spaces) because the rebuild is a token
+    join. A position is removed iff covered by ANY duplicate window
+    (including windows overlapping a first occurrence). Every input
+    document is returned; a fully-duplicated document comes back empty.
+
+    Plan shape — all keyed, nothing pairwise: one posexplode (tokens),
+    one shingle projection in the array domain, ONE map-combined
+    groupBy(md5(shingle)) for first occurrences, a hash join back, one
+    bounded explode (k rows per duplicate window = the duplicated volume,
+    not the corpus), one anti-join on (id, pos), and a per-doc rebuild
+    aggregate. At 100 TB the shingle-hash table is shuffled, never
+    broadcast; the coverage explode is proportional to duplicated text.
+
+    Returns (id, clean_text, n_tokens, n_removed_tokens).
+    """
+    if k < 2:
+        raise ValueError(f"duplicate_span_dedup: k must be >= 2, got {k}")
+    from chess_lakehouse_spark.functions.text import ws_tokens
+
+    toks_arr = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(ws_tokens(F.col(text_col)), lambda t: t != "").alias("toks"),
+    )
+    tok = toks_arr.select("id", F.posexplode("toks").alias("pos", "tok"))
+    sh = (
+        toks_arr.where(F.size("toks") >= k)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("i"),
+            "toks",
+        )
+        .select(
+            "id",
+            (F.col("i") - 1).alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("i"), k)
+                )
+            ).alias("h"),
+        )
+    )
+    first = sh.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("first_occ"))
+    marked = (
+        sh.join(first, "h")
+        .where(F.struct("id", "pos") != F.col("first_occ"))
+        .select("id", "pos")
+    )
+    covered = marked.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cpos")
+    ).distinct()
+    flagged = tok.join(
+        covered,
+        (tok["id"] == covered["id"]) & (tok["pos"] == covered["cpos"]),
+        "left",
+    ).select(
+        tok["id"].alias("id"),
+        tok["pos"].alias("pos"),
+        "tok",
+        covered["cpos"].isNotNull().alias("dup"),
+    )
+    rebuilt = flagged.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("dup"), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("int").alias(
+            "n_removed_tokens"
+        ),
+    )
+    # zero-token documents never reach the rebuild aggregate — restore them
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_removed_tokens", F.lit(0)).alias("n_removed_tokens"),
+        )
+    )

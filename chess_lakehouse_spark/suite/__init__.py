@@ -77,10 +77,14 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # of the recorded CORRECTNESS files): (1) the 48 queries green only in r6
 # (the 50-query r6 window minus paragraph_dedup/shard_assignments' slots'
 # donors — i.e. the r6 window) rotate in; (2) the remaining slots go to
-# new gated queries. FIRST candidate with an oracle ALREADY written and
-# parity-pinned: bm25_batch (tests/test_bm25.py:_BM25_BATCH_ORACLE_TPL,
-# exercised on the fixture corpus at both scales; its query-vocabulary
-# broadcast hint was dropped in r7 ahead of gating).
+# new gated queries. Candidates with oracles ALREADY written and
+# parity-pinned, in priority order:
+#   1. bm25_batch (tests/test_bm25.py:_BM25_BATCH_ORACLE_TPL; its
+#      query-vocabulary broadcast hint was dropped in r7 ahead of gating),
+#   2. dedup_span — duplicate_span_dedup, the ExactSubstr pass
+#      (tests/test_span_dedup.py:SPAN_DEDUP_ORACLE_TPL),
+#   3. quality_gopher — gopher_rules with the fixture-tuned thresholds
+#      (tests/test_gopher.py:GOPHER_ORACLE / gopher_oracle()).
 WINDOW_BUDGETED_FOR = 7
 
 _WINDOW_ORDER = [

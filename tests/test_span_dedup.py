@@ -1,0 +1,149 @@
+"""Duplicate-span (ExactSubstr-style) dedup: pinned against a pure-Python
+reference and a DuckDB oracle template staged for r8 suite promotion (the
+same staging pattern as bm25_batch in tests/test_bm25.py — when the query
+is gated, the template moves to suite/llm.py and this file imports it)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.dedup import duplicate_span_dedup
+
+_WS = re.compile(r"[ \t\n\r\f\x0b]+")
+
+#: DuckDB twin of operators/dedup.py:duplicate_span_dedup — window-rank
+#: first occurrence per k-shingle hash, coverage explode, anti-join,
+#: token rebuild. Staged r8 gating candidate (columns + INT casts already
+#: driver-shaped).
+SPAN_DEDUP_ORACLE_TPL = r"""
+WITH tarr AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT id, i - 1 AS pos, t[i] AS tok
+  FROM tarr, LATERAL unnest(generate_series(1, len(t))) AS g(i)
+),
+sh AS (
+  SELECT id, i - 1 AS pos, md5(array_to_string(t[i:i+{k}-1], ' ')) AS h
+  FROM tarr, LATERAL unnest(generate_series(1, len(t) - {k} + 1)) AS g(i)
+  WHERE len(t) >= {k}
+),
+marked AS (
+  SELECT id, pos FROM (
+    SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY h ORDER BY id, pos) AS rk
+    FROM sh
+  ) WHERE rk > 1
+),
+covered AS (
+  SELECT DISTINCT id, pos + j AS cpos
+  FROM marked, LATERAL unnest(generate_series(0, {k} - 1)) AS u(j)
+),
+flagged AS (
+  SELECT t.id, t.pos, t.tok, c.cpos IS NOT NULL AS dup
+  FROM tok t LEFT JOIN covered c ON c.id = t.id AND c.cpos = t.pos
+),
+rebuilt AS (
+  SELECT id,
+         COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '') AS clean_text,
+         CAST(COUNT(*) AS INT) AS n_tokens,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS INT) AS n_removed_tokens
+  FROM flagged GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_tokens, 0) AS n_tokens,
+       COALESCE(r.n_removed_tokens, 0) AS n_removed_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN rebuilt r ON r.id = d.doc_id
+"""
+
+
+def _py_span_dedup(docs, k):
+    toks = {i: [t for t in _WS.split(text) if t] for i, text in docs}
+    first, marked = {}, []
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            key = " ".join(ts[p : p + k])
+            if key not in first:
+                first[key] = (i, p)
+            else:
+                marked.append((i, p))
+    covered = {(i, p + j) for (i, p) in marked for j in range(k)}
+    out = {}
+    for i, ts in toks.items():
+        kept = [t for p, t in enumerate(ts) if (i, p) not in covered]
+        out[i] = (" ".join(kept), len(ts), sum((i, p) in covered for p in range(len(ts))))
+    return out
+
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta unique tail here"),
+    (1, "prefix words alpha beta gamma delta epsilon zeta more stuff"),  # 6-token copy
+    (2, "alpha beta gamma delta epsilon zeta"),                          # fully duplicated
+    (3, "totally fresh content with no repeats at all"),
+    (4, "x y alpha beta gamma delta epsilon zeta z"),                    # mid-doc copy
+    (5, ""),                                                             # zero tokens
+]
+
+
+def test_span_dedup_matches_python_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed_tokens"])
+        for r in duplicate_span_dedup(df, "doc_id", "text", k=5).collect()
+    }
+    assert got == _py_span_dedup(DOCS, 5)
+    # doc 0 keeps everything (it IS the first occurrence)
+    assert got[0][2] == 0
+    # doc 2 is erased entirely
+    assert got[2] == ("", 6, 6)
+    # doc 5 (empty) survives as an empty row, not a dropped one
+    assert got[5] == ("", 0, 0)
+    # doc 1 lost its copied span but kept its unique prefix/suffix
+    assert got[1][0].startswith("prefix words") and got[1][2] >= 5
+
+
+def test_span_dedup_deterministic_across_partitionings(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = sorted(map(tuple, duplicate_span_dedup(df, "doc_id", "text", k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicate_span_dedup(df.repartition(7), "doc_id", "text", k=3).collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="k must be"):
+        duplicate_span_dedup(df, "doc_id", "text", k=1)
+
+
+def test_span_dedup_duckdb_oracle_parity(spark):
+    """Engine vs the staged DuckDB oracle on the real fixture corpus —
+    k=3 over the token-soup fixture text, where 3-grams do repeat across
+    documents, so removal actually fires."""
+    import duckdb
+
+    k = 3
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed_tokens"])
+        for r in duplicate_span_dedup(docs, "doc_id", "text", k=k).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    duck = {
+        i: (c, nt, nr)
+        for i, c, nt, nr in con.execute(
+            SPAN_DEDUP_ORACLE_TPL.format(k=k)
+        ).fetchall()
+    }
+    assert duck == got
+    assert any(v[2] > 0 for v in got.values())  # spans actually removed
