@@ -926,3 +926,116 @@ def search_ivf_index_two_stage(
         .where(F.col("rk") <= k)
         .select("query_id", "cand_id", "sim", "rk")
     )
+
+
+def embedding_pca(
+    corpus: DataFrame,
+    vec_col: str,
+    n_components: int,
+) -> tuple[list[list[float]], list[float]]:
+    """Distributed PCA over an embedding column — the projection trainer
+    for embedding compression ahead of ANN (pair with
+    :func:`project_embeddings`; a 64→16 cut gives ~4x less index I/O and
+    the two-stage rescore path recovers exactness).
+
+    The 100 TB shape is a TREE AGGREGATE, not a shuffle: each Arrow batch
+    reduces to ONE partial (count, dim-sum, dim x dim Gram) inside
+    ``mapInPandas`` — numpy matmul per batch, no per-element explode (a
+    posexplode outer product would be dim^2 rows PER VECTOR = 4096x the
+    corpus at dim 64) — and the driver sums O(partitions) partials
+    (dim^2 + dim + 1 doubles each) before one dense ``eigh`` on the
+    dim x dim covariance. Nothing corpus-sized ever reaches the driver.
+
+    Determinism: eigenvalues sort descending (index tie-break) and each
+    eigenvector's sign is fixed by making its max-|component| entry
+    positive. Like every float tree-reduction the Gram's low bits depend
+    on partition boundaries, so this is a rows-only-class operator (no
+    SQL oracle) pinned against numpy within tolerance in
+    tests/test_pca.py.
+
+    Returns (components, explained_variance): ``n_components`` rows of
+    the projection matrix (each a dim-list) and the matching eigenvalue
+    list.
+    """
+    import numpy as np
+
+    if n_components < 1:
+        raise ValueError(f"embedding_pca: n_components must be >= 1, got {n_components}")
+
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    dim = len(vecs.first()["v"])
+    if n_components > dim:
+        raise ValueError(
+            f"embedding_pca: n_components {n_components} exceeds dim {dim}"
+        )
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            if len(x) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    rows = vecs.mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError(f"embedding_pca: need >= 2 vectors, got {n}")
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:n_components]
+    comps, var = [], []
+    for idx in order:
+        vec = evecs[:, idx]
+        j = int(np.argmax(np.abs(vec)))
+        if vec[j] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+        var.append(float(evals[idx]))
+    return comps, var
+
+
+def project_embeddings(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    components: list[list[float]],
+    precision: int = 6,
+) -> DataFrame:
+    """Map-side projection onto PCA components: per output dim one
+    JVM-side sequential dot product (``F.aggregate`` over ``zip_with`` —
+    the same fold the cosine kernels use, bit-identical across engines
+    for FIXED component literals). Zero shuffle, zero Python; the
+    components ride the plan as literals (k x dim doubles — bounded).
+
+    Returns (id, proj array<double>), each coordinate ROUND(·,precision).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    coords = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(c)) for c in comp]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            precision,
+        )
+        for comp in components
+    ]
+    return corpus.select(F.col(id_col), F.array(*coords).alias("proj"))

@@ -67,8 +67,9 @@ def main() -> None:
 
     spark = get_spark()  # the product session: 8g driver, AQE, Arrow
     from chess_lakehouse_spark.functions.bpe import bpe_train
-    from chess_lakehouse_spark.functions.text import bm25_topk
+    from chess_lakehouse_spark.functions.text import bm25_topk, gopher_rules
     from chess_lakehouse_spark.operators.dedup import (
+        duplicate_span_dedup,
         exact_dedup_groups,
         minhash_lsh_dedup,
         paragraph_dedup,
@@ -134,6 +135,14 @@ def main() -> None:
         probe(
             "knn_ivf", factor,
             lambda: knn_ivf(emb, probes, "vec_id", "embedding", k=5).count(),
+        )
+        probe(
+            "dedup_span", factor,
+            lambda: duplicate_span_dedup(docs, "doc_id", "text", k=3).count(),
+        )
+        probe(
+            "gopher_rules", factor,
+            lambda: gopher_rules(docs, "doc_id", "text").count(),
         )
 
     # Boilerplate-bomb stress: one shared token interleaved between every

@@ -1,0 +1,121 @@
+"""Distributed PCA (tree-aggregated Gram matrix) vs a numpy reference.
+
+This is a rows-only-class operator (float tree-reduction: the Gram's low
+bits depend on partition boundaries, so no SQL oracle applies); the pins
+are numpy agreement within tolerance, the deterministic eigen
+conventions, and the exact map-side projection fold."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.similarity import (
+    embedding_pca,
+    project_embeddings,
+)
+
+
+def _np_pca(x: np.ndarray, k: int):
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / (len(x) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:k]
+    comps, var = [], []
+    for idx in order:
+        v = evecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append(v)
+        var.append(evals[idx])
+    return np.asarray(comps), np.asarray(var)
+
+
+def test_pca_matches_numpy_on_fixtures(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comps, var = embedding_pca(emb, "embedding", n_components=8)
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    want_c, want_v = _np_pca(x, 8)
+    assert np.allclose(np.asarray(comps), want_c, atol=1e-8)
+    assert np.allclose(np.asarray(var), want_v, atol=1e-8)
+    # variance sorted descending — the determinism convention
+    assert all(var[i] >= var[i + 1] for i in range(len(var) - 1))
+    # components are unit-norm (eigh output), sign-fixed
+    for c in comps:
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9
+        assert c[int(np.argmax(np.abs(c)))] > 0
+
+
+def test_pca_stable_across_partitionings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1, v1 = embedding_pca(emb, "embedding", n_components=4)
+    c2, v2 = embedding_pca(emb.repartition(13), "embedding", n_components=4)
+    # float tree-reduction: equal within tolerance, not bit-exact (why this
+    # operator is rows-only class, see docstring)
+    assert np.allclose(c1, c2, atol=1e-8) and np.allclose(v1, v2, atol=1e-8)
+
+
+def test_projection_is_exact_fold(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    comps, _ = embedding_pca(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding",
+        n_components=4,
+    )
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in project_embeddings(emb, "vec_id", "embedding", comps).collect()
+    }
+    for r in emb.collect():
+        v = [float(x) for x in r["embedding"]]
+        for j, comp in enumerate(comps):
+            acc = 0.0  # same sequential left-fold as the JVM expression
+            for x, y in zip(v, comp):
+                acc += x * y
+            assert got[r["vec_id"]][j] == pytest.approx(round(acc, 6), abs=1e-9)
+
+
+def test_pca_recovers_planted_structure(spark):
+    """The compression works where structure exists (the fixture
+    embeddings are near-isotropic — top-16 of 64 dims explains only ~38%
+    of variance, so neighbor tests there are meaningless): on a planted
+    3-cluster corpus, the 2-component projection keeps every point
+    closest to its own cluster's projected centroid."""
+    rng = np.random.RandomState(0)
+    centers = rng.normal(size=(3, 64)) * 5.0
+    rows = []
+    for i in range(240):
+        c = i % 3
+        rows.append((i, c, (centers[c] + rng.normal(size=64) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    comps, var = embedding_pca(df, "embedding", n_components=2)
+    # planted structure dominates: 2 components carry most of the variance
+    x = np.asarray([r[2] for r in rows])
+    assert sum(var) / np.trace(np.cov(x.T)) > 0.8
+    proj = {
+        r["vec_id"]: np.asarray(r["proj"])
+        for r in project_embeddings(df, "vec_id", "embedding", comps).collect()
+    }
+    pc = np.asarray(comps)
+    proj_centers = {c: (centers[c] @ pc.T) for c in range(3)}
+    hits = sum(
+        min(proj_centers, key=lambda c: np.linalg.norm(proj[i] - proj_centers[c]))
+        == (i % 3)
+        for i in range(240)
+    )
+    assert hits == 240
+
+
+def test_pca_validation(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="n_components"):
+        embedding_pca(emb, "embedding", n_components=0)
+    with pytest.raises(ValueError, match="exceeds dim"):
+        embedding_pca(emb, "embedding", n_components=1000)
+    one = emb.limit(1)
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        embedding_pca(one, "embedding", n_components=2)

@@ -547,3 +547,26 @@ def test_shard_assignments_single_exchange(spark):
     plan = explain(spark, shard_assignments(docs, "doc_id", 8))
     assert plan.count("Exchange ") == 1
     assert "Window" in plan
+
+
+def test_span_dedup_keyed_joins_no_cartesian(spark):
+    """ExactSubstr pass: shingle-hash first-occurrence is map-combined,
+    the coverage/anti joins are hash-keyed — nothing pairwise against the
+    corpus at any stage."""
+    from chess_lakehouse_spark.operators.dedup import duplicate_span_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain(spark, duplicate_span_dedup(docs, "doc_id", "text", k=3))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "partial_min" in plan  # first-occurrence map-side combine
+
+
+def test_gopher_rules_is_narrow(spark):
+    """The rule battery is pure column expressions: zero exchanges, whole
+    plan rides the scan."""
+    from chess_lakehouse_spark.functions.text import gopher_rules
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain(spark, gopher_rules(docs, "doc_id", "text"))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "codegen id" in plan
