@@ -1030,7 +1030,10 @@ def gopher_rules(
     Rule comparisons use the ROUNDED ratios, so the boolean is a function
     of the emitted values — identical in any engine.
     """
-    t = F.col(text_col)
+    # NULL text behaves as '' (n_words 0, passes false) — without the
+    # coalesce every downstream size/length is NULL and the pass boolean
+    # becomes NULL, diverging from the oracle's COALESCE(..., FALSE)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(ws_tokens(t), lambda x: x != "")
     n_words = F.size(toks)
 

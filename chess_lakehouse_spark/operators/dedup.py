@@ -684,10 +684,15 @@ def paragraph_dedup(
     # Java regex, so the separator is Pattern.quote'd before splitting,
     # matching the verbatim concat_ws rebuild (a raw '.' or '|' separator
     # would otherwise split on the regex meaning and reassemble differently
-    # than it was split).
+    # than it was split). NULL text coalesces to '' FIRST — split(NULL)
+    # is NULL and posexplode(NULL) yields no rows, which would silently
+    # DROP the document instead of returning it stripped (the oracle's
+    # COALESCE(text, '') mirrors this).
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), regex_quote(sep))).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), regex_quote(sep))
+        ).alias("pos", "para"),
     )
     eligible = paras.where(F.length(F.trim(F.col("para"))) >= min_chars)
     first = (

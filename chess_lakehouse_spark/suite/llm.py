@@ -1650,7 +1650,7 @@ _LANG_SCORES = ",\n   ".join(
 _PARAGRAPH_DEDUP_ORACLE_TPL = """
 WITH paras AS (
   SELECT doc_id AS id, i - 1 AS pos, p[i] AS para
-  FROM (SELECT doc_id, string_split(text, '{sep}') AS p FROM documents),
+  FROM (SELECT doc_id, string_split(COALESCE(text, ''), '{sep}') AS p FROM documents),
   LATERAL unnest(generate_series(1, len(p))) AS t(i)
 ),
 flags AS (

@@ -19,9 +19,9 @@ from chess_lakehouse_spark.functions.text import (
 GOPHER_ORACLE = r"""
 WITH base AS (
   SELECT doc_id,
-    text,
-    list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks,
-    string_split(text, chr(10)) AS lines
+    COALESCE(text, '') AS text,
+    list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks,
+    string_split(COALESCE(text, ''), chr(10)) AS lines
   FROM documents
 ),
 m AS (
@@ -125,3 +125,9 @@ def test_gopher_duckdb_oracle_parity(spark):
     )
     duck = {row[0]: tuple(row[1:]) for row in con.execute(gopher_oracle()).fetchall()}
     assert duck == got
+
+
+def test_gopher_null_text_is_empty_doc(spark):
+    df = spark.createDataFrame([(0, None), (1, "the of and")], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert got[0]["n_words"] == 0 and got[0]["passes_gopher"] is False

@@ -119,3 +119,68 @@ def test_pca_validation(spark):
     one = emb.limit(1)
     with pytest.raises(ValueError, match=">= 2 vectors"):
         embedding_pca(one, "embedding", n_components=2)
+
+
+def test_pca_ivf_compressed_serving_path(spark, tmp_path):
+    """Composition the compression exists for: train PCA, project, train
+    k-means ON THE PROJECTION, publish the IVF lake layout keyed by
+    projected lists, serve probes through partition pruning in the
+    LOW-dim space, exact-rescore in FULL dim. The sound claim at this
+    stage is CLUSTER-level recall (PCA keeps inter-cluster structure and
+    deliberately discards the intra-cluster noise dims that near-tie
+    rankings ride on): every probe gets a full shortlist, the rescored
+    top-1 lands in the probe's planted cluster, and so does full-dim
+    brute force — the coarse stage never routes a probe to the wrong
+    cluster."""
+    from chess_lakehouse_spark.operators.similarity import (
+        kmeans_fit,
+        knn_brute_force,
+        publish_ivf_index,
+        search_ivf_index,
+    )
+
+    rng = np.random.RandomState(1)
+    centers = rng.normal(size=(4, 64)) * 5.0
+    rows = [
+        (i, (centers[i % 4] + rng.normal(size=64) * 0.2).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    comps, _ = embedding_pca(df, "embedding", n_components=8)
+    proj = project_embeddings(df, "vec_id", "embedding", comps).withColumnRenamed(
+        "proj", "embedding"
+    )
+    cents = kmeans_fit(proj, "vec_id", "embedding", k=4, iters=3)
+    idx = str(tmp_path / "ivf_proj")
+    publish_ivf_index(proj, idx, "vec_id", "embedding", cents)
+
+    probes_proj = proj.where(F.col("vec_id") < 8)
+    shortlist = search_ivf_index(
+        spark, idx, probes_proj, "vec_id", "embedding", cents, nprobe=1, k=10
+    ).collect()
+    per_q = {}
+    for r in shortlist:
+        per_q.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert set(per_q) == set(range(8))
+    assert all(len(c) == 10 for c in per_q.values())
+
+    # full-dim exact rescore of the low-dim shortlist
+    full = {r[0]: r[1] for r in rows}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            sum(x * x for x in a) ** 0.5 * sum(y * y for y in b) ** 0.5
+        )
+
+    for q, cands in per_q.items():
+        top = max(cands, key=lambda c: (cos(full[q], full[c]), -c))
+        assert top % 4 == q % 4  # rescored top-1 is in the probe's cluster
+
+    want = {
+        r["query_id"]: r["cand_id"]
+        for r in knn_brute_force(
+            df, df.where(F.col("vec_id") < 8), "vec_id", "embedding", k=1
+        ).collect()
+    }
+    assert all(want[q] % 4 == q % 4 for q in want)  # ground truth agrees

@@ -166,3 +166,58 @@ def test_shard_assignment_is_permutation_property(spark, seed, n_shards):
         per.setdefault(r["shard"], []).append(r["pos"])
     for poss in per.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dup", "x", "longtok"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+def test_span_dedup_property(spark, docs, k):
+    """duplicate_span_dedup == the literal Python reference on arbitrary
+    token soups, any k: same first-occurrence order, same coverage, every
+    doc present."""
+    import re
+
+    from chess_lakehouse_spark.operators.dedup import duplicate_span_dedup
+
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+    rows = list(enumerate(docs))
+    toks = {i: [t for t in ws.split(text) if t] for i, text in rows}
+    first, marked = {}, []
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            key = " ".join(ts[p : p + k])
+            if key not in first:
+                first[key] = (i, p)
+            else:
+                marked.append((i, p))
+    covered = {(i, p + j) for (i, p) in marked for j in range(k)}
+    want = {}
+    for i, ts in toks.items():
+        kept = [t for p, t in enumerate(ts) if (i, p) not in covered]
+        want[i] = (
+            " ".join(kept),
+            len(ts),
+            sum((i, p) in covered for p in range(len(ts))),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed_tokens"])
+        for r in duplicate_span_dedup(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == want

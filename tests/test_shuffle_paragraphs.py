@@ -202,3 +202,20 @@ def test_write_shuffled_shards_layout(spark, tmp_path):
         for r in back.collect()
     }
     assert got == want
+
+
+def test_paragraph_dedup_null_text_survives(spark):
+    """NULL text must behave as '' (one structural empty paragraph), not
+    silently drop the document — split(NULL) is NULL and posexplode(NULL)
+    yields no rows without the coalesce."""
+    df = spark.createDataFrame(
+        [(0, "alpha\nbeta"), (1, None), (2, "alpha\ngamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_removed"])
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[1] == ("", 1, 0)
+    assert got[2] == ("gamma", 2, 1)  # 'alpha' deduped against doc 0

@@ -147,3 +147,14 @@ def test_span_dedup_duckdb_oracle_parity(spark):
     }
     assert duck == got
     assert any(v[2] > 0 for v in got.values())  # spans actually removed
+
+
+def test_span_dedup_null_text_survives(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed_tokens"])
+        for r in duplicate_span_dedup(df, "doc_id", "text", k=3).collect()
+    }
+    assert got[1] == ("", 0, 0)
