@@ -803,11 +803,12 @@ def duplicate_span_dedup(
         .select("id", "pos")
     )
     covered = marked.select(
-        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cpos")
+        F.col("id").alias("cid"),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cpos"),
     ).distinct()
     flagged = tok.join(
         covered,
-        (tok["id"] == covered["id"]) & (tok["pos"] == covered["cpos"]),
+        (tok["id"] == covered["cid"]) & (tok["pos"] == covered["cpos"]),
         "left",
     ).select(
         tok["id"].alias("id"),

@@ -85,6 +85,8 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #      (tests/test_span_dedup.py:SPAN_DEDUP_ORACLE_TPL),
 #   3. quality_gopher — gopher_rules with the fixture-tuned thresholds
 #      (tests/test_gopher.py:GOPHER_ORACLE / gopher_oracle()).
+# All three templates were additionally exercised against the engine at
+# sf0.1 in r7 (5000-row corpora; bm25_batch with 20 queries) — MATCH.
 WINDOW_BUDGETED_FOR = 7
 
 _WINDOW_ORDER = [

@@ -123,9 +123,12 @@ def cmd_materialize_openings(args: argparse.Namespace) -> None:
 
 def cmd_clean_corpus(args: argparse.Namespace) -> None:
     """Training-data stage (beyond the reference's surface): JSONL corpus →
-    corrupt-line quarantine → quality gate → near-dup canonical selection →
-    leakage-safe train/eval split → split-partitioned JSONL shards + a
-    dataset-card markdown.
+    corrupt-line quarantine → quality gate (composite score, or the Gopher
+    per-rule battery with ``--gate gopher``) → optional C4 paragraph pass
+    (``--paragraphDedupSep``) and ExactSubstr span pass (``--spanDedupK``),
+    each rewriting text before near-dup runs on the CLEANED content →
+    near-dup canonical selection → leakage-safe train/eval split →
+    split-partitioned JSONL shards + a dataset-card markdown.
 
     The near-dup cluster table is computed ONCE and fed to both consumers
     (canonical selection and the split) — the staged-components pattern
@@ -171,7 +174,42 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
             F.broadcast(selected.select("doc_id")), "doc_id", "left_semi"
         )
 
-    kept = docs.where(quality_score(F.col("text")) >= args.minQuality)
+    if args.gate == "gopher":
+        # per-rule gate (Rae et al. 2021) instead of the composite score
+        from chess_lakehouse_spark.functions.text import gopher_rules
+
+        passing = gopher_rules(
+            docs, "doc_id", "text",
+            min_words=args.gopherMinWords, min_stop_hits=args.gopherMinStops,
+        ).where(F.col("passes_gopher")).select("doc_id")
+        kept = docs.join(passing, "doc_id", "left_semi")
+    else:
+        kept = docs.where(quality_score(F.col("text")) >= args.minQuality)
+    if args.paragraphDedupSep:
+        # C4/RefinedWeb line pass: rewrite text with repeated paragraphs
+        # removed EVERYWHERE but their corpus-first occurrence
+        from chess_lakehouse_spark.operators.dedup import paragraph_dedup
+
+        cleaned = paragraph_dedup(
+            kept, "doc_id", "text", sep=args.paragraphDedupSep
+        ).select("doc_id", F.col("clean_text").alias("text2"))
+        kept = (
+            kept.join(cleaned, "doc_id")
+            .drop("text")
+            .withColumnRenamed("text2", "text")
+        )
+    if args.spanDedupK:
+        # ExactSubstr pass at k-token granularity (Lee et al. 2021)
+        from chess_lakehouse_spark.operators.dedup import duplicate_span_dedup
+
+        cleaned = duplicate_span_dedup(
+            kept, "doc_id", "text", k=args.spanDedupK
+        ).select("doc_id", F.col("clean_text").alias("text2"))
+        kept = (
+            kept.join(cleaned, "doc_id")
+            .drop("text")
+            .withColumnRenamed("text2", "text")
+        )
     pairs = minhash_lsh_dedup(
         kept, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=args.threshold
     )
@@ -325,6 +363,18 @@ def main(argv: list[str] | None = None) -> None:
     cc.add_argument("--inDir", required=True, help="JSONL corpus path/glob")
     cc.add_argument("--outDir", required=True)
     cc.add_argument("--minQuality", type=float, default=2.2)
+    cc.add_argument("--gate", choices=("score", "gopher"), default="score",
+                    help="quality gate: composite score (default) or the "
+                         "Gopher per-rule battery")
+    cc.add_argument("--gopherMinWords", type=int, default=50)
+    cc.add_argument("--gopherMinStops", type=int, default=2)
+    cc.add_argument("--paragraphDedupSep", default=None,
+                    help="run corpus-wide paragraph first-occurrence dedup "
+                         "on this LITERAL separator before near-dup "
+                         "(C4/RefinedWeb line pass; e.g. $'\\n')")
+    cc.add_argument("--spanDedupK", type=int, default=0,
+                    help="run duplicate-span (ExactSubstr) dedup with "
+                         "k-token windows before near-dup")
     cc.add_argument("--threshold", type=float, default=0.5, help="near-dup Jaccard threshold")
     cc.add_argument("--evalFrac", type=float, default=0.05)
     cc.add_argument("--seed", type=int, default=0)

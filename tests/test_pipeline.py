@@ -776,3 +776,48 @@ def test_example_dvc_stages_reference_real_cli_subcommands():
         assert flags, f"stage {stage} example shows no flags"
         for f in flags:
             assert f'"{f}"' in cli_src, f"unknown flag in example: {stage} {f}"
+
+
+def test_pipeline_cli_clean_corpus_gopher_and_dedup_passes(spark, tmp_path, capsys):
+    """The r7 pipeline extensions in one invocation: Gopher per-rule gate
+    instead of the composite score, the C4 paragraph pass, and the
+    ExactSubstr span pass — repeated cross-document content is stripped
+    from the published text, and the stopword-free doc is gated out."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    boiler = "SHARED HEADER LINE"
+    lines = []
+    for i in range(8):
+        body = " ".join(f"the of and doc{i} tok{j}" for j in range(12))
+        lines.append(json.dumps(
+            {"doc_id": i, "text": f"{boiler}\n{body}", "lang": "en", "source": "s0"}
+        ))
+    # stopword-free doc: fails the gopher required-stops rule
+    lines.append(json.dumps(
+        {"doc_id": 99, "text": " ".join(f"z{j}" for j in range(60)),
+         "lang": "en", "source": "s0"}
+    ))
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "p.jsonl").write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(out),
+        "--gate", "gopher", "--gopherMinWords", "30", "--gopherMinStops", "2",
+        "--paragraphDedupSep", "\n", "--spanDedupK", "4",
+        "--threshold", "0.9", "--evalFrac", "0.2",
+    ])
+    assert "[clean-corpus]" in capsys.readouterr().out
+    published = spark.read.json(str(out / "corpus")).collect()
+    ids = {r.doc_id for r in published}
+    assert 99 not in ids  # gopher stop-hits rule fired
+    assert ids == set(range(8))
+    texts = {r.doc_id: r.text for r in published}
+    # the shared header survives in exactly ONE doc (corpus-first occurrence)
+    assert sum(boiler in t for t in texts.values()) == 1
