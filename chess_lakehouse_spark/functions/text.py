@@ -996,6 +996,121 @@ GOPHER_BULLETS: tuple[str, ...] = ("-", "*", "•")
 GOPHER_ELLIPSES: tuple[str, ...] = ("...", "…")
 
 
+def _gopher_metric_cols(text: Column) -> dict[str, Column]:
+    """The eight Gopher rule metrics as reusable column expressions over a
+    text column (NULL-coalesced to ''). Shared verbatim by the batch
+    projection (:func:`gopher_rules`) and the streaming/pushdown boolean
+    (:func:`gopher_passes`), so the two paths cannot drift."""
+    from functools import reduce
+    from operator import or_
+
+    t = F.coalesce(text, F.lit(""))
+    toks = F.filter(ws_tokens(t), lambda x: x != "")
+    n_words = F.size(toks)
+
+    def per_word(num: Column) -> Column:
+        # CASE-guarded: a whitespace-only doc has n_words = 0 and under
+        # ANSI mode (Spark 4 default, incl. the driver's vanilla session)
+        # an unguarded /0 is a runtime ERROR, not NULL
+        return F.when(n_words > 0, F.round(num.cast("double") / n_words, 6))
+
+    hash_count = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ell_count = sum(
+        [
+            (
+                (F.length(t) - F.length(F.replace(t, F.lit(e), F.lit(""))))
+                / F.lit(len(e))
+            ).cast("long")
+            for e in GOPHER_ELLIPSES
+        ],
+        F.lit(0),
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: reduce(
+                or_, [F.ltrim(ln).startswith(b) for b in GOPHER_BULLETS]
+            ),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: reduce(
+                or_, [F.rtrim(ln).endswith(e) for e in GOPHER_ELLIPSES]
+            ),
+        )
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    return {
+        "n_words": n_words,
+        "mean_word_len": per_word(token_lengths_sum(toks)),
+        "symbol_ratio": per_word(hash_count + ell_count),
+        "bullet_line_frac": F.round(bullet_lines.cast("double") / n_lines, 6),
+        "ellipsis_line_frac": F.round(
+            ellipsis_lines.cast("double") / n_lines, 6
+        ),
+        "alpha_word_frac": per_word(alpha_words),
+        "stop_hits": F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+                lambda w: F.array_contains(toks, w),
+            )
+        ),
+    }
+
+
+def _gopher_pass_expr(
+    m: dict[str, Column],
+    min_words: int,
+    max_words: int,
+    min_mean_len: float,
+    max_mean_len: float,
+    max_symbol_ratio: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_alpha_frac: float,
+    min_stop_hits: int,
+) -> Column:
+    return (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_word_len"] >= min_mean_len)
+        & (m["mean_word_len"] <= max_mean_len)
+        & (m["symbol_ratio"] <= max_symbol_ratio)
+        & (m["bullet_line_frac"] <= max_bullet_frac)
+        & (m["ellipsis_line_frac"] <= max_ellipsis_frac)
+        & (m["alpha_word_frac"] >= min_alpha_frac)
+        & (m["stop_hits"] >= min_stop_hits)
+    )
+
+
+def gopher_passes(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = GOPHER_MIN_STOP_HITS,
+) -> Column:
+    """The Gopher gate as ONE boolean column expression — the form a
+    STREAM (or a filter pushed under a wider plan) needs: zero state, no
+    join, applied with a plain ``.where``. Identical math to
+    :func:`gopher_rules` (both build on ``_gopher_metric_cols``)."""
+    return _gopher_pass_expr(
+        _gopher_metric_cols(text),
+        min_words, max_words, min_mean_len, max_mean_len,
+        max_symbol_ratio, max_bullet_frac, max_ellipsis_frac,
+        min_alpha_frac, min_stop_hits,
+    )
+
+
 def gopher_rules(
     df: DataFrame,
     id_col: str,
@@ -1017,96 +1132,37 @@ def gopher_rules(
     fractions, alphabetic-word fraction, and required-stopword presence.
     Complements ``quality_metrics`` (this repo's composite score): that
     ranks, this GATES, with per-rule evidence columns so a pipeline can
-    report WHICH rule rejected a document.
+    report WHICH rule rejected a document (use :func:`gopher_passes` when
+    only the boolean is needed — streams, pushdown filters).
 
     Pure Column expressions — narrow, zero shuffle, whole-stage codegen;
     at 100 TB this is a free rider on whatever scan feeds it. Every float
     is a ratio of integers ROUND(·,6) (cross-engine bit-identical);
     tokenization is the explicit WS_SPLIT class; `replace` counting is
-    left-to-right non-overlapping in both engines.
+    left-to-right non-overlapping in both engines; NULL text behaves as
+    '' (n_words 0, passes false — matching the oracle's COALESCE).
 
     Returns (id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
     ellipsis_line_frac, alpha_word_frac, stop_hits, passes_gopher).
     Rule comparisons use the ROUNDED ratios, so the boolean is a function
     of the emitted values — identical in any engine.
     """
-    # NULL text behaves as '' (n_words 0, passes false) — without the
-    # coalesce every downstream size/length is NULL and the pass boolean
-    # becomes NULL, diverging from the oracle's COALESCE(..., FALSE)
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(ws_tokens(t), lambda x: x != "")
-    n_words = F.size(toks)
-
-    def per_word(num: Column) -> Column:
-        # CASE-guarded: a whitespace-only doc has n_words = 0 and under
-        # ANSI mode (Spark 4 default, incl. the driver's vanilla session)
-        # an unguarded /0 is a runtime ERROR, not NULL
-        return F.when(n_words > 0, F.round(num.cast("double") / n_words, 6))
-
-    sum_len = token_lengths_sum(toks)
-    mean_len = per_word(sum_len)
-    hash_count = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    ell_count = sum(
-        [
-            (
-                (F.length(t) - F.length(F.replace(t, F.lit(e), F.lit(""))))
-                / F.lit(len(e))
-            ).cast("long")
-            for e in GOPHER_ELLIPSES
-        ],
-        F.lit(0),
-    )
-    symbol_ratio = per_word(hash_count + ell_count)
-    from functools import reduce
-    from operator import or_
-
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines)
-    bullet_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: reduce(
-                or_, [F.ltrim(ln).startswith(b) for b in GOPHER_BULLETS]
-            ),
-        )
-    )
-    ellipsis_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: reduce(
-                or_, [F.rtrim(ln).endswith(e) for e in GOPHER_ELLIPSES]
-            ),
-        )
-    )
-    bullet_frac = F.round(bullet_lines.cast("double") / n_lines, 6)
-    ellipsis_frac = F.round(ellipsis_lines.cast("double") / n_lines, 6)
-    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    alpha_frac = per_word(alpha_words)
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in GOPHER_STOPS]),
-            lambda w: F.array_contains(toks, w),
-        )
-    )
+    m = _gopher_metric_cols(F.col(text_col))
     staged = df.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stop_hits"),
+        *[m[name].alias(name) for name in (
+            "n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac", "stop_hits",
+        )],
     )
-    passes = (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= min_mean_len)
-        & (F.col("mean_word_len") <= max_mean_len)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
-        & (F.col("bullet_line_frac") <= max_bullet_frac)
-        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
-        & (F.col("alpha_word_frac") >= min_alpha_frac)
-        & (F.col("stop_hits") >= min_stop_hits)
+    named = {name: F.col(name) for name in (
+        "n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "stop_hits",
+    )}
+    passes = _gopher_pass_expr(
+        named,
+        min_words, max_words, min_mean_len, max_mean_len,
+        max_symbol_ratio, max_bullet_frac, max_ellipsis_frac,
+        min_alpha_frac, min_stop_hits,
     )
     return staged.withColumn("passes_gopher", passes)

@@ -183,24 +183,36 @@ def corpus_ingest_clean(
     docs: DataFrame,
     min_quality: float,
     dedup_window: str = "10 minutes",
+    gate: str = "score",
+    gopher_kwargs: dict | None = None,
 ) -> DataFrame:
     """Streaming corpus cleaning: quality gate + replay-safe exact dedup —
     the ingest-time half of the batch `pipeline_clean_corpus`.
 
-    The quality score is the SAME column expression the batch path uses
-    (`functions.text.quality_score` — narrow, zero state), so batch and
-    stream classify identically. Dedup keys on the content md5; documents
+    The gate is the SAME column expression the batch path uses — narrow,
+    zero streaming state, so batch and stream classify identically:
+    ``gate="score"`` applies `functions.text.quality_score >=
+    min_quality`; ``gate="gopher"`` applies the per-rule Gopher battery
+    (`functions.text.gopher_rules` — min_quality is ignored, the rules
+    carry their own thresholds). Dedup keys on the content md5; documents
     carry no event time, so the watermark rides on an ingest processing
     timestamp: duplicates arriving within ``dedup_window`` are dropped with
     bounded state (at-least-once replay guard), and the state store evicts
     each digest once the watermark passes it.
     """
-    from chess_lakehouse_spark.functions.text import quality_score
+    if gate == "gopher":
+        from chess_lakehouse_spark.functions.text import gopher_passes
 
+        # one boolean column expression — no join, no streaming state
+        filtered = docs.where(gopher_passes(F.col("text"), **(gopher_kwargs or {})))
+    else:
+        from chess_lakehouse_spark.functions.text import quality_score
+
+        filtered = docs.withColumn(
+            "quality_score", quality_score(F.col("text"))
+        ).where(F.col("quality_score") >= min_quality)
     return (
-        docs.withColumn("quality_score", quality_score(F.col("text")))
-        .where(F.col("quality_score") >= min_quality)
-        .withColumn("content_md5", F.md5(F.col("text")))
+        filtered.withColumn("content_md5", F.md5(F.col("text")))
         .withColumn("ingest_ts", F.current_timestamp())
         .withWatermark("ingest_ts", dedup_window)
         .dropDuplicatesWithinWatermark(["content_md5"])

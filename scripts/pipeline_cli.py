@@ -175,14 +175,17 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         )
 
     if args.gate == "gopher":
-        # per-rule gate (Rae et al. 2021) instead of the composite score
-        from chess_lakehouse_spark.functions.text import gopher_rules
+        # per-rule gate (Rae et al. 2021) instead of the composite score —
+        # one boolean column expression, no join
+        from chess_lakehouse_spark.functions.text import gopher_passes
 
-        passing = gopher_rules(
-            docs, "doc_id", "text",
-            min_words=args.gopherMinWords, min_stop_hits=args.gopherMinStops,
-        ).where(F.col("passes_gopher")).select("doc_id")
-        kept = docs.join(passing, "doc_id", "left_semi")
+        kept = docs.where(
+            gopher_passes(
+                F.col("text"),
+                min_words=args.gopherMinWords,
+                min_stop_hits=args.gopherMinStops,
+            )
+        )
     else:
         kept = docs.where(quality_score(F.col("text")) >= args.minQuality)
     if args.paragraphDedupSep:

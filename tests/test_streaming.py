@@ -411,3 +411,51 @@ def test_stream_incremental_dedup_rejects_mismatched_sig_schema(spark, tmp_path)
             stream, str(tmp_path / "corpus"), str(tmp_path / "sigs"),
             str(tmp_path / "pairs"), str(tmp_path / "ckpt"), num_hashes=8,
         )
+
+
+def test_corpus_ingest_clean_gopher_gate_matches_batch(spark, tmp_path):
+    """gate='gopher' on the stream keeps exactly the content set the batch
+    gopher_passes filter keeps — the gate is one stateless column
+    expression, so stream and batch classify identically."""
+    import glob
+    import json
+    import shutil
+
+    from chess_lakehouse_spark.functions.text import gopher_passes
+    from chess_lakehouse_spark.streaming import (
+        corpus_ingest_clean,
+        read_documents_stream,
+        stream_corpus_to_jsonl_shards,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-000.parquet")
+
+    out = str(tmp_path / "shards")
+    kw = {"min_words": 30, "min_stop_hits": 1}  # fixture-tuned: the paper
+    # defaults keep ZERO fixture docs (max 1 required-stop hit), which
+    # would make this test vacuous
+    clean = corpus_ingest_clean(
+        read_documents_stream(spark, str(d)), min_quality=0.0,
+        gate="gopher", gopher_kwargs=kw,
+    )
+    stream_corpus_to_jsonl_shards(clean, out, str(tmp_path / "ckpt"), max_records_per_file=50)
+
+    got = set()
+    for path in glob.glob(f"{out}/*.json"):
+        with open(path) as fh:
+            for line in fh:
+                got.add(json.loads(line)["content_md5"])
+
+    docs_batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch = (
+        docs_batch.where(gopher_passes(F.col("text"), **kw))
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    want = {r.h for r in batch.collect()}
+    assert got == want
+    # the gate actually discriminates (neither empty nor pass-through)
+    n_all = docs_batch.select(F.md5("text")).distinct().count()
+    assert 0 < len(want) < n_all
