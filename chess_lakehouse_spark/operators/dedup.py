@@ -651,18 +651,27 @@ def paragraph_dedup(
     text_col: str,
     sep: str = "\n",
     min_chars: int = 1,
+    scope: str = "corpus",
 ) -> DataFrame:
-    """Corpus-wide first-occurrence paragraph dedup (the C4/RefinedWeb
-    line-level pass, Raffel et al. 2020 / Penedo et al. 2023): split every
-    document on the LITERAL separator ``sep`` (regex metacharacters are
-    quoted — split and rebuild use the same literal string, so the
-    round-trip is exact), and remove each repeated paragraph EVERYWHERE
-    except its first occurrence — "first" under the total order (doc id,
-    position), so the result is independent of partitioning and engine.
+    """First-occurrence paragraph dedup (the C4/RefinedWeb line-level
+    pass, Raffel et al. 2020 / Penedo et al. 2023): split every document
+    on the LITERAL separator ``sep`` (regex metacharacters are quoted —
+    split and rebuild use the same literal string, so the round-trip is
+    exact), and remove each repeated paragraph except its first
+    occurrence — "first" under the total order (doc id, position), so the
+    result is independent of partitioning and engine.
     Complements :func:`exact_dedup_groups` (whole-document) and
     ``strip_boilerplate`` (token-level): this is the granularity that
     catches shared headers/footers/navigation blocks pasted across
     millions of pages.
+
+    ``scope`` picks the dedup universe: ``"corpus"`` (default) removes a
+    repeated paragraph EVERYWHERE but its corpus-first occurrence — the
+    boilerplate killer; ``"document"`` dedups only WITHIN each document
+    (RefinedWeb's intra-document line pass — navigation repeated inside
+    one page goes, content legitimately shared across pages stays). The
+    document scope adds the doc id to the hash-group key, so its shuffle
+    keys are finer and never hot.
 
     Paragraphs shorter than ``min_chars`` (after trim) are structural —
     blank lines, separators — and are always kept, never treated as
@@ -694,14 +703,30 @@ def paragraph_dedup(
             F.split(F.coalesce(F.col(text_col), F.lit("")), regex_quote(sep))
         ).alias("pos", "para"),
     )
+    if scope not in ("corpus", "document"):
+        raise ValueError(
+            f"paragraph_dedup: scope must be 'corpus' or 'document', got {scope!r}"
+        )
     eligible = paras.where(F.length(F.trim(F.col("para"))) >= min_chars)
-    first = (
-        eligible.groupBy(F.md5(F.col("para")).alias("h"))
-        .agg(F.min(F.struct("id", "pos")).alias("first_occ"))
-    )
+    if scope == "document":
+        first = (
+            eligible.groupBy(
+                F.col("id").alias("fid"), F.md5(F.col("para")).alias("h")
+            )
+            .agg(F.min(F.struct("id", "pos")).alias("first_occ"))
+        )
+        join_cond = (F.md5(F.col("para")) == F.col("h")) & (
+            F.col("id") == F.col("fid")
+        )
+    else:
+        first = (
+            eligible.groupBy(F.md5(F.col("para")).alias("h"))
+            .agg(F.min(F.struct("id", "pos")).alias("first_occ"))
+        )
+        join_cond = F.md5(F.col("para")) == F.col("h")
     flagged = paras.join(
         first,
-        F.md5(F.col("para")) == F.col("h"),
+        join_cond,
         "left",
     ).select(
         "id",

@@ -1656,7 +1656,7 @@ WITH paras AS (
 flags AS (
   SELECT id, pos, para,
     length(trim(para)) < {min_chars}
-    OR ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY id, pos) = 1 AS keep
+    OR ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY id, pos) = 1 AS keep
   FROM paras
 )
 SELECT id AS doc_id,
@@ -1667,9 +1667,14 @@ FROM flags GROUP BY id
 """
 
 
-def _paragraph_dedup_oracle(sep: str, min_chars: int = 1) -> str:
+def _paragraph_dedup_oracle(
+    sep: str, min_chars: int = 1, scope: str = "corpus"
+) -> str:
+    # scope mirrors the operator: corpus-first occurrence (the gated
+    # query's form) vs per-document first occurrence
+    part = "md5(para)" if scope == "corpus" else "id, md5(para)"
     return _PARAGRAPH_DEDUP_ORACLE_TPL.format(
-        sep=sep.replace("'", "''"), min_chars=min_chars
+        sep=sep.replace("'", "''"), min_chars=min_chars, part=part
     )
 
 

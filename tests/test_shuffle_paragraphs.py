@@ -219,3 +219,59 @@ def test_paragraph_dedup_null_text_survives(spark):
     assert set(got) == {0, 1, 2}
     assert got[1] == ("", 1, 0)
     assert got[2] == ("gamma", 2, 1)  # 'alpha' deduped against doc 0
+
+
+def test_paragraph_dedup_document_scope(spark):
+    """scope='document' (RefinedWeb intra-document line pass): repeats
+    WITHIN a doc collapse to their first occurrence; content shared
+    ACROSS docs survives in every doc."""
+    docs = [
+        (0, "NAV\nbody zero\nNAV\nbody zero tail"),   # NAV repeated in-doc
+        (1, "NAV\nbody one"),                         # NAV also here: kept (cross-doc)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_removed"])
+        for r in paragraph_dedup(df, "doc_id", "text", scope="document").collect()
+    }
+    assert got[0] == ("NAV\nbody zero\nbody zero tail", 4, 1)
+    assert got[1] == ("NAV\nbody one", 2, 0)  # untouched: no intra-doc repeat
+    with pytest.raises(ValueError, match="scope"):
+        paragraph_dedup(df, "doc_id", "text", scope="global")
+
+
+def test_paragraph_dedup_document_scope_oracle_parity(spark):
+    """Document-scope oracle (same template, id-qualified partition key)
+    vs the engine on the fixture corpus."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import PARA_SEP, _paragraph_dedup_oracle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_removed"])
+        for r in paragraph_dedup(
+            docs, "doc_id", "text", sep=PARA_SEP, scope="document"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    duck = {
+        i: (c, np, nr)
+        for i, c, np, nr in con.execute(
+            _paragraph_dedup_oracle(PARA_SEP, scope="document")
+        ).fetchall()
+    }
+    assert duck == got
+    # document scope removes strictly less than corpus scope (the fixture
+    # corpus has cross-document repeats but no intra-document ones, so the
+    # document pass is a no-op here — the removal behavior itself is
+    # pinned by the planted-case unit test above)
+    corpus_removed = sum(
+        r["n_removed"]
+        for r in paragraph_dedup(docs, "doc_id", "text", sep=PARA_SEP).collect()
+    )
+    doc_removed = sum(v[2] for v in got.values())
+    assert doc_removed < corpus_removed
