@@ -131,3 +131,77 @@ def test_gopher_null_text_is_empty_doc(spark):
     df = spark.createDataFrame([(0, None), (1, "the of and")], "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in gopher_rules(df, "doc_id", "text").collect()}
     assert got[0]["n_words"] == 0 and got[0]["passes_gopher"] is False
+
+
+def test_gopher_metrics_property_fuzz(spark):
+    """Randomized docs (bullets, ellipses, hashes, newlines, unicode
+    ellipsis, blank lines) against a literal Python re-computation of all
+    eight metrics — the fuzz layer under the fixed-case pins."""
+    import random
+    import re
+
+    rng = random.Random(7)
+    pieces = [
+        "the", "of", "with", "zz", "a#b", "...", "…", "- item", "* star",
+        "x" * 12, "7", "", "  ", "Mixed9", "#tag",
+    ]
+    docs = []
+    for i in range(40):
+        n_lines = rng.randint(1, 5)
+        lines = [
+            " ".join(rng.choice(pieces) for _ in range(rng.randint(0, 8)))
+            for _ in range(n_lines)
+        ]
+        docs.append((i, "\n".join(lines)))
+
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+
+    def py_metrics(text):
+        toks = [t for t in ws.split(text) if t]
+        n = len(toks)
+        lines = text.split("\n")
+        hashes = text.count("#")
+        ell = 0
+        for e in ("...", "…"):
+            ell += text.count(e) if e == "…" else _count_nonoverlap(text, e)
+        bullets = sum(
+            1 for ln in lines
+            if ln.lstrip(" ").startswith(("-", "*", "•"))
+        )
+        ells = sum(
+            1 for ln in lines
+            if ln.rstrip(" ").endswith(("...", "…"))
+        )
+        alpha = sum(1 for t in toks if re.search("[A-Za-z]", t))
+        stops = sum(1 for w in GOPHER_STOPS if w in toks)
+        rp = lambda x: round(x, 6)
+        return (
+            n,
+            rp(sum(len(t) for t in toks) / n) if n else None,
+            rp((hashes + ell) / n) if n else None,
+            rp(bullets / len(lines)),
+            rp(ells / len(lines)),
+            rp(alpha / n) if n else None,
+            stops,
+        )
+
+    def _count_nonoverlap(s, sub):
+        # left-to-right non-overlapping, matching replace() semantics
+        return (len(s) - len(s.replace(sub, ""))) // len(sub)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["mean_word_len"], r["symbol_ratio"],
+            r["bullet_line_frac"], r["ellipsis_line_frac"],
+            r["alpha_word_frac"], r["stop_hits"],
+        )
+        for r in gopher_rules(df, "doc_id", "text").collect()
+    }
+    for i, text in docs:
+        want = py_metrics(text)
+        # plain equality: every metric is an int or a ROUND of an
+        # int-ratio double whose 6-decimal rounding cannot tie (small
+        # denominators have no exact 10^-7 expansions), so Python round
+        # and Spark HALF_UP agree bit-for-bit
+        assert got[i] == want, (i, text, got[i], want)
