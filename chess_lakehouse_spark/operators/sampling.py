@@ -553,3 +553,94 @@ def write_shuffled_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def mixture_fit(
+    raw: DataFrame,
+    target: DataFrame,
+    source_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    seed: int = 0,
+    iters: int = 300,
+) -> list[tuple[str, float]]:
+    """Static domain-mixture reweighting (the DoReMi-shaped question,
+    Xie et al. 2023, answered with a convex fit instead of a proxy-model
+    loop): nonnegative per-source weights summing to 1 whose weighted
+    combination of hashed-unigram bucket distributions best matches the
+    TARGET corpus distribution — least squares on the probability simplex.
+    Feed the result to ``mix_sources``/``sample_weighted`` as the sampling
+    rates that steer the pretraining mix toward the target domain.
+
+    Distributions use the SAME portable md5 bucket features as
+    :func:`dsir_topk` (``md5(seed|f|token) % n_buckets``) — DSIR picks
+    individual documents, this picks per-SOURCE rates; together they are
+    the document-level and corpus-level halves of target matching.
+
+    Scale shape: ONE map-combined groupBy per corpus builds the
+    (source, bucket) count tables — the same two-shuffle cost as any
+    unigram statistic; the driver receives |sources| x n_buckets integers
+    and solves a |sources|-dim projected-gradient least squares
+    (deterministic: exact integer counts in, fixed iteration count,
+    closed-form simplex projection). Nothing corpus-sized is collected.
+
+    Returns [(source, weight)] sorted by source name, weights >= 0
+    summing to ~1 (each rounded to 6 decimals).
+    """
+    import numpy as np
+
+    from chess_lakehouse_spark.functions.text import ws_tokens
+
+    if n_buckets < 2:
+        raise ValueError(f"mixture_fit: n_buckets must be >= 2, got {n_buckets}")
+
+    def bucket_counts(df: DataFrame, keys: list[str]) -> DataFrame:
+        toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")
+        feats = df.select(*keys, F.explode(toks).alias("f"))
+        b = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}|f|"), F.col("f"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_buckets),
+        )
+        return feats.groupBy(*keys, b.alias("b")).agg(F.count(F.lit(1)).alias("c"))
+
+    src_rows = bucket_counts(raw, [source_col]).collect()
+    tgt_rows = bucket_counts(target, []).collect()
+    sources = sorted({r[source_col] for r in src_rows})
+    if not sources:
+        raise ValueError("mixture_fit: raw corpus has no sources/tokens")
+    s_idx = {s: j for j, s in enumerate(sources)}
+    A = np.zeros((n_buckets, len(sources)))
+    for r in src_rows:
+        A[r["b"], s_idx[r[source_col]]] = r["c"]
+    col_tot = A.sum(axis=0)
+    if (col_tot == 0).any():
+        empty = [s for s in sources if col_tot[s_idx[s]] == 0]
+        raise ValueError(f"mixture_fit: sources with no tokens: {empty}")
+    A = A / col_tot
+    t = np.zeros(n_buckets)
+    for r in tgt_rows:
+        t[r["b"]] = r["c"]
+    if t.sum() == 0:
+        raise ValueError("mixture_fit: target corpus has no tokens")
+    t = t / t.sum()
+
+    def project_simplex(v: np.ndarray) -> np.ndarray:
+        u = np.sort(v)[::-1]
+        css = np.cumsum(u)
+        rho = np.nonzero(u * np.arange(1, len(v) + 1) > (css - 1))[0][-1]
+        theta = (css[rho] - 1) / (rho + 1.0)
+        return np.maximum(v - theta, 0)
+
+    # projected gradient on ||A w - t||^2 from the projected
+    # unconstrained optimum; step 1/L with L = largest eigenvalue bound
+    w = project_simplex(np.linalg.lstsq(A, t, rcond=None)[0])
+    ata = A.T @ A
+    att = A.T @ t
+    lip = float(np.linalg.norm(ata, 2)) or 1.0
+    for _ in range(iters):
+        w = project_simplex(w - (ata @ w - att) / lip)
+    return [(s, round(float(w[s_idx[s]]), 6)) for s in sources]
