@@ -123,7 +123,10 @@ def cmd_materialize_openings(args: argparse.Namespace) -> None:
 
 def cmd_clean_corpus(args: argparse.Namespace) -> None:
     """Training-data stage (beyond the reference's surface): JSONL corpus →
-    corrupt-line quarantine → quality gate (composite score, or the Gopher
+    corrupt-line quarantine → optional target matching (document-level
+    DSIR selection via ``--dsirTarget``, then corpus-level mixture
+    reweighting via ``--mixTarget``: fitted per-source weights applied as
+    stratified keep rates) → quality gate (composite score, or the Gopher
     per-rule battery with ``--gate gopher``) → optional C4 paragraph pass
     (``--paragraphDedupSep``) and ExactSubstr span pass (``--spanDedupK``),
     each rewriting text before near-dup runs on the CLEANED content →
@@ -174,6 +177,24 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
             F.broadcast(selected.select("doc_id")), "doc_id", "left_semi"
         )
 
+    if args.mixTarget:
+        # corpus-level target matching: fit per-source weights against the
+        # target distribution and apply them as stratified keep rates
+        # (document-level DSIR composes via --dsirTarget)
+        from chess_lakehouse_spark.operators.sampling import (
+            mixture_fit,
+            stratified_hash_sample,
+        )
+
+        mix_target = read_jsonl(spark, args.mixTarget)
+        mix_target, _ = split_corrupt(mix_target)
+        weights = dict(
+            mixture_fit(docs, mix_target, "source", "text", seed=args.seed)
+        )
+        print(f"[clean-corpus] mixture weights: {weights}")
+        docs = stratified_hash_sample(
+            docs, "doc_id", "source", rates=weights, seed=args.seed
+        )
     if args.gate == "gopher":
         # per-rule gate (Rae et al. 2021) instead of the composite score —
         # one boolean column expression, no join
@@ -385,6 +406,10 @@ def main(argv: list[str] | None = None) -> None:
     cc.add_argument("--dsirTarget", default=None,
                     help="JSONL target corpus: select --dsirKeep docs by DSIR "
                          "importance resampling before the quality gate")
+    cc.add_argument("--mixTarget", default=None,
+                    help="JSONL target corpus: fit per-source mixture weights "
+                         "(mixture_fit) and apply them as stratified keep "
+                         "rates before the quality gate")
     cc.add_argument("--dsirKeep", type=int, default=10_000)
     cc.add_argument("--bpeMerges", type=int, default=0,
                     help="also learn N BPE merges on the train split and "

@@ -821,3 +821,52 @@ def test_pipeline_cli_clean_corpus_gopher_and_dedup_passes(spark, tmp_path, caps
     texts = {r.doc_id: r.text for r in published}
     # the shared header survives in exactly ONE doc (corpus-first occurrence)
     assert sum(boiler in t for t in texts.values()) == 1
+
+
+def test_pipeline_cli_clean_corpus_mixture_reweighting(spark, tmp_path, capsys):
+    """--mixTarget: fitted per-source weights become stratified keep
+    rates — the target-light source ends up sampled down in the published
+    corpus."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    lines = []
+    i = 0
+    for src, pref, n in (("web", "alpha", 120), ("junk", "zzz", 120)):
+        for _ in range(n):
+            text = " ".join(f"{pref}{j}x{i}" for j in range(25))
+            lines.append(json.dumps(
+                {"doc_id": i, "text": text, "lang": "en", "source": src}
+            ))
+            i += 1
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "p.jsonl").write_text("\n".join(lines) + "\n")
+    # target speaks only the web vocabulary
+    tgt_dir = tmp_path / "target"
+    tgt_dir.mkdir()
+    tgt = [
+        json.dumps({"doc_id": 9000 + j, "text": " ".join(f"alpha{k}t" for k in range(25)),
+                    "lang": "en", "source": "t"})
+        for j in range(10)
+    ]
+    (tgt_dir / "t.jsonl").write_text("\n".join(tgt) + "\n")
+    out = tmp_path / "out"
+
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src_dir), "--outDir", str(out),
+        "--mixTarget", str(tgt_dir), "--minQuality", "0.0",
+        "--threshold", "0.9", "--evalFrac", "0.2",
+    ])
+    stdout = capsys.readouterr().out
+    assert "mixture weights" in stdout
+    published = spark.read.json(str(out / "corpus"))
+    counts = {r["source"]: r["n"] for r in
+              published.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the web source dominates; junk is sampled to (near) zero
+    assert counts.get("web", 0) > 100
+    assert counts.get("junk", 0) <= 10
