@@ -87,6 +87,10 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #      (tests/test_gopher.py:GOPHER_ORACLE / gopher_oracle()).
 # All three templates were additionally exercised against the engine at
 # sf0.1 in r7 (5000-row corpora; bm25_batch with 20 queries) — MATCH.
+# The query FUNCTIONS (q_dedup_span / q_quality_gopher / q_bm25_batch)
+# are already in suite/llm.py with GATING-FORM oracles proven in
+# tests/test_r8_candidates.py (self-contained SQL, driver-safe types,
+# exact value parity at sf0.001): registration is a dict+window edit.
 WINDOW_BUDGETED_FOR = 7
 
 _WINDOW_ORDER = [

@@ -1275,6 +1275,66 @@ def q_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assignments(docs, "doc_id", SHARD_N, seed=SHARD_SEED)
 
 
+# --------------------------------------------- r8 gating candidates
+# Query functions ready for the r8 window (NOT in QUERIES/ORACLES yet —
+# the never-verified-in-window ratchet requires registration to coincide
+# with the window re-plan). Their oracles live parity-pinned in
+# tests/test_span_dedup.py / test_gopher.py / test_bm25.py and were
+# additionally exercised at sf0.1 in r7; gating = add these three to the
+# dicts + promote the templates, exactly the paragraph_dedup pattern.
+
+SPAN_DEDUP_K = 3
+#: fixture-tuned Gopher thresholds (see tests/test_gopher.py — the
+#: paper's (50 words, 2 stops) rejects every fixture row).
+GOPHER_Q_MIN_WORDS = 30
+GOPHER_Q_MIN_STOPS = 1
+BM25_BATCH_MOD = 250
+BM25_BATCH_K = 10
+
+
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr pass (Lee et al. 2021) at k-token shingle granularity:
+    every k-token window repeated from earlier in the corpus loses its
+    tokens; first occurrences survive (operators/dedup.py:
+    duplicate_span_dedup)."""
+    from chess_lakehouse_spark.operators.dedup import duplicate_span_dedup
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_dedup(docs, "doc_id", "text", k=SPAN_DEDUP_K)
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (Rae et al. 2021) with per-rule evidence
+    columns, fixture-tuned word/stop thresholds so the gate splits the
+    corpus on both sides (functions/text.py: gopher_rules)."""
+    from chess_lakehouse_spark.functions.text import gopher_rules
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(
+        docs, "doc_id", "text",
+        min_words=GOPHER_Q_MIN_WORDS, min_stop_hits=GOPHER_Q_MIN_STOPS,
+    )
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: every doc_id % BM25_BATCH_MOD == 0 document's text
+    plays a query; one corpus pass scores the whole batch
+    (functions/text.py: bm25_batch — dfreq hint dropped in r7 ahead of
+    gating)."""
+    from chess_lakehouse_spark.functions.text import bm25_batch
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % BM25_BATCH_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return bm25_batch(
+        docs, "doc_id", "text", queries, "query_id", "query_text", k=BM25_BATCH_K
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 #: Canonical BM25 DuckDB oracle (promoted from tests/test_bm25.py after the
