@@ -76,8 +76,10 @@ def main() -> None:
     )
     from chess_lakehouse_spark.operators.sampling import (
         dsir_topk,
+        mixture_fit,
         shard_assignments,
     )
+    from chess_lakehouse_spark.operators.sketches import content_sketches
     from chess_lakehouse_spark.operators.similarity import knn_ivf
 
     tmp = tempfile.mkdtemp(prefix="scaling_probe_")
@@ -143,6 +145,18 @@ def main() -> None:
         probe(
             "gopher_rules", factor,
             lambda: gopher_rules(docs, "doc_id", "text").count(),
+        )
+        probe(
+            "content_sketches", factor,
+            lambda: content_sketches(docs, ["source"], "text").count(),
+        )
+        probe(
+            "mixture_fit", factor,
+            lambda: mixture_fit(
+                docs,
+                docs.where(F.col("doc_id") % 10 == 0),
+                "source", "text", n_buckets=256,
+            ),
         )
 
     # Boilerplate-bomb stress: one shared token interleaved between every
