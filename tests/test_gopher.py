@@ -205,3 +205,28 @@ def test_gopher_metrics_property_fuzz(spark):
         # denominators have no exact 10^-7 expansions), so Python round
         # and Spark HALF_UP agree bit-for-bit
         assert got[i] == want, (i, text, got[i], want)
+
+
+def test_gopher_passes_equals_projection_boolean(spark):
+    """The expression form (gopher_passes — streams/pushdown) and the
+    projection form (gopher_rules.passes_gopher) must classify every
+    fixture doc identically at both default and fixture-tuned thresholds
+    — they build on the same metric helper, this pins that they stay
+    composed that way."""
+    from chess_lakehouse_spark.functions.text import gopher_passes
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for kw in ({}, {"min_words": FIXTURE_MIN_WORDS, "min_stop_hits": FIXTURE_MIN_STOP_HITS}):
+        via_rules = {
+            r["doc_id"]
+            for r in gopher_rules(docs, "doc_id", "text", **kw)
+            .where(F.col("passes_gopher"))
+            .collect()
+        }
+        via_expr = {
+            r["doc_id"]
+            for r in docs.where(gopher_passes(F.col("text"), **kw))
+            .select("doc_id")
+            .collect()
+        }
+        assert via_rules == via_expr
