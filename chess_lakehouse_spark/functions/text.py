@@ -994,6 +994,16 @@ GOPHER_MIN_STOP_HITS = 2
 #: per the paper's repetition/format rules.
 GOPHER_BULLETS: tuple[str, ...] = ("-", "*", "•")
 GOPHER_ELLIPSES: tuple[str, ...] = ("...", "…")
+#: Stop-hit token normalization: ASCII-only lowercasing (an explicit
+#: translate table, NOT lower() — Java and DuckDB agree on Unicode simple
+#: case mapping almost everywhere, but translate is identical by
+#: construction) plus edge-punctuation trim, so 'The' and 'with,' count
+#: toward the required-stopword rule as they do in reference
+#: Gopher/FineWeb implementations. Only the stopword MEMBERSHIP test is
+#: normalized; every other metric sees raw tokens.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+GOPHER_EDGE_PUNCT = ".,;:!?()'\""
 
 
 def _gopher_metric_cols(text: Column) -> dict[str, Column]:
@@ -1044,6 +1054,12 @@ def _gopher_metric_cols(text: Column) -> dict[str, Column]:
         )
     )
     alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    stop_toks = F.transform(
+        toks,
+        lambda x: F.btrim(
+            F.translate(x, _ASCII_UPPER, _ASCII_LOWER), F.lit(GOPHER_EDGE_PUNCT)
+        ),
+    )
     return {
         "n_words": n_words,
         "mean_word_len": per_word(token_lengths_sum(toks)),
@@ -1056,7 +1072,7 @@ def _gopher_metric_cols(text: Column) -> dict[str, Column]:
         "stop_hits": F.size(
             F.filter(
                 F.array(*[F.lit(w) for w in GOPHER_STOPS]),
-                lambda w: F.array_contains(toks, w),
+                lambda w: F.array_contains(stop_toks, w),
             )
         ),
     }

@@ -55,97 +55,98 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # queries() in dict-iteration order, so the window must be budgeted like a
 # scarce resource. WINDOW_BUDGETED_FOR names the driver round this window
 # plans for (the staleness ratchet in tests/test_suite_order.py is
-# two-phase on it: strict latest-round evidence before that round's
-# CORRECTNESS file lands, latest-or-previous after, so pytest is green on
-# both sides of a driver run). Round-7 priority:
-#   1. the 2 queries NEW to the gate, never driver-verified —
-#      paragraph_dedup (C4/RefinedWeb first-occurrence pass; window-rank
-#      oracle promoted from tests/test_shuffle_paragraphs.py, which now
-#      imports the suite template so they cannot diverge) and
-#      shard_assignments (deterministic md5-permutation shard/pos layout —
-#      the same portable-hash pillar as every sampling oracle),
-#   2. all 48 queries whose newest green row is r05 (the 49-query r5
-#      window minus approx_stats, rows-only by design) — rotated back in
-#      so no query's newest green evidence falls more than one recorded
-#      round behind.
-# Every query outside the window is hash-green in the LATEST recorded
-# driver round (r06: 50/50 hash-green) AND in scripts/verify_local.py's
-# full-suite run, committed per round as VERIFY_LOCAL_r{N}.txt (r7: both
-# sf0.01 and sf0.1).
-# r8 window planning — FIRST bump WINDOW_BUDGETED_FOR to 8 when
-# re-planning (the ratchet asserts it is never more than one round ahead
-# of the recorded CORRECTNESS files): (1) the 48 queries green only in r6
-# (the 50-query r6 window minus paragraph_dedup/shard_assignments' slots'
-# donors — i.e. the r6 window) rotate in; (2) the remaining slots go to
-# new gated queries. Candidates with oracles ALREADY written and
-# parity-pinned, in priority order:
-#   1. bm25_batch (tests/test_bm25.py:_BM25_BATCH_ORACLE_TPL; its
-#      query-vocabulary broadcast hint was dropped in r7 ahead of gating),
-#   2. dedup_span — duplicate_span_dedup, the ExactSubstr pass
-#      (tests/test_span_dedup.py:SPAN_DEDUP_ORACLE_TPL),
-#   3. quality_gopher — gopher_rules with the fixture-tuned thresholds
-#      (tests/test_gopher.py:GOPHER_ORACLE / gopher_oracle()).
-# All three templates were additionally exercised against the engine at
-# sf0.1 in r7 (5000-row corpora; bm25_batch with 20 queries) — MATCH.
-# The query FUNCTIONS (q_dedup_span / q_quality_gopher / q_bm25_batch)
-# are already in suite/llm.py with GATING-FORM oracles proven in
-# tests/test_r8_candidates.py (self-contained SQL, driver-safe types,
-# exact value parity at sf0.001): registration is a dict+window edit.
-WINDOW_BUDGETED_FOR = 7
+# two-phase on it: evidence within the revisit bound before that round's
+# CORRECTNESS file lands, one round looser after, so pytest is green on
+# both sides of a driver run).
+#
+# Revisit-period math (r8, the first round the suite exceeds 100 gated
+# queries): with N non-rows-only registered queries and a 50-slot window,
+# round-robin rotation revisits every query within P = ceil(N / 50)
+# rounds. At N = 104 (105 registered minus approx_stats) P = 3, so the
+# ratchet bound — enforced by tests/test_suite_order.py dynamically from
+# the recorded CORRECTNESS files — is: NO query's newest hash-green row
+# may age more than P - 1 = 2 recorded rounds behind the latest file
+# (out-of-window queries strictly; in-window queries are refreshed by the
+# budgeted run itself).
+#
+# Round-8 window priority:
+#   1. the 4 queries NEW to the gate, never driver-verified — dedup_span
+#      (ExactSubstr, Lee et al. 2021), quality_gopher (Rae et al. 2021
+#      rule battery with stop-hit case/punct normalization), bm25_batch
+#      (one-pass batch scoring), corpus_sketch_counts (HLL sketch path,
+#      exact-column projection). All four oracles were promoted from
+#      tests/ into suite/llm.py at registration (the bm25_topk
+#      anti-divergence pattern: tests import the suite template) after
+#      exact value parity in tests/test_r8_candidates.py.
+#   2. 46 of the 50 queries whose newest green row is r06 — rotated back
+#      in. The remaining 4 r6-green queries (qc_count, semi_join,
+#      sort_limit, union_append — the four cheapest, most-stable
+#      relational ops) defer to the FRONT of the r9 window; their age at
+#      r8-commit time is latest - 1 = within the P - 1 bound.
+# Every query outside the window is hash-green in r07 or r06 (within the
+# bound) AND in scripts/verify_local.py's full-suite run, committed per
+# round as VERIFY_LOCAL_r{N}.txt at both sf0.01 and sf0.1.
+#
+# r9 window planning — FIRST bump WINDOW_BUDGETED_FOR to 9 when
+# re-planning: (1) the 4 deferred r6-green queries (listed above) go
+# first — they will be at the P - 1 age bound; (2) then the 46 stalest
+# r7-green queries; the 4 youngest r7-green queries defer to r10 exactly
+# as this round's 4 defer to r9.
+WINDOW_BUDGETED_FOR = 8
 
 _WINDOW_ORDER = [
-    # new to the gate in r07 — never driver-verified
-    "paragraph_dedup",
-    "shard_assignments",
-    # newest green row r05 — rotate back in
-    "chunk_dedup",
-    "dq_check",
-    "budget_sample",
-    "supplier_revenue",
-    "chess_export",
-    "dedup_exact",
-    "events_hourly",
-    "export_projection",
-    "filter_null_predicate",
-    "groupby_agg",
-    "join_star",
-    "json_extract",
-    "lateral_topk",
-    "merge_update",
-    "scalar_kitchen",
-    "asof_join",
-    "text_langid",
-    "text_quality",
-    "tfidf",
-    "token_count",
-    "udaf_gmean",
-    "udtf_bigrams",
-    "source_stats_pandas",
-    "doc_fingerprint",
-    "mm_frame_sample",
-    "dedup_ngram_jaccard",
-    "pipeline_clean_corpus",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "knn_ivf",
-    "knn_lsh",
-    "knn_brute_force",
-    "enrich_argmax",
-    "chess_enrich",
-    "sample_temperature",
-    "winsorize",
-    "canary_scan",
-    "source_kl",
-    "knn_two_stage",
-    "rolling_avg",
-    "activity_islands",
-    "token_entropy",
-    "dup_matrix",
-    "dedup_priority",
-    "split_leakage_safe",
-    "dedup_semantic",
+    # new to the gate in r08 — never driver-verified
+    "dedup_span",
+    "quality_gopher",
+    "bm25_batch",
+    "corpus_sketch_counts",
+    # newest green row r06 — rotate back in
+    "bm25_topk",
+    "rrf_fuse",
+    "dsir_topk",
+    "lake_skipping_read",
+    "bpe_train",
+    "dedup_minhash_lsh",
+    "anti_join",
+    "boilerplate_strip",
+    "collect_set",
+    "contamination_ngram",
+    "corpus_delta",
+    "cube",
+    "dedup_incremental",
+    "distinct_agg",
+    "doc_chunks",
+    "embedding_drift",
+    "event_funnel",
+    "event_outliers",
+    "except",
+    "intersect",
+    "knn_ivf_kmeans",
+    "knn_quantized",
+    "label_centroids",
+    "lm_score",
+    "lm_score_bigram",
+    "mm_decode_meta",
+    "pack_sequences",
+    "pivot",
+    "pmi_topk",
+    "quality_buckets",
+    "range_join",
+    "repetition_metrics",
+    "rollup",
+    "running_sum",
+    "sample_hash",
+    "sample_mix",
+    "sample_per_group",
+    "sample_weighted",
+    "sessionize",
+    "shipping_priority",
+    "split_contamination",
+    "text_normalize",
+    "tfidf_cosine",
+    "user_retention",
+    "vocab_topk",
+    "window_topk",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

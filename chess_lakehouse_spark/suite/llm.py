@@ -1275,13 +1275,12 @@ def q_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assignments(docs, "doc_id", SHARD_N, seed=SHARD_SEED)
 
 
-# --------------------------------------------- r8 gating candidates
-# Query functions ready for the r8 window (NOT in QUERIES/ORACLES yet —
-# the never-verified-in-window ratchet requires registration to coincide
-# with the window re-plan). Their oracles live parity-pinned in
-# tests/test_span_dedup.py / test_gopher.py / test_bm25.py and were
-# additionally exercised at sf0.1 in r7; gating = add these three to the
-# dicts + promote the templates, exactly the paragraph_dedup pattern.
+# ------------------------------------------ r8-registered gate queries
+# Registered in r8 per the staged plan: the oracle templates were
+# promoted from tests/test_span_dedup.py / test_gopher.py / test_bm25.py
+# (which now import the suite templates, the bm25_topk anti-divergence
+# pattern) and each query proved exact value parity against its
+# gating-form oracle in tests/test_r8_candidates.py before registration.
 
 SPAN_DEDUP_K = 3
 #: fixture-tuned Gopher thresholds (see tests/test_gopher.py — the
@@ -1332,6 +1331,43 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bm25_batch(
         docs, "doc_id", "text", queries, "query_id", "query_text", k=BM25_BATCH_K
+    )
+
+
+#: lgConfigK for the gated sketch query (the operator default).
+SKETCH_LG_K = 12
+
+
+def q_corpus_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus accounting through the HLL sketch path
+    (operators/sketches.py: content_sketches) with the driver-checkable
+    projection: the sketch ESTIMATE itself is implementation-specific
+    (the approx_stats class), but (a) exact row counts, (b) exact
+    distinct-content counts, (c) that a non-empty sketch was built, and
+    (d) that its estimate lands within ±10% of the exact count are all
+    exact booleans/longs an oracle can pin — so the sketch aggregation
+    path gets a hash-checked driver row without hashing sketch bytes.
+    The ±10% bound is loose against the ~1-2% HLL error at lgK=12 (and
+    the sketch is EXACT below its sparse-mode threshold, which covers
+    every sf the driver runs), so the boolean is deterministically TRUE
+    unless the sketch path actually breaks."""
+    from chess_lakehouse_spark.operators.sketches import content_sketches
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sk = content_sketches(docs, ["source"], "text", lg_config_k=SKETCH_LG_K)
+    exact = docs.groupBy("source").agg(
+        F.count_distinct(F.md5(F.col("text"))).alias("exact_distinct")
+    )
+    return sk.join(exact, "source").select(
+        "source",
+        "n_rows",
+        "exact_distinct",
+        (
+            (F.col("est_distinct").cast("double") >= 0.9 * F.col("exact_distinct"))
+            & (F.col("est_distinct").cast("double") <= 1.1 * F.col("exact_distinct"))
+        ).alias("est_within_10pct"),
+        (F.length(F.col("sketch")) > 0).alias("has_sketch"),
     )
 
 
@@ -1757,6 +1793,182 @@ FROM h
 
 def _shard_oracle(n_shards: int, seed: int) -> str:
     return _SHARD_ORACLE_TPL.format(n=n_shards, seed=seed)
+
+
+#: Canonical duplicate_span_dedup DuckDB oracle (promoted from
+#: tests/test_span_dedup.py at r8 registration; the test imports THIS
+#: template) — window-rank first occurrence per k-shingle hash, coverage
+#: explode, anti-join, token rebuild, mirroring operators/dedup.py:
+#: duplicate_span_dedup clause for clause.
+SPAN_DEDUP_ORACLE_TPL = r"""
+WITH tarr AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT id, i - 1 AS pos, t[i] AS tok
+  FROM tarr, LATERAL unnest(generate_series(1, len(t))) AS g(i)
+),
+sh AS (
+  SELECT id, i - 1 AS pos, md5(array_to_string(t[i:i+{k}-1], ' ')) AS h
+  FROM tarr, LATERAL unnest(generate_series(1, len(t) - {k} + 1)) AS g(i)
+  WHERE len(t) >= {k}
+),
+marked AS (
+  SELECT id, pos FROM (
+    SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY h ORDER BY id, pos) AS rk
+    FROM sh
+  ) WHERE rk > 1
+),
+covered AS (
+  SELECT DISTINCT id, pos + j AS cpos
+  FROM marked, LATERAL unnest(generate_series(0, {k} - 1)) AS u(j)
+),
+flagged AS (
+  SELECT t.id, t.pos, t.tok, c.cpos IS NOT NULL AS dup
+  FROM tok t LEFT JOIN covered c ON c.id = t.id AND c.cpos = t.pos
+),
+rebuilt AS (
+  SELECT id,
+         COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '') AS clean_text,
+         CAST(COUNT(*) AS INT) AS n_tokens,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS INT) AS n_removed_tokens
+  FROM flagged GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_tokens, 0) AS n_tokens,
+       COALESCE(r.n_removed_tokens, 0) AS n_removed_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN rebuilt r ON r.id = d.doc_id
+"""
+
+#: Canonical gopher_rules DuckDB oracle (promoted from tests/test_gopher.py
+#: at r8 registration; the test imports THIS template) — ratios of
+#: integers ROUND(·,6); the boolean re-derives the rule conjunction from
+#: the SAME rounded values. The stop-hit membership test normalizes each
+#: token via the same explicit ASCII translate table + edge-punctuation
+#: trim as functions/text.py:_gopher_metric_cols (identical by
+#: construction in both engines — no lower(), no regex).
+GOPHER_ORACLE_TPL = r"""
+WITH base AS (
+  SELECT doc_id,
+    COALESCE(text, '') AS text,
+    list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks,
+    string_split(COALESCE(text, ''), chr(10)) AS lines
+  FROM base_docs
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_words,
+    CASE WHEN len(toks) = 0 THEN NULL ELSE ROUND(
+      CAST(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+      / len(toks), 6) END AS mean_word_len,
+    CASE WHEN len(toks) = 0 THEN NULL ELSE ROUND(
+      CAST((len(text) - len(replace(text, '#', '')))
+           + (len(text) - len(replace(text, '...', ''))) // 3
+           + (len(text) - len(replace(text, chr(8230), ''))) AS DOUBLE)
+      / len(toks), 6) END AS symbol_ratio,
+    ROUND(CAST(len(list_filter(lines, l ->
+        starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+        OR starts_with(ltrim(l), chr(8226)))) AS DOUBLE) / len(lines), 6)
+      AS bullet_line_frac,
+    ROUND(CAST(len(list_filter(lines, l ->
+        ends_with(rtrim(l), '...') OR ends_with(rtrim(l), chr(8230)))) AS DOUBLE)
+      / len(lines), 6) AS ellipsis_line_frac,
+    CASE WHEN len(toks) = 0 THEN NULL ELSE ROUND(
+      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / len(toks), 6) END AS alpha_word_frac,
+    CAST(len(list_filter({stops}, w -> list_contains(
+      list_transform(toks, x -> trim(
+        translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        '.,;:!?()''"')),
+      w))) AS INT) AS stop_hits
+  FROM base
+)
+SELECT *,
+  COALESCE(
+    n_words >= {min_words} AND n_words <= 100000
+    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND symbol_ratio <= 0.1
+    AND bullet_line_frac <= 0.9
+    AND ellipsis_line_frac <= 0.3
+    AND alpha_word_frac >= 0.8
+    AND stop_hits >= {min_stops}, FALSE) AS passes_gopher
+FROM m
+"""
+
+
+def gopher_oracle_sql(min_words: int, min_stops: int, src: str = "documents") -> str:
+    """GOPHER_ORACLE_TPL over ``src`` with the suite stopword set."""
+    from chess_lakehouse_spark.functions.text import GOPHER_STOPS
+
+    stops = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPS) + "]"
+    body = GOPHER_ORACLE_TPL.format(
+        stops=stops, min_words=min_words, min_stops=min_stops
+    )
+    return body.replace("FROM base_docs", f"FROM {src}")
+
+
+#: Canonical bm25_batch DuckDB oracle (promoted from tests/test_bm25.py at
+#: r8 registration; the test imports THIS template) — the same scoring
+#: chain as _BM25_ORACLE_TPL generalized to a query table: postings
+#: restricted to terms ANY query uses, per-(query, doc) DECIMAL sums, and
+#: the per-query (score DESC, doc_id) rank window. ``{queries_cte}`` is
+#: the full ``queries AS (...)`` CTE text with columns (query_id, qtext):
+#: a VALUES list for tests, a doc-derived slice for the gated query (so
+#: the gating SQL is self-contained AND query_id inherits BIGINT from
+#: doc_id — a VALUES integer literal would be INTEGER, the r4 driver-type
+#: lesson).
+BM25_BATCH_ORACLE_TPL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                                    t -> t <> '')) AS t
+  FROM documents
+), lengths AS (
+  SELECT doc_id, COUNT(*) AS n_d FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(n_d) AS total_len FROM lengths
+), {queries_cte},
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(qtext, '[ \t\n\r\f\x0B]+'),
+                            t -> t <> '')) AS t
+  FROM queries
+), postings AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM toks
+  WHERE t IN (SELECT DISTINCT t FROM qterms) GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, COUNT(*) AS df FROM postings GROUP BY t
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+    CAST(ROUND(CAST(SUM(CAST(ROUND(
+        ROUND(ln(CAST(2*s.n_docs + 2 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE)), 6)
+        * CAST(p.tf AS DOUBLE)
+        / (CAST(p.tf AS DOUBLE)
+           + {k1} * ((1 - {b}) + {b} * CAST(l.n_d * s.n_docs AS DOUBLE)
+                                       / CAST(s.total_len AS DOUBLE)))
+      , 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS score
+  FROM qterms q
+  JOIN postings p USING (t)
+  JOIN dfreq d USING (t)
+  JOIN lengths l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id, s.n_docs, s.total_len
+)
+SELECT query_id, doc_id, score, rk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+def bm25_batch_oracle_sql(
+    queries_cte: str, k: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    return BM25_BATCH_ORACLE_TPL.format(queries_cte=queries_cte, k1=k1, b=b, k=k)
 
 
 ORACLES = {
@@ -2887,6 +3099,21 @@ ORACLES = {
     "bpe_train": _bpe_oracle(BPE_MERGES),
     "paragraph_dedup": _paragraph_dedup_oracle(PARA_SEP),
     "shard_assignments": _shard_oracle(SHARD_N, SHARD_SEED),
+    "dedup_span": SPAN_DEDUP_ORACLE_TPL.format(k=SPAN_DEDUP_K),
+    "quality_gopher": gopher_oracle_sql(GOPHER_Q_MIN_WORDS, GOPHER_Q_MIN_STOPS),
+    "bm25_batch": bm25_batch_oracle_sql(
+        "queries AS (SELECT doc_id AS query_id, text AS qtext FROM documents "
+        f"WHERE doc_id % {BM25_BATCH_MOD} = 0)",
+        BM25_BATCH_K,
+    ),
+    "corpus_sketch_counts": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+               TRUE AS est_within_10pct,
+               TRUE AS has_sketch
+        FROM documents GROUP BY source
+    """,
 }
 
 QUERIES = {
@@ -2957,4 +3184,8 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "paragraph_dedup": q_paragraph_dedup,
     "shard_assignments": q_shard_assignments,
+    "dedup_span": q_dedup_span,
+    "quality_gopher": q_quality_gopher,
+    "bm25_batch": q_bm25_batch,
+    "corpus_sketch_counts": q_corpus_sketch_counts,
 }

@@ -225,53 +225,18 @@ def test_bm25_rare_term_beats_common(spark, docs_df):
     assert rows[0]["id"] == 2
 
 
-#: DuckDB oracle for bm25_batch, ready to lift into suite ORACLES in r7
-#: (parametrized on {query_values} rows of (qid, qtext), {k1}, {b}, {k});
-#: the same scoring chain as _BM25_ORACLE_TPL, generalized to a query
-#: table: postings restricted to terms ANY query uses, per-(query, doc)
-#: DECIMAL sums, and the per-query (score DESC, doc_id) rank window.
-_BM25_BATCH_ORACLE_TPL = r"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
-                                    t -> t <> '')) AS t
-  FROM documents
-), lengths AS (
-  SELECT doc_id, COUNT(*) AS n_d FROM toks GROUP BY doc_id
-), stats AS (
-  SELECT COUNT(*) AS n_docs, SUM(n_d) AS total_len FROM lengths
-), queries(query_id, qtext) AS (VALUES {query_values}),
-qterms AS (
-  SELECT DISTINCT query_id,
-         unnest(list_filter(string_split_regex(qtext, '[ \t\n\r\f\x0B]+'),
-                            t -> t <> '')) AS t
-  FROM queries
-), postings AS (
-  SELECT doc_id, t, COUNT(*) AS tf FROM toks
-  WHERE t IN (SELECT DISTINCT t FROM qterms) GROUP BY doc_id, t
-), dfreq AS (
-  SELECT t, COUNT(*) AS df FROM postings GROUP BY t
-), scored AS (
-  SELECT q.query_id, p.doc_id,
-    CAST(ROUND(CAST(SUM(CAST(ROUND(
-        ROUND(ln(CAST(2*s.n_docs + 2 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE)), 6)
-        * CAST(p.tf AS DOUBLE)
-        / (CAST(p.tf AS DOUBLE)
-           + {k1} * ((1 - {b}) + {b} * CAST(l.n_d * s.n_docs AS DOUBLE)
-                                       / CAST(s.total_len AS DOUBLE)))
-      , 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE) AS score
-  FROM qterms q
-  JOIN postings p USING (t)
-  JOIN dfreq d USING (t)
-  JOIN lengths l ON l.doc_id = p.doc_id
-  CROSS JOIN stats s
-  GROUP BY q.query_id, p.doc_id, s.n_docs, s.total_len
-)
-SELECT query_id, doc_id, score, rk FROM (
-  SELECT *, CAST(row_number() OVER (
-    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rk
-  FROM scored
-) WHERE rk <= {k}
-"""
+#: The canonical bm25_batch oracle lives in suite/llm.py (promoted at r8
+#: registration; imported here so engine test and gated oracle cannot
+#: diverge). Tests splice a VALUES CTE for the query table; the gated
+#: query uses a doc-derived CTE.
+from chess_lakehouse_spark.suite.llm import bm25_batch_oracle_sql
+
+
+def _bm25_batch_values_oracle(qs: list[tuple[str, str]], k: int) -> str:
+    values = ", ".join(f"('{q}', '{t}')" for q, t in qs)
+    return bm25_batch_oracle_sql(
+        f"queries(query_id, qtext) AS (VALUES {values})", k
+    )
 
 
 def test_bm25_batch_duckdb_oracle_parity(spark):
@@ -293,9 +258,7 @@ def test_bm25_batch_duckdb_oracle_parity(spark):
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
     )
-    sql = _BM25_BATCH_ORACLE_TPL.format(
-        query_values=", ".join(f"('{q}', '{t}')" for q, t in qs), k1=1.2, b=0.75, k=7
-    )
+    sql = _bm25_batch_values_oracle(qs, k=7)
     duck = sorted(con.execute(sql).fetchall())
     assert duck == got
     assert len({q for q, *_ in got}) == 2  # zebra matches nothing

@@ -1,6 +1,7 @@
 """Gopher quality-rule battery (Rae et al. 2021, Appendix A): pinned
-against hand-computed cases and a DuckDB oracle template staged for r8
-suite promotion (same staging pattern as bm25_batch / span dedup)."""
+against hand-computed cases and the canonical DuckDB oracle template,
+which lives in suite/llm.py (promoted at r8 registration; this file
+imports it so engine test and gated oracle cannot diverge)."""
 
 from __future__ import annotations
 
@@ -11,67 +12,21 @@ from chess_lakehouse_spark.functions.text import (
     GOPHER_STOPS,
     gopher_rules,
 )
+from chess_lakehouse_spark.suite.llm import gopher_oracle_sql
 
-#: DuckDB twin of functions/text.py:gopher_rules with the default
-#: thresholds — ratios of integers ROUND(·,6); the boolean re-derives the
-#: rule conjunction from the SAME rounded values. Staged r8 gating
-#: candidate (columns + INT casts already driver-shaped).
-GOPHER_ORACLE = r"""
-WITH base AS (
-  SELECT doc_id,
-    COALESCE(text, '') AS text,
-    list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS toks,
-    string_split(COALESCE(text, ''), chr(10)) AS lines
-  FROM documents
-),
-m AS (
-  SELECT doc_id,
-    CAST(len(toks) AS INT) AS n_words,
-    CASE WHEN len(toks) = 0 THEN NULL ELSE ROUND(
-      CAST(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
-      / len(toks), 6) END AS mean_word_len,
-    CASE WHEN len(toks) = 0 THEN NULL ELSE ROUND(
-      CAST((len(text) - len(replace(text, '#', '')))
-           + (len(text) - len(replace(text, '...', ''))) // 3
-           + (len(text) - len(replace(text, chr(8230), ''))) AS DOUBLE)
-      / len(toks), 6) END AS symbol_ratio,
-    ROUND(CAST(len(list_filter(lines, l ->
-        starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
-        OR starts_with(ltrim(l), chr(8226)))) AS DOUBLE) / len(lines), 6)
-      AS bullet_line_frac,
-    ROUND(CAST(len(list_filter(lines, l ->
-        ends_with(rtrim(l), '...') OR ends_with(rtrim(l), chr(8230)))) AS DOUBLE)
-      / len(lines), 6) AS ellipsis_line_frac,
-    CASE WHEN len(toks) = 0 THEN NULL ELSE ROUND(
-      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-      / len(toks), 6) END AS alpha_word_frac,
-    CAST(len(list_filter({stops}, w -> list_contains(toks, w))) AS INT) AS stop_hits
-  FROM base
-)
-SELECT *,
-  COALESCE(
-    n_words >= {min_words} AND n_words <= 100000
-    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-    AND symbol_ratio <= 0.1
-    AND bullet_line_frac <= 0.9
-    AND ellipsis_line_frac <= 0.3
-    AND alpha_word_frac >= 0.8
-    AND stop_hits >= {min_stops}, FALSE) AS passes_gopher
-FROM m
-"""
-
-#: Fixture-tuned thresholds for the staged gate query: the synthetic
-#: token-soup corpus tops out at 1 required-stopword hit and 99 words, so
-#: the paper's (50 words, 2 stops) would reject every row — a gate that
-#: never fires verifies nothing. These keep every other rule at the
-#: paper's value while letting the fixture corpus split on both sides.
+#: Fixture-tuned thresholds for the gated query (suite/llm.py
+#: GOPHER_Q_MIN_WORDS/GOPHER_Q_MIN_STOPS carry the same values): the
+#: synthetic token-soup corpus tops out at few required-stopword hits and
+#: 99 words, so the paper's (50 words, 2 stops) would reject every row —
+#: a gate that never fires verifies nothing. These keep every other rule
+#: at the paper's value while letting the fixture corpus split on both
+#: sides.
 FIXTURE_MIN_WORDS = 30
 FIXTURE_MIN_STOP_HITS = 1
 
 
 def gopher_oracle(min_words=FIXTURE_MIN_WORDS, min_stops=FIXTURE_MIN_STOP_HITS) -> str:
-    stops = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPS) + "]"
-    return GOPHER_ORACLE.format(stops=stops, min_words=min_words, min_stops=min_stops)
+    return gopher_oracle_sql(min_words, min_stops)
 
 
 def test_gopher_rules_unit_cases(spark):
@@ -127,6 +82,22 @@ def test_gopher_duckdb_oracle_parity(spark):
     assert duck == got
 
 
+def test_gopher_stop_hits_case_and_punct_normalized(spark):
+    """'The' and 'with,' count toward the required-stopword rule (r7
+    ADVICE: the exact-match form was stricter than reference Gopher /
+    FineWeb implementations on real prose); substrings still don't."""
+    rows = [
+        (0, "The cat OF. doom With, that! stuff"),
+        (1, "THE BE TO"),
+        (2, "neither herewith nothe 'quoted'"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["stop_hits"] for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert got[0] == 4  # the, of, with, that
+    assert got[1] == 3  # the, be, to
+    assert got[2] == 0  # membership is whole-token, post-normalization
+
+
 def test_gopher_null_text_is_empty_doc(spark):
     df = spark.createDataFrame([(0, None), (1, "the of and")], "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in gopher_rules(df, "doc_id", "text").collect()}
@@ -144,6 +115,9 @@ def test_gopher_metrics_property_fuzz(spark):
     pieces = [
         "the", "of", "with", "zz", "a#b", "...", "…", "- item", "* star",
         "x" * 12, "7", "", "  ", "Mixed9", "#tag",
+        # mixed-case / edge-punctuated stopwords — must count via the
+        # ASCII-lower + edge-punct normalization (raw for other metrics)
+        "The", "OF.", "With,", "THAT!", "(and)", "'be'", "to:",
     ]
     docs = []
     for i in range(40):
@@ -173,7 +147,15 @@ def test_gopher_metrics_property_fuzz(spark):
             if ln.rstrip(" ").endswith(("...", "…"))
         )
         alpha = sum(1 for t in toks if re.search("[A-Za-z]", t))
-        stops = sum(1 for w in GOPHER_STOPS if w in toks)
+        from chess_lakehouse_spark.functions.text import (
+            _ASCII_LOWER,
+            _ASCII_UPPER,
+            GOPHER_EDGE_PUNCT,
+        )
+
+        lower_map = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+        ntoks = {t.translate(lower_map).strip(GOPHER_EDGE_PUNCT) for t in toks}
+        stops = sum(1 for w in GOPHER_STOPS if w in ntoks)
         rp = lambda x: round(x, 6)
         return (
             n,

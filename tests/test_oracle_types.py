@@ -89,25 +89,7 @@ def test_guard_catches_decimal_and_timestamp(con):
     assert {c for c, _ in offending} == {"d", "ts"}
 
 
-def test_staged_r8_oracles_are_type_safe(con):
-    """The r8 gating candidates' templates must already satisfy the
-    allowlist — a type regression discovered at gating time costs a
-    driver round (the r4 lesson, applied preventively)."""
-    from tests.test_bm25 import _BM25_BATCH_ORACLE_TPL
-    from tests.test_gopher import gopher_oracle
-    from tests.test_span_dedup import SPAN_DEDUP_ORACLE_TPL
-
-    staged = {
-        "dedup_span": SPAN_DEDUP_ORACLE_TPL.format(k=3),
-        "quality_gopher": gopher_oracle(),
-        "bm25_batch": _BM25_BATCH_ORACLE_TPL.format(
-            query_values="(0, 'join hash'), (1, 'vector customer')",
-            k=10, k1=1.2, b=0.75,
-        ),
-    }
-    bad = {
-        name: off
-        for name, sql in staged.items()
-        if (off := _offending_columns(con, sql))
-    }
-    assert not bad, f"staged oracles emit driver-unsafe types: {bad}"
+# (The r8 staging-era check for the then-unregistered candidates was
+# removed at registration: dedup_span / quality_gopher / bm25_batch /
+# corpus_sketch_counts are now in suite ORACLES and covered by the full
+# sweep above.)

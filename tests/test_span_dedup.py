@@ -1,7 +1,7 @@
 """Duplicate-span (ExactSubstr-style) dedup: pinned against a pure-Python
-reference and a DuckDB oracle template staged for r8 suite promotion (the
-same staging pattern as bm25_batch in tests/test_bm25.py — when the query
-is gated, the template moves to suite/llm.py and this file imports it)."""
+reference and the canonical DuckDB oracle template, which lives in
+suite/llm.py (promoted at r8 registration; this file imports it so engine
+test and gated oracle cannot diverge)."""
 
 from __future__ import annotations
 
@@ -11,56 +11,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from chess_lakehouse_spark.operators.dedup import duplicate_span_dedup
+from chess_lakehouse_spark.suite.llm import SPAN_DEDUP_ORACLE_TPL
 
 _WS = re.compile(r"[ \t\n\r\f\x0b]+")
-
-#: DuckDB twin of operators/dedup.py:duplicate_span_dedup — window-rank
-#: first occurrence per k-shingle hash, coverage explode, anti-join,
-#: token rebuild. Staged r8 gating candidate (columns + INT casts already
-#: driver-shaped).
-SPAN_DEDUP_ORACLE_TPL = r"""
-WITH tarr AS (
-  SELECT doc_id AS id,
-         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
-  FROM documents
-),
-tok AS (
-  SELECT id, i - 1 AS pos, t[i] AS tok
-  FROM tarr, LATERAL unnest(generate_series(1, len(t))) AS g(i)
-),
-sh AS (
-  SELECT id, i - 1 AS pos, md5(array_to_string(t[i:i+{k}-1], ' ')) AS h
-  FROM tarr, LATERAL unnest(generate_series(1, len(t) - {k} + 1)) AS g(i)
-  WHERE len(t) >= {k}
-),
-marked AS (
-  SELECT id, pos FROM (
-    SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY h ORDER BY id, pos) AS rk
-    FROM sh
-  ) WHERE rk > 1
-),
-covered AS (
-  SELECT DISTINCT id, pos + j AS cpos
-  FROM marked, LATERAL unnest(generate_series(0, {k} - 1)) AS u(j)
-),
-flagged AS (
-  SELECT t.id, t.pos, t.tok, c.cpos IS NOT NULL AS dup
-  FROM tok t LEFT JOIN covered c ON c.id = t.id AND c.cpos = t.pos
-),
-rebuilt AS (
-  SELECT id,
-         COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '') AS clean_text,
-         CAST(COUNT(*) AS INT) AS n_tokens,
-         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS INT) AS n_removed_tokens
-  FROM flagged GROUP BY id
-)
-SELECT d.doc_id,
-       COALESCE(r.clean_text, '') AS clean_text,
-       COALESCE(r.n_tokens, 0) AS n_tokens,
-       COALESCE(r.n_removed_tokens, 0) AS n_removed_tokens
-FROM (SELECT DISTINCT doc_id FROM documents) d
-LEFT JOIN rebuilt r ON r.id = d.doc_id
-"""
 
 
 def _py_span_dedup(docs, k):

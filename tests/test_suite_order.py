@@ -86,6 +86,16 @@ def _newest_green_round() -> dict[str, int]:
     return out
 
 
+def _revisit_period() -> int:
+    """P = ceil(N / 50) for N non-rows-only registered queries: the number
+    of driver rounds a round-robin rotation needs to touch every query
+    once. P was 2 through r7 (<= 100 gated queries) and became 3 at r8
+    (104). The staleness bound derives from P, so the ratchet tightens
+    back automatically if the suite ever shrinks."""
+    n = len([q for q in suite.QUERIES if q not in _rows_only_by_design()])
+    return -(-n // 50)
+
+
 def test_no_query_goes_stale() -> None:
     """Rotation policy, two-phase on suite.WINDOW_BUDGETED_FOR so the suite
     is green on BOTH sides of a driver run (r5 postmortem: the one-phase
@@ -94,14 +104,21 @@ def test_no_query_goes_stale() -> None:
     round the window was budgeted for, every out-of-window query green
     only in the previous round went red by construction).
 
-    - Pre-run (no CORRECTNESS file for the budgeted round yet): STRICT —
-      every out-of-window query must be hash-green in the latest recorded
-      round, forcing the commit-time rotation.
+    With revisit period P = ceil(N/50) (see _revisit_period; P=2 through
+    r7, P=3 from r8), the enforced bound is: no out-of-window query's
+    newest hash-green row may age more than P-1 recorded rounds behind
+    the reference round — the provable guarantee that every registered
+    query holds a driver row from the last P recorded rounds once the
+    budgeted round lands (in-window queries are refreshed by that run
+    itself; a window query that FAILS its run stays visible through the
+    driver's red row, not this ratchet).
+
+    - Pre-run (no CORRECTNESS file for the budgeted round yet): floor =
+      latest - (P - 2) — at P=2 this is the strict same-round form that
+      forces the commit-time rotation.
     - Post-run (the budgeted round's file has landed, window not yet
-      re-planned): every out-of-window query was green at budget time —
-      require green in the budgeted round or the one before. A window
-      query that FAILED its budgeted run stays visible through the
-      driver's red row itself, not this ratchet.
+      re-planned): floor = budgeted - (P - 1), one round looser because
+      every query aged one round while the window stood still.
     - A budget more than one round behind the recorded files is a missed
       rotation and fails loudly."""
     records = _records()
@@ -111,16 +128,43 @@ def test_no_query_goes_stale() -> None:
         f"WINDOW_BUDGETED_FOR={budgeted} but {latest} rounds are recorded — "
         "plan a fresh window (rotate stale queries in, bump the budget)"
     )
+    period = _revisit_period()
     newest = _newest_green_round()
     window = set(list(suite.QUERIES)[:50])
     exempt = _rows_only_by_design()
-    floor = latest if budgeted == latest + 1 else budgeted - 1
+    floor = (
+        latest - (period - 2) if budgeted == latest + 1 else budgeted - (period - 1)
+    )
     stale = [
         n
         for n in suite.QUERIES
         if n not in window and newest.get(n, 0) < floor and n not in exempt
     ]
-    assert not stale, f"queries going >1 round without driver evidence: {stale}"
+    assert not stale, (
+        f"queries aging beyond the {period - 1}-round staleness bound "
+        f"(floor=r{floor}): {stale}"
+    )
+
+
+def test_every_query_within_revisit_bound() -> None:
+    """The whole-suite guarantee the window plan must deliver: EVERY
+    non-exempt query either sits in the current window (refreshed by the
+    budgeted run) or holds a hash-green row no older than P-1 rounds
+    behind the latest recorded file — i.e. every query provably gets a
+    driver row within the last P+1 recorded rounds at any commit point."""
+    latest = len(_records())
+    period = _revisit_period()
+    newest = _newest_green_round()
+    window = set(list(suite.QUERIES)[:50])
+    exempt = _rows_only_by_design()
+    aged = [
+        n
+        for n in suite.QUERIES
+        if n not in exempt
+        and n not in window
+        and newest.get(n, 0) < latest - (period - 1)
+    ]
+    assert not aged, f"queries outside both the window and the P-round bound: {aged}"
 
 
 def test_all_oracle_queries_have_matching_columns_contract() -> None:
