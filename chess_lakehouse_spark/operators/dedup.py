@@ -765,12 +765,19 @@ def duplicate_span_dedup(
     id_col: str,
     text_col: str,
     k: int = 5,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Corpus-wide duplicate-SPAN removal — the ExactSubstr pass of Lee et
     al. 2021 ("Deduplicating Training Data Makes Language Models Better")
     at token-shingle granularity: any k-token window whose exact content
-    occurred earlier in the corpus (order: (doc id, position)) has all k
-    of its tokens removed; the first occurrence keeps its tokens. This is
+    occurred earlier in the corpus has all k of its tokens removed; the
+    first occurrence keeps its tokens. "Earlier" means ``(id, position)``
+    struct order — for STRING ids that is lexicographic, NOT ingestion
+    order; pass ``order_col`` (e.g. an ingest timestamp or sequence
+    number) to make first-occurrence follow ``(order, id, position)``
+    instead. Which occurrence survives changes, but the set of duplicated
+    span contents (and each doc's token counts against a fixed winner set)
+    does not. This is
     the granularity BETWEEN ``paragraph_dedup`` (separator-delimited
     blocks) and ``exact_dedup_groups`` (whole documents), and catches
     templated sentences pasted mid-paragraph that neither of those sees.
@@ -799,8 +806,10 @@ def duplicate_span_dedup(
         raise ValueError(f"duplicate_span_dedup: k must be >= 2, got {k}")
     from chess_lakehouse_spark.functions.text import ws_tokens
 
+    order_keys = (["ord"] if order_col is not None else []) + ["id", "pos"]
     toks_arr = df.select(
         F.col(id_col).alias("id"),
+        *([F.col(order_col).alias("ord")] if order_col is not None else []),
         F.filter(ws_tokens(F.col(text_col)), lambda t: t != "").alias("toks"),
     )
     tok = toks_arr.select("id", F.posexplode("toks").alias("pos", "tok"))
@@ -808,11 +817,13 @@ def duplicate_span_dedup(
         toks_arr.where(F.size("toks") >= k)
         .select(
             "id",
+            *(["ord"] if order_col is not None else []),
             F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("i"),
             "toks",
         )
         .select(
             "id",
+            *(["ord"] if order_col is not None else []),
             (F.col("i") - 1).alias("pos"),
             F.md5(
                 F.concat_ws(
@@ -821,10 +832,10 @@ def duplicate_span_dedup(
             ).alias("h"),
         )
     )
-    first = sh.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("first_occ"))
+    first = sh.groupBy("h").agg(F.min(F.struct(*order_keys)).alias("first_occ"))
     marked = (
         sh.join(first, "h")
-        .where(F.struct("id", "pos") != F.col("first_occ"))
+        .where(F.struct(*order_keys) != F.col("first_occ"))
         .select("id", "pos")
     )
     covered = marked.select(

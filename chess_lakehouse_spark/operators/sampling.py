@@ -555,6 +555,34 @@ def write_shuffled_shards(
     )
 
 
+def mixture_keep_rates(
+    weights: dict[str, float], sizes: dict[str, int]
+) -> dict[str, float]:
+    """Convert target mixture PROPORTIONS (:func:`mixture_fit` output)
+    into per-source stratified keep RATES for
+    :func:`stratified_hash_sample`. Keeping source ``s`` at rate ``r_s``
+    yields kept-corpus proportions ∝ ``r_s * n_s``, so matching target
+    proportions ``w_s`` requires ``r_s ∝ w_s / n_s`` — weights are NOT
+    rates unless every source is the same size. The scale is chosen so
+    the largest rate is exactly 1 (the largest kept corpus achievable
+    without upsampling); zero-weight sources get rate 0.
+
+    ``sizes`` is per-source row (or token) counts — |sources| numbers, a
+    bounded groupBy/collect at any corpus scale.
+    """
+    missing = [s for s in weights if s not in sizes]
+    if missing:
+        raise ValueError(f"mixture_keep_rates: no size for sources {missing}")
+    bad = [s for s, n in sizes.items() if s in weights and n <= 0]
+    if bad:
+        raise ValueError(f"mixture_keep_rates: non-positive size for {bad}")
+    density = {s: w / sizes[s] for s, w in weights.items()}
+    peak = max(density.values(), default=0.0)
+    if peak <= 0:
+        raise ValueError("mixture_keep_rates: all weights are zero")
+    return {s: min(1.0, d / peak) for s, d in density.items()}
+
+
 def mixture_fit(
     raw: DataFrame,
     target: DataFrame,
@@ -581,8 +609,10 @@ def mixture_fit(
     (source, bucket) count tables — the same two-shuffle cost as any
     unigram statistic; the driver receives |sources| x n_buckets integers
     and solves a |sources|-dim projected-gradient least squares
-    (deterministic: exact integer counts in, fixed iteration count,
-    closed-form simplex projection). Nothing corpus-sized is collected.
+    (reproducible: exact integer counts in, fixed uniform-simplex start,
+    fixed iteration count, arithmetic-only step bound, closed-form simplex
+    projection — no lstsq/SVD whose low bits vary by LAPACK build).
+    Nothing corpus-sized is collected.
 
     Returns [(source, weight)] sorted by source name, weights >= 0
     summing to ~1 (each rounded to 6 decimals).
@@ -635,12 +665,20 @@ def mixture_fit(
         theta = (css[rho] - 1) / (rho + 1.0)
         return np.maximum(v - theta, 0)
 
-    # projected gradient on ||A w - t||^2 from the projected
-    # unconstrained optimum; step 1/L with L = largest eigenvalue bound
-    w = project_simplex(np.linalg.lstsq(A, t, rcond=None)[0])
+    # projected gradient on ||A w - t||^2 from the uniform simplex point —
+    # NOT an lstsq warm start, whose low bits are LAPACK-implementation-
+    # dependent and would make the result BLAS-build-specific (r7 verdict
+    # note); the objective is convex so the start only affects iteration
+    # count. The step bound likewise avoids np.linalg.norm(·, 2) (an SVD):
+    # for symmetric ata the inf-norm row-sum bounds the spectral radius
+    # and is plain arithmetic. What remains implementation-dependent is
+    # ~1-ulp matmul variation, which cannot move the converged, 6-decimal-
+    # rounded fixpoint except in the measure-near-zero tie class the suite
+    # already documents for transcendental rounding.
+    w = np.full(len(sources), 1.0 / len(sources))
     ata = A.T @ A
     att = A.T @ t
-    lip = float(np.linalg.norm(ata, 2)) or 1.0
+    lip = float(np.abs(ata).sum(axis=1).max()) or 1.0
     for _ in range(iters):
         w = project_simplex(w - (ata @ w - att) / lip)
     return [(s, round(float(w[s_idx[s]]), 6)) for s in sources]

@@ -962,8 +962,17 @@ def embedding_pca(
     if n_components < 1:
         raise ValueError(f"embedding_pca: n_components must be >= 1, got {n_components}")
 
-    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-    dim = len(vecs.first()["v"])
+    # NULL vectors are excluded from the fit up front (they would
+    # otherwise crash opaquely inside the Arrow batches); an empty or
+    # all-NULL corpus fails with a clear error instead of a TypeError on
+    # first() (r7 ADVICE).
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    head = vecs.first()
+    if head is None:
+        raise ValueError("embedding_pca: corpus has no non-NULL vectors")
+    dim = len(head["v"])
     if n_components > dim:
         raise ValueError(
             f"embedding_pca: n_components {n_components} exceeds dim {dim}"

@@ -193,24 +193,31 @@ def corpus_ingest_clean(
     zero streaming state, so batch and stream classify identically:
     ``gate="score"`` applies `functions.text.quality_score >=
     min_quality`; ``gate="gopher"`` applies the per-rule Gopher battery
-    (`functions.text.gopher_rules` — min_quality is ignored, the rules
-    carry their own thresholds). Dedup keys on the content md5; documents
-    carry no event time, so the watermark rides on an ingest processing
-    timestamp: duplicates arriving within ``dedup_window`` are dropped with
-    bounded state (at-least-once replay guard), and the state store evicts
-    each digest once the watermark passes it.
+    (`functions.text.gopher_passes` — min_quality is ignored, the rules
+    carry their own thresholds). Any other ``gate`` raises (r7 ADVICE: a
+    typo silently fell back to the score gate). Both gates emit the same
+    schema — ``quality_score`` is annotated in gopher mode too (one more
+    narrow expression), so downstream sinks see one schema regardless of
+    gate. Dedup keys on the content md5; documents carry no event time,
+    so the watermark rides on an ingest processing timestamp: duplicates
+    arriving within ``dedup_window`` are dropped with bounded state
+    (at-least-once replay guard), and the state store evicts each digest
+    once the watermark passes it.
     """
+    if gate not in ("score", "gopher"):
+        raise ValueError(
+            f"corpus_ingest_clean: gate must be 'score' or 'gopher', got {gate!r}"
+        )
+    from chess_lakehouse_spark.functions.text import quality_score
+
+    scored = docs.withColumn("quality_score", quality_score(F.col("text")))
     if gate == "gopher":
         from chess_lakehouse_spark.functions.text import gopher_passes
 
         # one boolean column expression — no join, no streaming state
-        filtered = docs.where(gopher_passes(F.col("text"), **(gopher_kwargs or {})))
+        filtered = scored.where(gopher_passes(F.col("text"), **(gopher_kwargs or {})))
     else:
-        from chess_lakehouse_spark.functions.text import quality_score
-
-        filtered = docs.withColumn(
-            "quality_score", quality_score(F.col("text"))
-        ).where(F.col("quality_score") >= min_quality)
+        filtered = scored.where(F.col("quality_score") >= min_quality)
     return (
         filtered.withColumn("content_md5", F.md5(F.col("text")))
         .withColumn("ingest_ts", F.current_timestamp())

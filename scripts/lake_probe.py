@@ -101,15 +101,29 @@ def main() -> None:
             lambda: write_skipping_manifest(spark, lake, ["doc_id"]),
         )
 
-        # FIXED work against a growing lake: 100 update rows in 2 partitions
+        # FIXED work against a growing lake: exactly 100 update rows whose
+        # TRUE partitions (part = doc_id % n_parts, matching _build_lake's
+        # layout) are exactly {0, 1} at every factor — labeling with
+        # doc_id % 2 would make merge_overwrite rewrite the wrong
+        # partitions and leave duplicate doc_ids behind (r7 ADVICE).
+        # doc_id = (i // 2) * n_parts + (i % 2): 50 ids per residue.
         updates = (
-            spark.read.parquet(src)
-            .select("doc_id", "text", "source")
-            .where(F.col("doc_id") < 100)
-            .withColumn("text", F.concat(F.col("text"), F.lit(" probe-edit")))
+            spark.range(0, 100)
+            .select(
+                (
+                    (F.col("id") - F.pmod(F.col("id"), F.lit(2))) / 2 * n_parts
+                    + F.pmod(F.col("id"), F.lit(2))
+                )
+                .cast("long")
+                .alias("doc_id")
+            )
             .withColumn(
-                "part", F.pmod(F.col("doc_id"), F.lit(2)).cast("string")
-            )  # parts {0, 1} only
+                "text", F.concat(F.lit("probe-edit "), F.col("doc_id").cast("string"))
+            )
+            .withColumn("source", F.lit("probe"))
+            .withColumn(
+                "part", F.pmod(F.col("doc_id"), F.lit(n_parts)).cast("string")
+            )
         )
         probe(
             "merge_overwrite_2parts", factor,

@@ -178,11 +178,14 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         )
 
     if args.mixTarget:
-        # corpus-level target matching: fit per-source weights against the
-        # target distribution and apply them as stratified keep rates
-        # (document-level DSIR composes via --dsirTarget)
+        # corpus-level target matching: fit per-source TARGET PROPORTIONS
+        # against the target distribution, then convert them to stratified
+        # keep RATES via per-source doc counts (kept mixture ∝ rate × size,
+        # so using weights directly is only correct for equal-sized
+        # sources). Document-level DSIR composes via --dsirTarget.
         from chess_lakehouse_spark.operators.sampling import (
             mixture_fit,
+            mixture_keep_rates,
             stratified_hash_sample,
         )
 
@@ -191,9 +194,15 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         weights = dict(
             mixture_fit(docs, mix_target, "source", "text", seed=args.seed)
         )
+        sizes = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        rates = mixture_keep_rates(weights, sizes)
         print(f"[clean-corpus] mixture weights: {weights}")
+        print(f"[clean-corpus] mixture keep rates: {rates}")
         docs = stratified_hash_sample(
-            docs, "doc_id", "source", rates=weights, seed=args.seed
+            docs, "doc_id", "source", rates=rates, seed=args.seed
         )
     if args.gate == "gopher":
         # per-rule gate (Rae et al. 2021) instead of the composite score —

@@ -62,18 +62,52 @@ def test_mixture_fit_validation(spark):
         mixture_fit(raw, empty_target, "source", "text")
 
 
-def test_mixture_weights_drive_temperature_free_mix(spark):
-    """Composition: the fitted weights, used as per-source hash-sampling
-    rates, produce a sample whose source proportions track the weights —
-    the fit-then-mix handoff."""
-    from chess_lakehouse_spark.operators.sampling import stratified_hash_sample
+def test_mixture_keep_rates_math():
+    """Weights are target PROPORTIONS, not rates: rate ∝ weight / size,
+    scaled so the max rate is 1 (r7 ADVICE — equal-sized fixtures masked
+    this in the CLI)."""
+    from chess_lakehouse_spark.operators.sampling import mixture_keep_rates
 
-    raw = _corpus(spark, [("a", "alpha", 400), ("b", "beta", 400)])
-    target = _corpus(spark, [("t", "alpha", 9), ("t", "beta", 3)])
+    # a is 3x over-represented relative to its target share
+    rates = mixture_keep_rates({"a": 0.5, "b": 0.5}, {"a": 300, "b": 100})
+    assert rates["b"] == 1.0
+    assert rates["a"] == pytest.approx(1 / 3)
+    # kept mixture = rate*size, normalized -> matches the weights
+    kept = {s: rates[s] * n for s, n in {"a": 300, "b": 100}.items()}
+    tot = sum(kept.values())
+    assert kept["a"] / tot == pytest.approx(0.5)
+    # zero-weight source drops out entirely
+    assert mixture_keep_rates({"a": 1.0, "z": 0.0}, {"a": 10, "z": 10})["z"] == 0.0
+    with pytest.raises(ValueError, match="no size"):
+        mixture_keep_rates({"a": 1.0}, {})
+    with pytest.raises(ValueError, match="non-positive size"):
+        mixture_keep_rates({"a": 1.0}, {"a": 0})
+    with pytest.raises(ValueError, match="all weights are zero"):
+        mixture_keep_rates({"a": 0.0}, {"a": 10})
+
+
+def test_mixture_weights_drive_temperature_free_mix(spark):
+    """Composition: fitted weights -> keep rates (via per-source sizes) ->
+    stratified hash sample, with UNEQUAL source sizes — the kept corpus's
+    source proportions must track the fitted TARGET proportions, which is
+    exactly what using weights as raw rates gets wrong."""
+    from chess_lakehouse_spark.operators.sampling import (
+        mixture_keep_rates,
+        stratified_hash_sample,
+    )
+
+    raw = _corpus(spark, [("a", "alpha", 600), ("b", "beta", 200)])
+    target = _corpus(spark, [("t", "alpha", 6), ("t", "beta", 6)])
     w = dict(mixture_fit(raw, target, "source", "text", n_buckets=64))
-    sampled = stratified_hash_sample(raw, "doc_id", "source", rates=w, default_rate=0.0)
+    assert w["a"] == pytest.approx(0.5, abs=0.02)
+    sizes = {
+        r["source"]: r["n"]
+        for r in raw.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = mixture_keep_rates(w, sizes)
+    sampled = stratified_hash_sample(raw, "doc_id", "source", rates=rates, default_rate=0.0)
     got = {r["source"]: r["n"] for r in sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     n_a, n_b = got.get("a", 0), got.get("b", 0)
     assert n_a + n_b > 0
-    assert n_a / 400 == pytest.approx(w["a"], abs=0.08)
-    assert n_b / 400 == pytest.approx(w["b"], abs=0.08)
+    # kept mixture ~ 50/50 even though raw is 75/25
+    assert n_a / (n_a + n_b) == pytest.approx(w["a"], abs=0.08)

@@ -121,6 +121,28 @@ def test_pca_validation(spark):
         embedding_pca(one, "embedding", n_components=2)
 
 
+def test_pca_null_and_empty_corpus_guards(spark):
+    """r7 ADVICE: empty corpus and NULL vectors must fail (or filter)
+    cleanly, not TypeError on first() or crash inside mapInPandas."""
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    with pytest.raises(ValueError, match="no non-NULL vectors"):
+        embedding_pca(empty, "v", n_components=1)
+    all_null = spark.createDataFrame([(0, None), (1, None)], "id long, v array<double>")
+    with pytest.raises(ValueError, match="no non-NULL vectors"):
+        embedding_pca(all_null, "v", n_components=1)
+
+    # NULL rows mixed into a valid corpus are excluded from the fit:
+    # result identical to the same corpus without the NULL rows
+    base = [(i, [float(i), float(i % 3), 1.0 - i * 0.1]) for i in range(12)]
+    clean = spark.createDataFrame(base, "id long, v array<double>")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(100, None), (101, None)], "id long, v array<double>")
+    )
+    comps_a, var_a = embedding_pca(clean.coalesce(1), "v", n_components=2)
+    comps_b, var_b = embedding_pca(dirty.coalesce(1), "v", n_components=2)
+    assert comps_a == comps_b and var_a == var_b
+
+
 def test_pca_ivf_compressed_serving_path(spark, tmp_path):
     """Composition the compression exists for: train PCA, project, train
     k-means ON THE PROJECTION, publish the IVF lake layout keyed by

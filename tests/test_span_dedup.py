@@ -102,6 +102,29 @@ def test_span_dedup_duckdb_oracle_parity(spark):
     assert any(v[2] > 0 for v in got.values())  # spans actually removed
 
 
+def test_span_dedup_order_col_controls_first_occurrence(spark):
+    """Without order_col, 'earlier' is (id, pos) order — doc 0 wins; with
+    an ingestion-order column that reverses the ids, doc 1 wins and doc 0
+    loses its copy of the span instead."""
+    rows = [
+        (0, 2, "alpha beta gamma delta epsilon tail0"),
+        (1, 1, "alpha beta gamma delta epsilon tail1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ingest_seq long, text string")
+    by_id = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in duplicate_span_dedup(df, "doc_id", "text", k=5).collect()
+    }
+    assert by_id == {0: 0, 1: 5}
+    by_seq = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in duplicate_span_dedup(
+            df, "doc_id", "text", k=5, order_col="ingest_seq"
+        ).collect()
+    }
+    assert by_seq == {0: 5, 1: 0}
+
+
 def test_span_dedup_null_text_survives(spark):
     df = spark.createDataFrame(
         [(0, "a b c d e"), (1, None)], "doc_id long, text string"

@@ -459,3 +459,30 @@ def test_corpus_ingest_clean_gopher_gate_matches_batch(spark, tmp_path):
     # the gate actually discriminates (neither empty nor pass-through)
     n_all = docs_batch.select(F.md5("text")).distinct().count()
     assert 0 < len(want) < n_all
+
+
+def test_corpus_ingest_clean_rejects_unknown_gate_and_unifies_schema(spark, tmp_path):
+    """A gate typo must error, not silently fall back to score filtering,
+    and both gates must emit the same output schema (r7 ADVICE)."""
+    import shutil
+
+    from chess_lakehouse_spark.streaming import (
+        corpus_ingest_clean,
+        read_documents_stream,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-000.parquet")
+    stream = read_documents_stream(spark, str(d))
+
+    with pytest.raises(ValueError, match="gate must be"):
+        corpus_ingest_clean(stream, min_quality=0.0, gate="gofer")
+
+    score_schema = corpus_ingest_clean(stream, min_quality=0.0, gate="score").schema
+    gopher_schema = corpus_ingest_clean(
+        stream, min_quality=0.0, gate="gopher",
+        gopher_kwargs={"min_words": 30, "min_stop_hits": 1},
+    ).schema
+    assert score_schema == gopher_schema
+    assert "quality_score" in gopher_schema.fieldNames()
