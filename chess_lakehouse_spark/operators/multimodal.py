@@ -3,10 +3,13 @@
 North-star extension (SURVEY.md §7 step 8). Image/audio/video payloads are
 carried as ``binary`` columns; decode / feature-extract / frame-sample run
 as Arrow-batched ``mapInPandas`` stages — the Spark-side plumbing (schema,
-batch shape, partitioning) is real and oracle-tested. The actual codec call
-is STUBBED: the container ships no image/audio libraries, so ``decode_meta``
-/ ``frame_sample`` compute a deterministic fake from the payload bytes, and
-``decode_image_real`` raises ``NotImplementedError`` unless PIL appears.
+batch shape, partitioning) is real and oracle-tested. Codec coverage:
+netpbm PPM/PGM and uncompressed BMP decode with a built-in pure-Python
+parser (no library — so ``codec='real'`` RUNS in this container); PIL
+handles every other format when importable; and the oracle-gated default
+(``codec='fake'``) computes a deterministic stand-in from the payload
+bytes, with ``decode_image_real`` raising ``NotImplementedError`` only
+for non-built-in formats in PIL-less environments.
 
 Scale notes: every stage here is narrow (per-row / per-batch, no shuffle).
 Payload bytes stay inside Arrow record batches end-to-end — the JVM↔Python
@@ -55,10 +58,128 @@ def _fake_dims(n_bytes: int) -> tuple[int, int]:
     return n_bytes % 640, (n_bytes * 7) % 480
 
 
+# ------------- built-in pure-Python codecs (netpbm PPM/PGM + BMP) -------------
+# Two trivial formats decoded with no library at all, so the codec='real'
+# branch RUNS in codec-less containers (r7 verdict ask) instead of
+# skipping: netpbm P2/P3/P5/P6 and BITMAPINFOHEADER BMP. PIL remains the
+# decoder for every other format when importable.
+
+_PNM_MAGICS = (b"P2", b"P3", b"P5", b"P6")
+
+
+def _pnm_header(payload: bytes):
+    """(magic, width, height, maxval, data_offset) for netpbm, else None.
+    Header fields are whitespace-separated ASCII ints; '#' comments run to
+    end of line (the netpbm spec)."""
+    if len(payload) < 2 or payload[:2] not in _PNM_MAGICS:
+        return None
+    magic = payload[:2].decode()
+    fields, i, n = [], 2, len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= n:
+        return None
+    # exactly one whitespace byte separates the header from raster data
+    return magic, fields[0], fields[1], fields[2], i + 1
+
+
+def _bmp_header(payload: bytes):
+    """(width, height, bpp, data_offset, top_down) for an uncompressed
+    BITMAPINFOHEADER BMP, else None."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:  # BITMAPCOREHEADER etc. — out of scope
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or width <= 0 or height == 0:
+        return None
+    return width, abs(height), bpp, data_off, height < 0
+
+
+def decode_image_builtin(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) via the built-in PPM/PGM/BMP parsers, or None when
+    the payload is neither format (callers then try PIL or fail)."""
+    pnm = _pnm_header(payload)
+    if pnm is not None:
+        return pnm[1], pnm[2]
+    bmp = _bmp_header(payload)
+    if bmp is not None:
+        return bmp[0], bmp[1]
+    return None
+
+
+def decode_pixels_builtin(payload: bytes):
+    """(height, width, 3) uint8 numpy array for binary-RGB PPM (P6,
+    maxval <= 255) and 24-bit uncompressed BMP, else None — the real pixel
+    bytes the resize/feature stages operate on in codec-less containers."""
+    import numpy as np
+
+    pnm = _pnm_header(payload)
+    if pnm is not None:
+        magic, w, h, maxval, off = pnm
+        if magic != "P6" or maxval > 255:
+            return None
+        need = w * h * 3
+        raw = payload[off : off + need]
+        if len(raw) < need:
+            return None
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+    bmp = _bmp_header(payload)
+    if bmp is not None:
+        w, h, bpp, off, top_down = bmp
+        if bpp != 24:
+            return None
+        row_bytes = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+        need = row_bytes * h
+        raw = payload[off : off + need]
+        if len(raw) < need:
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, row_bytes)[:, : w * 3]
+        arr = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return (arr if top_down else arr[::-1]).copy()  # bottom-up default
+    return None
+
+
+def _resize_nearest(arr, target_w: int, target_h: int):
+    """Deterministic nearest-neighbor resample to exactly (target_h,
+    target_w) — plain integer index math, identical everywhere (PIL's
+    thumbnail is aspect-preserving antialias, a different — also real —
+    transform)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return arr[ys][:, xs]
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """(width, height) via PIL when importable, else the deterministic fake
-    — the operator upgrades automatically in environments that ship codecs
-    while staying runnable (and oracle-deterministic) here."""
+    """(width, height): built-in PPM/PGM/BMP parser first, PIL for other
+    formats when importable, else the deterministic fake — the operator
+    upgrades automatically in environments that ship codecs while staying
+    runnable (and oracle-deterministic) here."""
+    dims = decode_image_builtin(payload)
+    if dims is not None:
+        return dims
     image_mod = _pil_image()
     if image_mod is not None:  # pragma: no cover - no PIL in container
         import io
@@ -69,14 +190,21 @@ def decode_image(payload: bytes) -> tuple[int, int]:
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Strict real decode: PIL or NotImplementedError — for pipelines that
-    must fail loudly rather than emit fake dimensions."""
+    """Strict real decode: built-in PPM/PGM/BMP parser, then PIL, then
+    NotImplementedError — for pipelines that must fail loudly rather than
+    emit fake dimensions."""
+    dims = decode_image_builtin(payload)
+    if dims is not None:
+        return dims
     if _pil_image() is None:
         raise NotImplementedError(
-            "image decode requires PIL, not available in this environment; "
-            "use decode_image (soft fallback) or codec='fake'"
+            "image decode beyond PPM/PGM/BMP requires PIL, not available in "
+            "this environment; use decode_image (soft fallback) or codec='fake'"
         )
-    return decode_image(payload)  # pragma: no cover - no PIL in container
+    import io
+
+    with _pil_image().open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return int(im.width), int(im.height)
 
 
 def decode_meta(payloads: DataFrame, codec: str = "fake") -> DataFrame:
@@ -85,21 +213,22 @@ def decode_meta(payloads: DataFrame, codec: str = "fake") -> DataFrame:
     ``codec='fake'`` (default, oracle-gated): width/height derived
     arithmetically from the byte length — deterministic, so the DuckDB
     oracle computes identical values from the source text. ``codec='auto'``:
-    real PIL decode when the library is importable, fake otherwise (soft
-    upgrade). ``codec='real'``: PIL or fail loudly. The Arrow plumbing —
-    schema, batch shape, checksum — is identical on every path.
+    real decode (built-in PPM/PGM/BMP parser, or PIL for other formats
+    when importable), falling back to the fake per payload (soft
+    upgrade). ``codec='real'``: real decode or fail loudly — built-in
+    formats decode even without PIL; anything else raises inside the
+    batch. The Arrow plumbing — schema, batch shape, checksum — is
+    identical on every path.
     """
     if codec not in ("fake", "auto", "real"):
         raise ValueError(f"unknown codec mode: {codec!r}")
-    if codec == "real" and _pil_image() is None:
-        raise NotImplementedError("codec='real' requires PIL in the executor environment")
-    use_real = codec in ("auto", "real") and _pil_image() is not None
+    decoder = {"real": decode_image_real, "auto": decode_image}.get(codec)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
-            if use_real:  # pragma: no cover - no PIL in container
-                dims = pdf["payload"].map(decode_image)
+            if decoder is not None:
+                dims = pdf["payload"].map(decoder)
                 width = dims.map(lambda d: d[0]).astype("int32")
                 height = dims.map(lambda d: d[1]).astype("int32")
             else:
@@ -160,39 +289,51 @@ def resize_image(
     """Resize stage via mapInPandas — same codec contract as
     :func:`decode_meta`: ``fake`` emits the target dimensions plus a
     deterministic signature binding (payload, target) — the Arrow plumbing
-    (schema, batch shape, per-row transform) is the real article; ``auto``
-    upgrades to a PIL thumbnail when the library exists; ``real`` demands
-    it. Narrow (per-batch), no shuffle at any scale; output payload bytes
-    for the real path would ride the same binary column contract as the
-    input.
+    (schema, batch shape, per-row transform) is the real article. ``auto``
+    / ``real`` decode pixels: built-in P6-PPM / 24-bit-BMP payloads resize
+    via deterministic nearest-neighbor index math (sig = md5 of the
+    resized RGB bytes); other formats use a PIL thumbnail when the
+    library exists, and ``real`` fails loudly when neither applies while
+    ``auto`` falls back to the fake signature. Narrow (per-batch), no
+    shuffle at any scale; output payload bytes for the real path would
+    ride the same binary column contract as the input.
 
     Returns (doc_id, width, height, resized_sig).
     """
     if codec not in ("fake", "auto", "real"):
         raise ValueError(f"unknown codec mode: {codec!r}")
-    if codec == "real" and _pil_image() is None:
-        raise NotImplementedError("codec='real' requires PIL in the executor environment")
-    use_real = codec in ("auto", "real") and _pil_image() is not None
+
+    def _fake_sig(b: bytes) -> str:
+        return hashlib.md5(
+            hashlib.md5(b).hexdigest().encode() + f":{target_w}x{target_h}".encode()
+        ).hexdigest()
+
+    def _real_sig(b: bytes) -> str:
+        arr = decode_pixels_builtin(b)
+        if arr is not None:
+            return hashlib.md5(
+                _resize_nearest(arr, target_w, target_h).tobytes()
+            ).hexdigest()
+        Image = _pil_image()
+        if Image is not None:  # pragma: no cover - no PIL in container
+            import io
+
+            img = Image.open(io.BytesIO(b))
+            img.thumbnail((target_w, target_h))
+            return hashlib.md5(img.tobytes()).hexdigest()
+        if codec == "real":
+            raise NotImplementedError(
+                "resize beyond P6-PPM/24-bit-BMP requires PIL in the "
+                "executor environment; use codec='fake' or 'auto'"
+            )
+        return _fake_sig(b)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real:  # pragma: no cover - no PIL in container
-                import io
-
-                Image = _pil_image()
-
-                def sig(b: bytes) -> str:
-                    img = Image.open(io.BytesIO(b))
-                    img.thumbnail((target_w, target_h))
-                    return hashlib.md5(img.tobytes()).hexdigest()
-
-                sigs = pdf["payload"].map(sig)
+            if codec in ("auto", "real"):
+                sigs = pdf["payload"].map(_real_sig)
             else:
-                sigs = pdf["payload"].map(
-                    lambda b: hashlib.md5(
-                        hashlib.md5(b).hexdigest().encode() + f":{target_w}x{target_h}".encode()
-                    ).hexdigest()
-                )
+                sigs = pdf["payload"].map(_fake_sig)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
