@@ -231,17 +231,42 @@ def stream_corpus_to_jsonl_shards(
     out_dir: str,
     checkpoint_dir: str,
     max_records_per_file: int = 100_000,
+    paragraph_dedup_sep: str | None = None,
+    id_col: str = "doc_id",
 ) -> None:
     """Land the cleaned stream as size-budgeted JSONL training shards via
     foreachBatch (same sink contract as `sources.jsonl.write_jsonl_shards`,
     append-per-micro-batch). availableNow drains what exists and stops —
     the test/backfill trigger; production swaps in a live trigger on the
-    identical plan."""
+    identical plan.
+
+    ``paragraph_dedup_sep`` additionally rewrites each document's text
+    with `operators.dedup.paragraph_dedup(scope="document")` inside the
+    micro-batch — the RefinedWeb intra-document line pass. Document scope
+    is a pure function of each row, so micro-batch boundaries cannot
+    change the result and stream output equals the batch operator exactly
+    (pinned in tests/test_streaming.py). Corpus scope is deliberately NOT
+    offered here: corpus-first occurrence needs cross-batch state (the
+    staged-signature pattern `stream_incremental_dedup` uses), not a
+    stateless rewrite. Note the upstream ``content_md5`` column keeps the
+    PRE-rewrite digest — it is the ingest-dedup identity, not a checksum
+    of the published text."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out_df = batch_df.drop("ingest_ts")
+        if paragraph_dedup_sep is not None:
+            from chess_lakehouse_spark.operators.dedup import paragraph_dedup
+
+            cleaned = paragraph_dedup(
+                out_df, id_col, "text", sep=paragraph_dedup_sep, scope="document"
+            ).select(F.col(id_col), F.col("clean_text").alias("__pd_text"))
+            out_df = (
+                out_df.join(cleaned, id_col)
+                .drop("text")
+                .withColumnRenamed("__pd_text", "text")
+            )
         (
-            batch_df.drop("ingest_ts")
-            .write.option("maxRecordsPerFile", max_records_per_file)
+            out_df.write.option("maxRecordsPerFile", max_records_per_file)
             .mode("append")
             .json(out_dir)
         )

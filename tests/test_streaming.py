@@ -461,6 +461,53 @@ def test_corpus_ingest_clean_gopher_gate_matches_batch(spark, tmp_path):
     assert 0 < len(want) < n_all
 
 
+def test_stream_paragraph_dedup_matches_batch(spark, tmp_path):
+    """paragraph_dedup(scope='document') wired into the streaming shard
+    sink rewrites text exactly like the batch operator — document scope is
+    row-local, so micro-batch boundaries cannot change it (completes the
+    batch<->stream mirror for the r7 operators)."""
+    import glob
+    import json
+
+    from chess_lakehouse_spark.operators.dedup import paragraph_dedup
+    from chess_lakehouse_spark.streaming import (
+        corpus_ingest_clean,
+        read_documents_stream,
+        stream_corpus_to_jsonl_shards,
+    )
+
+    rows = [
+        # intra-doc repeated lines go; the cross-doc shared header stays
+        # in every doc (document scope)
+        (i, f"nav menu\nbody text {i} alpha beta\nnav menu\nmore {i}\nnav menu", "en", "s")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = tmp_path / "docs_stream"
+    docs.coalesce(1).write.parquet(str(d))
+
+    out = str(tmp_path / "shards")
+    clean = corpus_ingest_clean(read_documents_stream(spark, str(d)), min_quality=0.0)
+    stream_corpus_to_jsonl_shards(
+        clean, out, str(tmp_path / "ckpt"), paragraph_dedup_sep="\n"
+    )
+    got = {}
+    for path in glob.glob(f"{out}/*.json"):
+        with open(path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                got[rec["doc_id"]] = rec["text"]
+
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in paragraph_dedup(docs, "doc_id", "text", sep="\n", scope="document").collect()
+    }
+    assert got == want
+    # the pass actually fired: repeated nav lines collapsed to one
+    assert all(t.count("nav menu") == 1 for t in got.values())
+    assert len(got) == 20
+
+
 def test_corpus_ingest_clean_rejects_unknown_gate_and_unifies_schema(spark, tmp_path):
     """A gate typo must error, not silently fall back to score filtering,
     and both gates must emit the same output schema (r7 ADVICE)."""
