@@ -1,0 +1,125 @@
+"""URL canonicalization and URL-keyed corpus operations.
+
+Web-scale training corpora run URL-level passes BEFORE any content pass:
+canonicalize the URL, drop exact URL duplicates, and cap documents per
+host so no single site dominates the mix (C4 — Raffel et al. 2020; CCNet
+— Wenzek et al. 2020; RefinedWeb — Penedo et al. 2023 §3.1 "URL
+filtering"). The reference engine has no URL surface (its corpus is PGN
+archives), so this module is part of the training-data-pipeline
+extension, not reference parity.
+
+Everything here is a pure Column expression chain (lower / regexp /
+substr / rtrim — WholeStageCodegen, zero Python, rides the scan, zero
+shuffle until an explicitly keyed dedup/cap step). Every regex is
+restricted to the portable Java-regex ∩ RE2 subset so the DuckDB oracle
+evaluates the IDENTICAL pattern:
+
+- no ``$`` anchors — Java's ``$`` also matches before a final newline
+  where RE2's matches only at end-of-text; the chain is anchor-free on
+  the right and instead documents a single-line URL contract (URLs with
+  embedded newlines are out of scope; callers scrub control characters
+  upstream if their source can contain them);
+- inline ``(?i)`` case-insensitivity flags (supported identically by
+  both engines) instead of engine-specific flag arguments;
+- explicit character classes, never ``\\s`` (Java vs RE2 diverge on
+  U+000B — see functions/text.py:WS_SPLIT).
+
+Canonical form (a dedup KEY, not a resolvable URL):
+
+1. trim surrounding whitespace; strip a case-insensitive
+   ``http://``/``https://`` scheme;
+2. split host (everything before the first ``/``, ``?`` or ``#``) from
+   the rest; LOWERCASE THE HOST ONLY (paths are case-sensitive per RFC
+   3986 §6.2.2.1, so ``/Doc`` and ``/doc`` stay distinct) and strip one
+   leading ``www.``;
+3. drop the fragment (``#…``);
+4. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``), case-insensitively, then collapse a dangling ``?&``;
+5. right-trim any run of ``/``, ``?``, ``&`` (so ``…/path/`` ==
+   ``…/path`` and an emptied query string disappears). A trailing slash
+   BEFORE a surviving query string is preserved — only the string tail
+   is trimmed; the rule is deterministic and mirrored by the oracle.
+
+Ports, percent-encoding and IDN/punycode normalization are deliberately
+out of scope: they need lookup tables (default-port-per-scheme, UTF-8
+decode) that would push the chain off the pure-codegen path for little
+dedup recall on real crawls, where the canonical key above captures the
+overwhelming share of URL aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Case-insensitive scheme strip. Anchored LEFT only (``^`` agrees
+#: between engines); ``(?i)`` is the portable inline flag.
+SCHEME_RE = r"(?i)^https?://"
+
+#: Host = maximal prefix free of path/query/fragment delimiters.
+HOST_RE = r"^([^/?#]+)"
+
+#: One leading ``www.`` (applied after lowercasing, so WWW. is covered).
+WWW_RE = r"^www\."
+
+#: Fragment: first ``#`` to end of (single-line) input. Greedy ``.*``
+#: consumes the tail, so one global replace empties it — no ``$`` needed.
+FRAGMENT_RE = r"#.*"
+
+#: Tracking parameters stripped from the query string, with the
+#: separator that followed them (global replace removes every one).
+TRACKING_PARAM_RE = r"(?i)(?:utm_[a-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*&?"
+
+
+def _scheme_stripped(url: Column) -> Column:
+    return F.regexp_replace(F.trim(url), SCHEME_RE, "")
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host with a leading ``www.`` stripped — the per-site
+    grouping key for host caps and per-domain mixture accounting."""
+    s = _scheme_stripped(url)
+    return F.regexp_replace(F.lower(F.regexp_extract(s, HOST_RE, 1)), WWW_RE, "")
+
+
+def url_canonicalize(url: Column) -> Column:
+    """The canonical URL key described in the module docstring. Pure
+    column expression — lower/regexp/substr/rtrim only, every pattern in
+    the Java∩RE2 portable subset, mirrored step-for-step by the suite
+    oracle (suite/llm.py: _URL_CANON_REST_SQL)."""
+    s = _scheme_stripped(url)
+    raw_host = F.regexp_extract(s, HOST_RE, 1)
+    host = F.regexp_replace(F.lower(raw_host), WWW_RE, "")
+    rest = s.substr(F.length(raw_host) + F.lit(1), F.length(s))
+    rest = F.regexp_replace(rest, FRAGMENT_RE, "")
+    rest = F.regexp_replace(rest, TRACKING_PARAM_RE, "")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.rtrim(rest, F.lit("/?&"))
+    return F.concat(host, rest)
+
+
+def url_dedup_groups(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Exact URL dedup: one row per canonical URL with the canonical
+    (min) id and the copy count — the C4 URL-level dedup pass, same
+    single map-side-combined shuffle shape as
+    operators/dedup.py:exact_dedup_groups but keyed on the canonical URL
+    instead of the content hash. Returns (url_canon, canonical_id,
+    n_copies)."""
+    return df.groupBy(url_canonicalize(F.col(url_col)).alias("url_canon")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def host_cap(
+    df: DataFrame, id_col: str, url_col: str, n: int, seed: int = 0
+) -> DataFrame:
+    """At most ``n`` documents per host (RefinedWeb-style site balance):
+    derives the host column (narrow, rides the scan) and delegates the
+    cap to operators/sampling.py:top_n_per_group — deterministic
+    hash-order membership, one window shuffle keyed by host, nested caps
+    as ``n`` grows. Returns the input columns plus ``host``."""
+    from chess_lakehouse_spark.operators.sampling import top_n_per_group
+
+    with_host = df.withColumn("host", url_host(F.col(url_col)))
+    return top_n_per_group(with_host, id_col, "host", n=n, seed=seed)

@@ -64,7 +64,7 @@ def regex_quote(s: str) -> str:
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization — the explicit class shared with the oracle
+    r"""Whitespace tokenization — the explicit class shared with the oracle
     (see functions/text.py:WS_SPLIT for why not ``\s``)."""
     from chess_lakehouse_spark.functions.text import WS_SPLIT
 

@@ -1,4 +1,4 @@
-"""The oracle-gated query suite.
+r"""The oracle-gated query suite.
 
 Every operator claimed in SURVEY.md §2 (plus the training-data-pipeline
 extensions) is exercised by a named query implemented twice:
@@ -62,7 +62,7 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # Revisit-period math (r8, the first round the suite exceeds 100 gated
 # queries): with N non-rows-only registered queries and a 50-slot window,
 # round-robin rotation revisits every query within P = ceil(N / 50)
-# rounds. At N = 104 (105 registered minus approx_stats) P = 3, so the
+# rounds. At N = 105 (106 registered minus approx_stats) P = 3, so the
 # ratchet bound — enforced by tests/test_suite_order.py dynamically from
 # the recorded CORRECTNESS files — is: NO query's newest hash-green row
 # may age more than P - 1 = 2 recorded rounds behind the latest file
@@ -70,28 +70,32 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # budgeted run itself).
 #
 # Round-8 window priority:
-#   1. the 4 queries NEW to the gate, never driver-verified — dedup_span
+#   1. the 5 queries NEW to the gate, never driver-verified — dedup_span
 #      (ExactSubstr, Lee et al. 2021), quality_gopher (Rae et al. 2021
 #      rule battery with stop-hit case/punct normalization), bm25_batch
 #      (one-pass batch scoring), corpus_sketch_counts (HLL sketch path,
-#      exact-column projection). All four oracles were promoted from
-#      tests/ into suite/llm.py at registration (the bm25_topk
-#      anti-divergence pattern: tests import the suite template) after
-#      exact value parity in tests/test_r8_candidates.py.
-#   2. 46 of the 50 queries whose newest green row is r06 — rotated back
-#      in. The remaining 4 r6-green queries (qc_count, semi_join,
-#      sort_limit, union_append — the four cheapest, most-stable
-#      relational ops) defer to the FRONT of the r9 window; their age at
-#      r8-commit time is latest - 1 = within the P - 1 bound.
+#      exact-column projection), url_canonical (C4/RefinedWeb URL
+#      canonicalize + host cap, built new in r8). The first four oracles
+#      were promoted from tests/ into suite/llm.py at registration (the
+#      bm25_topk anti-divergence pattern: tests import the suite
+#      template) after exact value parity in tests/test_r8_candidates.py;
+#      url_canonical's oracle is generated from the SAME regex constants
+#      the Spark chain compiles (suite/llm.py:_URL_CANON_CORE) and
+#      parity-pinned in tests/test_urls.py.
+#   2. 45 of the 50 queries whose newest green row is r06 — rotated back
+#      in. The remaining 5 r6-green queries (qc_count, semi_join,
+#      sort_limit, union_append, window_topk — the five cheapest,
+#      most-stable relational ops) defer to the FRONT of the r9 window;
+#      their age at r8-commit time is latest - 1 = within the P - 1 bound.
 # Every query outside the window is hash-green in r07 or r06 (within the
 # bound) AND in scripts/verify_local.py's full-suite run, committed per
 # round as VERIFY_LOCAL_r{N}.txt at both sf0.01 and sf0.1.
 #
 # r9 window planning — FIRST bump WINDOW_BUDGETED_FOR to 9 when
-# re-planning: (1) the 4 deferred r6-green queries (listed above) go
-# first — they will be at the P - 1 age bound; (2) then the 46 stalest
-# r7-green queries; the 4 youngest r7-green queries defer to r10 exactly
-# as this round's 4 defer to r9.
+# re-planning: (1) the 5 deferred r6-green queries (listed above) go
+# first — they will be at the P - 1 age bound; (2) then the 45 stalest
+# r7-green queries; the youngest r7-green queries defer to r10 exactly
+# as this round's 5 defer to r9.
 WINDOW_BUDGETED_FOR = 8
 
 _WINDOW_ORDER = [
@@ -100,6 +104,7 @@ _WINDOW_ORDER = [
     "quality_gopher",
     "bm25_batch",
     "corpus_sketch_counts",
+    "url_canonical",
     # newest green row r06 — rotate back in
     "bm25_topk",
     "rrf_fuse",
@@ -146,7 +151,6 @@ _WINDOW_ORDER = [
     "tfidf_cosine",
     "user_retention",
     "vocab_topk",
-    "window_topk",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

@@ -35,6 +35,13 @@ from chess_lakehouse_spark.operators.similarity import (
     knn_ivf,
     knn_lsh,
 )
+from chess_lakehouse_spark.functions.urls import (
+    FRAGMENT_RE,
+    HOST_RE,
+    SCHEME_RE,
+    TRACKING_PARAM_RE,
+    WWW_RE,
+)
 from chess_lakehouse_spark.session import apply_runtime_conf
 
 NUM_PLANES = 8
@@ -1369,6 +1376,90 @@ def q_corpus_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_within_10pct"),
         (F.length(F.col("sketch")) > 0).alias("has_sketch"),
     )
+
+
+#: Per-host document cap for the gated URL query. The synthesized corpus
+#: spreads docs over 7 hosts, so the cap keeps a proper subset at every
+#: driver sf (500 docs / 7 hosts ≈ 71 per host at sf0.01).
+URL_CAP_N = 40
+
+
+def _synth_url_col() -> Column:
+    """Deterministic messy URL per document, exercising every
+    canonicalization rule: mixed-case scheme and host, optional WWW.,
+    case-preserved path, optional trailing slash, optional tracking-laced
+    query string, optional fragment. Mirrored literally (same CASE arms,
+    same concatenation) by the oracle SQL — the suite's established
+    derived-input gating form (cf. chunk/shard queries)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Ex"),
+        (d % 7).cast("string"),
+        F.lit(".Example.COM/"),
+        F.col("source"),
+        F.lit("/Doc"),
+        d.cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=bench&id="),
+                (d % 50).cast("string"),
+                F.lit("&utm_medium=cpc"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#Sec1")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus pass (C4/RefinedWeb §3.1): canonicalize a
+    synthesized messy URL per document (functions/urls.py:
+    url_canonicalize — pure codegen column chain, Java∩RE2-portable
+    regexes), derive the host, and keep at most URL_CAP_N docs per host
+    in deterministic hash order (operators/sampling.py:
+    top_n_per_group)."""
+    from chess_lakehouse_spark.functions.urls import url_canonicalize, url_host
+    from chess_lakehouse_spark.operators.sampling import top_n_per_group
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    url = _synth_url_col()
+    with_url = docs.select(
+        "doc_id",
+        url_canonicalize(url).alias("url_canon"),
+        url_host(url).alias("host"),
+    )
+    return top_n_per_group(with_url, "doc_id", "host", n=URL_CAP_N, seed=SAMPLE_SEED)
+
+
+#: DuckDB mirror of functions/urls.py:url_canonicalize, step for step,
+#: with every regex INTERPOLATED FROM THE SAME PYTHON CONSTANTS the Spark
+#: chain compiles (SCHEME_RE/HOST_RE/WWW_RE/FRAGMENT_RE/TRACKING_PARAM_RE
+#: — the anti-divergence pattern: patterns cannot drift between engines
+#: because there is only one definition). Expects a CTE ``u`` providing
+#: (doc_id, url); adds CTEs ending in ``canon`` with host + url_canon.
+#: tests/test_urls.py imports this template for its parity fuzz.
+_URL_CANON_CORE = f"""
+st AS (
+  SELECT doc_id, regexp_replace(trim(url), '{SCHEME_RE}', '') AS s FROM u
+), pp AS (
+  SELECT doc_id, s, regexp_extract(s, '{HOST_RE}', 1) AS raw_host FROM st
+), canon AS (
+  SELECT doc_id,
+    regexp_replace(lower(raw_host), '{WWW_RE}', '') AS host,
+    regexp_replace(lower(raw_host), '{WWW_RE}', '') ||
+    rtrim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(substr(s, length(raw_host) + 1), '{FRAGMENT_RE}', '', 'g'),
+          '{TRACKING_PARAM_RE}', '', 'g'),
+        '\\?&', '?', 'g'),
+      '/?&') AS url_canon
+  FROM pp
+)"""
 
 
 # ---------------------------------------------------------------- oracles
@@ -3114,6 +3205,30 @@ ORACLES = {
                TRUE AS has_sketch
         FROM documents GROUP BY source
     """,
+    "url_canonical": f"""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+            || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+            || 'Ex' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM/'
+            || source || '/Doc' || CAST(doc_id AS VARCHAR)
+            || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=bench&id=' || CAST(doc_id % 50 AS VARCHAR)
+                       || '&utm_medium=cpc'
+                  ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN '#Sec1' ELSE '' END) AS url
+          FROM documents
+        ), {_URL_CANON_CORE}
+        SELECT doc_id, url_canon, host FROM (
+          SELECT doc_id, url_canon, host,
+                 row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY {_HASH64.format(expr=f"concat('{SAMPLE_SEED}|', CAST(doc_id AS VARCHAR))")} ASC,
+                            doc_id ASC) AS rk
+          FROM canon
+        ) WHERE rk <= {URL_CAP_N}
+    """,
 }
 
 QUERIES = {
@@ -3188,4 +3303,5 @@ QUERIES = {
     "quality_gopher": q_quality_gopher,
     "bm25_batch": q_bm25_batch,
     "corpus_sketch_counts": q_corpus_sketch_counts,
+    "url_canonical": q_url_canonical,
 }
