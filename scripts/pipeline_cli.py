@@ -123,7 +123,10 @@ def cmd_materialize_openings(args: argparse.Namespace) -> None:
 
 def cmd_clean_corpus(args: argparse.Namespace) -> None:
     """Training-data stage (beyond the reference's surface): JSONL corpus →
-    corrupt-line quarantine → optional target matching (document-level
+    corrupt-line quarantine → optional URL-level pass FIRST (RefinedWeb
+    §3.1 order: ``--urlCol`` dedups by canonical URL before any content
+    work; ``--hostCap`` then bounds docs per host) → optional target
+    matching (document-level
     DSIR selection via ``--dsirTarget``, then corpus-level mixture
     reweighting via ``--mixTarget``: fitted per-source weights applied as
     stratified keep rates) → quality gate (composite score, or the Gopher
@@ -159,12 +162,35 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
 
     spark = _spark()
     out = Path(args.outDir)
-    docs, quarantined = split_corrupt(read_jsonl(spark, args.inDir))
+    schema = None
+    if args.urlCol:
+        from pyspark.sql import types as T
+
+        from chess_lakehouse_spark.sources.jsonl import DOC_SCHEMA
+
+        schema = T.StructType(
+            list(DOC_SCHEMA.fields) + [T.StructField(args.urlCol, T.StringType())]
+        )
+    docs, quarantined = split_corrupt(read_jsonl(spark, args.inDir, schema=schema))
     n_bad = quarantined.count()
     if n_bad:
         quarantined.write.mode("overwrite").text(str(out / "quarantine"))
 
     n_in = docs.count()
+    if args.urlCol:
+        # URL-level pass FIRST, before any content-touching stage: exact
+        # dedup by canonical URL (min doc_id wins — one map-combined
+        # shuffle + one keyed semi-join), then the optional per-host cap.
+        from chess_lakehouse_spark.functions.urls import host_cap, url_dedup_groups
+
+        winners = url_dedup_groups(docs, "doc_id", args.urlCol).select(
+            F.col("canonical_id").alias("doc_id")
+        )
+        docs = docs.join(winners, "doc_id", "left_semi")
+        if args.hostCap:
+            docs = host_cap(
+                docs, "doc_id", args.urlCol, n=args.hostCap, seed=args.seed
+            ).drop("host")
     if args.dsirTarget:
         # DSIR selection BEFORE the quality gate: keep the --dsirKeep docs
         # whose hashed n-gram distribution best matches the target corpus
@@ -401,6 +427,13 @@ def main(argv: list[str] | None = None) -> None:
                          "Gopher per-rule battery")
     cc.add_argument("--gopherMinWords", type=int, default=50)
     cc.add_argument("--gopherMinStops", type=int, default=2)
+    cc.add_argument("--urlCol", default=None,
+                    help="URL-level pass first: exact dedup by canonical URL "
+                         "(min doc_id wins); names a string column present in "
+                         "the input JSONL (added to the read schema)")
+    cc.add_argument("--hostCap", type=int, default=0,
+                    help="with --urlCol: keep at most N docs per host "
+                         "(deterministic hash order)")
     cc.add_argument("--paragraphDedupSep", default=None,
                     help="run corpus-wide paragraph first-occurrence dedup "
                          "on this LITERAL separator before near-dup "

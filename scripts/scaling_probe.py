@@ -9,7 +9,8 @@ each operator end-to-end. A near-linear (or flat) wall-clock curve across
 8x is the local evidence that the shape survives the next 100x on a real
 cluster, where the same shuffles spread over executors instead of cores.
 
-Usage: python scripts/scaling_probe.py [sf_dir] [factors...]
+Usage: python scripts/scaling_probe.py [sf_dir] [factors...] [--ops a,b]
+``--ops`` limits the run to the named operators (table builds still run).
 Prints one JSON line per (operator, factor) plus a summary table.
 """
 
@@ -60,8 +61,14 @@ def _scaled(spark, src, id_col, factor, out, text_col=None):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    factors = [int(x) for x in sys.argv[2:]] or [1, 2, 4, 8]
+    args = sys.argv[1:]
+    only_ops: set[str] | None = None
+    if "--ops" in args:
+        i = args.index("--ops")
+        only_ops = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    factors = [int(x) for x in args[1:]] or [1, 2, 4, 8]
 
     from chess_lakehouse_spark.session import get_spark
 
@@ -79,13 +86,17 @@ def main() -> None:
         mixture_fit,
         shard_assignments,
     )
+    from chess_lakehouse_spark.functions.urls import host_cap, url_dedup_groups
     from chess_lakehouse_spark.operators.sketches import content_sketches
     from chess_lakehouse_spark.operators.similarity import knn_ivf
+    from chess_lakehouse_spark.suite.llm import _synth_url_col
 
     tmp = tempfile.mkdtemp(prefix="scaling_probe_")
     results: dict[str, dict[int, float]] = {}
 
     def probe(name, factor, thunk):
+        if only_ops is not None and name not in only_ops:
+            return
         best = None
         for _ in range(2):
             t0 = time.time()
@@ -157,6 +168,20 @@ def main() -> None:
                 docs.where(F.col("doc_id") % 10 == 0),
                 "source", "text", n_buckets=256,
             ),
+        )
+        # URL passes over a synthesized messy URL per doc (the suite's
+        # gated grammar): dedup is one map-combined shuffle on the
+        # canonical key; host_cap is one window shuffle over 7 hosts —
+        # deliberately FEW groups, so this curve also measures how the
+        # rank-per-group shape degrades under group skew.
+        docs_url = docs.withColumn("url", _synth_url_col())
+        probe(
+            "url_dedup", factor,
+            lambda: url_dedup_groups(docs_url, "doc_id", "url").count(),
+        )
+        probe(
+            "url_host_cap", factor,
+            lambda: host_cap(docs_url, "doc_id", "url", n=40).count(),
         )
 
     # Boilerplate-bomb stress: one shared token interleaved between every

@@ -870,3 +870,53 @@ def test_pipeline_cli_clean_corpus_mixture_reweighting(spark, tmp_path, capsys):
     # the web source dominates; junk is sampled to (near) zero
     assert counts.get("web", 0) > 100
     assert counts.get("junk", 0) <= 10
+
+
+def test_pipeline_cli_clean_corpus_url_pass(spark, tmp_path, capsys):
+    """--urlCol runs the URL-level pass FIRST: alias URLs (scheme case,
+    www., tracking params, trailing slash) collapse to one doc (min
+    doc_id wins), and --hostCap bounds the survivors per host."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    lines = []
+    # docs 0-3 are four aliases of ONE canonical URL (distinct texts, so
+    # only the URL pass can collapse them); docs 10-29 spread over host
+    # big.com — more than the cap
+    aliases = [
+        "https://www.Dup.com/x?utm_source=a",
+        "HTTP://dup.com/x/",
+        "https://dup.com/x#frag",
+        "dup.com/x",
+    ]
+    for i, u in enumerate(aliases):
+        lines.append(json.dumps(
+            {"doc_id": i, "text": " ".join(f"a{i}_{j} the of" for j in range(20)),
+             "lang": "en", "source": "s0", "url": u}
+        ))
+    for i in range(10, 30):
+        lines.append(json.dumps(
+            {"doc_id": i, "text": " ".join(f"b{i}_{j} the of" for j in range(20)),
+             "lang": "en", "source": "s0", "url": f"https://big.com/p{i}"}
+        ))
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "p.jsonl").write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(out),
+        "--minQuality", "0.0", "--threshold", "0.95", "--evalFrac", "0.2",
+        "--urlCol", "url", "--hostCap", "5",
+    ])
+    assert "[clean-corpus]" in capsys.readouterr().out
+    published = spark.read.json(str(out / "corpus"))
+    ids = {r.doc_id for r in published.collect()}
+    assert ids & {0, 1, 2, 3} == {0}  # aliases collapsed to min doc_id
+    assert len(ids & set(range(10, 30))) == 5  # host cap enforced
+    # the url column rides through to the published shards
+    assert "url" in published.columns
