@@ -920,11 +920,15 @@ def bm25_batch(
     to the lake and serve every batch from them.
 
     Returns (query_id, doc_id, score, rk) with rk = 1..k per query.
+
+    The "stage to the lake" form of this plan exists as
+    :func:`build_bm25_index` / :func:`bm25_from_index`; all three BM25
+    paths score through the ONE expression builder
+    :func:`_bm25_score_rank`, so the staged path cannot drift from this
+    oracle-gated one.
     """
     if k < 1:
         raise ValueError(f"bm25_batch: k must be >= 1, got {k}")
-    from pyspark.sql.window import Window
-
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("t"),
@@ -936,12 +940,7 @@ def bm25_batch(
     n_docs = stats.select("n_docs").scalar()
     total_len = stats.select("total_len").scalar()
 
-    q_terms = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(
-            F.array_distinct(F.filter(ws_tokens(F.col(query_text_col)), lambda t: t != ""))
-        ).alias("t"),
-    )
+    q_terms = _bm25_query_terms(queries, query_id_col, query_text_col)
     # postings restricted to terms ANY query uses (semi-join, term-keyed)
     wanted = q_terms.select("t").distinct()
     postings = (
@@ -950,6 +949,43 @@ def bm25_batch(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    return _bm25_score_rank(
+        q_terms, postings, dfreq, lengths, n_docs, total_len, k, k1, b, precision
+    )
+
+
+def _bm25_query_terms(
+    queries: DataFrame, query_id_col: str, query_text_col: str
+) -> DataFrame:
+    """(query_id, t) pairs — DISTINCT terms per query."""
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(ws_tokens(F.col(query_text_col)), lambda t: t != "")
+            )
+        ).alias("t"),
+    )
+
+
+def _bm25_score_rank(
+    q_terms: DataFrame,
+    postings: DataFrame,
+    dfreq: DataFrame,
+    lengths: DataFrame,
+    n_docs,
+    total_len,
+    k: int,
+    k1: float,
+    b: float,
+    precision: int,
+) -> DataFrame:
+    """The single scoring/ranking tail shared by :func:`bm25_batch` and
+    :func:`bm25_from_index`: same idf integer-ratio log, per-term
+    ROUND(·,precision), DECIMAL-exact sum, and (score DESC, doc_id) total
+    order as the oracle template. ``n_docs``/``total_len`` are Columns
+    (scalar subqueries — stay lazy, no extra corpus action)."""
+    from pyspark.sql.window import Window
 
     idf = F.round(
         F.log((2 * n_docs + F.lit(2)).cast("double") / (2 * F.col("df") + 1).cast("double")),
@@ -981,6 +1017,102 @@ def bm25_batch(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= k)
         .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+def build_bm25_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    n_posting_files: int = 64,
+) -> None:
+    """Materialize the BM25 corpus tables to the lake — ONE corpus pass,
+    after which any number of query batches score without touching the
+    corpus again (the serving layout :func:`bm25_batch`'s docstring
+    promises at 100 TB):
+
+    - ``postings/``  (t, doc_id, tf) — TERM-CLUSTERED via
+      operators/publish.py:write_clustered, so the files cover disjoint
+      term ranges and a query batch's term predicate skips every file
+      whose footer [min,max] can't match;
+    - ``dfreq/``     (t, df) — vocabulary-sized;
+    - ``lengths/``   (doc_id, n_d);
+    - ``stats/``     one row (n_docs, total_len).
+
+    Rebuild on corpus change (append-only corpora can instead union a
+    delta index and re-aggregate postings/dfreq — same keyed shapes).
+    """
+    from chess_lakehouse_spark.operators.publish import write_clustered
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("t"),
+    )
+    lengths = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d"))
+    lengths.write.mode("overwrite").parquet(f"{index_dir}/lengths")
+    postings = toks.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    write_clustered(postings, f"{index_dir}/postings", ["t"], n_files=n_posting_files)
+    postings_staged = toks.sparkSession.read.parquet(f"{index_dir}/postings")
+    postings_staged.groupBy("t").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/dfreq")
+    lengths_staged = toks.sparkSession.read.parquet(f"{index_dir}/lengths")
+    lengths_staged.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_d").alias("total_len")
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def bm25_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    precision: int = 6,
+    max_pushdown_terms: int = 1_000,
+) -> DataFrame:
+    """Score a query batch from a staged :func:`build_bm25_index` layout —
+    zero corpus access; identical results to :func:`bm25_batch` on the
+    indexed corpus (same contract, pytest-pinned equality) because both
+    paths end in :func:`_bm25_score_rank`.
+
+    Term restriction is adaptive, the same bounded-literal discipline as
+    the jaccard cost-model selector: when the batch's distinct-term count
+    is ≤ ``max_pushdown_terms``, the terms become an ``isin`` literal that
+    PUSHES to the postings Parquet scan — with the term-clustered layout,
+    footer min/max skipping turns the read into O(matching files). A
+    larger batch (bulk scoring, unbounded vocabulary) falls back to the
+    term-keyed semi-join: one shuffle, no driver-side literal of unbounded
+    size.
+
+    Returns (query_id, doc_id, score, rk), rk = 1..k per query.
+    """
+    if k < 1:
+        raise ValueError(f"bm25_from_index: k must be >= 1, got {k}")
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    dfreq = spark.read.parquet(f"{index_dir}/dfreq")
+    lengths = spark.read.parquet(f"{index_dir}/lengths")
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    n_docs = stats.select("n_docs").scalar()
+    total_len = stats.select("total_len").scalar()
+
+    q_terms = _bm25_query_terms(queries, query_id_col, query_text_col)
+    wanted = q_terms.select("t").distinct()
+    # bounded-literal probe: LIMIT max+1 caps what ever reaches the driver
+    term_rows = wanted.limit(max_pushdown_terms + 1).collect()
+    if len(term_rows) <= max_pushdown_terms:
+        terms = [r["t"] for r in term_rows]
+        postings = postings.where(F.col("t").isin(terms))
+        dfreq = dfreq.where(F.col("t").isin(terms))
+    else:
+        postings = postings.join(wanted, "t", "left_semi")
+        dfreq = dfreq.join(wanted, "t", "left_semi")
+    return _bm25_score_rank(
+        q_terms, postings, dfreq, lengths, n_docs, total_len, k, k1, b, precision
     )
 
 

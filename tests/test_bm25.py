@@ -262,3 +262,77 @@ def test_bm25_batch_duckdb_oracle_parity(spark):
     duck = sorted(con.execute(sql).fetchall())
     assert duck == got
     assert len({q for q, *_ in got}) == 2  # zebra matches nothing
+
+
+def test_bm25_index_serving_equals_one_pass(spark, docs_df, tmp_path):
+    """build_bm25_index + bm25_from_index reproduces bm25_batch exactly —
+    both the pushed-literal branch (small batch) and the semi-join
+    fallback (max_pushdown_terms forced to 0-ish) — because all paths end
+    in the shared _bm25_score_rank builder."""
+    from chess_lakehouse_spark.functions.text import (
+        bm25_batch,
+        bm25_from_index,
+        build_bm25_index,
+    )
+
+    idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(docs_df, "id", "text", idx, n_posting_files=4)
+    queries = spark.createDataFrame(
+        [(100, "cat mat"), (101, "dog yard"), (102, "lattice gauge")],
+        "qid long, qtext string",
+    )
+    want = sorted(
+        tuple(r) for r in bm25_batch(docs_df, "id", "text", queries, "qid", "qtext", k=5).collect()
+    )
+    pushed = sorted(
+        tuple(r)
+        for r in bm25_from_index(spark, idx, queries, "qid", "qtext", k=5).collect()
+    )
+    joined = sorted(
+        tuple(r)
+        for r in bm25_from_index(
+            spark, idx, queries, "qid", "qtext", k=5, max_pushdown_terms=1
+        ).collect()
+    )
+    assert want == pushed == joined
+    assert len(want) > 0
+
+
+def test_bm25_index_term_filter_reaches_postings_scan(spark, docs_df, tmp_path):
+    """Small-batch serving must push the term literal to the Parquet scan
+    (the footer-skipping precondition write_clustered provides): the
+    physical plan's postings scan carries an In(t, ...) pushed filter."""
+    from chess_lakehouse_spark.functions.text import bm25_from_index, build_bm25_index
+
+    idx = str(tmp_path / "bm25_idx2")
+    build_bm25_index(docs_df, "id", "text", idx, n_posting_files=4)
+    queries = spark.createDataFrame([(1, "cat mat")], "qid long, qtext string")
+    out = bm25_from_index(spark, idx, queries, "qid", "qtext", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(t, [cat,mat])" in plan or "In(t, [mat,cat])" in plan
+
+
+def test_bm25_index_stats_and_layout(spark, docs_df, tmp_path):
+    """The staged tables carry the exact corpus statistics, and the
+    postings files cover disjoint term ranges (pyarrow footer check —
+    the property the file-skip claim rests on)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from chess_lakehouse_spark.functions.text import build_bm25_index
+
+    idx = str(tmp_path / "bm25_idx3")
+    build_bm25_index(docs_df, "id", "text", idx, n_posting_files=3)
+    stats = spark.read.parquet(f"{idx}/stats").first()
+    n_tokens = sum(len(t.split()) for _, t in DOCS)
+    assert stats["n_docs"] == len(DOCS) and stats["total_len"] == n_tokens
+    ranges = []
+    for f in sorted(Path(f"{idx}/postings").glob("*.parquet")):
+        md = pq.read_metadata(str(f))
+        col = md.row_group(0).column(0)
+        lo = col.statistics.min
+        hi = pq.read_metadata(str(f)).row_group(md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
