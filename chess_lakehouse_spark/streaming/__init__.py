@@ -12,11 +12,13 @@ from chess_lakehouse_spark.streaming.jobs import (
     session_windows,
     sliding_event_counts,
     stream_incremental_dedup,
+    stream_url_dedup,
     streaming_dedup,
 )
 
 __all__ = [
     "stream_incremental_dedup",
+    "stream_url_dedup",
     "corpus_ingest_clean",
     "hourly_event_counts",
     "read_documents_stream",

@@ -410,3 +410,71 @@ def stream_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_url_dedup(
+    new_docs: DataFrame,
+    urls_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """Streaming URL-level dedup — the cross-batch form of the
+    clean-corpus ``--urlCol`` pass (RefinedWeb's FIRST stage): each
+    micro-batch admits only the first occurrence of every canonical URL,
+    within the batch (min id wins, matching
+    ``functions.urls.url_dedup_groups``) AND against every URL admitted by
+    earlier batches (one equi-anti-join on the staged canonical-URL table
+    — URL-sized keys, never document text). Admitted docs land in
+    ``out_dir`` with their ``url_canon``; their (url_canon, id) rows
+    append to ``urls_dir``, so every later batch dedups against
+    everything admitted before it.
+
+    Same idempotent restart contract as ``stream_incremental_dedup``:
+    every write goes to a ``batch_id=N`` partition with overwrite
+    semantics, so a crash-replayed batch rewrites its own partition
+    byte-identically. Per-batch cost: O(|batch|) pure-codegen
+    canonicalization + one map-combined groupBy on the batch's URLs + the
+    staged anti-join.
+    """
+    from chess_lakehouse_spark.functions.urls import url_canonicalize
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(hconf).exists(p)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        canon = batch_df.withColumn(
+            "url_canon", url_canonicalize(F.col(url_col))
+        ).persist()
+        try:
+            winners = canon.groupBy("url_canon").agg(
+                F.min(id_col).alias(id_col)
+            )
+            if _exists(spark, urls_dir):
+                staged = spark.read.parquet(urls_dir).select("url_canon")
+                winners = winners.join(staged, "url_canon", "left_anti")
+            admitted = canon.join(
+                winners.select(id_col), id_col, "left_semi"
+            ).persist()
+            admitted.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            admitted.select("url_canon", id_col).write.mode("overwrite").parquet(
+                f"{urls_dir}/batch_id={batch_id}"
+            )
+            admitted.unpersist()
+        finally:
+            canon.unpersist()
+
+    q = (
+        new_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

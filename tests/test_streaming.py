@@ -533,3 +533,57 @@ def test_corpus_ingest_clean_rejects_unknown_gate_and_unifies_schema(spark, tmp_
     ).schema
     assert score_schema == gopher_schema
     assert "quality_score" in gopher_schema.fieldNames()
+
+
+def test_stream_url_dedup_cross_batch_and_replay(spark, tmp_path):
+    """Streaming URL pass: drop 1 collapses intra-batch URL aliases (min
+    id wins, = url_dedup_groups batch semantics); drop 2's alias of an
+    ADMITTED URL is rejected by the staged anti-join while a new URL is
+    admitted; restart with nothing new reprocesses nothing."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.streaming import stream_url_dedup
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    urls = str(tmp_path / "urls")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet")
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_url_dedup(stream, urls, out, ckpt)
+
+    def doc(i, u):
+        return Row(doc_id=i, text=f"body {i}", url=u)
+
+    # drop 1: docs 1/2 are aliases of one canonical URL; doc 3 distinct
+    land("d1", [
+        doc(1, "https://www.A.com/x?utm_source=s"),
+        doc(2, "HTTP://a.com/x/"),
+        doc(3, "https://a.com/y"),
+    ])
+    run()
+    admitted1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted1 == {1, 3}
+
+    # drop 2: doc 10 is ANOTHER alias of the admitted a.com/x; doc 11 new
+    land("d2", [doc(10, "a.com/x#frag"), doc(11, "https://b.com/z")])
+    run()
+    admitted2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted2 == {1, 3, 11}
+    staged = {(r.url_canon, r.doc_id) for r in spark.read.parquet(urls).collect()}
+    assert staged == {("a.com/x", 1), ("a.com/y", 3), ("b.com/z", 11)}
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 11}
