@@ -232,6 +232,90 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def build_lm(df: DataFrame, text_col: str, lm_dir: str) -> None:
+    """Stage a unigram LM to the lake — the CCNet shape (Wenzek et al.
+    2020): the LM is trained ONCE on a reference corpus and then scores
+    every candidate batch/stream without touching the training corpus
+    again (:func:`unigram_logprob` is the self-scored form; this is the
+    train/serve split). One corpus pass writes:
+
+    - ``terms/``  (term, ctf) — vocabulary-sized exact counts;
+    - ``stats/``  one row (total tokens, vocab size).
+
+    Counts, not probabilities, are staged: every downstream score stays
+    an exact-integer rational until the final ROUND(ln(·), 6), the
+    engine-portability contract all LM scoring here rides.
+    """
+    terms = df.select(F.explode(ws_tokens(F.col(text_col))).alias("term")).where(
+        F.col("term") != ""
+    )
+    ctf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    ctf.write.mode("overwrite").parquet(f"{lm_dir}/terms")
+    staged = terms.sparkSession.read.parquet(f"{lm_dir}/terms")
+    staged.agg(
+        F.sum("ctf").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).write.mode("overwrite").parquet(f"{lm_dir}/stats")
+
+
+def lm_score_from(
+    spark,
+    lm_dir: str,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score documents against a staged :func:`build_lm` model — zero
+    training-corpus access, and (unlike the self-scored
+    :func:`unigram_logprob`, where every token is in-vocabulary by
+    construction) defined on OUT-OF-VOCABULARY tokens via add-1/2
+    smoothing in exact-integer rational form:
+
+        p(w) = (2·c(w) + 1) / (2·total + V)      (c(w) = 0 when unseen)
+
+    so per-term ``lp = ROUND(ln(int/int), 6)`` stays engine-identical and
+    the per-doc mean rides the integer-exact rounding contract
+    (functions/exact.py). The token stream LEFT-joins the staged
+    vocabulary (keyed; AQE broadcasts it when it fits — no forced hint,
+    web-scale vocabularies are unbounded) — unseen tokens keep flowing
+    with c=0 instead of silently dropping.
+
+    Returns (id, n_tokens, n_oov, nll); high nll = out-of-distribution,
+    the CCNet filtering signal.
+    """
+    from chess_lakehouse_spark.functions.exact import mean6, sum6_long
+
+    terms_tbl = spark.read.parquet(f"{lm_dir}/terms")
+    stats = spark.read.parquet(f"{lm_dir}/stats")
+    total = stats.select("total").scalar()
+    vocab = stats.select("vocab").scalar()
+    doc_terms = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    lp = F.round(
+        F.log(
+            (2 * F.coalesce(F.col("ctf"), F.lit(0)) + 1).cast("double")
+            / (2 * total + vocab).cast("double")
+        ),
+        6,
+    )
+    return (
+        doc_terms.join(terms_tbl, "term", "left")
+        .select(id_col, F.col("ctf"), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("ctf").isNull()).alias("n_oov"),
+            sum6_long(F.col("lp")).alias("_s6"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_oov",
+            (-mean6("_s6", "n_tokens")).alias("nll"),
+        )
+    )
+
+
 def chunk_tokens(
     df: DataFrame, id_col: str, text_col: str, window: int = 64, stride: int = 48
 ) -> DataFrame:

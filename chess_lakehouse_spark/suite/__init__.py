@@ -92,10 +92,14 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # round as VERIFY_LOCAL_r{N}.txt at both sf0.01 and sf0.1.
 #
 # r9 window planning — FIRST bump WINDOW_BUDGETED_FOR to 9 when
-# re-planning: (1) the 5 deferred r6-green queries (listed above) go
-# first — they will be at the P - 1 age bound; (2) then the 45 stalest
-# r7-green queries; the youngest r7-green queries defer to r10 exactly
-# as this round's 5 defer to r9.
+# re-planning: (1) any never-verified queries registered at the re-plan
+# go first — the staged candidate q_lm_staged (suite/llm.py, oracle
+# LM_STAGED_ORACLE already suite-defined and parity-pinned in
+# tests/test_lm_staged.py) is ready to register as `lm_staged`;
+# (2) then the 5 deferred r6-green queries (listed above) — they will be
+# at the P - 1 age bound; (3) then the stalest r7-green queries to fill
+# the window; the youngest r7-green queries defer to r10 exactly as this
+# round's 5 defer to r9.
 WINDOW_BUDGETED_FOR = 8
 
 _WINDOW_ORDER = [

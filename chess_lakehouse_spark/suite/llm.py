@@ -1435,6 +1435,39 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_n_per_group(with_url, "doc_id", "host", n=URL_CAP_N, seed=SAMPLE_SEED)
 
 
+#: Train/score split for the staged-LM candidate: the LM fits on 3/4 of
+#: the corpus and scores the held-out quarter (OOV actually occurs).
+LM_STAGED_MOD = 4
+
+
+def _lm_dir(sf_dir: str) -> str:
+    """Per-process temp dir for the staged LM (same atexit-cleaned root
+    as the skipping lake)."""
+    return _sklake_dir(sf_dir).rsplit("/", 1)[0] + "/lm"
+
+
+def q_lm_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style staged-LM scoring (Wenzek et al. 2020): build_lm
+    stages unigram counts from 3/4 of the corpus to the lake, then
+    lm_score_from scores the held-out quarter with add-1/2 OOV smoothing
+    and ZERO training-corpus access (functions/text.py:build_lm,
+    lm_score_from).
+
+    r9 STAGING CANDIDATE — not yet registered: exact value parity against
+    LM_STAGED_ORACLE is pinned in tests/test_lm_staged.py (driver-safe
+    types); registration at the r9 window re-plan is a dict + window
+    edit, per the suite/__init__.py plan."""
+    from chess_lakehouse_spark.functions.text import build_lm, lm_score_from
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % LM_STAGED_MOD != 0)
+    held_out = docs.where(F.col("doc_id") % LM_STAGED_MOD == 0)
+    lm = _lm_dir(sf_dir)
+    build_lm(train, "text", lm)
+    return lm_score_from(spark, lm, held_out, "doc_id", "text")
+
+
 #: DuckDB mirror of functions/urls.py:url_canonicalize, step for step,
 #: with every regex INTERPOLATED FROM THE SAME PYTHON CONSTANTS the Spark
 #: chain compiles (SCHEME_RE/HOST_RE/WWW_RE/FRAGMENT_RE/TRACKING_PARAM_RE
@@ -2061,6 +2094,38 @@ def bm25_batch_oracle_sql(
 ) -> str:
     return BM25_BATCH_ORACLE_TPL.format(queries_cte=queries_cte, k1=k1, b=b, k=k)
 
+
+#: DuckDB oracle for q_lm_staged — defined HERE (not in tests/) per the
+#: anti-divergence pattern so registration at r9 is a dict edit only;
+#: tests/test_lm_staged.py imports this. Same tokenization CTE shape as
+#: the gated lm_score oracle; the smoothing keeps every input an exact
+#: integer: lp = ROUND(ln((2c+1)/(2T+V)), 6), c = 0 for OOV.
+LM_STAGED_ORACLE = rf"""
+    WITH tr AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+      WHERE doc_id % {LM_STAGED_MOD} != 0
+    ),
+    tr2 AS (SELECT term FROM tr WHERE term <> ''),
+    ctf AS (SELECT term, COUNT(*) AS ctf FROM tr2 GROUP BY 1),
+    st AS (SELECT SUM(ctf) AS total, COUNT(*) AS vocab FROM ctf),
+    sc AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+      WHERE doc_id % {LM_STAGED_MOD} = 0
+    ),
+    sc2 AS (SELECT doc_id, term FROM sc WHERE term <> ''),
+    lps AS (
+      SELECT s.doc_id, c.ctf,
+             ROUND(ln(CAST(2 * COALESCE(c.ctf, 0) + 1 AS DOUBLE)
+                      / CAST(2 * st.total + st.vocab AS DOUBLE)), 6) AS lp
+      FROM sc2 s LEFT JOIN ctf c USING (term) CROSS JOIN st
+    )
+    SELECT doc_id, n_tokens, n_oov, -({_mean6_sql("s6", "n_tokens")}) AS nll FROM (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(COUNT(*) FILTER (WHERE ctf IS NULL) AS BIGINT) AS n_oov,
+             {_sum6_sql("lp")} AS s6
+      FROM lps GROUP BY 1
+    )
+"""
 
 ORACLES = {
     "dedup_exact": """
