@@ -183,6 +183,36 @@ def main() -> None:
             "url_host_cap", factor,
             lambda: host_cap(docs_url, "doc_id", "url", n=40).count(),
         )
+        # staged-serving paths: the curve of interest is SERVE cost as the
+        # staged corpus grows x1..x8 while the query batch stays fixed —
+        # near-flat serve = the stage-once/serve-many contract holds.
+        if only_ops is None or {"bm25_serve", "lm_serve"} & only_ops:
+            from chess_lakehouse_spark.functions.text import (
+                bm25_from_index,
+                build_bm25_index,
+                build_lm,
+                lm_score_from,
+            )
+
+            bm25_queries = spark.createDataFrame(
+                [(i, "join hash vector customer table scan") for i in range(20)],
+                "qid long, qtext string",
+            )
+            build_bm25_index(docs, "doc_id", "text", f"{tmp}/bm25_x{factor}")
+            probe(
+                "bm25_serve", factor,
+                lambda: bm25_from_index(
+                    spark, f"{tmp}/bm25_x{factor}", bm25_queries, "qid", "qtext", k=10
+                ).count(),
+            )
+            build_lm(docs, "text", f"{tmp}/lm_x{factor}")
+            lm_batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            probe(
+                "lm_serve", factor,
+                lambda: lm_score_from(
+                    spark, f"{tmp}/lm_x{factor}", lm_batch, "doc_id", "text"
+                ).count(),
+            )
 
     # Boilerplate-bomb stress: one shared token interleaved between every
     # word of every doc makes ALL docs of the batch share the tag-word-tag
