@@ -441,6 +441,47 @@ def scrub_pii(text: Column) -> Column:
     return out
 
 
+#: strip_html patterns — Java-regex ∩ RE2 portable: inline (?is) flags,
+#: non-greedy spans, no ``$`` anchors. Script/style/comment SPANS drop
+#: with their content; every other tag becomes a space (so ``a<br>b``
+#: keeps a token boundary). An UNCLOSED script/style tag degrades
+#: gracefully: the span pattern needs the closing tag, so only the
+#: opening tag is stripped (by HTML_TAG_RE) and the content survives.
+HTML_SCRIPT_STYLE_RE = r"(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"<[^>]*>"
+#: The handful of entities that dominate web text, decoded literally
+#: (order matters: ``&amp;`` LAST, so ``&amp;lt;`` decodes exactly once,
+#: to ``&lt;`` — the standard single-pass contract).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(text: Column) -> Column:
+    """Markup strip for HTML-sourced corpora (the C4-class preprocessing
+    step upstream of every quality/dedup pass): drop script/style/comment
+    spans WITH their content, replace remaining tags with spaces, decode
+    the dominant entities, and collapse whitespace runs (the explicit
+    WS_SPLIT class) to single spaces. Pure codegen column chain — rides
+    the scan, zero Python — and a deliberate regex HEURISTIC, not an HTML5
+    parser: good for corpus text extraction, not for adversarial markup.
+    Case is preserved (unlike normalize_text); newlines collapse, so
+    paragraph structure must be taken (paragraph_dedup) BEFORE this pass
+    or from the source format."""
+    out = F.regexp_replace(text, HTML_SCRIPT_STYLE_RE, " ")
+    out = F.regexp_replace(out, HTML_COMMENT_RE, " ")
+    out = F.regexp_replace(out, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, WS_SPLIT, " "))
+
+
 def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, public): the
     duplicate-token fraction and the most-frequent-bigram fraction per

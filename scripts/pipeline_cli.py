@@ -230,6 +230,12 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         docs = stratified_hash_sample(
             docs, "doc_id", "source", rates=rates, seed=args.seed
         )
+    if args.stripHtml:
+        # markup strip BEFORE any content scoring/dedup (the C4-class
+        # extraction step) — pure column expression, rides the scan
+        from chess_lakehouse_spark.functions.text import strip_html
+
+        docs = docs.withColumn("text", strip_html(F.col("text")))
     if args.gate == "gopher":
         # per-rule gate (Rae et al. 2021) instead of the composite score —
         # one boolean column expression, no join
@@ -434,6 +440,9 @@ def main(argv: list[str] | None = None) -> None:
     cc.add_argument("--hostCap", type=int, default=0,
                     help="with --urlCol: keep at most N docs per host "
                          "(deterministic hash order)")
+    cc.add_argument("--stripHtml", action="store_true",
+                    help="strip HTML markup/entities from text before any "
+                         "scoring or dedup pass (functions.text.strip_html)")
     cc.add_argument("--paragraphDedupSep", default=None,
                     help="run corpus-wide paragraph first-occurrence dedup "
                          "on this LITERAL separator before near-dup "
