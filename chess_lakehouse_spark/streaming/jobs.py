@@ -185,13 +185,16 @@ def corpus_ingest_clean(
     dedup_window: str = "10 minutes",
     gate: str = "score",
     gopher_kwargs: dict | None = None,
+    strip_markup: bool = False,
 ) -> DataFrame:
     """Streaming corpus cleaning: quality gate + replay-safe exact dedup —
     the ingest-time half of the batch `pipeline_clean_corpus`.
 
     The gate is the SAME column expression the batch path uses — narrow,
     zero streaming state, so batch and stream classify identically:
-    ``gate="score"`` applies `functions.text.quality_score >=
+    ``strip_markup=True`` first applies `functions.text.strip_html` (the
+    batch ``--stripHtml`` pass — stateless, so stream and batch classify
+    identical text). ``gate="score"`` applies `functions.text.quality_score >=
     min_quality`; ``gate="gopher"`` applies the per-rule Gopher battery
     (`functions.text.gopher_passes` — min_quality is ignored, the rules
     carry their own thresholds). Any other ``gate`` raises (r7 ADVICE: a
@@ -210,6 +213,13 @@ def corpus_ingest_clean(
         )
     from chess_lakehouse_spark.functions.text import quality_score
 
+    if strip_markup:
+        # the batch --stripHtml pass, stream-side: stateless column
+        # expression BEFORE scoring/dedup, so batch and stream classify
+        # and digest identical text
+        from chess_lakehouse_spark.functions.text import strip_html
+
+        docs = docs.withColumn("text", strip_html(F.col("text")))
     scored = docs.withColumn("quality_score", quality_score(F.col("text")))
     if gate == "gopher":
         from chess_lakehouse_spark.functions.text import gopher_passes

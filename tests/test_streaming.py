@@ -587,3 +587,56 @@ def test_stream_url_dedup_cross_batch_and_replay(spark, tmp_path):
     # restart with nothing new: checkpoint prevents reprocessing
     run()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 11}
+
+
+def test_corpus_ingest_clean_strip_markup_matches_batch(spark, tmp_path):
+    """strip_markup=True in the stream publishes exactly the batch
+    strip_html + gate result: the strip is stateless, so batch and
+    stream see identical text (and digest identical content_md5)."""
+    import glob
+    import json
+    import shutil
+
+    from chess_lakehouse_spark.functions.text import quality_score, strip_html
+    from chess_lakehouse_spark.streaming import (
+        corpus_ingest_clean,
+        read_documents_stream,
+        stream_corpus_to_jsonl_shards,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    wrapped = base.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><p>"), F.col("text"),
+            F.lit("</p><script>var x;</script></html>"),
+        ),
+    )
+    d = tmp_path / "docs_stream"
+    staging = tmp_path / "_stage"
+    wrapped.coalesce(1).write.parquet(str(staging))
+    d.mkdir()
+    shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], d / "p.parquet")
+
+    min_q = 2.2
+    out = str(tmp_path / "shards")
+    clean = corpus_ingest_clean(
+        read_documents_stream(spark, str(d)), min_quality=min_q, strip_markup=True
+    )
+    stream_corpus_to_jsonl_shards(clean, out, str(tmp_path / "ckpt"))
+
+    got = set()
+    for path in glob.glob(f"{out}/*.json"):
+        with open(path) as fh:
+            for line in fh:
+                got.add((json.loads(line)["doc_id"], json.loads(line)["text"]))
+
+    batch = (
+        wrapped.withColumn("text", strip_html(F.col("text")))
+        .withColumn("q", quality_score(F.col("text")))
+        .where(F.col("q") >= min_q)
+    )
+    want = {(r["doc_id"], r["text"]) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0
+    assert all("<" not in t for _, t in got)
