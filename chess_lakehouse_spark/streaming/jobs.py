@@ -186,6 +186,8 @@ def corpus_ingest_clean(
     gate: str = "score",
     gopher_kwargs: dict | None = None,
     strip_markup: bool = False,
+    model: dict | None = None,
+    model_threshold: float = 0.5,
 ) -> DataFrame:
     """Streaming corpus cleaning: quality gate + replay-safe exact dedup —
     the ingest-time half of the batch `pipeline_clean_corpus`.
@@ -197,8 +199,12 @@ def corpus_ingest_clean(
     identical text). ``gate="score"`` applies `functions.text.quality_score >=
     min_quality`; ``gate="gopher"`` applies the per-rule Gopher battery
     (`functions.text.gopher_passes` — min_quality is ignored, the rules
-    carry their own thresholds). Any other ``gate`` raises (r7 ADVICE: a
-    typo silently fell back to the score gate). Both gates emit the same
+    carry their own thresholds); ``gate="model"`` applies a trained LR
+    quality filter (``model`` = the JSON dict from
+    `operators.classify.train_quality_classifier`, folded into one
+    sigmoid column expression — no MLlib on the stream). Any other
+    ``gate`` raises (r7 ADVICE: a typo silently fell back to the score
+    gate). Both gates emit the same
     schema — ``quality_score`` is annotated in gopher mode too (one more
     narrow expression), so downstream sinks see one schema regardless of
     gate. Dedup keys on the content md5; documents carry no event time,
@@ -207,10 +213,13 @@ def corpus_ingest_clean(
     (at-least-once replay guard), and the state store evicts each digest
     once the watermark passes it.
     """
-    if gate not in ("score", "gopher"):
+    if gate not in ("score", "gopher", "model"):
         raise ValueError(
-            f"corpus_ingest_clean: gate must be 'score' or 'gopher', got {gate!r}"
+            "corpus_ingest_clean: gate must be 'score', 'gopher' or "
+            f"'model', got {gate!r}"
         )
+    if gate == "model" and not model:
+        raise ValueError("corpus_ingest_clean: gate='model' requires a model dict")
     from chess_lakehouse_spark.functions.text import quality_score
 
     if strip_markup:
@@ -226,6 +235,15 @@ def corpus_ingest_clean(
 
         # one boolean column expression — no join, no streaming state
         filtered = scored.where(gopher_passes(F.col("text"), **(gopher_kwargs or {})))
+    elif gate == "model":
+        # learned LR gate: the staged model dict folds into one sigmoid
+        # column expression (operators/classify.py) — stateless like the
+        # other gates, identical classification to the batch --gate model
+        from chess_lakehouse_spark.operators.classify import classifier_score
+
+        filtered = scored.where(
+            classifier_score(F.col("text"), model) >= F.lit(float(model_threshold))
+        )
     else:
         filtered = scored.where(F.col("quality_score") >= min_quality)
     return (

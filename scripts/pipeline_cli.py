@@ -248,6 +248,20 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
                 min_stop_hits=args.gopherMinStops,
             )
         )
+    elif args.gate == "model":
+        # learned LR gate (GPT-3-style quality filter): the staged JSON
+        # model folds into one sigmoid column expression — no MLlib at
+        # inference
+        import json as _json
+
+        from chess_lakehouse_spark.operators.classify import classifier_score
+
+        if not args.modelJson:
+            raise SystemExit("clean-corpus --gate model requires --modelJson")
+        model = _json.loads(Path(args.modelJson).read_text())
+        kept = docs.where(
+            classifier_score(F.col("text"), model) >= args.modelThreshold
+        )
     else:
         kept = docs.where(quality_score(F.col("text")) >= args.minQuality)
     if args.paragraphDedupSep:
@@ -428,9 +442,16 @@ def main(argv: list[str] | None = None) -> None:
     cc.add_argument("--inDir", required=True, help="JSONL corpus path/glob")
     cc.add_argument("--outDir", required=True)
     cc.add_argument("--minQuality", type=float, default=2.2)
-    cc.add_argument("--gate", choices=("score", "gopher"), default="score",
-                    help="quality gate: composite score (default) or the "
-                         "Gopher per-rule battery")
+    cc.add_argument("--gate", choices=("score", "gopher", "model"), default="score",
+                    help="quality gate: composite score (default), the "
+                         "Gopher per-rule battery, or a trained LR model "
+                         "(--modelJson)")
+    cc.add_argument("--modelJson", default=None,
+                    help="with --gate model: JSON dict from "
+                         "train_quality_classifier")
+    cc.add_argument("--modelThreshold", type=float, default=0.5,
+                    help="with --gate model: keep docs with "
+                         "sigmoid score >= threshold")
     cc.add_argument("--gopherMinWords", type=int, default=50)
     cc.add_argument("--gopherMinStops", type=int, default=2)
     cc.add_argument("--urlCol", default=None,
