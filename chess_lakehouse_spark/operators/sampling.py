@@ -682,3 +682,94 @@ def mixture_fit(
     for _ in range(iters):
         w = project_simplex(w - (ata @ w - att) / lip)
     return [(s, round(float(w[s_idx[s]]), 6)) for s in sources]
+
+
+def pack_bins_bfd(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    n_shards: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """No-split sequence packing by best-fit-decreasing: place each
+    document WHOLE into a bin of capacity ``budget`` — the
+    fewer-truncations packing regime (Ding et al. 2024; standard for SFT),
+    complementary to :func:`pack_sequences`, whose concat-and-cut stream
+    splits documents at sequence boundaries.
+
+    Distribution strategy: documents are hash-assigned to ``n_shards``
+    independent packing shards (pure function of (seed, id) — the
+    sampling-hash determinism contract), and BFD runs per shard inside one
+    Arrow-batched ``applyInPandas`` (sorted-remaining-capacity bisection,
+    O(n log n) per shard; deterministic: lengths descending, id ascending,
+    capacity ties broken by bin id). Packing quality degrades only
+    marginally vs a global pack — each shard sees an i.i.d. sample of the
+    length distribution — while the shuffle is ONE exchange on the shard
+    key and per-task memory is O(shard). Size ``n_shards`` so a shard's
+    (id, n_tokens) pairs fit a task comfortably (pairs are ~16 bytes/doc;
+    the TEXT never moves — join the assignment back by id).
+
+    A document with ``n_tokens > budget`` gets its own bin, flagged
+    ``oversize`` (chunk upstream via ``chunk_tokens`` if splitting is
+    acceptable). Returns (id, n_tokens, shard, bin_id, bin_fill,
+    oversize): ``bin_id`` is unique across shards, ``bin_fill`` the
+    bin's total token count.
+    """
+    if budget < 1:
+        raise ValueError(f"pack_bins_bfd: budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"pack_bins_bfd: n_shards must be >= 1, got {n_shards}")
+    import pandas as pd
+
+    slim = df.select(
+        F.col(id_col).alias("id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(sample_hash(F.col(id_col), seed), F.lit(n_shards)).alias("shard"),
+    )
+
+    def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True], kind="mergesort"
+        )
+        shard = int(pdf["shard"].iloc[0])
+        # sorted list of (remaining_capacity, bin_idx): bisect finds the
+        # TIGHTEST bin that still fits (best fit); bin_idx breaks ties
+        open_bins: list[tuple[int, int]] = []
+        fills: list[int] = []
+        oversize_flags: list[bool] = []
+        bin_idx_out: list[int] = []
+        for tok in pdf["n_tokens"].to_list():
+            tok = int(tok)
+            if tok > budget:
+                bin_idx_out.append(len(fills))
+                fills.append(tok)
+                oversize_flags.append(True)
+                continue
+            i = bisect.bisect_left(open_bins, (tok, -1))
+            if i < len(open_bins):
+                cap, b = open_bins.pop(i)
+                new_cap = cap - tok
+            else:
+                b = len(fills)
+                fills.append(0)
+                new_cap = budget - tok
+            fills[b] += tok
+            oversize_flags.append(False)
+            if new_cap > 0:
+                bisect.insort(open_bins, (new_cap, b))
+            bin_idx_out.append(b)
+        out = pdf[["id", "n_tokens", "shard"]].copy()
+        # globally unique bin id: shard-local index striped by shard
+        out["bin_id"] = [int(b) * n_shards + shard for b in bin_idx_out]
+        out["bin_fill"] = [fills[b] for b in bin_idx_out]
+        out["oversize"] = oversize_flags
+        return out
+
+    return slim.groupBy("shard").applyInPandas(
+        _bfd,
+        schema="id long, n_tokens long, shard int, bin_id long, bin_fill long, "
+               "oversize boolean",
+    ).withColumnsRenamed({"id": id_col})

@@ -1,0 +1,115 @@
+"""No-split BFD sequence packing (operators/sampling.py: pack_bins_bfd):
+packing invariants, exact agreement with a pure-Python BFD reference at
+n_shards=1, partitioning determinism, and packing efficiency."""
+
+from __future__ import annotations
+
+import bisect
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.sampling import pack_bins_bfd
+
+BUDGET = 100
+
+
+def _ref_bfd(items: list[tuple[int, int]], budget: int) -> dict[int, int]:
+    """(id, n_tokens) -> {id: bin_idx}, lengths desc / id asc, best fit."""
+    order = sorted(items, key=lambda p: (-p[1], p[0]))
+    open_bins: list[tuple[int, int]] = []
+    n_bins = 0
+    out = {}
+    for i, tok in order:
+        if tok > budget:
+            out[i] = n_bins
+            n_bins += 1
+            continue
+        j = bisect.bisect_left(open_bins, (tok, -1))
+        if j < len(open_bins):
+            cap, b = open_bins.pop(j)
+            new_cap = cap - tok
+        else:
+            b = n_bins
+            n_bins += 1
+            new_cap = budget - tok
+        if new_cap > 0:
+            bisect.insort(open_bins, (new_cap, b))
+        out[i] = b
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(3)
+    rows = [(i, rng.randint(5, 90)) for i in range(300)]
+    rows += [(1000, 150), (1001, 101)]  # oversize
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long"), dict(rows)
+
+
+def test_packing_invariants(docs):
+    df, lengths = docs
+    out = pack_bins_bfd(df, "doc_id", "n_tokens", budget=BUDGET, n_shards=8).collect()
+    assert {r["doc_id"] for r in out} == set(lengths)  # every doc exactly once
+    assert len(out) == len(lengths)
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for rows in by_bin.values():
+        fill = sum(r["n_tokens"] for r in rows)
+        assert all(r["bin_fill"] == fill for r in rows)
+        if any(r["oversize"] for r in rows):
+            assert len(rows) == 1  # oversize docs sit alone
+        else:
+            assert fill <= BUDGET
+    # oversize flags exactly the >budget docs
+    assert {r["doc_id"] for r in out if r["oversize"]} == {1000, 1001}
+
+
+def test_single_shard_matches_python_reference(docs):
+    df, lengths = docs
+    out = pack_bins_bfd(df, "doc_id", "n_tokens", budget=BUDGET, n_shards=1).collect()
+    want = _ref_bfd(list(lengths.items()), BUDGET)
+    got = {r["doc_id"]: r["bin_id"] for r in out}
+    assert got == want  # n_shards=1 => bin_id = shard-local idx
+
+
+def test_assignment_is_partitioning_invariant(docs):
+    df, _ = docs
+    a = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in pack_bins_bfd(
+            df.repartition(7), "doc_id", "n_tokens", budget=BUDGET, n_shards=8
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in pack_bins_bfd(
+            df.repartition(3, "doc_id"), "doc_id", "n_tokens", budget=BUDGET, n_shards=8
+        ).collect()
+    }
+    assert a == b
+
+
+def test_packing_efficiency(docs):
+    """Sharded BFD must still pack densely: mean fill of non-oversize
+    bins well above the waste a naive one-doc-per-sequence layout has."""
+    df, _ = docs
+    out = pack_bins_bfd(df, "doc_id", "n_tokens", budget=BUDGET, n_shards=8)
+    fills = (
+        out.where(~F.col("oversize"))
+        .select("bin_id", "bin_fill")
+        .distinct()
+        .collect()
+    )
+    mean_fill = sum(r["bin_fill"] for r in fills) / len(fills)
+    assert mean_fill / BUDGET >= 0.7
+
+
+def test_budget_validation(docs):
+    df, _ = docs
+    with pytest.raises(ValueError, match="budget"):
+        pack_bins_bfd(df, "doc_id", "n_tokens", budget=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_bins_bfd(df, "doc_id", "n_tokens", budget=10, n_shards=0)
