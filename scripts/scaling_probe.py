@@ -213,6 +213,33 @@ def main() -> None:
                     spark, f"{tmp}/lm_x{factor}", lm_batch, "doc_id", "text"
                 ).count(),
             )
+        if only_ops is None or {"classifier_train", "pack_bfd"} & only_ops:
+            from chess_lakehouse_spark.functions.text import gopher_passes
+            from chess_lakehouse_spark.operators.classify import (
+                train_quality_classifier,
+            )
+            from chess_lakehouse_spark.operators.sampling import pack_bins_bfd
+
+            labeled = docs.withColumn(
+                "label", gopher_passes(F.col("text"), min_words=30,
+                                       min_stop_hits=1).cast("int")
+            )
+            probe(
+                "classifier_train", factor,
+                lambda: train_quality_classifier(
+                    labeled, "doc_id", "text", "label", max_iter=20
+                ),
+            )
+            with_len = docs.withColumn(
+                "n_tokens",
+                F.size(F.split(F.col("text"), r"[ \t\n\r\f\x0B]+")),
+            )
+            probe(
+                "pack_bfd", factor,
+                lambda: pack_bins_bfd(
+                    with_len, "doc_id", "n_tokens", budget=512, n_shards=64
+                ).count(),
+            )
 
     # Boilerplate-bomb stress: one shared token interleaved between every
     # word of every doc makes ALL docs of the batch share the tag-word-tag
