@@ -347,6 +347,35 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_train_quality_model(args: argparse.Namespace) -> None:
+    """Train the learned LR quality gate on a labeled JSONL corpus and
+    stage the model as plain JSON — the artifact ``clean-corpus --gate
+    model`` serves as one folded sigmoid column expression (GPT-3-style
+    learned filter; operators/classify.py)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from chess_lakehouse_spark.operators.classify import train_quality_classifier
+    from chess_lakehouse_spark.sources.jsonl import DOC_SCHEMA, read_jsonl, split_corrupt
+
+    spark = _spark()
+    schema = T.StructType(
+        list(DOC_SCHEMA.fields) + [T.StructField(args.labelField, T.IntegerType())]
+    )
+    docs, _bad = split_corrupt(read_jsonl(spark, args.inDir, schema=schema))
+    labeled = docs.where(F.col(args.labelField).isNotNull())
+    model = train_quality_classifier(
+        labeled, "doc_id", "text", args.labelField,
+        max_iter=args.maxIter, reg_param=args.regParam,
+    )
+    out = Path(args.outJson)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(_json.dumps(model, indent=1) + "\n")
+    print(f"[train-quality-model] n_labeled={labeled.count()} -> {out}")
+
+
 def cmd_maintain_lake(args: argparse.Namespace) -> None:
     """Lake-maintenance stage: compaction, crash-sidecar vacuum, or
     data-skipping manifest (re)build — the jobs a 100 TB lake schedules
@@ -508,6 +537,18 @@ def main(argv: list[str] | None = None) -> None:
     ml.add_argument("--bitsPerCol", type=int, default=8,
                     help="z-order bits per column for multi-column recluster")
     ml.set_defaults(fn=cmd_maintain_lake)
+
+    tq = sub.add_parser("train-quality-model")
+    tq.add_argument("--inDir", required=True,
+                    help="labeled JSONL corpus (doc_id/text/... plus the label field)")
+    tq.add_argument("--labelField", default="label",
+                    help="integer JSONL field: 1 = keep, 0 = drop")
+    tq.add_argument("--outJson", required=True,
+                    help="where to write the model dict (feed to "
+                         "clean-corpus --gate model --modelJson)")
+    tq.add_argument("--maxIter", type=int, default=100)
+    tq.add_argument("--regParam", type=float, default=0.01)
+    tq.set_defaults(fn=cmd_train_quality_model)
 
     dr = sub.add_parser("delete-rows")
     dr.add_argument("--lakeDir", required=True)

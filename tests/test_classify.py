@@ -208,3 +208,48 @@ def test_streaming_model_gate_requires_model(spark):
             spark.range(1).selectExpr("id doc_id", "'x' text"),
             min_quality=0.0, gate="model",
         )
+
+
+def test_cli_train_then_gate_end_to_end(spark, tmp_path, capsys):
+    """The full CLI loop: train-quality-model on labeled JSONL -> staged
+    model.json -> clean-corpus --gate model filters a fresh corpus."""
+    import json as _json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    train_src = tmp_path / "train"
+    train_src.mkdir()
+    lines = [
+        _json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "s0",
+                     "label": lab})
+        for i, t, lab in _corpus(120, seed=5)
+    ]
+    (train_src / "p.jsonl").write_text("\n".join(lines) + "\n")
+    model_path = tmp_path / "model.json"
+    pipeline_cli.main([
+        "train-quality-model", "--inDir", str(train_src),
+        "--outJson", str(model_path),
+    ])
+    assert "[train-quality-model]" in capsys.readouterr().out
+    model = _json.loads(model_path.read_text())
+    assert set(model) == {"features", "coef", "intercept"}
+
+    score_src = tmp_path / "score"
+    score_src.mkdir()
+    fresh = _corpus(40, seed=13)
+    (score_src / "p.jsonl").write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "s0"})
+        for i, t, _ in fresh
+    ) + "\n")
+    out = tmp_path / "out"
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(score_src), "--outDir", str(out),
+        "--gate", "model", "--modelJson", str(model_path),
+        "--threshold", "0.95", "--evalFrac", "0.0",
+    ])
+    published = {r.doc_id for r in spark.read.json(str(out / "corpus")).collect()}
+    want = {i for i, _, lab in fresh if lab == 1}
+    assert len(published ^ want) <= 2 and len(published) > 0
