@@ -482,6 +482,26 @@ def strip_html(text: Column) -> Column:
     return F.trim(F.regexp_replace(out, WS_SPLIT, " "))
 
 
+def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts for the three :data:`PII_PATTERNS`
+    classes plus the redacted text length — the AUDIT face of
+    :func:`scrub_pii` (how much PII a corpus carries, per source/doc,
+    before publication). Counts are non-overlapping left-to-right matches
+    (Java and RE2 agree); ``redacted_len`` pins the full replacement
+    chain with one hash-checkable scalar. Pure column expressions.
+    Returns (id, n_emails, n_phones, n_ips, redacted_len)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    names = ("n_emails", "n_phones", "n_ips")
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(t, F.lit(pat)).alias(name)
+            for name, (pat, _) in zip(names, PII_PATTERNS)
+        ],
+        F.length(scrub_pii(t)).alias("redacted_len"),
+    )
+
+
 def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, public): the
     duplicate-token fraction and the most-frequent-bigram fraction per

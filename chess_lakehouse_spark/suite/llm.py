@@ -1468,6 +1468,95 @@ def q_lm_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_from(spark, lm, held_out, "doc_id", "text")
 
 
+def _synth_pii_text() -> Column:
+    """Deterministic PII-laced text per document for the pii_scan
+    candidate: every doc gains an email, every third a phone, every fifth
+    an IPv4 — mirrored literally by the oracle SQL (the derived-input
+    gating form; the raw fixture text has no PII, which would make the
+    audit vacuous)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@ex"),
+        (d % 7).cast("string"),
+        F.lit(".example.org"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit pass (functions/text.py:pii_counts): per-document hit
+    counts for each PII_PATTERNS class plus the redacted length — the
+    corpus-publication audit, over deterministically PII-laced text so
+    every pattern actually fires.
+
+    r9 STAGING CANDIDATE — not yet registered: exact parity against
+    PII_SCAN_ORACLE pinned in tests/test_pii_scan.py; registration at
+    the r9 window re-plan is a dict + window edit."""
+    from chess_lakehouse_spark.functions.text import pii_counts
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    laced = docs.select("doc_id", _synth_pii_text().alias("text"))
+    return pii_counts(laced, "doc_id", "text")
+
+
+def _pii_scan_oracle() -> str:
+    """DuckDB oracle for q_pii_scan, generated from PII_PATTERNS (one
+    source of truth for the regexes, like _scrub_sql)."""
+    synth = """
+        documents_pii AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+            || (CASE WHEN doc_id % 3 = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0
+                  THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST(doc_id % 100 AS VARCHAR)
+                  ELSE '' END) AS t
+          FROM documents
+        )"""
+    scrubbed = "t"
+    for pattern, repl in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pattern}', '{repl}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INTEGER) AS {name}"
+        for name, (pat, _) in zip(("n_emails", "n_phones", "n_ips"), PII_PATTERNS)
+    )
+    return f"""
+        WITH {synth}
+        SELECT doc_id,
+           {counts},
+           CAST(length({scrubbed}) AS INTEGER) AS redacted_len
+        FROM documents_pii
+    """
+
+
+PII_SCAN_ORACLE = _pii_scan_oracle()
+
+
 #: DuckDB mirror of functions/urls.py:url_canonicalize, step for step,
 #: with every regex INTERPOLATED FROM THE SAME PYTHON CONSTANTS the Spark
 #: chain compiles (SCHEME_RE/HOST_RE/WWW_RE/FRAGMENT_RE/TRACKING_PARAM_RE

@@ -96,9 +96,10 @@ def test_guard_catches_decimal_and_timestamp(con):
 
 
 def test_staged_r9_candidate_oracle_types_are_allowlisted(con):
-    """The r9 staging candidate's oracle (defined in suite/llm.py ahead
+    """The r9 staging candidates' oracles (defined in suite/llm.py ahead
     of registration) must already satisfy the driver type allowlist —
     the r4 postmortem class caught BEFORE a red driver row, not after."""
-    from chess_lakehouse_spark.suite.llm import LM_STAGED_ORACLE
+    from chess_lakehouse_spark.suite.llm import LM_STAGED_ORACLE, PII_SCAN_ORACLE
 
     assert _offending_columns(con, LM_STAGED_ORACLE) == []
+    assert _offending_columns(con, PII_SCAN_ORACLE) == []
