@@ -93,11 +93,12 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #
 # r9 window planning — FIRST bump WINDOW_BUDGETED_FOR to 9 when
 # re-planning: (1) any never-verified queries registered at the re-plan
-# go first — two staged candidates are ready, each with a suite-defined
+# go first — three staged candidates are ready, each with a suite-defined
 # oracle, two-scale exact parity, a cold-JVM ANSI run, and the
 # type-allowlist guard: q_lm_staged / LM_STAGED_ORACLE (register as
-# `lm_staged`; tests/test_lm_staged.py) and q_pii_scan / PII_SCAN_ORACLE
-# (register as `pii_scan`; tests/test_pii_scan.py);
+# `lm_staged`; tests/test_lm_staged.py), q_pii_scan / PII_SCAN_ORACLE
+# (register as `pii_scan`; tests/test_pii_scan.py), and q_html_strip /
+# HTML_STRIP_ORACLE (register as `html_strip`; tests/test_strip_html.py);
 # (2) then the 5 deferred r6-green queries (listed above) — they will be
 # at the P - 1 age bound; (3) then the stalest r7-green queries to fill
 # the window; the youngest r7-green queries defer to r10 exactly as this

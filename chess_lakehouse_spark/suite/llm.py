@@ -1557,6 +1557,93 @@ def _pii_scan_oracle() -> str:
 PII_SCAN_ORACLE = _pii_scan_oracle()
 
 
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def html_strip_sql(expr: str) -> str:
+    """DuckDB twin of functions/text.py:strip_html, assembled step for
+    step from the SAME pattern/entity constants the Spark chain compiles
+    (tests/test_strip_html.py imports this; the html_strip candidate's
+    oracle is built from it)."""
+    from chess_lakehouse_spark.functions.text import (
+        HTML_COMMENT_RE,
+        HTML_ENTITIES,
+        HTML_SCRIPT_STYLE_RE,
+        HTML_TAG_RE,
+        WS_SPLIT,
+    )
+
+    out = f"regexp_replace({expr}, {_sql_quote(HTML_SCRIPT_STYLE_RE)}, ' ', 'g')"
+    out = f"regexp_replace({out}, {_sql_quote(HTML_COMMENT_RE)}, ' ', 'g')"
+    out = f"regexp_replace({out}, {_sql_quote(HTML_TAG_RE)}, ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        out = f"replace({out}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    return f"trim(regexp_replace({out}, {_sql_quote(WS_SPLIT)}, ' ', 'g'))"
+
+
+def _synth_html_text() -> Column:
+    """Deterministic markup-laced text per document for the html_strip
+    candidate: tag wrap, entity splice, and (on residue classes) a
+    script block, a comment, and an uppercase style block — mirrored
+    literally by the oracle SQL."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("<html><p class=\"x\">"),
+        F.col("text"),
+        F.lit("</p><br/>tail&amp;"),
+        (d % 9).cast("string"),
+        F.lit("&nbsp;end"),
+        F.when(
+            d % 3 == 0, F.lit("<script>var x=1;</script>")
+        ).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("<!-- hidden -->")).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0, F.lit("<STYLE a=b>.c{}</STYLE>")
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup extraction pass (functions/text.py:strip_html) over
+    deterministically markup-laced fixture text — the C4-class HTML
+    preprocessing step, hash-checked on the full cleaned string plus its
+    length.
+
+    r9 STAGING CANDIDATE — not yet registered: exact parity against
+    HTML_STRIP_ORACLE pinned in tests/test_strip_html.py; registration
+    at the r9 window re-plan is a dict + window edit."""
+    from chess_lakehouse_spark.functions.text import strip_html
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    clean = strip_html(_synth_html_text())
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
+HTML_STRIP_ORACLE = f"""
+    WITH laced AS (
+      SELECT doc_id,
+        '<html><p class="x">' || text || '</p><br/>tail&amp;'
+        || CAST(doc_id % 9 AS VARCHAR) || '&nbsp;end'
+        || (CASE WHEN doc_id % 3 = 0 THEN '<script>var x=1;</script>' ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 0 THEN '<!-- hidden -->' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN '<STYLE a=b>.c{{}}</STYLE>' ELSE '' END)
+        || '</html>' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           {html_strip_sql('t')} AS clean_text,
+           CAST(length({html_strip_sql('t')}) AS INTEGER) AS clean_len
+    FROM laced
+"""
+
+
 #: DuckDB mirror of functions/urls.py:url_canonicalize, step for step,
 #: with every regex INTERPOLATED FROM THE SAME PYTHON CONSTANTS the Spark
 #: chain compiles (SCHEME_RE/HOST_RE/WWW_RE/FRAGMENT_RE/TRACKING_PARAM_RE

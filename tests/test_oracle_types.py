@@ -99,7 +99,12 @@ def test_staged_r9_candidate_oracle_types_are_allowlisted(con):
     """The r9 staging candidates' oracles (defined in suite/llm.py ahead
     of registration) must already satisfy the driver type allowlist —
     the r4 postmortem class caught BEFORE a red driver row, not after."""
-    from chess_lakehouse_spark.suite.llm import LM_STAGED_ORACLE, PII_SCAN_ORACLE
+    from chess_lakehouse_spark.suite.llm import (
+        HTML_STRIP_ORACLE,
+        LM_STAGED_ORACLE,
+        PII_SCAN_ORACLE,
+    )
 
     assert _offending_columns(con, LM_STAGED_ORACLE) == []
     assert _offending_columns(con, PII_SCAN_ORACLE) == []
+    assert _offending_columns(con, HTML_STRIP_ORACLE) == []

@@ -12,13 +12,11 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from chess_lakehouse_spark.functions.text import (
-    HTML_COMMENT_RE,
-    HTML_ENTITIES,
-    HTML_SCRIPT_STYLE_RE,
-    HTML_TAG_RE,
-    WS_SPLIT,
-    strip_html,
+from chess_lakehouse_spark.functions.text import strip_html
+from chess_lakehouse_spark.suite.llm import (
+    HTML_STRIP_ORACLE,
+    html_strip_sql,
+    q_html_strip,
 )
 
 PINNED = [
@@ -38,18 +36,10 @@ PINNED = [
 ]
 
 
-def _sql_quote(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
-
-
-def _duckdb_strip_expr(col: str) -> str:
-    """Assemble the DuckDB twin from the SAME constants, step for step."""
-    out = f"regexp_replace({col}, {_sql_quote(HTML_SCRIPT_STYLE_RE)}, ' ', 'g')"
-    out = f"regexp_replace({out}, {_sql_quote(HTML_COMMENT_RE)}, ' ', 'g')"
-    out = f"regexp_replace({out}, {_sql_quote(HTML_TAG_RE)}, ' ', 'g')"
-    for ent, ch in HTML_ENTITIES:
-        out = f"replace({out}, {_sql_quote(ent)}, {_sql_quote(ch)})"
-    return f"trim(regexp_replace({out}, {_sql_quote(WS_SPLIT)}, ' ', 'g'))"
+# the DuckDB twin lives in suite/llm.py (html_strip_sql — assembled from
+# the SAME constants the Spark chain compiles); this module IMPORTS it,
+# the anti-divergence pattern.
+_duckdb_strip_expr = html_strip_sql
 
 
 @pytest.mark.parametrize("raw,want", PINNED)
@@ -147,3 +137,28 @@ def test_pipeline_cli_strip_html_flag(spark, tmp_path, capsys):
     rows = spark.read.json(str(out / "corpus")).collect()
     assert len(rows) == 1
     assert rows[0].text == body
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_q_html_strip_matches_suite_oracle(spark, sf_dir):
+    """Driver-style gating proof for the r9 candidate: exact values,
+    driver-safe types."""
+    import duckdb as _duckdb
+
+    sdf = q_html_strip(spark, sf_dir)
+    assert [d for _, d in sdf.dtypes] == ["bigint", "string", "int"]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    drows = sorted(tuple(r) for r in con.execute(HTML_STRIP_ORACLE).fetchall())
+    con.close()
+    assert len(srows) > 0
+    assert srows == drows
+
+
+def test_q_html_strip_actually_strips(spark):
+    rows = q_html_strip(spark, "/root/testdata/sf0.001").collect()
+    assert all("<" not in r["clean_text"] for r in rows)
+    assert all(r["clean_text"].endswith(" end") or " end" in r["clean_text"]
+               for r in rows)
+    assert all("tail&" in r["clean_text"] for r in rows)  # entity decoded
