@@ -118,7 +118,9 @@ def host_cap(
     derives the host column (narrow, rides the scan) and delegates the
     cap to operators/sampling.py:top_n_per_group — deterministic
     hash-order membership, one window shuffle keyed by host, nested caps
-    as ``n`` grows. Returns the input columns plus ``host``."""
+    as ``n`` grows. Returns the input columns plus ``host`` (a
+    pre-existing ``host`` column would be overwritten — rename it first
+    if it carries other data)."""
     from chess_lakehouse_spark.operators.sampling import top_n_per_group
 
     with_host = df.withColumn("host", url_host(F.col(url_col)))

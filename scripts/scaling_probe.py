@@ -213,6 +213,21 @@ def main() -> None:
                     spark, f"{tmp}/lm_x{factor}", lm_batch, "doc_id", "text"
                 ).count(),
             )
+        if only_ops is None or {"strip_html", "pii_counts"} & only_ops:
+            from chess_lakehouse_spark.functions.text import pii_counts, strip_html
+
+            probe(
+                "strip_html", factor,
+                lambda: docs.select(
+                    strip_html(F.col("text")).alias("t")
+                ).agg(F.sum(F.length("t"))).collect(),
+            )
+            probe(
+                "pii_counts", factor,
+                lambda: pii_counts(docs, "doc_id", "text").agg(
+                    F.sum("redacted_len")
+                ).collect(),
+            )
         if only_ops is None or {"classifier_train", "pack_bfd"} & only_ops:
             from chess_lakehouse_spark.functions.text import gopher_passes
             from chess_lakehouse_spark.operators.classify import (
