@@ -257,6 +257,37 @@ def build_lm(df: DataFrame, text_col: str, lm_dir: str) -> None:
     ).write.mode("overwrite").parquet(f"{lm_dir}/stats")
 
 
+def append_lm(delta_df: DataFrame, text_col: str, lm_dir: str) -> None:
+    """Fold a corpus DELTA into a staged :func:`build_lm` model — unigram
+    counts are mergeable, so the update costs one delta pass plus one
+    vocabulary-sized merge, never a full-corpus retrain (the daily-ingest
+    counterpart of the staged-LM lifecycle). The merged terms table is
+    written aside and atomically swapped in (the crash-safe
+    rename-aside pattern of operators/publish.py:_swap_lake_dirs); stats
+    rebuild from the merged table. Exact equivalence with a full rebuild
+    — ``build_lm(A ∪ B) == build_lm(A); append_lm(B)`` — is pytest-pinned
+    (integer counts merge losslessly)."""
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    spark = delta_df.sparkSession
+    delta_terms = delta_df.select(
+        F.explode(ws_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    delta_ctf = delta_terms.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    merged = (
+        spark.read.parquet(f"{lm_dir}/terms")
+        .unionByName(delta_ctf)
+        .groupBy("term")
+        .agg(F.sum("ctf").alias("ctf"))
+    )
+    tmp = f"{lm_dir}/terms.compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap_lake_dirs(spark, tmp, f"{lm_dir}/terms", "append_lm")
+    spark.read.parquet(f"{lm_dir}/terms").agg(
+        F.sum("ctf").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).write.mode("overwrite").parquet(f"{lm_dir}/stats")
+
+
 def lm_score_from(
     spark,
     lm_dir: str,
@@ -1204,6 +1235,48 @@ def build_bm25_index(
     ).parquet(f"{index_dir}/dfreq")
     lengths_staged = toks.sparkSession.read.parquet(f"{index_dir}/lengths")
     lengths_staged.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_d").alias("total_len")
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def append_bm25_index(
+    delta_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    n_posting_files: int = 64,
+) -> None:
+    """Fold NEW documents into a staged :func:`build_bm25_index` layout —
+    the append-only lifecycle: the delta's postings rows are disjoint from
+    the staged ones (PRECONDITION: delta doc ids are new; re-appending an
+    indexed id double-counts — dedup upstream), so the merge is a union +
+    re-cluster of the INDEX (index-sized, not corpus-sized), atomically
+    swapped in via the rename-aside pattern; lengths append; dfreq and
+    stats rebuild from the merged tables (vocabulary-sized / one row).
+    Exact equivalence with a full rebuild is pytest-pinned."""
+    from chess_lakehouse_spark.operators.publish import (
+        _swap_lake_dirs,
+        write_clustered,
+    )
+
+    spark = delta_df.sparkSession
+    toks = delta_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("t"),
+    )
+    toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d")).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/lengths")
+    new_postings = toks.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    merged = spark.read.parquet(f"{index_dir}/postings").unionByName(new_postings)
+    tmp = f"{index_dir}/postings.compacting"
+    write_clustered(merged, tmp, ["t"], n_files=n_posting_files)
+    _swap_lake_dirs(spark, tmp, f"{index_dir}/postings", "append_bm25_index")
+    postings_staged = spark.read.parquet(f"{index_dir}/postings")
+    postings_staged.groupBy("t").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/dfreq")
+    spark.read.parquet(f"{index_dir}/lengths").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_d").alias("total_len")
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
 

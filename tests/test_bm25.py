@@ -336,3 +336,44 @@ def test_bm25_index_stats_and_layout(spark, docs_df, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_append_bm25_index_equals_full_rebuild(spark, docs_df, tmp_path):
+    """Append-only index lifecycle: build on part A then append the new
+    docs of part B must serve identical results to a full rebuild, and
+    the re-clustered postings files stay range-disjoint."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from chess_lakehouse_spark.functions.text import (
+        append_bm25_index,
+        bm25_from_index,
+        build_bm25_index,
+    )
+
+    part_a = docs_df.where("id < 3")
+    part_b = docs_df.where("id >= 3")
+    inc = str(tmp_path / "idx_inc")
+    build_bm25_index(part_a, "id", "text", inc, n_posting_files=3)
+    append_bm25_index(part_b, "id", "text", inc, n_posting_files=3)
+    ref = str(tmp_path / "idx_ref")
+    build_bm25_index(docs_df, "id", "text", ref, n_posting_files=3)
+
+    queries = spark.createDataFrame(
+        [(1, "cat mat"), (2, "dog yard"), (3, "lattice gauge")],
+        "qid long, qtext string",
+    )
+    got = sorted(tuple(r) for r in bm25_from_index(spark, inc, queries, "qid", "qtext", k=5).collect())
+    want = sorted(tuple(r) for r in bm25_from_index(spark, ref, queries, "qid", "qtext", k=5).collect())
+    assert got == want and len(got) > 0
+
+    ranges = []
+    for f in sorted(Path(f"{inc}/postings").glob("*.parquet")):
+        md = pq.read_metadata(str(f))
+        lo = md.row_group(0).column(0).statistics.min
+        hi = md.row_group(md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next

@@ -99,3 +99,30 @@ def test_staged_lm_tables_are_exact(spark, tmp_path):
     n_tokens = sum(len(t.split()) for _, t in TRAIN)
     n_vocab = len({w for _, t in TRAIN for w in t.split()})
     assert stats["total"] == n_tokens and stats["vocab"] == n_vocab
+
+
+def test_append_lm_equals_full_rebuild(spark, tmp_path):
+    """Integer counts merge losslessly: build on part A then append part
+    B must equal a full rebuild — terms, stats, and every score."""
+    from chess_lakehouse_spark.functions.text import append_lm
+
+    extra = [(20, "the mat and the lattice"), (21, "cat cat quantum")]
+    part_a = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    part_b = spark.createDataFrame(extra, "doc_id long, text string")
+    full = part_a.unionByName(part_b)
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+
+    inc = str(tmp_path / "lm_inc")
+    build_lm(part_a, "text", inc)
+    append_lm(part_b, "text", inc)
+    ref = str(tmp_path / "lm_full")
+    build_lm(full, "text", ref)
+
+    t_inc = sorted(tuple(r) for r in spark.read.parquet(f"{inc}/terms").collect())
+    t_ref = sorted(tuple(r) for r in spark.read.parquet(f"{ref}/terms").collect())
+    assert t_inc == t_ref
+    assert spark.read.parquet(f"{inc}/stats").first() == \
+        spark.read.parquet(f"{ref}/stats").first()
+    s_inc = sorted(tuple(r) for r in lm_score_from(spark, inc, score, "doc_id", "text").collect())
+    s_ref = sorted(tuple(r) for r in lm_score_from(spark, ref, score, "doc_id", "text").collect())
+    assert s_inc == s_ref
