@@ -86,7 +86,7 @@ def url_canonicalize(url: Column) -> Column:
     """The canonical URL key described in the module docstring. Pure
     column expression — lower/regexp/substr/rtrim only, every pattern in
     the Java∩RE2 portable subset, mirrored step-for-step by the suite
-    oracle (suite/llm.py: _URL_CANON_REST_SQL)."""
+    oracle (suite/llm.py: _URL_CANON_CORE)."""
     s = _scheme_stripped(url)
     raw_host = F.regexp_extract(s, HOST_RE, 1)
     host = F.regexp_replace(F.lower(raw_host), WWW_RE, "")
