@@ -447,6 +447,18 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     # \b digit guards (supported by both Java regex and RE2) stop the
     # pattern matching the middle of longer digit runs — without them
     # '91234-567-89012' would partially redact to '9<PHONE>2'.
+    #
+    # Portability boundary (found by the r8 adversarial sweep): the two
+    # engines DEFINE \b over different word-char sets — RE2's is ASCII
+    # ([0-9A-Za-z_]) while Java's \b is Unicode-aware (JDK quirk: \b uses
+    # Unicode word chars even though \w stays ASCII) — so a digit run
+    # DIRECTLY abutting a non-ASCII word character ('é10.1.2.3') redacts
+    # under RE2 but not under Java. They agree exactly whenever the
+    # adjacent character is ASCII or the string edge — the domain
+    # tests/test_tokenization_parity.py sweeps — and every suite fixture
+    # and synthesized gating input is ASCII-adjacent. RE2 has no
+    # lookaround, so there is no portable rewrite of the guard; this
+    # comment IS the contract.
     (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )

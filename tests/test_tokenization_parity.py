@@ -159,3 +159,63 @@ def test_label_centroid_mean_tie_is_portable(spark):
     assert [(r["label"], r["pos"], r["mval"], r["n_vecs"])] == duck
     # half-away tie resolves UP
     assert r["mval"] == 0.003214
+
+
+def test_pii_parity_holds_on_all_ascii_contexts(spark):
+    """The \\b-guard agreement domain, swept: on ASCII-only text the two
+    engines' \\b definitions coincide, so scrub_pii must agree exactly on
+    random ASCII strings seeded with PII-shaped fragments (the non-ASCII
+    divergence is documented on PII_PATTERNS — Java's \\b is
+    Unicode-aware, RE2's is ASCII)."""
+    import random
+    import string
+
+    from chess_lakehouse_spark.functions.text import PII_PATTERNS, scrub_pii
+
+    rng = random.Random(42)
+    alph = string.ascii_letters + string.digits + " .-_@#?&/:;%+='\"()\t"
+    frags = ["a@b.co", "10.1.2.3", "555-123-4567", "555.123.4567",
+             "x@sub.do-main.org", "999.999.999.999", "0.0.0.0", "@", "..."]
+    cases = []
+    for _ in range(2000):
+        parts = [
+            rng.choice(frags) if rng.random() < 0.4 else
+            "".join(rng.choice(alph) for _ in range(rng.randint(0, 10)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        cases.append("".join(parts))
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    sp = {r["id"]: r["o"] for r in df.select("id", scrub_pii(F.col("t")).alias("o")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pt(id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO pt VALUES (?,?)", rows)
+    expr = "t"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    for i, o in con.execute(f"SELECT id, {expr} FROM pt ORDER BY id").fetchall():
+        assert o == sp[i], (cases[i], sp[i], o)
+    con.close()
+
+
+def test_pii_nonascii_boundary_divergence_is_as_documented(spark):
+    """Canary for the documented \\b portability boundary: 'é10.1.2.3'
+    redacts under RE2 (é is a non-word char for its ASCII \\b) but NOT
+    under Java (Unicode-aware \\b sees é as a word char, no boundary).
+    If either engine changes this behavior, the PII_PATTERNS contract
+    comment must be revisited."""
+    from chess_lakehouse_spark.functions.text import scrub_pii
+
+    raw = "é10.1.2.3"
+    sp = (
+        spark.createDataFrame([(raw,)], "t string")
+        .select(scrub_pii(F.col("t")).alias("o"))
+        .first()["o"]
+    )
+    assert sp == raw  # Java: no boundary after é -> unredacted
+    con = duckdb.connect()
+    dk = con.execute(
+        r"SELECT regexp_replace('é10.1.2.3', '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')"
+    ).fetchone()[0]
+    con.close()
+    assert dk == "é<IP>"  # RE2: ASCII \b -> boundary -> redacted
