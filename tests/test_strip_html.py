@@ -162,3 +162,41 @@ def test_q_html_strip_actually_strips(spark):
     assert all(r["clean_text"].endswith(" end") or " end" in r["clean_text"]
                for r in rows)
     assert all("tail&" in r["clean_text"] for r in rows)  # entity decoded
+
+
+def test_adversarial_random_string_parity(spark):
+    """Fully random printable strings (non-ASCII included, broken tags,
+    stray entities): strip_html is anchor-free and \\b-free, so the
+    Java/RE2 agreement must hold on arbitrary input."""
+    import string as _string
+
+    rng = random.Random(99)
+    alph = (_string.ascii_letters + _string.digits
+            + " .-_@#?&/<>:;%+=!'\"(){}[]|\\~^$*\t" + "éü…–")
+    frags = ["<script>", "</script>", "<p>", "&amp;", "&lt;", "<!--", "-->",
+             "<style", "</STYLE>", "<", ">"]
+    texts = []
+    for _ in range(1500):
+        parts = [
+            rng.choice(frags) if rng.random() < 0.4 else
+            "".join(rng.choice(alph) for _ in range(rng.randint(0, 10)))
+            for _ in range(rng.randint(1, 5))
+        ]
+        texts.append("".join(parts))
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    got = {
+        r["id"]: r["o"]
+        for r in sdf.select("id", strip_html(F.col("t")).alias("o")).collect()
+    }
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"id": range(len(texts)), "t": texts}))
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT id, {_duckdb_strip_expr('t')} AS o FROM u"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want

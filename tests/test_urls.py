@@ -182,3 +182,48 @@ def test_host_cap_membership_is_nested(spark):
     big = {r["id"] for r in host_cap(df, "id", "url", n=6, seed=7).collect()}
     assert len(small) == 9 and len(big) == 18
     assert small < big
+
+
+def test_adversarial_random_string_parity(spark):
+    """Beyond the URL grammar: fully random printable strings (including
+    non-ASCII letters, stray delimiters, half-formed schemes) must
+    canonicalize identically in both engines — the chain uses no \\b and
+    no $ anchor, so the Java/RE2 agreement holds on arbitrary input,
+    not just well-formed URLs."""
+    import random as _random
+    import string as _string
+
+    rng = _random.Random(99)
+    alph = (_string.ascii_letters + _string.digits
+            + " .-_@#?&/<>:;%+=!'\"(){}[]|\\~^$*\t" + "éü…–")
+    frags = ["http://", "HTTPS://www.", "utm_a=1", "&utm_b=2#f", "www.",
+             "?utm_source=", "//", "#", "?&"]
+    texts = []
+    for _ in range(1500):
+        parts = [
+            rng.choice(frags) if rng.random() < 0.4 else
+            "".join(rng.choice(alph) for _ in range(rng.randint(0, 10)))
+            for _ in range(rng.randint(1, 5))
+        ]
+        texts.append("".join(parts))
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: (r["c"], r["h"])
+        for r in sdf.select(
+            "doc_id",
+            url_canonicalize(F.col("url")).alias("c"),
+            url_host(F.col("url")).alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"doc_id": range(len(texts)), "url": texts}))
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"WITH {_URL_CANON_CORE} SELECT doc_id, url_canon, host FROM canon"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
