@@ -293,7 +293,17 @@ def incremental_near_dups(
     cb = lsh_bands(corpus_sigs, id_col, num_hashes=num_hashes, band_size=band_size).select(
         F.col(id_col).alias("corpus_id"), "band", "bsig"
     )
-    cand = nb.join(cb, on=["band", "bsig"]).select("new_id", "corpus_id").distinct()
+    cand = (
+        nb.join(cb, on=["band", "bsig"])
+        # Self-pair guard: an id present in BOTH inputs (an at-least-once
+        # replay re-offering a doc whose signatures already staged) would
+        # otherwise match itself at jaccard=1.0 and be dropped as a "dup
+        # of the corpus" — i.e. of itself. Defense in depth alongside the
+        # current-batch partition filter in streaming/jobs.py.
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
     cand_corpus = corpus_docs.join(
         cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "semi"
     )

@@ -4,6 +4,8 @@ SURVEY.md §2.10; this is the §7 step 8 north-star path)."""
 from chess_lakehouse_spark.streaming.jobs import (
     corpus_ingest_clean,
     hourly_event_counts,
+    incremental_dedup_batch,
+    url_dedup_batch,
     read_documents_stream,
     read_events_stream,
     run_available_now,
@@ -19,6 +21,8 @@ from chess_lakehouse_spark.streaming.jobs import (
 __all__ = [
     "stream_incremental_dedup",
     "stream_url_dedup",
+    "incremental_dedup_batch",
+    "url_dedup_batch",
     "corpus_ingest_clean",
     "hourly_event_counts",
     "read_documents_stream",

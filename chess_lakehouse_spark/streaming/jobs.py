@@ -353,7 +353,16 @@ def stream_incremental_dedup(
     a replayed batch rewrites its own partition byte-identically instead of
     double-appending (the standard idempotent-foreachBatch contract). The
     staged tables read back through the partition-discovering parent-dir
-    scan, so batch partitioning is invisible to consumers.
+    scan, so batch partitioning is invisible to consumers. Crucially the
+    staged reads EXCLUDE the in-flight batch's own partition (``WHERE
+    batch_id <> current``): a crash can land after the sigs/corpus write
+    but before the checkpoint commit, and without the filter the replay
+    would compare every document against its own staged signature
+    (jaccard 1.0), admit nothing, and overwrite the batch's partitions
+    with empty data — losing the whole batch. ``incremental_near_dups``
+    additionally drops self-pairs (``new_id != corpus_id``) as defense in
+    depth. Pinned by the double-invoke replay test in
+    ``tests/test_streaming.py``.
 
     Cost per batch is the incremental shape: O(|batch|) shingling + one
     band equi-join against staged signatures + candidate-bounded verify —
@@ -361,75 +370,12 @@ def stream_incremental_dedup(
     and stops (test/backfill); production uses a live trigger on the same
     plan.
     """
-    from chess_lakehouse_spark.operators.dedup import (
-        incremental_near_dups,
-        minhash_lsh_dedup,
-        minhash_signatures,
-        word_shingles,
-    )
-
-    def _exists(spark: SparkSession, path: str) -> bool:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        return p.getFileSystem(hconf).exists(p)
-
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            # within-batch near-dups: min id per pair is the batch canonical
-            intra = minhash_lsh_dedup(
-                batch_df, id_col, text_col,
-                k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
-            ).select(
-                F.col("id_a"), F.col("id_b"), "jaccard", F.lit("intra").alias("kind")
-            )
-            if _exists(spark, sigs_dir):
-                corpus_sigs = spark.read.parquet(sigs_dir)
-                want = {f"h{i}" for i in range(num_hashes)}
-                have = set(corpus_sigs.columns)
-                if not want <= have:
-                    raise ValueError(
-                        f"staged signature table {sigs_dir} has columns {sorted(have)} "
-                        f"but num_hashes={num_hashes} needs {sorted(want)} — the loop's "
-                        "MinHash parameters must match the staged table it continues "
-                        "(re-bootstrap the stage or pass the original num_hashes)"
-                    )
-                corpus_docs = spark.read.parquet(corpus_dir)
-                cross = incremental_near_dups(
-                    batch_df, corpus_sigs, corpus_docs, id_col, text_col,
-                    k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
-                ).select(
-                    F.col("new_id").alias("id_a"),
-                    F.col("corpus_id").alias("id_b"),
-                    "jaccard",
-                    F.lit("cross").alias("kind"),
-                )
-            else:
-                cross = intra.limit(0)
-            pairs = intra.unionByName(cross).persist()
-            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
-
-            # dropped: anything with a corpus near-dup, or the higher id of
-            # an intra-batch pair (min id stays, matching batch dedup)
-            dropped = (
-                pairs.where(F.col("kind") == "cross").select(F.col("id_a").alias(id_col))
-                .unionByName(
-                    pairs.where(F.col("kind") == "intra").select(F.col("id_b").alias(id_col))
-                )
-                .distinct()
-            )
-            admitted = batch_df.join(dropped, id_col, "left_anti").persist()
-            admitted.write.mode("overwrite").parquet(f"{corpus_dir}/batch_id={batch_id}")
-            sigs = minhash_signatures(
-                word_shingles(admitted, id_col, text_col, k=k), id_col, num_hashes=num_hashes
-            )
-            sigs.write.mode("overwrite").parquet(f"{sigs_dir}/batch_id={batch_id}")
-            pairs.unpersist()
-            admitted.unpersist()
-        finally:
-            batch_df.unpersist()
+        incremental_dedup_batch(
+            batch_df, batch_id, corpus_dir, sigs_dir, pairs_dir,
+            id_col=id_col, text_col=text_col,
+            k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
+        )
 
     q = (
         new_docs.writeStream.foreachBatch(_batch)
@@ -438,6 +384,102 @@ def stream_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
+def incremental_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    sigs_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch of the incremental-dedup loop — module-level (not a
+    closure) so the crash-replay contract is directly testable: calling it
+    twice with the SAME ``batch_id`` must produce identical admitted sets
+    and ``batch_id=N`` partitions, because the staged reads exclude the
+    in-flight batch's own partition (see ``stream_incremental_dedup``)."""
+    from chess_lakehouse_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_lsh_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        # within-batch near-dups: min id per pair is the batch canonical
+        intra = minhash_lsh_dedup(
+            batch_df, id_col, text_col,
+            k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
+        ).select(
+            F.col("id_a"), F.col("id_b"), "jaccard", F.lit("intra").alias("kind")
+        )
+        if _path_exists(spark, sigs_dir):
+            # Exclude the in-flight batch's own partition: a replay after
+            # crash-between-write-and-commit must not dedup the batch
+            # against its own previously staged rows (replay hole — see
+            # stream_incremental_dedup docstring). batch_id is the
+            # discovered partition column; cast covers int-vs-string
+            # partition-type inference.
+            not_self = F.col("batch_id").cast("string") != F.lit(str(batch_id))
+            corpus_sigs = spark.read.parquet(sigs_dir).where(not_self)
+            want = {f"h{i}" for i in range(num_hashes)}
+            have = set(corpus_sigs.columns)
+            if not want <= have:
+                raise ValueError(
+                    f"staged signature table {sigs_dir} has columns {sorted(have)} "
+                    f"but num_hashes={num_hashes} needs {sorted(want)} — the loop's "
+                    "MinHash parameters must match the staged table it continues "
+                    "(re-bootstrap the stage or pass the original num_hashes)"
+                )
+            corpus_docs = spark.read.parquet(corpus_dir).where(not_self)
+            cross = incremental_near_dups(
+                batch_df, corpus_sigs, corpus_docs, id_col, text_col,
+                k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
+            ).select(
+                F.col("new_id").alias("id_a"),
+                F.col("corpus_id").alias("id_b"),
+                "jaccard",
+                F.lit("cross").alias("kind"),
+            )
+        else:
+            cross = intra.limit(0)
+        pairs = intra.unionByName(cross).persist()
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+
+        # dropped: anything with a corpus near-dup, or the higher id of
+        # an intra-batch pair (min id stays, matching batch dedup)
+        dropped = (
+            pairs.where(F.col("kind") == "cross").select(F.col("id_a").alias(id_col))
+            .unionByName(
+                pairs.where(F.col("kind") == "intra").select(F.col("id_b").alias(id_col))
+            )
+            .distinct()
+        )
+        admitted = batch_df.join(dropped, id_col, "left_anti").persist()
+        admitted.write.mode("overwrite").parquet(f"{corpus_dir}/batch_id={batch_id}")
+        sigs = minhash_signatures(
+            word_shingles(admitted, id_col, text_col, k=k), id_col, num_hashes=num_hashes
+        )
+        sigs.write.mode("overwrite").parquet(f"{sigs_dir}/batch_id={batch_id}")
+        pairs.unpersist()
+        admitted.unpersist()
+    finally:
+        batch_df.unpersist()
 
 
 def stream_url_dedup(
@@ -462,42 +504,19 @@ def stream_url_dedup(
     Same idempotent restart contract as ``stream_incremental_dedup``:
     every write goes to a ``batch_id=N`` partition with overwrite
     semantics, so a crash-replayed batch rewrites its own partition
-    byte-identically. Per-batch cost: O(|batch|) pure-codegen
+    byte-identically — and the staged-URL read excludes the in-flight
+    batch's own partition (``WHERE batch_id <> current``), because a
+    crash after the urls_dir write but before the checkpoint commit
+    would otherwise anti-join the replay against its own winners and
+    overwrite the batch with empty data (pinned by the double-invoke
+    replay test). Per-batch cost: O(|batch|) pure-codegen
     canonicalization + one map-combined groupBy on the batch's URLs + the
     staged anti-join.
     """
-    from chess_lakehouse_spark.functions.urls import url_canonicalize
-
-    def _exists(spark: SparkSession, path: str) -> bool:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        return p.getFileSystem(hconf).exists(p)
-
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        canon = batch_df.withColumn(
-            "url_canon", url_canonicalize(F.col(url_col))
-        ).persist()
-        try:
-            winners = canon.groupBy("url_canon").agg(
-                F.min(id_col).alias(id_col)
-            )
-            if _exists(spark, urls_dir):
-                staged = spark.read.parquet(urls_dir).select("url_canon")
-                winners = winners.join(staged, "url_canon", "left_anti")
-            admitted = canon.join(
-                winners.select(id_col), id_col, "left_semi"
-            ).persist()
-            admitted.write.mode("overwrite").parquet(
-                f"{out_dir}/batch_id={batch_id}"
-            )
-            admitted.select("url_canon", id_col).write.mode("overwrite").parquet(
-                f"{urls_dir}/batch_id={batch_id}"
-            )
-            admitted.unpersist()
-        finally:
-            canon.unpersist()
+        url_dedup_batch(
+            batch_df, batch_id, urls_dir, out_dir, id_col=id_col, url_col=url_col
+        )
 
     q = (
         new_docs.writeStream.foreachBatch(_batch)
@@ -506,3 +525,49 @@ def stream_url_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def url_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    urls_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """One micro-batch of the streaming URL-dedup loop — module-level so
+    the crash-replay contract is directly testable: calling it twice with
+    the SAME ``batch_id`` must rewrite the batch's partitions identically,
+    because the staged-URL anti-join excludes the in-flight batch's own
+    partition (see ``stream_url_dedup``)."""
+    from chess_lakehouse_spark.functions.urls import url_canonicalize
+
+    spark = batch_df.sparkSession
+    canon = batch_df.withColumn(
+        "url_canon", url_canonicalize(F.col(url_col))
+    ).persist()
+    try:
+        winners = canon.groupBy("url_canon").agg(
+            F.min(id_col).alias(id_col)
+        )
+        if _path_exists(spark, urls_dir):
+            # Replay-hole guard: never anti-join a replayed batch
+            # against its own staged winners (see docstring).
+            staged = (
+                spark.read.parquet(urls_dir)
+                .where(F.col("batch_id").cast("string") != F.lit(str(batch_id)))
+                .select("url_canon")
+            )
+            winners = winners.join(staged, "url_canon", "left_anti")
+        admitted = canon.join(
+            winners.select(id_col), id_col, "left_semi"
+        ).persist()
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        admitted.select("url_canon", id_col).write.mode("overwrite").parquet(
+            f"{urls_dir}/batch_id={batch_id}"
+        )
+        admitted.unpersist()
+    finally:
+        canon.unpersist()

@@ -36,10 +36,12 @@ from chess_lakehouse_spark.operators.similarity import (
     knn_lsh,
 )
 from chess_lakehouse_spark.functions.urls import (
+    AMP_RUN_RE,
     FRAGMENT_RE,
     HOST_RE,
     SCHEME_RE,
     TRACKING_PARAM_RE,
+    TRACKING_PARAM_SUB_DUCKDB,
     WWW_RE,
 )
 from chess_lakehouse_spark.session import apply_runtime_conf
@@ -1663,8 +1665,10 @@ st AS (
     rtrim(
       regexp_replace(
         regexp_replace(
-          regexp_replace(substr(s, length(raw_host) + 1), '{FRAGMENT_RE}', '', 'g'),
-          '{TRACKING_PARAM_RE}', '', 'g'),
+          regexp_replace(
+            regexp_replace(substr(s, length(raw_host) + 1), '{FRAGMENT_RE}', '', 'g'),
+            '{TRACKING_PARAM_RE}', '{TRACKING_PARAM_SUB_DUCKDB}', 'g'),
+          '{AMP_RUN_RE}', '&', 'g'),
         '\\?&', '?', 'g'),
       '/?&') AS url_canon
   FROM pp

@@ -640,3 +640,90 @@ def test_corpus_ingest_clean_strip_markup_matches_batch(spark, tmp_path):
     assert got == want
     assert len(want) > 0
     assert all("<" not in t for _, t in got)
+
+
+def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract (r8 verdict defect): invoking the batch body
+    TWICE with the same batch_id — simulating a crash after the
+    corpus/sigs writes but before the checkpoint commit — must reproduce
+    the admitted set and every batch_id=N partition identically. Before
+    the fix, the replay read its own staged signatures back, matched every
+    doc against itself at jaccard=1.0, and overwrote the batch with
+    EMPTY data."""
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.streaming import incremental_dedup_batch
+
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    third = " ".join(f"y{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+
+    b0 = spark.createDataFrame([Row(doc_id=1, text=base), Row(doc_id=3, text=other)])
+    b1 = spark.createDataFrame([Row(doc_id=10, text=near), Row(doc_id=11, text=third)])
+
+    def snapshot():
+        return {
+            "corpus": {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()},
+            "sigs": {tuple(r) for r in spark.read.parquet(sigs).collect()},
+            "pairs": {tuple(r) for r in spark.read.parquet(pairs).collect()},
+        }
+
+    # batch 0: replay the very FIRST batch too (staged dirs exist and
+    # contain ONLY the in-flight batch's own partition)
+    incremental_dedup_batch(b0, 0, corpus, sigs, pairs)
+    s0 = snapshot()
+    assert {d for d, _ in s0["corpus"]} == {1, 3}
+    incremental_dedup_batch(b0, 0, corpus, sigs, pairs)
+    assert snapshot() == s0
+
+    # batch 1: 10 is a cross-batch near-dup of admitted 1; 11 is new
+    incremental_dedup_batch(b1, 1, corpus, sigs, pairs)
+    s1 = snapshot()
+    assert {d for d, _ in s1["corpus"]} == {1, 3, 11}
+    # the crash window: every write of batch 1 landed, commit didn't —
+    # foreachBatch re-invokes with the same batch_id
+    incremental_dedup_batch(b1, 1, corpus, sigs, pairs)
+    assert snapshot() == s1
+
+
+def test_url_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Same crash-replay contract for the URL loop: a replayed batch must
+    not anti-join against its own staged winners (which emptied the batch
+    before the fix)."""
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.streaming import url_dedup_batch
+
+    urls = str(tmp_path / "urls")
+    out = str(tmp_path / "out")
+
+    def doc(i, u):
+        return Row(doc_id=i, text=f"body {i}", url=u)
+
+    b0 = spark.createDataFrame([doc(1, "https://www.A.com/x?utm_source=s"), doc(3, "https://a.com/y")])
+    b1 = spark.createDataFrame([doc(10, "a.com/x#frag"), doc(11, "https://b.com/z")])
+
+    def snapshot():
+        return {
+            "out": {(r.doc_id, r.url_canon) for r in spark.read.parquet(out).collect()},
+            "urls": {(r.url_canon, r.doc_id) for r in spark.read.parquet(urls).collect()},
+        }
+
+    # first-batch replay: urls_dir holds only this batch's own partition
+    url_dedup_batch(b0, 0, urls, out)
+    s0 = snapshot()
+    assert {d for d, _ in s0["out"]} == {1, 3}
+    url_dedup_batch(b0, 0, urls, out)
+    assert snapshot() == s0
+
+    # batch 1: 10 aliases the admitted a.com/x (rejected), 11 is new
+    url_dedup_batch(b1, 1, urls, out)
+    s1 = snapshot()
+    assert {d for d, _ in s1["out"]} == {1, 3, 11}
+    url_dedup_batch(b1, 1, urls, out)
+    assert snapshot() == s1

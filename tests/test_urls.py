@@ -39,6 +39,15 @@ PINNED = [
     ("https://host.net/x?a=1&utm_a=2&b=3&gclid=g", "host.net/x?a=1&b=3", "host.net"),
     ("https://host.net/x?UTM_SOURCE=Up&ok=1", "host.net/x?ok=1", "host.net"),
     ("https://host.net/x?utm_a=1&utm_b=2", "host.net/x", "host.net"),
+    # tracking names anchored to ?/& — substrings of LONGER param names
+    # survive (r8 ADVICE: '?id=1&xgclid=2' must NOT collapse to '?id=1&x')
+    ("https://a.com/p?id=1&xgclid=2", "a.com/p?id=1&xgclid=2", "a.com"),
+    ("https://a.com/p?myutm_source=1&ok=2", "a.com/p?myutm_source=1&ok=2", "a.com"),
+    # back-to-back tracking params: non-rescanning global replace leaves
+    # '&' runs, collapsed by AMP_RUN_RE
+    ("https://a.com/p?utm_a=1&utm_b=2&id=3", "a.com/p?id=3", "a.com"),
+    ("https://a.com/p?gclid=g&utm_a=1", "a.com/p", "a.com"),
+    ("https://a.com/p?xfbclid=1&fbclid=2", "a.com/p?xfbclid=1", "a.com"),
     # path case preserved (RFC 3986: paths are case-sensitive)
     ("HtTpS://WwW.MiXeD.CoM/KeepCase", "mixed.com/KeepCase", "mixed.com"),
     # scheme strip is http/https only — other schemes pass through
@@ -71,6 +80,13 @@ def _fuzz_urls(n: int = 400) -> list[str]:
         "?a=%20&gclid=g&z=9",
         "?&a=1",
         "?msclkid=",
+        # boundary-collision shapes: tracking names as substrings of
+        # longer param names, and back-to-back tracking params
+        "?id=1&xgclid=2",
+        "?myutm_source=1",
+        "?utm_a=1&utm_b=2&c=3",
+        "?xfbclid=1&fbclid=2",
+        "?utm_a=1&utm_b=2&utm_c=3",
     ]
     frags = ["", "#f", "#A#B", "#utm_source=x"]
     return [
@@ -227,3 +243,13 @@ def test_adversarial_random_string_parity(spark):
     }
     con.close()
     assert got == want
+
+
+def test_host_cap_raises_on_preexisting_host_column(spark):
+    """A pre-existing 'host' column must raise, not be silently
+    overwritten with the derived grouping key (r8 verdict minor #2)."""
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "user-data")], "id long, url string, host string"
+    )
+    with pytest.raises(ValueError, match="already has one"):
+        host_cap(df, "id", "url", n=1)
