@@ -100,13 +100,24 @@ def train_quality_classifier(
     }
 
 
-def classifier_score(text: Column, model: dict) -> Column:
-    """``sigmoid(w·x + b)`` over the metric columns as one pure column
-    expression — the learned gate's serving path, zero MLlib/UDF."""
+def classifier_margin(text: Column, model: dict) -> Column:
+    """The linear margin ``z = w·x + b`` over the metric columns —
+    pure double arithmetic folded left-to-right in ``model["features"]``
+    order, so a SQL mirror with the same literals and association is
+    bit-identical cross-engine (the sigmoid is monotone in z, so gate
+    decisions derived from ``z >= logit(threshold)`` avoid the
+    transcendental entirely)."""
     cols = quality_feature_cols(text)
     z = F.lit(float(model["intercept"]))
     for name in model["features"]:
         z = z + F.lit(float(model["coef"][name])) * cols[name]
+    return z
+
+
+def classifier_score(text: Column, model: dict) -> Column:
+    """``sigmoid(w·x + b)`` over the metric columns as one pure column
+    expression — the learned gate's serving path, zero MLlib/UDF."""
+    z = classifier_margin(text, model)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 

@@ -59,10 +59,11 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # CORRECTNESS file lands, one round looser after, so pytest is green on
 # both sides of a driver run).
 #
-# Revisit-period math (r8, the first round the suite exceeds 100 gated
-# queries): with N non-rows-only registered queries and a 50-slot window,
-# round-robin rotation revisits every query within P = ceil(N / 50)
-# rounds. At N = 105 (106 registered minus approx_stats) P = 3, so the
+# Revisit-period math (introduced r8, the first round the suite exceeded
+# 100 gated queries): with N non-rows-only registered queries and a
+# 50-slot window, round-robin rotation revisits every query within
+# P = ceil(N / 50) rounds. At N = 109 (110 registered minus the
+# rows-only approx_stats; 105 before the r9 registrations) P = 3, so the
 # ratchet bound — enforced by tests/test_suite_order.py dynamically from
 # the recorded CORRECTNESS files — is: NO query's newest hash-green row
 # may age more than P - 1 = 2 recorded rounds behind the latest file
@@ -91,73 +92,90 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # bound) AND in scripts/verify_local.py's full-suite run, committed per
 # round as VERIFY_LOCAL_r{N}.txt at both sf0.01 and sf0.1.
 #
-# r9 window planning — FIRST bump WINDOW_BUDGETED_FOR to 9 when
-# re-planning: (1) any never-verified queries registered at the re-plan
-# go first — three staged candidates are ready, each with a suite-defined
-# oracle, two-scale exact parity, a cold-JVM ANSI run, and the
-# type-allowlist guard: q_lm_staged / LM_STAGED_ORACLE (register as
-# `lm_staged`; tests/test_lm_staged.py), q_pii_scan / PII_SCAN_ORACLE
-# (register as `pii_scan`; tests/test_pii_scan.py), and q_html_strip /
-# HTML_STRIP_ORACLE (register as `html_strip`; tests/test_strip_html.py);
-# (2) then the 5 deferred r6-green queries (listed above) — they will be
-# at the P - 1 age bound; (3) then the stalest r7-green queries to fill
-# the window; the youngest r7-green queries defer to r10 exactly as this
-# round's 5 defer to r9.
-WINDOW_BUDGETED_FOR = 8
+# Round-9 window (re-planned per the committed r8 plan below; ratchet
+# bumped FIRST):
+#   1. the 4 queries NEW to the gate, never driver-verified — the three
+#      r8-staged candidates `lm_staged` / `pii_scan` / `html_strip`
+#      (each registered with its suite-defined oracle after two-scale
+#      exact parity + a cold-JVM ANSI run + the type-allowlist guard:
+#      tests/test_lm_staged.py, test_pii_scan.py, test_strip_html.py)
+#      plus `classifier_serve` (r8 verdict task 3: the learned-gate
+#      SERVING path with a FIXED literal weight dict — the keep boolean
+#      derives from the bit-exact linear margin z >= 0, the sigmoid
+#      output is the documented ROUND-of-a-transcendental accepted-risk
+#      class; oracle generated from the SAME model dict,
+#      suite/llm.py:classifier_oracle_sql; tests/test_r9_candidates.py).
+#   2. the 5 queries whose newest green row is r06 (deferred from r8 at
+#      the P - 1 bound per the committed plan): qc_count, semi_join,
+#      sort_limit, union_append, window_topk.
+#   3. 41 of the 50 r7-green queries. The remaining 9 (event-/relational
+#      core ops: events_hourly, export_projection, filter_null_predicate,
+#      groupby_agg, join_star, json_extract, rolling_avg, scalar_kitchen,
+#      supplier_revenue — cheap, never-regressed) defer to the FRONT of
+#      the r10 window; their age at r9-commit time is latest - 1 = within
+#      the P - 1 bound.
+# After r9 lands the steady-state rotation holds: 50 r9-green (age 0),
+# 50 r8-green (age 1), 9 r7-green (age 2, at the bound) — r10's window
+# must take the 9 deferred queries first, then the 41 stalest r8-green;
+# the remaining 9 r8-green defer to r11 the same way. With N = 109
+# non-rows-only registered queries (110 minus approx_stats) the revisit
+# period stays P = ceil(109/50) = 3.
+WINDOW_BUDGETED_FOR = 9
 
 _WINDOW_ORDER = [
-    # new to the gate in r08 — never driver-verified
-    "dedup_span",
-    "quality_gopher",
-    "bm25_batch",
-    "corpus_sketch_counts",
-    "url_canonical",
-    # newest green row r06 — rotate back in
-    "bm25_topk",
-    "rrf_fuse",
-    "dsir_topk",
-    "lake_skipping_read",
-    "bpe_train",
-    "dedup_minhash_lsh",
-    "anti_join",
-    "boilerplate_strip",
-    "collect_set",
-    "contamination_ngram",
-    "corpus_delta",
-    "cube",
-    "dedup_incremental",
-    "distinct_agg",
-    "doc_chunks",
-    "embedding_drift",
-    "event_funnel",
-    "event_outliers",
-    "except",
-    "intersect",
-    "knn_ivf_kmeans",
-    "knn_quantized",
-    "label_centroids",
-    "lm_score",
-    "lm_score_bigram",
-    "mm_decode_meta",
-    "pack_sequences",
-    "pivot",
-    "pmi_topk",
-    "quality_buckets",
-    "range_join",
-    "repetition_metrics",
-    "rollup",
-    "running_sum",
-    "sample_hash",
-    "sample_mix",
-    "sample_per_group",
-    "sample_weighted",
-    "sessionize",
-    "shipping_priority",
-    "split_contamination",
-    "text_normalize",
-    "tfidf_cosine",
-    "user_retention",
-    "vocab_topk",
+    # new to the gate in r09 — never driver-verified
+    "lm_staged",
+    "pii_scan",
+    "html_strip",
+    "classifier_serve",
+    # newest green row r06 — the 5 deferred from r8, at the age bound
+    "qc_count",
+    "semi_join",
+    "sort_limit",
+    "union_append",
+    "window_topk",
+    # newest green row r07 — rotate back in (41 of 50)
+    "activity_islands",
+    "asof_join",
+    "budget_sample",
+    "canary_scan",
+    "chess_enrich",
+    "chess_export",
+    "chunk_dedup",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_priority",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_fingerprint",
+    "dq_check",
+    "dup_matrix",
+    "enrich_argmax",
+    "knn_brute_force",
+    "knn_ivf",
+    "knn_lsh",
+    "knn_two_stage",
+    "lateral_topk",
+    "merge_update",
+    "mm_frame_sample",
+    "paragraph_dedup",
+    "pipeline_clean_corpus",
+    "sample_temperature",
+    "shard_assignments",
+    "source_kl",
+    "source_stats_pandas",
+    "split_leakage_safe",
+    "text_langid",
+    "text_quality",
+    "tfidf",
+    "token_count",
+    "token_entropy",
+    "udaf_gmean",
+    "udtf_bigrams",
+    "winsorize",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

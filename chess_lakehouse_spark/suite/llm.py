@@ -1299,6 +1299,35 @@ GOPHER_Q_MIN_STOPS = 1
 BM25_BATCH_MOD = 250
 BM25_BATCH_K = 10
 
+#: FIXED literal model for the learned-gate SERVING path (r8 verdict
+#: task 3): training floats (LBFGS partial-aggregate class) keep
+#: train_quality_classifier rows-only, but serving a pinned weight dict
+#: is a deterministic column chain a DuckDB oracle reproduces exactly.
+#: Weights chosen so the gate splits the documents fixture on BOTH sides
+#: via n_words / mean_word_len / stop_hits (the metrics that vary there
+#: — tests/test_classifier.py asserts the split discriminates).
+CLASSIFIER_MODEL: dict = {
+    "features": [
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "stop_hits",
+    ],
+    "coef": {
+        "n_words": 0.04,
+        "mean_word_len": -0.1,
+        "symbol_ratio": -8.0,
+        "bullet_line_frac": -2.0,
+        "ellipsis_line_frac": -1.5,
+        "alpha_word_frac": 1.0,
+        "stop_hits": 0.5,
+    },
+    "intercept": -2.5,
+}
+
 
 def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr pass (Lee et al. 2021) at k-token shingle granularity:
@@ -1323,6 +1352,32 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(
         docs, "doc_id", "text",
         min_words=GOPHER_Q_MIN_WORDS, min_stop_hits=GOPHER_Q_MIN_STOPS,
+    )
+
+
+def q_classifier_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned LR quality gate, SERVING path (GPT-3 App. A / DCLM class;
+    operators/classify.py): score every document with the FIXED
+    CLASSIFIER_MODEL — sigmoid(w·x+b) folded into a pure column chain
+    over the shared Gopher metric columns, zero MLlib/UDF, rides the
+    scan. The keep decision derives from the linear margin ``z >= 0``
+    (== prob >= 0.5), which is exact double arithmetic in both engines;
+    keep_prob is ROUND(sigmoid, 6) — the documented
+    ROUND-of-a-transcendental accepted-risk class (same as lm_score's
+    ln)."""
+    from chess_lakehouse_spark.operators.classify import (
+        classifier_margin,
+        classifier_score,
+    )
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    z = classifier_margin(text, CLASSIFIER_MODEL)
+    return docs.select(
+        "doc_id",
+        F.round(classifier_score(text, CLASSIFIER_MODEL), 6).alias("keep_prob"),
+        (z >= F.lit(0.0)).alias("keep"),
     )
 
 
@@ -2213,6 +2268,30 @@ def gopher_oracle_sql(min_words: int, min_stops: int, src: str = "documents") ->
         stops=stops, min_words=min_words, min_stops=min_stops
     )
     return body.replace("FROM base_docs", f"FROM {src}")
+
+
+def classifier_oracle_sql(src: str = "documents") -> str:
+    """DuckDB mirror of q_classifier_serve, generated from the SAME
+    CLASSIFIER_MODEL dict the Spark chain folds (anti-divergence: one
+    weight definition, two engines). The metric CTEs are the shared
+    Gopher oracle template; the margin z is built with the identical
+    left-associated fold order as operators/classify.py:
+    classifier_margin, so z is bit-identical cross-engine and the keep
+    boolean (z >= 0) is exact."""
+    inner = gopher_oracle_sql(GOPHER_Q_MIN_WORDS, GOPHER_Q_MIN_STOPS, src=src)
+    z = f"CAST({CLASSIFIER_MODEL['intercept']!r} AS DOUBLE)"
+    for name in CLASSIFIER_MODEL["features"]:
+        w = CLASSIFIER_MODEL["coef"][name]
+        feat = f"COALESCE(CAST({name} AS DOUBLE), 0.0)"
+        z = f"({z} + CAST({w!r} AS DOUBLE) * {feat})"
+    return f"""
+WITH g AS ({inner}),
+zt AS (SELECT doc_id, {z} AS z FROM g)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-z)), 6) AS keep_prob,
+       z >= 0.0 AS keep
+FROM zt
+"""
 
 
 #: Canonical bm25_batch DuckDB oracle (promoted from tests/test_bm25.py at
@@ -3474,6 +3553,12 @@ ORACLES = {
           FROM canon
         ) WHERE rk <= {URL_CAP_N}
     """,
+    # registered at the r9 window re-plan (suite/__init__.py): the three
+    # r8-staged candidates plus the learned-gate serving path
+    "lm_staged": LM_STAGED_ORACLE,
+    "pii_scan": PII_SCAN_ORACLE,
+    "html_strip": HTML_STRIP_ORACLE,
+    "classifier_serve": classifier_oracle_sql(),
 }
 
 QUERIES = {
@@ -3549,4 +3634,8 @@ QUERIES = {
     "bm25_batch": q_bm25_batch,
     "corpus_sketch_counts": q_corpus_sketch_counts,
     "url_canonical": q_url_canonical,
+    "lm_staged": q_lm_staged,
+    "pii_scan": q_pii_scan,
+    "html_strip": q_html_strip,
+    "classifier_serve": q_classifier_serve,
 }
