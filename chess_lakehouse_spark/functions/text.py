@@ -1259,13 +1259,19 @@ def append_bm25_index(
     n_posting_files: int = 64,
 ) -> None:
     """Fold NEW documents into a staged :func:`build_bm25_index` layout —
-    the append-only lifecycle: the delta's postings rows are disjoint from
-    the staged ones (PRECONDITION: delta doc ids are new; re-appending an
-    indexed id double-counts — dedup upstream), so the merge is a union +
-    re-cluster of the INDEX (index-sized, not corpus-sized), atomically
-    swapped in via the rename-aside pattern; lengths append; dfreq and
-    stats rebuild from the merged tables (vocabulary-sized / one row).
-    Exact equivalence with a full rebuild is pytest-pinned."""
+    the append-only lifecycle. Every merged table is UPSERT-shaped and
+    atomically swapped: the staged rows are anti-joined on the delta's
+    doc ids before the union, so retrying a crashed append (r8 ADVICE:
+    the old blind ``mode('append')`` to lengths/ committed before the
+    postings swap, and a retry double-appended — silently over-counting
+    n_docs/total_len and corrupting every served score) is IDEMPOTENT at
+    any crash point: postings merge+swap, then lengths merge+swap, then
+    dfreq/stats rebuild from the swapped tables. The anti-join is keyed
+    and index-sized — the same order of work as the re-cluster the merge
+    already pays. Double-append == single append == full rebuild is
+    pytest-pinned. (A crash INSIDE a swap's one-rename window leaves the
+    directory aside as ``.old`` — the documented
+    :func:`operators.publish.vacuum_lake` recovery, loud not silent.)"""
     from chess_lakehouse_spark.operators.publish import (
         _swap_lake_dirs,
         write_clustered,
@@ -1276,14 +1282,30 @@ def append_bm25_index(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("t"),
     )
-    toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d")).write.mode(
-        "append"
-    ).parquet(f"{index_dir}/lengths")
+    delta_ids = delta_df.select(F.col(id_col).alias("doc_id")).distinct()
+
     new_postings = toks.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    merged = spark.read.parquet(f"{index_dir}/postings").unionByName(new_postings)
+    merged = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .join(delta_ids, "doc_id", "left_anti")
+        .select("t", "doc_id", "tf")  # the equi-join moved the key first
+        .unionByName(new_postings)
+    )
     tmp = f"{index_dir}/postings.compacting"
     write_clustered(merged, tmp, ["t"], n_files=n_posting_files)
     _swap_lake_dirs(spark, tmp, f"{index_dir}/postings", "append_bm25_index")
+
+    new_lengths = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d"))
+    merged_lengths = (
+        spark.read.parquet(f"{index_dir}/lengths")
+        .join(delta_ids, "doc_id", "left_anti")
+        .select("doc_id", "n_d")
+        .unionByName(new_lengths)
+    )
+    tmp_l = f"{index_dir}/lengths.compacting"
+    merged_lengths.write.mode("overwrite").parquet(tmp_l)
+    _swap_lake_dirs(spark, tmp_l, f"{index_dir}/lengths", "append_bm25_index")
+
     postings_staged = spark.read.parquet(f"{index_dir}/postings")
     postings_staged.groupBy("t").agg(F.count(F.lit(1)).alias("df")).write.mode(
         "overwrite"

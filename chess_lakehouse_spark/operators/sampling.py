@@ -768,8 +768,12 @@ def pack_bins_bfd(
         out["oversize"] = oversize_flags
         return out
 
+    # The id field keeps the INPUT column's type (string ids are as
+    # common as longs across this repo's operators; a hardcoded 'id long'
+    # failed at Arrow conversion for them — r8 ADVICE)
+    id_type = df.schema[id_col].dataType.simpleString()
     return slim.groupBy("shard").applyInPandas(
         _bfd,
-        schema="id long, n_tokens long, shard int, bin_id long, bin_fill long, "
-               "oversize boolean",
+        schema=f"id {id_type}, n_tokens long, shard int, bin_id long, "
+               "bin_fill long, oversize boolean",
     ).withColumnsRenamed({"id": id_col})

@@ -377,3 +377,38 @@ def test_append_bm25_index_equals_full_rebuild(spark, docs_df, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_append_bm25_index_retry_is_idempotent(spark, docs_df, tmp_path):
+    """Crash-retry contract (r8 ADVICE): re-running the SAME append —
+    foreachBatch-style replay, or an operator retrying a failed job —
+    must leave the index identical to a single append (and to a full
+    rebuild): every merge anti-joins the delta's doc ids out of the
+    staged tables first, so nothing double-counts. Before the fix the
+    blind lengths append made a retry silently inflate n_docs/total_len
+    and corrupt every served score."""
+    from chess_lakehouse_spark.functions.text import (
+        append_bm25_index,
+        bm25_from_index,
+        build_bm25_index,
+    )
+
+    part_a = docs_df.where("id < 3")
+    part_b = docs_df.where("id >= 3")
+    idx = str(tmp_path / "idx_retry")
+    build_bm25_index(part_a, "id", "text", idx, n_posting_files=3)
+    append_bm25_index(part_b, "id", "text", idx, n_posting_files=3)
+    append_bm25_index(part_b, "id", "text", idx, n_posting_files=3)  # the retry
+
+    ref = str(tmp_path / "idx_ref2")
+    build_bm25_index(docs_df, "id", "text", ref, n_posting_files=3)
+
+    for sub in ("lengths", "stats", "dfreq", "postings"):
+        got = sorted(tuple(r) for r in spark.read.parquet(f"{idx}/{sub}").collect())
+        want = sorted(tuple(r) for r in spark.read.parquet(f"{ref}/{sub}").collect())
+        assert got == want, f"{sub} diverged after retried append"
+
+    queries = spark.createDataFrame([(1, "cat mat")], "qid long, qtext string")
+    got = sorted(tuple(r) for r in bm25_from_index(spark, idx, queries, "qid", "qtext", k=5).collect())
+    want = sorted(tuple(r) for r in bm25_from_index(spark, ref, queries, "qid", "qtext", k=5).collect())
+    assert got == want and len(got) > 0

@@ -113,3 +113,23 @@ def test_budget_validation(docs):
         pack_bins_bfd(df, "doc_id", "n_tokens", budget=0)
     with pytest.raises(ValueError, match="n_shards"):
         pack_bins_bfd(df, "doc_id", "n_tokens", budget=10, n_shards=0)
+
+
+def test_pack_bins_bfd_accepts_string_ids(spark):
+    """The output schema derives the id type from the input (r8 ADVICE:
+    a hardcoded 'id long' broke every string-id corpus at Arrow
+    conversion) — invariants hold unchanged."""
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}", 10 + (i * 7) % 90) for i in range(50)],
+        "doc_id string, n_tokens long",
+    )
+    out = pack_bins_bfd(df, "doc_id", "n_tokens", budget=128, n_shards=4).collect()
+    assert len(out) == 50
+    assert all(isinstance(r["doc_id"], str) for r in out)
+    fills = {}
+    for r in out:
+        fills.setdefault(r["bin_id"], 0)
+        fills[r["bin_id"]] += r["n_tokens"]
+        assert not r["oversize"]
+    for b, f in fills.items():
+        assert f <= 128
