@@ -120,6 +120,17 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # the remaining 9 r8-green defer to r11 the same way. With N = 109
 # non-rows-only registered queries (110 minus approx_stats) the revisit
 # period stays P = ceil(109/50) = 3.
+#
+# r10 window planning — FIRST bump WINDOW_BUDGETED_FOR to 10: (1) any
+# never-verified queries registered at the re-plan go first — one staged
+# candidate is ready: q_bm25_staged / BM25_STAGED_ORACLE (register as
+# `bm25_staged`; suite/llm.py — the staged-index serving path, the one
+# scale-headline operator without a driver row; two-scale parity +
+# cold-JVM pinned in tests/test_bm25.py); (2) then the 9 deferred
+# r7-green queries (events_hourly, export_projection,
+# filter_null_predicate, groupby_agg, join_star, json_extract,
+# rolling_avg, scalar_kitchen, supplier_revenue) — at the P - 1 bound;
+# (3) then the stalest r8-green queries to fill the window.
 WINDOW_BUDGETED_FOR = 9
 
 _WINDOW_ORDER = [

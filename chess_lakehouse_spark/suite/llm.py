@@ -1398,6 +1398,49 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Query-batch modulus for the STAGED BM25 candidate — distinct from
+#: BM25_BATCH_MOD so the staged-serving query's output is not a byte
+#: twin of bm25_batch's (two genuinely different result sets, one per
+#: execution path).
+BM25_STAGED_MOD = 125
+
+
+def _bm25_index_dir(sf_dir: str) -> str:
+    """Per-process temp dir for the staged BM25 index (same atexit-cleaned
+    root as the skipping lake / staged LM)."""
+    return _sklake_dir(sf_dir).rsplit("/", 1)[0] + "/bm25idx"
+
+
+def q_bm25_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served FROM the staged lake index (functions/text.py:
+    build_bm25_index + bm25_from_index) — the scale-headline serving
+    path: term-clustered postings staged once, then the query batch
+    (every doc_id % BM25_STAGED_MOD == 0 document's text) scores with
+    ZERO corpus access; serve cost tracks matching postings, not corpus
+    size (SCALE.md: flat at x8). The oracle is the RAW-table batch-BM25
+    SQL — exactly the lake_skipping_read gating pattern: stage inside
+    the query, serve through the staged layout, and the result must
+    equal what the raw table computes.
+
+    r10 STAGING CANDIDATE — not yet registered: exact value parity
+    against BM25_STAGED_ORACLE pinned in tests/test_bm25.py at two
+    scales + cold-JVM; registration at the r10 window re-plan is a
+    dict + window edit, per the suite/__init__.py plan."""
+    from chess_lakehouse_spark.functions.text import (
+        bm25_from_index,
+        build_bm25_index,
+    )
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _bm25_index_dir(sf_dir)
+    build_bm25_index(docs, "doc_id", "text", idx)
+    queries = docs.where(F.col("doc_id") % BM25_STAGED_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return bm25_from_index(spark, idx, queries, "query_id", "query_text", k=BM25_BATCH_K)
+
+
 #: lgConfigK for the gated sketch query (the operator default).
 SKETCH_LG_K = 12
 
@@ -1510,10 +1553,9 @@ def q_lm_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ZERO training-corpus access (functions/text.py:build_lm,
     lm_score_from).
 
-    r9 STAGING CANDIDATE — not yet registered: exact value parity against
-    LM_STAGED_ORACLE is pinned in tests/test_lm_staged.py (driver-safe
-    types); registration at the r9 window re-plan is a dict + window
-    edit, per the suite/__init__.py plan."""
+    REGISTERED as `lm_staged` at the r9 window re-plan; exact value
+    parity against LM_STAGED_ORACLE pinned in tests/test_lm_staged.py
+    (driver-safe types) before registration."""
     from chess_lakehouse_spark.functions.text import build_lm, lm_score_from
 
     apply_runtime_conf(spark)
@@ -1566,9 +1608,9 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-publication audit, over deterministically PII-laced text so
     every pattern actually fires.
 
-    r9 STAGING CANDIDATE — not yet registered: exact parity against
-    PII_SCAN_ORACLE pinned in tests/test_pii_scan.py; registration at
-    the r9 window re-plan is a dict + window edit."""
+    REGISTERED as `pii_scan` at the r9 window re-plan; exact parity
+    against PII_SCAN_ORACLE pinned in tests/test_pii_scan.py before
+    registration."""
     from chess_lakehouse_spark.functions.text import pii_counts
 
     apply_runtime_conf(spark)
@@ -1668,9 +1710,9 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     preprocessing step, hash-checked on the full cleaned string plus its
     length.
 
-    r9 STAGING CANDIDATE — not yet registered: exact parity against
-    HTML_STRIP_ORACLE pinned in tests/test_strip_html.py; registration
-    at the r9 window re-plan is a dict + window edit."""
+    REGISTERED as `html_strip` at the r9 window re-plan; exact parity
+    against HTML_STRIP_ORACLE pinned in tests/test_strip_html.py before
+    registration."""
     from chess_lakehouse_spark.functions.text import strip_html
 
     apply_runtime_conf(spark)
@@ -2352,6 +2394,19 @@ def bm25_batch_oracle_sql(
     queries_cte: str, k: int, k1: float = 1.2, b: float = 0.75
 ) -> str:
     return BM25_BATCH_ORACLE_TPL.format(queries_cte=queries_cte, k1=k1, b=b, k=k)
+
+
+#: DuckDB oracle for the q_bm25_staged r10 candidate — the RAW-table
+#: batch-BM25 SQL over the BM25_STAGED_MOD query slice: the staged-index
+#: serving path must return exactly what one pass over the raw corpus
+#: computes (the lake_skipping_read gating pattern). Defined HERE per
+#: the anti-divergence pattern; tests/test_bm25.py imports this and
+#: registration at r10 is a dict + window edit.
+BM25_STAGED_ORACLE = bm25_batch_oracle_sql(
+    "queries AS (SELECT doc_id AS query_id, text AS qtext FROM documents "
+    f"WHERE doc_id % {BM25_STAGED_MOD} = 0)",
+    BM25_BATCH_K,
+)
 
 
 #: DuckDB oracle for q_lm_staged — defined HERE (not in tests/) per the

@@ -412,3 +412,27 @@ def test_append_bm25_index_retry_is_idempotent(spark, docs_df, tmp_path):
     got = sorted(tuple(r) for r in bm25_from_index(spark, idx, queries, "qid", "qtext", k=5).collect())
     want = sorted(tuple(r) for r in bm25_from_index(spark, ref, queries, "qid", "qtext", k=5).collect())
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_bm25_staged_candidate_matches_oracle(spark, sf_dir):
+    """r10 staging candidate (q_bm25_staged): BM25 served from the staged
+    term-clustered lake index must equal the RAW-table batch-BM25 oracle
+    exactly, at both local scales — the lake_skipping_read gating
+    pattern, pinned ahead of registration per the suite plan."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import BM25_STAGED_ORACLE, q_bm25_staged
+
+    sdf = q_bm25_staged(spark, sf_dir)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    drows = sorted(tuple(r) for r in con.execute(BM25_STAGED_ORACLE).fetchall())
+    con.close()
+    assert len(srows) > 0
+    assert srows == drows
