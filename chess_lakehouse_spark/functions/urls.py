@@ -122,7 +122,15 @@ def url_dedup_groups(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     single map-side-combined shuffle shape as
     operators/dedup.py:exact_dedup_groups but keyed on the canonical URL
     instead of the content hash. Returns (url_canon, canonical_id,
-    n_copies)."""
+    n_copies).
+
+    Skew: a real crawl's hottest URL can dominate its key, but min/count
+    are algebraic aggregates — the map-side combiner collapses each
+    partition's copies of a hot key to ONE partial row before the
+    shuffle, so the reducer for the hottest URL receives at most
+    n_partitions rows, not n_copies. No salting needed here (unlike
+    joins, where the hot key's ROWS must move — see the salted-join
+    notes in operators/relational.py); SCALE.md records the expectation."""
     return df.groupBy(url_canonicalize(F.col(url_col)).alias("url_canon")).agg(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_copies"),

@@ -770,12 +770,54 @@ def paragraph_dedup(
     )
 
 
+def span_shingle_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Every k-token window's md5 hash with its (id, pos) anchor — the
+    shingle projection :func:`duplicate_span_dedup` dedups on, exposed so
+    the streaming mirror (streaming/jobs.py:span_dedup_batch) can stage
+    per-batch first-occurrence hashes without reimplementing the
+    tokenize/slice chain. Returns (id, [ord,] pos, h); documents shorter
+    than k tokens contribute no rows."""
+    if k < 2:
+        raise ValueError(f"span_shingle_hashes: k must be >= 2, got {k}")
+    from chess_lakehouse_spark.functions.text import ws_tokens
+
+    toks_arr = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(order_col).alias("ord")] if order_col is not None else []),
+        F.filter(ws_tokens(F.col(text_col)), lambda t: t != "").alias("toks"),
+    )
+    return (
+        toks_arr.where(F.size("toks") >= k)
+        .select(
+            "id",
+            *(["ord"] if order_col is not None else []),
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("i"),
+            "toks",
+        )
+        .select(
+            "id",
+            *(["ord"] if order_col is not None else []),
+            (F.col("i") - 1).alias("pos"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), k))
+            ).alias("h"),
+        )
+    )
+
+
 def duplicate_span_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 5,
     order_col: str | None = None,
+    seen_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide duplicate-SPAN removal — the ExactSubstr pass of Lee et
     al. 2021 ("Deduplicating Training Data Makes Language Models Better")
@@ -810,6 +852,14 @@ def duplicate_span_dedup(
     aggregate. At 100 TB the shingle-hash table is shuffled, never
     broadcast; the coverage explode is proportional to duplicated text.
 
+    ``seen_hashes`` (a DataFrame with an ``h`` column) marks shingle
+    hashes already seen in an EARLIER corpus slice: every window in
+    ``df`` matching one is a duplicate outright (no occurrence here can
+    be "first"), which is exactly the cross-batch contract the streaming
+    mirror (streaming/jobs.py:span_dedup_batch) needs. With
+    ``seen_hashes=None`` the plan is byte-identical to the gated
+    ``dedup_span`` form.
+
     Returns (id, clean_text, n_tokens, n_removed_tokens).
     """
     if k < 2:
@@ -823,31 +873,28 @@ def duplicate_span_dedup(
         F.filter(ws_tokens(F.col(text_col)), lambda t: t != "").alias("toks"),
     )
     tok = toks_arr.select("id", F.posexplode("toks").alias("pos", "tok"))
-    sh = (
-        toks_arr.where(F.size("toks") >= k)
-        .select(
-            "id",
-            *(["ord"] if order_col is not None else []),
-            F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("i"),
-            "toks",
-        )
-        .select(
-            "id",
-            *(["ord"] if order_col is not None else []),
-            (F.col("i") - 1).alias("pos"),
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice(F.col("toks"), F.col("i"), k)
-                )
-            ).alias("h"),
-        )
-    )
+    sh = span_shingle_hashes(df, id_col, text_col, k=k, order_col=order_col)
     first = sh.groupBy("h").agg(F.min(F.struct(*order_keys)).alias("first_occ"))
-    marked = (
-        sh.join(first, "h")
-        .where(F.struct(*order_keys) != F.col("first_occ"))
-        .select("id", "pos")
-    )
+    if seen_hashes is None:
+        marked = (
+            sh.join(first, "h")
+            .where(F.struct(*order_keys) != F.col("first_occ"))
+            .select("id", "pos")
+        )
+    else:
+        # hashes staged earlier can have no first occurrence HERE: drop
+        # them from the local-first table, then a left join marks every
+        # window as duplicate when its hash is staged (no match) OR it
+        # is not the local first occurrence
+        first_new = first.join(seen_hashes.select("h"), "h", "left_anti")
+        marked = (
+            sh.join(first_new, "h", "left")
+            .where(
+                F.col("first_occ").isNull()
+                | (F.struct(*order_keys) != F.col("first_occ"))
+            )
+            .select("id", "pos")
+        )
     covered = marked.select(
         F.col("id").alias("cid"),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cpos"),

@@ -13,14 +13,18 @@ from chess_lakehouse_spark.streaming.jobs import (
     running_user_counts,
     session_windows,
     sliding_event_counts,
+    span_dedup_batch,
     stream_incremental_dedup,
+    stream_span_dedup,
     stream_url_dedup,
     streaming_dedup,
 )
 
 __all__ = [
     "stream_incremental_dedup",
+    "stream_span_dedup",
     "stream_url_dedup",
+    "span_dedup_batch",
     "incremental_dedup_batch",
     "url_dedup_batch",
     "corpus_ingest_clean",

@@ -527,6 +527,101 @@ def stream_url_dedup(
     q.awaitTermination()
 
 
+def stream_span_dedup(
+    new_docs: DataFrame,
+    spans_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> None:
+    """Streaming duplicate-SPAN dedup — the cross-batch form of the
+    ExactSubstr pass (Lee et al. 2021), completing the streaming mirror
+    of every batch dedup granularity (exact + paragraph + URL + span):
+    each micro-batch removes every k-token window that occurred earlier
+    WITHIN the batch (``duplicate_span_dedup`` (id, pos) order) or in ANY
+    earlier batch (``seen_hashes`` = the staged first-occurrence shingle
+    hashes — hash-sized state, never earlier text). The batch's own
+    distinct window hashes (of the ORIGINAL text, exactly the hashes a
+    full-corpus run would anchor firsts on) append to ``spans_dir`` so
+    later batches dedup against them. Stream output equals the batch
+    operator run on the concatenated corpus whenever batch arrival order
+    agrees with id order (pinned in tests/test_streaming.py).
+
+    Same idempotent restart contract as the other two loops: per-batch
+    ``batch_id=N`` overwrite partitions, and every staged read excludes
+    the in-flight batch's own partition (the replay-hole guard), pinned
+    by the double-invoke replay test. Per-batch cost: O(|batch| tokens)
+    shingling + one groupBy + one hash join against the staged table —
+    the staged side is an equi-join on md5 keys, never pairwise.
+    """
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        span_dedup_batch(
+            batch_df, batch_id, spans_dir, out_dir,
+            id_col=id_col, text_col=text_col, k=k,
+        )
+
+    q = (
+        new_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def span_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    spans_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> None:
+    """One micro-batch of the streaming span-dedup loop — module-level so
+    the crash-replay contract is directly testable (same batch_id twice →
+    identical partitions; see ``stream_span_dedup``)."""
+    from chess_lakehouse_spark.operators.dedup import (
+        duplicate_span_dedup,
+        span_shingle_hashes,
+    )
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        staged = None
+        if _path_exists(spark, spans_dir):
+            # replay-hole guard: never dedup a replayed batch against its
+            # own staged window hashes
+            staged = (
+                spark.read.parquet(spans_dir)
+                .where(F.col("batch_id").cast("string") != F.lit(str(batch_id)))
+                .select("h")
+            )
+        cleaned = duplicate_span_dedup(
+            batch_df, id_col, text_col, k=k, seen_hashes=staged
+        )
+        out = batch_df.drop(text_col).join(cleaned, id_col)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        # stage the ORIGINAL batch text's window hashes (first occurrences
+        # anchor on pre-dedup text, exactly as a full-corpus run would)
+        new_hashes = (
+            span_shingle_hashes(batch_df, id_col, text_col, k=k)
+            .select("h")
+            .distinct()
+        )
+        if staged is not None:
+            new_hashes = new_hashes.join(staged, "h", "left_anti")
+        new_hashes.write.mode("overwrite").parquet(
+            f"{spans_dir}/batch_id={batch_id}"
+        )
+    finally:
+        batch_df.unpersist()
+
+
 def url_dedup_batch(
     batch_df: DataFrame,
     batch_id: int,

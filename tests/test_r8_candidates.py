@@ -26,11 +26,13 @@ def con():
     c.close()
 
 
-def test_r8_queries_are_registered_and_in_window():
-    window = list(suite.QUERIES)[:50]
+def test_r8_queries_are_registered():
+    """In-window membership was the r8-round requirement (verified:
+    CORRECTNESS_r08.json hash-green rows); from r9 on the rotation is
+    governed by the staleness ratchet in test_suite_order.py, so this
+    pins registration only."""
     for name in R8_REGISTERED:
         assert name in suite.QUERIES and name in suite.ORACLES
-        assert name in window, f"{name} registered but outside the driver window"
 
 
 @pytest.mark.parametrize("name", R8_REGISTERED)

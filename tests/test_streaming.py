@@ -727,3 +727,115 @@ def test_url_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert {d for d, _ in s1["out"]} == {1, 3, 11}
     url_dedup_batch(b1, 1, urls, out)
     assert snapshot() == s1
+
+
+def test_stream_span_dedup_matches_batch_operator(spark, tmp_path):
+    """Streaming ExactSubstr over two drops must equal duplicate_span_dedup
+    on the concatenated corpus (batch arrival order agrees with id order),
+    and the checkpoint prevents reprocessing on restart."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.operators.dedup import duplicate_span_dedup
+    from chess_lakehouse_spark.streaming import stream_span_dedup
+
+    K = 3
+    # doc 2 repeats doc 1's opening trigram mid-text (intra-batch-1 span);
+    # doc 10 (batch 2) repeats a doc-3 span (cross-batch); doc 11 is clean
+    b1 = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+        Row(doc_id=2, text="zeta alpha beta gamma eta theta"),
+        Row(doc_id=3, text="iota kappa lambda mu nu"),
+    ]
+    b2 = [
+        Row(doc_id=10, text="xi iota kappa lambda omicron pi"),
+        Row(doc_id=11, text="rho sigma tau upsilon phi"),
+    ]
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    spans = str(tmp_path / "spans")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet")
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_span_dedup(stream, spans, out, ckpt, k=K)
+
+    land("d1", b1)
+    run()
+    land("d2", b2)
+    run()
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.createDataFrame(b1 + b2)
+    want = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed_tokens)
+        for r in duplicate_span_dedup(batch, "doc_id", "text", k=K).collect()
+    }
+    assert got == want
+    assert got[2][2] > 0    # intra-batch span removed
+    assert got[10][2] > 0   # cross-batch span removed
+    assert got[11][2] == 0  # clean doc untouched
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    run()
+    got2 = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == got
+
+
+def test_span_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Same crash-replay contract as the other two loops: invoking the
+    batch body twice with one batch_id must reproduce the output — the
+    staged-hash read excludes the in-flight batch's own partition, else
+    the replay would mark EVERY window as already-seen and blank every
+    document."""
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.streaming import span_dedup_batch
+
+    spans = str(tmp_path / "spans")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+        Row(doc_id=2, text="zeta alpha beta gamma eta theta"),
+    ])
+    b1 = spark.createDataFrame([
+        Row(doc_id=10, text="xi alpha beta gamma omicron pi"),
+        Row(doc_id=11, text="rho sigma tau upsilon phi"),
+    ])
+
+    def snapshot():
+        return {
+            "out": {tuple(r) for r in spark.read.parquet(out).collect()},
+            "spans": {r.h for r in spark.read.parquet(spans).collect()},
+        }
+
+    # first-batch replay: spans_dir holds only this batch's own partition
+    span_dedup_batch(b0, 0, spans, out, k=3)
+    s0 = snapshot()
+    assert any(r for r in s0["out"] if r[0] == 2 and r[3] > 0)
+    span_dedup_batch(b0, 0, spans, out, k=3)
+    assert snapshot() == s0
+
+    span_dedup_batch(b1, 1, spans, out, k=3)
+    s1 = snapshot()
+    # doc 10's cross-batch span removed; doc 11 intact with full text
+    out_by_id = {r[0]: r for r in s1["out"]}
+    assert out_by_id[10][3] > 0 and out_by_id[11][3] == 0
+    span_dedup_batch(b1, 1, spans, out, k=3)
+    assert snapshot() == s1
