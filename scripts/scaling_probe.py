@@ -256,6 +256,44 @@ def main() -> None:
                 ).count(),
             )
 
+        if only_ops is None or {"classifier_serve", "span_stream_batch"} & only_ops:
+            from chess_lakehouse_spark.operators.classify import (
+                score_quality_classifier,
+            )
+            from chess_lakehouse_spark.operators.dedup import span_shingle_hashes
+            from chess_lakehouse_spark.streaming import span_dedup_batch
+            from chess_lakehouse_spark.suite.llm import CLASSIFIER_MODEL
+
+            # learned-gate SERVING path (r9 gated query): pure column
+            # sigmoid over the shared Gopher metrics — should ride the
+            # scan linearly like gopher_rules
+            probe(
+                "classifier_serve", factor,
+                lambda: score_quality_classifier(
+                    docs, "doc_id", "text", CLASSIFIER_MODEL
+                ).agg(F.sum("keep_prob")).collect(),
+            )
+            # streaming span-dedup batch: FIXED batch against a staged
+            # hash table growing x1..x8 — the curve of interest is
+            # per-batch cost vs staged-corpus size (the keyed hash join
+            # against the staged table is the only corpus-sized term).
+            # Rep 2 exercises the replay guard (same batch_id).
+            spans_dir = f"{tmp}/spans_x{factor}"
+            (
+                span_shingle_hashes(docs, "doc_id", "text", k=3)
+                .select("h").distinct()
+                .write.mode("overwrite").parquet(f"{spans_dir}/batch_id=0")
+            )
+            span_batch = spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).withColumn("doc_id", F.col("doc_id") + F.lit(990_000_000))
+            probe(
+                "span_stream_batch", factor,
+                lambda: span_dedup_batch(
+                    span_batch, 1, spans_dir, f"{tmp}/span_out_x{factor}", k=3
+                ),
+            )
+
     # Boilerplate-bomb stress: one shared token interleaved between every
     # word of every doc makes ALL docs of the batch share the tag-word-tag
     # shingles — band buckets hold the whole batch and the uncapped pair
