@@ -637,6 +637,99 @@ def semantic_dedup(
     return out
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+    planes: list[list[float]] | None = None,
+    plane_sets: list[list[list[float]]] | None = None,
+    precision: int = 6,
+) -> DataFrame:
+    """Cross-set SEMANTIC decontamination candidates: corpus documents
+    whose embedding is cosine-near some held-out eval/benchmark document
+    (the embedding-space counterpart of the n-gram
+    ``contamination_ngram`` check — eval-set leakage survives paraphrase,
+    which n-gram overlap misses; cf. the decontamination discussion in
+    Brown et al. 2020 App. C and SemDeDup, Abbas et al. 2023).
+
+    Returns ``(corpus_id, eval_id, sim)`` with ``sim >= threshold``.
+    Blocking (exactly one of):
+
+    - ``block_col``: a shared key (label, language, shard) — plain
+      equi-join.
+    - ``planes``: ONE random-hyperplane signature (:func:`rhp_bucket`);
+      pairs compare iff both sides land in the same bucket.
+    - ``plane_sets``: MULTIPLE independent signatures OR-ed — the LSH
+      banding recall amplifier: a pair is a candidate if ANY band
+      agrees, so near-threshold pairs straddling one cut survive.
+      Candidates are deduped on ids BEFORE the cosine fold.
+
+    Scale shape: never all-pairs — the (band,) bucket equi-join bounds
+    candidates; the eval side is tiny next to the corpus, so AQE
+    broadcasts it (no forced hint, repo convention) and the corpus side
+    never shuffles on the pair axis. 100 TB corpus × 100k eval rows is
+    a broadcast-join scan.
+    """
+    chosen = [block_col is not None, planes is not None, plane_sets is not None]
+    if sum(chosen) != 1:
+        raise ValueError(
+            "semantic_contamination: pass exactly one of block_col / planes / plane_sets"
+        )
+    if planes is not None:
+        plane_sets = [planes]
+
+    def side(df: DataFrame, id_alias: str, v: str, n2: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(v),
+            dot(F.col(vec_col), F.col(vec_col)).alias(n2),
+            *( [F.col(block_col).alias("blk")] if block_col is not None else [] ),
+        )
+        if block_col is not None:
+            return base
+        bands = F.array(
+            *[rhp_bucket(F.col(v), ps) for ps in plane_sets]
+        )
+        return base.select(
+            id_alias, v, n2, F.posexplode(bands).alias("band", "blk")
+        )
+
+    c = side(corpus, "corpus_id", "qv", "qn2")
+    e = side(evalset, "eval_id", "cv", "cn2")
+    keys = ["blk"] if block_col is not None else ["band", "blk"]
+    cand = c.join(e, on=keys)
+    if block_col is None and len(plane_sets) > 1:
+        cand = cand.dropDuplicates(["corpus_id", "eval_id"])
+    return (
+        cand.select(
+            "corpus_id", "eval_id", _paired_cosine(precision).alias("sim")
+        )
+        .where(F.col("sim") >= F.lit(float(threshold)))
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    **blocking,
+) -> DataFrame:
+    """The gate form: corpus rows minus everything
+    :func:`semantic_contamination` flags — one anti-join on the corpus
+    id, preserving all input columns."""
+    flagged = semantic_contamination(
+        corpus, evalset, id_col, vec_col, threshold, **blocking
+    ).select("corpus_id").distinct()
+    return corpus.join(
+        flagged, corpus[id_col] == flagged["corpus_id"], "left_anti"
+    )
+
+
 def label_centroids(
     corpus: DataFrame,
     label_col: str,

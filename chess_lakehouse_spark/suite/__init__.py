@@ -122,15 +122,25 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # period stays P = ceil(109/50) = 3.
 #
 # r10 window planning — FIRST bump WINDOW_BUDGETED_FOR to 10: (1) any
-# never-verified queries registered at the re-plan go first — one staged
-# candidate is ready: q_bm25_staged / BM25_STAGED_ORACLE (register as
-# `bm25_staged`; suite/llm.py — the staged-index serving path, the one
-# scale-headline operator without a driver row; two-scale parity +
-# cold-JVM pinned in tests/test_bm25.py); (2) then the 9 deferred
-# r7-green queries (events_hourly, export_projection,
-# filter_null_predicate, groupby_agg, join_star, json_extract,
-# rolling_avg, scalar_kitchen, supplier_revenue) — at the P - 1 bound;
-# (3) then the stalest r8-green queries to fill the window.
+# never-verified queries registered at the re-plan go first — THREE
+# staged candidates are ready, each with a suite-defined oracle,
+# two-scale exact parity, and a cold-JVM ANSI run:
+#   - q_bm25_staged / BM25_STAGED_ORACLE (register as `bm25_staged`;
+#     the staged-index serving path, the one scale-headline operator
+#     without a driver row; pinned in tests/test_bm25.py);
+#   - q_classifier_hashed / HASHED_CLASSIFIER_ORACLE (register as
+#     `classifier_hashed`; the fastText-class hashed-ngram gate's
+#     serving path — fixed literal token weights bucketed in-engine
+#     through the portable md5 chain; tests/test_hashed_classifier.py);
+#   - q_contamination_semantic / SEM_CONTAM_ORACLE (register as
+#     `contamination_semantic`; cross-set embedding decontamination via
+#     OR-ed banded RHP signatures; tests/test_semantic_contamination.py);
+# (2) then the 9 deferred r7-green queries (events_hourly,
+# export_projection, filter_null_predicate, groupby_agg, join_star,
+# json_extract, rolling_avg, scalar_kitchen, supplier_revenue) — at the
+# P - 1 bound; (3) then the stalest r8-green queries to fill the
+# window. With the 3 registrations N grows to 112 non-rows-only; P
+# stays ceil(112/50) = 3.
 WINDOW_BUDGETED_FOR = 9
 
 _WINDOW_ORDER = [

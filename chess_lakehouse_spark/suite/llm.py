@@ -1441,6 +1441,98 @@ def q_bm25_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_index(spark, idx, queries, "query_id", "query_text", k=BM25_BATCH_K)
 
 
+#: FIXED hashed-ngram model for the gated serving query (the
+#: classifier_serve pattern: training floats are rows-only, serving a
+#: pinned model is exact). Buckets are derived IN-ENGINE from these
+#: literal tokens via the portable md5 chain — the oracle rebuilds the
+#: same weight table from the same literals, so a hashing divergence
+#: anywhere in the chain fails the gate. Weights chosen to split the
+#: fixture corpus on both sides at both scales (232/500 and 218/500
+#: kept; tests assert the discrimination).
+HASHED_MODEL_TOKENS: dict = {
+    "fast": 2.0,
+    "spark": 1.5,
+    "scan": 1.0,
+    "slow": -2.0,
+    "window": -1.0,
+    "batch": -0.5,
+}
+HASHED_MODEL_INTERCEPT = -0.04
+HASHED_MODEL_BUCKETS = 1 << 16
+
+
+def q_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-class hashed-ngram quality gate, SERVING path
+    (operators/classify.py:hashed_classifier_margins): explode tokens,
+    md5-bucket, join the fixed weight table (AQE broadcasts it), one
+    map-combined doc sum through the ROUND->DECIMAL(18,6) chain, margin
+    and keep in exact DECIMAL — no float-sum order, no transcendental.
+
+    r10 STAGING CANDIDATE — not yet registered: exact value parity
+    against HASHED_CLASSIFIER_ORACLE pinned in
+    tests/test_hashed_classifier.py at two scales + cold-JVM;
+    registration at the r10 window re-plan is a dict + window edit."""
+    from chess_lakehouse_spark.operators.classify import (
+        hashed_classifier_margins,
+        hashed_weights_from_tokens,
+    )
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    weights = hashed_weights_from_tokens(
+        spark, HASHED_MODEL_TOKENS, HASHED_MODEL_BUCKETS
+    )
+    return hashed_classifier_margins(
+        docs, "doc_id", "text", weights, HASHED_MODEL_INTERCEPT, HASHED_MODEL_BUCKETS
+    )
+
+
+#: Cross-set semantic-contamination candidate: the eval slice is every
+#: SEM_CONTAM_MOD-th embedding (the contamination_ngram fixture pattern),
+#: the corpus is the rest; banding is 4 independent 3-plane signatures
+#: OR-ed (the LSH recall amplifier — one 8-plane band has ~2% recall at
+#: this threshold, four 3-plane bands recover 11/16 resp. 20/31 true
+#: pairs at the two local scales).
+SEM_CONTAM_MOD = 20
+SEM_CONTAM_THRESHOLD = 0.35
+SEM_CONTAM_N_BANDS = 4
+SEM_CONTAM_BAND_PLANES = 3
+_SEM_ALL_PLANES = hyperplane_signs(
+    SEM_CONTAM_N_BANDS * SEM_CONTAM_BAND_PLANES, EMB_DIM
+)
+SEM_CONTAM_BANDS = [
+    _SEM_ALL_PLANES[b * SEM_CONTAM_BAND_PLANES : (b + 1) * SEM_CONTAM_BAND_PLANES]
+    for b in range(SEM_CONTAM_N_BANDS)
+]
+
+
+def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination
+    (operators/similarity.py:semantic_contamination): corpus×eval
+    candidate pairs from the OR of four banded RHP signatures, exact
+    cosine re-check at SEM_CONTAM_THRESHOLD. Returns
+    (corpus_id, eval_id, sim).
+
+    r10 STAGING CANDIDATE — not yet registered: exact value parity
+    against SEM_CONTAM_ORACLE pinned in tests/test_semantic_contamination.py
+    at two scales + cold-JVM; registration at the r10 window re-plan is
+    a dict + window edit."""
+    from chess_lakehouse_spark.operators.similarity import semantic_contamination
+
+    apply_runtime_conf(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    evalset = emb.where(F.col("vec_id") % SEM_CONTAM_MOD == 0)
+    corpus = emb.where(F.col("vec_id") % SEM_CONTAM_MOD != 0)
+    return semantic_contamination(
+        corpus,
+        evalset,
+        "vec_id",
+        "embedding",
+        SEM_CONTAM_THRESHOLD,
+        plane_sets=SEM_CONTAM_BANDS,
+    )
+
+
 #: lgConfigK for the gated sketch query (the operator default).
 SKETCH_LG_K = 12
 
@@ -2090,6 +2182,18 @@ def _bucket_sql(vec_expr: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+def _band_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """rhp_bucket over an ARBITRARY plane list (the generalized
+    :func:`_bucket_sql` — that one is pinned to the global PLANES), used
+    by the banded semantic-contamination oracle."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_literal(row)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 _COS = (
     "ROUND(list_dot_product({a}, {b}) / "
     "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 6)"
@@ -2407,6 +2511,93 @@ BM25_STAGED_ORACLE = bm25_batch_oracle_sql(
     f"WHERE doc_id % {BM25_STAGED_MOD} = 0)",
     BM25_BATCH_K,
 )
+
+
+def hashed_classifier_oracle_sql(src: str = "documents") -> str:
+    """DuckDB mirror of q_classifier_hashed, generated from the SAME
+    HASHED_MODEL_TOKENS / intercept / bucket-width constants the Spark
+    chain folds (anti-divergence: one model, two engines). The exactness
+    chain mirrors operators/classify.py:hashed_classifier_margins
+    term-for-term: buckets via the portable md5 contract; colliding
+    literal-token weights summed in DECIMAL(9,4); per-term contribution
+    ROUND(w*tf/n_d, 6) -> DECIMAL(18,6); doc sum and intercept addition
+    in DECIMAL; margin = CAST(z AS DOUBLE) and keep = z >= 0 — both
+    bit-exact cross-engine, no float-sum order, no transcendental."""
+    vals = ", ".join(
+        f"('{tok}', CAST({w!r} AS DOUBLE))"
+        for tok, w in sorted(HASHED_MODEL_TOKENS.items())
+    )
+    nb = HASHED_MODEL_BUCKETS
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(COALESCE(text, ''), '[ \t\n\r\f\x0B]+'),
+    t -> t <> '')) AS t
+  FROM {src}
+), lengths AS (
+  SELECT doc_id, COUNT(*) AS n_d FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {nb} AS bucket,
+         COUNT(*) AS tf
+  FROM toks GROUP BY 1, 2
+), wts0(tok, w) AS (VALUES {vals}),
+wts AS (
+  SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {nb} AS bucket,
+         CAST(SUM(CAST(w AS DECIMAL(9,4))) AS DOUBLE) AS w
+  FROM wts0 GROUP BY 1
+), contrib AS (
+  SELECT f.doc_id,
+         CAST(ROUND(w.w * CAST(f.tf AS DOUBLE) / CAST(l.n_d AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS c
+  FROM tf f JOIN wts w USING (bucket) JOIN lengths l USING (doc_id)
+), zt AS (
+  SELECT d.doc_id,
+         CAST({HASHED_MODEL_INTERCEPT!r} AS DECIMAL(18,6))
+           + COALESCE(s.sc, CAST(0 AS DECIMAL(18,6))) AS z
+  FROM {src} d
+  LEFT JOIN (SELECT doc_id, SUM(c) AS sc FROM contrib GROUP BY doc_id) s
+    USING (doc_id)
+)
+SELECT doc_id, CAST(z AS DOUBLE) AS margin, z >= 0 AS keep FROM zt
+"""
+
+
+#: Canonical q_classifier_hashed oracle (tests import THIS; registration
+#: at r10 is a dict + window edit).
+HASHED_CLASSIFIER_ORACLE = hashed_classifier_oracle_sql()
+
+
+def semantic_contamination_oracle_sql(src: str = "embeddings") -> str:
+    """DuckDB mirror of q_contamination_semantic, generated from the SAME
+    SEM_CONTAM_BANDS plane literals: candidate pairs where ANY of the
+    four banded RHP signatures agree (the OR join mirrors the Spark
+    posexplode + equi-join + pair-dedup set semantics exactly), then the
+    established bit-exact cosine chain and the threshold."""
+    bands_cols = ", ".join(
+        f"{_band_sql('v', SEM_CONTAM_BANDS[b])} AS b{b}"
+        for b in range(SEM_CONTAM_N_BANDS)
+    )
+    any_band = " OR ".join(
+        f"co.b{b} = ev.b{b}" for b in range(SEM_CONTAM_N_BANDS)
+    )
+    cos = _COS.format(a="co.v", b="ev.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}
+), bb AS (
+  SELECT vec_id, v, {bands_cols} FROM e
+), ev AS (SELECT * FROM bb WHERE vec_id % {SEM_CONTAM_MOD} = 0),
+co AS (SELECT * FROM bb WHERE vec_id % {SEM_CONTAM_MOD} <> 0)
+SELECT corpus_id, eval_id, sim FROM (
+  SELECT co.vec_id AS corpus_id, ev.vec_id AS eval_id, {cos} AS sim
+  FROM co JOIN ev ON ({any_band})
+) WHERE sim >= {SEM_CONTAM_THRESHOLD}
+"""
+
+
+#: Canonical q_contamination_semantic oracle (tests import THIS;
+#: registration at r10 is a dict + window edit).
+SEM_CONTAM_ORACLE = semantic_contamination_oracle_sql()
 
 
 #: DuckDB oracle for q_lm_staged — defined HERE (not in tests/) per the
