@@ -261,6 +261,8 @@ def stream_corpus_to_jsonl_shards(
     max_records_per_file: int = 100_000,
     paragraph_dedup_sep: str | None = None,
     id_col: str = "doc_id",
+    hashed_model_dir: str | None = None,
+    hashed_threshold_margin: float = 0.0,
 ) -> None:
     """Land the cleaned stream as size-budgeted JSONL training shards via
     foreachBatch (same sink contract as `sources.jsonl.write_jsonl_shards`,
@@ -278,10 +280,36 @@ def stream_corpus_to_jsonl_shards(
     staged-signature pattern `stream_incremental_dedup` uses), not a
     stateless rewrite. Note the upstream ``content_md5`` column keeps the
     PRE-rewrite digest — it is the ingest-dedup identity, not a checksum
-    of the published text."""
+    of the published text.
+
+    ``hashed_model_dir`` additionally applies the staged hashed-ngram
+    learned gate (operators/classify.py: score_hashed_classifier, gate
+    form) inside the micro-batch, BEFORE the paragraph pass — the same
+    order the batch ``clean-corpus --gate hashed`` stage uses. The gate
+    needs an explode + weight-join + doc groupBy, which streaming append
+    mode cannot express statelessly; inside foreachBatch it runs under
+    batch semantics, and the margin is a pure function of each row's
+    text plus the STATIC staged weights, so micro-batch boundaries
+    cannot change the admitted set (stream == batch, pinned in
+    tests/test_hashed_classifier.py). The weight table is loaded ONCE at
+    job setup, not per batch."""
+    if hashed_model_dir is not None:
+        from chess_lakehouse_spark.operators.classify import (
+            load_hashed_classifier,
+            score_hashed_classifier,
+        )
+
+        _hw, _hmeta = load_hashed_classifier(
+            clean_docs.sparkSession, hashed_model_dir
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         out_df = batch_df.drop("ingest_ts")
+        if hashed_model_dir is not None:
+            out_df = score_hashed_classifier(
+                out_df, id_col, "text", _hw, _hmeta,
+                threshold_margin=hashed_threshold_margin, gate=True,
+            )
         if paragraph_dedup_sep is not None:
             from chess_lakehouse_spark.operators.dedup import paragraph_dedup
 

@@ -262,6 +262,22 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         kept = docs.where(
             classifier_score(F.col("text"), model) >= args.modelThreshold
         )
+    elif args.gate == "hashed":
+        # fastText-class hashed-ngram gate: staged (bucket, w) parquet
+        # served as explode -> weight-join -> exact DECIMAL doc sum —
+        # the same artifact the streaming shard sink consumes
+        from chess_lakehouse_spark.operators.classify import (
+            load_hashed_classifier,
+            score_hashed_classifier,
+        )
+
+        if not args.hashedModelDir:
+            raise SystemExit("clean-corpus --gate hashed requires --hashedModelDir")
+        hw, hmeta = load_hashed_classifier(spark, args.hashedModelDir)
+        kept = score_hashed_classifier(
+            docs, "doc_id", "text", hw, hmeta,
+            threshold_margin=args.hashedMarginThreshold, gate=True,
+        )
     else:
         kept = docs.where(quality_score(F.col("text")) >= args.minQuality)
     if args.paragraphDedupSep:
@@ -376,6 +392,38 @@ def cmd_train_quality_model(args: argparse.Namespace) -> None:
     print(f"[train-quality-model] n_labeled={labeled.count()} -> {out}")
 
 
+def cmd_train_hashed_model(args: argparse.Namespace) -> None:
+    """Train the fastText-class hashed-ngram gate on a labeled JSONL
+    corpus and stage it to the lake as one parquet (weights + intercept
+    sentinel) — the artifact ``clean-corpus --gate hashed`` and the
+    streaming shard sink serve via an explode -> weight-join -> exact
+    DECIMAL doc sum (operators/classify.py)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from chess_lakehouse_spark.operators.classify import (
+        save_hashed_classifier,
+        train_hashed_classifier,
+    )
+    from chess_lakehouse_spark.sources.jsonl import DOC_SCHEMA, read_jsonl, split_corrupt
+
+    spark = _spark()
+    schema = T.StructType(
+        list(DOC_SCHEMA.fields) + [T.StructField(args.labelField, T.IntegerType())]
+    )
+    docs, _bad = split_corrupt(read_jsonl(spark, args.inDir, schema=schema))
+    labeled = docs.where(F.col(args.labelField).isNotNull())
+    weights, meta = train_hashed_classifier(
+        labeled, "doc_id", "text", args.labelField,
+        n_buckets=args.nBuckets, lr=args.lr, iters=args.iters, reg=args.reg,
+    )
+    save_hashed_classifier(weights, meta, args.outDir)
+    print(
+        f"[train-hashed-model] n_labeled={labeled.count()} "
+        f"intercept={meta['intercept']:.6f} -> {args.outDir}"
+    )
+
+
 def cmd_maintain_lake(args: argparse.Namespace) -> None:
     """Lake-maintenance stage: compaction, crash-sidecar vacuum, or
     data-skipping manifest (re)build — the jobs a 100 TB lake schedules
@@ -471,13 +519,21 @@ def main(argv: list[str] | None = None) -> None:
     cc.add_argument("--inDir", required=True, help="JSONL corpus path/glob")
     cc.add_argument("--outDir", required=True)
     cc.add_argument("--minQuality", type=float, default=2.2)
-    cc.add_argument("--gate", choices=("score", "gopher", "model"), default="score",
+    cc.add_argument("--gate", choices=("score", "gopher", "model", "hashed"),
+                    default="score",
                     help="quality gate: composite score (default), the "
-                         "Gopher per-rule battery, or a trained LR model "
-                         "(--modelJson)")
+                         "Gopher per-rule battery, a trained LR model "
+                         "(--modelJson), or the staged hashed-ngram model "
+                         "(--hashedModelDir)")
     cc.add_argument("--modelJson", default=None,
                     help="with --gate model: JSON dict from "
                          "train_quality_classifier")
+    cc.add_argument("--hashedModelDir", default=None,
+                    help="with --gate hashed: staged parquet dir from "
+                         "train-hashed-model")
+    cc.add_argument("--hashedMarginThreshold", type=float, default=0.0,
+                    help="with --gate hashed: keep docs with "
+                         "margin >= this (exact DECIMAL comparison)")
     cc.add_argument("--modelThreshold", type=float, default=0.5,
                     help="with --gate model: keep docs with "
                          "sigmoid score >= threshold")
@@ -549,6 +605,20 @@ def main(argv: list[str] | None = None) -> None:
     tq.add_argument("--maxIter", type=int, default=100)
     tq.add_argument("--regParam", type=float, default=0.01)
     tq.set_defaults(fn=cmd_train_quality_model)
+
+    th = sub.add_parser("train-hashed-model")
+    th.add_argument("--inDir", required=True,
+                    help="labeled JSONL corpus (doc_id/text/... plus the label field)")
+    th.add_argument("--labelField", default="label",
+                    help="integer JSONL field: 1 = keep, 0 = drop")
+    th.add_argument("--outDir", required=True,
+                    help="staged model parquet dir (feed to clean-corpus "
+                         "--gate hashed --hashedModelDir)")
+    th.add_argument("--nBuckets", type=int, default=1 << 18)
+    th.add_argument("--lr", type=float, default=4.0)
+    th.add_argument("--iters", type=int, default=60)
+    th.add_argument("--reg", type=float, default=0.0)
+    th.set_defaults(fn=cmd_train_hashed_model)
 
     dr = sub.add_parser("delete-rows")
     dr.add_argument("--lakeDir", required=True)

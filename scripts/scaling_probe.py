@@ -294,6 +294,59 @@ def main() -> None:
                 ),
             )
 
+        if only_ops is None or {"hashed_serve", "hashed_train", "semantic_contam"} & only_ops:
+            from chess_lakehouse_spark.operators.classify import (
+                hashed_classifier_margins,
+                hashed_weights_from_tokens,
+                train_hashed_classifier,
+            )
+            from chess_lakehouse_spark.operators.similarity import (
+                semantic_contamination,
+            )
+            from chess_lakehouse_spark.suite.llm import (
+                HASHED_MODEL_BUCKETS,
+                HASHED_MODEL_TOKENS,
+                SEM_CONTAM_BANDS,
+            )
+
+            # hashed-ngram gate SERVING: explode -> md5 bucket -> weight
+            # join (AQE broadcast) -> one map-combined doc sum — should
+            # ride the scan linearly like gopher_rules/classifier_serve
+            hw = hashed_weights_from_tokens(
+                spark, HASHED_MODEL_TOKENS, HASHED_MODEL_BUCKETS
+            )
+            probe(
+                "hashed_serve", factor,
+                lambda: hashed_classifier_margins(
+                    docs, "doc_id", "text", hw, -0.04, HASHED_MODEL_BUCKETS
+                ).agg(F.sum("margin")).collect(),
+            )
+            # hashed-ngram gate TRAINING: 3 GD iterations over the scaled
+            # corpus — linear-per-pass by construction (the honest caveat
+            # shared with classifier_train); weight-side joins stay small
+            probe(
+                "hashed_train", factor,
+                lambda: train_hashed_classifier(
+                    docs.withColumn("label", (F.col("doc_id") % 2 == 0).cast("int")),
+                    "doc_id", "text", "label",
+                    n_buckets=HASHED_MODEL_BUCKETS, lr=2.0, iters=3,
+                ),
+            )
+            # semantic decontamination: FIXED eval slice (from the base
+            # table) vs a corpus growing x1..x8 — banded candidate pairs
+            # and the cosine re-check both grow linearly with the corpus;
+            # the eval side stays broadcast-sized
+            eval_fixed = spark.read.parquet(
+                f"{sf_dir}/embeddings.parquet"
+            ).where(F.col("vec_id") % 20 == 0)
+            probe(
+                "semantic_contam", factor,
+                lambda: semantic_contamination(
+                    emb, eval_fixed, "vec_id", "embedding", 0.35,
+                    plane_sets=SEM_CONTAM_BANDS,
+                ).count(),
+            )
+
     # Boilerplate-bomb stress: one shared token interleaved between every
     # word of every doc makes ALL docs of the batch share the tag-word-tag
     # shingles — band buckets hold the whole batch and the uncapped pair

@@ -234,6 +234,133 @@ def test_q_classifier_hashed_plan_is_jvm_side(spark):
     assert "EvalPython" not in plan
 
 
+# ---------------------------------------------------------------------------
+# pipeline integration: CLI train->gate loop and streaming parity
+# ---------------------------------------------------------------------------
+
+
+def _labeled_jsonl(tmp_path, name, n=120, labeled=True, seed=3):
+    import json as _json
+    import random
+
+    rng = random.Random(seed)
+    d = tmp_path / name
+    d.mkdir()
+    rows = []
+    for i in range(n):
+        junk = i % 2 == 1
+        words = (
+            [rng.choice(["buy", "click", "free", "deal", "now"]) for _ in range(20)]
+            if junk
+            else [rng.choice(["river", "stone", "tree", "house", "cloud"]) for _ in range(20)]
+        )
+        rec = {"doc_id": i, "text": " ".join(words), "lang": "en", "source": "s0"}
+        if labeled:
+            rec["label"] = 0 if junk else 1
+        rows.append(_json.dumps(rec))
+    (d / "p.jsonl").write_text("\n".join(rows) + "\n")
+    return d, {i for i in range(n) if i % 2 == 0}
+
+
+def test_cli_train_hashed_then_gate_end_to_end(spark, tmp_path, capsys):
+    """train-hashed-model on labeled JSONL -> staged parquet model ->
+    clean-corpus --gate hashed filters a fresh corpus with the same
+    vocabulary split."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    train_src, _ = _labeled_jsonl(tmp_path, "train", n=120, seed=3)
+    model_dir = tmp_path / "hashed_model"
+    pipeline_cli.main([
+        "train-hashed-model", "--inDir", str(train_src),
+        "--outDir", str(model_dir), "--nBuckets", str(NB),
+        "--lr", "6.0", "--iters", "30",
+    ])
+    assert "[train-hashed-model]" in capsys.readouterr().out
+
+    score_src, want_clean = _labeled_jsonl(
+        tmp_path, "score", n=40, labeled=False, seed=11
+    )
+    out = tmp_path / "out"
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(score_src), "--outDir", str(out),
+        "--gate", "hashed", "--hashedModelDir", str(model_dir),
+        "--threshold", "0.95", "--evalFrac", "0.0",
+    ])
+    published = {r.doc_id for r in spark.read.json(str(out / "corpus")).collect()}
+    assert published == want_clean
+
+
+def test_cli_gate_hashed_requires_model_dir(tmp_path):
+    import sys
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    src, _ = _labeled_jsonl(tmp_path, "src", n=4, labeled=False)
+    with _pytest.raises(SystemExit, match="hashedModelDir"):
+        pipeline_cli.main([
+            "clean-corpus", "--inDir", str(src),
+            "--outDir", str(tmp_path / "out"), "--gate", "hashed",
+        ])
+
+
+def test_streaming_hashed_gate_matches_batch(spark, tmp_path):
+    """The staged hashed gate wired into the streaming shard sink admits
+    exactly the batch gate's set — the margin is a pure function of row
+    text + static weights, so micro-batch boundaries cannot change it."""
+    import glob
+    import json as _json
+
+    from chess_lakehouse_spark.streaming import (
+        corpus_ingest_clean,
+        read_documents_stream,
+        stream_corpus_to_jsonl_shards,
+    )
+
+    # texts unique per doc (the ingest stage exact-dedups on content_md5
+    # upstream of the gate — identical texts would collapse before it)
+    rows = [
+        (i,
+         f"buy click free deal now n{i}" if i % 3 == 0
+         else f"river stone tree house n{i}",
+         "en", "s0")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    d = tmp_path / "docs_stream"
+    docs.coalesce(1).write.parquet(str(d))
+
+    w = hashed_weights_from_tokens(spark, {"buy": -2.0, "click": -2.0, "river": 1.0}, NB)
+    meta = {"n_buckets": NB, "intercept": 0.1}
+    model_dir = str(tmp_path / "model")
+    save_hashed_classifier(w, meta, model_dir)
+
+    out = str(tmp_path / "shards")
+    clean = corpus_ingest_clean(read_documents_stream(spark, str(d)), min_quality=0.0)
+    stream_corpus_to_jsonl_shards(
+        clean, out, str(tmp_path / "ckpt"), hashed_model_dir=model_dir
+    )
+    got = set()
+    for path in glob.glob(f"{out}/*.json"):
+        with open(path) as fh:
+            got |= {_json.loads(line)["doc_id"] for line in fh}
+    want = {
+        r["doc_id"]
+        for r in score_hashed_classifier(docs, "doc_id", "text", w, meta, gate=True).collect()
+    }
+    assert got == want
+    assert 0 < len(want) < 30
+
+
 def test_model_constants_are_in_sync():
     """The oracle is generated from the same constants the query folds —
     a drifted literal regenerates a different SQL string."""
