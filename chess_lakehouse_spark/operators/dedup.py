@@ -348,18 +348,37 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sim
 
 
-def simhash_near_pairs(
-    sim: DataFrame,
+def hamming_near_pairs(
+    sig: DataFrame,
     id_col: str,
-    max_hamming: int = 6,
+    hash_col: str,
+    n_bits: int,
+    max_hamming: int,
+    band_bits: int = 8,
     persist_signatures: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: two signatures within hamming
-    distance ``max_hamming`` of each other on 32 bits must agree exactly on
-    at least one of 4 bytes (pigeonhole for distance <= 6 over 4 blocks is
-    not guaranteed — but is for <= 3; we still *verify* with bit_count, the
-    bands only prune). Blocking on (byte_idx, byte_val) keeps the join
-    equi-keyed — no cross join, AQE splits hot byte-buckets.
+    """Near-dup pairs for ANY integer bit-signature column by LSH
+    banding: the ``n_bits`` signature splits into ``n_bits / band_bits``
+    blocks; two signatures within hamming distance ``max_hamming`` must
+    agree exactly on at least one block when ``max_hamming < n_bands``
+    (pigeonhole); the bands only PRUNE — every surviving candidate is
+    verified with ``bit_count``. Blocking on (band_idx, band_val) keeps
+    the join equi-keyed — no cross join, AQE splits hot buckets.
+
+    One implementation serves every signature in the repo: 32-bit text
+    SimHash (:func:`simhash_near_pairs`, 4×8-bit bands) and the 64-bit
+    image perceptual hash (operators/multimodal.py: ``phash64``) — the
+    band-dedup trick below is shared, so the widths cannot drift.
+
+    ``band_bits`` is the measured cost/recall knob (SCALE.md): a band
+    collides on unrelated signatures with probability ~2^-band_bits per
+    band, so candidate volume grows ~ n_bands * n² / 2^band_bits — with
+    8-bit bands that term bends the curve at ~20k UNIFORM signatures
+    (x8/x1 = 2.5 measured on md5 noise, the no-clusters worst case);
+    16-bit bands push the quadratic knee 256× out (measured flat) at the
+    price of guaranteed recall only to ``max_hamming < n_bands = 4``.
+    At 100 TB image scale use band_bits >= 16; real pHash corpora also
+    cluster far more than the md5 worst case.
 
     ``persist_signatures=True`` caches the signature frame so the self-join's
     two sides compute it once (warm-session min-of-2 at sf0.1: persist 1.4s
@@ -372,38 +391,47 @@ def simhash_near_pairs(
     that manage their own staging; at 100 TB, stage signatures to a table
     between jobs instead. Returns (id_a, id_b, hamming).
     """
+    if n_bits % band_bits != 0:
+        raise ValueError(
+            f"hamming_near_pairs: band_bits {band_bits} must divide n_bits {n_bits}"
+        )
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
     lease = None
     if persist_signatures:
-        sim = sim.persist()
-        lease = _CacheLease(sim)
-    bands = sim.select(
+        sig = sig.persist()
+        lease = _CacheLease(sig)
+    bands = sig.select(
         id_col,
-        "simhash",
+        F.col(hash_col).alias("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("byte_idx"),
-                        F.expr(f"(simhash >> {8 * b}) & 255").alias("byte_val"),
+                        F.lit(b).alias("band_idx"),
+                        F.expr(f"(`{hash_col}` >> {band_bits * b}) & {mask}").alias(
+                            "band_val"
+                        ),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("x"),
-    ).select(id_col, "simhash", F.col("x.byte_idx").alias("bi"), F.col("x.byte_val").alias("bv"))
-    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "bi", "bv")
-    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "bi", "bv")
-    # A pair agreeing on k bytes would surface k times from the band join;
+    ).select(id_col, "_h", F.col("x.band_idx").alias("bi"), F.col("x.band_val").alias("bv"))
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("_h").alias("sim_a"), "bi", "bv")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("_h").alias("sim_b"), "bi", "bv")
+    # A pair agreeing on k bands would surface k times from the band join;
     # instead of a distinct (a full shuffle of every candidate pair), keep
-    # each pair only where it matched its FIRST agreeing byte — bi is
+    # each pair only where it matched its FIRST agreeing band — bi is
     # canonical because both full signatures ride in the joined row, so
-    # "no earlier byte agrees" is a map-side predicate. Zero post-join
+    # "no earlier band agrees" is a map-side predicate. Zero post-join
     # shuffles; the hamming filter also runs map-side.
     no_earlier_band = F.expr(
         "CASE bi WHEN 0 THEN true ELSE "
         + " AND ".join(
-            f"(bi <= {j} OR ((sim_a >> {8 * j}) & 255) != ((sim_b >> {8 * j}) & 255))"
-            for j in range(3)
+            f"(bi <= {j} OR ((sim_a >> {band_bits * j}) & {mask}) != "
+            f"((sim_b >> {band_bits * j}) & {mask}))"
+            for j in range(n_bands - 1)
         )
         + " END"
     )
@@ -417,6 +445,27 @@ def simhash_near_pairs(
     if lease is not None:
         out._simhash_cache_lease = lease  # type: ignore[attr-defined]
     return out
+
+
+def simhash_near_pairs(
+    sim: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+    persist_signatures: bool = False,
+) -> DataFrame:
+    """Near-dup pairs by 32-bit SimHash banding — the 4-byte instance of
+    :func:`hamming_near_pairs` (pigeonhole guarantees recall for distance
+    <= 3 over 4 blocks, not for the default 6; the bands only prune and
+    every candidate is bit_count-verified). Returns (id_a, id_b, hamming).
+    """
+    return hamming_near_pairs(
+        sim,
+        id_col,
+        "simhash",
+        n_bits=32,
+        max_hamming=max_hamming,
+        persist_signatures=persist_signatures,
+    )
 
 
 def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

@@ -384,3 +384,141 @@ def extract_features(payloads: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return payloads.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+#: pHash geometry: downsample to PHASH_SIZE², DCT-II, keep the
+#: PHASH_LOW² low-frequency block (the standard 64-bit layout).
+PHASH_SIZE = 32
+PHASH_LOW = 8
+
+
+def _dct_basis(n: int):
+    """Orthonormal DCT-II basis matrix (n×n) — plain numpy cosines, no
+    scipy; float64 throughout, so the transform is bit-deterministic on
+    any IEEE platform."""
+    import numpy as np
+
+    k = np.arange(n, dtype="float64")[:, None]
+    x = np.arange(n, dtype="float64")[None, :]
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2.0 * x + 1.0) * k / (2.0 * n))
+    basis[0] = np.sqrt(1.0 / n)
+    return basis
+
+
+def phash_reference(arr) -> int:
+    """Perceptual hash of one decoded image array (H×W×3 uint8 RGB or
+    H×W grayscale) — the pure function both the Spark stage and the
+    tests call (one implementation, no twin to drift):
+
+    ITU-R 601 luma → deterministic nearest-neighbor 32×32 → orthonormal
+    2D DCT-II → top-left 8×8 coefficient block → bit i = coeff_i >
+    median(block) (the imagehash-style layout, row-major, bit 0 = DC).
+    Returned as a SIGNED 64-bit value (bit 63 set → negative), matching
+    the Spark ``long`` the banded join shifts and XORs.
+    """
+    import numpy as np
+
+    if arr.ndim == 3:
+        gray = (
+            0.299 * arr[:, :, 0].astype("float64")
+            + 0.587 * arr[:, :, 1].astype("float64")
+            + 0.114 * arr[:, :, 2].astype("float64")
+        )
+    else:
+        gray = arr.astype("float64")
+    small = _resize_nearest(gray, PHASH_SIZE, PHASH_SIZE)
+    basis = _dct_basis(PHASH_SIZE)
+    coeffs = (basis @ small @ basis.T)[:PHASH_LOW, :PHASH_LOW].reshape(-1)
+    med = float(np.median(coeffs))
+    bits = 0
+    for i, c in enumerate(coeffs):
+        if float(c) > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def phash64(payloads: DataFrame, codec: str = "auto") -> DataFrame:
+    """64-bit perceptual image hash via mapInPandas — the image-side
+    analogue of the text SimHash: visually-near payloads (re-encodes,
+    rescales, small edits) land within a few bits of each other, so
+    image near-dup becomes :func:`~chess_lakehouse_spark.operators.dedup.
+    hamming_near_pairs` on the ``phash`` column — the SAME
+    byte-banded equi-join as text, never all-pairs.
+
+    Codec contract as in :func:`resize_image`: built-in P6-PPM /
+    24-bit-BMP payloads decode in-container; other formats use PIL when
+    importable; ``codec='real'`` fails loudly otherwise, while ``auto``
+    yields a NULL phash for undecodable payloads (they simply produce no
+    pairs). Narrow, Arrow-batched, zero shuffle; the hash math is pure
+    float64 numpy (:func:`phash_reference`), bit-deterministic on any
+    IEEE platform.
+
+    Returns (doc_id, phash) with phash NULL when undecodable in auto mode.
+    """
+    if codec not in ("auto", "real"):
+        raise ValueError(f"unknown codec mode: {codec!r}")
+
+    def _one(b: bytes):
+        arr = decode_pixels_builtin(b)
+        if arr is None:
+            Image = _pil_image()
+            if Image is not None:  # pragma: no cover - no PIL in container
+                import io
+
+                import numpy as np
+
+                arr = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+            elif codec == "real":
+                raise NotImplementedError(
+                    "phash beyond P6-PPM/24-bit-BMP requires PIL in the "
+                    "executor environment; use codec='auto'"
+                )
+            else:
+                return None
+        return phash_reference(arr)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.array(
+                        [_one(b) for b in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return payloads.mapInPandas(_hash, schema=PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    payloads: DataFrame,
+    max_hamming: int = 10,
+    codec: str = "auto",
+    band_bits: int = 8,
+    persist_signatures: bool = False,
+) -> DataFrame:
+    """Image near-duplicate pairs: :func:`phash64` signatures into the
+    shared banded hamming join. With the default 8-bit bands (8 bands
+    over 64 bits) pigeonhole guarantees recall for distance <= 7; larger
+    radii are pruned-then-verified exactly like the text SimHash default.
+    ``band_bits=16`` is the measured 100 TB setting (SCALE.md): 256×
+    fewer random band collisions, guaranteed recall to distance <= 3,
+    probabilistic (verified) beyond. Undecodable payloads (NULL phash)
+    are dropped before banding. Returns (id_a, id_b, hamming).
+    """
+    from chess_lakehouse_spark.operators.dedup import hamming_near_pairs
+
+    sig = phash64(payloads, codec=codec).where(F.col("phash").isNotNull())
+    return hamming_near_pairs(
+        sig,
+        "doc_id",
+        "phash",
+        n_bits=64,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+        persist_signatures=persist_signatures,
+    )

@@ -294,7 +294,10 @@ def main() -> None:
                 ),
             )
 
-        if only_ops is None or {"hashed_serve", "hashed_train", "semantic_contam"} & only_ops:
+        if only_ops is None or {
+            "hashed_serve", "hashed_train", "semantic_contam",
+            "hamming_pairs64", "hamming_pairs64_b16",
+        } & only_ops:
             from chess_lakehouse_spark.operators.classify import (
                 hashed_classifier_margins,
                 hashed_weights_from_tokens,
@@ -344,6 +347,34 @@ def main() -> None:
                 lambda: semantic_contamination(
                     emb, eval_fixed, "vec_id", "embedding", 0.35,
                     plane_sets=SEM_CONTAM_BANDS,
+                ).count(),
+            )
+            # 64-bit byte-banded hamming join (the phash_near_pairs /
+            # simhash shared machinery): signatures synthesized from the
+            # text md5 (near-uniform bits — the no-clusters worst case
+            # for band-bucket balance); measures the 8-band self-join's
+            # growth, the only shuffle-bearing stage of image near-dup
+            # (the Arrow hash stage itself is narrow and linear)
+            from chess_lakehouse_spark.operators.dedup import (
+                hamming_near_pairs,
+                md5_hash64,
+            )
+
+            probe(
+                "hamming_pairs64", factor,
+                lambda: hamming_near_pairs(
+                    docs.select("doc_id", md5_hash64(F.col("text")).alias("phash")),
+                    "doc_id", "phash", n_bits=64, max_hamming=7,
+                ).count(),
+            )
+            # the 16-bit-band variant: 256x fewer random band collisions
+            # (the band_bits cost/recall knob — guaranteed recall shrinks
+            # to radius <= 3, verified beyond); this is the 100 TB setting
+            probe(
+                "hamming_pairs64_b16", factor,
+                lambda: hamming_near_pairs(
+                    docs.select("doc_id", md5_hash64(F.col("text")).alias("phash")),
+                    "doc_id", "phash", n_bits=64, max_hamming=3, band_bits=16,
                 ).count(),
             )
 
