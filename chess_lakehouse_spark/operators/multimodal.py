@@ -522,3 +522,38 @@ def phash_near_pairs(
         max_hamming=max_hamming,
         persist_signatures=persist_signatures,
     )
+
+
+def phash_dedup(
+    payloads: DataFrame,
+    max_hamming: int = 10,
+    codec: str = "auto",
+    band_bits: int = 8,
+) -> DataFrame:
+    """End-to-end image near-deduplication: :func:`phash_near_pairs` →
+    connected components → keep ONE canonical member (the minimum
+    ``doc_id``) per visual-duplicate cluster, drop the rest — the image
+    analogue of the text ``clean-corpus`` dedup stages.
+
+    Plan shape: the pair list is already LSH-pruned, so the component
+    step rides :func:`~chess_lakehouse_spark.operators.graph.
+    connected_components` (driver union-find under the bounded-edges
+    fast path, distributed min-label propagation beyond); the final drop
+    is a LEFT ANTI join of the full payload frame against the loser ids
+    — losers are bounded by the duplicated volume, never the corpus.
+    Undecodable payloads (NULL phash in ``auto`` mode) produce no pairs
+    and therefore always SURVIVE — dedup never invents a reason to drop
+    a document it could not read.
+
+    Returns the surviving rows of ``payloads``, all columns intact.
+    """
+    from chess_lakehouse_spark.operators.graph import connected_components
+
+    pairs = phash_near_pairs(
+        payloads, max_hamming=max_hamming, codec=codec, band_bits=band_bits
+    )
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return payloads.join(losers, "doc_id", "left_anti")

@@ -424,6 +424,35 @@ def cmd_train_hashed_model(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_image_dedup(args: argparse.Namespace) -> None:
+    """Image near-dedup stage: 64-bit pHash over binary payloads, pairs
+    via the shared banded hamming join, connected components, keep the
+    min-id canonical per visual cluster (operators/multimodal.py:
+    phash_dedup). Input is any parquet with an id and a binary payload
+    column; output is the surviving rows, all columns intact."""
+    from chess_lakehouse_spark.operators.multimodal import phash_dedup
+
+    spark = _spark()
+    df = spark.read.parquet(args.inParquet)
+    renamed = df
+    if args.idCol != "doc_id":
+        renamed = renamed.withColumnRenamed(args.idCol, "doc_id")
+    if args.payloadCol != "payload":
+        renamed = renamed.withColumnRenamed(args.payloadCol, "payload")
+    kept = phash_dedup(
+        renamed,
+        max_hamming=args.maxHamming,
+        codec=args.codec,
+        band_bits=args.bandBits,
+    )
+    if args.idCol != "doc_id":
+        kept = kept.withColumnRenamed("doc_id", args.idCol)
+    if args.payloadCol != "payload":
+        kept = kept.withColumnRenamed("payload", args.payloadCol)
+    kept.write.mode("overwrite").parquet(args.outDir)
+    print(f"[image-dedup] kept={kept.count()} -> {args.outDir}")
+
+
 def cmd_maintain_lake(args: argparse.Namespace) -> None:
     """Lake-maintenance stage: compaction, crash-sidecar vacuum, or
     data-skipping manifest (re)build — the jobs a 100 TB lake schedules
@@ -619,6 +648,16 @@ def main(argv: list[str] | None = None) -> None:
     th.add_argument("--iters", type=int, default=60)
     th.add_argument("--reg", type=float, default=0.0)
     th.set_defaults(fn=cmd_train_hashed_model)
+
+    imd = sub.add_parser("image-dedup")
+    imd.add_argument("--inParquet", required=True)
+    imd.add_argument("--outDir", required=True)
+    imd.add_argument("--idCol", default="doc_id")
+    imd.add_argument("--payloadCol", default="payload")
+    imd.add_argument("--maxHamming", type=int, default=10)
+    imd.add_argument("--bandBits", type=int, default=8)
+    imd.add_argument("--codec", default="auto", choices=["auto", "real"])
+    imd.set_defaults(fn=cmd_image_dedup)
 
     dr = sub.add_parser("delete-rows")
     dr.add_argument("--lakeDir", required=True)

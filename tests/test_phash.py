@@ -202,3 +202,62 @@ def test_simhash_delegation_unchanged(spark):
     )
     assert a == b
     assert len(a) >= 2
+
+
+# ---------------------------------------------------------------------------
+# end-to-end dedup + CLI stage
+# ---------------------------------------------------------------------------
+
+
+def test_phash_dedup_keeps_min_id_canonical_and_survivors(spark):
+    """Cluster {1,2,6} (base, 2x twin, 3x twin) keeps only id 1; the
+    unrelated image, the undecodable payload, and extra columns all
+    survive intact."""
+    from chess_lakehouse_spark.operators.multimodal import phash_dedup
+
+    base = _blocky_image(32, 32, seed=11)
+    twin2 = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    twin3 = np.repeat(np.repeat(base, 3, axis=0), 3, axis=1)
+    rows = [
+        (1, _ppm_from_array(base), "a"),
+        (2, _ppm_from_array(twin2), "b"),
+        (3, _ppm_from_array(_blocky_image(32, 32, seed=12)), "c"),
+        (4, b"undecodable", "d"),
+        (6, _ppm_from_array(twin3), "e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, tag string")
+    kept = phash_dedup(df, max_hamming=6)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+    assert kept.columns == ["doc_id", "payload", "tag"]
+    assert {r["doc_id"]: r["tag"] for r in kept.collect()}[1] == "a"
+
+
+def test_pipeline_cli_image_dedup_stage(spark, tmp_path, capsys):
+    """The image-dedup CLI reads any (id, payload) parquet — custom column
+    names included — and writes the survivors."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    base = _blocky_image(32, 32, seed=31)
+    twin = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    src = tmp_path / "imgs"
+    spark.createDataFrame(
+        [
+            (10, _ppm_from_array(base)),
+            (11, _ppm_from_array(twin)),
+            (12, _ppm_from_array(_blocky_image(32, 32, seed=32))),
+        ],
+        "img_id long, img_bytes binary",
+    ).write.parquet(str(src))
+    out = tmp_path / "kept"
+    pipeline_cli.main([
+        "image-dedup", "--inParquet", str(src), "--outDir", str(out),
+        "--idCol", "img_id", "--payloadCol", "img_bytes", "--maxHamming", "6",
+    ])
+    got = spark.read.parquet(str(out))
+    assert sorted(r["img_id"] for r in got.collect()) == [10, 12]
+    assert got.columns == ["img_id", "img_bytes"]
+    assert "kept=2" in capsys.readouterr().out
