@@ -122,7 +122,7 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # period stays P = ceil(109/50) = 3.
 #
 # r10 window planning — FIRST bump WINDOW_BUDGETED_FOR to 10: (1) any
-# never-verified queries registered at the re-plan go first — THREE
+# never-verified queries registered at the re-plan go first — FOUR
 # staged candidates are ready, each with a suite-defined oracle,
 # two-scale exact parity, and a cold-JVM ANSI run:
 #   - q_bm25_staged / BM25_STAGED_ORACLE (register as `bm25_staged`;
@@ -135,12 +135,16 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #   - q_contamination_semantic / SEM_CONTAM_ORACLE (register as
 #     `contamination_semantic`; cross-set embedding decontamination via
 #     OR-ed banded RHP signatures; tests/test_semantic_contamination.py);
+#   - q_hamming64 / HAMMING64_ORACLE (register as `dedup_hamming64`;
+#     the generalized 64-bit banded hamming join under phash_near_pairs
+#     — radius inside the pigeonhole bound, so the brute-force oracle
+#     checks recall; tests/test_phash.py);
 # (2) then the 9 deferred r7-green queries (events_hourly,
 # export_projection, filter_null_predicate, groupby_agg, join_star,
 # json_extract, rolling_avg, scalar_kitchen, supplier_revenue) — at the
 # P - 1 bound; (3) then the stalest r8-green queries to fill the
-# window. With the 3 registrations N grows to 112 non-rows-only; P
-# stays ceil(112/50) = 3.
+# window. With the 4 registrations N grows to 113 non-rows-only; P
+# stays ceil(113/50) = 3.
 WINDOW_BUDGETED_FOR = 9
 
 _WINDOW_ORDER = [

@@ -1533,6 +1533,69 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted-twin constants for the 64-bit banded-hamming candidate:
+#: signatures group every HAMMING64_GROUP consecutive doc_ids onto one
+#: md5-derived base (the portable 60-bit chain), each member flipping a
+#: group-unique bit (doc_id % 61), every third doc additionally flipping
+#: bit 61 — so within-group distances land at 2..4 and cross-group
+#: distances sit near 30. HAMMING64_MAX stays INSIDE the pigeonhole
+#: guarantee (7 < n_bands = 8), making the banded join EXACT — the
+#: oracle is therefore the brute-force quadratic answer, and the gate
+#: checks recall, not just precision.
+HAMMING64_GROUP = 5
+HAMMING64_MAX = 7
+
+_HAMMING64_SIG_SPARK = (
+    f"conv(substring(md5(CAST(doc_id DIV {HAMMING64_GROUP} AS STRING)), 1, 15), 16, 10) "
+    "^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 61 AS INT)) "
+    "^ (CASE WHEN doc_id % 3 = 0 THEN shiftleft(CAST(1 AS BIGINT), 61) "
+    "ELSE CAST(0 AS BIGINT) END)"
+)
+
+
+def q_hamming64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit banded hamming near-pair join (operators/dedup.py:
+    hamming_near_pairs — the shared machinery under phash_near_pairs and
+    simhash_near_pairs) over planted-twin signatures, radius
+    HAMMING64_MAX = 7 < n_bands = 8 so banding is pigeonhole-complete
+    and the brute-force oracle checks RECALL as well as precision.
+    Returns (id_a, id_b, hamming).
+
+    r10 STAGING CANDIDATE — not yet registered: exact value parity
+    against HAMMING64_ORACLE pinned in tests/test_phash.py at two scales
+    + cold-JVM; registration at the r10 window re-plan is a dict +
+    window edit."""
+    from chess_lakehouse_spark.operators.dedup import hamming_near_pairs
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", F.expr(_HAMMING64_SIG_SPARK).cast("long").alias("sig64")
+    )
+    return hamming_near_pairs(
+        sig, "doc_id", "sig64", n_bits=64, max_hamming=HAMMING64_MAX
+    )
+
+
+_HAMMING64_SIG_DUCK = (
+    f"xor(xor(CAST('0x' || substr(md5(CAST(doc_id // {HAMMING64_GROUP} AS VARCHAR)), "
+    "1, 15) AS BIGINT), "
+    "(CAST(1 AS BIGINT) << CAST(doc_id % 61 AS INT))), "
+    "CASE WHEN doc_id % 3 = 0 THEN (CAST(1 AS BIGINT) << 61) "
+    "ELSE CAST(0 AS BIGINT) END)"
+)
+
+HAMMING64_ORACLE = f"""
+    WITH sig AS (
+      SELECT doc_id, {_HAMMING64_SIG_DUCK} AS sig64 FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig64, b.sig64)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig64, b.sig64)) <= {HAMMING64_MAX}
+"""
+
+
 #: lgConfigK for the gated sketch query (the operator default).
 SKETCH_LG_K = 12
 

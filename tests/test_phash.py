@@ -261,3 +261,34 @@ def test_pipeline_cli_image_dedup_stage(spark, tmp_path, capsys):
     assert sorted(r["img_id"] for r in got.collect()) == [10, 12]
     assert got.columns == ["img_id", "img_bytes"]
     assert "kept=2" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# r10 staging candidate: q_hamming64 vs suite oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_q_hamming64_matches_suite_oracle(spark, sf_dir):
+    """Driver-style gating proof for the 64-bit banded join: exact values,
+    driver-safe types, both local scales — and because HAMMING64_MAX sits
+    inside the pigeonhole bound, the brute-force oracle checks the banded
+    join's RECALL, not just its precision."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import HAMMING64_ORACLE, q_hamming64
+
+    sdf = q_hamming64(spark, sf_dir)
+    assert [d for _, d in sdf.dtypes] == ["bigint", "bigint", "int"]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    rel = con.sql(HAMMING64_ORACLE)
+    assert all(str(t) in {"BIGINT", "INTEGER"} for t in rel.types)
+    drows = sorted(tuple(r) for r in con.execute(HAMMING64_ORACLE).fetchall())
+    con.close()
+    assert len(srows) > 0
+    assert {h for *_, h in srows} == {2, 3}  # planted twin distances
+    assert srows == drows
