@@ -391,19 +391,45 @@ def hamming_near_pairs(
     that manage their own staging; at 100 TB, stage signatures to a table
     between jobs instead. Returns (id_a, id_b, hamming).
     """
-    if n_bits % band_bits != 0:
-        raise ValueError(
-            f"hamming_near_pairs: band_bits {band_bits} must divide n_bits {n_bits}"
-        )
-    n_bands = n_bits // band_bits
-    mask = (1 << band_bits) - 1
     lease = None
     if persist_signatures:
         sig = sig.persist()
         lease = _CacheLease(sig)
-    bands = sig.select(
-        id_col,
-        F.col(hash_col).alias("_h"),
+    a = _signature_bands(sig, id_col, hash_col, n_bits, band_bits, "id_a", "sim_a")
+    b = _signature_bands(sig, id_col, hash_col, n_bits, band_bits, "id_b", "sim_b")
+    out = (
+        a.join(b, on=["bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_no_earlier_band(n_bits, band_bits))
+        .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    if lease is not None:
+        out._simhash_cache_lease = lease  # type: ignore[attr-defined]
+    return out
+
+
+def _signature_bands(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    band_bits: int,
+    id_alias: str,
+    sig_alias: str,
+) -> DataFrame:
+    """Explode one signature frame into its LSH band rows:
+    (id_alias, sig_alias, bi, bv) with one row per band — the shared
+    blocking stage of :func:`hamming_near_pairs` and :func:`hamming_join`."""
+    if n_bits % band_bits != 0:
+        raise ValueError(
+            f"signature bands: band_bits {band_bits} must divide n_bits {n_bits}"
+        )
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    return sig.select(
+        F.col(id_col).alias(id_alias),
+        F.col(hash_col).alias(sig_alias),
         F.explode(
             F.array(
                 *[
@@ -417,16 +443,21 @@ def hamming_near_pairs(
                 ]
             )
         ).alias("x"),
-    ).select(id_col, "_h", F.col("x.band_idx").alias("bi"), F.col("x.band_val").alias("bv"))
-    a = bands.select(F.col(id_col).alias("id_a"), F.col("_h").alias("sim_a"), "bi", "bv")
-    b = bands.select(F.col(id_col).alias("id_b"), F.col("_h").alias("sim_b"), "bi", "bv")
-    # A pair agreeing on k bands would surface k times from the band join;
-    # instead of a distinct (a full shuffle of every candidate pair), keep
-    # each pair only where it matched its FIRST agreeing band — bi is
-    # canonical because both full signatures ride in the joined row, so
-    # "no earlier band agrees" is a map-side predicate. Zero post-join
-    # shuffles; the hamming filter also runs map-side.
-    no_earlier_band = F.expr(
+    ).select(
+        id_alias, sig_alias, F.col("x.band_idx").alias("bi"), F.col("x.band_val").alias("bv")
+    )
+
+
+def _no_earlier_band(n_bits: int, band_bits: int):
+    """The band-join dedup trick: a pair agreeing on k bands would surface
+    k times from the band equi-join; instead of a distinct (a full shuffle
+    of every candidate pair), keep each pair only where it matched its
+    FIRST agreeing band — bi is canonical because both full signatures
+    ride in the joined row (sim_a / sim_b), so "no earlier band agrees"
+    is a map-side predicate. Zero post-join shuffles."""
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    return F.expr(
         "CASE bi WHEN 0 THEN true ELSE "
         + " AND ".join(
             f"(bi <= {j} OR ((sim_a >> {band_bits * j}) & {mask}) != "
@@ -435,16 +466,43 @@ def hamming_near_pairs(
         )
         + " END"
     )
-    out = (
+
+
+def hamming_join(
+    new_sig: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    max_hamming: int,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Banded hamming join BETWEEN two signature frames — the cross-batch
+    form of :func:`hamming_near_pairs` (same pigeonhole guarantee for
+    ``max_hamming < n_bits / band_bits``, same prune-then-``bit_count``
+    verification, same first-agreeing-band dedup so no candidate-pair
+    distinct): one row per (new, corpus) signature pair within
+    ``max_hamming``. Both frames carry ``(id_col, hash_col)``; ids are
+    NOT compared, so the frames may overlap — callers that need
+    self-pair exclusion (e.g. a replayed streaming batch) filter or
+    partition upstream. 100 TB: the staged corpus side shuffles once on
+    (band, value); per-batch cost tracks the NEW side plus matching
+    band buckets, never the corpus. Returns (new_id, corpus_id, hamming).
+    """
+    a = _signature_bands(new_sig, id_col, hash_col, n_bits, band_bits, "new_id", "sim_a")
+    b = _signature_bands(
+        corpus_sig, id_col, hash_col, n_bits, band_bits, "corpus_id", "sim_b"
+    )
+    return (
         a.join(b, on=["bi", "bv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(no_earlier_band)
-        .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"))
+        .where(_no_earlier_band(n_bits, band_bits))
+        .select(
+            "new_id",
+            "corpus_id",
+            F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
     )
-    if lease is not None:
-        out._simhash_cache_lease = lease  # type: ignore[attr-defined]
-    return out
 
 
 def simhash_near_pairs(

@@ -13,8 +13,10 @@ from chess_lakehouse_spark.streaming.jobs import (
     running_user_counts,
     session_windows,
     sliding_event_counts,
+    phash_dedup_batch,
     span_dedup_batch,
     stream_incremental_dedup,
+    stream_phash_dedup,
     stream_span_dedup,
     stream_url_dedup,
     streaming_dedup,
@@ -22,9 +24,11 @@ from chess_lakehouse_spark.streaming.jobs import (
 
 __all__ = [
     "stream_incremental_dedup",
+    "stream_phash_dedup",
     "stream_span_dedup",
     "stream_url_dedup",
     "span_dedup_batch",
+    "phash_dedup_batch",
     "incremental_dedup_batch",
     "url_dedup_batch",
     "corpus_ingest_clean",

@@ -694,3 +694,115 @@ def url_dedup_batch(
         admitted.unpersist()
     finally:
         canon.unpersist()
+
+
+def stream_phash_dedup(
+    new_docs: DataFrame,
+    sigs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 10,
+    band_bits: int = 8,
+    codec: str = "auto",
+) -> None:
+    """Streaming IMAGE near-dedup — the cross-batch form of
+    ``operators/multimodal.py:phash_dedup``, completing the streaming
+    mirror of every dedup granularity (exact + paragraph + URL + span +
+    image): each micro-batch hashes its binary payloads (64-bit pHash),
+    collapses within-batch visual clusters to their min-id canonical
+    (pairs → connected components, exactly the batch operator), then
+    drops any survivor within ``max_hamming`` of ANY earlier batch's
+    signature via the banded ``hamming_join`` — hash-sized state, never
+    payload bytes. ALL of the batch's decodable signatures (pre-dedup)
+    append to ``sigs_dir``: staging pre-dedup signatures makes the
+    greedy online rule match the batch operator on clique-shaped
+    clusters (re-encodes/rescales of one image are pairwise near), the
+    common case; on CHAIN-shaped clusters (a~b~c but a!~c) the online
+    rule keeps the first arrival of each chain segment where the batch
+    operator keeps only the component minimum — the same documented
+    divergence as every online-vs-global dedup. Undecodable payloads
+    (NULL phash in ``auto`` mode) always survive and stage nothing.
+
+    Same idempotent restart contract as the other loops: per-batch
+    ``batch_id=N`` overwrite partitions, staged reads exclude the
+    in-flight batch's own partition (the replay-hole guard), pinned by
+    the double-invoke replay test. Per-batch cost: O(|batch|) Arrow
+    hashing + the batch self-join + one banded join whose cost tracks
+    the batch's band buckets, not the corpus.
+    """
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        phash_dedup_batch(
+            batch_df, batch_id, sigs_dir, out_dir,
+            max_hamming=max_hamming, band_bits=band_bits, codec=codec,
+        )
+
+    q = (
+        new_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def phash_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sigs_dir: str,
+    out_dir: str,
+    max_hamming: int = 10,
+    band_bits: int = 8,
+    codec: str = "auto",
+) -> None:
+    """One micro-batch of the streaming image-dedup loop — module-level so
+    the crash-replay contract is directly testable (same batch_id twice →
+    identical partitions; see ``stream_phash_dedup``)."""
+    from chess_lakehouse_spark.operators.dedup import (
+        hamming_join,
+        hamming_near_pairs,
+    )
+    from chess_lakehouse_spark.operators.graph import connected_components
+    from chess_lakehouse_spark.operators.multimodal import phash64
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        sig = phash64(batch_df, codec=codec).where(
+            F.col("phash").isNotNull()
+        ).persist()
+        try:
+            pairs = hamming_near_pairs(
+                sig, "doc_id", "phash",
+                n_bits=64, max_hamming=max_hamming, band_bits=band_bits,
+            )
+            comps = connected_components(pairs)
+            losers = comps.where(F.col("id") != F.col("component")).select(
+                F.col("id").alias("doc_id")
+            )
+            admitted = batch_df.join(losers, "doc_id", "left_anti")
+            if _path_exists(spark, sigs_dir):
+                # replay-hole guard: never compare a replayed batch
+                # against its own staged signatures
+                staged = (
+                    spark.read.parquet(sigs_dir)
+                    .where(F.col("batch_id").cast("string") != F.lit(str(batch_id)))
+                    .select("doc_id", "phash")
+                )
+                hits = hamming_join(
+                    sig, staged, "doc_id", "phash",
+                    n_bits=64, max_hamming=max_hamming, band_bits=band_bits,
+                ).select(F.col("new_id").alias("doc_id"))
+                admitted = admitted.join(hits, "doc_id", "left_anti")
+            admitted.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            # stage ALL decodable batch signatures (pre-dedup — the
+            # anchor rule, exactly as the span loop stages original text)
+            sig.write.mode("overwrite").parquet(
+                f"{sigs_dir}/batch_id={batch_id}"
+            )
+        finally:
+            sig.unpersist()
+    finally:
+        batch_df.unpersist()

@@ -839,3 +839,117 @@ def test_span_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert out_by_id[10][3] > 0 and out_by_id[11][3] == 0
     span_dedup_batch(b1, 1, spans, out, k=3)
     assert snapshot() == s1
+
+
+def _ppm(arr) -> bytes:
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _blocky(seed: int, scale: int = 1):
+    """Low-frequency 32s x 32s RGB test image; rescales of one seed are
+    visual twins (pairwise-near pHashes — clique-shaped clusters)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    small = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(small, 4 * scale, axis=0), 4 * scale, axis=1)
+
+
+def test_stream_phash_dedup_matches_batch_operator(spark, tmp_path):
+    """Streaming image dedup over two drops must equal phash_dedup on the
+    concatenated corpus (clique-shaped clusters, arrival order = id
+    order), undecodable payloads must survive, and the checkpoint must
+    prevent reprocessing on restart."""
+    import glob
+    import shutil
+
+    from chess_lakehouse_spark.operators.multimodal import phash_dedup
+    from chess_lakehouse_spark.streaming.jobs import stream_phash_dedup
+
+    b1 = [
+        (1, _ppm(_blocky(1))),          # cluster A canonical
+        (2, _ppm(_blocky(1, scale=2))), # A twin, same batch
+        (3, _ppm(_blocky(2))),          # unique
+    ]
+    b2 = [
+        (10, _ppm(_blocky(1, scale=3))),  # A twin, later batch
+        (11, _ppm(_blocky(3))),           # unique
+        (12, b"not an image"),            # undecodable: must survive
+    ]
+    schema = "doc_id long, payload binary"
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    sigs = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(staging))
+        shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet")
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_phash_dedup(stream, sigs, out, ckpt, max_hamming=6)
+
+    land("d1", b1)
+    run()
+    land("d2", b2)
+    run()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(
+        r.doc_id for r in phash_dedup(batch, max_hamming=6).collect()
+    )
+    assert got == want == [1, 3, 11, 12]
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    run()
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == got
+
+
+def test_phash_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract, same as the other four loops: invoking the
+    batch body twice with one batch_id must reproduce the output — the
+    staged-signature read excludes the in-flight batch's own partition,
+    else the replay would find every admitted image within distance 0 of
+    its own staged signature and blank the batch."""
+    from chess_lakehouse_spark.streaming.jobs import phash_dedup_batch
+
+    schema = "doc_id long, payload binary"
+    sigs = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, _ppm(_blocky(7))), (2, _ppm(_blocky(7, scale=2))), (3, _ppm(_blocky(8)))],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(10, _ppm(_blocky(7, scale=3))), (11, _ppm(_blocky(9)))], schema
+    )
+
+    def snapshot():
+        return {
+            "out": sorted(r.doc_id for r in spark.read.parquet(out).collect()),
+            "sigs": sorted(
+                (r.doc_id, r.phash) for r in spark.read.parquet(sigs).collect()
+            ),
+        }
+
+    # first-batch replay: sigs_dir holds only this batch's own partition
+    phash_dedup_batch(b0, 0, sigs, out, max_hamming=6)
+    s0 = snapshot()
+    assert s0["out"] == [1, 3]
+    phash_dedup_batch(b0, 0, sigs, out, max_hamming=6)
+    assert snapshot() == s0
+
+    phash_dedup_batch(b1, 1, sigs, out, max_hamming=6)
+    s1 = snapshot()
+    assert sorted(s1["out"]) == [1, 3, 11]  # 10 dropped cross-batch
+    phash_dedup_batch(b1, 1, sigs, out, max_hamming=6)
+    assert snapshot() == s1
