@@ -296,7 +296,7 @@ def main() -> None:
 
         if only_ops is None or {
             "hashed_serve", "hashed_train", "semantic_contam",
-            "hamming_pairs64", "hamming_pairs64_b16",
+            "hamming_pairs64", "hamming_pairs64_b16", "audio_fp_pairs",
         } & only_ops:
             from chess_lakehouse_spark.operators.classify import (
                 hashed_classifier_margins,
@@ -375,6 +375,41 @@ def main() -> None:
                 lambda: hamming_near_pairs(
                     docs.select("doc_id", md5_hash64(F.col("text")).alias("phash")),
                     "doc_id", "phash", n_bits=64, max_hamming=3, band_bits=16,
+                ).count(),
+            )
+            # audio end-to-end: text bytes re-encoded as PCM16 WAV (valid
+            # payloads, text-random samples — near-uniform fingerprints,
+            # the no-clusters worst case again), then decode + energy
+            # fingerprint (narrow Arrow stages) + the 16-bit-band join
+            from chess_lakehouse_spark.operators.audio import (
+                audio_near_pairs,
+                encode_wav_pcm16,
+            )
+
+            def _wav_payloads(d):
+                import numpy as np
+                import pandas as pd
+
+                def _mk(batches):
+                    for pdf in batches:
+                        payloads = []
+                        for t in pdf["text"]:
+                            b = t.encode()[:4000]
+                            b = b + b"\x00" * (len(b) & 1)
+                            arr = np.frombuffer(b, dtype="<i2")
+                            payloads.append(encode_wav_pcm16(arr, 8000))
+                        yield pd.DataFrame(
+                            {"doc_id": pdf["doc_id"], "payload": payloads}
+                        )
+
+                return d.select("doc_id", "text").mapInPandas(
+                    _mk, "doc_id long, payload binary"
+                )
+
+            probe(
+                "audio_fp_pairs", factor,
+                lambda: audio_near_pairs(
+                    _wav_payloads(docs), max_hamming=3, band_bits=16
                 ).count(),
             )
 
