@@ -342,3 +342,24 @@ def audio_near_pairs(
         sig, "doc_id", "afp", n_bits=FP_BITS,
         max_hamming=max_hamming, band_bits=band_bits,
     )
+
+
+def audio_dedup(
+    payloads: DataFrame,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+) -> DataFrame:
+    """End-to-end audio near-deduplication — the audio instance of the
+    image :func:`~chess_lakehouse_spark.operators.multimodal.phash_dedup`
+    composition: :func:`audio_near_pairs` → connected components → keep
+    the min-``doc_id`` canonical per cluster via a LEFT ANTI join on the
+    bounded loser set. Undecodable / too-short clips produce no pairs
+    and always survive. Returns surviving rows, all columns intact."""
+    from chess_lakehouse_spark.operators.graph import connected_components
+
+    pairs = audio_near_pairs(payloads, max_hamming=max_hamming, band_bits=band_bits)
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return payloads.join(losers, "doc_id", "left_anti")

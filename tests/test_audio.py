@@ -176,3 +176,22 @@ def test_audio_near_pairs_finds_gain_twin_only(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] <= 2
+
+
+def test_audio_dedup_keeps_canonical_and_undecodable(spark):
+    base = _chirpy(15)
+    twin = (base.astype("float64") * 0.6).astype("int16")
+    df = spark.createDataFrame(
+        [
+            (1, bytes(encode_wav_pcm16(base, 8000))),
+            (2, bytes(encode_wav_pcm16(twin, 8000))),
+            (3, bytes(encode_wav_pcm16(_chirpy(16), 8000))),
+            (4, b"junk"),
+        ],
+        "doc_id long, payload binary",
+    )
+    from chess_lakehouse_spark.operators.audio import audio_dedup
+
+    kept = audio_dedup(df, max_hamming=6)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+    assert kept.columns == ["doc_id", "payload"]
