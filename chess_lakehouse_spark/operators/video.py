@@ -229,8 +229,11 @@ def video_near_pairs(
     (containment, not Jaccard, so a frame-rate-halved twin whose every
     frame matches still scores 1.0). Re-encodes and rescales keep most
     frame hashes near; unrelated clips match almost none. Never
-    all-pairs: candidates exist only where frame bands collide; per-pair
-    aggregation is one map-combined groupBy. Returns
+    all-pairs: candidates exist only where frame bands collide; the
+    per-pair aggregation is Spark's Expand-based two-distinct groupBy
+    (3x the LSH-pruned candidate rows through a partial-aggregated
+    exchange — verified in the physical plan; no cartesian, no
+    broadcast-nested-loop anywhere in the chain). Returns
     (id_a, id_b, n_matched, sim) with id_a < id_b.
     """
     from chess_lakehouse_spark.operators.dedup import hamming_near_pairs

@@ -746,34 +746,37 @@ def stream_phash_dedup(
     q.awaitTermination()
 
 
-def phash_dedup_batch(
+def _binary_sig_dedup_batch(
     batch_df: DataFrame,
     batch_id: int,
     sigs_dir: str,
     out_dir: str,
-    max_hamming: int = 10,
-    band_bits: int = 8,
-    codec: str = "auto",
+    sig: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    band_bits: int,
 ) -> None:
-    """One micro-batch of the streaming image-dedup loop — module-level so
-    the crash-replay contract is directly testable (same batch_id twice →
-    identical partitions; see ``stream_phash_dedup``)."""
+    """Shared micro-batch body for every 64-bit-signature streaming dedup
+    loop (image pHash, audio fingerprint): within-batch pairs →
+    connected components → min-id canonical; survivors banded-joined
+    against staged signatures (excluding the in-flight batch's own
+    partition — the replay-hole guard); ALL of the batch's signatures
+    (pre-dedup, the anchor rule) staged to ``sigs_dir``. ``sig`` is the
+    NULL-filtered (doc_id, hash_col) frame — rows absent from it
+    (undecodable payloads) always survive and stage nothing."""
     from chess_lakehouse_spark.operators.dedup import (
         hamming_join,
         hamming_near_pairs,
     )
     from chess_lakehouse_spark.operators.graph import connected_components
-    from chess_lakehouse_spark.operators.multimodal import phash64
 
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
     try:
-        sig = phash64(batch_df, codec=codec).where(
-            F.col("phash").isNotNull()
-        ).persist()
+        sig = sig.persist()
         try:
             pairs = hamming_near_pairs(
-                sig, "doc_id", "phash",
+                sig, "doc_id", hash_col,
                 n_bits=64, max_hamming=max_hamming, band_bits=band_bits,
             )
             comps = connected_components(pairs)
@@ -787,10 +790,10 @@ def phash_dedup_batch(
                 staged = (
                     spark.read.parquet(sigs_dir)
                     .where(F.col("batch_id").cast("string") != F.lit(str(batch_id)))
-                    .select("doc_id", "phash")
+                    .select("doc_id", hash_col)
                 )
                 hits = hamming_join(
-                    sig, staged, "doc_id", "phash",
+                    sig, staged, "doc_id", hash_col,
                     n_bits=64, max_hamming=max_hamming, band_bits=band_bits,
                 ).select(F.col("new_id").alias("doc_id"))
                 admitted = admitted.join(hits, "doc_id", "left_anti")
@@ -806,3 +809,78 @@ def phash_dedup_batch(
             sig.unpersist()
     finally:
         batch_df.unpersist()
+
+
+def phash_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sigs_dir: str,
+    out_dir: str,
+    max_hamming: int = 10,
+    band_bits: int = 8,
+    codec: str = "auto",
+) -> None:
+    """One micro-batch of the streaming image-dedup loop — module-level so
+    the crash-replay contract is directly testable (same batch_id twice →
+    identical partitions; see ``stream_phash_dedup``)."""
+    from chess_lakehouse_spark.operators.multimodal import phash64
+
+    sig = phash64(batch_df, codec=codec).where(F.col("phash").isNotNull())
+    _binary_sig_dedup_batch(
+        batch_df, batch_id, sigs_dir, out_dir, sig, "phash",
+        max_hamming=max_hamming, band_bits=band_bits,
+    )
+
+
+def stream_audio_dedup(
+    new_docs: DataFrame,
+    sigs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+) -> None:
+    """Streaming AUDIO near-dedup — the cross-batch form of
+    ``operators/audio.py:audio_dedup``, sharing the image loop's batch
+    body verbatim (``_binary_sig_dedup_batch``) with the 64-bit
+    energy-difference fingerprint as the signature: gain-scaled
+    re-encodes of an earlier batch's clip are dropped, undecodable /
+    too-short clips always survive and stage nothing. Same idempotent
+    restart contract (per-batch overwrite partitions + the replay-hole
+    guard), pinned by the double-invoke replay test; same greedy-online
+    vs global-clustering boundary as the image loop, exact on
+    clique-shaped clusters."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        audio_dedup_batch(
+            batch_df, batch_id, sigs_dir, out_dir,
+            max_hamming=max_hamming, band_bits=band_bits,
+        )
+
+    q = (
+        new_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def audio_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sigs_dir: str,
+    out_dir: str,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+) -> None:
+    """One micro-batch of the streaming audio-dedup loop — module-level so
+    the crash-replay contract is directly testable (see
+    ``stream_audio_dedup``)."""
+    from chess_lakehouse_spark.operators.audio import audio_fingerprint
+
+    sig = audio_fingerprint(batch_df).where(F.col("afp").isNotNull())
+    _binary_sig_dedup_batch(
+        batch_df, batch_id, sigs_dir, out_dir, sig, "afp",
+        max_hamming=max_hamming, band_bits=band_bits,
+    )

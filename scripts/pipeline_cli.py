@@ -453,6 +453,39 @@ def cmd_image_dedup(args: argparse.Namespace) -> None:
     print(f"[image-dedup] kept={kept.count()} -> {args.outDir}")
 
 
+def cmd_media_dedup(args: argparse.Namespace) -> None:
+    """Audio / video near-dedup stages — same shape as image-dedup:
+    read any parquet with an id and binary payload column, drop
+    near-duplicate clips (operators/audio.py:audio_dedup /
+    operators/video.py:video_dedup), write the survivors."""
+    spark = _spark()
+    df = spark.read.parquet(args.inParquet)
+    renamed = df
+    if args.idCol != "doc_id":
+        renamed = renamed.withColumnRenamed(args.idCol, "doc_id")
+    if args.payloadCol != "payload":
+        renamed = renamed.withColumnRenamed(args.payloadCol, "payload")
+    if args.stage == "audio-dedup":
+        from chess_lakehouse_spark.operators.audio import audio_dedup
+
+        kept = audio_dedup(
+            renamed, max_hamming=args.maxHamming, band_bits=args.bandBits
+        )
+    else:
+        from chess_lakehouse_spark.operators.video import video_dedup
+
+        kept = video_dedup(
+            renamed, max_hamming=args.maxHamming, band_bits=args.bandBits,
+            min_sim=args.minSim, frame_stride=args.frameStride,
+        )
+    if args.idCol != "doc_id":
+        kept = kept.withColumnRenamed("doc_id", args.idCol)
+    if args.payloadCol != "payload":
+        kept = kept.withColumnRenamed("payload", args.payloadCol)
+    kept.write.mode("overwrite").parquet(args.outDir)
+    print(f"[{args.stage}] kept={kept.count()} -> {args.outDir}")
+
+
 def cmd_maintain_lake(args: argparse.Namespace) -> None:
     """Lake-maintenance stage: compaction, crash-sidecar vacuum, or
     data-skipping manifest (re)build — the jobs a 100 TB lake schedules
@@ -658,6 +691,26 @@ def main(argv: list[str] | None = None) -> None:
     imd.add_argument("--bandBits", type=int, default=8)
     imd.add_argument("--codec", default="auto", choices=["auto", "real"])
     imd.set_defaults(fn=cmd_image_dedup)
+
+    aud = sub.add_parser("audio-dedup")
+    aud.add_argument("--inParquet", required=True)
+    aud.add_argument("--outDir", required=True)
+    aud.add_argument("--idCol", default="doc_id")
+    aud.add_argument("--payloadCol", default="payload")
+    aud.add_argument("--maxHamming", type=int, default=6)
+    aud.add_argument("--bandBits", type=int, default=8)
+    aud.set_defaults(fn=cmd_media_dedup)
+
+    vid = sub.add_parser("video-dedup")
+    vid.add_argument("--inParquet", required=True)
+    vid.add_argument("--outDir", required=True)
+    vid.add_argument("--idCol", default="doc_id")
+    vid.add_argument("--payloadCol", default="payload")
+    vid.add_argument("--maxHamming", type=int, default=6)
+    vid.add_argument("--bandBits", type=int, default=8)
+    vid.add_argument("--minSim", type=float, default=0.5)
+    vid.add_argument("--frameStride", type=int, default=1)
+    vid.set_defaults(fn=cmd_media_dedup)
 
     dr = sub.add_parser("delete-rows")
     dr.add_argument("--lakeDir", required=True)

@@ -195,3 +195,32 @@ def test_audio_dedup_keeps_canonical_and_undecodable(spark):
     kept = audio_dedup(df, max_hamming=6)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
     assert kept.columns == ["doc_id", "payload"]
+
+
+def test_pipeline_cli_audio_dedup_stage(spark, tmp_path, capsys):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    base = _chirpy(21)
+    twin = (base.astype("float64") * 0.5).astype("int16")
+    src = tmp_path / "clips"
+    spark.createDataFrame(
+        [
+            (10, bytes(encode_wav_pcm16(base, 8000))),
+            (11, bytes(encode_wav_pcm16(twin, 8000))),
+            (12, bytes(encode_wav_pcm16(_chirpy(22), 8000))),
+        ],
+        "clip_id long, clip_bytes binary",
+    ).write.parquet(str(src))
+    out = tmp_path / "kept"
+    pipeline_cli.main([
+        "audio-dedup", "--inParquet", str(src), "--outDir", str(out),
+        "--idCol", "clip_id", "--payloadCol", "clip_bytes",
+    ])
+    got = spark.read.parquet(str(out))
+    assert sorted(r["clip_id"] for r in got.collect()) == [10, 12]
+    assert got.columns == ["clip_id", "clip_bytes"]
+    assert "kept=2" in capsys.readouterr().out

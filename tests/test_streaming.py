@@ -953,3 +953,101 @@ def test_phash_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert sorted(s1["out"]) == [1, 3, 11]  # 10 dropped cross-batch
     phash_dedup_batch(b1, 1, sigs, out, max_hamming=6)
     assert snapshot() == s1
+
+
+def _wav(seed: int, gain: float = 1.0) -> bytes:
+    """Deterministic multi-tone clip; gain-scaled copies are fingerprint
+    twins (exactly — energy comparisons are gain-invariant)."""
+    import numpy as np
+
+    from chess_lakehouse_spark.operators.audio import encode_wav_pcm16
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(4000, dtype="float64") / 8000
+    f1, f2 = rng.uniform(100, 900, 2)
+    env = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * rng.uniform(1, 4) * t))
+    x = env * (np.sin(2 * np.pi * f1 * t) + 0.5 * np.sin(2 * np.pi * f2 * t)) / 1.5
+    return bytes(encode_wav_pcm16((x * gain * 0.6 * 32767).astype("int16"), 8000))
+
+
+def test_stream_audio_dedup_matches_batch_operator(spark, tmp_path):
+    """Streaming audio dedup over two drops must equal audio_dedup on the
+    concatenated corpus (gain-twin cliques, arrival order = id order),
+    undecodable payloads must survive, and the checkpoint must prevent
+    reprocessing on restart."""
+    import glob
+    import shutil
+
+    from chess_lakehouse_spark.operators.audio import audio_dedup
+    from chess_lakehouse_spark.streaming import stream_audio_dedup
+
+    b1 = [
+        (1, _wav(1)),             # cluster A canonical
+        (2, _wav(1, gain=0.5)),   # A gain twin, same batch
+        (3, _wav(2)),             # unique
+    ]
+    b2 = [
+        (10, _wav(1, gain=0.8)),  # A twin, later batch
+        (11, _wav(3)),            # unique
+        (12, b"not audio"),       # undecodable: must survive
+    ]
+    schema = "doc_id long, payload binary"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    sigs, out, ckpt = (str(tmp_path / d) for d in ("sigs", "out", "ckpt"))
+
+    def land(name, rows):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(staging))
+        shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet")
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_audio_dedup(stream, sigs, out, ckpt, max_hamming=6)
+
+    land("d1", b1)
+    run()
+    land("d2", b2)
+    run()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(r.doc_id for r in audio_dedup(batch, max_hamming=6).collect())
+    assert got == want == [1, 3, 11, 12]
+
+    run()  # restart with nothing new
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == got
+
+
+def test_audio_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract for the audio loop (shared batch body with
+    the image loop — this pins the audio instantiation)."""
+    from chess_lakehouse_spark.streaming import audio_dedup_batch
+
+    schema = "doc_id long, payload binary"
+    sigs, out = str(tmp_path / "sigs"), str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, _wav(7)), (2, _wav(7, gain=0.4)), (3, _wav(8))], schema
+    )
+    b1 = spark.createDataFrame([(10, _wav(7, gain=0.9)), (11, _wav(9))], schema)
+
+    def snapshot():
+        return {
+            "out": sorted(r.doc_id for r in spark.read.parquet(out).collect()),
+            "sigs": sorted(
+                (r.doc_id, r.afp) for r in spark.read.parquet(sigs).collect()
+            ),
+        }
+
+    audio_dedup_batch(b0, 0, sigs, out, max_hamming=6)
+    s0 = snapshot()
+    assert s0["out"] == [1, 3]
+    audio_dedup_batch(b0, 0, sigs, out, max_hamming=6)
+    assert snapshot() == s0
+
+    audio_dedup_batch(b1, 1, sigs, out, max_hamming=6)
+    s1 = snapshot()
+    assert sorted(s1["out"]) == [1, 3, 11]
+    audio_dedup_batch(b1, 1, sigs, out, max_hamming=6)
+    assert snapshot() == s1

@@ -139,3 +139,30 @@ def test_video_dedup_keeps_canonical_and_undecodable(spark):
     kept = video_dedup(df, max_hamming=6, min_sim=0.9)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
     assert kept.columns == ["doc_id", "payload"]
+
+
+def test_pipeline_cli_video_dedup_stage(spark, tmp_path, capsys):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    seeds = [70, 71, 72, 73]
+    src = tmp_path / "vids"
+    spark.createDataFrame(
+        [
+            (10, _clip(seeds, size=32)),
+            (11, _clip(seeds, size=64)),
+            (12, _clip([80, 81, 82, 83])),
+        ],
+        "doc_id long, payload binary",
+    ).write.parquet(str(src))
+    out = tmp_path / "kept"
+    pipeline_cli.main([
+        "video-dedup", "--inParquet", str(src), "--outDir", str(out),
+        "--minSim", "0.9",
+    ])
+    got = spark.read.parquet(str(out))
+    assert sorted(r["doc_id"] for r in got.collect()) == [10, 12]
+    assert "kept=2" in capsys.readouterr().out
