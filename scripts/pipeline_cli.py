@@ -171,10 +171,40 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         schema = T.StructType(
             list(DOC_SCHEMA.fields) + [T.StructField(args.urlCol, T.StringType())]
         )
-    docs, quarantined = split_corrupt(read_jsonl(spark, args.inDir, schema=schema))
-    n_bad = quarantined.count()
-    if n_bad:
-        quarantined.write.mode("overwrite").text(str(out / "quarantine"))
+    if getattr(args, "inFormat", "jsonl") == "wet":
+        # crawl-direct ingest: WET archives -> documents shape (the
+        # read-wet stage inlined, so one invocation goes archive ->
+        # cleaned shards); capture-identity md5 doc_ids, quarantined
+        # files to a parquet sidecar.
+        from chess_lakehouse_spark.sources.warc import read_warc, wet_documents
+
+        recs = read_warc(spark, args.inDir, warc_types=("conversion",))
+        bad = recs.where(F.col("parse_error").isNotNull())
+        n_bad = bad.count()
+        if n_bad:
+            bad.select("warc_file", "parse_error").write.mode(
+                "overwrite"
+            ).parquet(str(out / "quarantine"))
+        wet = wet_documents(recs)
+        docs = wet.select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("url"), F.col("warc_date"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long").alias("doc_id"),
+            "text",
+            F.lit("und").alias("lang"),
+            F.lit("commoncrawl").alias("source"),
+            *([F.col("url").alias(args.urlCol)] if args.urlCol else []),
+        )
+    else:
+        docs, quarantined = split_corrupt(
+            read_jsonl(spark, args.inDir, schema=schema)
+        )
+        n_bad = quarantined.count()
+        if n_bad:
+            quarantined.write.mode("overwrite").text(str(out / "quarantine"))
 
     n_in = docs.count()
     if args.urlCol:
@@ -453,6 +483,38 @@ def cmd_image_dedup(args: argparse.Namespace) -> None:
     print(f"[image-dedup] kept={kept.count()} -> {args.outDir}")
 
 
+def cmd_read_wet(args: argparse.Namespace) -> None:
+    """WET web-archive ingest stage (sources/warc.py): CommonCrawl-layout
+    .wet/.wet.gz archives → (url, warc_date, text, doc_id) parquet — the
+    upstream feeder for clean-corpus. doc_id is the portable md5 hash of
+    (url, warc_date): deterministic across re-runs AND re-segmentation of
+    the same crawl (capture identity, not file position)."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.sources.warc import read_warc, wet_documents
+
+    spark = _spark()
+    recs = read_warc(spark, args.inDir, warc_types=("conversion",))
+    bad = recs.where(F.col("parse_error").isNotNull())
+    n_bad = bad.count()
+    if args.quarantineDir and n_bad:
+        bad.select("warc_file", "parse_error").write.mode("overwrite").parquet(
+            args.quarantineDir
+        )
+    docs = wet_documents(recs).withColumn(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("url"), F.col("warc_date"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    docs.write.mode("overwrite").parquet(args.outDir)
+    print(f"[read-wet] docs={docs.count()} quarantined_files={n_bad} -> {args.outDir}")
+
+
 def cmd_media_dedup(args: argparse.Namespace) -> None:
     """Audio / video near-dedup stages — same shape as image-dedup:
     read any parquet with an id and binary payload column, drop
@@ -579,6 +641,9 @@ def main(argv: list[str] | None = None) -> None:
 
     cc = sub.add_parser("clean-corpus")
     cc.add_argument("--inDir", required=True, help="JSONL corpus path/glob")
+    cc.add_argument("--inFormat", choices=("jsonl", "wet"), default="jsonl",
+                    help="jsonl (default) or wet: CommonCrawl-layout WET "
+                         "archives ingested directly (sources/warc.py)")
     cc.add_argument("--outDir", required=True)
     cc.add_argument("--minQuality", type=float, default=2.2)
     cc.add_argument("--gate", choices=("score", "gopher", "model", "hashed"),
@@ -691,6 +756,12 @@ def main(argv: list[str] | None = None) -> None:
     imd.add_argument("--bandBits", type=int, default=8)
     imd.add_argument("--codec", default="auto", choices=["auto", "real"])
     imd.set_defaults(fn=cmd_image_dedup)
+
+    rw = sub.add_parser("read-wet")
+    rw.add_argument("--inDir", required=True)
+    rw.add_argument("--outDir", required=True)
+    rw.add_argument("--quarantineDir", default="")
+    rw.set_defaults(fn=cmd_read_wet)
 
     aud = sub.add_parser("audio-dedup")
     aud.add_argument("--inParquet", required=True)

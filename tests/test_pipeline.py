@@ -770,7 +770,7 @@ def test_example_dvc_stages_reference_real_cli_subcommands():
     assert {s for s, _ in stages} == {
         "materialize-openings", "read-pgn", "find-openings",
         "export-parquet", "clean-corpus", "maintain-lake",
-        "train-quality-model", "train-hashed-model",
+        "train-quality-model", "train-hashed-model", "image-dedup", "read-wet",
     }
     for stage, flags in stages:
         assert f'add_parser("{stage}")' in cli_src, f"unknown stage in example: {stage}"
