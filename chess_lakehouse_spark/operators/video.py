@@ -217,6 +217,7 @@ def video_near_pairs(
     frame_stride: int = 1,
     band_bits: int = 8,
     codec: str = "auto",
+    frames: DataFrame | None = None,
 ) -> DataFrame:
     """Clip-level near-duplicate pairs by frame-hash voting: sampled
     frame pHashes meet in the shared banded hamming join
@@ -234,12 +235,19 @@ def video_near_pairs(
     (3x the LSH-pruned candidate rows through a partial-aggregated
     exchange — verified in the physical plan; no cartesian, no
     broadcast-nested-loop anywhere in the chain). Returns
-    (id_a, id_b, n_matched, sim) with id_a < id_b.
+    (id_a, id_b, n_matched, sim) with id_a < id_b. ``frames`` optionally
+    supplies a precomputed :func:`video_frame_phash` result (e.g. a
+    persisted one the streaming loop also stages) so the Arrow hash
+    stage runs once.
     """
     from chess_lakehouse_spark.operators.dedup import hamming_near_pairs
 
     S = FRAME_ID_STRIDE
-    fr = video_frame_phash(payloads, frame_stride=frame_stride, codec=codec)
+    fr = (
+        frames
+        if frames is not None
+        else video_frame_phash(payloads, frame_stride=frame_stride, codec=codec)
+    )
     n_sampled = fr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled"))
     fid = fr.select(
         (F.col("doc_id") * S + F.col("frame_idx")).alias("fid"),

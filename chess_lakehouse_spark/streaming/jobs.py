@@ -884,3 +884,132 @@ def audio_dedup_batch(
         batch_df, batch_id, sigs_dir, out_dir, sig, "afp",
         max_hamming=max_hamming, band_bits=band_bits,
     )
+
+
+def stream_video_dedup(
+    new_docs: DataFrame,
+    sigs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 6,
+    min_sim: float = 0.5,
+    frame_stride: int = 1,
+    band_bits: int = 8,
+) -> None:
+    """Streaming VIDEO near-dedup — completing the streaming mirror of
+    every dedup modality (text exact/paragraph/URL/span + image + audio
+    + video): within-batch clip clusters collapse via the batch
+    ``video_near_pairs`` max-containment rule; cross-batch, a new clip
+    is dropped when >= ``min_sim`` of ITS OWN sampled frames are within
+    ``max_hamming`` of ANY earlier batch's staged frame hash (NEW-SIDE
+    containment — the online admission rule: per-batch cost tracks the
+    batch's frame count and matching band buckets, never the corpus,
+    because no corpus-side frame counts are consulted; a new LONGER cut
+    that merely contains an old short clip is therefore admitted, the
+    documented asymmetry vs the batch operator's max-containment).
+    Staged state = (doc_id, frame_idx, frame_phash) rows — hash-sized,
+    never pixels; ALL of the batch's frame hashes stage pre-dedup (the
+    anchor rule). Undecodable payloads yield no frames and always
+    survive. Same idempotent restart contract (per-batch overwrite
+    partitions + the replay-hole guard), pinned by the double-invoke
+    replay test."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        video_dedup_batch(
+            batch_df, batch_id, sigs_dir, out_dir,
+            max_hamming=max_hamming, min_sim=min_sim,
+            frame_stride=frame_stride, band_bits=band_bits,
+        )
+
+    q = (
+        new_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def video_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sigs_dir: str,
+    out_dir: str,
+    max_hamming: int = 6,
+    min_sim: float = 0.5,
+    frame_stride: int = 1,
+    band_bits: int = 8,
+) -> None:
+    """One micro-batch of the streaming video-dedup loop — module-level so
+    the crash-replay contract is directly testable (see
+    ``stream_video_dedup``)."""
+    from chess_lakehouse_spark.operators.dedup import hamming_join
+    from chess_lakehouse_spark.operators.graph import connected_components
+    from chess_lakehouse_spark.operators.video import (
+        FRAME_ID_STRIDE,
+        video_frame_phash,
+        video_near_pairs,
+    )
+
+    S = FRAME_ID_STRIDE
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        fr = video_frame_phash(batch_df, frame_stride=frame_stride).persist()
+        try:
+            pairs = video_near_pairs(
+                batch_df, max_hamming=max_hamming, min_sim=min_sim,
+                band_bits=band_bits, frames=fr,
+            )
+            comps = connected_components(pairs.select("id_a", "id_b"))
+            losers = comps.where(F.col("id") != F.col("component")).select(
+                F.col("id").alias("doc_id")
+            )
+            admitted = batch_df.join(losers, "doc_id", "left_anti")
+            if _path_exists(spark, sigs_dir):
+                # replay-hole guard: never compare a replayed batch
+                # against its own staged frame hashes
+                staged = (
+                    spark.read.parquet(sigs_dir)
+                    .where(F.col("batch_id").cast("string") != F.lit(str(batch_id)))
+                    .select("doc_id", "frame_idx", "frame_phash")
+                )
+                new_fid = fr.select(
+                    (F.col("doc_id") * S + F.col("frame_idx")).alias("fid"),
+                    "frame_phash",
+                )
+                corp_fid = staged.select(
+                    (F.col("doc_id") * S + F.col("frame_idx")).alias("fid"),
+                    "frame_phash",
+                )
+                hits = hamming_join(
+                    new_fid, corp_fid, "fid", "frame_phash",
+                    n_bits=64, max_hamming=max_hamming, band_bits=band_bits,
+                )
+                covered = (
+                    hits.select(
+                        F.expr(f"new_id DIV {S}").alias("doc_id"),
+                        (F.col("new_id") % S).alias("fidx"),
+                    )
+                    .groupBy("doc_id")
+                    .agg(F.countDistinct("fidx").alias("m"))
+                )
+                n_sampled = fr.groupBy("doc_id").agg(
+                    F.count(F.lit(1)).alias("ns")
+                )
+                drop = (
+                    covered.join(n_sampled, "doc_id")
+                    .where(F.col("m") / F.col("ns") >= min_sim)
+                    .select("doc_id")
+                )
+                admitted = admitted.join(drop, "doc_id", "left_anti")
+            admitted.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            # stage ALL of the batch's frame hashes (pre-dedup — the
+            # anchor rule)
+            fr.write.mode("overwrite").parquet(f"{sigs_dir}/batch_id={batch_id}")
+        finally:
+            fr.unpersist()
+    finally:
+        batch_df.unpersist()

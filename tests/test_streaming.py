@@ -1051,3 +1051,109 @@ def test_audio_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert sorted(s1["out"]) == [1, 3, 11]
     audio_dedup_batch(b1, 1, sigs, out, max_hamming=6)
     assert snapshot() == s1
+
+
+def _y4m(seeds, size: int = 32) -> bytes:
+    import numpy as np
+
+    from chess_lakehouse_spark.operators.video import encode_y4m
+
+    frames = []
+    for s in seeds:
+        rng = np.random.RandomState(s)
+        small = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+        frames.append(
+            np.repeat(np.repeat(small, size // 8, axis=0), size // 8, axis=1)
+        )
+    return encode_y4m(frames)
+
+
+def test_stream_video_dedup_matches_batch_operator(spark, tmp_path):
+    """Streaming video dedup over two drops equals video_dedup on the
+    concatenated corpus for full-containment twins; undecodable payloads
+    survive; the checkpoint prevents reprocessing."""
+    import glob
+    import shutil
+
+    from chess_lakehouse_spark.operators.video import video_dedup
+    from chess_lakehouse_spark.streaming import stream_video_dedup
+
+    seeds = [1, 2, 3, 4]
+    b1 = [
+        (1, _y4m(seeds, size=32)),
+        (2, _y4m(seeds, size=64)),       # upscale twin, same batch
+        (3, _y4m([5, 6, 7, 8])),
+    ]
+    b2 = [
+        (10, _y4m(seeds[::2], size=32)),  # frame-rate-cut twin, later batch
+        (11, _y4m([9, 10, 11, 12])),
+        (12, b"not video"),
+    ]
+    schema = "doc_id long, payload binary"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    sigs, out, ckpt = (str(tmp_path / d) for d in ("sigs", "out", "ckpt"))
+
+    def land(name, rows):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(staging))
+        shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet")
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_video_dedup(stream, sigs, out, ckpt, max_hamming=6, min_sim=0.9)
+
+    land("d1", b1)
+    run()
+    land("d2", b2)
+    run()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(
+        r.doc_id for r in video_dedup(batch, max_hamming=6, min_sim=0.9).collect()
+    )
+    assert got == want == [1, 3, 11, 12]
+
+    run()  # restart with nothing new
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == got
+
+
+def test_video_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract for the video loop: without the batch_id
+    exclusion, a replay would find every clip's frames at distance 0 of
+    its own staged hashes and blank the batch."""
+    from chess_lakehouse_spark.streaming import video_dedup_batch
+
+    schema = "doc_id long, payload binary"
+    sigs, out = str(tmp_path / "sigs"), str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, _y4m([21, 22, 23, 24])), (2, _y4m([21, 22, 23, 24], size=64)),
+         (3, _y4m([25, 26, 27, 28]))],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(10, _y4m([21, 23], size=32)), (11, _y4m([30, 31, 32, 33]))], schema
+    )
+
+    def snapshot():
+        return {
+            "out": sorted(r.doc_id for r in spark.read.parquet(out).collect()),
+            "sigs": sorted(
+                (r.doc_id, r.frame_idx, r.frame_phash)
+                for r in spark.read.parquet(sigs).collect()
+            ),
+        }
+
+    video_dedup_batch(b0, 0, sigs, out, max_hamming=6, min_sim=0.9)
+    s0 = snapshot()
+    assert s0["out"] == [1, 3]
+    video_dedup_batch(b0, 0, sigs, out, max_hamming=6, min_sim=0.9)
+    assert snapshot() == s0
+
+    video_dedup_batch(b1, 1, sigs, out, max_hamming=6, min_sim=0.9)
+    s1 = snapshot()
+    assert sorted(s1["out"]) == [1, 3, 11]  # 10 fully covered by staged clip 1
+    video_dedup_batch(b1, 1, sigs, out, max_hamming=6, min_sim=0.9)
+    assert snapshot() == s1
