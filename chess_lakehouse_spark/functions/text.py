@@ -1566,3 +1566,30 @@ def gopher_rules(
         min_alpha_frac, min_stop_hits,
     )
     return staged.withColumn("passes_gopher", passes)
+
+
+def badwords_gate(text: Column, badwords) -> Column:
+    """C4 word-blocklist gate (Raffel et al. 2020 §2.2 — the public
+    blocklist filter): keep = TRUE iff NO whitespace token of ``text``
+    matches a blocked word. Token normalization is EXACTLY the Gopher
+    stop-hit chain (ASCII translate-lowercase + edge-punctuation trim,
+    see ``_gopher_metric_cols``) so 'Word' and 'word,' both match their
+    blocklist entry — one normalization for both vocab gates, no drift.
+    Membership is ``arrays_overlap`` against the literal list: pure
+    codegen, rides the scan, zero shuffle — at 100 TB this is a free
+    predicate on the ingest pass. The blocklist is a bounded literal
+    (hundreds of words, the C4 regime); a corpus-scale blocklist belongs
+    in a broadcast anti-join instead. NULL text → keep (the gate never
+    invents a reason to drop what it cannot read)."""
+    t = F.coalesce(text, F.lit(""))
+    toks = F.filter(ws_tokens(t), lambda x: x != "")
+    norm = F.transform(
+        toks,
+        lambda x: F.btrim(
+            F.translate(x, _ASCII_UPPER, _ASCII_LOWER), F.lit(GOPHER_EDGE_PUNCT)
+        ),
+    )
+    blocked = F.array(
+        *[F.lit(w.lower().strip()) for w in badwords if w and w.strip()]
+    )
+    return F.coalesce(~F.arrays_overlap(norm, blocked), F.lit(True))

@@ -158,3 +158,26 @@ def host_cap(
         )
     with_host = df.withColumn("host", url_host(F.col(url_col)))
     return top_n_per_group(with_host, id_col, "host", n=n, seed=seed)
+
+
+def host_blocklist_gate(
+    url: Column, blocked_hosts, include_subdomains: bool = True
+) -> Column:
+    """Host-blocklist gate (the RefinedWeb/C4 domain filter): keep = TRUE
+    iff the URL's host — the same www-stripped lowercase key as
+    :func:`url_host`, so the cap and the blocklist cannot disagree on
+    host identity — is not blocked. ``include_subdomains=True`` (the
+    blocklist convention) also blocks ``sub.example.com`` for an entry
+    ``example.com`` via a bounded literal endswith-OR chain; pure
+    codegen, rides the scan. NULL url → keep."""
+    from functools import reduce
+    from operator import or_
+
+    h = url_host(url)
+    entries = sorted({e.lower().strip() for e in blocked_hosts if e and e.strip()})
+    if not entries:
+        return F.lit(True)
+    hit = h.isin(entries)
+    if include_subdomains:
+        hit = reduce(or_, [h.endswith("." + e) for e in entries], hit)
+    return F.coalesce(~hit, F.lit(True))

@@ -1596,6 +1596,47 @@ HAMMING64_ORACLE = f"""
 """
 
 
+#: Blocklist for the staged badwords-gate candidate: 'dup' hits 25 of the
+#: 500 fixture docs at both local scales, so the boolean splits the
+#: corpus on both sides. The oracle normalizes tokens with the SAME
+#: explicit translate + edge-punct trim chain as the Gopher stop-hit
+#: rule (GOPHER_ORACLE_TPL) — one normalization, no drift.
+BADWORDS_GATE_WORDS = ("dup",)
+
+
+def q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 word-blocklist gate (functions/text.py:badwords_gate) as a
+    per-document boolean projection — pure codegen, rides the scan.
+    Returns (doc_id, keep_doc).
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against BADWORDS_ORACLE pinned in tests/test_gopher.py at two scales
+    + cold-JVM; registration at a window re-plan is a dict + window
+    edit."""
+    from chess_lakehouse_spark.functions.text import badwords_gate
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", badwords_gate(F.col("text"), BADWORDS_GATE_WORDS).alias("keep_doc")
+    )
+
+
+_BADWORDS_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in BADWORDS_GATE_WORDS) + "]"
+
+BADWORDS_ORACLE = rf"""
+SELECT doc_id,
+  COALESCE(NOT len(list_filter({_BADWORDS_LIST_SQL}, w -> list_contains(
+    list_transform(
+      list_filter(string_split_regex(COALESCE(text, ''), '[ \t\n\r\f\x0B]+'),
+                  x -> x <> ''),
+      x -> trim(translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz'), '.,;:!?()''"')),
+    w))) > 0, TRUE) AS keep_doc
+FROM documents
+"""
+
+
 #: lgConfigK for the gated sketch query (the operator default).
 SKETCH_LG_K = 12
 

@@ -208,11 +208,23 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
 
     n_in = docs.count()
     if args.urlCol:
-        # URL-level pass FIRST, before any content-touching stage: exact
-        # dedup by canonical URL (min doc_id wins — one map-combined
-        # shuffle + one keyed semi-join), then the optional per-host cap.
-        from chess_lakehouse_spark.functions.urls import host_cap, url_dedup_groups
+        # URL-level pass FIRST, before any content-touching stage: the
+        # host blocklist (a free scan predicate), then exact dedup by
+        # canonical URL (min doc_id wins — one map-combined shuffle + one
+        # keyed semi-join), then the optional per-host cap.
+        from chess_lakehouse_spark.functions.urls import (
+            host_blocklist_gate,
+            host_cap,
+            url_dedup_groups,
+        )
 
+        if args.blockedHostsFile:
+            hosts = [
+                ln.strip()
+                for ln in Path(args.blockedHostsFile).read_text().splitlines()
+                if ln.strip() and not ln.startswith("#")
+            ]
+            docs = docs.where(host_blocklist_gate(F.col(args.urlCol), hosts))
         winners = url_dedup_groups(docs, "doc_id", args.urlCol).select(
             F.col("canonical_id").alias("doc_id")
         )
@@ -221,6 +233,17 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
             docs = host_cap(
                 docs, "doc_id", args.urlCol, n=args.hostCap, seed=args.seed
             ).drop("host")
+    if args.badwordsFile:
+        # C4 word-blocklist gate: another free scan predicate, applied
+        # before the quality gate (the C4 ordering).
+        from chess_lakehouse_spark.functions.text import badwords_gate
+
+        words = [
+            ln.strip()
+            for ln in Path(args.badwordsFile).read_text().splitlines()
+            if ln.strip() and not ln.startswith("#")
+        ]
+        docs = docs.where(badwords_gate(F.col("text"), words))
     if args.dsirTarget:
         # DSIR selection BEFORE the quality gate: keep the --dsirKeep docs
         # whose hashed n-gram distribution best matches the target corpus
@@ -673,6 +696,14 @@ def main(argv: list[str] | None = None) -> None:
     cc.add_argument("--hostCap", type=int, default=0,
                     help="with --urlCol: keep at most N docs per host "
                          "(deterministic hash order)")
+    cc.add_argument("--blockedHostsFile", default="",
+                    help="with --urlCol: drop docs whose URL host (or any "
+                         "subdomain) is listed in this file (one host per "
+                         "line, # comments)")
+    cc.add_argument("--badwordsFile", default="",
+                    help="drop docs containing any listed word (one per "
+                         "line, # comments; C4-style blocklist, Gopher "
+                         "token normalization)")
     cc.add_argument("--stripHtml", action="store_true",
                     help="strip HTML markup/entities from text before any "
                          "scoring or dedup pass (functions.text.strip_html)")

@@ -5,6 +5,7 @@ imports it so engine test and gated oracle cannot diverge)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from chess_lakehouse_spark.functions.text import (
@@ -212,3 +213,129 @@ def test_gopher_passes_equals_projection_boolean(spark):
             .collect()
         }
         assert via_rules == via_expr
+
+
+# ---------------------------------------------------------------------------
+# blocklist gates (C4 badwords / RefinedWeb host blocklist)
+# ---------------------------------------------------------------------------
+
+
+def test_badwords_gate_normalization_and_null(spark):
+    """Blocked-word membership uses the Gopher stop-hit normalization:
+    case-insensitive, edge punctuation trimmed; substrings do NOT match;
+    NULL text survives."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.text import badwords_gate
+
+    rows = [
+        (1, "a perfectly clean document"),
+        (2, "contains the Word BADTOK here"),       # case
+        (3, "ends with badtok."),                   # edge punct
+        (4, "badtokens is a different token"),      # substring: keep
+        (5, None),                                  # NULL: keep
+        (6, "multi list othertok hit"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in df.where(
+            badwords_gate(F.col("text"), ["BadTok", "othertok"])
+        ).collect()
+    }
+    assert kept == {1, 4, 5}
+
+
+def test_host_blocklist_gate_subdomains_and_null(spark):
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.urls import host_blocklist_gate
+
+    rows = [
+        (1, "https://ok.example/x"),
+        (2, "https://blocked.example/x"),
+        (3, "https://www.Blocked.example/y"),       # www + case
+        (4, "http://sub.blocked.example/z"),        # subdomain
+        (5, "https://notblocked.example/x"),        # suffix-of-name: keep
+        (6, None),                                  # NULL: keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {
+        r["doc_id"]
+        for r in df.where(
+            host_blocklist_gate(F.col("url"), ["blocked.example"])
+        ).collect()
+    }
+    assert kept == {1, 5, 6}
+    # exact-only mode keeps the subdomain
+    kept2 = {
+        r["doc_id"]
+        for r in df.where(
+            host_blocklist_gate(
+                F.col("url"), ["blocked.example"], include_subdomains=False
+            )
+        ).collect()
+    }
+    assert kept2 == {1, 4, 5, 6}
+    # empty list keeps everything
+    assert df.where(host_blocklist_gate(F.col("url"), [])).count() == 6
+
+
+def test_clean_corpus_blocklist_flags(spark, tmp_path, capsys):
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    lines = []
+    for i in range(10):
+        text = " ".join(f"u{i}tok{j}" for j in range(40))
+        if i == 3:
+            text += " Forbidden."
+        host = "spam.example" if i == 4 else f"site{i}.example"
+        lines.append(json.dumps({
+            "doc_id": i, "text": text, "lang": "en", "source": "s0",
+            "url": f"https://{host}/p{i}",
+        }))
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "p.jsonl").write_text("\n".join(lines) + "\n")
+    (tmp_path / "hosts.txt").write_text("# comment\nspam.example\n")
+    (tmp_path / "words.txt").write_text("forbidden\n")
+    out = tmp_path / "out"
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(out),
+        "--urlCol", "url",
+        "--blockedHostsFile", str(tmp_path / "hosts.txt"),
+        "--badwordsFile", str(tmp_path / "words.txt"),
+        "--minQuality", "-99", "--threshold", "0.5", "--evalFrac", "0.3",
+    ])
+    published = spark.read.json(str(out / "corpus")).collect()
+    ids = sorted(r.doc_id for r in published)
+    assert ids == [0, 1, 2, 5, 6, 7, 8, 9]  # 3 (badword) and 4 (host) dropped
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_q_badwords_matches_suite_oracle(spark, sf_dir):
+    """Driver-style gating proof for the blocklist gate: exact values,
+    driver-safe types, both local scales, corpus split on both sides."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import BADWORDS_ORACLE, q_badwords
+
+    sdf = q_badwords(spark, sf_dir)
+    assert [d for _, d in sdf.dtypes] == ["bigint", "boolean"]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    rel = con.sql(BADWORDS_ORACLE)
+    assert all(str(t) in {"BIGINT", "BOOLEAN"} for t in rel.types)
+    drows = sorted(tuple(r) for r in con.execute(BADWORDS_ORACLE).fetchall())
+    con.close()
+    kept = [r for r in srows if r[1]]
+    assert 0 < len(kept) < len(srows)  # splits both ways
+    assert srows == drows
