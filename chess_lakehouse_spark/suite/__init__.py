@@ -139,10 +139,14 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     the generalized 64-bit banded hamming join under phash_near_pairs
 #     — radius inside the pigeonhole bound, so the brute-force oracle
 #     checks recall; tests/test_phash.py);
-# An r11 staging candidate is also ready ahead of schedule:
+# Two r11 staging candidates are also ready ahead of schedule:
 #   - q_badwords / BADWORDS_ORACLE (register as `badwords_gate`; the C4
 #     word-blocklist boolean with the Gopher-normalized membership test;
-#     tests/test_gopher.py).
+#     tests/test_gopher.py);
+#   - q_rollup_staged / ROLLUP_STAGED_ORACLE (register as
+#     `rollup_staged`; the incremental materialized rollup lifecycle —
+#     build + O(delta) batch-partition fold + zero-corpus serve —
+#     against the direct full-table GROUP BY; tests/test_rollup.py).
 # (2) then the 9 deferred r7-green queries (events_hourly,
 # export_projection, filter_null_predicate, groupby_agg, join_star,
 # json_extract, rolling_avg, scalar_kitchen, supplier_revenue) — at the

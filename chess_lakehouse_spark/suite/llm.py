@@ -1441,6 +1441,62 @@ def q_bm25_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_index(spark, idx, queries, "query_id", "query_text", k=BM25_BATCH_K)
 
 
+#: Delta slice for the staged-rollup candidate: event_id % MOD == 0 rows
+#: arrive as the "ingest delta" fold.
+ROLLUP_DELTA_MOD = 4
+
+
+def _rollup_dir(sf_dir: str) -> str:
+    return _sklake_dir(sf_dir).rsplit("/", 1)[0] + "/rollup"
+
+
+def q_rollup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup (operators/rollup.py — the
+    continuous-aggregate / hypertable pattern; the reference re-CTASes
+    its aggregates per run, export-to-parquet.ts:98) exercised through
+    its full lifecycle in one gated query: build hourly-by-type partials
+    over the historical slice (event_id % ROLLUP_DELTA_MOD != 0), fold
+    the ingest delta (% == 0) as its own batch partition in O(delta),
+    then serve count / non-null count / exact decimal sum / min / max /
+    exact-6-decimal mean with ZERO raw-table access (the serve plan reads
+    only the staged lake — inputFiles-pinned in tests/test_rollup.py).
+    The oracle is the direct GROUP BY over the full raw table, so the
+    hash-match certifies build+append+merge+serve end to end.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against ROLLUP_STAGED_ORACLE pinned in tests/test_rollup.py at two
+    scales + cold-JVM; registration at a window re-plan is a dict +
+    window edit."""
+    from chess_lakehouse_spark.operators.rollup import (
+        append_rollup,
+        build_rollup,
+        serve_rollup,
+        time_bucket,
+    )
+
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_epoch", time_bucket(F.col("ts"), 3600)
+    )
+    d = _rollup_dir(sf_dir)
+    build_rollup(
+        ev.where(F.col("event_id") % ROLLUP_DELTA_MOD != 0),
+        ["hour_epoch", "event_type"],
+        [
+            ("n", "count", None),
+            ("n_value", "countnn", "value"),
+            ("sum_value", "sum6", "value"),
+            ("min_value", "min", "value"),
+            ("max_value", "max", "value"),
+        ],
+        d,
+    )
+    append_rollup(
+        ev.where(F.col("event_id") % ROLLUP_DELTA_MOD == 0), d, "delta1"
+    )
+    return serve_rollup(spark, d, avg6=[("avg_value", "sum_value", "n_value")])
+
+
 #: FIXED hashed-ngram model for the gated serving query (the
 #: classifier_serve pattern: training floats are rows-only, serving a
 #: pinned model is exact). Buckets are derived IN-ENGINE from these
@@ -2180,6 +2236,29 @@ def _mean6_sql(s6: str, n: str) -> str:
         f"ELSE -((2 * (-({s6})) + {n}) // (2 * {n})) END AS DOUBLE) "
         f"/ CAST(1000000 AS DOUBLE)"
     )
+
+
+#: Direct full-raw-table GROUP BY twin of q_rollup_staged's staged serve:
+#: the hour bucket is integer ``//`` (the time_bucket contract), the sum
+#: is the exact DECIMAL(18,6) form, and the mean is the integer
+#: half-away-from-zero derivation — CASE-guarded for all-NULL groups
+#: exactly like the serve-side avg6.
+ROLLUP_STAGED_ORACLE = f"""
+SELECT hour_epoch, event_type, n, n_value,
+       CAST(CAST(s6 AS DECIMAL(38,0)) / 1000000 AS DOUBLE) AS sum_value,
+       min_value, max_value,
+       CASE WHEN n_value > 0 THEN {_mean6_sql("s6", "n_value")} END AS avg_value
+FROM (
+  SELECT 3600 * (epoch_us(ts) // 3600000000) AS hour_epoch,
+         event_type,
+         COUNT(*) AS n,
+         COUNT(value) AS n_value,
+         {_sum6_sql("value")} AS s6,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM events GROUP BY 1, 2
+)
+"""
 
 
 _HASH64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"

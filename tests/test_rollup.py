@@ -1,0 +1,213 @@
+"""Incremental materialized rollup (operators/rollup.py): exact
+equivalence with direct aggregation, append==rebuild, retry idempotency,
+coarser-grain serving, crash-safe compaction, and the staged-serve plan
+pin (serve never touches the raw corpus)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.rollup import (
+    append_rollup,
+    build_rollup,
+    compact_rollup,
+    read_spec,
+    serve_rollup,
+    time_bucket,
+)
+
+MEASURES = [
+    ("n", "count", None),
+    ("n_chars_nn", "countnn", "n_chars"),
+    ("sum_chars", "sum", "n_chars"),
+    ("sum_chars6", "sum6", "n_chars"),
+    ("min_chars", "min", "n_chars"),
+    ("max_chars", "max", "n_chars"),
+]
+
+
+def _direct(df, keys):
+    """The served values computed straight from the raw frame."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("n_chars").alias("n_chars_nn"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        F.expr(
+            "CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_chars6"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").persist()
+
+
+def test_build_serve_equals_direct_and_plan_reads_only_lake(
+    spark, docs, tmp_path
+):
+    d = str(tmp_path / "r")
+    build_rollup(docs, ["source", "lang"], MEASURES, d)
+    served = serve_rollup(spark, d)
+    assert _rows(served) == _rows(_direct(docs, ["source", "lang"]))
+    # the serve plan must read ONLY the staged lake, never the corpus
+    assert served.inputFiles() and all(
+        f"{tmp_path}/r/agg" in f for f in served.inputFiles()
+    )
+    # spec round-trip
+    keys, measures = read_spec(spark, d)
+    assert keys == ["source", "lang"]
+    assert measures == [tuple(m) for m in MEASURES]
+
+
+def test_append_equals_rebuild_and_direct(spark, docs, tmp_path):
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_rollup(base, ["source"], MEASURES, inc)
+    append_rollup(delta, inc, "d1")
+    build_rollup(docs, ["source"], MEASURES, full)
+    want = _rows(_direct(docs, ["source"]))
+    assert _rows(serve_rollup(spark, inc)) == want
+    assert _rows(serve_rollup(spark, full)) == want
+
+
+def test_append_retry_is_idempotent(spark, docs, tmp_path):
+    """A crash-replay of the same batch_id rewrites its own partition —
+    state and served values are identical after a double fold."""
+    d = str(tmp_path / "r")
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+    build_rollup(base, ["source"], MEASURES, d)
+    append_rollup(delta, d, "d1")
+    s1 = _rows(serve_rollup(spark, d))
+    agg1 = _rows(spark.read.parquet(f"{d}/agg"))
+    append_rollup(delta, d, "d1")
+    assert _rows(serve_rollup(spark, d)) == s1
+    assert _rows(spark.read.parquet(f"{d}/agg")) == agg1
+
+
+def test_serve_coarser_grain(spark, docs, tmp_path):
+    d = str(tmp_path / "r")
+    build_rollup(docs, ["source", "lang"], MEASURES, d)
+    assert _rows(serve_rollup(spark, d, keys=["source"])) == _rows(
+        _direct(docs, ["source"])
+    )
+    with pytest.raises(ValueError, match="not in staged keys"):
+        serve_rollup(spark, d, keys=["doc_id"])
+
+
+def test_compact_preserves_values(spark, docs, tmp_path):
+    d = str(tmp_path / "r")
+    build_rollup(docs.where(F.col("doc_id") % 3 == 0), ["source"], MEASURES, d)
+    append_rollup(docs.where(F.col("doc_id") % 3 == 1), d, "d1")
+    append_rollup(docs.where(F.col("doc_id") % 3 == 2), d, "d2")
+    before = _rows(serve_rollup(spark, d))
+    compact_rollup(spark, d)
+    assert _rows(serve_rollup(spark, d)) == before
+    parts = {
+        r.batch_id
+        for r in spark.read.parquet(f"{d}/agg").select("batch_id").distinct().collect()
+    }
+    assert parts == {"base"}
+
+
+def test_avg6_derivation_and_null_group(spark, tmp_path):
+    rows = [(1, "a", 10.0), (2, "a", 0.5), (3, "b", None), (4, "b", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    d = str(tmp_path / "r")
+    build_rollup(
+        df, ["g"], [("nn", "countnn", "v"), ("s6", "sum6", "v")], d
+    )
+    got = {
+        r.g: r.avg_v
+        for r in serve_rollup(
+            spark, d, avg6=[("avg_v", "s6", "nn")]
+        ).collect()
+    }
+    assert got["a"] == 5.25
+    assert got["b"] is None  # all-NULL group: AVG is NULL, not an ANSI error
+
+
+def test_rebuild_clears_stale_batches(spark, docs, tmp_path):
+    d = str(tmp_path / "r")
+    build_rollup(docs, ["source"], MEASURES, d)
+    append_rollup(docs.limit(50), d, "d1")
+    build_rollup(docs, ["source"], MEASURES, d)  # fresh lifecycle
+    assert _rows(serve_rollup(spark, d)) == _rows(_direct(docs, ["source"]))
+
+
+def test_validation_errors(spark, docs, tmp_path):
+    d = str(tmp_path / "r")
+    with pytest.raises(ValueError, match="at least one group key"):
+        build_rollup(docs, [], MEASURES, d)
+    with pytest.raises(ValueError, match="unknown agg"):
+        build_rollup(docs, ["source"], [("x", "median", "n_chars")], d)
+    with pytest.raises(ValueError, match="needs a column"):
+        build_rollup(docs, ["source"], [("x", "sum", None)], d)
+    with pytest.raises(ValueError, match="duplicate output column"):
+        build_rollup(docs, ["source"], [("source", "count", None)], d)
+    with pytest.raises(ValueError, match="batch_id"):
+        build_rollup(docs, ["source"], MEASURES, d, batch_id="a/b")
+    build_rollup(
+        docs, ["source"], [("s6", "sum6", "n_chars"), ("n", "count", None)], d
+    )
+    with pytest.raises(ValueError, match="avg6"):
+        serve_rollup(spark, d, avg6=[("a", "n", "s6")]).collect()
+
+
+def test_time_bucket_matches_date_trunc_hour(spark):
+    from chess_lakehouse_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select("ts")
+    got = ev.select(
+        time_bucket(F.col("ts"), 3600).alias("b"),
+        (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("want"),
+    )
+    assert got.where(F.col("b") != F.col("want")).count() == 0
+    assert dict(got.dtypes)["b"] == "bigint"
+    with pytest.raises(ValueError, match="positive"):
+        time_bucket(F.col("ts"), 0)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_q_rollup_staged_matches_suite_oracle(spark, sf_dir):
+    """Driver-style gating proof for the staged rollup: exact values,
+    driver-safe types, both local scales; the delta split is non-empty on
+    both sides so build AND append contribute to every served group."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import (
+        ROLLUP_STAGED_ORACLE,
+        q_rollup_staged,
+    )
+
+    sdf = q_rollup_staged(spark, sf_dir)
+    assert [d for _, d in sdf.dtypes] == [
+        "bigint", "string", "bigint", "bigint",
+        "double", "double", "double", "double",
+    ]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    rel = con.sql(ROLLUP_STAGED_ORACLE)
+    assert all(
+        str(t) in {"BIGINT", "VARCHAR", "DOUBLE"} for t in rel.types
+    ), [str(t) for t in rel.types]
+    drows = sorted(tuple(r) for r in con.execute(ROLLUP_STAGED_ORACLE).fetchall())
+    con.close()
+    assert len(srows) > 1
+    assert srows == drows
