@@ -181,3 +181,27 @@ def host_blocklist_gate(
     if include_subdomains:
         hit = reduce(or_, [h.endswith("." + e) for e in entries], hit)
     return F.coalesce(~hit, F.lit(True))
+
+
+def url_badwords_gate(url: Column, fragments) -> Column:
+    """URL-substring gate (the RefinedWeb §3.1 URL word-blocklist,
+    Penedo et al. 2023 — fragments like ``casino``/``.xxx`` score the
+    URL itself before any content is fetched or decoded): keep = TRUE
+    iff NO blocked fragment occurs ANYWHERE in the lowercased URL.
+    Substring semantics are deliberate (unlike :func:`~chess_lakehouse_spark.
+    functions.text.badwords_gate`'s token-normalized membership) — URL
+    "words" are not whitespace-delimited, so ``adult`` must hit
+    ``/adult-content/`` and ``?adult=1`` alike; pick fragments
+    accordingly (this is the documented false-positive trade the public
+    lists make). A bounded literal ``contains``-OR chain — pure codegen,
+    rides the scan, zero shuffle; the host-identity variant with
+    subdomain semantics is :func:`host_blocklist_gate`. NULL url → keep."""
+    from functools import reduce
+    from operator import or_
+
+    frags = sorted({f.lower().strip() for f in fragments if f and f.strip()})
+    if not frags:
+        return F.lit(True)
+    low = F.lower(url)
+    hit = reduce(or_, [low.contains(f) for f in frags])
+    return F.coalesce(~hit, F.lit(True))

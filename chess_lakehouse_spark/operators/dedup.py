@@ -1044,3 +1044,79 @@ def duplicate_span_dedup(
             F.coalesce("n_removed_tokens", F.lit(0)).alias("n_removed_tokens"),
         )
     )
+
+
+def corpus_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise k-shingle-set overlap between corpus SLICES (sources,
+    crawl snapshots, pipeline stages) — the corpus-grain audit the
+    doc-grain dedup/contamination family doesn't answer: "how much of
+    snapshot B is already in snapshot A?" before committing an ingest.
+    Shingles ride the exact :func:`span_shingle_hashes` projection (one
+    tokenize/window/md5 chain for span dedup, the streaming mirror, and
+    this audit — no drift), deduplicated to per-group SETS, so a
+    100×-duplicated page counts once.
+
+    Returns the complete pair grid ``(g1, g2, n1, n2, shared, jaccard)``
+    for ``g1 < g2`` — zero-overlap pairs included with ``shared = 0``;
+    ``jaccard`` is the exact half-away 6-decimal rounding of
+    ``shared / (n1 + n2 - shared)`` in pure integer arithmetic (the
+    functions/exact.py contract), NULL when both slices have no
+    shingles.
+
+    Scale shape: distinct-(group, shingle) is ONE map-combined shuffle
+    over the corpus; the shared-count self-join is keyed on the shingle
+    hash, and per-hash bucket size is bounded by |groups| (this operator
+    is for LOW-cardinality slice labels — sources/snapshots, never doc
+    ids), so the join never expands beyond |groups|² per hash. The pair
+    grid itself is a |groups|²-row crossJoin of two aggregate frames —
+    driver-bounded by construction. Nothing here is all-pairs in
+    documents."""
+    sh = (
+        span_shingle_hashes(df, group_col, text_col, k=k)
+        .select(F.col("id").alias("g"), "h")
+        .distinct()
+    )
+    # group universe from the RAW table, so a slice whose every document
+    # is shorter than k (or NULL) still appears in the grid with n = 0
+    sizes = (
+        df.select(F.col(group_col).alias("g"))
+        .distinct()
+        .join(sh.groupBy("g").agg(F.count(F.lit(1)).alias("n")), "g", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    shared = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("g1"), F.col("b.g").alias("g2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    grid = (
+        sizes.alias("x")
+        .crossJoin(sizes.alias("y"))
+        .where(F.col("x.g") < F.col("y.g"))
+        .select(
+            F.col("x.g").alias("g1"),
+            F.col("y.g").alias("g2"),
+            F.col("x.n").alias("n1"),
+            F.col("y.n").alias("n2"),
+        )
+    )
+    out = (
+        grid.join(shared, ["g1", "g2"], "left")
+        .withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
+        .withColumn("u", F.col("n1") + F.col("n2") - F.col("shared"))
+    )
+    jaccard = F.expr(
+        "CAST((2 * 1000000 * shared + u) DIV (2 * u) AS DOUBLE) "
+        "/ CAST(1000000 AS DOUBLE)"
+    )
+    return out.select(
+        "g1", "g2", "n1", "n2", "shared",
+        F.when(F.col("u") > 0, jaccard).alias("jaccard"),
+    )

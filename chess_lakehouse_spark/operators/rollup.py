@@ -261,3 +261,55 @@ def serve_rollup(
             F.when(F.col(nn) > 0, mean6(s6, nn)).alias(out_name)
         )
     return merged.select(*final)
+
+
+def bucket_key(col: Column, lo, width, nbins: int) -> Column:
+    """Fixed-width bucket index in ``[0, nbins-1]`` (under/overflow
+    clamped to the edge buckets) — the grouping key that turns a rollup
+    into a mergeable histogram: key the rollup on
+    ``bucket_key(value, ...)`` with a ``count`` measure and per-group
+    distributions stay algebraic partials, ready for
+    :func:`percentile_from_counts` at serve time."""
+    if width <= 0 or nbins < 1:
+        raise ValueError("bucket_key: need width > 0 and nbins >= 1")
+    idx = F.floor((col - F.lit(lo)) / F.lit(width)).cast("long")
+    return F.least(F.greatest(idx, F.lit(0)), F.lit(nbins - 1))
+
+
+def percentile_from_counts(
+    df: DataFrame,
+    group_keys: list[str],
+    bucket_col: str,
+    n_col: str,
+    ps,
+) -> DataFrame:
+    """Per-group percentile BUCKETS from bucketed counts — the serve-side
+    companion of a rollup keyed on :func:`bucket_key`: for each ``p`` the
+    smallest bucket whose cumulative count reaches ``ceil(p * total)``,
+    i.e. exactly the bucket containing the rank-``ceil(p*n)`` element —
+    the error is the bucket width, never a sampling artifact. The only
+    work is one window over the |groups|·|buckets|-sized SERVED frame
+    (kilobytes at any corpus size) — percentile dashboards at 100 TB
+    without a corpus pass or an approx-quantile sketch. Returns one row
+    per group: ``(*group_keys, p<pp> ...)``."""
+    from pyspark.sql.window import Window
+
+    if not ps or not all(0 < p <= 1 for p in ps):
+        raise ValueError(f"percentile_from_counts: ps must be in (0, 1], got {ps}")
+    w = Window.partitionBy(*group_keys).orderBy(bucket_col)
+    tot = Window.partitionBy(*group_keys)
+    c = (
+        df.withColumn("_cum", F.sum(n_col).over(w))
+        .withColumn("_tot", F.sum(n_col).over(tot))
+        .persist()
+    )
+    out = None
+    for p in ps:
+        name = f"p{round(p * 100)}"
+        hit = (
+            c.where(F.col("_cum") >= F.ceil(F.lit(float(p)) * F.col("_tot")))
+            .groupBy(*group_keys)
+            .agg(F.min(bucket_col).alias(name))
+        )
+        out = hit if out is None else out.join(hit, group_keys)
+    return out

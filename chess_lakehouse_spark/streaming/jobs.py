@@ -1013,3 +1013,35 @@ def video_dedup_batch(
             fr.unpersist()
     finally:
         batch_df.unpersist()
+
+
+def stream_rollup(
+    new_rows: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming fold into an incremental materialized rollup
+    (operators/rollup.py) — the continuous-aggregate ingestion loop: the
+    rollup is BUILT once (``build_rollup`` stages the spec + historical
+    partials), then every micro-batch folds as its OWN
+    ``agg/batch_id=b<N>`` partition via ``append_rollup``. Replay
+    idempotency is STRUCTURAL here — the fold writes nothing but its own
+    partition and reads no staged state at all, so a crash-replay
+    rewrites ``batch_id=b<N>`` byte-identically with no exclusion filter
+    needed (contrast the dedup loops, which must guard their staged-state
+    reads). Per-batch cost is O(|batch|) + one |groups|-sized shuffle;
+    serving stays ``serve_rollup`` on the same directory, unaware of
+    which partitions came from streaming. Run ``compact_rollup``
+    periodically to refold the accumulated batch partitions."""
+    from chess_lakehouse_spark.operators.rollup import append_rollup
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_rollup(batch_df, rollup_dir, f"b{batch_id}")
+
+    q = (
+        new_rows.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

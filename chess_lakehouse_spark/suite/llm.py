@@ -1497,6 +1497,70 @@ def q_rollup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_rollup(spark, d, avg6=[("avg_value", "sum_value", "n_value")])
 
 
+#: Shingle width for the corpus-overlap candidate (matches the engine
+#: default; the fixture's shared template vocabulary guarantees non-zero
+#: AND non-total overlap between every source pair).
+CORPUS_OVERLAP_K = 3
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise k-shingle-set overlap between the documents table's
+    sources (operators/dedup.py:corpus_overlap_matrix) — the corpus-grain
+    ingest audit: complete g1<g2 grid with exact set sizes, shared
+    counts, and the integer-exact 6-decimal Jaccard. One distinct pass +
+    one shingle-keyed self-join bounded by |groups| per hash; nothing
+    all-pairs in documents.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against CORPUS_OVERLAP_ORACLE pinned in tests/test_corpus_overlap.py
+    at two scales + cold-JVM; registration at a window re-plan is a dict
+    + window edit."""
+    from chess_lakehouse_spark.operators.dedup import corpus_overlap_matrix
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_overlap_matrix(docs, "source", "text", k=CORPUS_OVERLAP_K)
+
+
+CORPUS_OVERLAP_ORACLE = rf"""
+WITH tarr AS (
+  SELECT source AS g,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+gh AS (
+  SELECT DISTINCT g,
+         md5(array_to_string(t[i:i+{CORPUS_OVERLAP_K}-1], ' ')) AS h
+  FROM tarr,
+       LATERAL unnest(generate_series(1, len(t) - {CORPUS_OVERLAP_K} + 1)) AS w(i)
+  WHERE len(t) >= {CORPUS_OVERLAP_K}
+),
+sizes AS (
+  SELECT u.g, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT source AS g FROM documents) u
+  LEFT JOIN (SELECT g, COUNT(*) AS n FROM gh GROUP BY g) c USING (g)
+),
+shared AS (
+  SELECT a.g AS g1, b.g AS g2, COUNT(*) AS shared
+  FROM gh a JOIN gh b USING (h) WHERE a.g < b.g GROUP BY 1, 2
+),
+grid AS (
+  SELECT x.g AS g1, y.g AS g2, x.n AS n1, y.n AS n2,
+         COALESCE(s.shared, 0) AS shared,
+         x.n + y.n - COALESCE(s.shared, 0) AS u
+  FROM sizes x JOIN sizes y ON x.g < y.g
+  LEFT JOIN shared s ON s.g1 = x.g AND s.g2 = y.g
+)
+SELECT g1, g2, n1, n2, shared,
+       CASE WHEN u > 0 THEN
+         CAST((2 * 1000000 * shared + u) // (2 * u) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE)
+       END AS jaccard
+FROM grid
+"""
+
+
 #: FIXED hashed-ngram model for the gated serving query (the
 #: classifier_serve pattern: training floats are rows-only, serving a
 #: pinned model is exact). Buckets are derived IN-ENGINE from these

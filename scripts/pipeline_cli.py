@@ -215,6 +215,7 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         from chess_lakehouse_spark.functions.urls import (
             host_blocklist_gate,
             host_cap,
+            url_badwords_gate,
             url_dedup_groups,
         )
 
@@ -225,6 +226,13 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
                 if ln.strip() and not ln.startswith("#")
             ]
             docs = docs.where(host_blocklist_gate(F.col(args.urlCol), hosts))
+        if args.blockedUrlWordsFile:
+            frags = [
+                ln.strip()
+                for ln in Path(args.blockedUrlWordsFile).read_text().splitlines()
+                if ln.strip() and not ln.startswith("#")
+            ]
+            docs = docs.where(url_badwords_gate(F.col(args.urlCol), frags))
         winners = url_dedup_groups(docs, "doc_id", args.urlCol).select(
             F.col("canonical_id").alias("doc_id")
         )
@@ -610,6 +618,56 @@ def cmd_maintain_lake(args: argparse.Namespace) -> None:
         print(f"[maintain-lake] manifest {path} cols={','.join(scols)}")
 
 
+def cmd_rollup(args: argparse.Namespace) -> None:
+    """Incremental materialized rollup lifecycle (operators/rollup.py) as
+    three host-orchestrated stages: ``rollup-build`` (one corpus pass →
+    spec + base partials), ``rollup-append`` (O(delta) fold of an ingest
+    parquet as its own batch partition — retry-idempotent, so a failed
+    DAG stage just re-runs), ``rollup-serve`` (zero-corpus-access merge,
+    optional coarser grain / derived exact means / compaction)."""
+    from chess_lakehouse_spark.operators.rollup import (
+        append_rollup,
+        build_rollup,
+        compact_rollup,
+        serve_rollup,
+    )
+
+    spark = _spark()
+    if args.stage == "rollup-build":
+        measures = []
+        for entry in args.measures.split(","):
+            parts = entry.strip().split(":")
+            if len(parts) == 2:
+                parts.append(None)
+            elif len(parts) != 3:
+                raise SystemExit(
+                    f"--measures entry {entry!r}: want name:agg[:col]"
+                )
+            measures.append(tuple(parts))
+        build_rollup(
+            spark.read.parquet(args.inParquet),
+            [k.strip() for k in args.keys.split(",") if k.strip()],
+            measures,
+            args.rollupDir,
+        )
+    elif args.stage == "rollup-append":
+        append_rollup(
+            spark.read.parquet(args.inParquet), args.rollupDir, args.batchId
+        )
+    else:
+        if args.compact:
+            compact_rollup(spark, args.rollupDir)
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()] or None
+        avg6 = [
+            tuple(e.strip().split(":"))
+            for e in args.avg6.split(",")
+            if e.strip()
+        ]
+        serve_rollup(spark, args.rollupDir, keys=keys, avg6=avg6).write.mode(
+            "overwrite"
+        ).parquet(args.outDir)
+
+
 def cmd_delete_rows(args: argparse.Namespace) -> None:
     """Row-level DELETE stage (takedown / right-to-be-forgotten): keys come
     from a Parquet file; carrying the partition columns there makes the
@@ -700,6 +758,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="with --urlCol: drop docs whose URL host (or any "
                          "subdomain) is listed in this file (one host per "
                          "line, # comments)")
+    cc.add_argument("--blockedUrlWordsFile", default="",
+                    help="with --urlCol: drop docs whose lowercased URL "
+                         "CONTAINS any listed fragment (RefinedWeb-style "
+                         "URL word blocklist; one fragment per line, "
+                         "# comments)")
     cc.add_argument("--badwordsFile", default="",
                     help="drop docs containing any listed word (one per "
                          "line, # comments; C4-style blocklist, Gopher "
@@ -813,6 +876,35 @@ def main(argv: list[str] | None = None) -> None:
     vid.add_argument("--minSim", type=float, default=0.5)
     vid.add_argument("--frameStride", type=int, default=1)
     vid.set_defaults(fn=cmd_media_dedup)
+
+    rb = sub.add_parser("rollup-build")
+    rb.add_argument("--rollupDir", required=True)
+    rb.add_argument("--inParquet", required=True)
+    rb.add_argument("--keys", required=True,
+                    help="comma-separated group-key columns")
+    rb.add_argument("--measures", required=True,
+                    help="comma-separated name:agg[:col] entries, agg in "
+                         "count/countnn/sum/sum6/min/max")
+    rb.set_defaults(fn=cmd_rollup)
+
+    ra = sub.add_parser("rollup-append")
+    ra.add_argument("--rollupDir", required=True)
+    ra.add_argument("--inParquet", required=True)
+    ra.add_argument("--batchId", required=True,
+                    help="distinct per ingest delta (e.g. the date); "
+                         "reusing an id REPLACES that batch")
+    ra.set_defaults(fn=cmd_rollup)
+
+    rs = sub.add_parser("rollup-serve")
+    rs.add_argument("--rollupDir", required=True)
+    rs.add_argument("--outDir", required=True)
+    rs.add_argument("--keys", default="", help="optional coarser key subset")
+    rs.add_argument("--avg6", default="",
+                    help="comma-separated out:sum6_name:count_name derived "
+                         "exact means")
+    rs.add_argument("--compact", action="store_true",
+                    help="refold all batch partitions first")
+    rs.set_defaults(fn=cmd_rollup)
 
     dr = sub.add_parser("delete-rows")
     dr.add_argument("--lakeDir", required=True)

@@ -339,3 +339,59 @@ def test_q_badwords_matches_suite_oracle(spark, sf_dir):
     kept = [r for r in srows if r[1]]
     assert 0 < len(kept) < len(srows)  # splits both ways
     assert srows == drows
+
+
+def test_url_badwords_gate_substring_semantics(spark):
+    """URL fragments hit ANYWHERE in the lowercased URL (substring by
+    design — URL words are not whitespace-delimited); NULL and empty-list
+    behavior match the other gates."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.urls import url_badwords_gate
+
+    rows = [
+        (1, "https://ok.example/articles/chess"),
+        (2, "https://bad.example/ADULT-content/x"),   # case-folded hit
+        (3, "https://ok.example/page?adult=1"),        # query-string hit
+        (4, "https://casino.example/home"),            # host hit
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {
+        r.doc_id
+        for r in df.where(
+            url_badwords_gate(F.col("url"), ["adult", "casino"])
+        ).collect()
+    }
+    assert kept == {1, 5}
+    assert df.where(url_badwords_gate(F.col("url"), [])).count() == 5
+
+
+def test_clean_corpus_url_words_flag(spark, tmp_path):
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    lines = []
+    for i in range(8):
+        text = " ".join(f"w{i}tok{j}" for j in range(40))
+        path = "spinclub" if i == 2 else f"page{i}"
+        lines.append(json.dumps({
+            "doc_id": i, "text": text, "lang": "en", "source": "s0",
+            "url": f"https://site{i}.example/{path}",
+        }))
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "p.jsonl").write_text("\n".join(lines) + "\n")
+    (tmp_path / "uw.txt").write_text("# fragments\nspin\n")
+    out = tmp_path / "out"
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(out),
+        "--urlCol", "url", "--blockedUrlWordsFile", str(tmp_path / "uw.txt"),
+        "--minQuality", "-99", "--threshold", "0.5", "--evalFrac", "0.3",
+    ])
+    ids = sorted(r.doc_id for r in spark.read.json(str(out / "corpus")).collect())
+    assert ids == [0, 1, 3, 4, 5, 6, 7]  # 2 dropped by URL fragment

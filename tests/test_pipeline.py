@@ -766,11 +766,12 @@ def test_example_dvc_stages_reference_real_cli_subcommands():
         r"python scripts/pipeline_cli\.py ([a-z-]+)((?:\s+--\S+(?:\s+(?!--)\S+)?)*)",
         text,
     )
-    stages = [(s, re.findall(r"(--[A-Za-z]+)", flagstr)) for s, flagstr in cmds]
+    stages = [(s, re.findall(r"(--[A-Za-z0-9]+)", flagstr)) for s, flagstr in cmds]
     assert {s for s, _ in stages} == {
         "materialize-openings", "read-pgn", "find-openings",
         "export-parquet", "clean-corpus", "maintain-lake",
         "train-quality-model", "train-hashed-model", "image-dedup", "read-wet",
+        "rollup-build", "rollup-append", "rollup-serve",
     }
     for stage, flags in stages:
         assert f'add_parser("{stage}")' in cli_src, f"unknown stage in example: {stage}"

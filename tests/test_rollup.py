@@ -211,3 +211,90 @@ def test_q_rollup_staged_matches_suite_oracle(spark, sf_dir):
     con.close()
     assert len(srows) > 1
     assert srows == drows
+
+
+def test_pipeline_cli_rollup_stages(spark, tmp_path):
+    """Host-orchestrated lifecycle: build → append → serve (with compact,
+    coarser keys, derived mean) through the CLI flags."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base_p, delta_p = str(tmp_path / "base"), str(tmp_path / "delta")
+    docs.where(F.col("doc_id") % 3 != 0).write.parquet(base_p)
+    docs.where(F.col("doc_id") % 3 == 0).write.parquet(delta_p)
+    rdir, out = str(tmp_path / "rollup"), str(tmp_path / "served")
+
+    pipeline_cli.main([
+        "rollup-build", "--inParquet", base_p, "--rollupDir", rdir,
+        "--keys", "source,lang",
+        "--measures", "n:count,nn:countnn:n_chars,s6:sum6:n_chars,mx:max:n_chars",
+    ])
+    pipeline_cli.main([
+        "rollup-append", "--inParquet", delta_p, "--rollupDir", rdir,
+        "--batchId", "2026-08-14",
+    ])
+    pipeline_cli.main([
+        "rollup-serve", "--rollupDir", rdir, "--outDir", out,
+        "--keys", "source", "--avg6", "avg:s6:nn", "--compact",
+    ])
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("n_chars").alias("nn"),
+            F.expr("CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)").alias("s6"),
+            F.max("n_chars").alias("mx"),
+            F.avg(F.col("n_chars").cast("double")).alias("avg"),
+        )
+        .collect()
+    )
+    # the exact-6-decimal mean vs float AVG: compare with rounding
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:5] == w[:5]
+        assert abs(g[5] - w[5]) < 1e-6
+
+
+def test_percentiles_from_bucketed_rollup(spark, docs, tmp_path):
+    """Rollup keyed on a bucket column serves per-group percentile buckets
+    that exactly contain the rank-ceil(p*n) element — verified against a
+    Python rank computation on the raw data."""
+    import math
+
+    from chess_lakehouse_spark.operators.rollup import (
+        bucket_key,
+        percentile_from_counts,
+    )
+
+    LO, W, NB = 0, 50, 200
+    keyed = docs.withColumn("b", bucket_key(F.col("n_chars"), LO, W, NB))
+    d = str(tmp_path / "r")
+    build_rollup(keyed, ["source", "b"], [("cnt", "count", None)], d)
+    served = serve_rollup(spark, d)
+    got = {
+        r.source: (r.p50, r.p90)
+        for r in percentile_from_counts(
+            served, ["source"], "b", "cnt", [0.5, 0.9]
+        ).collect()
+    }
+
+    raw = {}
+    for r in docs.select("source", "n_chars").collect():
+        raw.setdefault(r.source, []).append(r.n_chars)
+    for src, vals in raw.items():
+        vals.sort()
+        for p, slot in ((0.5, 0), (0.9, 1)):
+            elem = vals[math.ceil(p * len(vals)) - 1]
+            want_bucket = min(max((elem - LO) // W, 0), NB - 1)
+            assert got[src][slot] == want_bucket, (src, p)
+
+    with pytest.raises(ValueError, match="ps must be"):
+        percentile_from_counts(served, ["source"], "b", "cnt", [1.5])
+    with pytest.raises(ValueError, match="width"):
+        bucket_key(F.col("n_chars"), 0, 0, 10)

@@ -1157,3 +1157,77 @@ def test_video_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert sorted(s1["out"]) == [1, 3, 11]  # 10 fully covered by staged clip 1
     video_dedup_batch(b1, 1, sigs, out, max_hamming=6, min_sim=0.9)
     assert snapshot() == s1
+
+
+def test_stream_rollup_equals_direct_aggregation(spark, tmp_path):
+    """Streaming continuous-aggregate loop: build over a historical slice,
+    fold two micro-batch drops, serve == direct groupBy over everything;
+    a restart with nothing new changes nothing; compaction preserves
+    values."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.rollup import (
+        build_rollup,
+        compact_rollup,
+        serve_rollup,
+    )
+    from chess_lakehouse_spark.streaming import stream_rollup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    d1 = docs.where(F.col("doc_id") % 3 == 1)
+    d2 = docs.where(F.col("doc_id") % 3 == 2)
+
+    rdir = str(tmp_path / "rollup")
+    measures = [
+        ("n", "count", None),
+        ("nn", "countnn", "n_chars"),
+        ("s6", "sum6", "n_chars"),
+        ("mn", "min", "n_chars"),
+        ("mx", "max", "n_chars"),
+    ]
+    build_rollup(hist, ["source"], measures, rdir)
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, df):
+        staging = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_rollup(stream, rdir, ckpt)
+
+    land("d1", d1)
+    run()
+    land("d2", d2)
+    run()
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = rows(
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("n_chars").alias("nn"),
+            F.expr("CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)").alias(
+                "s6"
+            ),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+    )
+    assert rows(serve_rollup(spark, rdir)) == want
+    run()  # restart with nothing new
+    assert rows(serve_rollup(spark, rdir)) == want
+    compact_rollup(spark, rdir)
+    assert rows(serve_rollup(spark, rdir)) == want
