@@ -145,3 +145,146 @@ def priority_canonical(
             "n_members",
         )
     )
+
+
+#: Absolute http(s) href values in an HTML blob — double/single/unquoted
+#: attribute forms, case-insensitive, value ends at a quote, ``<``, ``>``
+#: or whitespace. Java∩RE2-portable (explicit classes, no \s, no $).
+HREF_RE = "(?i)href[ \\t]*=[ \\t]*[\"']?(https?://[^\"'<> \\t\\n\\r]+)"
+
+
+def extract_links(
+    df: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """(src_url, dst_url) for every ABSOLUTE http(s) ``href`` in the HTML
+    — the link projection feeding :func:`host_edges`. One
+    ``regexp_extract_all`` + ``explode``, pure codegen, rides the scan.
+    Relative links are skipped by design: resolving them needs full RFC
+    3986 merge semantics, and the host GRAPH barely misses them —
+    intra-site relative links are same-host, which :func:`host_edges`
+    drops as self-loops anyway. NULL html contributes nothing."""
+    return df.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(html_col), F.lit("")), F.lit(HREF_RE), F.lit(1)
+            )
+        ).alias("dst_url"),
+    )
+
+
+def host_edges(
+    links: DataFrame, src_col: str = "src_url", dst_col: str = "dst_url"
+) -> DataFrame:
+    """URL-level links → weighted HOST-level edge list (src, dst, weight)
+    — host identity is exactly ``functions/urls.py:url_host`` (lowercase,
+    www-stripped), so the graph, the host cap, and the host blocklist
+    cannot disagree on what a site is. Self-loops (intra-site links)
+    drop; weight = raw link count (a 1000-link footer counts 1000 — cap
+    upstream if that's not the desired prior). ONE map-combined groupBy;
+    |edges| is bounded by distinct host pairs, not by links."""
+    from chess_lakehouse_spark.functions.urls import url_host
+
+    e = links.select(
+        url_host(F.col(src_col)).alias("src"),
+        url_host(F.col(dst_col)).alias("dst"),
+    )
+    return (
+        e.where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+            & (F.col("src") != "") & (F.col("dst") != "")
+            & (F.col("src") != F.col("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = "weight",
+) -> DataFrame:
+    """Weighted PageRank (Page et al. 1999) by fixed-iteration power
+    method in pure DataFrame algebra — the host-authority prior web-scale
+    curation pipelines weight their source mix by (CommonCrawl publishes
+    exactly this host ranking). Returns (node, rank), ranks summing to 1.
+
+    Distribution contract: ranks and edges stay DISTRIBUTED frames
+    throughout — the driver holds only |V| and one dangling-mass scalar
+    per iteration. Each iteration is ONE keyed join (rank → out-edges,
+    transition probabilities precomputed once) + ONE map-combined
+    groupBy(dst); hub hosts with huge in-degree are absorbed by the
+    partial aggregation. Dangling mass (nodes with no out-edges — every
+    crawl frontier has them) is redistributed uniformly, the standard
+    stochastic completion, so mass is conserved exactly. Each iteration
+    materializes through an EAGER ``localCheckpoint`` — persist alone
+    caches data but keeps the logical plan, and an iterated join lineage
+    grows a plan tree that OOMs the driver within ~15 iterations (hit in
+    testing); checkpointing truncates it, so plan size stays constant
+    per step. No driver collect of ranks. Fixed ``n_iter`` power
+    steps (geometric convergence at rate ``damping``; 12 iterations ≈
+    0.85^12 < 0.15 residual contraction of the start error — callers
+    needing tighter tolerance raise n_iter, each step costs the same one
+    join). Iterative fixpoint — rows-only class, no SQL oracle; pinned
+    against a NumPy power iteration in tests."""
+    if not 0 < damping < 1:
+        raise ValueError(f"pagerank: damping must be in (0,1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"pagerank: n_iter must be >= 1, got {n_iter}")
+    w = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("double").alias("w"),
+    )
+    nodes = (
+        w.select(F.col("src").alias("node"))
+        .unionByName(w.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_w = w.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (
+        w.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        dangling_mass = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+    nodes.unpersist()
+    trans.unpersist()
+    dangling_nodes.unpersist()
+    return ranks
