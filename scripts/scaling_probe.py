@@ -413,6 +413,158 @@ def main() -> None:
                 ).count(),
             )
 
+        if only_ops is None or {
+            "video_frame_pairs", "warc_wet_parse",
+            "rollup_build", "rollup_append_fixed_delta", "rollup_serve",
+        } & only_ops:
+            # video end-to-end: 4-frame Y4M clips synthesized from doc
+            # text bytes (per-frame pixel noise — near-uniform frame
+            # hashes, the no-clusters worst case): Arrow decode +
+            # per-frame pHash + the shared 16-bit-band join + the
+            # containment vote
+            from chess_lakehouse_spark.operators.video import (
+                encode_y4m,
+                video_near_pairs,
+            )
+
+            def _y4m_payloads(d):
+                import numpy as np
+                import pandas as pd
+
+                def _mk(batches):
+                    for pdf in batches:
+                        payloads = []
+                        for t in pdf["text"]:
+                            b = (t.encode() * 2)[: 4 * 256]
+                            b = b + bytes(4 * 256 - len(b))
+                            arr = np.frombuffer(b, dtype=np.uint8).reshape(
+                                4, 16, 16
+                            )
+                            payloads.append(
+                                encode_y4m(
+                                    [np.repeat(np.repeat(f, 2, 0), 2, 1) for f in arr]
+                                )
+                            )
+                        yield pd.DataFrame(
+                            {"doc_id": pdf["doc_id"], "payload": payloads}
+                        )
+
+                return d.select("doc_id", "text").mapInPandas(
+                    _mk, "doc_id long, payload binary"
+                )
+
+            probe(
+                "video_frame_pairs", factor,
+                lambda: video_near_pairs(
+                    _y4m_payloads(docs), max_hamming=3, band_bits=16
+                ).count(),
+            )
+
+            # WARC/WET source: x-factor ARCHIVE FILES (the unit of
+            # parallelism) at a constant ~record count per file — the
+            # CommonCrawl shape, where a crawl grows by adding segments
+            import gzip as _gzip
+
+            warc_dir = Path(tmp) / f"warc_x{factor}"
+            warc_dir.mkdir(exist_ok=True)
+            texts = [
+                r.text[:2000]
+                for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("text")
+                .collect()
+            ]
+            n_files = 8 * factor
+            rec_per_file = max(1, len(texts) // 8)  # constant per file:
+            # total records = factor * len(texts), files = 8 * factor
+            for fi in range(n_files):
+                recs = []
+                for ri in range(rec_per_file):
+                    t = texts[(fi + ri * n_files) % len(texts)]
+                    body = t.encode()
+                    head = (
+                        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                        f"WARC-Target-URI: http://d{fi}-{ri}.example/p\r\n"
+                        f"WARC-Record-ID: <urn:uuid:{fi}-{ri}>\r\n"
+                        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                        "Content-Type: text/plain\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    )
+                    recs.append(
+                        _gzip.compress(head.encode() + body + b"\r\n\r\n")
+                    )
+                (warc_dir / f"seg{fi:05d}.wet.gz").write_bytes(b"".join(recs))
+
+            from chess_lakehouse_spark.sources.warc import (
+                read_warc,
+                wet_documents,
+            )
+
+            probe(
+                "warc_wet_parse", factor,
+                lambda: wet_documents(
+                    read_warc(spark, f"{warc_dir}/*.wet.gz", ("conversion",))
+                ).count(),
+            )
+
+            # incremental materialized rollup: build is the one
+            # corpus-sized pass; the FIXED-delta append and the serve must
+            # stay FLAT as the staged corpus grows (O(delta) fold with
+            # zero staged-byte access; |groups|-sized serve)
+            from chess_lakehouse_spark.operators.rollup import (
+                append_rollup,
+                build_rollup,
+                serve_rollup,
+            )
+
+            rdir = f"{tmp}/rollup_x{factor}"
+            r_measures = [
+                ("n", "count", None),
+                ("nn", "countnn", "n_chars"),
+                ("s6", "sum6", "n_chars"),
+                ("mn", "min", "n_chars"),
+                ("mx", "max", "n_chars"),
+            ]
+            probe(
+                "rollup_build", factor,
+                lambda: build_rollup(docs, ["source", "lang"], r_measures, rdir),
+            )
+            r_delta = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+                "doc_id", F.col("doc_id") + F.lit(980_000_000)
+            )
+            # rep 2 of min-of-2 re-folds the same batch_id — exercising the
+            # replay-idempotency path at probe scale
+            probe(
+                "rollup_append_fixed_delta", factor,
+                lambda: append_rollup(r_delta, rdir, "d1"),
+            )
+            probe(
+                "rollup_serve", factor,
+                lambda: serve_rollup(
+                    spark, rdir, avg6=[("avg", "s6", "nn")]
+                ).count(),
+            )
+
+        if only_ops is None or {"pagerank_5it"} & only_ops:
+            # PageRank over a synthetic host graph whose |V| and |E| both
+            # grow with the corpus (md5-derived edges — near-uniform
+            # degree, no hub shortcut): 5 power iterations end-to-end
+            from chess_lakehouse_spark.operators.graph import pagerank
+
+            k_nodes = max(1000, n_docs // 5)
+            pr_edges = docs.select(
+                (F.col("doc_id") % k_nodes).cast("string").alias("src"),
+                (
+                    F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast(
+                        "long"
+                    )
+                    % k_nodes
+                ).cast("string").alias("dst"),
+            ).withColumn("weight", F.lit(1.0))
+            probe(
+                "pagerank_5it", factor,
+                lambda: pagerank(pr_edges, n_iter=5).count(),
+            )
+
     # Boilerplate-bomb stress: one shared token interleaved between every
     # word of every doc makes ALL docs of the batch share the tag-word-tag
     # shingles — band buckets hold the whole batch and the uncapped pair
