@@ -40,6 +40,17 @@ in the staged state):
                  ``CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)``
                  oracle form)                            (merge: SUM)
     ``min``/``max``  column-typed extremes               (merge: MIN/MAX)
+    ``hll``      HyperLogLog distinct-count SKETCH of a column (Spark's
+                 native datasketches ``hll_sketch_agg`` — kilobytes per
+                 group; merge: ``hll_union_agg``, served as the
+                 ``hll_sketch_estimate`` cast to BIGINT). The ONE
+                 continuous-aggregate measure exact algebra can't give:
+                 "distinct users per hour" stays correct under coarser
+                 re-grouping because sketches UNION (a user active in two
+                 sub-groups counts once), where summing per-group distinct
+                 counts double-counts. Estimate class — implementation-
+                 specific values, so gated oracle queries use exact
+                 measures only (the corpus_sketch_counts precedent).
 
 AVG is a SERVE-time derivation (``avg6`` = exact half-away-from-zero
 6-decimal mean of a ``sum6`` over a ``countnn`` — functions/exact.py:mean6),
@@ -53,7 +64,7 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_AGGS = ("count", "countnn", "sum", "sum6", "min", "max")
+_AGGS = ("count", "countnn", "sum", "sum6", "min", "max", "hll")
 _BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 
 
@@ -111,13 +122,15 @@ def _partial_aggs(measures) -> list[Column]:
             out.append(sum_scaled_long(F.col(col), 6).alias(name))
         elif agg == "min":
             out.append(F.min(F.col(col)).alias(name))
-        else:
+        elif agg == "max":
             out.append(F.max(F.col(col)).alias(name))
+        else:
+            out.append(F.hll_sketch_agg(F.col(col)).alias(name))
     return out
 
 
 def _merge_aggs(measures) -> list[Column]:
-    m = {"min": F.min, "max": F.max}
+    m = {"min": F.min, "max": F.max, "hll": F.hll_union_agg}
     return [m.get(agg, F.sum)(F.col(name)).alias(name) for name, agg, _ in measures]
 
 
@@ -152,7 +165,7 @@ def build_rollup(
     """Stage the rollup: ONE map-combined groupBy over the corpus (the
     only corpus-sized pass this lake ever takes) plus a |spec|-row spec
     table. ``measures`` is a list of ``(out_name, agg, col)`` with agg in
-    ``count/countnn/sum/sum6/min/max`` (``count`` ignores col)."""
+    ``count/countnn/sum/sum6/min/max/hll`` (``count`` ignores col)."""
     measures = [tuple(m) for m in measures]
     _check_spec(keys, measures)
     _check_batch_id(batch_id)
@@ -246,6 +259,10 @@ def serve_rollup(
                 )
                 .cast("double")
                 .alias(name)
+            )
+        elif agg == "hll":
+            final.append(
+                F.hll_sketch_estimate(F.col(name)).cast("long").alias(name)
             )
         else:
             final.append(F.col(name))

@@ -618,6 +618,40 @@ def cmd_maintain_lake(args: argparse.Namespace) -> None:
         print(f"[maintain-lake] manifest {path} cols={','.join(scols)}")
 
 
+def cmd_rank_hosts(args: argparse.Namespace) -> None:
+    """Host-authority stage (operators/graph.py): WARC response archives →
+    response_documents → absolute-href extraction → weighted host edges →
+    power-method PageRank → (node, rank) parquet — the CommonCrawl-style
+    host ranking a curation pipeline joins as a source-quality prior.
+    ``--inParquet`` alternatively takes a ready (url, html) parquet (e.g.
+    a staged crawl) instead of raw archives."""
+    from chess_lakehouse_spark.operators.graph import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+
+    spark = _spark()
+    if args.inParquet:
+        docs = spark.read.parquet(args.inParquet)
+    else:
+        from chess_lakehouse_spark.sources.warc import (
+            read_warc,
+            response_documents,
+        )
+
+        docs = response_documents(
+            read_warc(spark, args.inDir, warc_types=("response",))
+        )
+    ranks = pagerank(
+        host_edges(extract_links(docs, args.urlCol, args.htmlCol)),
+        damping=args.damping,
+        n_iter=args.iterations,
+    )
+    ranks.write.mode("overwrite").parquet(args.outDir)
+    print(f"[rank-hosts] hosts={ranks.count()} iters={args.iterations} -> {args.outDir}")
+
+
 def cmd_rollup(args: argparse.Namespace) -> None:
     """Incremental materialized rollup lifecycle (operators/rollup.py) as
     three host-orchestrated stages: ``rollup-build`` (one corpus pass →
@@ -877,6 +911,18 @@ def main(argv: list[str] | None = None) -> None:
     vid.add_argument("--frameStride", type=int, default=1)
     vid.set_defaults(fn=cmd_media_dedup)
 
+    rh = sub.add_parser("rank-hosts")
+    rh.add_argument("--inDir", default="",
+                    help="WARC response archive glob (.warc/.warc.gz)")
+    rh.add_argument("--inParquet", default="",
+                    help="alternatively: a staged (url, html) parquet")
+    rh.add_argument("--outDir", required=True)
+    rh.add_argument("--urlCol", default="url")
+    rh.add_argument("--htmlCol", default="html")
+    rh.add_argument("--damping", type=float, default=0.85)
+    rh.add_argument("--iterations", type=int, default=12)
+    rh.set_defaults(fn=cmd_rank_hosts)
+
     rb = sub.add_parser("rollup-build")
     rb.add_argument("--rollupDir", required=True)
     rb.add_argument("--inParquet", required=True)
@@ -884,7 +930,7 @@ def main(argv: list[str] | None = None) -> None:
                     help="comma-separated group-key columns")
     rb.add_argument("--measures", required=True,
                     help="comma-separated name:agg[:col] entries, agg in "
-                         "count/countnn/sum/sum6/min/max")
+                         "count/countnn/sum/sum6/min/max/hll")
     rb.set_defaults(fn=cmd_rollup)
 
     ra = sub.add_parser("rollup-append")

@@ -155,3 +155,42 @@ def test_warc_to_pagerank_composition(spark, tmp_path):
     }
     assert set(ranks) == {"a.example", "b.example", "c.example", "hub.example"}
     assert ranks["hub.example"] == max(ranks.values())
+
+
+def test_pipeline_cli_rank_hosts_stage(spark, tmp_path, capsys):
+    """rank-hosts over raw WARC response archives writes a (node, rank)
+    parquet whose mass sums to 1."""
+    import gzip
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    def rec(url, html):
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html.encode()
+        )
+        head = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "WARC-Record-ID: <urn:uuid:x>\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            "Content-Type: application/http\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        )
+        return head.encode() + body + b"\r\n\r\n"
+
+    raw = (
+        rec("https://a.example/p", '<a href="https://hub.example/x">h</a>')
+        + rec("https://hub.example/p", '<a href="https://a.example/z">a</a>')
+    )
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(raw))
+    out = str(tmp_path / "ranks")
+    pipeline_cli.main([
+        "rank-hosts", "--inDir", f"{tmp_path}/*.warc.gz", "--outDir", out,
+        "--iterations", "8",
+    ])
+    ranks = {r.node: r["rank"] for r in spark.read.parquet(out).collect()}
+    assert set(ranks) == {"a.example", "hub.example"}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)

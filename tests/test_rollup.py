@@ -298,3 +298,34 @@ def test_percentiles_from_bucketed_rollup(spark, docs, tmp_path):
         percentile_from_counts(served, ["source"], "b", "cnt", [1.5])
     with pytest.raises(ValueError, match="width"):
         bucket_key(F.col("n_chars"), 0, 0, 10)
+
+
+def test_hll_measure_unions_across_groups_and_appends(spark, tmp_path):
+    """The sketch measure: distinct counts survive coarser re-grouping as
+    a UNION (overlapping members count once — where summing per-group
+    distincts double-counts), and append == rebuild on the estimate."""
+    rows = []
+    # group (g, sub): users 0..49 appear in BOTH subs of g='a' — the
+    # overlap that breaks additive "distinct" aggregation
+    for u in range(50):
+        rows.append((u, "a", "x"))
+        rows.append((u, "a", "y"))
+    for u in range(50, 80):
+        rows.append((u, "b", "x"))
+    df = spark.createDataFrame(rows, "user long, g string, sub string")
+    d = str(tmp_path / "r")
+    measures = [("n", "count", None), ("du", "hll", "user")]
+    build_rollup(df, ["g", "sub"], measures, d)
+    fine = {(r.g, r.sub): r.du for r in serve_rollup(spark, d).collect()}
+    assert fine[("a", "x")] == 50 and fine[("a", "y")] == 50
+    coarse = {r.g: r.du for r in serve_rollup(spark, d, keys=["g"]).collect()}
+    assert coarse["a"] == 50  # union, NOT 100 — the additive trap
+    assert coarse["b"] == 30
+
+    # append == rebuild on estimates
+    inc = str(tmp_path / "inc")
+    build_rollup(df.where(F.col("user") < 40), ["g"], measures, inc)
+    append_rollup(df.where(F.col("user") >= 40), inc, "d1")
+    got = {r.g: r.du for r in serve_rollup(spark, inc).collect()}
+    assert got == {"a": 50, "b": 30}
+    assert dict(serve_rollup(spark, inc).dtypes)["du"] == "bigint"
