@@ -233,6 +233,30 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
                 if ln.strip() and not ln.startswith("#")
             ]
             docs = docs.where(url_badwords_gate(F.col(args.urlCol), frags))
+        if args.hostRanksParquet:
+            # host-authority gate: join the rank-hosts artifact (node,
+            # rank) on the SAME url_host identity and drop docs from
+            # known-but-below-threshold hosts. Hosts absent from the rank
+            # table KEEP (the gate never invents a reason to drop what it
+            # cannot score — the NULL-keep convention of every gate here).
+            # The rank table is |hosts|-sized: AQE broadcasts the join.
+            from chess_lakehouse_spark.functions.urls import url_host
+
+            ranks = spark.read.parquet(args.hostRanksParquet).select(
+                F.col("node").alias("__rh_host"), F.col("rank").alias("__rh_rank")
+            )
+            docs = (
+                docs.join(
+                    ranks,
+                    url_host(F.col(args.urlCol)) == F.col("__rh_host"),
+                    "left",
+                )
+                .where(
+                    F.col("__rh_rank").isNull()
+                    | (F.col("__rh_rank") >= F.lit(args.minHostRank))
+                )
+                .drop("__rh_host", "__rh_rank")
+            )
         winners = url_dedup_groups(docs, "doc_id", args.urlCol).select(
             F.col("canonical_id").alias("doc_id")
         )
@@ -797,6 +821,12 @@ def main(argv: list[str] | None = None) -> None:
                          "CONTAINS any listed fragment (RefinedWeb-style "
                          "URL word blocklist; one fragment per line, "
                          "# comments)")
+    cc.add_argument("--hostRanksParquet", default="",
+                    help="with --urlCol: (node, rank) parquet from "
+                         "rank-hosts; drop docs from known hosts ranked "
+                         "below --minHostRank (unknown hosts keep)")
+    cc.add_argument("--minHostRank", type=float, default=0.0,
+                    help="PageRank threshold for --hostRanksParquet")
     cc.add_argument("--badwordsFile", default="",
                     help="drop docs containing any listed word (one per "
                          "line, # comments; C4-style blocklist, Gopher "

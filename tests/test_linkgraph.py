@@ -194,3 +194,41 @@ def test_pipeline_cli_rank_hosts_stage(spark, tmp_path, capsys):
     ranks = {r.node: r["rank"] for r in spark.read.parquet(out).collect()}
     assert set(ranks) == {"a.example", "hub.example"}
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_clean_corpus_host_rank_gate(spark, tmp_path):
+    """--hostRanksParquet drops docs from known low-ranked hosts; unknown
+    hosts keep (the NULL-keep convention)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    spark.createDataFrame(
+        [("good.example", 0.6), ("spam.example", 0.01)],
+        "node string, rank double",
+    ).write.parquet(str(tmp_path / "ranks"))
+
+    lines = []
+    hosts = {0: "good.example", 1: "spam.example", 2: "unranked.example"}
+    for i in range(6):
+        text = " ".join(f"h{i}tok{j}" for j in range(40))
+        lines.append(json.dumps({
+            "doc_id": i, "text": text, "lang": "en", "source": "s0",
+            "url": f"https://{hosts.get(i, f'site{i}.example')}/p{i}",
+        }))
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "p.jsonl").write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(out),
+        "--urlCol", "url",
+        "--hostRanksParquet", str(tmp_path / "ranks"),
+        "--minHostRank", "0.1",
+        "--minQuality", "-99", "--threshold", "0.5", "--evalFrac", "0.3",
+    ])
+    ids = sorted(r.doc_id for r in spark.read.json(str(out / "corpus")).collect())
+    assert ids == [0, 2, 3, 4, 5]  # only doc 1 (known low-rank host) drops

@@ -329,3 +329,57 @@ def test_hll_measure_unions_across_groups_and_appends(spark, tmp_path):
     got = {r.g: r.du for r in serve_rollup(spark, inc).collect()}
     assert got == {"a": 50, "b": 30}
     assert dict(serve_rollup(spark, inc).dtypes)["du"] == "bigint"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ROW = st.tuples(
+    st.sampled_from(["a", "b", "c"]),
+    st.one_of(st.none(), st.integers(-1000, 1000)),
+    st.one_of(
+        st.none(),
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(_ROW, min_size=1, max_size=50), n_deltas=st.integers(0, 3))
+def test_rollup_fold_property(spark, rows, n_deltas):
+    """Property: any round-robin split of the corpus into base + N delta
+    folds serves IDENTICAL values to the direct one-shot aggregation —
+    over random groups, NULL-bearing ints and doubles, and empty chunks
+    (a delta with zero rows must be a no-op)."""
+    import tempfile
+
+    df = spark.createDataFrame(rows, "g string, iv long, dv double")
+    d = tempfile.mkdtemp(prefix="rollup_prop_") + "/r"
+    measures = [
+        ("n", "count", None),
+        ("nn", "countnn", "dv"),
+        ("si", "sum", "iv"),
+        ("s6", "sum6", "dv"),
+        ("mn", "min", "dv"),
+        ("mx", "max", "iv"),
+    ]
+    chunks = n_deltas + 1
+    tagged = df.withColumn(
+        "_c", F.monotonically_increasing_id() % chunks
+    ).persist()
+    build_rollup(tagged.where(F.col("_c") == 0).drop("_c"), ["g"], measures, d)
+    for i in range(1, chunks):
+        append_rollup(tagged.where(F.col("_c") == i).drop("_c"), d, f"d{i}")
+    got = _rows(serve_rollup(spark, d))
+    want = _rows(
+        df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("dv").alias("nn"),
+            F.sum(F.col("iv").cast("long")).alias("si"),
+            F.expr("CAST(SUM(CAST(dv AS DECIMAL(18,6))) AS DOUBLE)").alias("s6"),
+            F.min("dv").alias("mn"),
+            F.max("iv").alias("mx"),
+        )
+    )
+    tagged.unpersist()
+    assert got == want
