@@ -548,3 +548,134 @@ def score_buckets(
         )
         .drop("cuts")
     )
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-step funnel (the standard product-analytics progression
+    count, first-occurrence / strict-order semantics): a user reaches
+    step k at the EARLIEST event of type ``steps[k]`` STRICTLY after
+    their step-(k-1) time (same-instant events do not advance the
+    funnel — the documented tie contract), with the optional
+    ``within_seconds`` window anchored at the user's FIRST-step time
+    (the "complete the funnel within T of entry" definition, compared in
+    exact integer microseconds). Returns one row per step:
+    ``(step_idx, step, n_users)`` with ``n_users`` monotonically
+    non-increasing.
+
+    Scale shape: K-1 user-keyed joins + K-1 map-combined groupBys (K =
+    |steps|, a small constant), each bounded by the per-step event slice
+    — the type filter pushes to the scan, nothing is all-pairs, and the
+    final count is ONE union of |users|-sized frames through one
+    map-combined aggregation. Skewed power users are absorbed by the
+    per-user min() combiner. SQL-expressible — oracle-gated as
+    `q_funnel` (suite/llm.py)."""
+    if len(steps) < 2:
+        raise ValueError(f"funnel: need at least 2 steps, got {list(steps)}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel: steps must be distinct, got {list(steps)}")
+    u, t = F.col(user_col), F.col(ts_col)
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_step"))
+        .withColumn("t_first", F.col("t_step"))
+    )
+    frames = [cur]
+    for s in steps[1:]:
+        nxt = events.where(F.col(type_col) == s).select(
+            u.alias("__u"), t.alias("__t")
+        )
+        cond = F.col("__t") > F.col("t_step")
+        if within_seconds is not None:
+            cond = cond & (
+                F.unix_micros(F.col("__t"))
+                <= F.unix_micros(F.col("t_first"))
+                + F.lit(int(within_seconds) * 1_000_000)
+            )
+        cur = (
+            nxt.join(cur, nxt["__u"] == cur[user_col])
+            .where(cond)
+            .groupBy(user_col, "t_first")
+            .agg(F.min("__t").alias("t_step"))
+            .select(user_col, "t_step", "t_first")
+        )
+        frames.append(cur)
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            f.select(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(user_col),
+            )
+            for i, (s, f) in enumerate(zip(steps, frames))
+        ],
+    )
+    # each frame holds one row per user, so count(*) is the user count
+    return tagged.groupBy("step_idx", "step").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def gapfill_series(
+    df: DataFrame,
+    series_col: str,
+    bucket_col: str,
+    value_cols: Sequence[str],
+    step: int,
+) -> DataFrame:
+    """Time-series gap fill (the hypertable ``time_bucket_gapfill`` /
+    LOCF shape): complete each series' integer bucket grid from its own
+    min to max in ``step`` increments, mark the generated rows
+    (``is_filled``), and forward-fill every value column with the last
+    observed value (a series' leading gaps stay NULL — there is nothing
+    to carry). Buckets must be exact multiples of a shared grid (e.g.
+    :func:`~chess_lakehouse_spark.operators.rollup.time_bucket` output) —
+    off-grid buckets raise, because silently absorbing them would
+    double-count observations into neighbors.
+
+    Scale shape: the grid explode is |series| × range/step rows — the
+    OUTPUT size, irreducible; the join back is keyed on (series, bucket);
+    the fill is one window per series, shuffling once on the series key.
+    A single monster series concentrates its grid in one task — chunk
+    the bucket range into sub-partitions upstream if one series spans
+    years at second granularity (the same skew note as the hot-URL
+    groupBy, SCALE.md)."""
+    from pyspark.sql.window import Window
+
+    if step <= 0:
+        raise ValueError(f"gapfill_series: step must be positive, got {step}")
+    off_grid = df.where((F.col(bucket_col) % F.lit(step)) != 0)
+    if off_grid.limit(1).count() > 0:
+        raise ValueError(
+            f"gapfill_series: {bucket_col} contains values that are not "
+            f"multiples of step={step} — bucket upstream first"
+        )
+    bounds = df.groupBy(series_col).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = bounds.select(
+        series_col,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))).alias(
+            bucket_col
+        ),
+    )
+    joined = grid.join(
+        df.withColumn("__obs", F.lit(True)), [series_col, bucket_col], "left"
+    )
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn("is_filled", F.col("__obs").isNull()).drop("__obs")
+    for v in value_cols:
+        out = out.withColumn(v, F.last(F.col(v), ignorenulls=True).over(w))
+    return out

@@ -139,7 +139,7 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     the generalized 64-bit banded hamming join under phash_near_pairs
 #     — radius inside the pigeonhole bound, so the brute-force oracle
 #     checks recall; tests/test_phash.py);
-# Three r11 staging candidates are also ready ahead of schedule:
+# Five r11 staging candidates are also ready ahead of schedule:
 #   - q_badwords / BADWORDS_ORACLE (register as `badwords_gate`; the C4
 #     word-blocklist boolean with the Gopher-normalized membership test;
 #     tests/test_gopher.py);
@@ -149,7 +149,14 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     against the direct full-table GROUP BY; tests/test_rollup.py);
 #   - q_corpus_overlap / CORPUS_OVERLAP_ORACLE (register as
 #     `corpus_overlap`; the corpus-grain pairwise shingle-set Jaccard
-#     grid with integer-exact rounding; tests/test_corpus_overlap.py).
+#     grid with integer-exact rounding; tests/test_corpus_overlap.py);
+#   - q_funnel / FUNNEL_ORACLE (register as `funnel_steps`; ordered-step
+#     progression counts with strict-order first-occurrence semantics
+#     and an entry-anchored integer-microsecond window;
+#     tests/test_funnel.py);
+#   - q_gapfill / GAPFILL_ORACLE (register as `gapfill`; per-series time
+#     grid completion with LOCF forward fill and is_filled markers;
+#     tests/test_gapfill.py).
 # (2) then the 9 deferred r7-green queries (events_hourly,
 # export_projection, filter_null_predicate, groupby_agg, join_star,
 # json_extract, rolling_avg, scalar_kitchen, supplier_revenue) — at the

@@ -1497,6 +1497,119 @@ def q_rollup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_rollup(spark, d, avg6=[("avg_value", "sum_value", "n_value")])
 
 
+#: Funnel definition for the staged candidate: view → click → purchase
+#: completed within one day of funnel entry — splits the fixture at both
+#: local scales (sf0.001: 15/6/3; sf0.01: 150/60/14).
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WITHIN_S = 86_400
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over events (operators/relational.py:funnel):
+    first-occurrence, strictly-increasing step times, window anchored at
+    funnel entry in exact integer microseconds. K-1 user-keyed joins +
+    map-combined groupBys, type filters pushed to the scan.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against FUNNEL_ORACLE pinned in tests/test_funnel.py at two scales +
+    cold-JVM; registration at a window re-plan is a dict + window
+    edit."""
+    from chess_lakehouse_spark.operators.relational import funnel
+
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "event_type", "ts",
+        list(FUNNEL_STEPS), within_seconds=FUNNEL_WITHIN_S,
+    )
+
+
+def _funnel_oracle_sql() -> str:
+    us = FUNNEL_WITHIN_S * 1_000_000
+    ctes = [
+        f"s1 AS (SELECT user_id, MIN(ts) AS t, MIN(ts) AS t1 FROM events "
+        f"WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1)"
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t, MIN(s.t1) AS t1 "
+            f"FROM events e JOIN s{i-1} s ON e.user_id = s.user_id "
+            f"WHERE e.event_type = '{step}' AND e.ts > s.t "
+            f"AND epoch_us(e.ts) <= epoch_us(s.t1) + CAST({us} AS BIGINT) "
+            f"GROUP BY 1)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i+1} AS INT) AS step_idx, '{s}' AS step, "
+        f"COUNT(*) AS n_users FROM s{i+1}"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+FUNNEL_ORACLE = _funnel_oracle_sql()
+
+
+#: Gap-fill candidate: hourly per-type event counts with every 3rd hour
+#: deterministically removed, then grid-completed + LOCF-forward-filled —
+#: is_filled splits both ways at both local scales.
+GAPFILL_STEP_S = 3600
+GAPFILL_HOLE_MOD = 3
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (operators/relational.py:gapfill_series —
+    the hypertable time_bucket_gapfill/LOCF shape): hourly per-type
+    counts with planted holes, per-series grid completion from own
+    min to max, forward-filled counts, is_filled markers. Grid explode
+    is output-sized; the fill is one window per series.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against GAPFILL_ORACLE pinned in tests/test_gapfill.py at two scales
+    + cold-JVM; registration at a window re-plan is a dict + window
+    edit."""
+    from chess_lakehouse_spark.operators.relational import gapfill_series
+    from chess_lakehouse_spark.operators.rollup import time_bucket
+
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bk", time_bucket(F.col("ts"), GAPFILL_STEP_S)
+    )
+    hourly = ev.groupBy("event_type", "bk").agg(F.count(F.lit(1)).alias("n"))
+    holes = hourly.where(
+        (F.expr(f"bk DIV {GAPFILL_STEP_S}") % GAPFILL_HOLE_MOD) != 0
+    )
+    return gapfill_series(holes, "event_type", "bk", ["n"], GAPFILL_STEP_S)
+
+
+GAPFILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         {GAPFILL_STEP_S} * (epoch_us(ts) // {GAPFILL_STEP_S * 1_000_000}) AS bk,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+holes AS (
+  SELECT * FROM hourly WHERE (bk // {GAPFILL_STEP_S}) % {GAPFILL_HOLE_MOD} <> 0
+),
+b AS (SELECT event_type, MIN(bk) AS lo, MAX(bk) AS hi FROM holes GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, {GAPFILL_STEP_S})) AS bk
+  FROM b
+),
+j AS (
+  SELECT g.event_type, g.bk, h.n, h.bk IS NULL AS is_filled
+  FROM grid g LEFT JOIN holes h USING (event_type, bk)
+)
+SELECT event_type, bk,
+       LAST_VALUE(n IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS n,
+       is_filled
+FROM j
+"""
+
+
 #: Shingle width for the corpus-overlap candidate (matches the engine
 #: default; the fixture's shared template vocabulary guarantees non-zero
 #: AND non-total overlap between every source pair).

@@ -544,6 +544,61 @@ def main() -> None:
                 ).count(),
             )
 
+        if only_ops is None or {"funnel_3step", "gapfill_hourly"} & only_ops:
+            # event-table operators: x-factor copies of events with
+            # distinct users AND time-shifted rows (i * 1h) so the funnel
+            # user population and the gap-fill grid both grow with the
+            # factor
+            from chess_lakehouse_spark.operators.relational import (
+                funnel,
+                gapfill_series,
+            )
+            from chess_lakehouse_spark.operators.rollup import time_bucket
+
+            ev_base = spark.read.parquet(f"{sf_dir}/events.parquet")
+            ts_type = dict(ev_base.dtypes).get("ts")
+            if ts_type == "bigint":
+                ev_base = ev_base.withColumn(
+                    "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+                )
+            elif ts_type == "timestamp_ntz":
+                ev_base = ev_base.withColumn("ts", F.col("ts").cast("timestamp"))
+            copies = []
+            for i in range(factor):
+                copies.append(
+                    ev_base.withColumn(
+                        "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+                    ).withColumn(
+                        "ts",
+                        F.timestamp_micros(
+                            F.unix_micros("ts") + F.lit(i * 3_600_000_000)
+                        ),
+                    )
+                )
+            ev = copies[0]
+            for c in copies[1:]:
+                ev = ev.unionByName(c)
+            ev.write.mode("overwrite").parquet(f"{tmp}/events_x{factor}")
+            ev = spark.read.parquet(f"{tmp}/events_x{factor}")
+
+            probe(
+                "funnel_3step", factor,
+                lambda: funnel(
+                    ev, "user_id", "event_type", "ts",
+                    ["view", "click", "purchase"], within_seconds=86_400,
+                ).count(),
+            )
+            hourly = ev.withColumn("bk", time_bucket(F.col("ts"), 3600)).groupBy(
+                "event_type", "bk"
+            ).agg(F.count(F.lit(1)).alias("n"))
+            holes = hourly.where((F.expr("bk DIV 3600") % 3) != 0)
+            probe(
+                "gapfill_hourly", factor,
+                lambda: gapfill_series(
+                    holes, "event_type", "bk", ["n"], 3600
+                ).count(),
+            )
+
         if only_ops is None or {"pagerank_5it"} & only_ops:
             # PageRank over a synthetic host graph whose |V| and |E| both
             # grow with the corpus (md5-derived edges — near-uniform

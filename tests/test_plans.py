@@ -570,3 +570,42 @@ def test_gopher_rules_is_narrow(spark):
     plan = explain(spark, gopher_rules(docs, "doc_id", "text"))
     assert "Exchange" not in plan and "Join" not in plan
     assert "codegen id" in plan
+
+
+def test_funnel_pushes_type_filters_no_cartesian(spark):
+    plan = explain(spark, llm.q_funnel(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # each step's type filter must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gapfill_single_series_shuffle(spark):
+    plan = explain(spark, llm.q_gapfill(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    # the LOCF window partitions by the series key — never an
+    # unpartitioned (single-task) global window
+    win_args = [
+        ln for ln in plan.splitlines()
+        if "Arguments" in ln and "windowspecdefinition" in ln
+    ]
+    assert win_args, "expected a Window operator in the gapfill plan"
+    assert all("windowspecdefinition(event_type#" in ln for ln in win_args)
+
+
+def test_corpus_overlap_no_cartesian_in_corpus(spark):
+    """The only crossJoin is the |groups|^2 size grid (aggregate frames);
+    the document-scale joins are all hash equi-joins on the shingle key."""
+    plan = explain(spark, llm.q_corpus_overlap(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    # shingle self-join and grid join are hash joins keyed on h / g1,g2
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rollup_serve_reads_only_staged_lake(spark):
+    df = llm.q_rollup_staged(spark, SF_DIR)
+    plan = explain(spark, df)
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    # the serve plan scans ONLY the staged agg/spec lake, not events
+    assert all("events.parquet" not in f for f in df.inputFiles())
