@@ -1045,3 +1045,60 @@ def stream_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_stream_state(
+    spark: SparkSession, state_dir: str, keep_recent: int = 2
+) -> None:
+    """Maintenance compaction for the ``batch_id=``-partitioned staged
+    tables every streaming loop here accumulates (sigs/corpus/urls/frame
+    hashes/rollup partials): a year of daily micro-batches is hundreds of
+    partitions whose discovery and footer reads start to dominate the
+    per-batch staged scan. Merges every partition EXCEPT the
+    ``keep_recent`` most recent into one ``batch_id=compacted.<hi>``
+    partition (``hi`` = the highest merged id), preserving rows exactly —
+    consumers read the parent dir through partition discovery and see
+    identical data; the synthetic label can never equal a live numeric
+    (or ``b<N>``) foreachBatch id, so the replay-hole exclusion filter
+    (``batch_id <> current``) keeps working for live batches. Recency
+    orders numeric ids numerically; non-numeric labels (``bootstrap``,
+    prior ``compacted.*``) are always merged. The rewrite lands aside and
+    swaps via the crash-safe rename-aside pattern.
+
+    Operational contract: run BETWEEN stream runs (the availableNow
+    drain-and-stop cycle leaves exactly that window), and keep
+    ``keep_recent`` >= 1 so a crashed-uncommitted batch — the only one
+    foreachBatch can ever replay — still owns its partition."""
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    if keep_recent < 1:
+        raise ValueError(
+            f"compact_stream_state: keep_recent must be >= 1, got {keep_recent}"
+        )
+    df = spark.read.parquet(state_dir)
+    ids = [
+        str(r.batch_id)
+        for r in df.select("batch_id").distinct().collect()
+    ]
+
+    def _order(b: str):
+        num = b[1:] if b.startswith("b") and b[1:].isdigit() else b
+        return (1, int(num), "") if num.isdigit() else (0, 0, b)
+
+    ids.sort(key=_order)
+    kept = set(ids[-keep_recent:]) if keep_recent < len(ids) else set(ids)
+    merged = [b for b in ids if b not in kept]
+    if not merged:
+        return
+    hi = max((_order(b) for b in merged))
+    tag = f"compacted.{hi[1] if hi[0] == 1 else 0}"
+    remapped = df.withColumn(
+        "batch_id",
+        F.when(
+            F.col("batch_id").cast("string").isin(list(kept)),
+            F.col("batch_id").cast("string"),
+        ).otherwise(F.lit(tag)),
+    )
+    tmp = f"{state_dir.rstrip('/')}.compacting"
+    remapped.write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+    _swap_lake_dirs(spark, tmp, state_dir.rstrip("/"), "compact_stream_state")

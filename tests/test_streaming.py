@@ -1231,3 +1231,69 @@ def test_stream_rollup_equals_direct_aggregation(spark, tmp_path):
     assert rows(serve_rollup(spark, rdir)) == want
     compact_rollup(spark, rdir)
     assert rows(serve_rollup(spark, rdir)) == want
+
+
+def test_compact_stream_state_preserves_dedup_semantics(spark, tmp_path):
+    """Compacting old batch partitions changes neither the staged ROWS nor
+    the behavior of later batches: cross-batch rejection still fires, and
+    the newest (replayable) batch keeps its own partition so the replay
+    guard still excludes it."""
+    from chess_lakehouse_spark.streaming import (
+        compact_stream_state,
+        url_dedup_batch,
+    )
+
+    schema = "doc_id long, url string"
+    urls_dir, out = str(tmp_path / "urls"), str(tmp_path / "out")
+
+    def batch(bid, rows):
+        url_dedup_batch(
+            spark.createDataFrame(rows, schema), bid, urls_dir, out, "url"
+        )
+
+    batch(0, [(1, "https://a.example/x"), (2, "https://b.example/y")])
+    batch(1, [(10, "https://c.example/z")])
+    batch(2, [(20, "https://d.example/w")])
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(urls_dir).drop("batch_id").collect()
+    )
+
+    compact_stream_state(spark, urls_dir, keep_recent=1)
+    after_parts = {
+        str(r.batch_id)
+        for r in spark.read.parquet(urls_dir).select("batch_id").distinct().collect()
+    }
+    assert after_parts == {"compacted.1", "2"}
+    assert (
+        sorted(
+            tuple(r)
+            for r in spark.read.parquet(urls_dir).drop("batch_id").collect()
+        )
+        == before
+    )
+
+    # cross-batch rejection against COMPACTED state still fires
+    batch(3, [(30, "https://a.example/x"), (31, "https://e.example/v")])
+    got3 = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/batch_id=3").collect()
+    )
+    assert got3 == [31]  # 30 duplicates batch 0's URL, now in compacted.1
+
+    # replay of the newest batch stays idempotent post-compaction
+    compact_stream_state(spark, urls_dir, keep_recent=1)
+    snap = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/batch_id=3").collect()
+    )
+    batch(3, [(30, "https://a.example/x"), (31, "https://e.example/v")])
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(f"{out}/batch_id=3").collect())
+        == snap
+    )
+
+    # everything-kept and bad-arg paths
+    compact_stream_state(spark, urls_dir, keep_recent=99)  # no-op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_recent"):
+        compact_stream_state(spark, urls_dir, keep_recent=0)
