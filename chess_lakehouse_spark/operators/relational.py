@@ -679,3 +679,62 @@ def gapfill_series(
     for v in value_cols:
         out = out.withColumn(v, F.last(F.col(v), ignorenulls=True).over(w))
     return out
+
+
+def integer_zscore_flags(
+    df: DataFrame,
+    series_col: str,
+    bucket_col: str,
+    n_col: str,
+    window: int = 24,
+    k2: int = 9,
+) -> DataFrame:
+    """EXACT anomaly flags over integer count series — the trailing
+    z-score test with the float entirely algebra'd away: with window sums
+    ``s = Σx``, ``ss = Σx²`` over the ``window`` buckets STRICTLY BEFORE
+    the current one (the point never contaminates its own baseline),
+
+        |x - s/w| > k·σ   ⇔   (w·x - s)² > k²·(w·ss - s²)
+
+    so the flag is ONE integer comparison — no mean, no sqrt, no
+    division: bit-identical on every engine and partitioning, where a
+    float z-score rides the documented ROUND-of-transcendental risk.
+    ``k2`` is k² (9 ⇔ the classic 3σ). Points whose trailing window is
+    not yet FULL score NULL (insufficient baseline ≠ normal). Inputs must
+    be integer counts (``n_col`` is cast to long; pre-scale fixed-point
+    values upstream if needed — the identity needs exact integers).
+    Overflow headroom: |w·x| must stay under ~3·10⁹ for the square to
+    fit a long.
+
+    Scale shape: one window per series (one shuffle on the series key),
+    everything else rides the scan. Returns
+    ``(series, bucket, n, is_anomaly)``."""
+    from pyspark.sql.window import Window
+
+    if window < 2:
+        raise ValueError(f"integer_zscore_flags: window must be >= 2, got {window}")
+    if k2 < 1:
+        raise ValueError(f"integer_zscore_flags: k2 must be >= 1, got {k2}")
+    x = F.col(n_col).cast("long")
+    win = (
+        Window.partitionBy(series_col)
+        .orderBy(bucket_col)
+        .rowsBetween(-window, -1)
+    )
+    staged = df.select(
+        series_col,
+        bucket_col,
+        x.alias(n_col),
+        F.sum(x).over(win).alias("__s"),
+        F.sum(x * x).over(win).alias("__ss"),
+        F.count(x).over(win).alias("__cnt"),
+    )
+    w_, s, ss, cnt = F.lit(window), F.col("__s"), F.col("__ss"), F.col("__cnt")
+    lhs = (cnt * F.col(n_col) - s) * (cnt * F.col(n_col) - s)
+    rhs = F.lit(k2) * (cnt * ss - s * s)
+    return staged.select(
+        series_col,
+        bucket_col,
+        n_col,
+        F.when(cnt == w_, lhs > rhs).alias("is_anomaly"),
+    )

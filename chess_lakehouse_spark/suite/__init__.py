@@ -139,7 +139,7 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     the generalized 64-bit banded hamming join under phash_near_pairs
 #     — radius inside the pigeonhole bound, so the brute-force oracle
 #     checks recall; tests/test_phash.py);
-# Five r11 staging candidates are also ready ahead of schedule:
+# Six r11 staging candidates are also ready ahead of schedule:
 #   - q_badwords / BADWORDS_ORACLE (register as `badwords_gate`; the C4
 #     word-blocklist boolean with the Gopher-normalized membership test;
 #     tests/test_gopher.py);
@@ -156,7 +156,10 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     tests/test_funnel.py);
 #   - q_gapfill / GAPFILL_ORACLE (register as `gapfill`; per-series time
 #     grid completion with LOCF forward fill and is_filled markers;
-#     tests/test_gapfill.py).
+#     tests/test_gapfill.py);
+#   - q_anomaly / ANOMALY_ORACLE (register as `anomaly_flags`; trailing
+#     z-score flags with the float algebra'd away into one integer
+#     comparison — (w·x − s)² > k²(w·ss − s²); tests/test_anomaly.py).
 # (2) then the 9 deferred r7-green queries (events_hourly,
 # export_projection, filter_null_predicate, groupby_agg, join_star,
 # json_extract, rolling_avg, scalar_kitchen, supplier_revenue) — at the

@@ -1549,6 +1549,63 @@ def _funnel_oracle_sql() -> str:
 FUNNEL_ORACLE = _funnel_oracle_sql()
 
 
+#: Anomaly candidate: trailing-24h exact-integer 3-sigma flags over the
+#: hourly per-type count series — 29/46 anomalies at sf0.001/0.01, so
+#: the boolean splits at both scales.
+ANOMALY_WINDOW = 24
+ANOMALY_K2 = 9
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer trailing z-score anomaly flags
+    (operators/relational.py:integer_zscore_flags) over hourly per-type
+    event counts: (w·x − s)² > k²·(w·ss − s²) — one integer comparison,
+    no mean/sqrt/division, bit-identical cross-engine where a float
+    z-score would ride the ROUND-of-transcendental risk. NULL until the
+    trailing window is full.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against ANOMALY_ORACLE pinned in tests/test_anomaly.py at two scales
+    + cold-JVM; registration at a window re-plan is a dict + window
+    edit."""
+    from chess_lakehouse_spark.operators.relational import integer_zscore_flags
+    from chess_lakehouse_spark.operators.rollup import time_bucket
+
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bk", time_bucket(F.col("ts"), 3600)
+    )
+    hourly = ev.groupBy("event_type", "bk").agg(F.count(F.lit(1)).alias("n"))
+    return integer_zscore_flags(
+        hourly, "event_type", "bk", "n",
+        window=ANOMALY_WINDOW, k2=ANOMALY_K2,
+    )
+
+
+ANOMALY_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         3600 * (epoch_us(ts) // 3600000000) AS bk,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, bk, n,
+         SUM(n) OVER win AS s,
+         SUM(n * n) OVER win AS ss,
+         COUNT(*) OVER win AS cnt
+  FROM hourly
+  WINDOW win AS (PARTITION BY event_type ORDER BY bk
+                 ROWS BETWEEN {ANOMALY_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bk, CAST(n AS BIGINT) AS n,
+       CASE WHEN cnt = {ANOMALY_WINDOW} THEN
+         (cnt * n - s) * (cnt * n - s) > {ANOMALY_K2} * (cnt * ss - s * s)
+       END AS is_anomaly
+FROM w
+"""
+
+
 #: Gap-fill candidate: hourly per-type event counts with every 3rd hour
 #: deterministically removed, then grid-completed + LOCF-forward-filled —
 #: is_filled splits both ways at both local scales.
