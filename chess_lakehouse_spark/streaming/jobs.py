@@ -1102,3 +1102,57 @@ def compact_stream_state(
     tmp = f"{state_dir.rstrip('/')}.compacting"
     remapped.write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
     _swap_lake_dirs(spark, tmp, state_dir.rstrip("/"), "compact_stream_state")
+
+
+def stream_anomaly_alerts(
+    new_events: DataFrame,
+    rollup_dir: str,
+    alerts_dir: str,
+    checkpoint_dir: str,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    window: int = 24,
+    k2: int = 9,
+) -> None:
+    """Streaming anomaly monitoring as a COMPOSITION of the staged
+    primitives — the operational loop a 100 TB event pipeline runs: each
+    micro-batch folds its bucketed per-series counts into the rollup as
+    its own ``batch_id=b<N>`` partition (O(batch), structurally
+    replay-idempotent — ``stream_rollup``'s contract), then the full
+    count series is SERVED from the |series|·|buckets|-sized staged state
+    (zero event re-reads) and scored by the exact-integer trailing
+    z-score (``integer_zscore_flags`` — bit-identical flags regardless of
+    how history was batched), overwriting ``alerts_dir`` with the current
+    flag table. A crash-replay refolds its own partition and recomputes
+    the same alerts — idempotent end to end because every derived table
+    is a pure function of the staged state. The rollup must be BUILT
+    first (``build_rollup`` with keys ``[series_col, 'bk']`` and one
+    ``('n', 'count', None)`` measure — e.g. over the historical backfill,
+    or an empty slice of it)."""
+    from chess_lakehouse_spark.operators.relational import integer_zscore_flags
+    from chess_lakehouse_spark.operators.rollup import (
+        append_rollup,
+        serve_rollup,
+        time_bucket,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bucketed = batch_df.withColumn(
+            "bk", time_bucket(F.col(ts_col), bucket_seconds)
+        )
+        append_rollup(bucketed, rollup_dir, f"b{batch_id}")
+        series = serve_rollup(spark, rollup_dir)
+        flags = integer_zscore_flags(
+            series, series_col, "bk", "n", window=window, k2=k2
+        )
+        flags.write.mode("overwrite").parquet(alerts_dir)
+
+    q = (
+        new_events.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -544,6 +544,25 @@ def main() -> None:
                 ).count(),
             )
 
+        if only_ops is None or {"corpus_overlap"} & only_ops:
+            # corpus-grain overlap audit: the x-factor copies keep their
+            # original source labels but carry per-copy-tagged vocab, so
+            # the distinct (group, shingle) table grows linearly while
+            # |groups| stays fixed — the intended usage shape
+            from chess_lakehouse_spark.operators.dedup import (
+                corpus_overlap_matrix,
+            )
+
+            # .count() would let Catalyst PRUNE the shared-shingle
+            # self-join (a left join preserves left row count) — sum the
+            # join outputs instead so the measured plan is the real one
+            probe(
+                "corpus_overlap", factor,
+                lambda: corpus_overlap_matrix(docs, "source", "text", k=3)
+                .agg(F.sum("shared"), F.sum("n1"))
+                .collect(),
+            )
+
         if only_ops is None or {"funnel_3step", "gapfill_hourly"} & only_ops:
             # event-table operators: x-factor copies of events with
             # distinct users AND time-shifted rows (i * 1h) so the funnel

@@ -1297,3 +1297,79 @@ def test_compact_stream_state_preserves_dedup_semantics(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="keep_recent"):
         compact_stream_state(spark, urls_dir, keep_recent=0)
+
+
+def test_stream_anomaly_alerts_equals_batch_composition(spark, tmp_path):
+    """Two event drops through the streaming monitor produce EXACTLY the
+    flags the batch composition computes over the concatenated events —
+    regardless of how history was batched; restart with nothing new
+    changes nothing."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.relational import integer_zscore_flags
+    from chess_lakehouse_spark.operators.rollup import build_rollup, time_bucket
+    from chess_lakehouse_spark.streaming import stream_anomaly_alerts
+
+    def ev(eid, minute, typ="view"):
+        return (eid, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(hours=minute), typ)
+
+    # steady hourly singles, then a 30-event spike in hour 40
+    rows = [ev(i, i) for i in range(40)] + [
+        ev(1000 + j, 40) for j in range(30)
+    ] + [ev(2000, 41)]
+    schema = "event_id long, ts timestamp, event_type string"
+    half = len(rows) // 2
+    d1, d2 = rows[:half], rows[half:]
+
+    rdir, alerts, ckpt = (
+        str(tmp_path / d) for d in ("rollup", "alerts", "ckpt")
+    )
+    hist = spark.createDataFrame([], schema).withColumn(
+        "bk", time_bucket(F.col("ts"), 3600)
+    )
+    build_rollup(hist, ["event_type", "bk"], [("n", "count", None)], rdir)
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+
+    def land(name, rs):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rs, schema).coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_anomaly_alerts(stream, rdir, alerts, ckpt, window=24, k2=9)
+
+    land("d1", d1)
+    run()
+    land("d2", d2)
+    run()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(alerts).collect())
+    batch_series = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("bk", time_bucket(F.col("ts"), 3600))
+        .groupBy("event_type", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = sorted(
+        tuple(r)
+        for r in integer_zscore_flags(
+            batch_series, "event_type", "bk", "n", window=24, k2=9
+        ).collect()
+    )
+    assert got == want
+    # the spike hour (30 events where the baseline is 1/hour) must flag
+    spike_rows = [r for r in got if r[2] == 30]
+    assert spike_rows and all(r[3] is True for r in spike_rows)
+
+    run()  # restart with nothing new
+    assert sorted(tuple(r) for r in spark.read.parquet(alerts).collect()) == got
