@@ -1589,7 +1589,23 @@ def badwords_gate(text: Column, badwords) -> Column:
             F.translate(x, _ASCII_UPPER, _ASCII_LOWER), F.lit(GOPHER_EDGE_PUNCT)
         ),
     )
-    blocked = F.array(
-        *[F.lit(w.lower().strip()) for w in badwords if w and w.strip()]
-    )
+    normed = normalize_badwords(badwords)
+    if not normed:
+        return F.lit(True)
+    blocked = F.array(*[F.lit(w) for w in normed])
     return F.coalesce(~F.arrays_overlap(norm, blocked), F.lit(True))
+
+
+def normalize_badwords(badwords) -> list[str]:
+    """Blocklist entries through the SAME chain document tokens get
+    (lowercase + edge-punctuation trim): an entry like ``'bad!'`` could
+    otherwise never match — every document token has its edge punctuation
+    trimmed before membership, so the un-trimmed entry is a silent no-op.
+    Shared by :func:`badwords_gate` and the suite oracle generator so the
+    two lists cannot diverge."""
+    out = []
+    for w in badwords:
+        w = (w or "").strip().lower().strip(GOPHER_EDGE_PUNCT)
+        if w and w not in out:
+            out.append(w)
+    return out

@@ -174,7 +174,20 @@ def host_blocklist_gate(
     from operator import or_
 
     h = url_host(url)
-    entries = sorted({e.lower().strip() for e in blocked_hosts if e and e.strip()})
+    # entries pass through the SAME identity as url_host — lowercase,
+    # one leading 'www.' stripped — plus the conventional leading-dot
+    # wildcard form ('.example.com' means the domain and its
+    # subdomains). Without this a real-world list carrying
+    # 'www.badsite.com' could never match the www-stripped host and the
+    # gate would silently keep everything it was configured to drop.
+    entries = set()
+    for e in blocked_hosts:
+        e = (e or "").lower().strip().lstrip(".")
+        if e.startswith("www."):
+            e = e[4:]
+        if e:
+            entries.add(e)
+    entries = sorted(entries)
     if not entries:
         return F.lit(True)
     hit = h.isin(entries)

@@ -618,9 +618,18 @@ def funnel(
             for i, (s, f) in enumerate(zip(steps, frames))
         ],
     )
-    # each frame holds one row per user, so count(*) is the user count
-    return tagged.groupBy("step_idx", "step").agg(
+    # each frame holds one row per user, so count(*) is the user count;
+    # right-join the K-row step table so a step NO user reaches still
+    # emits its n_users = 0 row (the one-row-per-step contract — and the
+    # oracle's aggregate-without-GROUP-BY shape, which always emits)
+    step_rows = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    counts = tagged.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+    return counts.join(step_rows, ["step_idx", "step"], "right").select(
+        "step_idx", "step", F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users")
     )
 
 
@@ -652,15 +661,25 @@ def gapfill_series(
 
     if step <= 0:
         raise ValueError(f"gapfill_series: step must be positive, got {step}")
-    off_grid = df.where((F.col(bucket_col) % F.lit(step)) != 0)
-    if off_grid.limit(1).count() > 0:
-        raise ValueError(
-            f"gapfill_series: {bucket_col} contains values that are not "
-            f"multiples of step={step} — bucket upstream first"
-        )
-    bounds = df.groupBy(series_col).agg(
-        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    # one aggregated pass validates AND computes bounds (a separate
+    # limit(1) probe would add a full input scan); NULL buckets count as
+    # off-grid too — `NULL % step != 0` is NULL, and letting them through
+    # would silently DROP the observation at the grid join instead of
+    # raising
+    bad = (F.col(bucket_col).isNull()) | (
+        (F.col(bucket_col) % F.lit(step)) != 0
     )
+    bounds = df.groupBy(series_col).agg(
+        F.min(bucket_col).alias("__lo"),
+        F.max(bucket_col).alias("__hi"),
+        F.count(F.when(bad, 1)).alias("__bad"),
+    )
+    n_bad = bounds.agg(F.sum("__bad")).first()[0] or 0
+    if n_bad:
+        raise ValueError(
+            f"gapfill_series: {n_bad} row(s) have {bucket_col} NULL or not "
+            f"a multiple of step={step} — bucket upstream first"
+        )
     grid = bounds.select(
         series_col,
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))).alias(

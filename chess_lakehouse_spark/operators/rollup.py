@@ -170,17 +170,32 @@ def build_rollup(
     _check_spec(keys, measures)
     _check_batch_id(batch_id)
     spark = df.sparkSession
-    _write_spec(spark, keys, measures, rollup_dir)
-    # a REbuild must not leave stale batch partitions from a prior
-    # lifecycle under the new spec
+    # stage spec + partials TOGETHER under one .building dir and swap the
+    # whole rollup root in: writing spec/ into the live dir first would
+    # open a crash window where a NEW spec is paired with STALE old-spec
+    # partials (or none) and serve_rollup silently merges wrong values —
+    # the exact hazard the rename-aside pattern exists for
+    rollup_dir = rollup_dir.rstrip("/")
+    tmp = f"{rollup_dir}.building"
     jvm = spark._jvm
-    agg = jvm.org.apache.hadoop.fs.Path(f"{rollup_dir}/agg")
-    fs = agg.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(agg) and not fs.delete(agg, True):
-        raise IOError(f"build_rollup: failed to clear stale {rollup_dir}/agg")
+    hconf = spark._jsc.hadoopConfiguration()
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = tmp_p.getFileSystem(hconf)
+    if fs.exists(tmp_p) and not fs.delete(tmp_p, True):
+        raise IOError(f"build_rollup: failed to clear stale {tmp}")
+    _write_spec(spark, keys, measures, tmp)
     df.groupBy(*keys).agg(*_partial_aggs(measures)).write.mode("overwrite").parquet(
-        f"{rollup_dir}/agg/batch_id={batch_id}"
+        f"{tmp}/agg/batch_id={batch_id}"
     )
+    live = jvm.org.apache.hadoop.fs.Path(rollup_dir)
+    if fs.exists(live):
+        from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+        _swap_lake_dirs(spark, tmp, rollup_dir, "build_rollup")
+    else:
+        fs.mkdirs(live.getParent())
+        if not fs.rename(tmp_p, live):
+            raise IOError(f"build_rollup: rename {tmp} -> {rollup_dir} failed")
 
 
 def append_rollup(delta_df: DataFrame, rollup_dir: str, batch_id: str) -> None:
@@ -313,6 +328,18 @@ def percentile_from_counts(
 
     if not ps or not all(0 < p <= 1 for p in ps):
         raise ValueError(f"percentile_from_counts: ps must be in (0, 1], got {ps}")
+    # exact-integer rank threshold: cum >= ceil(p*n) <=> cum * 1e6 >= p6 * n
+    # with p6 = round(p * 1e6). Floating ceil(p * n) is WRONG here:
+    # 0.55 * 100 is 55.000000000000007 in IEEE double and ceils to 56,
+    # off-by-one-rank on exact boundaries. ps therefore resolve at
+    # 6-decimal precision.
+    p6s = [round(float(p) * 1_000_000) for p in ps]
+    names = [f"p{round(p * 100)}" for p in ps]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"percentile_from_counts: ps {list(ps)} collide on the integer "
+            f"percent labels {names} — they would produce duplicate columns"
+        )
     w = Window.partitionBy(*group_keys).orderBy(bucket_col)
     tot = Window.partitionBy(*group_keys)
     c = (
@@ -320,13 +347,16 @@ def percentile_from_counts(
         .withColumn("_tot", F.sum(n_col).over(tot))
         .persist()
     )
-    out = None
-    for p in ps:
-        name = f"p{round(p * 100)}"
-        hit = (
-            c.where(F.col("_cum") >= F.ceil(F.lit(float(p)) * F.col("_tot")))
-            .groupBy(*group_keys)
-            .agg(F.min(bucket_col).alias(name))
-        )
-        out = hit if out is None else out.join(hit, group_keys)
+    try:
+        out = None
+        for p6, name in zip(p6s, names):
+            hit = (
+                c.where(F.col("_cum") * 1_000_000 >= F.lit(p6) * F.col("_tot"))
+                .groupBy(*group_keys)
+                .agg(F.min(bucket_col).alias(name))
+            )
+            out = hit if out is None else out.join(hit, group_keys)
+        out = out.localCheckpoint()
+    finally:
+        c.unpersist()
     return out

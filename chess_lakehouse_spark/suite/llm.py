@@ -1912,7 +1912,17 @@ def q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BADWORDS_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in BADWORDS_GATE_WORDS) + "]"
+def _badwords_list_sql() -> str:
+    # the oracle list MUST ride the engine's entry normalization
+    # (functions/text.py:normalize_badwords) — one chain, no drift
+    from chess_lakehouse_spark.functions.text import normalize_badwords
+
+    return "[" + ", ".join(
+        f"'{w}'" for w in normalize_badwords(BADWORDS_GATE_WORDS)
+    ) + "]"
+
+
+_BADWORDS_LIST_SQL = _badwords_list_sql()
 
 BADWORDS_ORACLE = rf"""
 SELECT doc_id,

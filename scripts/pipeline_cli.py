@@ -48,6 +48,18 @@ def _spark():
     return get_spark(app_name="chess_lakehouse_pipeline")
 
 
+def _read_list_file(path: str) -> list:
+    """One entry per line, blank lines and #-comment lines skipped —
+    STRIPPED first, so an indented '  # comment' is a comment, not a
+    bogus entry."""
+    out = []
+    for ln in Path(path).read_text().splitlines():
+        ln = ln.strip()
+        if ln and not ln.startswith("#"):
+            out.append(ln)
+    return out
+
+
 def cmd_read_pgn(args: argparse.Namespace) -> None:
     from pyspark.sql import functions as F
 
@@ -220,18 +232,10 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         )
 
         if args.blockedHostsFile:
-            hosts = [
-                ln.strip()
-                for ln in Path(args.blockedHostsFile).read_text().splitlines()
-                if ln.strip() and not ln.startswith("#")
-            ]
+            hosts = _read_list_file(args.blockedHostsFile)
             docs = docs.where(host_blocklist_gate(F.col(args.urlCol), hosts))
         if args.blockedUrlWordsFile:
-            frags = [
-                ln.strip()
-                for ln in Path(args.blockedUrlWordsFile).read_text().splitlines()
-                if ln.strip() and not ln.startswith("#")
-            ]
+            frags = _read_list_file(args.blockedUrlWordsFile)
             docs = docs.where(url_badwords_gate(F.col(args.urlCol), frags))
         if args.hostRanksParquet:
             # host-authority gate: join the rank-hosts artifact (node,
@@ -270,11 +274,7 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
         # before the quality gate (the C4 ordering).
         from chess_lakehouse_spark.functions.text import badwords_gate
 
-        words = [
-            ln.strip()
-            for ln in Path(args.badwordsFile).read_text().splitlines()
-            if ln.strip() and not ln.startswith("#")
-        ]
+        words = _read_list_file(args.badwordsFile)
         docs = docs.where(badwords_gate(F.col("text"), words))
     if args.dsirTarget:
         # DSIR selection BEFORE the quality gate: keep the --dsirKeep docs

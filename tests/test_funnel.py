@@ -37,12 +37,21 @@ def test_funnel_order_and_first_occurrence(spark):
     assert got == {1: ("a", 3), 2: ("b", 2), 3: ("c", 1)}
 
 
+def test_funnel_emits_zero_rows_for_unreached_steps(spark):
+    """A step no user reaches still emits its n_users = 0 row — the
+    one-row-per-step contract, and the oracle's aggregate-without-GROUP-BY
+    shape (which always emits a row)."""
+    rows = [(1, "a", _ts(0)), (2, "a", _ts(1))]
+    got = _run(spark, rows)
+    assert got == {1: ("a", 2), 2: ("b", 0), 3: ("c", 0)}
+
+
 def test_funnel_same_instant_does_not_advance(spark):
     """Strictly-after contract: a step at the identical timestamp of the
     previous step does not advance the funnel."""
     rows = [(1, "a", _ts(0)), (1, "b", _ts(0)), (1, "c", _ts(1))]
     got = _run(spark, rows)
-    assert got == {1: ("a", 1)}
+    assert got == {1: ("a", 1), 2: ("b", 0), 3: ("c", 0)}
 
 
 def test_funnel_window_anchored_at_entry(spark):

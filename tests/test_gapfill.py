@@ -46,10 +46,16 @@ def test_gapfill_multi_value_and_leading_null(spark):
     }
 
 
-def test_gapfill_rejects_off_grid_and_bad_step(spark):
+def test_gapfill_rejects_off_grid_null_and_bad_step(spark):
     df = spark.createDataFrame([("A", 7, 1)], "g string, bk long, v long")
-    with pytest.raises(ValueError, match="not .*multiples|multiples"):
+    with pytest.raises(ValueError, match="not a multiple"):
         gapfill_series(df, "g", "bk", ["v"], 10)
+    # a NULL bucket must RAISE, not silently vanish at the grid join
+    dfn = spark.createDataFrame(
+        [("A", 10, 1), ("A", None, 2)], "g string, bk long, v long"
+    )
+    with pytest.raises(ValueError, match="NULL or not"):
+        gapfill_series(dfn, "g", "bk", ["v"], 10)
     with pytest.raises(ValueError, match="positive"):
         gapfill_series(df, "g", "bk", ["v"], 0)
 

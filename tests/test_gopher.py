@@ -395,3 +395,48 @@ def test_clean_corpus_url_words_flag(spark, tmp_path):
     ])
     ids = sorted(r.doc_id for r in spark.read.json(str(out / "corpus")).collect())
     assert ids == [0, 1, 3, 4, 5, 6, 7]  # 2 dropped by URL fragment
+
+
+def test_host_blocklist_entry_forms_normalize_to_url_host_identity(spark):
+    """Real-world list forms — 'www.X', '.X' wildcard, mixed case — must
+    fold to the same www-stripped lowercase identity as url_host; without
+    that a 'www.badsite.com' entry silently never matches anything."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.urls import host_blocklist_gate
+
+    rows = [
+        (1, "https://badsite.example/x"),
+        (2, "https://www.badsite.example/y"),
+        (3, "https://sub.badsite.example/z"),
+        (4, "https://goodsite.example/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    for entry in ("www.badsite.example", ".badsite.example", "BADSITE.example"):
+        kept = {
+            r.doc_id
+            for r in df.where(host_blocklist_gate(F.col("url"), [entry])).collect()
+        }
+        assert kept == {4}, entry
+
+
+def test_badwords_entries_ride_token_normalization(spark):
+    """An entry carrying edge punctuation or case ('Bad!') must still hit
+    — entries pass through the SAME trim chain as document tokens."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.text import (
+        badwords_gate,
+        normalize_badwords,
+    )
+
+    assert normalize_badwords(["Bad!", "(bad)", " ok ", "!!"]) == ["bad", "ok"]
+    df = spark.createDataFrame(
+        [(1, "a bad word here"), (2, "all clean here")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in df.where(badwords_gate(F.col("text"), ["Bad!"])).collect()
+    }
+    assert kept == {2}

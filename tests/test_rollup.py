@@ -383,3 +383,20 @@ def test_rollup_fold_property(spark, rows, n_deltas):
     )
     tagged.unpersist()
     assert got == want
+
+
+def test_percentile_exact_boundary_and_label_collision(spark, tmp_path):
+    """p=0.55 over exactly 100 rows: the rank threshold is EXACTLY 55 —
+    a float ceil(0.55*100) computes 56 (IEEE 0.55*100 = 55.000...007) and
+    reports the wrong bucket when ranks 55/56 straddle a boundary."""
+    from chess_lakehouse_spark.operators.rollup import percentile_from_counts
+
+    # buckets 0..99, one row each: rank k lives in bucket k-1
+    df = spark.createDataFrame(
+        [("g", b, 1) for b in range(100)], "g string, b long, cnt long"
+    )
+    got = percentile_from_counts(df, ["g"], "b", "cnt", [0.55]).collect()[0]
+    assert got["p55"] == 54  # rank 55 -> bucket 54; float ceil would say 55
+
+    with pytest.raises(ValueError, match="collide"):
+        percentile_from_counts(df, ["g"], "b", "cnt", [0.12, 0.125])
