@@ -1120,3 +1120,201 @@ def corpus_overlap_matrix(
         "g1", "g2", "n1", "n2", "shared",
         F.when(F.col("u") > 0, jaccard).alias("jaccard"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    q: int = 4,
+    stop_gram_min_df: int | None = None,
+) -> DataFrame:
+    """All pairs within Levenshtein edit distance ``max_dist`` — exact and
+    COMPLETE (no lossy blocking), the record-linkage / metadata-dedup
+    primitive the near-dup family lacked (MinHash/SimHash/Jaccard are all
+    set-similarity; edit distance is the order-sensitive complement for
+    titles, names, short keys). Returns (id_a, id_b, dist) with
+    ``id_a < id_b`` and ``dist <= max_dist``. NULL texts are excluded.
+
+    Candidate generation is the positional q-gram COUNT filter of Gravano
+    et al., VLDB'01 ("Approximate string joins in a database (almost) for
+    free" — public algorithm): if ``ed(a, b) <= d`` then the positional
+    q-gram multisets of a and b share at least
+    ``T = max(|a|, |b|) - q + 1 - q*d`` elements within position offset
+    ``<= d`` (each edit destroys at most q grams and shifts positions by
+    at most 1 each). The plan:
+
+    - strings with ``len >= q`` explode to (id, len, pos, gram) rows with
+      the gram collapsed to ``xxhash64`` (same in-plan-only exemption from
+      the module's md5 contract as :func:`ngram_jaccard_pairs` — counts,
+      never hash values, leave the plan);
+    - ONE gram-keyed equi self-join (never a cross join; AQE splits hot
+      grams) with ``|pos_a - pos_b| <= d``, ``|len_a - len_b| <= d`` and
+      ``id_a < id_b`` as join filters, then a map-combined count per pair
+      thresholded at T. This covers every qualifying pair whose LONGER
+      string has ``len >= q*(d+1)`` (T >= 1 there; the partner always has
+      grams because ``|len diff| <= d < q*d`` forces ``len >= q``).
+    - pairs where BOTH strings are shorter than ``q*(d+1)`` get a
+      length-bucket path: bucket ``len DIV (d+1)``; each string probes its
+      own bucket and the next (``|len diff| <= d`` implies bucket distance
+      <= 1), pairs are normalized to (least, greatest) and deduped. Within
+      a bucket this is all-pairs — bounded by the short-string population
+      per ~d-char length band, the same documented worst case as the LSH
+      bucket caps.
+    - the union of both (disjoint by the greatest-length split) is
+      verified with Spark's threshold form ``levenshtein(a, b, d)``
+      (early-exit DP, returns -1 above d) after two id-keyed joins back to
+      the texts.
+
+    ``stop_gram_min_df``: optionally drop grams occurring in more than
+    that many STRINGS from the count join (the hot-gram skew knob at
+    100 TB). Soundness is preserved two ways: the per-pair threshold
+    weakens to ``T - least(dropped_a, dropped_b)`` (the matched
+    correspondence loses at most the smaller side's dropped occurrences),
+    and strings left DEGENERATE by the drop (non-stop gram count
+    ``<= q*d``, i.e. ``dropped >= len - q + 1 - q*d``) are ALSO routed
+    through the bucket path — a pair can evade the count filter only when
+    BOTH sides are degenerate (if either side keeps ``> q*d`` non-stop
+    grams, ``least(dropped) < T`` so the weakened threshold stays >= 1),
+    and both-degenerate pairs meet in their length bucket. Recall stays
+    exact — pinned against the unfiltered plan in tests/test_edit_join.py
+    on a corpus whose strings are ~90% stop grams. The candidate union is
+    deduped because the two paths overlap once degenerate long strings
+    enter the buckets.
+
+    100 TB shape: every shuffle is keyed (gram join, pair count, bucket
+    join, id verify joins); driver state is zero. Skew: hot grams are the
+    one hot key class — AQE skew-join plus the stop-gram knob; the count
+    filter itself is what keeps the verify join (the expensive DP) fed
+    with candidates instead of the O(n²) grid. The oracle's brute-force
+    form stays tractable only through the implied ``|len diff| <= d``
+    predicate — at lake scale the oracle class is sampled audits, not a
+    full join (same contract as the other near-dup oracles).
+    """
+    if max_dist < 1:
+        raise ValueError(f"edit_distance_pairs: max_dist must be >= 1, got {max_dist}")
+    if q < 2:
+        raise ValueError(f"edit_distance_pairs: q must be >= 2, got {q}")
+    if stop_gram_min_df is not None and stop_gram_min_df < 1:
+        raise ValueError(
+            f"edit_distance_pairs: stop_gram_min_df must be >= 1, got {stop_gram_min_df}"
+        )
+    d = int(max_dist)
+    l_min = q * (d + 1)
+
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .where(F.col("t").isNotNull())
+        .withColumn("len", F.length("t"))
+    )
+
+    # ---- gram path: pairs whose longer string has len >= l_min ----------
+    grams = (
+        base.where(F.col("len") >= q)
+        .select(
+            "id",
+            "len",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, len - {q - 1}),"
+                    f" i -> struct(i AS pos, xxhash64(substring(t, i, {q})) AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("id", "len", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+
+    if stop_gram_min_df is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("id").alias("df_g"))
+            .where(F.col("df_g") > stop_gram_min_df)
+            .select("gram")
+        )
+        # occurrences dropped per string — carried into the threshold AND
+        # into the degeneracy routing below
+        drop_by_id = (
+            grams.join(hot, "gram")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("dropped"))
+        )
+        grams = (
+            grams.join(hot, "gram", "left_anti")
+            .join(drop_by_id, "id", "left")
+            .withColumn("dropped", F.coalesce("dropped", F.lit(0)))
+        )
+        routed = base.join(drop_by_id, "id", "left").withColumn(
+            "dropped", F.coalesce("dropped", F.lit(0))
+        )
+    else:
+        grams = grams.withColumn("dropped", F.lit(0))
+        routed = base.withColumn("dropped", F.lit(0))
+
+    a, b = grams.alias("a"), grams.alias("b")
+    gram_candidates = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= d)
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= d)
+            & (F.greatest(F.col("a.len"), F.col("b.len")) >= l_min),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.len").alias("len_a"),
+            F.col("b.len").alias("len_b"),
+            F.col("a.dropped").alias("drop_a"),
+            F.col("b.dropped").alias("drop_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("matches"))
+        .where(
+            F.col("matches")
+            >= F.greatest("len_a", "len_b") - F.lit(q - 1) - F.lit(q * d)
+            - F.least("drop_a", "drop_b")
+        )
+        .select("id_a", "id_b")
+    )
+
+    # ---- bucket path: strings shorter than l_min, plus strings the
+    # stop-gram drop left degenerate (len < l_min is the dropped == 0
+    # special case of the same predicate: len - (q-1) - q*d <= 0)
+    shorts = routed.where(
+        F.col("len") - F.lit(q - 1) - F.lit(q * d) <= F.col("dropped")
+    ).select("id", "len", (F.col("len") / (d + 1)).cast("long").alias("bucket"))
+    probes = shorts.select(
+        "id",
+        "len",
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("probe"),
+    )
+    short_candidates = (
+        probes.alias("p")
+        .join(
+            shorts.alias("s"),
+            (F.col("p.probe") == F.col("s.bucket"))
+            & (F.col("p.id") != F.col("s.id"))
+            & (F.abs(F.col("p.len") - F.col("s.len")) <= d),
+        )
+        .select(
+            F.least(F.col("p.id"), F.col("s.id")).alias("id_a"),
+            F.greatest(F.col("p.id"), F.col("s.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # distinct: the two paths overlap when degenerate long strings enter
+    # the buckets (and gram candidates can repeat nothing, but the union
+    # dedup is one cheap shuffle over the already-filtered candidate set)
+    candidates = gram_candidates.unionByName(short_candidates).distinct()
+
+    texts = base.select("id", "t")
+    verified = (
+        candidates.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+        .withColumn("dist", F.levenshtein("t_a", "t_b", d))
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+    return verified

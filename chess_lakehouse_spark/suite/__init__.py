@@ -160,6 +160,10 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #   - q_anomaly / ANOMALY_ORACLE (register as `anomaly_flags`; trailing
 #     z-score flags with the float algebra'd away into one integer
 #     comparison — (w·x − s)² > k²(w·ss − s²); tests/test_anomaly.py).
+#   - q_dedup_edit / EDIT_DIST_ORACLE (register as `dedup_edit`; exact
+#     Levenshtein-<=d pairs via the Gravano VLDB'01 positional q-gram
+#     count filter + threshold-DP verify, ASCII scope pinning the
+#     byte-vs-char cross-engine boundary; tests/test_edit_join.py).
 # (2) then the 9 deferred r7-green queries (events_hourly,
 # export_projection, filter_null_predicate, groupby_agg, join_star,
 # json_extract, rolling_avg, scalar_kitchen, supplier_revenue) — at the

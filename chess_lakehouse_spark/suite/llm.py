@@ -3059,6 +3059,68 @@ LM_STAGED_ORACLE = rf"""
     )
 """
 
+#: Edit-distance near-dup candidate (r11 staging): scope caps that keep the
+#: brute-force oracle tractable while the Spark side runs the full q-gram
+#: count-filter plan (operators/dedup.py:edit_distance_pairs).
+EDIT_DIST_MAX = 10
+EDIT_DIST_Q = 4
+EDIT_DIST_LEN_CAP = 160
+#: space..tilde — printable ASCII; the class is spelled out because DuckDB's
+#: levenshtein counts BYTES while Spark's counts CHARS (measured:
+#: levenshtein('héllo','hello') = 2 in DuckDB, 1 in Spark) — on ASCII the
+#: two are identical, so the query pins its scope to ASCII rows.
+EDIT_DIST_ASCII_RE = "^[ -~]*$"
+
+
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance near-dup pairs (Levenshtein <= 10) over short
+    ASCII documents — the order-sensitive record-linkage complement to the
+    set-similarity dedup family, via the positional q-gram count filter of
+    Gravano et al. VLDB'01 + threshold-DP verify
+    (operators/dedup.py:edit_distance_pairs; complete, no lossy blocking).
+
+    The <=160-char + ASCII scope exists for the ORACLE, not the operator:
+    brute force needs the implied |len diff| <= d predicate to stay
+    tractable, and byte-level (DuckDB) vs char-level (Spark) levenshtein
+    agree exactly on ASCII. The Spark side runs the real gram-keyed plan.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against EDIT_DIST_ORACLE pinned in tests/test_edit_join.py at two
+    scales + cold-JVM; registration at a window re-plan is a dict +
+    window edit."""
+    from chess_lakehouse_spark.operators.dedup import edit_distance_pairs
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") <= EDIT_DIST_LEN_CAP)
+        & F.col("text").rlike(EDIT_DIST_ASCII_RE)
+    )
+    return edit_distance_pairs(
+        docs, "doc_id", "text", max_dist=EDIT_DIST_MAX, q=EDIT_DIST_Q
+    )
+
+
+#: Canonical q_dedup_edit oracle (tests import THIS; registration at a
+#: window re-plan is a dict + window edit). Brute-force with the IMPLIED
+#: |len diff| <= d predicate (ed(a,b) >= |len diff|, so adding it changes
+#: nothing) — the independent check the gram-filtered Spark plan is graded
+#: against; dist computed once in a subquery so the sf0.1 local verify
+#: doesn't pay the DP twice.
+EDIT_DIST_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) <= {EDIT_DIST_LEN_CAP}
+        AND regexp_matches(text, '{EDIT_DIST_ASCII_RE}')
+    )
+    SELECT id_a, id_b, dist FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      FROM s a JOIN s b
+        ON a.doc_id < b.doc_id
+       AND abs(length(a.text) - length(b.text)) <= {EDIT_DIST_MAX}
+    ) WHERE dist <= {EDIT_DIST_MAX}
+"""
+
 ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

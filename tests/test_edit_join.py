@@ -1,0 +1,151 @@
+"""Edit-distance near-dup join (operators/dedup.py:edit_distance_pairs —
+Gravano et al. VLDB'01 positional q-gram count filter + threshold-DP
+verify): brute-force completeness on real and synthetic corpora, both
+candidate paths and their boundary, the stop-gram soundness adjustment,
+plan shape, and the staged q_dedup_edit candidate's two-scale oracle
+parity (byte-vs-char levenshtein pinned to ASCII scope)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.dedup import edit_distance_pairs
+
+
+def _brute(df, max_dist):
+    b = df.select(F.col("id"), F.col("text").alias("t")).where(
+        F.col("t").isNotNull()
+    )
+    return sorted(
+        tuple(r)
+        for r in (
+            b.alias("a")
+            .join(b.alias("b"), F.col("a.id") < F.col("b.id"))
+            .withColumn("dist", F.levenshtein("a.t", "b.t", max_dist))
+            .where(F.col("dist") >= 0)
+            .select("a.id", "b.id", F.col("dist").cast("long"))
+            .collect()
+        )
+    )
+
+
+def _run(df, max_dist, **kw):
+    out = edit_distance_pairs(df, "id", "text", max_dist, **kw)
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_hand_distances_and_threshold_boundary(spark):
+    """Known distances; dist == max_dist kept, max_dist + 1 dropped;
+    identical strings score 0."""
+    rows = [
+        (1, "kitten"),
+        (2, "sitting"),          # 3 edits from kitten
+        (3, "kitten"),           # exact duplicate of 1
+        (4, "kittenabc"),        # 3 inserts from kitten
+        (5, "xyzzy plugh"),      # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {(a, b): d for a, b, d in _run(df, 3)}
+    assert got[(1, 2)] == 3 and got[(1, 3)] == 0 and got[(1, 4)] == 3
+    assert (2, 4) not in got          # sitting->kittenabc is 6 > 3
+    assert not any(5 in p for p in got)
+    # boundary: same pair drops when the threshold tightens below 3
+    got2 = {(a, b): d for a, b, d in _run(df, 2)}
+    assert (1, 2) not in got2 and got2[(1, 3)] == 0
+
+
+def test_brute_force_parity_real_fixture(spark):
+    """Complete and exact on the sf0.001 documents corpus (all strings in
+    the gram-path length class)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    assert _run(docs, 10) == _brute(docs, 10)
+
+
+def test_brute_force_parity_short_and_boundary(spark):
+    """Short-string bucket path (len < q*(d+1)), empty string, NULL text,
+    and pairs STRADDLING the two-path length split (longer side just at /
+    above q*(d+1) = 44 with the shorter below it)."""
+    rows = [
+        (1, "kitten"), (2, "sitting"), (3, ""), (4, "kittenx"),
+        (5, "a" * 43), (6, "a" * 40 + "bbbbc"), (7, "a" * 50),
+        (8, None), (9, "zz"), (10, "a" * 44),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = _run(df, 10)
+    assert got == _brute(df, 10)
+    pairs = {(a, b) for a, b, _ in got}
+    assert (1, 3) in pairs            # empty vs 6-char: dist 6 via buckets
+    assert (5, 10) in pairs           # 43 vs 44: straddles the class split
+    assert not any(8 in p for p in pairs)
+
+
+def test_stop_gram_cap_is_lossless(spark):
+    """Dropping hot grams with the threshold weakened by
+    least(dropped_a, dropped_b) keeps recall exact — same rows as the
+    unfiltered plan on a corpus WITH a hot shared gram."""
+    base = "the quick brown fox jumps over the lazy dog near the old barn "
+    rows = [(i, base + f"variant {i % 7}") for i in range(40)] + [
+        (100, base + "variant 0x"),  # distance 1 from the i%7==0 class
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    plain = _run(df, 4)
+    capped = _run(df, 4, stop_gram_min_df=5)
+    assert plain == capped and len(plain) > 0
+
+
+def test_validation_and_determinism(spark):
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(df, "id", "text", 0)
+    with pytest.raises(ValueError, match="q must"):
+        edit_distance_pairs(df, "id", "text", 3, q=1)
+    with pytest.raises(ValueError, match="stop_gram_min_df"):
+        edit_distance_pairs(df, "id", "text", 3, stop_gram_min_df=0)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    assert _run(docs, 10) == _run(docs, 10)
+
+
+def test_no_cartesian_product(spark):
+    """Every join in the plan is keyed: gram equi-join, bucket equi-join,
+    id verify joins — never a cartesian expansion."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    plan = (
+        edit_distance_pairs(docs, "id", "text", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_q_dedup_edit_matches_suite_oracle(spark, sf_dir):
+    """Driver-style gating proof: exact values, driver-safe types, both
+    local scales, non-empty result."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import EDIT_DIST_ORACLE, q_dedup_edit
+
+    sdf = q_dedup_edit(spark, sf_dir)
+    assert [d for _, d in sdf.dtypes] == ["bigint", "bigint", "bigint"]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rel = con.sql(EDIT_DIST_ORACLE)
+    assert all(str(t) == "BIGINT" for t in rel.types), [str(t) for t in rel.types]
+    drows = sorted(tuple(r) for r in con.execute(EDIT_DIST_ORACLE).fetchall())
+    con.close()
+    assert len(srows) > 0
+    assert srows == drows
