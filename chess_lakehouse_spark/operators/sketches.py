@@ -21,7 +21,7 @@ merge algebra are pinned against exact counts in tests/test_sketches.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,110 @@ def novelty_estimate(
         "est_union": union_est,
         "est_novel": max(0, new_est - overlap),
     }
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: the FREQUENCY complement to the HLL distinct-count
+# family above — and, unlike HLL, fully oracle-able: the counters are plain
+# sums over md5-derived buckets (the module-wide portability contract), so
+# every estimate is a deterministic integer any engine reproduces exactly.
+# --------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class CmsSpec(NamedTuple):
+    """Count-min sketch shape: ``depth`` independent hash rows × ``width``
+    counters. One spec value must flow through build/merge/estimate — the
+    bucket hash is ``md5('<seed>|<row>|<term>') % width``, so two frames
+    built under different specs silently disagree; keep the spec next to
+    the stored sketch (the rollup spec/ pattern) when staging.
+
+    Error contract (Cormode & Muthukrishnan '05, public): with N total
+    occurrences, ``true <= est`` always, and
+    ``P[est > true + (e/width)·N] <= e^-depth`` — width buys precision,
+    depth buys confidence, state stays depth×width counters at ANY corpus
+    size."""
+
+    depth: int = 4
+    width: int = 1024
+    seed: str = "cms"
+
+
+def _cms_bucket(term: Column, row_i: Column, spec: CmsSpec) -> Column:
+    from chess_lakehouse_spark.operators.dedup import md5_hash64
+
+    return md5_hash64(
+        F.concat(F.lit(f"{spec.seed}|"), row_i.cast("string"), F.lit("|"), term)
+    ) % spec.width
+
+
+def cms_cells(df: DataFrame, term_col: str, spec: CmsSpec) -> DataFrame:
+    """Pre-aggregation cell stream: one (row_i, bucket) row per term
+    OCCURRENCE × depth. This is the form the incremental-rollup machinery
+    consumes directly — ``build_rollup(cells, keys=['row_i','bucket'],
+    measures=[('cnt','count',None)])`` stages a CMS on the lake whose
+    ingest folds are O(delta) and whose serve never touches the corpus
+    (counters are sums, so batch-partition folding is exact; pinned in
+    tests/test_cms.py). NULL terms are dropped."""
+    return (
+        df.select(F.col(term_col).alias("term"))
+        .where(F.col("term").isNotNull())
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(spec.depth - 1))).alias("row_i"),
+            "term",
+        )
+        .select("row_i", _cms_bucket(F.col("term"), F.col("row_i"), spec).alias("bucket"))
+    )
+
+
+def cms_build(df: DataFrame, term_col: str, spec: CmsSpec) -> DataFrame:
+    """Build the sketch in ONE map-combined groupBy over the occurrence
+    stream (the explode costs ×depth narrow rows map-side; the shuffle
+    carries at most depth×width aggregated cells). Returns the SPARSE form
+    (row_i, bucket, cnt) — absent cells are zero."""
+    return (
+        cms_cells(df, term_col, spec)
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches built under the SAME spec: counters add, so merge is
+    union + one map-combined sum — the mergeability that makes per-shard /
+    per-day CMS rows foldable exactly like the rollup partials
+    (``cms_merge(cms(A), cms(B)) == cms(A ∪ B)`` exactly, pytest-pinned)."""
+    if not sketches:
+        raise ValueError("cms_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, term_col: str, spec: CmsSpec
+) -> DataFrame:
+    """Point-frequency estimates for a probe term set: each probe hashes
+    to one cell per row, the estimate is the MIN over rows of the cell
+    counters (absent cell = 0; an unseen term can only over-count, never
+    under). Cost: |probes|×depth rows against the depth×width sketch — a
+    broadcast-sized join at any corpus size; the corpus itself is never
+    touched, which is the point of staging the sketch. Returns
+    (term, est)."""
+    pe = (
+        probes.select(F.col(term_col).alias("term"))
+        .where(F.col("term").isNotNull())
+        .distinct()
+        .select(
+            "term",
+            F.explode(F.sequence(F.lit(0), F.lit(spec.depth - 1))).alias("row_i"),
+        )
+        .select("term", "row_i", _cms_bucket(F.col("term"), F.col("row_i"), spec).alias("bucket"))
+    )
+    return (
+        pe.join(sketch, ["row_i", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

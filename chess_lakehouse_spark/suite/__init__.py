@@ -164,6 +164,10 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     Levenshtein-<=d pairs via the Gravano VLDB'01 positional q-gram
 #     count filter + threshold-DP verify, ASCII scope pinning the
 #     byte-vs-char cross-engine boundary; tests/test_edit_join.py).
+#   - q_cms_freq / CMS_FREQ_ORACLE (register as `cms_freq`; count-min
+#     sketch frequency estimates vs exact counts — md5 buckets make the
+#     sketch family's first fully-deterministic cross-engine member;
+#     tests/test_cms.py).
 # (2) then the 9 deferred r7-green queries (events_hourly,
 # export_projection, filter_null_predicate, groupby_agg, join_star,
 # json_extract, rolling_avg, scalar_kitchen, supplier_revenue) — at the

@@ -3065,6 +3065,10 @@ LM_STAGED_ORACLE = rf"""
 EDIT_DIST_MAX = 10
 EDIT_DIST_Q = 4
 EDIT_DIST_LEN_CAP = 160
+#: hot-gram skew knob — LOSSLESS by construction (threshold adjustment +
+#: degenerate rerouting, operators/dedup.py), so the oracle is untouched;
+#: measured 7.6s -> 2.7s at sf0.1 with identical rows.
+EDIT_DIST_STOP_DF = 50
 #: space..tilde — printable ASCII; the class is spelled out because DuckDB's
 #: levenshtein counts BYTES while Spark's counts CHARS (measured:
 #: levenshtein('héllo','hello') = 2 in DuckDB, 1 in Spark) — on ASCII the
@@ -3096,7 +3100,8 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("text").rlike(EDIT_DIST_ASCII_RE)
     )
     return edit_distance_pairs(
-        docs, "doc_id", "text", max_dist=EDIT_DIST_MAX, q=EDIT_DIST_Q
+        docs, "doc_id", "text", max_dist=EDIT_DIST_MAX, q=EDIT_DIST_Q,
+        stop_gram_min_df=EDIT_DIST_STOP_DF,
     )
 
 
@@ -3119,6 +3124,85 @@ EDIT_DIST_ORACLE = f"""
         ON a.doc_id < b.doc_id
        AND abs(length(a.text) - length(b.text)) <= {EDIT_DIST_MAX}
     ) WHERE dist <= {EDIT_DIST_MAX}
+"""
+
+#: Count-min sketch candidate (r11 staging): small width so the 31-term
+#: fixture vocabulary actually collides (22/31 terms over-count at
+#: sf0.01) — the estimates are non-trivial yet fully deterministic
+#: cross-engine because the bucket hash is the module-wide md5 contract.
+CMS_DEPTH = 3
+CMS_WIDTH = 16
+CMS_SEED = "cms-suite"
+
+
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts over the
+    corpus token stream (operators/sketches.py:cms_build/cms_estimate —
+    Cormode & Muthukrishnan '05): depth×width integer counters, estimates
+    = min over depth md5-bucket rows, est >= true by construction. Unlike
+    the HLL family (rows-only — engine-specific estimates), every CMS
+    counter is a plain SUM over md5-derived buckets, so the sketch is
+    exactly oracle-able.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against CMS_FREQ_ORACLE pinned in tests/test_cms.py at two scales +
+    cold-JVM; registration at a window re-plan is a dict + window edit."""
+    from chess_lakehouse_spark.operators.dedup import tokens
+    from chess_lakehouse_spark.operators.sketches import (
+        CmsSpec,
+        cms_build,
+        cms_estimate,
+    )
+
+    apply_runtime_conf(spark)
+    spec = CmsSpec(depth=CMS_DEPTH, width=CMS_WIDTH, seed=CMS_SEED)
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(tokens(F.col("text"))).alias("term")).where(
+        F.col("term") != ""
+    )
+    exact = occ.groupBy("term").agg(F.count(F.lit(1)).alias("n_true"))
+    sketch = cms_build(occ, "term", spec)
+    est = cms_estimate(sketch, exact.select("term"), "term", spec)
+    return exact.join(est, "term").select(
+        "term",
+        "n_true",
+        "est",
+        (F.col("est") - F.col("n_true")).alias("err"),
+    )
+
+
+_CMS_BUCKET = (
+    f"CAST(concat('0x', substr(md5(concat('{CMS_SEED}|', "
+    f"CAST(r.i AS VARCHAR), '|', {{term}})), 1, 15)) AS BIGINT) % {CMS_WIDTH}"
+)
+
+#: Canonical q_cms_freq oracle (tests import THIS; registration at a
+#: window re-plan is a dict + window edit). The counters and estimates
+#: are recomputed from scratch in SQL with the same md5 bucket hash — an
+#: independent arithmetic path to the identical integers.
+CMS_FREQ_ORACLE = rf"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    occ AS (SELECT term FROM tok WHERE term <> ''),
+    exact AS (SELECT term, COUNT(*) AS n_true FROM occ GROUP BY 1),
+    cells AS (
+      SELECT r.i AS row_i, {_CMS_BUCKET.format(term="term")} AS bucket,
+             COUNT(*) AS cnt
+      FROM occ CROSS JOIN range({CMS_DEPTH}) r(i)
+      GROUP BY 1, 2
+    ),
+    pe AS (
+      SELECT e.term, r.i AS row_i, {_CMS_BUCKET.format(term="e.term")} AS bucket
+      FROM exact e CROSS JOIN range({CMS_DEPTH}) r(i)
+    ),
+    est AS (
+      SELECT pe.term, MIN(COALESCE(c.cnt, 0)) AS est
+      FROM pe LEFT JOIN cells c ON c.row_i = pe.row_i AND c.bucket = pe.bucket
+      GROUP BY 1
+    )
+    SELECT x.term, CAST(x.n_true AS BIGINT) AS n_true,
+           CAST(e.est AS BIGINT) AS est,
+           CAST(e.est - x.n_true AS BIGINT) AS err
+    FROM est e JOIN exact x USING (term)
 """
 
 ORACLES = {
