@@ -294,6 +294,50 @@ def main() -> None:
                 ),
             )
 
+        if only_ops is None or {"edit_pairs", "cms_build_est"} & only_ops:
+            from chess_lakehouse_spark.operators.dedup import (
+                edit_distance_pairs,
+                tokens,
+            )
+            from chess_lakehouse_spark.operators.sketches import (
+                CmsSpec,
+                cms_build,
+                cms_estimate,
+            )
+
+            # edit-distance join over the short-doc slice (the gated
+            # scope class; the per-copy word-suffix renaming lengthens
+            # copies, so the cap is raised to keep the slice growing with
+            # the factor) — gram-keyed count filter + bucket path, hot
+            # grams absorbed by the lossless stop-gram knob
+            shortdocs = docs.where(F.length("text") <= 250)
+            probe(
+                "edit_pairs", factor,
+                lambda: edit_distance_pairs(
+                    shortdocs, "doc_id", "text", 10, stop_gram_min_df=50
+                ).count(),
+            )
+            # CMS build is ONE map-combined pass over the x-factor
+            # occurrence stream (state stays depth x width); estimates
+            # probe a FIXED base-corpus vocabulary against the growing
+            # sketch — the build pass is the only corpus-sized term
+            cspec = CmsSpec(depth=4, width=1024, seed="probe")
+            occ = docs.select(
+                F.explode(tokens(F.col("text"))).alias("term")
+            ).where(F.col("term") != "")
+            fixed_probes = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select(F.explode(tokens(F.col("text"))).alias("term"))
+                .where(F.col("term") != "")
+                .distinct()
+            )
+            probe(
+                "cms_build_est", factor,
+                lambda: cms_estimate(
+                    cms_build(occ, "term", cspec), fixed_probes, "term", cspec
+                ).count(),
+            )
+
         if only_ops is None or {
             "hashed_serve", "hashed_train", "semantic_contam",
             "hamming_pairs64", "hamming_pairs64_b16", "audio_fp_pairs",

@@ -136,3 +136,59 @@ def test_q_cms_freq_matches_suite_oracle(spark, sf_dir):
     assert any(r[3] > 0 for r in srows) and any(r[3] == 0 for r in srows)
     assert all(r[3] >= 0 for r in srows)
     assert srows == drows
+
+
+def test_stream_cms_equals_batch_sketch(spark, tmp_path):
+    """Streaming CMS: because cms_cells is a plain narrow transformation
+    and counters are sums, the continuous sketch is just stream_rollup
+    over the cell stream — build on a historical slice, fold two document
+    drops, and the SERVED sketch equals a from-scratch batch build over
+    everything (cell-for-cell, and therefore estimate-for-estimate)."""
+    import glob
+    import shutil
+
+    from chess_lakehouse_spark.operators.rollup import build_rollup, serve_rollup
+    from chess_lakehouse_spark.streaming import stream_rollup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    d1 = docs.where(F.col("doc_id") % 3 == 1)
+    d2 = docs.where(F.col("doc_id") % 3 == 2)
+
+    def occ(df):
+        return df.select(F.explode(tokens(F.col("text"))).alias("term")).where(
+            F.col("term") != ""
+        )
+
+    rdir = str(tmp_path / "cms_rollup")
+    build_rollup(
+        cms_cells(occ(hist), "term", SPEC),
+        keys=["row_i", "bucket"],
+        measures=[("cnt", "count", None)],
+        rollup_dir=rdir,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, df):
+        staging = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_rollup(cms_cells(occ(stream), "term", SPEC), rdir, ckpt)
+
+    land("d1", d1)
+    run()
+    land("d2", d2)
+    run()
+
+    served = serve_rollup(spark, rdir)
+    whole = cms_build(occ(docs), "term", SPEC)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, whole.collect()))
