@@ -1318,3 +1318,195 @@ def edit_distance_pairs(
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
     return verified
+
+
+def edit_distance_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    q: int = 4,
+    stop_gram_min_df: int | None = None,
+) -> DataFrame:
+    """End-to-end edit-distance deduplication: :func:`edit_distance_pairs`
+    → connected components → keep ONE canonical member (the minimum id)
+    per edit-cluster, drop the rest — the record-linkage analogue of
+    ``phash_dedup``/``minhash_lsh_dedup``, for title/name/short-key
+    corpora where near-duplicates differ by a few character edits.
+
+    Plan shape mirrors the other dedup-keep operators: the pair list is
+    already count-filter-pruned, the component step rides the bounded
+    driver union-find (distributed min-label propagation beyond), and the
+    final drop is a LEFT ANTI join against the loser ids — losers are
+    bounded by the duplicated volume, never the corpus. Rows with NULL
+    text produce no pairs and always survive.
+
+    Returns the surviving rows of ``df``, all columns intact.
+    """
+    from chess_lakehouse_spark.operators.graph import connected_components
+
+    pairs = edit_distance_pairs(
+        df, id_col, text_col, max_dist, q=q, stop_gram_min_df=stop_gram_min_df
+    )
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def edit_signatures(
+    df: DataFrame, id_col: str, text_col: str, q: int = 4
+) -> DataFrame:
+    """The stageable artifact of the edit-distance join: positional q-gram
+    rows (id, len, pos, gram) for strings with ``len >= q``, plus ONE
+    marker row (pos NULL, gram NULL) per shorter string so the staged
+    table carries every document's length (the bucket path needs lengths
+    for strings that have no grams). Written once per admitted batch by
+    the streaming loop; ``incremental_edit_dups`` joins new-batch grams
+    against this table instead of re-gramming the corpus.
+
+    Grams are ``xxhash64`` longs — this table is a Spark-only staged
+    artifact (never compared cross-engine), so the compact engine hash is
+    fine under the same exemption as the in-plan grams of
+    :func:`edit_distance_pairs`; lake bytes are ~8 per character instead
+    of q strings."""
+    if q < 2:
+        raise ValueError(f"edit_signatures: q must be >= 2, got {q}")
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .where(F.col("t").isNotNull())
+        .withColumn("len", F.length("t"))
+    )
+    grams = base.where(F.col("len") >= q).select(
+        "id",
+        "len",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, len - {q - 1}),"
+                f" i -> struct(i AS pos, xxhash64(substring(t, i, {q})) AS gram))"
+            )
+        ).alias("g"),
+    ).select("id", "len", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    markers = base.where(F.col("len") < q).select(
+        "id",
+        "len",
+        F.lit(None).cast("int").alias("pos"),
+        F.lit(None).cast("long").alias("gram"),
+    )
+    return grams.unionByName(markers)
+
+
+def incremental_edit_dups(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    q: int = 4,
+) -> DataFrame:
+    """Edit-distance near-dups of a NEW batch against an existing corpus —
+    the daily-ingest shape of :func:`edit_distance_pairs` (same count
+    filter, same completeness argument, asymmetric): gram cost is paid
+    ONLY for the new batch, the count-filter join runs new grams against
+    the STAGED signature table (``edit_signatures``, appended per batch),
+    and corpus text is touched only for candidate ids (semi-join
+    pushdown). Returns (new_id, corpus_id, dist <= max_dist); self-pairs
+    (an id present in both inputs — the at-least-once replay shape) are
+    dropped as defense in depth alongside the streaming loop's
+    current-batch partition filter.
+
+    Completeness mirrors the self-join form with the bucket probes made
+    asymmetric: the new side probes buckets {b-1, b, b+1} (the self-join
+    covers b-1 via the OTHER side's probe; here only the new side
+    probes). The staged parameters (q — baked into the gram hashes) must
+    match the loop that staged them; there is no schema-level check
+    possible on hashed grams, so the loop owns that contract. The
+    stop-gram knob is deliberately absent here: hot-gram skew in the
+    asymmetric join is AQE skew-split territory (the knob's threshold
+    bookkeeping does not transfer to a table staged without it)."""
+    if max_dist < 1:
+        raise ValueError(
+            f"incremental_edit_dups: max_dist must be >= 1, got {max_dist}"
+        )
+    d = int(max_dist)
+    l_min = q * (d + 1)
+
+    new_sigs = edit_signatures(new_docs, id_col, text_col, q=q)
+
+    ng = new_sigs.where(F.col("pos").isNotNull()).select(
+        F.col("id").alias("new_id"),
+        F.col("len").alias("len_n"),
+        F.col("pos").alias("pos_n"),
+        "gram",
+    )
+    cg = corpus_sigs.where(F.col("pos").isNotNull()).select(
+        F.col("id").alias("corpus_id"),
+        F.col("len").alias("len_c"),
+        F.col("pos").alias("pos_c"),
+        "gram",
+    )
+    gram_candidates = (
+        ng.join(
+            cg,
+            (ng["gram"] == cg["gram"])
+            & (F.col("new_id") != F.col("corpus_id"))
+            & (F.abs(F.col("pos_n") - F.col("pos_c")) <= d)
+            & (F.abs(F.col("len_n") - F.col("len_c")) <= d)
+            & (F.greatest(F.col("len_n"), F.col("len_c")) >= l_min),
+        )
+        .groupBy("new_id", "corpus_id", "len_n", "len_c")
+        .agg(F.count(F.lit(1)).alias("matches"))
+        .where(
+            F.col("matches")
+            >= F.greatest("len_n", "len_c") - F.lit(q - 1) - F.lit(q * d)
+        )
+        .select("new_id", "corpus_id")
+    )
+
+    def _shorts(sigs, out_id):
+        return (
+            sigs.select(F.col("id").alias(out_id), "len")
+            .distinct()
+            .where(F.col("len") < l_min)
+            .withColumn("bucket", (F.col("len") / (d + 1)).cast("long"))
+        )
+
+    n_short = _shorts(new_sigs, "new_id")
+    c_short = _shorts(corpus_sigs, "corpus_id")
+    probes = n_short.select(
+        "new_id",
+        F.col("len").alias("len_n"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("probe"),
+    )
+    short_candidates = (
+        probes.join(
+            c_short,
+            (F.col("probe") == c_short["bucket"])
+            & (F.col("new_id") != F.col("corpus_id"))
+            & (F.abs(F.col("len_n") - c_short["len"]) <= d),
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+    candidates = gram_candidates.unionByName(short_candidates).distinct()
+
+    new_texts = new_docs.select(
+        F.col(id_col).alias("new_id"), F.col(text_col).alias("t_n")
+    ).where(F.col("t_n").isNotNull())
+    cand_corpus = corpus_docs.join(
+        candidates.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col,
+        "semi",
+    ).select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("t_c"))
+    return (
+        candidates.join(new_texts, "new_id")
+        .join(cand_corpus, "corpus_id")
+        .withColumn("dist", F.levenshtein("t_n", "t_c", d))
+        .where(F.col("dist") >= 0)
+        .select("new_id", "corpus_id", F.col("dist").cast("long").alias("dist"))
+    )

@@ -538,6 +538,29 @@ def cmd_image_dedup(args: argparse.Namespace) -> None:
     print(f"[image-dedup] kept={kept.count()} -> {args.outDir}")
 
 
+def cmd_edit_dedup(args: argparse.Namespace) -> None:
+    """Edit-distance near-dedup stage: exact Levenshtein-<=d pairs via the
+    q-gram count filter, connected components, keep the min-id canonical
+    per edit-cluster (operators/dedup.py:edit_distance_dedup) — the
+    record-linkage pass for title/name/short-key corpora. Input is any
+    parquet with an id and a text column; output is the surviving rows,
+    all columns intact."""
+    from chess_lakehouse_spark.operators.dedup import edit_distance_dedup
+
+    spark = _spark()
+    df = spark.read.parquet(args.inParquet)
+    kept = edit_distance_dedup(
+        df,
+        args.idCol,
+        args.textCol,
+        max_dist=args.maxDist,
+        q=args.qgram,
+        stop_gram_min_df=args.stopGramMinDf,
+    )
+    kept.write.mode("overwrite").parquet(args.outDir)
+    print(f"[edit-dedup] kept={kept.count()} -> {args.outDir}")
+
+
 def cmd_read_wet(args: argparse.Namespace) -> None:
     """WET web-archive ingest stage (sources/warc.py): CommonCrawl-layout
     .wet/.wet.gz archives → (url, warc_date, text, doc_id) parquet — the
@@ -914,6 +937,16 @@ def main(argv: list[str] | None = None) -> None:
     imd.add_argument("--bandBits", type=int, default=8)
     imd.add_argument("--codec", default="auto", choices=["auto", "real"])
     imd.set_defaults(fn=cmd_image_dedup)
+
+    ed = sub.add_parser("edit-dedup")
+    ed.add_argument("--inParquet", required=True)
+    ed.add_argument("--outDir", required=True)
+    ed.add_argument("--idCol", default="doc_id")
+    ed.add_argument("--textCol", default="text")
+    ed.add_argument("--maxDist", type=int, default=5)
+    ed.add_argument("--qgram", type=int, default=4)
+    ed.add_argument("--stopGramMinDf", type=int, default=None)
+    ed.set_defaults(fn=cmd_edit_dedup)
 
     rw = sub.add_parser("read-wet")
     rw.add_argument("--inDir", required=True)

@@ -149,3 +149,49 @@ def test_q_dedup_edit_matches_suite_oracle(spark, sf_dir):
     con.close()
     assert len(srows) > 0
     assert srows == drows
+
+
+def test_edit_distance_dedup_keeps_min_id_canonical(spark):
+    """Pairs -> components -> min-id keep: transitive edit-chains collapse
+    to one survivor; NULL-text and isolated rows always survive, all
+    columns intact."""
+    from chess_lakehouse_spark.operators.dedup import edit_distance_dedup
+
+    rows = [
+        (1, "kitten", "a"), (2, "sitten", "b"), (3, "sittin", "c"),  # chain
+        (4, "completely different words", "d"),
+        (5, None, "e"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, tag string")
+    kept = edit_distance_dedup(df, "id", "text", max_dist=1)
+    assert sorted(r.id for r in kept.collect()) == [1, 4, 5]
+    assert kept.columns == ["id", "text", "tag"]
+
+
+def test_pipeline_cli_edit_dedup_stage(spark, tmp_path, capsys):
+    """The edit-dedup CLI reads any (id, text) parquet — custom column
+    names included — and writes the survivors."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    src = tmp_path / "titles"
+    spark.createDataFrame(
+        [
+            (10, "the yellow king", "x"),
+            (11, "the yellow kings", "y"),
+            (12, "an unrelated record", "z"),
+        ],
+        "rec_id long, title string, tag string",
+    ).write.parquet(str(src))
+    out = tmp_path / "kept"
+    pipeline_cli.main([
+        "edit-dedup", "--inParquet", str(src), "--outDir", str(out),
+        "--idCol", "rec_id", "--textCol", "title", "--maxDist", "2",
+    ])
+    got = spark.read.parquet(str(out))
+    assert sorted(r["rec_id"] for r in got.collect()) == [10, 12]
+    assert got.columns == ["rec_id", "title", "tag"]
+    assert "kept=2" in capsys.readouterr().out
