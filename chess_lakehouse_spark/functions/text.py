@@ -1368,6 +1368,205 @@ def bm25_from_index(
     )
 
 
+def substring_grams(text: Column, q: int = 3) -> Column:
+    """Distinct character q-grams of a string as an array column —
+    CASE-guarded empty below length q (Spark's ``sequence(1, 0)`` counts
+    DOWN rather than returning empty). Plain strings, not hashes: the
+    postings stay range-clusterable (footer min/max pruning works on
+    string ranges) and the staged table is self-describing."""
+    n = F.length(text)
+    return F.when(
+        n >= q,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (q - 1)),
+                lambda i: text.substr(i, F.lit(q)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def build_substring_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    q: int = 3,
+    n_posting_files: int = 64,
+) -> None:
+    """Materialize a trigram-class SUBSTRING-SEARCH index to the lake —
+    the pg_trgm / codesearch pattern (Cox 2012, "Regular Expression
+    Matching with a Trigram Index", public): a document can contain a
+    query string only if it contains EVERY q-gram of that query, so the
+    candidate set for a lookup is an intersection of posting lists and
+    the corpus is never scanned. ONE corpus pass builds:
+
+    - ``postings/``  DISTINCT (g, doc_id) — GRAM-CLUSTERED via
+      write_clustered, so a query batch's gram predicate skips every
+      file whose footer [min, max] cannot match;
+    - ``meta/``      one row (q, n_docs) — serve DERIVES q from the
+      staged layout rather than taking it as a parameter, so the two
+      cannot drift (contrast the hashed edit-signature table, where q is
+      baked into hashes and the loop owns the contract).
+
+    Rebuild on corpus change; for append-only corpora union a delta's
+    postings the same way (distinct (g, doc_id) rows are upsert-trivial).
+    NULL texts index nothing; docs shorter than q have no grams and are
+    reachable only through the short-query scan fallback in
+    :func:`substring_search_from_index` — consistent, since any query
+    they can contain is itself shorter than q."""
+    if q < 2:
+        raise ValueError(f"build_substring_index: q must be >= 2, got {q}")
+    from chess_lakehouse_spark.operators.publish import write_clustered
+
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")).where(
+        F.col("t").isNotNull()
+    )
+    postings = base.select(
+        "doc_id", F.explode(substring_grams(F.col("t"), q)).alias("g")
+    )
+    write_clustered(postings, f"{index_dir}/postings", ["g"], n_files=n_posting_files)
+    # n_docs = INDEXED documents (>= 1 gram, i.e. len >= q) — the same
+    # definition append_substring_index recomputes from the merged
+    # postings, so the two lifecycles cannot drift on gramless docs
+    n_docs = (
+        base.sparkSession.read.parquet(f"{index_dir}/postings")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    base.sparkSession.createDataFrame(
+        [(q, n_docs)], "q int, n_docs long"
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def append_substring_index(
+    delta_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    n_posting_files: int = 64,
+) -> None:
+    """Fold NEW documents into a staged :func:`build_substring_index`
+    layout — the append-only lifecycle, with the same crash-safety
+    discipline as :func:`append_bm25_index`: the staged postings are
+    anti-joined on the delta's doc ids before the union (so a retried
+    append is idempotent at any crash point), merged gram-clustered into
+    a ``.compacting`` dir and atomically swapped, then meta/ rebuilt
+    LAST from the swapped postings (q is read from the existing meta —
+    the append cannot change the gram width). Double-append == single
+    append == full rebuild is pytest-pinned."""
+    from chess_lakehouse_spark.operators.publish import (
+        _swap_lake_dirs,
+        write_clustered,
+    )
+
+    spark = delta_df.sparkSession
+    q = int(spark.read.parquet(f"{index_dir}/meta").first()["q"])
+    base = delta_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    ).where(F.col("t").isNotNull())
+    delta_ids = base.select("doc_id").distinct()
+    new_postings = base.select(
+        "doc_id", F.explode(substring_grams(F.col("t"), q)).alias("g")
+    )
+    merged = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .join(delta_ids, "doc_id", "left_anti")
+        .select("doc_id", "g")  # keep the build layout's column order
+        .unionByName(new_postings.select("doc_id", "g"))
+    )
+    tmp = f"{index_dir}/postings.compacting"
+    write_clustered(merged, tmp, ["g"], n_files=n_posting_files)
+    _swap_lake_dirs(spark, tmp, f"{index_dir}/postings", "append_substring_index")
+    n_docs = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    spark.createDataFrame([(q, n_docs)], "q int, n_docs long").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/meta")
+
+
+def substring_search_from_index(
+    spark,
+    index_dir: str,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qtext_col: str,
+    max_pushdown_grams: int = 1_000,
+) -> DataFrame:
+    """Exact substring search (LIKE '%s%' at corpus scale) THROUGH a
+    staged :func:`build_substring_index` layout: candidates = documents
+    containing ALL of the query's q-grams (posting-list intersection as
+    ONE gram join + a map-combined per-pair count == n_grams), then a
+    ``contains`` verify on the candidate-pruned corpus — identical rows
+    to the brute scan (the containment⇒all-grams implication is exact),
+    with corpus text touched only for candidates (semi-join pushdown).
+
+    Gram restriction follows the bm25_from_index bounded-literal
+    discipline: a batch with ≤ ``max_pushdown_grams`` distinct grams
+    becomes an ``isin`` literal that pushes to the gram-clustered
+    postings scan (footer skipping → O(matching files)); larger batches
+    fall back to the gram-keyed semi-join. Queries SHORTER than the
+    indexed q (after dropping NULL/empty) take the documented corpus-scan
+    fallback — the same contract as real trigram engines, where the
+    index cannot discriminate below gram width. Returns (qid, doc_id).
+    """
+    meta = spark.read.parquet(f"{index_dir}/meta").first()
+    q = int(meta["q"])
+    qs = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qtext_col).alias("qt")
+    ).where(F.col("qt").isNotNull() & (F.length("qt") >= 1))
+    corpus = corpus_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    ).where(F.col("t").isNotNull())
+
+    long_q = qs.where(F.length("qt") >= q)
+    qg = long_q.select(
+        "qid", F.explode(substring_grams(F.col("qt"), q)).alias("g")
+    )
+    n_g = qg.groupBy("qid").agg(F.count(F.lit(1)).alias("n_g"))
+
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    wanted = qg.select("g").distinct()
+    gram_rows = wanted.limit(max_pushdown_grams + 1).collect()
+    if len(gram_rows) <= max_pushdown_grams:
+        postings = postings.where(F.col("g").isin([r["g"] for r in gram_rows]))
+    else:
+        postings = postings.join(wanted, "g", "left_semi")
+
+    cand = (
+        qg.join(postings, "g")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .join(n_g, "qid")
+        .where(F.col("hit") == F.col("n_g"))
+        .select("qid", "doc_id")
+    )
+    cand_corpus = corpus.join(
+        cand.select("doc_id").distinct(), "doc_id", "semi"
+    )
+    long_hits = (
+        cand.join(long_q, "qid")
+        .join(cand_corpus, "doc_id")
+        .where(F.contains(F.col("t"), F.col("qt")))
+        .select("qid", "doc_id")
+    )
+
+    short_q = qs.where(F.length("qt") < q)
+    short_hits = (
+        corpus.join(F.broadcast(short_q), F.contains(F.col("t"), F.col("qt")))
+        .select("qid", "doc_id")
+    )
+    return long_hits.unionByName(short_hits)
+
+
 #: The Gopher quality-rule stopword set (Rae et al. 2021, Appendix A):
 #: a document must contain at least GOPHER_MIN_STOP_HITS of these.
 GOPHER_STOPS: tuple[str, ...] = (

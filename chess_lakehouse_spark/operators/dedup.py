@@ -1405,6 +1405,8 @@ def incremental_edit_dups(
     text_col: str,
     max_dist: int,
     q: int = 4,
+    stop_gram_min_df: int | None = None,
+    corpus_gram_df: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance near-dups of a NEW batch against an existing corpus —
     the daily-ingest shape of :func:`edit_distance_pairs` (same count
@@ -1422,10 +1424,25 @@ def incremental_edit_dups(
     covers b-1 via the OTHER side's probe; here only the new side
     probes). The staged parameters (q — baked into the gram hashes) must
     match the loop that staged them; there is no schema-level check
-    possible on hashed grams, so the loop owns that contract. The
-    stop-gram knob is deliberately absent here: hot-gram skew in the
-    asymmetric join is AQE skew-split territory (the knob's threshold
-    bookkeeping does not transfer to a table staged without it)."""
+    possible on hashed grams, so the loop owns that contract.
+
+    ``stop_gram_min_df``: drop grams whose CORPUS document frequency
+    exceeds the cap from the candidate join — the hot-gram cost control
+    that matters here, since join rows grow as batch_occ(g) x
+    corpus_occ(g) per gram (measured: the fixed-batch probe falls 18s ->
+    ~3s at x1, SCALE.md). The bookkeeping is BATCH-SIDE ONLY and sound
+    for ANY stop set: each removed positional match consumes a distinct
+    batch-side occurrence of a stop gram, so the matched correspondence
+    keeps >= T - dropped_batch(x) non-stop matches regardless of the
+    corpus side; the per-pair threshold weakens by exactly that, and
+    batch strings left DEGENERATE by the drop (non-stop grams <= q*d)
+    reroute through length-bucket probes against ALL staged corpus
+    lengths (a pair can evade the weakened count filter only when the
+    BATCH string is degenerate — if drop_n(x) < len_x - q + 1 - q*d <= T
+    the threshold stays >= 1). Recall stays exact, pytest-pinned. The
+    corpus gram-df aggregate is one map-combined pass over the staged
+    table per call; pass a precomputed/staged (gram, df) frame via
+    ``corpus_gram_df`` to avoid even that at 100 TB."""
     if max_dist < 1:
         raise ValueError(
             f"incremental_edit_dups: max_dist must be >= 1, got {max_dist}"
@@ -1447,6 +1464,34 @@ def incremental_edit_dups(
         F.col("pos").alias("pos_c"),
         "gram",
     )
+
+    if stop_gram_min_df is not None:
+        if stop_gram_min_df < 1:
+            raise ValueError(
+                "incremental_edit_dups: stop_gram_min_df must be >= 1, "
+                f"got {stop_gram_min_df}"
+            )
+        gdf = corpus_gram_df
+        if gdf is None:
+            gdf = cg.groupBy("gram").agg(
+                F.count_distinct("corpus_id").alias("df")
+            )
+        hot = gdf.where(F.col("df") > stop_gram_min_df).select("gram")
+        drop_n = (
+            ng.join(hot, "gram")
+            .groupBy("new_id")
+            .agg(F.count(F.lit(1)).alias("dropped"))
+        )
+        ng = (
+            ng.join(hot, "gram", "left_anti")
+            .join(drop_n, "new_id", "left")
+            .withColumn("dropped", F.coalesce("dropped", F.lit(0)))
+        )
+        cg = cg.join(hot, "gram", "left_anti")
+    else:
+        drop_n = None
+        ng = ng.withColumn("dropped", F.lit(0))
+
     gram_candidates = (
         ng.join(
             cg,
@@ -1456,11 +1501,12 @@ def incremental_edit_dups(
             & (F.abs(F.col("len_n") - F.col("len_c")) <= d)
             & (F.greatest(F.col("len_n"), F.col("len_c")) >= l_min),
         )
-        .groupBy("new_id", "corpus_id", "len_n", "len_c")
+        .groupBy("new_id", "corpus_id", "len_n", "len_c", "dropped")
         .agg(F.count(F.lit(1)).alias("matches"))
         .where(
             F.col("matches")
             >= F.greatest("len_n", "len_c") - F.lit(q - 1) - F.lit(q * d)
+            - F.col("dropped")
         )
         .select("new_id", "corpus_id")
     )
@@ -1475,25 +1521,56 @@ def incremental_edit_dups(
 
     n_short = _shorts(new_sigs, "new_id")
     c_short = _shorts(corpus_sigs, "corpus_id")
-    probes = n_short.select(
-        "new_id",
-        F.col("len").alias("len_n"),
-        F.explode(
-            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
-        ).alias("probe"),
-    )
-    short_candidates = (
-        probes.join(
-            c_short,
-            (F.col("probe") == c_short["bucket"])
-            & (F.col("new_id") != F.col("corpus_id"))
-            & (F.abs(F.col("len_n") - c_short["len"]) <= d),
-        )
-        .select("new_id", "corpus_id")
-        .distinct()
-    )
 
-    candidates = gram_candidates.unionByName(short_candidates).distinct()
+    def _bucket_probe(left, right):
+        probes = left.select(
+            "new_id",
+            F.col("len").alias("len_n"),
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            ).alias("probe"),
+        )
+        return (
+            probes.join(
+                right,
+                (F.col("probe") == right["bucket"])
+                & (F.col("new_id") != F.col("corpus_id"))
+                & (F.abs(F.col("len_n") - right["len"]) <= d),
+            )
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+
+    short_candidates = _bucket_probe(n_short, c_short)
+    candidates = gram_candidates.unionByName(short_candidates)
+
+    if drop_n is not None:
+        # batch strings left degenerate by the stop-gram drop (non-stop
+        # grams <= q*d) can evade the weakened count filter entirely —
+        # probe them against ALL staged corpus lengths; the corpus-side
+        # bucket population within +-d of a degenerate string's length is
+        # the documented worst case (the self-join form's analogue
+        # reroutes through c_short only because there BOTH sides carry
+        # drop counts; here only the batch side does)
+        n_deg = (
+            new_sigs.select(F.col("id").alias("new_id"), "len")
+            .distinct()
+            .join(drop_n, "new_id", "left")
+            .withColumn("dropped", F.coalesce("dropped", F.lit(0)))
+            .where(
+                F.col("len") - F.lit(q - 1) - F.lit(q * d) <= F.col("dropped")
+            )
+            .withColumn("bucket", (F.col("len") / (d + 1)).cast("long"))
+            .select("new_id", "len", "bucket")
+        )
+        c_all = (
+            corpus_sigs.select(F.col("id").alias("corpus_id"), "len")
+            .distinct()
+            .withColumn("bucket", (F.col("len") / (d + 1)).cast("long"))
+        )
+        candidates = candidates.unionByName(_bucket_probe(n_deg, c_all))
+
+    candidates = candidates.distinct()
 
     new_texts = new_docs.select(
         F.col(id_col).alias("new_id"), F.col(text_col).alias("t_n")

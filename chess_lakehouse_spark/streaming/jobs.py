@@ -1156,3 +1156,156 @@ def stream_anomaly_alerts(
         .start()
     )
     q.awaitTermination()
+
+
+def edit_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    sigs_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 5,
+    q: int = 4,
+    stop_gram_min_df: int | None = None,
+    gdf_dir: str | None = None,
+) -> None:
+    """One micro-batch of the edit-distance dedup loop — module-level so
+    the crash-replay contract is directly testable (same shape as
+    ``incremental_dedup_batch``): within-batch pairs via the full
+    :func:`~chess_lakehouse_spark.operators.dedup.edit_distance_pairs`
+    plan, cross-batch pairs via
+    :func:`~chess_lakehouse_spark.operators.dedup.incremental_edit_dups`
+    against the staged q-gram signature table, min-id canonical kept.
+    Every write overwrites its own ``batch_id=N`` partition and the
+    staged reads EXCLUDE the in-flight batch's partition, so a replay
+    after crash-between-write-and-commit reproduces identical output.
+    The q used here is baked into the staged gram hashes — the loop must
+    keep it constant for the lifetime of ``sigs_dir`` (documented on
+    ``incremental_edit_dups``; unlike MinHash there is no schema-level
+    width to check).
+
+    ``gdf_dir`` (with ``stop_gram_min_df``): stage a per-batch gram
+    document-frequency companion so the hot-gram set costs O(vocabulary x
+    batches) per batch instead of one pass over the whole staged gram
+    table (the SCALE.md curve: without it the per-batch df aggregate is
+    the linear term). Admitted batches have disjoint ids, so the global
+    df is the SUM of per-batch dfs — the same fold algebra as the rollup
+    partials, replay-idempotent by partition overwrite + in-flight
+    exclusion; compact with ``compact_stream_state`` like the other
+    staged loops."""
+    from chess_lakehouse_spark.operators.dedup import (
+        edit_distance_pairs,
+        edit_signatures,
+        incremental_edit_dups,
+    )
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        intra = edit_distance_pairs(
+            batch_df, id_col, text_col, max_dist,
+            q=q, stop_gram_min_df=stop_gram_min_df,
+        ).select("id_a", "id_b", "dist", F.lit("intra").alias("kind"))
+        if _path_exists(spark, sigs_dir):
+            not_self = F.col("batch_id").cast("string") != F.lit(str(batch_id))
+            corpus_sigs = spark.read.parquet(sigs_dir).where(not_self)
+            corpus_docs = spark.read.parquet(corpus_dir).where(not_self)
+            corpus_gdf = None
+            if stop_gram_min_df is not None and gdf_dir is not None:
+                if _path_exists(spark, gdf_dir):
+                    corpus_gdf = (
+                        spark.read.parquet(gdf_dir)
+                        .where(not_self)
+                        .groupBy("gram")
+                        .agg(F.sum("df").alias("df"))
+                    )
+                else:
+                    corpus_gdf = spark.createDataFrame(
+                        [], "gram long, df long"
+                    )
+            cross = incremental_edit_dups(
+                batch_df, corpus_sigs, corpus_docs, id_col, text_col,
+                max_dist, q=q, stop_gram_min_df=stop_gram_min_df,
+                corpus_gram_df=corpus_gdf,
+            ).select(
+                F.col("new_id").alias("id_a"),
+                F.col("corpus_id").alias("id_b"),
+                "dist",
+                F.lit("cross").alias("kind"),
+            )
+        else:
+            cross = intra.limit(0)
+        pairs = intra.unionByName(cross).persist()
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+
+        dropped = (
+            pairs.where(F.col("kind") == "cross").select(F.col("id_a").alias(id_col))
+            .unionByName(
+                pairs.where(F.col("kind") == "intra").select(F.col("id_b").alias(id_col))
+            )
+            .distinct()
+        )
+        admitted = batch_df.join(dropped, id_col, "left_anti").persist()
+        admitted.write.mode("overwrite").parquet(f"{corpus_dir}/batch_id={batch_id}")
+        admitted_sigs = edit_signatures(admitted, id_col, text_col, q=q)
+        admitted_sigs.write.mode("overwrite").parquet(
+            f"{sigs_dir}/batch_id={batch_id}"
+        )
+        if gdf_dir is not None:
+            (
+                admitted_sigs.where(F.col("pos").isNotNull())
+                .select("id", "gram")
+                .distinct()
+                .groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .write.mode("overwrite")
+                .parquet(f"{gdf_dir}/batch_id={batch_id}")
+            )
+        pairs.unpersist()
+        admitted.unpersist()
+    finally:
+        batch_df.unpersist()
+
+
+def stream_edit_dedup(
+    new_docs: DataFrame,
+    corpus_dir: str,
+    sigs_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 5,
+    q: int = 4,
+    stop_gram_min_df: int | None = None,
+    gdf_dir: str | None = None,
+) -> None:
+    """Streaming edit-distance dedup — the record-linkage granularity's
+    streaming mirror (exact/URL/paragraph/span/MinHash/image/audio/video
+    all have one): each micro-batch is edit-deduped within itself AND
+    against every earlier admitted batch via the staged q-gram signature
+    table; detected pairs land in ``pairs_dir``, survivors append to
+    ``corpus_dir`` + ``sigs_dir``. Same idempotent-foreachBatch restart
+    contract as ``stream_incremental_dedup`` (per-batch partition
+    overwrite + in-flight-partition exclusion; pinned by the
+    double-invoke replay test). Per-batch cost: O(|batch|) gram rows +
+    one gram equi-join against staged signatures + candidate-bounded
+    threshold-DP verify — corpus text touched only for candidates."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        edit_dedup_batch(
+            batch_df, batch_id, corpus_dir, sigs_dir, pairs_dir,
+            id_col=id_col, text_col=text_col,
+            max_dist=max_dist, q=q, stop_gram_min_df=stop_gram_min_df,
+            gdf_dir=gdf_dir,
+        )
+
+    q_ = (
+        new_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()

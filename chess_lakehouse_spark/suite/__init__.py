@@ -168,6 +168,10 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     sketch frequency estimates vs exact counts — md5 buckets make the
 #     sketch family's first fully-deterministic cross-engine member;
 #     tests/test_cms.py).
+#   - q_substring_search / SUBSTR_SEARCH_ORACLE (register as
+#     `substring_search`; exact substring lookup through a staged
+#     trigram-class index — posting-list intersection + contains verify
+#     vs the index-free brute scan; tests/test_substring_index.py).
 # (2) then the 9 deferred r7-green queries (events_hourly,
 # export_projection, filter_null_predicate, groupby_agg, join_star,
 # json_extract, rolling_avg, scalar_kitchen, supplier_revenue) — at the

@@ -3205,6 +3205,63 @@ CMS_FREQ_ORACLE = rf"""
     FROM est e JOIN exact x USING (term)
 """
 
+#: Substring-search candidate (r11 staging): every 97th document donates a
+#: 12-char interior slice as a query — each query is GUARANTEED at least
+#: its own document, and the synthetic corpus's repeated phrasing makes
+#: many slices match dozens of other documents (non-trivial result).
+SUBSTR_Q = 3
+SUBSTR_QUERY_MOD = 97
+SUBSTR_SLICE_POS = 21
+SUBSTR_SLICE_LEN = 12
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring search (LIKE '%s%' at corpus scale) THROUGH a
+    staged trigram-class index (functions/text.py:build_substring_index /
+    substring_search_from_index — the pg_trgm / codesearch pattern, Cox
+    2012): candidates are the intersection of the query's q-gram posting
+    lists (gram-clustered, footer-skipped), verified with contains();
+    identical rows to the brute scan because containment implies
+    possession of every q-gram. The index is staged under the per-process
+    temp root (the lake_skipping_read pattern); the ORACLE is the honest
+    brute contains() scan the index path must reproduce exactly.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against SUBSTR_SEARCH_ORACLE pinned in tests/test_substring_index.py
+    at two scales + cold-JVM; registration at a window re-plan is a dict
+    + window edit."""
+    from chess_lakehouse_spark.functions.text import (
+        build_substring_index,
+        substring_search_from_index,
+    )
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _sklake_dir(sf_dir).rsplit("/", 1)[0] + "/subidx"
+    build_substring_index(docs, "doc_id", "text", idx, q=SUBSTR_Q)
+    queries = docs.where(F.col("doc_id") % SUBSTR_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.substring("text", SUBSTR_SLICE_POS, SUBSTR_SLICE_LEN).alias("qt"),
+    )
+    return substring_search_from_index(
+        spark, idx, docs, "doc_id", "text", queries, "qid", "qt"
+    )
+
+
+#: Canonical q_substring_search oracle (tests import THIS; registration at
+#: a window re-plan is a dict + window edit): the brute contains() scan —
+#: completely index-free, so it checks the posting-intersection path's
+#: exactness rather than mirroring it.
+SUBSTR_SEARCH_ORACLE = f"""
+    WITH qs AS (
+      SELECT doc_id AS qid,
+             substr(text, {SUBSTR_SLICE_POS}, {SUBSTR_SLICE_LEN}) AS qt
+      FROM documents WHERE doc_id % {SUBSTR_QUERY_MOD} = 0
+    )
+    SELECT q.qid, d.doc_id
+    FROM qs q JOIN documents d ON contains(d.text, q.qt)
+"""
+
 ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -294,7 +294,40 @@ def main() -> None:
                 ),
             )
 
-        if only_ops is None or {"edit_pairs", "cms_build_est"} & only_ops:
+        if only_ops is None or {"substr_serve"} & only_ops:
+            from chess_lakehouse_spark.functions.text import (
+                build_substring_index,
+                substring_search_from_index,
+            )
+
+            # staged substring search: FIXED 20-query batch against an
+            # x-factor index — serve cost should track matching postings
+            # (grams of the query batch), not the corpus; the per-copy
+            # word renaming keeps original-vocabulary grams present in
+            # every copy, so matching postings DO grow linearly and the
+            # honest expectation is sub-linear-to-linear, never corpus-
+            # rescan behavior
+            sidx = f"{tmp}/subidx_x{factor}"
+            build_substring_index(docs, "doc_id", "text", sidx, q=3)
+            sub_queries = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .where(F.col("doc_id") % 250 == 0)
+                .select(
+                    F.col("doc_id").alias("qid"),
+                    F.substring("text", 21, 12).alias("qt"),
+                )
+            )
+            probe(
+                "substr_serve", factor,
+                lambda: substring_search_from_index(
+                    spark, sidx, docs, "doc_id", "text",
+                    sub_queries, "qid", "qt",
+                ).count(),
+            )
+
+        if only_ops is None or {
+            "edit_pairs", "cms_build_est", "edit_stream_batch"
+        } & only_ops:
             from chess_lakehouse_spark.operators.dedup import (
                 edit_distance_pairs,
                 tokens,
@@ -335,6 +368,45 @@ def main() -> None:
                 "cms_build_est", factor,
                 lambda: cms_estimate(
                     cms_build(occ, "term", cspec), fixed_probes, "term", cspec
+                ).count(),
+            )
+            # streaming edit-dedup per-batch shape: FIXED batch against an
+            # x-factor STAGED q-gram signature table — cost should track
+            # the batch's matching staged grams (which grow with shared
+            # character 4-grams across renamed copies), never re-gram the
+            # corpus; corpus text joins only for candidates
+            from chess_lakehouse_spark.operators.dedup import (
+                edit_signatures,
+                incremental_edit_dups,
+            )
+
+            esigs_dir = f"{tmp}/editsigs_x{factor}"
+            sigs_once = edit_signatures(shortdocs, "doc_id", "text")
+            sigs_once.write.mode("overwrite").parquet(esigs_dir)
+            # the staged gram-df companion (what the streaming loop folds
+            # per batch via gdf_dir): with it, the hot-set derivation is
+            # O(vocab) instead of a pass over the whole staged gram table
+            egdf_dir = f"{tmp}/editgdf_x{factor}"
+            (
+                spark.read.parquet(esigs_dir)
+                .where(F.col("pos").isNotNull())
+                .select("id", "gram").distinct()
+                .groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+                .write.mode("overwrite").parquet(egdf_dir)
+            )
+            edit_batch = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .where(F.length("text") <= 250)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(990_000_000))
+            )
+            probe(
+                "edit_stream_batch", factor,
+                lambda: incremental_edit_dups(
+                    edit_batch,
+                    spark.read.parquet(esigs_dir),
+                    shortdocs,
+                    "doc_id", "text", max_dist=10, stop_gram_min_df=50,
+                    corpus_gram_df=spark.read.parquet(egdf_dir),
                 ).count(),
             )
 

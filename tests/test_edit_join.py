@@ -195,3 +195,59 @@ def test_pipeline_cli_edit_dedup_stage(spark, tmp_path, capsys):
     assert sorted(r["rec_id"] for r in got.collect()) == [10, 12]
     assert got.columns == ["rec_id", "title", "tag"]
     assert "kept=2" in capsys.readouterr().out
+
+
+def test_incremental_edit_dups_matches_brute_force(spark):
+    """Asymmetric (batch vs staged corpus) form: exact parity with the
+    brute cross-check, with and without the stop-gram knob — including a
+    batch doc made ENTIRELY of corpus-hot grams (degenerate after the
+    drop: caught only by the all-lengths bucket reroute) and short/
+    boundary strings on both sides."""
+    from chess_lakehouse_spark.operators.dedup import (
+        edit_signatures,
+        incremental_edit_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hotdoc = " ".join(["value table part"] * 6)
+    new = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        spark.createDataFrame(
+            [(9001, hotdoc), (9002, None), (9004, "a" * 43), (9005, "a" * 50)],
+            "doc_id long, text string",
+        )
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0).unionByName(
+        spark.createDataFrame(
+            [(8001, hotdoc + "x"), (8004, "a" * 40 + "bbb"), (8005, "a" * 55)],
+            "doc_id long, text string",
+        )
+    )
+    sigs = edit_signatures(corpus, "doc_id", "text")
+    n = new.select(F.col("doc_id").alias("new_id"), F.col("text").alias("tn")).where(
+        F.col("tn").isNotNull()
+    )
+    c = corpus.select(
+        F.col("doc_id").alias("corpus_id"), F.col("text").alias("tc")
+    ).where(F.col("tc").isNotNull())
+    want = sorted(
+        tuple(r)
+        for r in (
+            n.crossJoin(c)
+            .where(F.col("new_id") != F.col("corpus_id"))
+            .withColumn("dist", F.levenshtein("tn", "tc", 10))
+            .where(F.col("dist") >= 0)
+            .select("new_id", "corpus_id", F.col("dist").cast("long"))
+            .collect()
+        )
+    )
+    for cap in (None, 5):
+        got = sorted(
+            tuple(r)
+            for r in incremental_edit_dups(
+                new, sigs, corpus, "doc_id", "text", 10, stop_gram_min_df=cap
+            ).collect()
+        )
+        assert got == want, f"cap={cap}"
+    assert (9001, 8001, 1) in want  # the degenerate hot-gram pair is real

@@ -1373,3 +1373,113 @@ def test_stream_anomaly_alerts_equals_batch_composition(spark, tmp_path):
 
     run()  # restart with nothing new
     assert sorted(tuple(r) for r in spark.read.parquet(alerts).collect()) == got
+
+
+def test_stream_edit_dedup_daily_drops(spark, tmp_path):
+    """The streaming edit-distance dedup loop: drop 1 admits canonicals of
+    an intra-batch edit-pair and stages q-gram signatures; drop 2's
+    near-edit of an ADMITTED doc is caught by the cross-batch gram join
+    and kept out of the corpus; the checkpoint prevents reprocessing."""
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.streaming import stream_edit_dedup
+
+    base = " ".join(f"word{i}" for i in range(12))          # ~70 chars
+    other = " ".join(f"zzz{i}qqq{i}" for i in range(12))
+    third = " ".join(f"mmm{i}nnn{i}" for i in range(12))
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        import glob
+        import shutil
+
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet")
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_edit_dedup(stream, corpus, sigs, pairs, ckpt, max_dist=3)
+
+    # drop 1: 1/2 within distance 1 (intra pair, min id kept); 3 distinct
+    land("d1", [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + "x"),
+        Row(doc_id=3, text=other),
+    ])
+    run()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3}
+    p1 = {(r.id_a, r.id_b, r.kind) for r in spark.read.parquet(pairs).collect()}
+    assert (1, 2, "intra") in p1
+
+    # drop 2: 10 is 2 edits from ADMITTED 1 (cross); 11 is new
+    land("d2", [Row(doc_id=10, text=base + "yz"), Row(doc_id=11, text=third)])
+    run()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 11}
+    p2 = {(r.id_a, r.id_b, r.kind) for r in spark.read.parquet(pairs).collect()}
+    assert (10, 1, "cross") in p2
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    run()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 11}
+    assert {r.id for r in spark.read.parquet(sigs).select("id").collect()} == {1, 3, 11}
+
+
+@pytest.mark.parametrize("knob", [None, 1])
+def test_edit_dedup_batch_replay_is_idempotent(spark, tmp_path, knob):
+    """Crash-replay contract for the edit loop (the contract every staged
+    streaming loop carries since the r8 verdict defect): invoking the
+    batch body TWICE with the same batch_id — crash after the corpus/sigs
+    writes, before the checkpoint commit — must reproduce the admitted
+    set and every batch_id=N partition identically; without the
+    in-flight-partition exclusion the replay would find every doc at
+    distance 0 from its own staged grams and empty the batch. knob=1 runs
+    the same contract through the staged gram-df companion with EVERY
+    gram hot — all batch strings degenerate, the all-lengths bucket
+    reroute carries the whole candidate load, and the results must not
+    change (the knob's losslessness under replay)."""
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.streaming import edit_dedup_batch
+
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    kw = dict(max_dist=3)
+    if knob is not None:
+        kw.update(stop_gram_min_df=knob, gdf_dir=str(tmp_path / "gdf"))
+
+    base = " ".join(f"word{i}" for i in range(12))
+    other = " ".join(f"zzz{i}qqq{i}" for i in range(12))
+    third = " ".join(f"mmm{i}nnn{i}" for i in range(12))
+
+    b0 = spark.createDataFrame([Row(doc_id=1, text=base), Row(doc_id=3, text=other)])
+    b1 = spark.createDataFrame(
+        [Row(doc_id=10, text=base + "yz"), Row(doc_id=11, text=third)]
+    )
+
+    def snapshot():
+        return {
+            "corpus": {(r.doc_id, r.text) for r in spark.read.parquet(corpus).collect()},
+            "sigs": {tuple(r) for r in spark.read.parquet(sigs).collect()},
+            "pairs": {tuple(r) for r in spark.read.parquet(pairs).collect()},
+        }
+
+    edit_dedup_batch(b0, 0, corpus, sigs, pairs, **kw)
+    s0 = snapshot()
+    assert {d for d, _ in s0["corpus"]} == {1, 3}
+    edit_dedup_batch(b0, 0, corpus, sigs, pairs, **kw)
+    assert snapshot() == s0
+
+    edit_dedup_batch(b1, 1, corpus, sigs, pairs, **kw)
+    s1 = snapshot()
+    assert {d for d, _ in s1["corpus"]} == {1, 3, 11}
+    edit_dedup_batch(b1, 1, corpus, sigs, pairs, **kw)
+    assert snapshot() == s1
