@@ -1393,6 +1393,7 @@ def build_substring_index(
     index_dir: str,
     q: int = 3,
     n_posting_files: int = 64,
+    fold_case: bool = False,
 ) -> None:
     """Materialize a trigram-class SUBSTRING-SEARCH index to the lake —
     the pg_trgm / codesearch pattern (Cox 2012, "Regular Expression
@@ -1404,10 +1405,13 @@ def build_substring_index(
     - ``postings/``  DISTINCT (g, doc_id) — GRAM-CLUSTERED via
       write_clustered, so a query batch's gram predicate skips every
       file whose footer [min, max] cannot match;
-    - ``meta/``      one row (q, n_docs) — serve DERIVES q from the
-      staged layout rather than taking it as a parameter, so the two
-      cannot drift (contrast the hashed edit-signature table, where q is
-      baked into hashes and the loop owns the contract).
+    - ``meta/``      one row (q, n_docs, fold_case) — serve DERIVES q and
+      the case mode from the staged layout rather than taking them as
+      parameters, so build and serve cannot drift (contrast the hashed
+      edit-signature table, where q is baked into hashes and the loop
+      owns the contract). ``fold_case=True`` lowercases text at index
+      time and queries at serve time — case-insensitive search with the
+      same single postings table.
 
     Rebuild on corpus change; for append-only corpora union a delta's
     postings the same way (distinct (g, doc_id) rows are upsert-trivial).
@@ -1419,7 +1423,10 @@ def build_substring_index(
         raise ValueError(f"build_substring_index: q must be >= 2, got {q}")
     from chess_lakehouse_spark.operators.publish import write_clustered
 
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")).where(
+    t = F.col(text_col)
+    if fold_case:
+        t = F.lower(t)
+    base = df.select(F.col(id_col).alias("doc_id"), t.alias("t")).where(
         F.col("t").isNotNull()
     )
     postings = base.select(
@@ -1436,7 +1443,7 @@ def build_substring_index(
         .count()
     )
     base.sparkSession.createDataFrame(
-        [(q, n_docs)], "q int, n_docs long"
+        [(q, n_docs, bool(fold_case))], "q int, n_docs long, fold_case boolean"
     ).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
@@ -1462,9 +1469,13 @@ def append_substring_index(
     )
 
     spark = delta_df.sparkSession
-    q = int(spark.read.parquet(f"{index_dir}/meta").first()["q"])
+    meta = spark.read.parquet(f"{index_dir}/meta").first()
+    q, fold_case = int(meta["q"]), bool(meta["fold_case"])
+    t = F.col(text_col)
+    if fold_case:
+        t = F.lower(t)
     base = delta_df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+        F.col(id_col).alias("doc_id"), t.alias("t")
     ).where(F.col("t").isNotNull())
     delta_ids = base.select("doc_id").distinct()
     new_postings = base.select(
@@ -1485,9 +1496,9 @@ def append_substring_index(
         .distinct()
         .count()
     )
-    spark.createDataFrame([(q, n_docs)], "q int, n_docs long").write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/meta")
+    spark.createDataFrame(
+        [(q, n_docs, fold_case)], "q int, n_docs long, fold_case boolean"
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
 def substring_search_from_index(
@@ -1517,14 +1528,23 @@ def substring_search_from_index(
     indexed q (after dropping NULL/empty) take the documented corpus-scan
     fallback — the same contract as real trigram engines, where the
     index cannot discriminate below gram width. Returns (qid, doc_id).
+
+    ``qid`` must uniquely identify a query string: the per-query gram
+    count is keyed by qid, so two rows sharing a qid with DIFFERENT texts
+    would demand a candidate contain the union of both texts' grams
+    (silently under-matching). One id, one query.
     """
     meta = spark.read.parquet(f"{index_dir}/meta").first()
-    q = int(meta["q"])
+    q, fold_case = int(meta["q"]), bool(meta["fold_case"])
+    qt = F.col(qtext_col)
+    t = F.col(text_col)
+    if fold_case:
+        qt, t = F.lower(qt), F.lower(t)
     qs = queries.select(
-        F.col(qid_col).alias("qid"), F.col(qtext_col).alias("qt")
+        F.col(qid_col).alias("qid"), qt.alias("qt")
     ).where(F.col("qt").isNotNull() & (F.length("qt") >= 1))
     corpus = corpus_df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+        F.col(id_col).alias("doc_id"), t.alias("t")
     ).where(F.col("t").isNotNull())
 
     long_q = qs.where(F.length("qt") >= q)

@@ -1587,3 +1587,34 @@ def incremental_edit_dups(
         .where(F.col("dist") >= 0)
         .select("new_id", "corpus_id", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    q: int = 4,
+    stop_gram_min_df: int | None = None,
+) -> DataFrame:
+    """Two-table fuzzy join on edit distance — the record-linkage form
+    (match a scraped title list against a catalog, a new dump against a
+    registry): every (left, right) pair within ``max_dist``, as
+    (new_id, corpus_id, dist) with left ids in ``new_id``. A thin
+    composition: gram the right side once (:func:`edit_signatures`) and
+    run the asymmetric count-filter join (:func:`incremental_edit_dups`)
+    — for repeated probing of the same right side, stage the signatures
+    yourself and call ``incremental_edit_dups`` directly so the gram pass
+    isn't repaid per call. Ids sharing a value across the two inputs are
+    treated as the same record and excluded (the self-pair guard)."""
+    return incremental_edit_dups(
+        left,
+        edit_signatures(right, id_col, text_col, q=q),
+        right,
+        id_col,
+        text_col,
+        max_dist,
+        q=q,
+        stop_gram_min_df=stop_gram_min_df,
+    )

@@ -69,7 +69,22 @@ def connected_components(
     and run union-find on the driver — O(E α(E)), no per-iteration job
     latency. Beyond the bound, fall back to the distributed iterative loop.
     Both paths produce identical output.
+
+    Node ids must be INTEGRAL (both paths assume numeric labels: the
+    driver path materializes a ``long`` schema, the distributed path
+    tracks convergence through ``sum(label)``) — checked up front with a
+    loud error instead of a deep Arrow/analysis failure; map string keys
+    through a dense integer id first.
     """
+    integral = {"byte", "short", "int", "bigint"}
+    for c in (id_a, id_b):
+        dt = dict(edges.dtypes).get(c)
+        if dt not in integral:
+            raise ValueError(
+                f"connected_components: node id column {c!r} has type {dt!r} "
+                "but both execution paths require an integral id — map "
+                "string keys through a dense integer id first"
+            )
     if driver_max_edges:
         # one job answers both "is it bounded?" and "give me the edges"
         head = edges.select(id_a, id_b).take(driver_max_edges + 1)

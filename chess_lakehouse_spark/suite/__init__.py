@@ -139,7 +139,7 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     the generalized 64-bit banded hamming join under phash_near_pairs
 #     — radius inside the pigeonhole bound, so the brute-force oracle
 #     checks recall; tests/test_phash.py);
-# Six r11 staging candidates are also ready ahead of schedule:
+# Nine r11 staging candidates are also ready ahead of schedule:
 #   - q_badwords / BADWORDS_ORACLE (register as `badwords_gate`; the C4
 #     word-blocklist boolean with the Gopher-normalized membership test;
 #     tests/test_gopher.py);

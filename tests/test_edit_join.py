@@ -251,3 +251,37 @@ def test_incremental_edit_dups_matches_brute_force(spark):
         )
         assert got == want, f"cap={cap}"
     assert (9001, 8001, 1) in want  # the degenerate hot-gram pair is real
+
+
+def test_string_ids_rejected_loudly(spark):
+    """connected_components (and therefore the dedup keep wrapper) is
+    integral-id by construction — string keys must fail with the mapping
+    hint, not a deep Arrow/analysis error."""
+    from chess_lakehouse_spark.operators.dedup import edit_distance_dedup
+
+    df = spark.createDataFrame(
+        [("a", "kitten"), ("b", "kittenx")], "id string, text string"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        edit_distance_dedup(df, "id", "text", max_dist=2).collect()
+
+
+def test_edit_distance_join_two_tables(spark):
+    """Two-table record-linkage form: every cross pair within d, shared
+    ids excluded as self-pairs, thin composition over the staged-signature
+    machinery."""
+    from chess_lakehouse_spark.operators.dedup import edit_distance_join
+
+    left = spark.createDataFrame(
+        [(1, "the yellow king"), (2, "an orphan record"), (7, "shared id")],
+        "id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, "the yellow kings"), (11, "zz totally different zz"),
+         (7, "shared id")],
+        "id long, text string",
+    )
+    got = sorted(
+        tuple(r) for r in edit_distance_join(left, right, "id", "text", 2).collect()
+    )
+    assert got == [(1, 10, 1)]  # the near pair; self-pair 7 excluded

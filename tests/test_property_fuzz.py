@@ -221,3 +221,53 @@ def test_span_dedup_property(spark, docs, k):
         for r in duplicate_span_dedup(df, "doc_id", "text", k=k).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab 'é中") + ["\U0001f600"]),
+            min_size=0,
+            max_size=50,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    d=st.integers(min_value=1, max_value=4),
+)
+def test_edit_distance_pairs_complete_on_unicode(spark, texts, d):
+    """Candidate completeness of the q-gram count filter + bucket split
+    under arbitrary unicode (multibyte chars, emoji, quotes, empties):
+    the operator's CHAR-based length/gram/bucket arithmetic must agree
+    with Spark's char-based levenshtein — every brute pair recovered,
+    nothing extra. (Cross-engine byte-vs-char is a separate, documented
+    boundary; this pins the Spark-side plan against itself.)"""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in edit_distance_pairs(df, "id", "text", d, q=2).collect()
+    )
+    b = df.select("id", F.col("text").alias("t"))
+    want = sorted(
+        tuple(r)
+        for r in (
+            b.alias("a")
+            .join(b.alias("b"), F.col("a.id") < F.col("b.id"))
+            .withColumn("dist", F.levenshtein("a.t", "b.t", d))
+            .where(F.col("dist") >= 0)
+            .select("a.id", "b.id", F.col("dist").cast("long"))
+            .collect()
+        )
+    )
+    assert got == want

@@ -195,3 +195,38 @@ def test_append_equals_rebuild_and_is_retry_idempotent(spark, tmp_path):
         ).collect()
     )
     assert got_inc == got_full and len(got_inc) > 0
+
+
+def test_fold_case_mode_is_meta_driven(spark, tmp_path):
+    """fold_case=True indexes lowered text and lowers queries at serve —
+    the mode rides meta/ like q, so serve cannot get it wrong; parity
+    with the case-folded brute scan, and the case-SENSITIVE index on the
+    same data stays strict."""
+    rows = [
+        (1, "The Yellow KING rides"),
+        (2, "the yellow king rides"),
+        (3, "unrelated content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "Yellow King")], "qid long, qt string"
+    )
+    ci = str(tmp_path / "ci")
+    cs = str(tmp_path / "cs")
+    build_substring_index(docs, "doc_id", "text", ci, q=3, fold_case=True)
+    build_substring_index(docs, "doc_id", "text", cs, q=3)
+
+    got_ci = sorted(
+        tuple(r)
+        for r in substring_search_from_index(
+            spark, ci, docs, "doc_id", "text", queries, "qid", "qt"
+        ).collect()
+    )
+    assert got_ci == [(100, 1), (100, 2)]
+    got_cs = sorted(
+        tuple(r)
+        for r in substring_search_from_index(
+            spark, cs, docs, "doc_id", "text", queries, "qid", "qt"
+        ).collect()
+    )
+    assert got_cs == []  # exact case: 'Yellow KING' != 'Yellow King'
