@@ -1828,3 +1828,136 @@ def normalize_badwords(badwords) -> list[str]:
         if w and w not in out:
             out.append(w)
     return out
+
+
+def regex_required_literals(pattern: str, q: int) -> list[str] | None:
+    """Extract the literal runs a regex FORCES every match to contain —
+    the index side of Cox 2012 (trigram-accelerated regex search), for a
+    SAFE pattern subset: literal characters, ``\\``-escaped punctuation,
+    the wildcards ``.``, ``.*``, ``.+``, and the anchors ``^``/``$``.
+    Returns the literal runs of length >= q (each is an AND-requirement:
+    a matching document must contain every run, hence every q-gram of
+    every run), or ``None`` when the pattern uses anything outside the
+    subset (classes, alternation, groups, quantifiers on literals) — the
+    caller must then fall back to the full scan, because a wrong
+    "required" literal silently loses matches. Empty list = supported
+    pattern but no run long enough to index (also a scan)."""
+    runs: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(pattern)
+
+    def flush():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    while i < n:
+        c = pattern[i]
+        if c == "^" and i == 0:
+            i += 1
+            continue
+        if c == "$" and i == n - 1:
+            i += 1
+            continue
+        if c == "\\":
+            if i + 1 >= n:
+                return None
+            nxt = pattern[i + 1]
+            if nxt.isalnum():  # \d \w \S ... — class shorthand
+                return None
+            # escaped punctuation is a literal — unless a quantifier
+            # follows, which would make it optional/repeated
+            if i + 2 < n and pattern[i + 2] in "*+?{":
+                return None
+            cur.append(nxt)
+            i += 2
+            continue
+        if c == ".":
+            flush()
+            if i + 1 < n and pattern[i + 1] in "*+":
+                i += 2
+            else:
+                i += 1
+            if i < n and pattern[i] in "*+?{":
+                return None  # e.g. ".**" — outside the subset
+            continue
+        if c in "*+?{}()[]|^$":
+            return None
+        if i + 1 < n and pattern[i + 1] in "*+?{":
+            return None  # quantified literal: not required
+        cur.append(c)
+        i += 1
+    flush()
+    return [r for r in runs if len(r) >= q]
+
+
+def regex_search_from_index(
+    spark,
+    index_dir: str,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    max_pushdown_grams: int = 1_000,
+) -> DataFrame:
+    """Regex search accelerated by the staged substring index — Cox 2012
+    end to end: extract the pattern's REQUIRED literal runs
+    (:func:`regex_required_literals`), intersect their q-grams' posting
+    lists to a candidate set, verify candidates with ``rlike`` — exactly
+    the rows a full ``rlike`` scan returns (required-literal extraction
+    is a necessary condition, pytest-pinned). Patterns outside the safe
+    subset (or with no literal run >= q) take the honest full-scan
+    fallback — correct, just not index-pruned. Returns (doc_id).
+
+    The verify uses Spark's JAVA regex semantics; this is a Spark-side
+    serving path with no cross-engine oracle claim (rows-only class —
+    Java vs RE2 divergences are the documented suite boundary). Requires
+    a case-SENSITIVE index (``fold_case=False``): a lowered postings
+    table would demand case-insensitive regex verify, which the safe
+    subset does not model."""
+    meta = spark.read.parquet(f"{index_dir}/meta").first()
+    q, fold_case = int(meta["q"]), bool(meta["fold_case"])
+    if fold_case:
+        raise ValueError(
+            "regex_search_from_index needs a case-sensitive index "
+            "(fold_case=False): lowered postings would require "
+            "case-insensitive verify semantics"
+        )
+    corpus = corpus_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    ).where(F.col("t").isNotNull())
+
+    runs = regex_required_literals(pattern, q)
+    if not runs:
+        return corpus.where(F.col("t").rlike(pattern)).select("doc_id")
+
+    lits = spark.createDataFrame([(r,) for r in runs], "lit string")
+    need = (
+        lits.select(F.explode(substring_grams(F.col("lit"), q)).alias("g"))
+        .distinct()
+    )
+    gram_rows = need.limit(max_pushdown_grams + 1).collect()
+    n_need = len(gram_rows)
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    if n_need <= max_pushdown_grams:
+        postings = postings.where(F.col("g").isin([r["g"] for r in gram_rows]))
+        cand = (
+            postings.groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("hit"))
+            .where(F.col("hit") == n_need)
+            .select("doc_id")
+        )
+    else:  # unbounded literal set: keyed semi-join + counted intersection
+        postings = postings.join(need, "g", "left_semi")
+        total = need.count()
+        cand = (
+            postings.groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("hit"))
+            .where(F.col("hit") == F.lit(total))
+            .select("doc_id")
+        )
+    return (
+        corpus.join(cand, "doc_id", "semi")
+        .where(F.col("t").rlike(pattern))
+        .select("doc_id")
+    )

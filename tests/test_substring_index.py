@@ -230,3 +230,68 @@ def test_fold_case_mode_is_meta_driven(spark, tmp_path):
         ).collect()
     )
     assert got_cs == []  # exact case: 'Yellow KING' != 'Yellow King'
+
+
+def test_regex_required_literals_subset():
+    """The safe-subset extractor: literal runs split on wildcards; any
+    construct outside the subset returns None (fallback), never a wrong
+    'required' literal."""
+    from chess_lakehouse_spark.functions.text import regex_required_literals as rrl
+
+    assert rrl("hello.*world", 3) == ["hello", "world"]
+    assert rrl("^foo.bar baz$", 3) == ["foo", "bar baz"]
+    assert rrl(r"x\.y rides", 3) == ["x.y rides"]
+    assert rrl("ab.*cd", 3) == []          # supported, runs too short
+    assert rrl("a|b", 3) is None           # alternation
+    assert rrl("col[ou]r", 3) is None      # class
+    assert rrl("ab+c", 3) is None          # quantified literal
+    assert rrl(r"\d+", 3) is None          # class shorthand
+    assert rrl("(group)", 3) is None       # group
+    assert rrl(".**", 3) is None           # stacked quantifier
+    assert rrl(r"a\.*b", 3) is None        # quantified ESCAPED literal
+
+
+def test_regex_search_matches_full_rlike_scan(spark, idx):
+    """Index-accelerated path and fallback path both equal the brute
+    rlike scan; a fold_case index is rejected loudly."""
+    from chess_lakehouse_spark.functions.text import regex_search_from_index
+
+    docs = _docs(spark)
+
+    def brute(pattern):
+        return sorted(
+            r.doc_id
+            for r in docs.where(F.col("text").rlike(pattern))
+            .select("doc_id")
+            .collect()
+        )
+
+    # indexable: two required runs around a wildcard gap
+    for pattern in ("value.*table", "^key.*scan", "part hash.+value"):
+        got = sorted(
+            r.doc_id
+            for r in regex_search_from_index(
+                spark, idx, docs, "doc_id", "text", pattern
+            ).collect()
+        )
+        assert got == brute(pattern), pattern
+        assert len(got) > 0, pattern
+    # unsupported: alternation → honest fallback, same rows
+    pat = "value (table|part)"
+    got = sorted(
+        r.doc_id
+        for r in regex_search_from_index(
+            spark, idx, docs, "doc_id", "text", pat
+        ).collect()
+    )
+    assert got == brute(pat)
+
+
+def test_regex_search_rejects_folded_index(spark, tmp_path):
+    from chess_lakehouse_spark.functions.text import regex_search_from_index
+
+    docs = _docs(spark).limit(10)
+    d = str(tmp_path / "ci")
+    build_substring_index(docs, "doc_id", "text", d, q=3, fold_case=True)
+    with pytest.raises(ValueError, match="case-sensitive"):
+        regex_search_from_index(spark, d, docs, "doc_id", "text", "abc.*def")
