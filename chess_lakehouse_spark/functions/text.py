@@ -1371,9 +1371,13 @@ def bm25_from_index(
 def substring_grams(text: Column, q: int = 3) -> Column:
     """Distinct character q-grams of a string as an array column —
     CASE-guarded empty below length q (Spark's ``sequence(1, 0)`` counts
-    DOWN rather than returning empty). Plain strings, not hashes: the
-    postings stay range-clusterable (footer min/max pruning works on
-    string ranges) and the staged table is self-describing."""
+    DOWN rather than returning empty). NULL text also grams to the empty
+    array, NOT NULL (the CASE's NULL condition falls through to the
+    otherwise branch) — callers that must distinguish NULL from
+    too-short filter NULLs first, as every caller here does. Plain
+    strings, not hashes: the postings stay range-clusterable (footer
+    min/max pruning works on string ranges) and the staged table is
+    self-describing."""
     n = F.length(text)
     return F.when(
         n >= q,

@@ -1210,19 +1210,13 @@ def edit_distance_pairs(
     )
 
     # ---- gram path: pairs whose longer string has len >= l_min ----------
-    grams = (
-        base.where(F.col("len") >= q)
-        .select(
-            "id",
-            "len",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, len - {q - 1}),"
-                    f" i -> struct(i AS pos, xxhash64(substring(t, i, {q})) AS gram))"
-                )
-            ).alias("g"),
-        )
-        .select("id", "len", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    # single-sourced gram definition: the SAME edit_signatures expression
+    # the staged/incremental path consumes, so the self-join and the
+    # incremental form cannot drift on the (unhashable-to-check) gram
+    # hash (marker rows for len < q are dropped — the bucket path below
+    # covers those strings)
+    grams = edit_signatures(df, id_col, text_col, q=q).where(
+        F.col("pos").isNotNull()
     )
 
     if stop_gram_min_df is not None:

@@ -3072,8 +3072,12 @@ EDIT_DIST_STOP_DF = 50
 #: space..tilde — printable ASCII; the class is spelled out because DuckDB's
 #: levenshtein counts BYTES while Spark's counts CHARS (measured:
 #: levenshtein('héllo','hello') = 2 in DuckDB, 1 in Spark) — on ASCII the
-#: two are identical, so the query pins its scope to ASCII rows.
-EDIT_DIST_ASCII_RE = "^[ -~]*$"
+#: two are identical, so the query pins its scope to ASCII rows. The end
+#: anchor is \z, NOT $: Java's $ also matches BEFORE a final line
+#: terminator ('abc\n' passes rlike('^[ -~]*$') but fails DuckDB's RE2
+#: regexp_matches — measured), while \z means end-of-text in BOTH engines,
+#: so the scope filter is engine-identical on every input.
+EDIT_DIST_ASCII_RE = r"^[ -~]*\z"
 
 
 def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3257,9 +3261,15 @@ SUBSTR_SEARCH_ORACLE = f"""
       SELECT doc_id AS qid,
              substr(text, {SUBSTR_SLICE_POS}, {SUBSTR_SLICE_LEN}) AS qt
       FROM documents WHERE doc_id % {SUBSTR_QUERY_MOD} = 0
-    )
+    ),
+    -- mirror the serve path's NULL/empty-query drop (functions/text.py:
+    -- substring_search_from_index): a query doc shorter than the slice
+    -- start yields qt = '' and DuckDB contains(text, '') is TRUE for
+    -- EVERY document — without this filter such a row would fan out to
+    -- the whole corpus on the oracle side only
+    qs2 AS (SELECT * FROM qs WHERE qt IS NOT NULL AND length(qt) >= 1)
     SELECT q.qid, d.doc_id
-    FROM qs q JOIN documents d ON contains(d.text, q.qt)
+    FROM qs2 q JOIN documents d ON contains(d.text, q.qt)
 """
 
 ORACLES = {

@@ -285,3 +285,31 @@ def test_edit_distance_join_two_tables(spark):
         tuple(r) for r in edit_distance_join(left, right, "id", "text", 2).collect()
     )
     assert got == [(1, 10, 1)]  # the near pair; self-pair 7 excluded
+
+
+def test_ascii_scope_regex_is_engine_identical(spark):
+    """The q_dedup_edit scope anchor is \\z, not $: Java's $ also matches
+    BEFORE a final line terminator, so 'abc\\n' would pass the Spark
+    filter but fail the RE2 oracle filter — with \\z both engines agree
+    on every hostile input (review finding, fixed)."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import EDIT_DIST_ASCII_RE
+
+    hostile = ["abc", "abc\n", "abc\r", "a\nb", "héllo", "", " ~", "\n"]
+    sdf = spark.createDataFrame([(t,) for t in hostile], "t string")
+    got_spark = [
+        bool(r.m)
+        for r in sdf.select(F.col("t").rlike(EDIT_DIST_ASCII_RE).alias("m"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT regexp_matches(?, ?)", [t, EDIT_DIST_ASCII_RE]
+        ).fetchone()[0]
+        for t in hostile
+    ]
+    con.close()
+    assert got_spark == got_duck
+    assert got_spark == [True, False, False, False, False, True, True, False]

@@ -30,14 +30,16 @@ def _docs(spark):
 
 def test_substring_grams_edges(spark):
     """Distinct grams; below-q strings gram to empty, not to a countdown
-    sequence; NULL stays NULL (the caller filters)."""
+    sequence; NULL text ALSO grams to empty (the CASE falls through to
+    otherwise) — callers filter NULLs first when they must distinguish."""
     df = spark.createDataFrame(
-        [("abcd",), ("ab",), ("",), ("aaaa",)], "t string"
+        [("abcd",), ("ab",), ("",), ("aaaa",), (None,)], "t string"
     ).select(substring_grams(F.col("t"), 3).alias("g"))
     got = [r.g for r in df.collect()]
     assert got[0] == ["abc", "bcd"]
     assert got[1] == [] and got[2] == []
     assert got[3] == ["aaa"]  # distinct collapses the repeat
+    assert got[4] == []       # NULL text -> empty array, not NULL
 
 
 def test_matches_brute_contains_scan(spark, idx):
