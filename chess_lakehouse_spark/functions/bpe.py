@@ -194,3 +194,82 @@ def bpe_apply(
         )
 
     return df.select(F.col(id_col), _tok(F.col(text_col)).alias("tokens"))
+
+
+def build_token_vocab(
+    tokens_df: DataFrame, tokens_col: str = "tokens", unk: str = "<unk>"
+) -> DataFrame:
+    """Deterministic token vocabulary from a tokenized corpus: (token,
+    token_id) with ids assigned by LEXICOGRAPHIC token order starting at
+    1 — id 0 is reserved for ``unk`` — so the same corpus always yields
+    the same table on any partitioning (no monotonically_increasing_id,
+    whose values depend on partition layout). One distinct + one
+    vocabulary-sized window; the table is broadcast-sized by construction
+    (vocabularies are bounded, corpora are not)."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        tokens_df.select(F.explode(F.col(tokens_col)).alias("token"))
+        .where(F.col("token").isNotNull() & (F.col("token") != ""))
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    vocab = toks.select(
+        "token", F.row_number().over(w).cast("long").alias("token_id")
+    )
+    unk_row = tokens_df.sparkSession.createDataFrame(
+        [(unk, 0)], "token string, token_id long"
+    )
+    return unk_row.unionByName(vocab)
+
+
+def encode_token_ids(
+    tokens_df: DataFrame,
+    id_col: str,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Token strings → integer ids, the export step between
+    :func:`bpe_apply` and sequence packing: returns (id, ids
+    array<long>, n_tokens, n_oov) with in-document order preserved and
+    out-of-vocabulary tokens mapped to ``unk_id``. Documents with empty
+    (or NULL) token arrays survive with ``ids = []``.
+
+    Plan: posexplode → ONE vocabulary-keyed join (the vocab side is
+    bounded, AQE broadcasts it) → one doc-keyed groupBy that re-sorts by
+    position in the ARRAY domain (sort_array over (pos, id) structs —
+    no per-group window) → an arrays-restoring left join back to the
+    input ids. Everything is keyed; the only corpus-sized shuffle is the
+    doc-keyed reassembly, which is output-sized by definition."""
+    base = tokens_df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("toks"))
+    pos = base.select(
+        "id", F.posexplode(F.coalesce(F.col("toks"), F.array())).alias("pos", "token")
+    )
+    joined = pos.join(vocab, "token", "left").select(
+        "id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("tid"),
+        F.col("token_id").isNull().alias("oov"),
+    )
+    packed = (
+        joined.groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("oov").cast("long")).alias("n_oov"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(packed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("ids", F.array().cast("array<bigint>")).alias("ids"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        )
+    )

@@ -561,6 +561,43 @@ def cmd_edit_dedup(args: argparse.Namespace) -> None:
     print(f"[edit-dedup] kept={kept.count()} -> {args.outDir}")
 
 
+def cmd_encode_corpus(args: argparse.Namespace) -> None:
+    """Token-id encoding stage — the export step after clean-corpus: read
+    a corpus parquet and a clean-corpus ``bpe_merges.txt`` artifact,
+    tokenize (functions/bpe.py:bpe_apply), build-or-load the
+    deterministic vocabulary, encode to integer ids, and write
+    ``ids/`` (id, ids, n_tokens, n_oov) + ``vocab/`` (token, token_id).
+    Pass --vocabParquet to encode AGAINST an existing vocabulary (the
+    eval-split / incremental-batch shape: new tokens become <unk> and
+    n_oov counts them) instead of minting one from this corpus."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.bpe import (
+        bpe_apply,
+        build_token_vocab,
+        encode_token_ids,
+    )
+
+    spark = _spark()
+    merges = [
+        tuple(line.split("\t"))
+        for line in open(args.mergesTxt, encoding="utf-8").read().splitlines()
+        if line
+    ]
+    df = spark.read.parquet(args.inParquet)
+    toks = bpe_apply(df, args.idCol, args.textCol, merges)
+    if args.vocabParquet:
+        vocab = spark.read.parquet(args.vocabParquet)
+    else:
+        vocab = build_token_vocab(toks)
+    enc = encode_token_ids(toks, args.idCol, vocab)
+    enc.write.mode("overwrite").parquet(f"{args.outDir}/ids")
+    vocab.write.mode("overwrite").parquet(f"{args.outDir}/vocab")
+    n_docs = enc.count()
+    n_oov = enc.agg(F.sum("n_oov")).collect()[0][0] or 0
+    print(f"[encode-corpus] docs={n_docs} oov_tokens={n_oov} -> {args.outDir}")
+
+
 def cmd_read_wet(args: argparse.Namespace) -> None:
     """WET web-archive ingest stage (sources/warc.py): CommonCrawl-layout
     .wet/.wet.gz archives → (url, warc_date, text, doc_id) parquet — the
@@ -947,6 +984,15 @@ def main(argv: list[str] | None = None) -> None:
     ed.add_argument("--qgram", type=int, default=4)
     ed.add_argument("--stopGramMinDf", type=int, default=None)
     ed.set_defaults(fn=cmd_edit_dedup)
+
+    ec = sub.add_parser("encode-corpus")
+    ec.add_argument("--inParquet", required=True)
+    ec.add_argument("--mergesTxt", required=True)
+    ec.add_argument("--outDir", required=True)
+    ec.add_argument("--idCol", default="doc_id")
+    ec.add_argument("--textCol", default="text")
+    ec.add_argument("--vocabParquet", default=None)
+    ec.set_defaults(fn=cmd_encode_corpus)
 
     rw = sub.add_parser("read-wet")
     rw.add_argument("--inDir", required=True)

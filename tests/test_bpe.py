@@ -235,3 +235,126 @@ def test_bpe_oracle_early_stop_and_pair_runs(spark):
     got = con.execute(_bpe_oracle(12)).fetchall()
     assert got == want
     assert len(want) < 12  # the early-stop path actually engaged
+
+
+def test_vocab_and_encode_round_trip(spark):
+    """build_token_vocab is partition-invariant (lexicographic ids) and
+    encode_token_ids round-trips: decoding ids through the vocab
+    reproduces the token arrays exactly; OOV tokens map to unk_id with
+    n_oov counted; empty/NULL token arrays survive as []."""
+    from chess_lakehouse_spark.functions.bpe import (
+        build_token_vocab,
+        encode_token_ids,
+    )
+
+    rows = [
+        (1, ["b", "a", "b", "c"]),
+        (2, ["c", "a"]),
+        (3, []),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    vocab = build_token_vocab(df)
+    vmap = {r.token: r.token_id for r in vocab.collect()}
+    assert vmap["<unk>"] == 0
+    assert vmap["a"] == 1 and vmap["b"] == 2 and vmap["c"] == 3  # lexicographic
+    # partition-invariance: same table from a repartitioned input
+    vmap2 = {
+        r.token: r.token_id
+        for r in build_token_vocab(df.repartition(7)).collect()
+    }
+    assert vmap2 == vmap
+
+    enc = {r.doc_id: r for r in encode_token_ids(df, "doc_id", vocab).collect()}
+    assert list(enc[1].ids) == [2, 1, 2, 3] and enc[1].n_tokens == 4
+    assert list(enc[3].ids) == [] and enc[3].n_tokens == 0
+    assert list(enc[4].ids) == [] and enc[4].n_oov == 0
+
+    # OOV: encode a NEW corpus against the OLD vocab
+    new = spark.createDataFrame(
+        [(9, ["a", "zzz", "c"])], "doc_id long, tokens array<string>"
+    )
+    got = encode_token_ids(new, "doc_id", vocab).collect()[0]
+    assert list(got.ids) == [1, 0, 3] and got.n_oov == 1 and got.n_tokens == 3
+
+
+def test_train_tokenize_encode_pack_chain(spark):
+    """The full export chain on the real fixture: bpe_train → bpe_apply →
+    build_token_vocab → encode_token_ids → pack_bins_bfd. Ids decode back
+    to the exact token stream, and the packer consumes the produced
+    n_tokens directly."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.bpe import (
+        bpe_apply,
+        bpe_train,
+        build_token_vocab,
+        encode_token_ids,
+    )
+    from chess_lakehouse_spark.operators.sampling import pack_bins_bfd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, "text", n_merges=4)
+    toks = bpe_apply(docs, "doc_id", "text", merges)
+    vocab = build_token_vocab(toks)
+    enc = encode_token_ids(toks, "doc_id", vocab)
+
+    # round-trip a sample: ids -> tokens equals bpe_apply's output
+    id2tok = {r.token_id: r.token for r in vocab.collect()}
+    want = {r.doc_id: list(r.tokens) for r in toks.limit(5).collect()}
+    got = {
+        r.doc_id: [id2tok[i] for i in r.ids]
+        for r in enc.where(F.col("doc_id").isin(list(want))).collect()
+    }
+    assert got == want
+    assert enc.where(F.col("n_oov") != 0).count() == 0  # same-corpus vocab
+
+    packed = pack_bins_bfd(enc, "doc_id", "n_tokens", budget=512, n_shards=4)
+    assert packed.count() == enc.count()  # no-split: every doc placed once
+
+
+def test_pipeline_cli_encode_corpus_stage(spark, tmp_path, capsys):
+    """encode-corpus CLI: merges artifact + corpus in, ids + vocab out;
+    re-encoding a NEW corpus against the minted vocab maps unseen tokens
+    to <unk> and counts them."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    from chess_lakehouse_spark.functions.bpe import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "corpus"
+    docs.write.parquet(str(src))
+    merges = bpe_train(docs, "text", n_merges=3)
+    mfile = tmp_path / "bpe_merges.txt"
+    mfile.write_text("\n".join(f"{a}\t{b}" for a, b in merges) + "\n")
+
+    out = tmp_path / "encoded"
+    pipeline_cli.main([
+        "encode-corpus", "--inParquet", str(src), "--mergesTxt", str(mfile),
+        "--outDir", str(out),
+    ])
+    ids = spark.read.parquet(str(out / "ids"))
+    vocab = spark.read.parquet(str(out / "vocab"))
+    assert ids.count() == docs.count()
+    assert ids.agg(F.sum("n_oov")).collect()[0][0] == 0  # own-corpus vocab
+    assert vocab.where(F.col("token_id") == 0).collect()[0].token == "<unk>"
+    assert "oov_tokens=0" in capsys.readouterr().out
+
+    # new corpus against the minted vocab: unseen words become <unk>
+    new = tmp_path / "new"
+    spark.createDataFrame(
+        [(999999, "zzzunseen " * 5)], "doc_id long, text string"
+    ).write.parquet(str(new))
+    out2 = tmp_path / "encoded2"
+    pipeline_cli.main([
+        "encode-corpus", "--inParquet", str(new), "--mergesTxt", str(mfile),
+        "--outDir", str(out2), "--vocabParquet", str(out / "vocab"),
+    ])
+    row = spark.read.parquet(str(out2 / "ids")).collect()[0]
+    assert row.n_oov > 0
