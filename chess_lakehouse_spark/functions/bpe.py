@@ -273,3 +273,54 @@ def encode_token_ids(
             F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
         )
     )
+
+
+def decode_token_ids(
+    ids_df: DataFrame,
+    id_col: str,
+    vocab: DataFrame,
+    ids_col: str = "ids",
+) -> DataFrame:
+    """Integer ids → text, the inverse of :func:`encode_token_ids` for
+    audit/inspection of packed exports: ids join back to tokens, tokens
+    re-assemble in the array domain, the ``</w>`` end-of-word markers
+    become word boundaries. Returns (id, text). Round-trips exactly up to
+    whitespace normalization (tokenization splits on whitespace runs, so
+    the reconstruction joins words with single spaces) — pinned in
+    tests/test_bpe.py. Unknown ids (e.g. unk_id 0 against a vocab that
+    reserves it) decode to the vocab's token for that id, faithfully
+    surfacing <unk> rather than guessing. Same plan shape as the encoder:
+    posexplode → bounded vocab join → doc-keyed array reassembly."""
+    base = ids_df.select(F.col(id_col).alias("id"), F.col(ids_col).alias("ids"))
+    pos = base.select(
+        "id", F.posexplode(F.coalesce(F.col("ids"), F.array())).alias("pos", "token_id")
+    )
+    joined = pos.join(vocab, "token_id", "left").select(
+        "id", "pos", F.coalesce("token", F.lit("<unk>")).alias("token")
+    )
+    from chess_lakehouse_spark.operators.dedup import regex_quote
+
+    assembled = joined.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.split(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                        lambda s: s["token"],
+                    ),
+                ),
+                # the EOW marker is a literal, not a regex — Pattern.quote
+                regex_quote(EOW),
+            ),
+        ).alias("joined")
+    )
+    return (
+        base.select("id")
+        .join(assembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.rtrim(F.coalesce("joined", F.lit(""))).alias("text"),
+        )
+    )

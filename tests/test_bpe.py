@@ -358,3 +358,39 @@ def test_pipeline_cli_encode_corpus_stage(spark, tmp_path, capsys):
     ])
     row = spark.read.parquet(str(out2 / "ids")).collect()[0]
     assert row.n_oov > 0
+
+
+def test_decode_round_trips_encoded_corpus(spark):
+    """text → tokenize → encode → DECODE reproduces the original text up
+    to whitespace normalization (single spaces), on the real fixture and
+    on a doc with an <unk> id."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.bpe import (
+        bpe_apply,
+        bpe_train,
+        build_token_vocab,
+        decode_token_ids,
+        encode_token_ids,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, "text", n_merges=4)
+    toks = bpe_apply(docs, "doc_id", "text", merges)
+    vocab = build_token_vocab(toks)
+    enc = encode_token_ids(toks, "doc_id", vocab)
+    dec = decode_token_ids(enc, "doc_id", vocab)
+
+    orig = {
+        r.doc_id: " ".join(r.text.split()) for r in docs.select("doc_id", "text").collect()
+    }
+    got = {r.doc_id: r.text for r in dec.collect()}
+    assert got == orig
+
+    # an unk id decodes to the vocab's reserved token, loudly
+    one = spark.createDataFrame(
+        [(7, [0, int(vocab.where(F.col("token") != "<unk>").first().token_id)])],
+        "doc_id long, ids array<bigint>",
+    )
+    out = decode_token_ids(one, "doc_id", vocab).collect()[0].text
+    assert out.startswith("<unk>")
