@@ -1568,7 +1568,11 @@ def substring_search_from_index(
     cand = (
         qg.join(postings, "g")
         .groupBy("qid", "doc_id")
-        .agg(F.count(F.lit(1)).alias("hit"))
+        # count DISTINCT grams, not rows: the batch-partitioned streaming
+        # layout can carry duplicate (g, doc_id) rows when a doc is
+        # re-admitted across batches, and a row count would then exceed
+        # n_g and silently DROP the true match
+        .agg(F.count_distinct("g").alias("hit"))
         .join(n_g, "qid")
         .where(F.col("hit") == F.col("n_g"))
         .select("qid", "doc_id")

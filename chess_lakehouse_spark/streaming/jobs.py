@@ -1309,3 +1309,94 @@ def stream_edit_dedup(
         .start()
     )
     q_.awaitTermination()
+
+
+def substring_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q: int = 3,
+    fold_case: bool = False,
+    n_posting_files: int = 4,
+) -> None:
+    """One micro-batch of the streaming substring-index loop: the batch's
+    postings land gram-clustered in ``postings/batch_id=b<N>`` and meta/
+    is (re)written from the loop constants — NO staged reads at all, so
+    replay idempotency is STRUCTURAL (the rollup-fold class: a replayed
+    batch rewrites its own partition and the identical meta byte-for-byte;
+    contrast the dedup loops, which must exclude their in-flight
+    partition). O(batch) per batch where ``append_substring_index`` would
+    re-merge the whole index.
+
+    Layout contract: this loop OWNS the index dir — postings/ is
+    batch-partitioned from the first batch (a flat build_substring_index
+    layout cannot be mixed in; land a historical corpus as the first
+    drop instead), and consumers read it unchanged because
+    ``substring_search_from_index`` ignores the discovered batch_id
+    column and counts DISTINCT grams (duplicate postings from a
+    re-admitted doc cannot break the intersection test). meta/ carries
+    n_docs = NULL — unknowable without a staged read; a periodic
+    ``compact_stream_state(spark, f"{index_dir}/postings")`` keeps
+    partition discovery cheap (the merged partition loses per-file gram
+    clustering tightness, never correctness — footers still carry
+    min/max)."""
+    from chess_lakehouse_spark.functions.text import substring_grams
+    from chess_lakehouse_spark.operators.publish import write_clustered
+
+    spark = batch_df.sparkSession
+    t = F.col(text_col)
+    if fold_case:
+        t = F.lower(t)
+    base = batch_df.select(F.col(id_col).alias("doc_id"), t.alias("t")).where(
+        F.col("t").isNotNull()
+    )
+    postings = base.select(
+        "doc_id", F.explode(substring_grams(F.col("t"), q)).alias("g")
+    )
+    write_clustered(
+        postings,
+        f"{index_dir}/postings/batch_id=b{batch_id}",
+        ["g"],
+        n_files=n_posting_files,
+    )
+    spark.createDataFrame(
+        [(q, None, bool(fold_case))], "q int, n_docs long, fold_case boolean"
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def stream_substring_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q: int = 3,
+    fold_case: bool = False,
+    n_posting_files: int = 4,
+) -> None:
+    """Streaming maintenance of the trigram substring-search index: each
+    micro-batch folds its own gram-clustered postings partition — the
+    search-side twin of ``stream_rollup`` (zero staged reads, structural
+    replay idempotency), giving the corpus an always-current exact
+    substring/regex lookup surface without ever re-merging the index
+    (``append_substring_index`` is the batch-append form; this is the
+    O(batch) continuous form). Serving stays
+    ``substring_search_from_index`` on the same directory, unaware of
+    which partitions came from streaming."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        substring_index_batch(
+            batch_df, batch_id, index_dir,
+            id_col=id_col, text_col=text_col,
+            q=q, fold_case=fold_case, n_posting_files=n_posting_files,
+        )
+
+    q_ = (
+        new_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()

@@ -598,6 +598,37 @@ def cmd_encode_corpus(args: argparse.Namespace) -> None:
     print(f"[encode-corpus] docs={n_docs} oov_tokens={n_oov} -> {args.outDir}")
 
 
+def cmd_build_search_index(args: argparse.Namespace) -> None:
+    """Search-index stage: stage the trigram substring index (functions/
+    text.py:build_substring_index) as a pipeline artifact — downstream
+    consumers serve exact substring (and safe-subset regex) lookups with
+    zero corpus scans. --append folds a delta corpus into an existing
+    index (retry-idempotent merge + atomic swap) instead of rebuilding."""
+    from chess_lakehouse_spark.functions.text import (
+        append_substring_index,
+        build_substring_index,
+    )
+
+    spark = _spark()
+    df = spark.read.parquet(args.inParquet)
+    if args.append:
+        append_substring_index(
+            df, args.idCol, args.textCol, args.indexDir,
+            n_posting_files=args.postingFiles,
+        )
+    else:
+        build_substring_index(
+            df, args.idCol, args.textCol, args.indexDir,
+            q=args.qgram, n_posting_files=args.postingFiles,
+            fold_case=args.foldCase,
+        )
+    meta = spark.read.parquet(f"{args.indexDir}/meta").first()
+    print(
+        f"[build-search-index] q={meta['q']} n_docs={meta['n_docs']} "
+        f"fold_case={meta['fold_case']} -> {args.indexDir}"
+    )
+
+
 def cmd_read_wet(args: argparse.Namespace) -> None:
     """WET web-archive ingest stage (sources/warc.py): CommonCrawl-layout
     .wet/.wet.gz archives → (url, warc_date, text, doc_id) parquet — the
@@ -993,6 +1024,17 @@ def main(argv: list[str] | None = None) -> None:
     ec.add_argument("--textCol", default="text")
     ec.add_argument("--vocabParquet", default=None)
     ec.set_defaults(fn=cmd_encode_corpus)
+
+    bsi = sub.add_parser("build-search-index")
+    bsi.add_argument("--inParquet", required=True)
+    bsi.add_argument("--indexDir", required=True)
+    bsi.add_argument("--idCol", default="doc_id")
+    bsi.add_argument("--textCol", default="text")
+    bsi.add_argument("--qgram", type=int, default=3)
+    bsi.add_argument("--postingFiles", type=int, default=64)
+    bsi.add_argument("--foldCase", action="store_true")
+    bsi.add_argument("--append", action="store_true")
+    bsi.set_defaults(fn=cmd_build_search_index)
 
     rw = sub.add_parser("read-wet")
     rw.add_argument("--inDir", required=True)

@@ -772,7 +772,7 @@ def test_example_dvc_stages_reference_real_cli_subcommands():
         "export-parquet", "clean-corpus", "maintain-lake",
         "train-quality-model", "train-hashed-model", "image-dedup", "read-wet",
         "rollup-build", "rollup-append", "rollup-serve", "rank-hosts",
-        "edit-dedup",
+        "edit-dedup", "encode-corpus", "build-search-index",
     }
     for stage, flags in stages:
         assert f'add_parser("{stage}")' in cli_src, f"unknown stage in example: {stage}"

@@ -1483,3 +1483,119 @@ def test_edit_dedup_batch_replay_is_idempotent(spark, tmp_path, knob):
     assert {d for d, _ in s1["corpus"]} == {1, 3, 11}
     edit_dedup_batch(b1, 1, corpus, sigs, pairs, **kw)
     assert snapshot() == s1
+
+
+def test_stream_substring_index_serves_like_rebuild(spark, tmp_path):
+    """Streaming search-index maintenance: two document drops fold their
+    own postings partitions; serving off the streamed index equals
+    serving off a from-scratch batch-partitioned build over everything;
+    a restart with nothing new changes nothing; a double-invoked batch
+    body (crash replay) rewrites its partition and meta identically."""
+    import glob
+    import shutil
+
+    from chess_lakehouse_spark.functions.text import (
+        substring_search_from_index,
+    )
+    from chess_lakehouse_spark.streaming import (
+        stream_substring_index,
+        substring_index_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1 = docs.where(F.col("doc_id") % 2 == 0)
+    d2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, df):
+        staging = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_substring_index(stream, idx, ckpt)
+
+    land("d1", d1)
+    run()
+    land("d2", d2)
+    run()
+
+    queries = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("qid"), F.substring("text", 11, 10).alias("qt")
+    )
+
+    def serve(d):
+        return sorted(
+            tuple(r)
+            for r in substring_search_from_index(
+                spark, d, docs, "doc_id", "text", queries, "qid", "qt"
+            ).collect()
+        )
+
+    got = serve(idx)
+    # reference: the same batch body over the full corpus in one batch
+    ref = str(tmp_path / "ref")
+    substring_index_batch(docs, 0, ref)
+    assert got == serve(ref) and len(got) > 0
+
+    run()  # restart with nothing new: checkpoint prevents reprocessing
+    assert serve(idx) == got
+
+    # crash replay: re-invoke a batch body with the same id — partitions
+    # and meta must be byte-identical (structural: no staged reads)
+    def snapshot(d):
+        return (
+            sorted(map(tuple, spark.read.parquet(f"{d}/postings").collect())),
+            tuple(spark.read.parquet(f"{d}/meta").first()),
+        )
+
+    s0 = snapshot(ref)
+    substring_index_batch(docs, 0, ref)
+    assert snapshot(ref) == s0
+
+
+def test_stream_substring_index_compaction_preserves_serving(spark, tmp_path):
+    """compact_stream_state applies to the streamed postings dir like any
+    other batch-partitioned state: rows preserved exactly, serving
+    unchanged (the merged partition loses clustering tightness, never
+    correctness)."""
+    from chess_lakehouse_spark.functions.text import (
+        substring_search_from_index,
+    )
+    from chess_lakehouse_spark.streaming import (
+        compact_stream_state,
+        substring_index_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    for i, mod in enumerate((0, 1, 2)):
+        substring_index_batch(docs.where(F.col("doc_id") % 3 == mod), i, idx)
+    queries = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("qid"), F.substring("text", 11, 10).alias("qt")
+    )
+
+    def serve():
+        return sorted(
+            tuple(r)
+            for r in substring_search_from_index(
+                spark, idx, docs, "doc_id", "text", queries, "qid", "qt"
+            ).collect()
+        )
+
+    before = serve()
+    compact_stream_state(spark, f"{idx}/postings", keep_recent=1)
+    parts = {
+        str(r.batch_id)
+        for r in spark.read.parquet(f"{idx}/postings").select("batch_id").distinct().collect()
+    }
+    assert len(parts) == 2 and any(p.startswith("compacted.") for p in parts)
+    assert serve() == before and len(before) > 0

@@ -297,3 +297,49 @@ def test_regex_search_rejects_folded_index(spark, tmp_path):
     build_substring_index(docs, "doc_id", "text", d, q=3, fold_case=True)
     with pytest.raises(ValueError, match="case-sensitive"):
         regex_search_from_index(spark, d, docs, "doc_id", "text", "abc.*def")
+
+
+def test_pipeline_cli_build_search_index_stage(spark, tmp_path, capsys):
+    """build-search-index CLI: build then --append fold a delta, serving
+    off the staged artifact equals a rebuild over everything."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1 = docs.where(F.col("doc_id") % 2 == 0)
+    d2 = docs.where(F.col("doc_id") % 2 == 1)
+    p1, p2 = tmp_path / "d1", tmp_path / "d2"
+    d1.write.parquet(str(p1))
+    d2.write.parquet(str(p2))
+    idx_dir = str(tmp_path / "searchidx")
+    pipeline_cli.main([
+        "build-search-index", "--inParquet", str(p1), "--indexDir", idx_dir,
+    ])
+    pipeline_cli.main([
+        "build-search-index", "--inParquet", str(p2), "--indexDir", idx_dir,
+        "--append",
+    ])
+    out = capsys.readouterr().out
+    assert out.count("[build-search-index]") == 2 and "q=3" in out
+
+    queries = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("qid"), F.substring("text", 11, 10).alias("qt")
+    )
+    got = sorted(
+        tuple(r)
+        for r in substring_search_from_index(
+            spark, idx_dir, docs, "doc_id", "text", queries, "qid", "qt"
+        ).collect()
+    )
+    full = str(tmp_path / "full")
+    build_substring_index(docs, "doc_id", "text", full, q=3)
+    want = sorted(
+        tuple(r)
+        for r in substring_search_from_index(
+            spark, full, docs, "doc_id", "text", queries, "qid", "qt"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
