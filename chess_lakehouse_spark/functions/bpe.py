@@ -205,12 +205,21 @@ def build_token_vocab(
     the same table on any partitioning (no monotonically_increasing_id,
     whose values depend on partition layout). One distinct + one
     vocabulary-sized window; the table is broadcast-sized by construction
-    (vocabularies are bounded, corpora are not)."""
+    (vocabularies are bounded, corpora are not). A corpus token EQUAL to
+    the ``unk`` sentinel is excluded from the minted rows (it would
+    otherwise appear twice — once as the reserved id 0, once minted — and
+    the token-keyed encode join would duplicate every occurrence); such
+    tokens encode to id 0 and decode back to the sentinel, the only
+    consistent reading of a corpus that already carries unk markers."""
     from pyspark.sql.window import Window
 
     toks = (
         tokens_df.select(F.explode(F.col(tokens_col)).alias("token"))
-        .where(F.col("token").isNotNull() & (F.col("token") != ""))
+        .where(
+            F.col("token").isNotNull()
+            & (F.col("token") != "")
+            & (F.col("token") != unk)
+        )
         .distinct()
     )
     w = Window.orderBy("token")
@@ -280,6 +289,7 @@ def decode_token_ids(
     id_col: str,
     vocab: DataFrame,
     ids_col: str = "ids",
+    unk: str = "<unk>",
 ) -> DataFrame:
     """Integer ids → text, the inverse of :func:`encode_token_ids` for
     audit/inspection of packed exports: ids join back to tokens, tokens
@@ -287,16 +297,18 @@ def decode_token_ids(
     become word boundaries. Returns (id, text). Round-trips exactly up to
     whitespace normalization (tokenization splits on whitespace runs, so
     the reconstruction joins words with single spaces) — pinned in
-    tests/test_bpe.py. Unknown ids (e.g. unk_id 0 against a vocab that
-    reserves it) decode to the vocab's token for that id, faithfully
-    surfacing <unk> rather than guessing. Same plan shape as the encoder:
-    posexplode → bounded vocab join → doc-keyed array reassembly."""
+    tests/test_bpe.py. Ids PRESENT in the vocab decode to their token
+    (id 0 therefore surfaces the vocab's own unk sentinel); ids absent
+    from the vocab entirely fall back to ``unk`` — pass the same sentinel
+    the vocab was minted with, or the fallback diverges from the
+    encoder's. Same plan shape as the encoder: posexplode → bounded vocab
+    join → doc-keyed array reassembly."""
     base = ids_df.select(F.col(id_col).alias("id"), F.col(ids_col).alias("ids"))
     pos = base.select(
         "id", F.posexplode(F.coalesce(F.col("ids"), F.array())).alias("pos", "token_id")
     )
     joined = pos.join(vocab, "token_id", "left").select(
-        "id", "pos", F.coalesce("token", F.lit("<unk>")).alias("token")
+        "id", "pos", F.coalesce("token", F.lit(unk)).alias("token")
     )
     from chess_lakehouse_spark.operators.dedup import regex_quote
 

@@ -1939,31 +1939,23 @@ def regex_search_from_index(
     if not runs:
         return corpus.where(F.col("t").rlike(pattern)).select("doc_id")
 
-    lits = spark.createDataFrame([(r,) for r in runs], "lit string")
-    need = (
-        lits.select(F.explode(substring_grams(F.col("lit"), q)).alias("g"))
-        .distinct()
-    )
-    gram_rows = need.limit(max_pushdown_grams + 1).collect()
-    n_need = len(gram_rows)
+    # the runs are driver-known strings — their grams come from a set
+    # comprehension, not Spark jobs (a pattern cannot carry more grams
+    # than its own length, so this is always tiny)
+    need = sorted({r[i : i + q] for r in runs for i in range(len(r) - q + 1)})
     postings = spark.read.parquet(f"{index_dir}/postings")
-    if n_need <= max_pushdown_grams:
-        postings = postings.where(F.col("g").isin([r["g"] for r in gram_rows]))
-        cand = (
-            postings.groupBy("doc_id")
-            .agg(F.count_distinct("g").alias("hit"))
-            .where(F.col("hit") == n_need)
-            .select("doc_id")
-        )
-    else:  # unbounded literal set: keyed semi-join + counted intersection
-        postings = postings.join(need, "g", "left_semi")
-        total = need.count()
-        cand = (
-            postings.groupBy("doc_id")
-            .agg(F.count_distinct("g").alias("hit"))
-            .where(F.col("hit") == F.lit(total))
-            .select("doc_id")
-        )
+    if len(need) <= max_pushdown_grams:
+        postings = postings.where(F.col("g").isin(need))
+    else:  # a pathological generated pattern: keyed semi-join instead of
+        # an oversized isin literal — the intersection count is the same
+        need_df = spark.createDataFrame([(g,) for g in need], "g string")
+        postings = postings.join(need_df, "g", "left_semi")
+    cand = (
+        postings.groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("hit"))
+        .where(F.col("hit") == len(need))
+        .select("doc_id")
+    )
     return (
         corpus.join(cand, "doc_id", "semi")
         .where(F.col("t").rlike(pattern))

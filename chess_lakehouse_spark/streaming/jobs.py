@@ -1346,6 +1346,30 @@ def substring_index_batch(
     from chess_lakehouse_spark.operators.publish import write_clustered
 
     spark = batch_df.sparkSession
+    # drift guard: a restart with different q/fold_case would rewrite
+    # meta to claim a gram width the existing partitions were not built
+    # with — serving would then silently drop every true match from the
+    # old partitions. Same check catches pointing the loop at a flat
+    # build_substring_index layout (whose meta carries a non-NULL n_docs
+    # and whose postings/ has no batch_id= dirs to mix with).
+    if _path_exists(spark, f"{index_dir}/meta"):
+        meta = spark.read.parquet(f"{index_dir}/meta").first()
+        if int(meta["q"]) != q or bool(meta["fold_case"]) != bool(fold_case):
+            raise ValueError(
+                f"substring_index_batch: index at {index_dir} was staged "
+                f"with q={meta['q']}, fold_case={meta['fold_case']} but the "
+                f"loop was started with q={q}, fold_case={fold_case} — the "
+                "existing postings would silently stop matching; keep the "
+                "loop parameters constant for the lifetime of the index"
+            )
+        if meta["n_docs"] is not None:
+            raise ValueError(
+                f"substring_index_batch: {index_dir} holds a FLAT "
+                "build_substring_index layout (meta.n_docs is set); the "
+                "streaming loop owns a batch-partitioned postings dir and "
+                "cannot mix with flat posting files — land the historical "
+                "corpus as the loop's first drop instead"
+            )
     t = F.col(text_col)
     if fold_case:
         t = F.lower(t)

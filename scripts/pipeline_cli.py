@@ -612,6 +612,15 @@ def cmd_build_search_index(args: argparse.Namespace) -> None:
     spark = _spark()
     df = spark.read.parquet(args.inParquet)
     if args.append:
+        # q and the case mode are derived from the staged meta on append —
+        # accepting contradictory flags here would silently fold the delta
+        # at the STAGED parameters while the user believes otherwise
+        if args.qgram is not None or args.foldCase:
+            raise SystemExit(
+                "build-search-index: --qgram/--foldCase cannot be combined "
+                "with --append (the staged index's meta owns them; rebuild "
+                "without --append to change the gram width or case mode)"
+            )
         append_substring_index(
             df, args.idCol, args.textCol, args.indexDir,
             n_posting_files=args.postingFiles,
@@ -619,7 +628,8 @@ def cmd_build_search_index(args: argparse.Namespace) -> None:
     else:
         build_substring_index(
             df, args.idCol, args.textCol, args.indexDir,
-            q=args.qgram, n_posting_files=args.postingFiles,
+            q=args.qgram if args.qgram is not None else 3,
+            n_posting_files=args.postingFiles,
             fold_case=args.foldCase,
         )
     meta = spark.read.parquet(f"{args.indexDir}/meta").first()
@@ -1030,7 +1040,7 @@ def main(argv: list[str] | None = None) -> None:
     bsi.add_argument("--indexDir", required=True)
     bsi.add_argument("--idCol", default="doc_id")
     bsi.add_argument("--textCol", default="text")
-    bsi.add_argument("--qgram", type=int, default=3)
+    bsi.add_argument("--qgram", type=int, default=None)  # build default: 3
     bsi.add_argument("--postingFiles", type=int, default=64)
     bsi.add_argument("--foldCase", action="store_true")
     bsi.add_argument("--append", action="store_true")

@@ -394,3 +394,29 @@ def test_decode_round_trips_encoded_corpus(spark):
     )
     out = decode_token_ids(one, "doc_id", vocab).collect()[0].text
     assert out.startswith("<unk>")
+
+
+def test_vocab_unk_collision_and_decode_sentinel(spark):
+    """A corpus that already carries the unk sentinel gets ONE vocab row
+    for it (id 0) — the encode join cannot duplicate occurrences — and a
+    custom sentinel flows through decode's fallback (review findings,
+    fixed)."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.bpe import (
+        build_token_vocab,
+        decode_token_ids,
+        encode_token_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["<unk>", "a", "<unk>"])], "doc_id long, tokens array<string>"
+    )
+    vocab = build_token_vocab(df)
+    assert vocab.where(F.col("token") == "<unk>").count() == 1
+    enc = encode_token_ids(df, "doc_id", vocab).collect()[0]
+    assert list(enc.ids) == [0, 1, 0] and enc.n_tokens == 3 and enc.n_oov == 0
+    # custom sentinel: ids absent from the vocab fall back to it
+    v2 = build_token_vocab(df, unk="[UNK]")
+    one = spark.createDataFrame([(7, [99])], "doc_id long, ids array<bigint>")
+    assert decode_token_ids(one, "doc_id", v2, unk="[UNK]").collect()[0].text == "[UNK]"

@@ -1599,3 +1599,23 @@ def test_stream_substring_index_compaction_preserves_serving(spark, tmp_path):
     }
     assert len(parts) == 2 and any(p.startswith("compacted.") for p in parts)
     assert serve() == before and len(before) > 0
+
+
+def test_stream_substring_index_rejects_drifted_or_flat_layout(spark, tmp_path):
+    """Restarting the index loop with different q/fold_case, or pointing
+    it at a flat build layout, fails loudly instead of silently breaking
+    serving (review finding, fixed)."""
+    from chess_lakehouse_spark.functions.text import build_substring_index
+    from chess_lakehouse_spark.streaming import substring_index_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    idx = str(tmp_path / "idx")
+    substring_index_batch(docs, 0, idx, q=3)
+    with pytest.raises(ValueError, match="q=3"):
+        substring_index_batch(docs, 1, idx, q=4)
+    with pytest.raises(ValueError, match="fold_case"):
+        substring_index_batch(docs, 1, idx, q=3, fold_case=True)
+    flat = str(tmp_path / "flat")
+    build_substring_index(docs, "doc_id", "text", flat, q=3)
+    with pytest.raises(ValueError, match="FLAT"):
+        substring_index_batch(docs, 0, flat, q=3)

@@ -343,3 +343,26 @@ def test_pipeline_cli_build_search_index_stage(spark, tmp_path, capsys):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_cli_append_rejects_contradictory_flags(spark, tmp_path):
+    """--append with --qgram/--foldCase exits loudly: the staged meta owns
+    those parameters (review finding, fixed)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    docs = _docs(spark).limit(20)
+    src = tmp_path / "src"
+    docs.write.parquet(str(src))
+    idx = str(tmp_path / "idx")
+    pipeline_cli.main([
+        "build-search-index", "--inParquet", str(src), "--indexDir", idx,
+    ])
+    with pytest.raises(SystemExit, match="qgram"):
+        pipeline_cli.main([
+            "build-search-index", "--inParquet", str(src), "--indexDir", idx,
+            "--append", "--qgram", "4",
+        ])
