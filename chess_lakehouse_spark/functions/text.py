@@ -1961,3 +1961,67 @@ def regex_search_from_index(
         .where(F.col("t").rlike(pattern))
         .select("doc_id")
     )
+
+
+def substring_match_snippets(
+    spark,
+    index_dir: str,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qtext_col: str,
+    context: int = 30,
+    max_pushdown_grams: int = 1_000,
+) -> DataFrame:
+    """KWIC companion to :func:`substring_search_from_index`: the same
+    exact hit set, enriched per hit with the FIRST match position
+    (1-based chars), the total occurrence count, and a ±``context``-char
+    snippet around the first match — the human-inspection surface of the
+    search index (keyword-in-context). Returns
+    (qid, doc_id, pos, n_matches, snippet).
+
+    All enrichment is pure column arithmetic over the candidate-pruned
+    hits (locate for the position, a length-difference quotient for the
+    count — no per-row Python), so the added cost is O(hits). Under a
+    ``fold_case`` index, positions/counts are computed on the folded
+    text and the snippet is sliced from the ORIGINAL at those offsets —
+    exact for any text whose lowercasing preserves length (all of ASCII;
+    the documented drift case is locale-class mappings like 'İ' whose
+    lowering adds a combining mark)."""
+    meta = spark.read.parquet(f"{index_dir}/meta").first()
+    fold_case = bool(meta["fold_case"])
+    hits = substring_search_from_index(
+        spark, index_dir, corpus_df, id_col, text_col, queries, qid_col,
+        qtext_col, max_pushdown_grams=max_pushdown_grams,
+    )
+    texts = corpus_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    )
+    qs = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qtext_col).alias("qt")
+    ).where(F.col("qt").isNotNull() & (F.length("qt") >= 1))
+    out = hits.join(texts, "doc_id").join(qs, "qid")
+    mt = F.lower(F.col("t")) if fold_case else F.col("t")
+    mq = F.lower(F.col("qt")) if fold_case else F.col("qt")
+    out = out.withColumn("mt_c", mt).withColumn("mq_c", mq)
+    out = (
+        out.withColumn("pos", F.expr("locate(mq_c, mt_c)"))
+        .withColumn(
+            "n_matches",
+            (
+                (F.length("mt_c") - F.length(F.replace(F.col("mt_c"), F.col("mq_c"))))
+                / F.length("mq_c")
+            ).cast("long"),
+        )
+        .withColumn("snip_start", F.greatest(F.lit(1), F.col("pos") - context))
+        .withColumn(
+            "snippet",
+            F.col("t").substr(
+                F.col("snip_start"),
+                F.length("qt") + F.lit(2 * context),
+            ),
+        )
+    )
+    return out.select("qid", "doc_id", "pos", "n_matches", "snippet")

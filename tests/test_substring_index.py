@@ -366,3 +366,45 @@ def test_cli_append_rejects_contradictory_flags(spark, tmp_path):
             "build-search-index", "--inParquet", str(src), "--indexDir", idx,
             "--append", "--qgram", "4",
         ])
+
+
+def test_snippets_positions_counts_and_fold_case(spark, tmp_path):
+    """KWIC enrichment: first-match position and occurrence count agree
+    with Python string ops on every hit; the snippet contains the match;
+    a fold_case index matches case-insensitively and slices the ORIGINAL
+    text."""
+    from chess_lakehouse_spark.functions.text import substring_match_snippets
+
+    rows = [
+        (1, "alpha beta gamma beta delta"),
+        (2, "Beta at the very start"),
+        (3, "nothing relevant here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame([(100, "beta")], "qid long, qt string")
+
+    cs = str(tmp_path / "cs")
+    build_substring_index(docs, "doc_id", "text", cs, q=3)
+    got = {
+        (r.qid, r.doc_id): r
+        for r in substring_match_snippets(
+            spark, cs, docs, "doc_id", "text", queries, "qid", "qt", context=5
+        ).collect()
+    }
+    assert set(got) == {(100, 1)}
+    r = got[(100, 1)]
+    assert r.pos == rows[0][1].find("beta") + 1
+    assert r.n_matches == rows[0][1].count("beta") == 2
+    assert "beta" in r.snippet and len(r.snippet) <= len("beta") + 10
+
+    ci = str(tmp_path / "ci")
+    build_substring_index(docs, "doc_id", "text", ci, q=3, fold_case=True)
+    got_ci = {
+        (r.qid, r.doc_id): r
+        for r in substring_match_snippets(
+            spark, ci, docs, "doc_id", "text", queries, "qid", "qt", context=5
+        ).collect()
+    }
+    assert set(got_ci) == {(100, 1), (100, 2)}
+    assert got_ci[(100, 2)].pos == 1
+    assert got_ci[(100, 2)].snippet.startswith("Beta")  # original casing
