@@ -757,3 +757,111 @@ def integer_zscore_flags(
         n_col,
         F.when(cnt == w_, lhs > rhs).alias("is_anomaly"),
     )
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    type_col: str,
+    gap_s: int = 1800,
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket co-occurrence at SESSION grain — the association-rule
+    staple over an event stream: which event types appear together within
+    a user session (30-min inactivity gap by default), with everything a
+    lift/confidence computation needs carried as EXACT integers. Returns
+    (type_a, type_b, n_ab, n_a, n_b, n_sessions, lift_ppm, lift_gt_1)
+    for pairs with ``n_ab >= min_support``, ``type_a < type_b``:
+
+    - n_ab       sessions containing BOTH types (set, not multiset —
+                 a session firing a type 50 times counts once);
+    - n_a / n_b  sessions containing each type;
+    - n_sessions total sessions;
+    - lift_ppm   the association lift in exact MILLIONTHS —
+                 ``(10^6 · n_ab · n_sessions) DIV (n_a · n_b)`` computed
+                 in DECIMAL(38,0) so the product cannot overflow at any
+                 session count; floor division on non-negative operands
+                 is bit-identical across engines (the documented DuckDB
+                 ``//`` == Spark ``DIV`` boundary);
+    - lift_gt_1  the positive-association flag with the float algebra'd
+                 away (the integer_zscore_flags trick): lift > 1 ⟺
+                 ``n_ab * n_sessions > n_a * n_b``.
+
+    Plan shape: ONE user-keyed window pass assigns session ids (lag gap
+    flag + running sum, the q_sessionize shape; AQE splits hot users),
+    one distinct collapses to session-type SETS, and pairs expand in the
+    ARRAY domain via :func:`~chess_lakehouse_spark.operators.dedup.
+    cooccur_pairs` — per-session cost is bounded by the TYPE VOCABULARY
+    per session, never the session's event count, so a million-event
+    session costs the same as a ten-event one with the same distinct
+    types. The three count aggregations are map-combined; the per-type
+    and total-session frames are vocabulary-/scalar-sized joins.
+    """
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.operators.dedup import cooccur_pairs
+
+    if gap_s < 1:
+        raise ValueError(f"session_cooccurrence: gap_s must be >= 1, got {gap_s}")
+    if min_support < 1:
+        raise ValueError(
+            f"session_cooccurrence: min_support must be >= 1, got {min_support}"
+        )
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap_us = gap_s * 1_000_000
+    sess = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("t"),
+            F.col(order_col).alias("o"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.unix_micros(F.lag(ts_col).over(w)).alias("prev_us"),
+        )
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | ((F.col("ts_us") - F.col("prev_us")) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            # same (ts, order_col) total order as the lag window — ties in
+            # ts would otherwise make the running-sum boundary (and the
+            # session assignment of tied rows) nondeterministic
+            F.sum("is_new").over(
+                Window.partitionBy("u")
+                .orderBy("ts_us", "o")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    st = sess.select("u", "sess", "t").distinct()
+    n_a = st.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    n_sessions = st.select("u", "sess").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    pairs = (
+        cooccur_pairs(st, ["u", "sess"], "t")
+        .groupBy(F.col("id_a").alias("type_a"), F.col("id_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    return (
+        pairs.join(n_a.select(F.col("t").alias("type_a"), F.col("n").alias("n_a")), "type_a")
+        .join(n_a.select(F.col("t").alias("type_b"), F.col("n").alias("n_b")), "type_b")
+        .crossJoin(n_sessions)
+        .select(
+            "type_a", "type_b", "n_ab", "n_a", "n_b", "n_sessions",
+            F.expr(
+                "CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000 * n_sessions)"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+            (F.col("n_ab") * F.col("n_sessions") > F.col("n_a") * F.col("n_b")).alias(
+                "lift_gt_1"
+            ),
+        )
+    )

@@ -3272,6 +3272,88 @@ SUBSTR_SEARCH_ORACLE = f"""
     FROM qs2 q JOIN documents d ON contains(d.text, q.qt)
 """
 
+#: Session co-occurrence candidate (r11 staging): 30-min sessions over the
+#: events fixture — every pair of the 5 event types co-occurs somewhere.
+#: The fixture's types are sampled independently, so lift never exceeds 1
+#: (lift_gt_1 is all-False here — its exactness is pinned on planted
+#: sessions in the unit tests); lift_ppm carries the non-trivial
+#: cross-engine signal: exact millionths via DECIMAL/HUGEINT floor
+#: division (the documented DuckDB // == Spark DIV boundary for
+#: non-negative operands).
+SESSION_PAIRS_GAP_S = 1800
+SESSION_PAIRS_MIN_SUPPORT = 2
+
+
+def q_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket event-type co-occurrence at session grain
+    (operators/relational.py:session_cooccurrence): one user-keyed window
+    pass assigns sessions, distinct session-type SETS expand to pairs in
+    the array domain (cost bounded by per-session type vocabulary, never
+    event count), and the positive-association flag is the exact integer
+    comparison n_ab·n_sessions > n_a·n_b — no float lift ever computed.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against SESSION_PAIRS_ORACLE pinned in tests/test_session_pairs.py
+    at two scales + cold-JVM; registration at a window re-plan is a dict
+    + window edit."""
+    from chess_lakehouse_spark.operators.relational import session_cooccurrence
+
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return session_cooccurrence(
+        ev, "user_id", "ts", "event_id", "event_type",
+        gap_s=SESSION_PAIRS_GAP_S, min_support=SESSION_PAIRS_MIN_SUPPORT,
+    )
+
+
+#: Canonical q_session_pairs oracle (tests import THIS; registration at a
+#: window re-plan is a dict + window edit): the q_sessionize lag/running-
+#: sum CTE shape with the SAME (ts, event_id) total order in BOTH
+#: windows, distinct session-type sets, a<b self-join pairs, and the
+#: integer lift comparison.
+SESSION_PAIRS_ORACLE = f"""
+    WITH x AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS prev_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > {SESSION_PAIRS_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x
+    ),
+    st AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+    na AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY 1),
+    ns AS (SELECT COUNT(*) AS n_sessions
+           FROM (SELECT DISTINCT user_id, sess FROM st)),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.sess = b.sess
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(xa.n AS BIGINT) AS n_a,
+           CAST(xb.n AS BIGINT) AS n_b,
+           CAST(ns.n_sessions AS BIGINT) AS n_sessions,
+           CAST((CAST(p.n_ab AS HUGEINT) * 1000000 * ns.n_sessions)
+                // (CAST(xa.n AS HUGEINT) * xb.n) AS BIGINT) AS lift_ppm,
+           p.n_ab * ns.n_sessions > xa.n * xb.n AS lift_gt_1
+    FROM pairs p
+    JOIN na xa ON xa.event_type = p.type_a
+    JOIN na xb ON xb.event_type = p.type_b
+    CROSS JOIN ns
+    WHERE p.n_ab >= {SESSION_PAIRS_MIN_SUPPORT}
+"""
+
 ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -679,14 +679,17 @@ def main() -> None:
                 .collect(),
             )
 
-        if only_ops is None or {"funnel_3step", "gapfill_hourly"} & only_ops:
+        if only_ops is None or {
+            "funnel_3step", "gapfill_hourly", "session_pairs"
+        } & only_ops:
             # event-table operators: x-factor copies of events with
             # distinct users AND time-shifted rows (i * 1h) so the funnel
-            # user population and the gap-fill grid both grow with the
-            # factor
+            # user population, the gap-fill grid, and the session
+            # population all grow with the factor
             from chess_lakehouse_spark.operators.relational import (
                 funnel,
                 gapfill_series,
+                session_cooccurrence,
             )
             from chess_lakehouse_spark.operators.rollup import time_bucket
 
@@ -731,6 +734,16 @@ def main() -> None:
                 "gapfill_hourly", factor,
                 lambda: gapfill_series(
                     holes, "event_type", "bk", ["n"], 3600
+                ).count(),
+            )
+            # session co-occurrence: sessions grow with the factor while
+            # the TYPE vocabulary (and so the pair table) stays fixed —
+            # one window pass + array-domain pair expansion bounded by
+            # types-per-session, never event count
+            probe(
+                "session_pairs", factor,
+                lambda: session_cooccurrence(
+                    ev, "user_id", "ts", "event_id", "event_type"
                 ).count(),
             )
 

@@ -1,0 +1,116 @@
+"""Session-grain market-basket co-occurrence
+(operators/relational.py:session_cooccurrence): planted-session semantics
+(set-not-multiset, gap boundaries, tie determinism), the exact-integer
+lift flag vs a float computation, validation, and the staged
+q_session_pairs candidate's two-scale oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.relational import session_cooccurrence
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, f"2024-03-01 10:{m:02d}:00", t) for i, (u, m, t) in enumerate(rows)],
+        "event_id long, user_id long, ts_s string, event_type string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+
+
+def _run(spark, rows, **kw):
+    df = _ev(spark, rows)
+    out = session_cooccurrence(df, "user_id", "ts", "event_id", "event_type", **kw)
+    return {(r.type_a, r.type_b): r for r in out.collect()}
+
+
+def test_planted_sessions_sets_and_gaps(spark):
+    """User 1: one session with a,b,b,c (b counted ONCE); a 40-min gap
+    starts a second session with only d — d pairs with nothing. User 2:
+    a,b again. So (a,b) co-occurs in 2 of 4 sessions, (a,c) in 1."""
+    rows = [
+        (1, 0, "a"), (1, 5, "b"), (1, 10, "b"), (1, 15, "c"),
+        (1, 55, "d"),                      # new session (40-min gap)
+        (2, 0, "a"), (2, 3, "b"),
+        (3, 0, "e"),                       # singleton session, no pairs
+    ]
+    got = _run(spark, rows, gap_s=1800, min_support=1)
+    assert got[("a", "b")].n_ab == 2 and got[("a", "c")].n_ab == 1
+    assert got[("b", "c")].n_ab == 1
+    assert not any("d" in p or "e" in p for p in got)
+    r = got[("a", "b")]
+    assert (r.n_a, r.n_b, r.n_sessions) == (2, 2, 4)
+    # lift flag AND exact-ppm column == the float computation on every pair
+    for (a, b), row in got.items():
+        lift = (row.n_ab * row.n_sessions) / (row.n_a * row.n_b)
+        assert row.lift_gt_1 == (lift > 1), (a, b)
+        assert row.lift_ppm == (1_000_000 * row.n_ab * row.n_sessions) // (
+            row.n_a * row.n_b
+        ), (a, b)
+    # (a,b): 2*4 > 2*2 -> positive association, lift 2.0 exactly
+    assert got[("a", "b")].lift_gt_1 is True
+    assert got[("a", "b")].lift_ppm == 2_000_000
+
+
+def test_min_support_and_validation(spark):
+    rows = [(1, 0, "a"), (1, 1, "b"), (2, 0, "a"), (2, 1, "c")]
+    got = _run(spark, rows, min_support=1)
+    assert set(got) == {("a", "b"), ("a", "c")}
+    got2 = _run(spark, rows, min_support=2)
+    assert set(got2) == set()
+    df = _ev(spark, rows)
+    with pytest.raises(ValueError, match="gap_s"):
+        session_cooccurrence(df, "user_id", "ts", "event_id", "event_type", gap_s=0)
+    with pytest.raises(ValueError, match="min_support"):
+        session_cooccurrence(
+            df, "user_id", "ts", "event_id", "event_type", min_support=0
+        )
+
+
+def test_tie_determinism(spark):
+    """Same-instant events: the (ts, event_id) total order pins the
+    running-sum session boundary — two runs agree exactly."""
+    rows = [(1, 0, "a"), (1, 0, "b"), (1, 0, "c")] * 3
+    a = _run(spark, rows)
+    b = _run(spark, rows)
+    assert {k: tuple(v) for k, v in a.items()} == {k: tuple(v) for k, v in b.items()}
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_q_session_pairs_matches_suite_oracle(spark, sf_dir):
+    """Driver-style gating proof: exact values, driver-safe types, both
+    local scales; lift_ppm carries varied non-trivial values (the flag is
+    honestly all-False on the independent synthetic types)."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import (
+        SESSION_PAIRS_ORACLE,
+        q_session_pairs,
+    )
+
+    sdf = q_session_pairs(spark, sf_dir)
+    assert [d for _, d in sdf.dtypes] == [
+        "string", "string", "bigint", "bigint", "bigint", "bigint",
+        "bigint", "boolean",
+    ]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    rel = con.sql(SESSION_PAIRS_ORACLE)
+    assert all(
+        str(t) in {"VARCHAR", "BIGINT", "BOOLEAN"} for t in rel.types
+    ), [str(t) for t in rel.types]
+    drows = sorted(tuple(r) for r in con.execute(SESSION_PAIRS_ORACLE).fetchall())
+    con.close()
+    assert len(srows) > 0
+    # independent synthetic types: lift never exceeds 1 on this fixture
+    # (the flag's exactness is pinned on planted sessions above); the
+    # ppm column carries non-trivial varied values
+    assert len({r[6] for r in srows}) > 1
+    assert all(0 < r[6] <= 1_000_000 for r in srows)
+    assert srows == drows
