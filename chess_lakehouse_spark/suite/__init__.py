@@ -124,7 +124,10 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # r10 window planning — FIRST bump WINDOW_BUDGETED_FOR to 10: (1) any
 # never-verified queries registered at the re-plan go first — FOUR
 # staged candidates are ready, each with a suite-defined oracle,
-# two-scale exact parity, and a cold-JVM ANSI run:
+# two-scale exact parity, and a cold-JVM ANSI run (the full machine-
+# checkable manifest, registered-name collisions and oracle shape
+# enforced by tests/test_suite_order.py, is llm.py:STAGED_CANDIDATES —
+# a re-plan MOVES entries from there into QUERIES/ORACLES):
 #   - q_bm25_staged / BM25_STAGED_ORACLE (register as `bm25_staged`;
 #     the staged-index serving path, the one scale-headline operator
 #     without a driver row; pinned in tests/test_bm25.py);

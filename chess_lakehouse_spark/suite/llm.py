@@ -4607,3 +4607,30 @@ QUERIES = {
     "html_strip": q_html_strip,
     "classifier_serve": q_classifier_serve,
 }
+
+#: Machine-checkable staging manifest: every gating candidate that is
+#: READY (suite-defined oracle, two-scale exact parity, cold-JVM ANSI
+#: run — see each function's docstring and test file) but NOT yet
+#: registered. A window re-plan moves entries from here into
+#: QUERIES/ORACLES verbatim; tests/test_suite_order.py enforces that
+#: names stay disjoint from the registered dicts, callables/oracles are
+#: well-formed, and registration REMOVES the entry (a query present in
+#: both would double-claim its verification state).
+STAGED_CANDIDATES = {
+    # r10 plan (suite/__init__.py)
+    "bm25_staged": (q_bm25_staged, BM25_STAGED_ORACLE),
+    "classifier_hashed": (q_classifier_hashed, HASHED_CLASSIFIER_ORACLE),
+    "contamination_semantic": (q_contamination_semantic, SEM_CONTAM_ORACLE),
+    "dedup_hamming64": (q_hamming64, HAMMING64_ORACLE),
+    # r11 plan
+    "badwords_gate": (q_badwords, BADWORDS_ORACLE),
+    "rollup_staged": (q_rollup_staged, ROLLUP_STAGED_ORACLE),
+    "corpus_overlap": (q_corpus_overlap, CORPUS_OVERLAP_ORACLE),
+    "funnel_steps": (q_funnel, FUNNEL_ORACLE),
+    "gapfill": (q_gapfill, GAPFILL_ORACLE),
+    "anomaly_flags": (q_anomaly, ANOMALY_ORACLE),
+    "dedup_edit": (q_dedup_edit, EDIT_DIST_ORACLE),
+    "cms_freq": (q_cms_freq, CMS_FREQ_ORACLE),
+    "substring_search": (q_substring_search, SUBSTR_SEARCH_ORACLE),
+    "session_pairs": (q_session_pairs, SESSION_PAIRS_ORACLE),
+}

@@ -171,3 +171,33 @@ def test_all_oracle_queries_have_matching_columns_contract() -> None:
     """Every query has an oracle unless deliberately rows-only."""
     missing = [n for n in suite.QUERIES if n not in suite.ORACLES]
     assert missing == ["approx_stats"]
+
+
+def test_staged_candidates_manifest_is_registration_ready():
+    """The STAGED_CANDIDATES manifest (suite/llm.py) is what a window
+    re-plan promotes verbatim into QUERIES/ORACLES: names must be FREE
+    (an entry in both would double-claim verification state), callables
+    must be suite-shaped, and oracles must be non-trivial SQL strings
+    that reference only driver-registered views."""
+    import inspect
+
+    from chess_lakehouse_spark import suite
+    from chess_lakehouse_spark.suite.llm import STAGED_CANDIDATES
+
+    registered_views = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    assert STAGED_CANDIDATES, "manifest must not silently empty out"
+    for name, (fn, oracle) in STAGED_CANDIDATES.items():
+        assert name not in suite.QUERIES, f"{name} staged AND registered"
+        assert name not in suite.ORACLES, f"{name} staged AND registered"
+        assert callable(fn), name
+        params = list(inspect.signature(fn).parameters)
+        assert params[:2] == ["spark", "sf_dir"], (name, params)
+        assert isinstance(oracle, str) and len(oracle.strip()) > 50, name
+        tokens = {
+            t.strip("(),;") for t in oracle.replace("\n", " ").lower().split()
+        }
+        froms = tokens & registered_views
+        assert froms, f"{name} oracle references no registered view"
