@@ -759,6 +759,49 @@ def integer_zscore_flags(
     )
 
 
+def assign_sessions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    gap_s: int = 1800,
+    out_col: str = "sess",
+) -> DataFrame:
+    """Inactivity-gap session ids, single-sourced for every session-grain
+    operator (q_sessionize's lag/running-sum shape): appends ``out_col``
+    numbering each user's sessions 1..k in time order. BOTH windows use
+    the same (ts, order_col) total order, so same-instant ties land in a
+    deterministic session — the cross-engine parity requirement. One
+    user-keyed shuffle; AQE splits hot users."""
+    from pyspark.sql.window import Window
+
+    if gap_s < 1:
+        raise ValueError(f"assign_sessions: gap_s must be >= 1, got {gap_s}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap_us = gap_s * 1_000_000
+    return (
+        df.withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+        .withColumn("__prev_us", F.unix_micros(F.lag(ts_col).over(w)))
+        .withColumn(
+            "__is_new",
+            F.when(
+                F.col("__prev_us").isNull()
+                | ((F.col("__ts_us") - F.col("__prev_us")) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            out_col,
+            F.sum("__is_new").over(
+                Window.partitionBy(user_col)
+                .orderBy("__ts_us", order_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("__ts_us", "__prev_us", "__is_new")
+    )
+
+
 def session_cooccurrence(
     df: DataFrame,
     user_col: str,
@@ -809,35 +852,14 @@ def session_cooccurrence(
         raise ValueError(
             f"session_cooccurrence: min_support must be >= 1, got {min_support}"
         )
-    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
-    gap_us = gap_s * 1_000_000
-    sess = (
+    sess = assign_sessions(
         df.select(
             F.col(user_col).alias("u"),
             F.col(type_col).alias("t"),
             F.col(order_col).alias("o"),
-            F.unix_micros(F.col(ts_col)).alias("ts_us"),
-            F.unix_micros(F.lag(ts_col).over(w)).alias("prev_us"),
-        )
-        .withColumn(
-            "is_new",
-            F.when(
-                F.col("prev_us").isNull()
-                | ((F.col("ts_us") - F.col("prev_us")) > gap_us),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "sess",
-            # same (ts, order_col) total order as the lag window — ties in
-            # ts would otherwise make the running-sum boundary (and the
-            # session assignment of tied rows) nondeterministic
-            F.sum("is_new").over(
-                Window.partitionBy("u")
-                .orderBy("ts_us", "o")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+            F.col(ts_col).alias("ts"),
+        ),
+        "u", "ts", "o", gap_s=gap_s,
     )
     st = sess.select("u", "sess", "t").distinct()
     n_a = st.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
@@ -863,5 +885,74 @@ def session_cooccurrence(
             (F.col("n_ab") * F.col("n_sessions") > F.col("n_a") * F.col("n_b")).alias(
                 "lift_gt_1"
             ),
+        )
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    type_col: str,
+    gap_s: int = 1800,
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition counts between event types WITHIN
+    sessions — the ordered complement to :func:`session_cooccurrence`
+    (co-occurrence asks "together?", transitions ask "what follows
+    what?"): consecutive event pairs inside each inactivity-gap session,
+    with the row-normalized transition probability carried as EXACT
+    integers. Returns (type_from, type_to, n_trans, n_from, p_ppm) for
+    transitions with ``n_trans >= min_count``:
+
+    - n_trans  occurrences of the (from → to) adjacency;
+    - n_from   all transitions OUT of type_from (the row denominator —
+               Σ_to p = 1 up to flooring);
+    - p_ppm    the transition probability in exact MILLIONTHS via
+               DECIMAL(38,0) floor division (the session_cooccurrence
+               lift_ppm discipline — bit-identical across engines on
+               non-negative operands, overflow-proof).
+
+    Self-transitions (a → a) are real rows — repeated types are the
+    common case in clickstreams. Plan: :func:`assign_sessions` (one
+    user-keyed window pass, deterministic tie order) + one lag over the
+    SAME total order + two map-combined counts + a vocabulary-sized
+    denominator join. Session boundaries never produce a transition (the
+    lag restarts per (user, session))."""
+    from pyspark.sql.window import Window
+
+    if min_count < 1:
+        raise ValueError(
+            f"event_transitions: min_count must be >= 1, got {min_count}"
+        )
+    sess = assign_sessions(
+        df.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("t"),
+            F.col(order_col).alias("o"),
+            F.col(ts_col).alias("ts"),
+        ),
+        "u", "ts", "o", gap_s=gap_s,
+    )
+    w = Window.partitionBy("u", "sess").orderBy(F.unix_micros("ts"), "o")
+    trans = (
+        sess.withColumn("type_from", F.lag("t").over(w))
+        .where(F.col("type_from").isNotNull())
+        .select("type_from", F.col("t").alias("type_to"))
+    )
+    counts = trans.groupBy("type_from", "type_to").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    n_from = trans.groupBy("type_from").agg(F.count(F.lit(1)).alias("n_from"))
+    return (
+        counts.where(F.col("n_trans") >= min_count)
+        .join(n_from, "type_from")
+        .select(
+            "type_from", "type_to", "n_trans", "n_from",
+            F.expr(
+                "CAST((CAST(n_trans AS DECIMAL(38,0)) * 1000000)"
+                " DIV n_from AS BIGINT)"
+            ).alias("p_ppm"),
         )
     )

@@ -142,7 +142,7 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     the generalized 64-bit banded hamming join under phash_near_pairs
 #     — radius inside the pigeonhole bound, so the brute-force oracle
 #     checks recall; tests/test_phash.py);
-# Ten r11 staging candidates are also ready ahead of schedule:
+# Eleven r11 staging candidates are also ready ahead of schedule:
 #   - q_badwords / BADWORDS_ORACLE (register as `badwords_gate`; the C4
 #     word-blocklist boolean with the Gopher-normalized membership test;
 #     tests/test_gopher.py);
@@ -179,6 +179,10 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     `session_pairs`; session-grain market-basket co-occurrence with
 #     the lift in exact integer millionths via DECIMAL/HUGEINT floor
 #     division; tests/test_session_pairs.py).
+#   - q_event_transitions / EVENT_TRANSITIONS_ORACLE (register as
+#     `event_transitions`; first-order Markov transition matrix within
+#     sessions, row-normalized probability in exact millionths;
+#     tests/test_session_pairs.py).
 # (2) then the 9 deferred r7-green queries (events_hourly,
 # export_projection, filter_null_predicate, groupby_agg, join_star,
 # json_extract, rolling_avg, scalar_kitchen, supplier_revenue) — at the

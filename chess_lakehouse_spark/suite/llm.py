@@ -3354,6 +3354,68 @@ SESSION_PAIRS_ORACLE = f"""
     WHERE p.n_ab >= {SESSION_PAIRS_MIN_SUPPORT}
 """
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types within
+    30-min sessions (operators/relational.py:event_transitions — the
+    ordered complement to q_session_pairs): consecutive in-session
+    adjacencies counted exactly, row-normalized probability in exact
+    integer millionths (DECIMAL floor division), session boundaries never
+    bridged.
+
+    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    against EVENT_TRANSITIONS_ORACLE pinned in tests/test_session_pairs.py
+    at two scales + cold-JVM; registration at a window re-plan is a dict
+    + window edit."""
+    from chess_lakehouse_spark.operators.relational import event_transitions
+
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(
+        ev, "user_id", "ts", "event_id", "event_type",
+        gap_s=SESSION_PAIRS_GAP_S, min_count=SESSION_PAIRS_MIN_SUPPORT,
+    )
+
+
+#: Canonical q_event_transitions oracle (tests import THIS; registration
+#: at a window re-plan is a dict + window edit): the shared session CTEs,
+#: an in-session lag for the adjacency, exact HUGEINT floor-division ppm.
+EVENT_TRANSITIONS_ORACLE = f"""
+    WITH x AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS prev_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             SUM(CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > {SESSION_PAIRS_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x
+    ),
+    tr AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id, sess
+                                   ORDER BY ts_us, event_id) AS type_from,
+             event_type AS type_to
+      FROM s
+    ),
+    tr2 AS (SELECT * FROM tr WHERE type_from IS NOT NULL),
+    counts AS (
+      SELECT type_from, type_to, COUNT(*) AS n_trans
+      FROM tr2 GROUP BY 1, 2
+    ),
+    nf AS (SELECT type_from, COUNT(*) AS n_from FROM tr2 GROUP BY 1)
+    SELECT c.type_from, c.type_to,
+           CAST(c.n_trans AS BIGINT) AS n_trans,
+           CAST(nf.n_from AS BIGINT) AS n_from,
+           CAST((CAST(c.n_trans AS HUGEINT) * 1000000) // nf.n_from
+                AS BIGINT) AS p_ppm
+    FROM counts c JOIN nf USING (type_from)
+    WHERE c.n_trans >= {SESSION_PAIRS_MIN_SUPPORT}
+"""
+
 ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
@@ -4633,4 +4695,5 @@ STAGED_CANDIDATES = {
     "cms_freq": (q_cms_freq, CMS_FREQ_ORACLE),
     "substring_search": (q_substring_search, SUBSTR_SEARCH_ORACLE),
     "session_pairs": (q_session_pairs, SESSION_PAIRS_ORACLE),
+    "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_ORACLE),
 }

@@ -680,7 +680,7 @@ def main() -> None:
             )
 
         if only_ops is None or {
-            "funnel_3step", "gapfill_hourly", "session_pairs"
+            "funnel_3step", "gapfill_hourly", "session_pairs", "event_transitions"
         } & only_ops:
             # event-table operators: x-factor copies of events with
             # distinct users AND time-shifted rows (i * 1h) so the funnel
@@ -743,6 +743,16 @@ def main() -> None:
             probe(
                 "session_pairs", factor,
                 lambda: session_cooccurrence(
+                    ev, "user_id", "ts", "event_id", "event_type"
+                ).count(),
+            )
+            from chess_lakehouse_spark.operators.relational import (
+                event_transitions,
+            )
+
+            probe(
+                "event_transitions", factor,
+                lambda: event_transitions(
                     ev, "user_id", "ts", "event_id", "event_type"
                 ).count(),
             )

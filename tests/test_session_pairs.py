@@ -114,3 +114,71 @@ def test_q_session_pairs_matches_suite_oracle(spark, sf_dir):
     assert len({r[6] for r in srows}) > 1
     assert all(0 < r[6] <= 1_000_000 for r in srows)
     assert srows == drows
+
+
+def test_event_transitions_planted(spark):
+    """Ordered adjacency: a->b->b->c in one session plus a gap-isolated d;
+    self-transition counted; session boundary produces NO transition;
+    p_ppm rows sum to ~1e6 per type_from."""
+    from chess_lakehouse_spark.operators.relational import event_transitions
+
+    rows = [
+        (1, 0, "a"), (1, 5, "b"), (1, 10, "b"), (1, 15, "c"),
+        (1, 55, "d"),                       # new session: no c->d edge
+        (2, 0, "a"), (2, 3, "b"),
+    ]
+    df = _ev(spark, rows)
+    got = {
+        (r.type_from, r.type_to): r
+        for r in event_transitions(
+            df, "user_id", "ts", "event_id", "event_type"
+        ).collect()
+    }
+    assert got[("a", "b")].n_trans == 2
+    assert got[("b", "b")].n_trans == 1 and got[("b", "c")].n_trans == 1
+    assert ("c", "d") not in got
+    assert got[("a", "b")].n_from == 2 and got[("a", "b")].p_ppm == 1_000_000
+    assert got[("b", "b")].n_from == 2 and got[("b", "b")].p_ppm == 500_000
+    by_from = {}
+    for (f, _), r in got.items():
+        by_from.setdefault(f, []).append(r.p_ppm)
+    for f, ppms in by_from.items():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000, f
+    with pytest.raises(ValueError, match="min_count"):
+        event_transitions(
+            df, "user_id", "ts", "event_id", "event_type", min_count=0
+        )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_q_event_transitions_matches_suite_oracle(spark, sf_dir):
+    """Driver-style gating proof for the transitions candidate."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import (
+        EVENT_TRANSITIONS_ORACLE,
+        q_event_transitions,
+    )
+
+    sdf = q_event_transitions(spark, sf_dir)
+    assert [d for _, d in sdf.dtypes] == [
+        "string", "string", "bigint", "bigint", "bigint",
+    ]
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    rel = con.sql(EVENT_TRANSITIONS_ORACLE)
+    assert all(
+        str(t) in {"VARCHAR", "BIGINT"} for t in rel.types
+    ), [str(t) for t in rel.types]
+    drows = sorted(
+        tuple(r) for r in con.execute(EVENT_TRANSITIONS_ORACLE).fetchall()
+    )
+    con.close()
+    assert len(srows) > 0
+    assert len({r[4] for r in srows}) > 3  # varied exact probabilities
+    assert srows == drows
