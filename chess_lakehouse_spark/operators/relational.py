@@ -771,16 +771,29 @@ def assign_sessions(
     operator (q_sessionize's lag/running-sum shape): appends ``out_col``
     numbering each user's sessions 1..k in time order. BOTH windows use
     the same (ts, order_col) total order, so same-instant ties land in a
-    deterministic session — the cross-engine parity requirement. One
-    user-keyed shuffle; AQE splits hot users."""
+    deterministic session — the cross-engine parity requirement. Rows
+    with NULL ``ts_col`` are dropped (unorderable, and Spark's NULLS
+    FIRST vs DuckDB's NULLS LAST default would diverge the numbering);
+    pre-existing ``out_col``/internal-name columns raise. One user-keyed
+    shuffle; AQE splits hot users."""
     from pyspark.sql.window import Window
 
     if gap_s < 1:
         raise ValueError(f"assign_sessions: gap_s must be >= 1, got {gap_s}")
+    clash = ({out_col, "__ts_us", "__prev_us", "__is_new"}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"assign_sessions: input already has columns {sorted(clash)} — "
+            "silent overwrite/drop would lose caller data; rename them first"
+        )
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     gap_us = gap_s * 1_000_000
     return (
-        df.withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
+        # NULL timestamps are DROPPED, loudly documented: they cannot be
+        # ordered into a session (and Spark's NULLS FIRST vs the oracles'
+        # NULLS LAST would silently diverge the numbering cross-engine)
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
         .withColumn("__prev_us", F.unix_micros(F.lag(ts_col).over(w)))
         .withColumn(
             "__is_new",
@@ -810,6 +823,7 @@ def session_cooccurrence(
     type_col: str,
     gap_s: int = 1800,
     min_support: int = 1,
+    max_types_per_session: int | None = 10_000,
 ) -> DataFrame:
     """Market-basket co-occurrence at SESSION grain — the association-rule
     staple over an event stream: which event types appear together within
@@ -842,8 +856,6 @@ def session_cooccurrence(
     types. The three count aggregations are map-combined; the per-type
     and total-session frames are vocabulary-/scalar-sized joins.
     """
-    from pyspark.sql.window import Window
-
     from chess_lakehouse_spark.operators.dedup import cooccur_pairs
 
     if gap_s < 1:
@@ -867,7 +879,7 @@ def session_cooccurrence(
         F.count(F.lit(1)).alias("n_sessions")
     )
     pairs = (
-        cooccur_pairs(st, ["u", "sess"], "t")
+        cooccur_pairs(st, ["u", "sess"], "t", max_bucket_size=max_types_per_session)
         .groupBy(F.col("id_a").alias("type_a"), F.col("id_b").alias("type_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= min_support)
@@ -882,9 +894,10 @@ def session_cooccurrence(
                 "CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000 * n_sessions)"
                 " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
             ).alias("lift_ppm"),
-            (F.col("n_ab") * F.col("n_sessions") > F.col("n_a") * F.col("n_b")).alias(
-                "lift_gt_1"
-            ),
+            F.expr(
+                "CAST(n_ab AS DECIMAL(38,0)) * n_sessions"
+                " > CAST(n_a AS DECIMAL(38,0)) * n_b"
+            ).alias("lift_gt_1"),
         )
     )
 
@@ -944,7 +957,10 @@ def event_transitions(
     counts = trans.groupBy("type_from", "type_to").agg(
         F.count(F.lit(1)).alias("n_trans")
     )
-    n_from = trans.groupBy("type_from").agg(F.count(F.lit(1)).alias("n_from"))
+    # n_from re-aggregates the vocabulary-sized counts frame (computed
+    # BEFORE the min_count filter, so row sums stay exact) instead of
+    # re-running the sessionize+lag subtree a second time
+    n_from = counts.groupBy("type_from").agg(F.sum("n_trans").alias("n_from"))
     return (
         counts.where(F.col("n_trans") >= min_count)
         .join(n_from, "type_from")

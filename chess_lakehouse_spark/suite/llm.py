@@ -3282,6 +3282,11 @@ SUBSTR_SEARCH_ORACLE = f"""
 #: non-negative operands).
 SESSION_PAIRS_GAP_S = 1800
 SESSION_PAIRS_MIN_SUPPORT = 2
+#: pair-expansion guard, MIRRORED in the oracle (the LSH bucket-cap
+#: discipline: a cap the engine applies but the oracle doesn't would
+#: silently diverge on a corpus with a pathological session) — no-op on
+#: the 5-type fixture
+SESSION_PAIRS_MAX_TYPES = 10_000
 
 
 def q_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3303,6 +3308,7 @@ def q_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cooccurrence(
         ev, "user_id", "ts", "event_id", "event_type",
         gap_s=SESSION_PAIRS_GAP_S, min_support=SESSION_PAIRS_MIN_SUPPORT,
+        max_types_per_session=SESSION_PAIRS_MAX_TYPES,
     )
 
 
@@ -3316,7 +3322,7 @@ SESSION_PAIRS_ORACLE = f"""
       SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
              epoch_us(lag(ts) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id)) AS prev_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT user_id, event_type,
@@ -3331,10 +3337,16 @@ SESSION_PAIRS_ORACLE = f"""
     na AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY 1),
     ns AS (SELECT COUNT(*) AS n_sessions
            FROM (SELECT DISTINCT user_id, sess FROM st)),
+    -- the engine-side pair-expansion cap, mirrored (sessions with more
+    -- distinct types than the cap generate NO pairs; per-type and total
+    -- session counts still include them, matching cooccur_pairs)
+    ok AS (SELECT user_id, sess FROM st GROUP BY 1, 2
+           HAVING COUNT(*) <= {SESSION_PAIRS_MAX_TYPES}),
+    sto AS (SELECT st.* FROM st JOIN ok USING (user_id, sess)),
     pairs AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b,
              COUNT(*) AS n_ab
-      FROM st a JOIN st b
+      FROM sto a JOIN sto b
         ON a.user_id = b.user_id AND a.sess = b.sess
        AND a.event_type < b.event_type
       GROUP BY 1, 2
@@ -3346,7 +3358,8 @@ SESSION_PAIRS_ORACLE = f"""
            CAST(ns.n_sessions AS BIGINT) AS n_sessions,
            CAST((CAST(p.n_ab AS HUGEINT) * 1000000 * ns.n_sessions)
                 // (CAST(xa.n AS HUGEINT) * xb.n) AS BIGINT) AS lift_ppm,
-           p.n_ab * ns.n_sessions > xa.n * xb.n AS lift_gt_1
+           CAST(p.n_ab AS HUGEINT) * ns.n_sessions
+             > CAST(xa.n AS HUGEINT) * xb.n AS lift_gt_1
     FROM pairs p
     JOIN na xa ON xa.event_type = p.type_a
     JOIN na xb ON xb.event_type = p.type_b
@@ -3384,7 +3397,7 @@ EVENT_TRANSITIONS_ORACLE = f"""
       SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
              epoch_us(lag(ts) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id)) AS prev_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT user_id, event_id, event_type, ts_us,

@@ -70,11 +70,30 @@ def test_min_support_and_validation(spark):
 
 def test_tie_determinism(spark):
     """Same-instant events: the (ts, event_id) total order pins the
-    running-sum session boundary — two runs agree exactly."""
+    running-sum session boundary — a run over a shuffled, repartitioned,
+    REVERSED-row-order copy of the input agrees exactly with the
+    original (re-running the identical plan would pass even without the
+    tiebreaker; a different physical layout would not)."""
     rows = [(1, 0, "a"), (1, 0, "b"), (1, 0, "c")] * 3
-    a = _run(spark, rows)
-    b = _run(spark, rows)
-    assert {k: tuple(v) for k, v in a.items()} == {k: tuple(v) for k, v in b.items()}
+    df = _ev(spark, rows)
+    scrambled = (
+        df.orderBy(F.col("event_id").desc()).repartition(7).sortWithinPartitions(
+            F.col("event_type").desc()
+        )
+    )
+    a = {
+        (r.type_a, r.type_b): tuple(r)
+        for r in session_cooccurrence(
+            df, "user_id", "ts", "event_id", "event_type"
+        ).collect()
+    }
+    b = {
+        (r.type_a, r.type_b): tuple(r)
+        for r in session_cooccurrence(
+            scrambled, "user_id", "ts", "event_id", "event_type"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
 
 
 @pytest.mark.parametrize(
@@ -182,3 +201,25 @@ def test_q_event_transitions_matches_suite_oracle(spark, sf_dir):
     assert len(srows) > 0
     assert len({r[4] for r in srows}) > 3  # varied exact probabilities
     assert srows == drows
+
+
+def test_assign_sessions_contracts(spark):
+    """The shared session assigner (review findings, fixed): NULL
+    timestamps are dropped rather than silently glued to a neighbor
+    session; pre-existing out_col/internal columns raise loudly."""
+    from chess_lakehouse_spark.operators.relational import assign_sessions
+
+    rows = [(1, 0, "a"), (1, 5, "b")]
+    df = _ev(spark, rows)
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [(99, 1, None, "z")],
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+    )
+    out = assign_sessions(with_null, "user_id", "ts", "event_id")
+    assert out.count() == 2 and out.where(F.col("event_id") == 99).count() == 0
+    with pytest.raises(ValueError, match="sess"):
+        assign_sessions(
+            df.withColumn("sess", F.lit(1)), "user_id", "ts", "event_id"
+        )

@@ -177,8 +177,11 @@ def test_staged_candidates_manifest_is_registration_ready():
     """The STAGED_CANDIDATES manifest (suite/llm.py) is what a window
     re-plan promotes verbatim into QUERIES/ORACLES: names must be FREE
     (an entry in both would double-claim verification state), callables
-    must be suite-shaped, and oracles must be non-trivial SQL strings
-    that reference only driver-registered views."""
+    must be suite-shaped, and oracles must be non-trivial SQL touching at
+    least one driver-registered view (full referential validity — no
+    unregistered tables — is proven by each candidate's two-scale parity
+    test, which EXECUTES the oracle against a connection registering only
+    the driver views)."""
     import inspect
 
     from chess_lakehouse_spark import suite
