@@ -204,3 +204,18 @@ def test_staged_candidates_manifest_is_registration_ready():
         }
         froms = tokens & registered_views
         assert froms, f"{name} oracle references no registered view"
+
+
+def test_staged_candidate_plans_have_no_forbidden_shapes(spark):
+    """Every staged candidate's PHYSICAL plan is free of the two
+    categorically bad shapes (CartesianProduct, row-at-a-time Python via
+    BatchEvalPython) BEFORE it can ever be registered — the plan_audit.py
+    sweep, machine-enforced for the staging manifest the way
+    tests/test_plans.py enforces it for registered queries."""
+    from chess_lakehouse_spark.suite.llm import STAGED_CANDIDATES
+
+    sf = "/root/testdata/sf0.001"
+    for name, (fn, _) in STAGED_CANDIDATES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
