@@ -294,6 +294,28 @@ def main() -> None:
                 ),
             )
 
+        if only_ops is None or {"encode_ids"} & only_ops:
+            # token-id export: tokenize (whitespace — the BPE apply cost
+            # is measured separately via bpe_train's class), mint the
+            # vocab, encode the x-factor corpus; the per-copy renamed
+            # vocabulary grows linearly, the doc-keyed reassembly is
+            # output-sized
+            from chess_lakehouse_spark.functions.bpe import (
+                build_token_vocab,
+                encode_token_ids,
+            )
+            from chess_lakehouse_spark.operators.dedup import tokens as _tokens
+
+            tok_df = docs.select(
+                "doc_id", _tokens(F.col("text")).alias("tokens")
+            )
+            probe(
+                "encode_ids", factor,
+                lambda: encode_token_ids(
+                    tok_df, "doc_id", build_token_vocab(tok_df)
+                ).agg(F.sum("n_tokens")).collect(),
+            )
+
         if only_ops is None or {"substr_serve"} & only_ops:
             from chess_lakehouse_spark.functions.text import (
                 build_substring_index,
