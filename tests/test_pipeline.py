@@ -923,3 +923,67 @@ def test_pipeline_cli_clean_corpus_url_pass(spark, tmp_path, capsys):
     assert len(ids & set(range(10, 30))) == 5  # host cap enforced
     # the url column rides through to the published shards
     assert "url" in published.columns
+
+
+def test_pipeline_cli_full_export_chain(spark, tmp_path, capsys):
+    """The example DAG's late chain EXECUTED end to end with real
+    artifacts (the class of drift a name-check cannot catch — review
+    finding, now pinned): clean-corpus with --stageForStreaming
+    --bpeMerges writes staged_corpus/ (parquet) + bpe_merges.txt, then
+    encode-corpus consumes exactly those paths, then build-search-index
+    stages a queryable index over the same parquet — and a substring
+    lookup against it returns the expected doc."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    from chess_lakehouse_spark.functions.text import substring_search_from_index
+
+    stops = "the be to of and that have with"
+    lines = []
+    for i in range(8):
+        body = " ".join(f"word{i}w{j} {stops}" for j in range(12))
+        lines.append(json.dumps(
+            {"doc_id": i, "text": f"needle{i:02d}haystack {body}",
+             "lang": "en", "source": "s0"}
+        ))
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "p.jsonl").write_text("\n".join(lines) + "\n")
+    clean = tmp_path / "clean"
+
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(clean),
+        "--gate", "gopher", "--gopherMinWords", "10", "--gopherMinStops", "2",
+        "--threshold", "0.9", "--evalFrac", "0.2",
+        "--stageForStreaming", "--bpeMerges", "5",
+    ])
+    assert (clean / "bpe_merges.txt").exists()
+    staged = str(clean / "staged_corpus")
+
+    enc_out = tmp_path / "encoded"
+    pipeline_cli.main([
+        "encode-corpus", "--inParquet", staged,
+        "--mergesTxt", str(clean / "bpe_merges.txt"),
+        "--outDir", str(enc_out),
+    ])
+    ids = spark.read.parquet(str(enc_out / "ids"))
+    assert ids.count() == 8 and ids.agg(F.sum("n_oov")).collect()[0][0] == 0
+
+    idx = str(tmp_path / "searchidx")
+    pipeline_cli.main([
+        "build-search-index", "--inParquet", staged, "--indexDir", idx,
+    ])
+    corpus = spark.read.parquet(staged)
+    queries = spark.createDataFrame(
+        [(1, "needle03haystack")], "qid long, qt string"
+    )
+    hits = substring_search_from_index(
+        spark, idx, corpus, "doc_id", "text", queries, "qid", "qt"
+    ).collect()
+    assert [(r.qid, r.doc_id) for r in hits] == [(1, 3)]
+    out_text = capsys.readouterr().out
+    assert "[encode-corpus]" in out_text and "[build-search-index]" in out_text
