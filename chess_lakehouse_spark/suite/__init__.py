@@ -189,62 +189,92 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # P - 1 bound; (3) then the stalest r8-green queries to fill the
 # window. With the 4 registrations N grows to 113 non-rows-only; P
 # stays ceil(113/50) = 3.
-WINDOW_BUDGETED_FOR = 9
+#
+# Round-10 window (executed per the committed r9 plan above; ratchet
+# bumped FIRST):
+#   1. the 4 queries NEW to the gate, never driver-verified — the four
+#      r9-staged candidates promoted verbatim from llm.py's
+#      STAGED_CANDIDATES manifest after two-scale exact parity + a
+#      cold-JVM ANSI run + the type-allowlist guard: `bm25_staged`
+#      (staged-index BM25 serving, tests/test_bm25.py),
+#      `classifier_hashed` (hashed-ngram fastText-class gate serving,
+#      tests/test_hashed_classifier.py), `contamination_semantic`
+#      (cross-set embedding decontamination, banded-OR RHP,
+#      tests/test_semantic_contamination.py), `dedup_hamming64`
+#      (generalized 64-bit banded hamming join under phash_near_pairs,
+#      brute-force-recall oracle inside the pigeonhole bound,
+#      tests/test_phash.py).
+#   2. the 9 queries whose newest green row is r07 (deferred from r9 at
+#      the P - 1 bound per the committed plan): events_hourly,
+#      export_projection, filter_null_predicate, groupby_agg, join_star,
+#      json_extract, rolling_avg, scalar_kitchen, supplier_revenue.
+#   3. 37 of the 50 r8-green queries. The remaining 13 (relational core
+#      ops + the cheapest never-regressed entries: anti_join,
+#      collect_set, cube, distinct_agg, except, intersect, pivot,
+#      range_join, rollup, running_sum, sessionize, shipping_priority,
+#      text_normalize) defer to the FRONT of the r11 window; their age
+#      at r10-commit time is latest - 1 = within the P - 1 bound.
+# After r10 lands the steady-state rotation holds: 50 r10-green (age 0),
+# 50 r9-green (age 1), 13 r8-green (age 2, at the bound) — r11's window
+# must take the 13 deferred queries first, then the stalest r9-green.
+# With the 4 registrations N = 113 non-rows-only; P stays
+# ceil(113/50) = 3.
+WINDOW_BUDGETED_FOR = 10
 
 _WINDOW_ORDER = [
-    # new to the gate in r09 — never driver-verified
-    "lm_staged",
-    "pii_scan",
-    "html_strip",
-    "classifier_serve",
-    # newest green row r06 — the 5 deferred from r8, at the age bound
-    "qc_count",
-    "semi_join",
-    "sort_limit",
-    "union_append",
-    "window_topk",
-    # newest green row r07 — rotate back in (41 of 50)
-    "activity_islands",
-    "asof_join",
-    "budget_sample",
-    "canary_scan",
-    "chess_enrich",
-    "chess_export",
-    "chunk_dedup",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_priority",
-    "dedup_semantic",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_fingerprint",
-    "dq_check",
-    "dup_matrix",
-    "enrich_argmax",
-    "knn_brute_force",
-    "knn_ivf",
-    "knn_lsh",
-    "knn_two_stage",
-    "lateral_topk",
-    "merge_update",
-    "mm_frame_sample",
-    "paragraph_dedup",
-    "pipeline_clean_corpus",
-    "sample_temperature",
-    "shard_assignments",
-    "source_kl",
-    "source_stats_pandas",
-    "split_leakage_safe",
-    "text_langid",
-    "text_quality",
-    "tfidf",
-    "token_count",
-    "token_entropy",
-    "udaf_gmean",
-    "udtf_bigrams",
-    "winsorize",
+    # new to the gate in r10 — never driver-verified
+    "bm25_staged",
+    "classifier_hashed",
+    "contamination_semantic",
+    "dedup_hamming64",
+    # newest green row r07 — the 9 deferred from r9, at the age bound
+    "events_hourly",
+    "export_projection",
+    "filter_null_predicate",
+    "groupby_agg",
+    "join_star",
+    "json_extract",
+    "rolling_avg",
+    "scalar_kitchen",
+    "supplier_revenue",
+    # newest green row r08 — rotate back in (37 of 50)
+    "bm25_batch",
+    "bm25_topk",
+    "boilerplate_strip",
+    "bpe_train",
+    "contamination_ngram",
+    "corpus_delta",
+    "corpus_sketch_counts",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_span",
+    "doc_chunks",
+    "dsir_topk",
+    "embedding_drift",
+    "event_funnel",
+    "event_outliers",
+    "knn_ivf_kmeans",
+    "knn_quantized",
+    "label_centroids",
+    "lake_skipping_read",
+    "lm_score",
+    "lm_score_bigram",
+    "mm_decode_meta",
+    "pack_sequences",
+    "pmi_topk",
+    "quality_buckets",
+    "quality_gopher",
+    "repetition_metrics",
+    "rrf_fuse",
+    "sample_hash",
+    "sample_mix",
+    "sample_per_group",
+    "sample_weighted",
+    "split_contamination",
+    "tfidf_cosine",
+    "url_canonical",
+    "user_retention",
+    "vocab_topk",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

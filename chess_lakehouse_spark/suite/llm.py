@@ -4602,6 +4602,12 @@ ORACLES = {
     "pii_scan": PII_SCAN_ORACLE,
     "html_strip": HTML_STRIP_ORACLE,
     "classifier_serve": classifier_oracle_sql(),
+    # registered at the r10 window re-plan (suite/__init__.py): the four
+    # r9-staged candidates, promoted verbatim from STAGED_CANDIDATES
+    "bm25_staged": BM25_STAGED_ORACLE,
+    "classifier_hashed": HASHED_CLASSIFIER_ORACLE,
+    "contamination_semantic": SEM_CONTAM_ORACLE,
+    "dedup_hamming64": HAMMING64_ORACLE,
 }
 
 QUERIES = {
@@ -4681,6 +4687,11 @@ QUERIES = {
     "pii_scan": q_pii_scan,
     "html_strip": q_html_strip,
     "classifier_serve": q_classifier_serve,
+    # registered at the r10 window re-plan (suite/__init__.py)
+    "bm25_staged": q_bm25_staged,
+    "classifier_hashed": q_classifier_hashed,
+    "contamination_semantic": q_contamination_semantic,
+    "dedup_hamming64": q_hamming64,
 }
 
 #: Machine-checkable staging manifest: every gating candidate that is
@@ -4692,11 +4703,9 @@ QUERIES = {
 #: well-formed, and registration REMOVES the entry (a query present in
 #: both would double-claim its verification state).
 STAGED_CANDIDATES = {
-    # r10 plan (suite/__init__.py)
-    "bm25_staged": (q_bm25_staged, BM25_STAGED_ORACLE),
-    "classifier_hashed": (q_classifier_hashed, HASHED_CLASSIFIER_ORACLE),
-    "contamination_semantic": (q_contamination_semantic, SEM_CONTAM_ORACLE),
-    "dedup_hamming64": (q_hamming64, HAMMING64_ORACLE),
+    # (the four r10-plan entries — bm25_staged, classifier_hashed,
+    # contamination_semantic, dedup_hamming64 — were promoted into
+    # QUERIES/ORACLES at the r10 window re-plan, suite/__init__.py)
     # r11 plan
     "badwords_gate": (q_badwords, BADWORDS_ORACLE),
     "rollup_staged": (q_rollup_staged, ROLLUP_STAGED_ORACLE),
