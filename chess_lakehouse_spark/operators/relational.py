@@ -511,18 +511,27 @@ def score_buckets(
     """Global score stratification: every row tagged with its quantile
     bucket (1..n_buckets) — the 'quality deciles' step of corpus curation.
 
-    ``exact=True`` (the default, and the oracle form): ntile over the
-    (score, id) total order — one global sort, chosen when bucket
-    boundaries must be engine-exact. Pipelines composed at scale should
-    pass ``exact=False`` explicitly — a global sort of the corpus is the
-    single most expensive shape Spark can plan, and quality-decile
-    curation never needs engine-exact boundaries.
-    ``exact=False`` is that 100 TB path: the n-1 cut points come
-    from ONE ``approx_percentile`` aggregate (no global sort anywhere),
-    ship as a 1-row broadcast, and the bucket is a map-side count of cut
-    points below the score. Bucket populations then deviate only by the
-    sketch's ~1e-4 relative rank error; ties at a cut point go to the
-    upper bucket deterministically.
+    ``exact=True`` (the default, and the oracle form): engine-exact
+    ``ntile`` semantics over the (score, id) total order — but computed
+    DISTRIBUTED, never as Spark's native single-partition global-sort
+    window. The plan is the classic distributed sort-rank: range-
+    repartition on the sort key (Spark's scalable sort machinery —
+    every partition sorts independently), per-partition ``row_number``
+    plus a broadcast of per-partition row-count offsets (|partitions|
+    rows) reconstructs the exact global rank, and the bucket falls out
+    of the integer ntile formula (q = N div n, r0 = N mod n: the first
+    r0 buckets hold q+1 rows). The (score, id) key is unique, so the
+    rank — and therefore every bucket label — is independent of where
+    the range partitioner draws its boundaries. All arithmetic is
+    integer (div/%), so the result is bit-identical to a single-
+    partition ntile and to the DuckDB oracle, at two full-data shuffles
+    (range + pid-hash for the window) instead of one un-scalable one.
+    ``exact=False`` is the cheaper one-pass path: the n-1 cut points
+    come from ONE ``approx_percentile`` aggregate (no shuffle of the
+    data at all), ship as a 1-row broadcast, and the bucket is a
+    map-side count of cut points below the score. Bucket populations
+    then deviate only by the sketch's ~1e-4 relative rank error; ties
+    at a cut point go to the upper bucket deterministically.
 
     Returns the input columns plus ``bucket`` (int).
     """
@@ -531,8 +540,52 @@ def score_buckets(
     if exact:
         from pyspark.sql.window import Window
 
-        w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
-        return df.withColumn("bucket", F.ntile(n_buckets).over(w).cast("int"))
+        nb = int(n_buckets)
+        ranged = df.repartitionByRange(
+            F.col(score_col).asc(), F.col(id_col).asc()
+        ).withColumn("__pid", F.spark_partition_id())
+        cnts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+        # offsets: rows in all earlier range partitions. |partitions| rows
+        # total, so the unpartitioned window is a constant-size driver-free
+        # cumsum, not a data-volume sort.
+        w_off = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = cnts.select(
+            "__pid",
+            F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+        total = cnts.agg(F.sum("__n").cast("long").alias("__N"))
+        w_rank = Window.partitionBy("__pid").orderBy(
+            F.col(score_col).asc(), F.col(id_col).asc()
+        )
+        keep = df.columns
+        return (
+            ranged.withColumn("__r", F.row_number().over(w_rank).cast("long"))
+            .join(F.broadcast(offs), "__pid")
+            .crossJoin(F.broadcast(total))
+            .withColumn("__rank", F.col("__off") + F.col("__r"))
+            .withColumn("__q", F.expr(f"__N div {nb}"))
+            .withColumn("__r0", (F.col("__N") % nb).cast("long"))
+            .withColumn(
+                "bucket",
+                F.when(
+                    F.col("__rank") <= F.col("__r0") * (F.col("__q") + 1),
+                    F.expr("(__rank + __q) div (__q + 1)"),
+                )
+                .otherwise(
+                    F.col("__r0")
+                    + F.expr(
+                        "(__rank - __r0 * (__q + 1) + greatest(__q, 1) - 1)"
+                        " div greatest(__q, 1)"
+                    )
+                )
+                .cast("int"),
+            )
+            .select(*keep, "bucket")
+        )
     qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
     cuts = df.agg(
         F.expr(f"approx_percentile({score_col}, array({qs}), 10000)").alias("cuts")

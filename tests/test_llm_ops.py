@@ -1489,6 +1489,57 @@ def test_score_buckets_exact_and_approx(spark):
         score_buckets(m, "doc_id", "quality_score", 0)
 
 
+def test_score_buckets_distributed_equals_native_ntile(spark):
+    """The distributed sort-rank form of exact=True must be bit-identical
+    to Spark's native single-partition ntile over the same (score, id)
+    total order — across ties, N not divisible by n_buckets, N smaller
+    than n_buckets, and N == 1 — and its plan must carry no native ntile
+    (the single-partition global-sort shape being retired)."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.operators.relational import score_buckets
+
+    rng = random.Random(7)
+    cases = [
+        # (rows, n_buckets): heavy ties, non-divisible N, N < n, N == 1
+        ([(i, float(rng.randint(0, 5))) for i in range(257)], 10),
+        ([(i, float(rng.randint(0, 10**6))) for i in range(100)], 7),
+        ([(i, float(i % 2)) for i in range(3)], 10),
+        ([(0, 42.0)], 1),
+        ([(i, 1.0) for i in range(12)], 12),
+    ]
+    for rows, nb in cases:
+        df = spark.createDataFrame(rows, "id long, score double").repartition(8)
+        got = {
+            r.id: r.bucket
+            for r in score_buckets(df, "id", "score", nb).collect()
+        }
+        w = Window.orderBy(F.col("score").asc(), F.col("id").asc())
+        want = {
+            r.id: r.bucket
+            for r in df.withColumn(
+                "bucket", F.ntile(nb).over(w).cast("int")
+            ).collect()
+        }
+        assert got == want, (nb, len(rows))
+
+    plan = (
+        score_buckets(
+            spark.createDataFrame([(0, 1.0)], "id long, score double"),
+            "id",
+            "score",
+            4,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan
+    assert "row_number" in plan
+
+
 def test_md5_hash64_parity_with_duckdb_sweep(spark):
     """The portable-hash contract every sampling/dedup membership decision
     rests on: Spark's conv(substr(md5,1,15),16,10) must equal DuckDB's

@@ -311,12 +311,16 @@ def test_vocab_topk_partial_agg_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_quality_buckets_single_sort(spark):
-    """Exact ntile implies one global sort; anything beyond that (joins,
-    extra exchanges) would mean the score computation stopped being
-    narrow."""
+def test_quality_buckets_distributed_rank(spark):
+    """Exact ntile is computed by the distributed sort-rank plan: a range
+    repartition + per-partition row_number with broadcast offsets — never
+    Spark's native single-partition ntile window, and never a shuffled
+    join (offsets and the 1-row total ship as broadcasts)."""
     plan = explain(spark, llm.q_quality_buckets(spark, SF_DIR))
-    assert "Join" not in plan
+    assert "ntile" not in plan  # the single-partition global-sort form
+    assert "rangepartitioning" in plan.lower()
+    assert "row_number" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
