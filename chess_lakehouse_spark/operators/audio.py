@@ -94,6 +94,11 @@ def decode_wav_builtin(payload: bytes):
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            # truncated or size-corrupted chunk: reject the payload rather
+            # than silently computing features/fingerprints over a partial
+            # slice (mirrors the WARC parser's truncation check)
+            return None
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body

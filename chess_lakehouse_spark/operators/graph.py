@@ -222,6 +222,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = "weight",
+    tol: float | None = None,
 ) -> DataFrame:
     """Weighted PageRank (Page et al. 1999) by fixed-iteration power
     method in pure DataFrame algebra — the host-authority prior web-scale
@@ -245,11 +246,23 @@ def pagerank(
     0.85^12 < 0.15 residual contraction of the start error — callers
     needing tighter tolerance raise n_iter, each step costs the same one
     join). Iterative fixpoint — rows-only class, no SQL oracle; pinned
-    against a NumPy power iteration in tests."""
+    against a NumPy power iteration in tests.
+
+    ``tol`` (optional): L1 early stop. After each power step one extra
+    scalar aggregate computes ``sum(|rank_new - rank_old|)`` (same
+    localCheckpoint discipline — both sides are materialized
+    checkpoints, so the delta join reads cached blocks, no recompute);
+    iteration stops at the first step whose delta is <= tol. The output
+    after k early-stopped steps is BIT-IDENTICAL to ``n_iter=k`` with no
+    tol (the check runs after the update, never altering it), so at
+    100 TB the cost becomes iterations-to-tolerance instead of a guessed
+    constant — ``n_iter`` then acts as the hard cap."""
     if not 0 < damping < 1:
         raise ValueError(f"pagerank: damping must be in (0,1), got {damping}")
     if n_iter < 1:
         raise ValueError(f"pagerank: n_iter must be >= 1, got {n_iter}")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"pagerank: tol must be > 0 when set, got {tol}")
     w = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
@@ -297,8 +310,24 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        delta = None
+        if tol is not None:
+            delta = (
+                new_ranks.select("node", F.col("rank").alias("r_new"))
+                .join(
+                    ranks.select("node", F.col("rank").alias("r_old")), "node"
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("r_new") - F.col("r_old"))), F.lit(0.0)
+                    )
+                )
+                .first()[0]
+            )
         ranks.unpersist()
         ranks = new_ranks
+        if delta is not None and delta <= tol:
+            break
     nodes.unpersist()
     trans.unpersist()
     dangling_nodes.unpersist()

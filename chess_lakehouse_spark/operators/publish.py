@@ -700,7 +700,9 @@ def _swap_lake_dirs(spark: SparkSession, tmp: str, lake_dir: str, op: str) -> No
     rollback copy in .old — unlike delete-then-rename, the lake is never
     the ONLY copy destroyed (each single rename/delete is atomic on
     HDFS/local FS). Leftovers from a crash are exactly what
-    :func:`vacuum_lake` cleans."""
+    :func:`vacuum_lake` cleans. A missing live directory is the
+    first-publish case (e.g. a served surface's first micro-batch): the
+    rewritten copy renames straight into place with no aside step."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     dst = jvm.org.apache.hadoop.fs.Path(lake_dir)
@@ -709,6 +711,13 @@ def _swap_lake_dirs(spark: SparkSession, tmp: str, lake_dir: str, op: str) -> No
     fs = dst.getFileSystem(hconf)
     if fs.exists(old) and not fs.delete(old, True):
         raise IOError(f"{op}: failed to clear stale {old}")
+    if not fs.exists(dst):
+        parent = dst.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(src, dst):
+            raise IOError(f"{op}: first publish rename {tmp} -> {lake_dir} failed")
+        return
     if not fs.rename(dst, old):
         raise IOError(f"{op}: failed to move {lake_dir} aside")
     if not fs.rename(src, dst):

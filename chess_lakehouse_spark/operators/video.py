@@ -46,6 +46,45 @@ FRAME_PHASH_SCHEMA = "doc_id long, frame_idx int, frame_phash long"
 #: doc_id * FRAME_ID_STRIDE + frame_idx. Bounds sampled frames per clip.
 FRAME_ID_STRIDE = 1_000_000
 
+#: Largest doc_id the packing can carry without overflowing a signed
+#: 64-bit composite (exclusive bound).
+_FID_MAX_DOC_ID = (2**63 - 1) // FRAME_ID_STRIDE
+
+
+def checked_frame_id(doc_id, frame_idx):
+    """Composite frame id ``doc_id * FRAME_ID_STRIDE + frame_idx`` with a
+    LOUD per-row range guard: the packing assumes ``0 <= doc_id <
+    LONG_MAX div FRAME_ID_STRIDE`` and ``0 <= frame_idx <
+    FRAME_ID_STRIDE``. Out-of-range inputs would silently collide or
+    mis-decompose (DIV/% on negatives), corrupting clip-pair detection —
+    so they raise at execution time instead (Spark ``raise_error`` in the
+    taken CASE branch: zero cost on valid rows, no driver-side action
+    needed to enforce it)."""
+    d, i = F.col(doc_id) if isinstance(doc_id, str) else doc_id, (
+        F.col(frame_idx) if isinstance(frame_idx, str) else frame_idx
+    )
+    bad = (
+        (d < 0)
+        | (d >= F.lit(_FID_MAX_DOC_ID))
+        | (i < 0)
+        | (i >= F.lit(FRAME_ID_STRIDE))
+    )
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("checked_frame_id: out of range (doc_id="),
+                d.cast("string"),
+                F.lit(", frame_idx="),
+                i.cast("string"),
+                F.lit(
+                    f"); packing needs 0 <= doc_id < {_FID_MAX_DOC_ID} "
+                    f"and 0 <= frame_idx < {FRAME_ID_STRIDE}"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(d.cast("long") * FRAME_ID_STRIDE + i)
+
 
 def encode_y4m(frames, fps_num: int = 25, fps_den: int = 1) -> bytes:
     """Serialize grayscale frames (iterable of (h, w) uint8 arrays, even
@@ -250,7 +289,7 @@ def video_near_pairs(
     )
     n_sampled = fr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sampled"))
     fid = fr.select(
-        (F.col("doc_id") * S + F.col("frame_idx")).alias("fid"),
+        checked_frame_id("doc_id", "frame_idx").alias("fid"),
         "frame_phash",
     )
     fpairs = hamming_near_pairs(

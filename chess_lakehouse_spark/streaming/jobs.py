@@ -947,6 +947,7 @@ def video_dedup_batch(
     from chess_lakehouse_spark.operators.graph import connected_components
     from chess_lakehouse_spark.operators.video import (
         FRAME_ID_STRIDE,
+        checked_frame_id,
         video_frame_phash,
         video_near_pairs,
     )
@@ -975,11 +976,11 @@ def video_dedup_batch(
                     .select("doc_id", "frame_idx", "frame_phash")
                 )
                 new_fid = fr.select(
-                    (F.col("doc_id") * S + F.col("frame_idx")).alias("fid"),
+                    checked_frame_id("doc_id", "frame_idx").alias("fid"),
                     "frame_phash",
                 )
                 corp_fid = staged.select(
-                    (F.col("doc_id") * S + F.col("frame_idx")).alias("fid"),
+                    checked_frame_id("doc_id", "frame_idx").alias("fid"),
                     "frame_phash",
                 )
                 hits = hamming_join(
@@ -1123,13 +1124,15 @@ def stream_anomaly_alerts(
     count series is SERVED from the |series|·|buckets|-sized staged state
     (zero event re-reads) and scored by the exact-integer trailing
     z-score (``integer_zscore_flags`` — bit-identical flags regardless of
-    how history was batched), overwriting ``alerts_dir`` with the current
-    flag table. A crash-replay refolds its own partition and recomputes
+    how history was batched), then the current flag table is published to
+    ``alerts_dir`` via the crash-safe rename-aside swap (a concurrent
+    reader always sees a complete table). A crash-replay refolds its own partition and recomputes
     the same alerts — idempotent end to end because every derived table
     is a pure function of the staged state. The rollup must be BUILT
     first (``build_rollup`` with keys ``[series_col, 'bk']`` and one
     ``('n', 'count', None)`` measure — e.g. over the historical backfill,
     or an empty slice of it)."""
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
     from chess_lakehouse_spark.operators.relational import integer_zscore_flags
     from chess_lakehouse_spark.operators.rollup import (
         append_rollup,
@@ -1147,7 +1150,13 @@ def stream_anomaly_alerts(
         flags = integer_zscore_flags(
             series, series_col, "bk", "n", window=window, k2=k2
         )
-        flags.write.mode("overwrite").parquet(alerts_dir)
+        # rename-aside swap (never overwrite-in-place): a concurrent
+        # dashboard reader must never observe a deleted or half-written
+        # alerts table mid-rewrite — same served-surface convention as
+        # compact_stream_state and the staged indexes.
+        tmp = alerts_dir.rstrip("/") + ".staging"
+        flags.write.mode("overwrite").parquet(tmp)
+        _swap_lake_dirs(spark, tmp, alerts_dir.rstrip("/"), "stream_anomaly_alerts")
 
     q = (
         new_events.writeStream.foreachBatch(_batch)

@@ -791,6 +791,8 @@ def cmd_rollup(args: argparse.Namespace) -> None:
         serve_rollup,
     )
 
+    from pyspark.sql import functions as F
+
     spark = _spark()
     if args.stage == "rollup-build":
         measures = []
@@ -803,8 +805,14 @@ def cmd_rollup(args: argparse.Namespace) -> None:
                     f"--measures entry {entry!r}: want name:agg[:col]"
                 )
             measures.append(tuple(parts))
+        df = spark.read.parquet(args.inParquet)
+        for d in getattr(args, "derive", []) or []:
+            if "=" not in d:
+                raise SystemExit(f"--derive entry {d!r}: want name=SQL_EXPR")
+            name, expr = d.split("=", 1)
+            df = df.withColumn(name.strip(), F.expr(expr))
         build_rollup(
-            spark.read.parquet(args.inParquet),
+            df,
             [k.strip() for k in args.keys.split(",") if k.strip()],
             measures,
             args.rollupDir,
@@ -1092,6 +1100,10 @@ def main(argv: list[str] | None = None) -> None:
     rb.add_argument("--measures", required=True,
                     help="comma-separated name:agg[:col] entries, agg in "
                          "count/countnn/sum/sum6/min/max/hll")
+    rb.add_argument("--derive", action="append", default=[],
+                    help="repeatable name=SQL_EXPR column derivations "
+                         "applied before keying/measuring (e.g. "
+                         "n_chars=length(text))")
     rb.set_defaults(fn=cmd_rollup)
 
     ra = sub.add_parser("rollup-append")

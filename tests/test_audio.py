@@ -59,6 +59,24 @@ def test_decode_rejects_non_wav_and_non_pcm16():
     assert decode_wav_builtin(bytes(wav)) is None
 
 
+def test_decode_rejects_truncated_or_size_corrupted_chunks():
+    """A chunk whose declared size overruns the remaining payload means a
+    truncated delivery or corrupted header: the decoder must reject the
+    payload (None) rather than silently compute features over a partial
+    data slice — partial audio would fingerprint differently from its
+    intact twin and mis-pair in dedup."""
+    wav = encode_wav_pcm16(_sine(440), 8000)
+    # cut the payload mid-data: declared data size now exceeds remainder
+    assert decode_wav_builtin(wav[: len(wav) - 100]) is None
+    # corrupt the data chunk's declared size upward (offset 40 in the
+    # canonical 44-byte header layout encode_wav_pcm16 emits)
+    bad = bytearray(wav)
+    bad[40:44] = (len(wav)).to_bytes(4, "little")
+    assert decode_wav_builtin(bytes(bad)) is None
+    # intact payload still decodes
+    assert decode_wav_builtin(wav) is not None
+
+
 def test_decode_skips_extra_chunks():
     """Chunk walker must tolerate a LIST chunk (odd-sized, word-aligned)
     before fmt/data — real WAV files carry metadata chunks."""

@@ -74,6 +74,40 @@ def test_pagerank_validation(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=0)
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(df, tol=0.0)
+
+
+def test_pagerank_early_stop_equals_fixed_iteration_at_tolerance(spark):
+    """L1 early stop: pagerank(tol=t) must return EXACTLY the ranks of a
+    fixed run with n_iter = the first step whose L1 delta is <= t (the
+    check runs after the update, so it never alters the output), and it
+    must genuinely stop early (fewer steps than the cap would take)."""
+    import numpy as np
+
+    edges = [
+        ("a", "b", 1.0), ("a", "c", 2.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("d", "c", 1.0), ("b", "e", 1.0),
+    ]
+    d, tol, cap = 0.85, 1e-4, 50
+
+    # derive the expected stop step k from the NumPy reference
+    prev = _numpy_pagerank(edges, d, 0)
+    k = None
+    for step in range(1, cap + 1):
+        cur = _numpy_pagerank(edges, d, step)
+        delta = sum(abs(cur[v] - prev[v]) for v in cur)
+        if delta <= tol:
+            k = step
+            break
+        prev = cur
+    assert k is not None and k < cap, "tolerance never reached below the cap"
+
+    got = _spark_pr(spark, edges, damping=d, n_iter=cap, tol=tol)
+    want = _spark_pr(spark, edges, damping=d, n_iter=k)
+    assert got == want  # bit-identical, not approx: same steps, same algebra
+    for v, r in _numpy_pagerank(edges, d, k).items():
+        assert got[v] == pytest.approx(r, abs=1e-9), v
 
 
 def test_extract_links_href_forms(spark):

@@ -1373,6 +1373,13 @@ def test_stream_anomaly_alerts_equals_batch_composition(spark, tmp_path):
 
     run()  # restart with nothing new
     assert sorted(tuple(r) for r in spark.read.parquet(alerts).collect()) == got
+    # the served surface publishes via the rename-aside swap: no staging
+    # or rollback leftovers may survive a successful micro-batch, so a
+    # concurrent reader can never observe a deleted/half-written table
+    import os
+
+    assert not os.path.exists(alerts + ".staging")
+    assert not os.path.exists(alerts + ".old")
 
 
 def test_stream_edit_dedup_daily_drops(spark, tmp_path):

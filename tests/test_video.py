@@ -107,6 +107,44 @@ def test_video_near_pairs_rescale_and_framerate_twins(spark):
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
+def test_checked_frame_id_guards_packing_range(spark):
+    """The composite frame id assumes 0 <= doc_id < LONG_MAX div STRIDE
+    and 0 <= frame_idx < STRIDE; out-of-range inputs must raise at
+    execution time, never silently collide or mis-decompose."""
+    from chess_lakehouse_spark.operators.video import (
+        FRAME_ID_STRIDE,
+        _FID_MAX_DOC_ID,
+        checked_frame_id,
+    )
+
+    ok = spark.createDataFrame(
+        [(0, 0), (_FID_MAX_DOC_ID - 1, FRAME_ID_STRIDE - 1)],
+        "doc_id long, frame_idx int",
+    )
+    got = [
+        r.fid
+        for r in ok.select(
+            checked_frame_id("doc_id", "frame_idx").alias("fid")
+        ).collect()
+    ]
+    assert got == [0, (_FID_MAX_DOC_ID - 1) * FRAME_ID_STRIDE + FRAME_ID_STRIDE - 1]
+
+    for doc, idx in [(-1, 0), (_FID_MAX_DOC_ID, 0), (0, -1), (0, FRAME_ID_STRIDE)]:
+        bad = spark.createDataFrame([(doc, idx)], "doc_id long, frame_idx long")
+        with pytest.raises(Exception, match="checked_frame_id"):
+            bad.select(
+                checked_frame_id("doc_id", "frame_idx").alias("fid")
+            ).collect()
+
+    # the guard is live inside the near-pairs chain: a negative clip id
+    # fails loudly instead of corrupting pair detection
+    df = spark.createDataFrame(
+        [(-7, _clip([1, 2])), (1, _clip([1, 2]))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="checked_frame_id"):
+        video_near_pairs(df, max_hamming=6, min_sim=0.5).collect()
+
+
 def test_video_near_pairs_min_sim_filters_partial_overlap(spark):
     """Clips sharing 1 of 4 frames score 0.25 — present at min_sim 0.2,
     filtered at 0.5."""
