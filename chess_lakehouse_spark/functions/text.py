@@ -1306,13 +1306,21 @@ def append_bm25_index(
     merged_lengths.write.mode("overwrite").parquet(tmp_l)
     _swap_lake_dirs(spark, tmp_l, f"{index_dir}/lengths", "append_bm25_index")
 
+    # dfreq/stats also publish via rename-aside swap (never overwrite in
+    # place): a reader between the postings swap and here must still find
+    # COMPLETE dfreq/stats tables — stale-but-consistent-per-table, per
+    # the documented append/serve coordination contract (SCALE.md).
     postings_staged = spark.read.parquet(f"{index_dir}/postings")
+    tmp_d = f"{index_dir}/dfreq.compacting"
     postings_staged.groupBy("t").agg(F.count(F.lit(1)).alias("df")).write.mode(
         "overwrite"
-    ).parquet(f"{index_dir}/dfreq")
+    ).parquet(tmp_d)
+    _swap_lake_dirs(spark, tmp_d, f"{index_dir}/dfreq", "append_bm25_index")
+    tmp_s = f"{index_dir}/stats.compacting"
     spark.read.parquet(f"{index_dir}/lengths").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_d").alias("total_len")
-    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    ).write.mode("overwrite").parquet(tmp_s)
+    _swap_lake_dirs(spark, tmp_s, f"{index_dir}/stats", "append_bm25_index")
 
 
 def bm25_from_index(
@@ -1500,9 +1508,13 @@ def append_substring_index(
         .distinct()
         .count()
     )
+    # meta/ swaps too: a straddling reader sees old-or-new meta, never a
+    # deleted or half-written one (see the SCALE.md coordination contract)
+    tmp_m = f"{index_dir}/meta.compacting"
     spark.createDataFrame(
         [(q, n_docs, fold_case)], "q int, n_docs long, fold_case boolean"
-    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    ).write.mode("overwrite").parquet(tmp_m)
+    _swap_lake_dirs(spark, tmp_m, f"{index_dir}/meta", "append_substring_index")
 
 
 def substring_search_from_index(

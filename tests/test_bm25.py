@@ -414,6 +414,65 @@ def test_append_bm25_index_retry_is_idempotent(spark, docs_df, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_append_bm25_index_every_table_complete_at_every_crash_point(
+    spark, docs_df, tmp_path, monkeypatch
+):
+    """Reader-during-maintenance contract (SCALE.md): every component
+    table publishes via the rename-aside swap, so at ANY crash point
+    each of postings/lengths/dfreq/stats is a COMPLETE table equal to
+    either the pre-append or the post-append generation — never deleted,
+    never half-written (dfreq/stats previously overwrote in place and
+    had a reader-visible deleted window). And from every crash point a
+    plain retry converges to the full rebuild."""
+    from chess_lakehouse_spark.functions.text import (
+        append_bm25_index,
+        build_bm25_index,
+    )
+    from chess_lakehouse_spark.operators import publish
+
+    part_a = docs_df.where("id < 3")
+    part_b = docs_df.where("id >= 3")
+
+    pre = str(tmp_path / "idx_pre")
+    build_bm25_index(part_a, "id", "text", pre, n_posting_files=3)
+    ref = str(tmp_path / "idx_ref")
+    build_bm25_index(docs_df, "id", "text", ref, n_posting_files=3)
+
+    def gen(idx_dir, sub):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(f"{idx_dir}/{sub}").collect()
+        )
+
+    real_swap = publish._swap_lake_dirs
+    tables = ("postings", "lengths", "dfreq", "stats")
+    for crash_at in range(1, 5):  # the append performs 4 swaps, in order
+        idx = str(tmp_path / f"idx_crash{crash_at}")
+        build_bm25_index(part_a, "id", "text", idx, n_posting_files=3)
+        calls = {"n": 0}
+
+        def fail_at(spark_, tmp, lake_dir, op, _k=crash_at, _c=calls):
+            _c["n"] += 1
+            if _c["n"] == _k:
+                raise IOError(f"injected crash before swap #{_k}")
+            real_swap(spark_, tmp, lake_dir, op)
+
+        monkeypatch.setattr(publish, "_swap_lake_dirs", fail_at)
+        with pytest.raises(IOError, match="injected crash"):
+            append_bm25_index(part_b, "id", "text", idx, n_posting_files=3)
+        monkeypatch.setattr(publish, "_swap_lake_dirs", real_swap)
+
+        for sub in tables:
+            got = gen(idx, sub)  # must READ cleanly — never a partial dir
+            assert got in (gen(pre, sub), gen(ref, sub)), (
+                f"crash@{crash_at}: {sub} is neither generation"
+            )
+        append_bm25_index(part_b, "id", "text", idx, n_posting_files=3)
+        for sub in tables:
+            assert gen(idx, sub) == gen(ref, sub), (
+                f"crash@{crash_at}: retry did not converge on {sub}"
+            )
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
