@@ -84,10 +84,16 @@ def parse_warc_records(payload: bytes):
         if not head[0].startswith("WARC/"):
             raise ValueError(f"record at byte {pos}: bad version line {head[0]!r}")
         fields: dict[str, str] = {}
+        last_key: str | None = None
         for line in head[1:]:
-            if ":" in line:
+            if line[:1] in (" ", "\t") and last_key is not None:
+                # ISO 28500 header folding: a continuation line extends the
+                # previous field's value (real crawls emit folded headers)
+                fields[last_key] = f"{fields[last_key]} {line.strip()}"
+            elif ":" in line:
                 k, v = line.split(":", 1)
-                fields[k.strip().lower()] = v.strip()
+                last_key = k.strip().lower()
+                fields[last_key] = v.strip()
         try:
             clen = int(fields["content-length"])
         except (KeyError, ValueError):
@@ -246,9 +252,13 @@ def response_documents(records: DataFrame) -> DataFrame:
     http_status, http_content_type, html) — the RAW-crawl twin of
     :func:`wet_documents`: split the HTTP header block from the body at
     the first blank line, parse the status line and Content-Type header,
-    and decode the body utf-8-lossy (replacement chars, never a decode
-    error under ANSI — charset sniffing beyond utf-8 is out of scope and
-    the lossy decode is the honest default). Feed ``html`` into
+    de-chunk a ``Transfer-Encoding: chunked`` body (raw captures keep the
+    wire encoding; a malformed chunk stream falls back to the raw bytes
+    rather than dropping the record), then decode with the charset the
+    Content-Type DECLARES (``charset=`` parameter, errors-replace),
+    falling back to utf-8-lossy when absent or unknown — replacement
+    chars, never a decode error under ANSI, and no content sniffing
+    beyond the declared header. Feed ``html`` into
     ``functions/text.py:strip_html`` → quality gates → dedup. Arrow-
     batched mapInPandas (byte splitting is not expressible as a column
     chain without ANSI-unsafe decodes); narrow, no shuffle."""
@@ -260,6 +270,47 @@ def response_documents(records: DataFrame) -> DataFrame:
     )
 
     def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import codecs
+
+        def _dechunk(body: bytes) -> bytes:
+            """RFC 9112 §7.1 chunked decoding; returns the raw body
+            unchanged if the stream is malformed (lossy-keep, matching
+            the decode policy)."""
+            pos, parts = 0, []
+            while True:
+                nl = body.find(b"\r\n", pos)
+                if nl < 0:
+                    return body
+                size_tok = body[pos:nl].split(b";", 1)[0].strip()
+                try:
+                    size = int(size_tok, 16)
+                except ValueError:
+                    return body
+                if size == 0:
+                    return b"".join(parts)  # trailers (if any) are dropped
+                start = nl + 2
+                if start + size + 2 > len(body) or body[
+                    start + size : start + size + 2
+                ] != b"\r\n":
+                    return body
+                parts.append(body[start : start + size])
+                pos = start + size + 2
+
+        def _decode(body: bytes, ctype: str | None) -> str:
+            cs = None
+            if ctype and "charset=" in ctype.lower():
+                cs = (
+                    ctype.lower().split("charset=", 1)[1].split(";")[0].strip(
+                        "\"' "
+                    )
+                )
+            if cs:
+                try:
+                    return body.decode(codecs.lookup(cs).name, "replace")
+                except LookupError:
+                    pass
+            return body.decode("utf-8", "replace")
+
         for pdf in batches:
             out: dict[str, list] = {
                 "url": [], "warc_date": [], "http_status": [],
@@ -271,20 +322,25 @@ def response_documents(records: DataFrame) -> DataFrame:
                 b = bytes(blob)
                 sep = b.find(b"\r\n\r\n")
                 head, body = (b[:sep], b[sep + 4 :]) if sep >= 0 else (b"", b)
-                status, ctype = None, None
+                status, ctype, chunked = None, None, False
                 lines = head.decode("utf-8", "replace").split("\r\n")
                 if lines and lines[0].startswith("HTTP/"):
                     parts = lines[0].split()
                     if len(parts) >= 2 and parts[1].isdigit():
                         status = int(parts[1])
                 for line in lines[1:]:
-                    if line.lower().startswith("content-type:"):
+                    low = line.lower()
+                    if low.startswith("content-type:"):
                         ctype = line.split(":", 1)[1].strip()
+                    elif low.startswith("transfer-encoding:") and "chunked" in low:
+                        chunked = True
+                if chunked:
+                    body = _dechunk(body)
                 out["url"].append(url)
                 out["warc_date"].append(date)
                 out["http_status"].append(status)
                 out["http_content_type"].append(ctype)
-                out["html"].append(body.decode("utf-8", "replace"))
+                out["html"].append(_decode(body, ctype))
             yield pd.DataFrame(
                 {
                     "url": pd.Series(out["url"], dtype="object"),

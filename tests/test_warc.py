@@ -281,3 +281,76 @@ def test_clean_corpus_ingests_wet_directly(spark, tmp_path, capsys):
     assert len(published) == 10
     assert all(r.source == "commoncrawl" for r in published)
     assert len({r.doc_id for r in published}) == 10
+
+
+def test_commoncrawl_layout_fixture_end_to_end(spark):
+    """The checked-in CommonCrawl-layout archive
+    (tests/fixtures/cc_sample.warc.gz, generated byte-stable by
+    make_cc_sample.py — hand-built to the published layout since the
+    sandbox has no network): warcinfo/request/response/metadata/
+    conversion records, a FOLDED WARC header, a chunked HTTP body with a
+    chunk extension + uppercase hex size + trailer, an ISO-8859-1 body
+    whose bytes are invalid UTF-8, and NUL/control bytes inside HTML —
+    all must parse, de-chunk, and decode to exact expected text."""
+    import hashlib
+    from pathlib import Path
+
+    from chess_lakehouse_spark.sources.warc import response_documents
+
+    fx = Path(__file__).parent / "fixtures" / "cc_sample.warc.gz"
+    assert (
+        hashlib.sha256(fx.read_bytes()).hexdigest()
+        == "377287b78835b54e0c1a5facdd1be5044a5dcf84a244d56bd815125a8994864c"
+    ), "fixture bytes drifted — regenerate with make_cc_sample.py"
+
+    recs = read_warc(spark, str(fx))
+    rows = sorted(recs.collect(), key=lambda r: r.record_idx)
+    assert [r.warc_type for r in rows] == [
+        "warcinfo", "request", "response", "response", "metadata", "conversion",
+    ]
+    assert all(r.parse_error is None for r in rows)
+    # folded header reconstructs per ISO 28500 (CRLF+WSP -> single SP)
+    assert rows[2].content_type == "application/http; msgtype=response"
+
+    docs = {
+        r.url: r
+        for r in response_documents(recs).collect()
+    }
+    lat = docs["https://example.com/caf%C3%A9"]
+    assert lat.http_status == 200
+    assert lat.http_content_type == "text/html; charset=ISO-8859-1"
+    # declared-charset decode: 0xE9 -> 'é', 0xFF -> 'ÿ', NUL/ESC preserved
+    assert lat.html == (
+        "<html><body>café ÿ<!-- \x00\x1b wild bytes -->"
+        "</body></html>"
+    )
+    ch = docs["https://example.com/chunked"]
+    assert ch.http_status == 200
+    # chunked wire framing removed, trailers dropped, exact reassembly
+    assert ch.html == (
+        "<html><body><p>chunk one and chunk two\n</p></body></html>\n"
+    )
+
+    wet = {r.url: r.text for r in wet_documents(recs).collect()}
+    assert wet == {
+        "https://example.com/chunked": (
+            "chunk one and chunk two\né中\U0001f600 extracted text\n"
+        )
+    }
+
+
+def test_parse_warc_records_header_folding_and_dechunk_fallbacks():
+    """Unit edges: a continuation line before any field is ignored (not a
+    crash), and a malformed chunk stream falls back to the raw bytes."""
+    body = b"x"
+    raw = (
+        b"WARC/1.0\r\n"
+        b" orphan continuation\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Target-URI: http://e/\r\n"
+        b" continued-uri-tail\r\n"
+        b"Content-Length: 1\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    recs = parse_warc_records(raw)
+    assert len(recs) == 1
+    assert recs[0]["url"] == "http://e/ continued-uri-tail"
