@@ -425,10 +425,14 @@ QUALITY_N_BUCKETS = 10
 
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score stratification: exact deciles over the composite
-    quality score (ntile with a doc_id tie-break so both engines cut
-    identically), then per-bucket population stats. Exact form for oracle
-    checkability; `score_buckets(exact=False)` is the one-pass
-    approx-cutpoint 100 TB path (pytest-pinned against this form)."""
+    quality score (ntile semantics with a doc_id tie-break so both
+    engines cut identically), then per-bucket population stats. The
+    exact form is computed by the DISTRIBUTED sort-rank plan (range
+    repartition + per-partition row_number + broadcast offsets — no
+    single-partition global sort anywhere; see score_buckets), so the
+    gated plan IS the 100 TB plan; `score_buckets(exact=False)` remains
+    the cheaper one-pass approx-cutpoint variant (pytest-pinned against
+    this form)."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.functions.exact import mean6, sum6_long
     from chess_lakehouse_spark.functions.text import quality_metrics
