@@ -501,6 +501,106 @@ def activity_streaks(
     )
 
 
+def global_sort_rank(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
+    """Exact 1-based global rank over the ``order_cols`` ascending total
+    order, computed by the classic DISTRIBUTED sort-rank plan — never
+    Spark's single-partition global-sort window. Range-repartition on
+    the sort key (Spark's scalable sort machinery: every partition sorts
+    independently), per-partition ``row_number``, plus a broadcast of
+    per-partition row-count offsets (|partitions| rows) reconstructs the
+    exact global rank. When the key is unique the rank is independent of
+    where the range partitioner draws its boundaries; with ties, rows of
+    an equal key receive the distinct ranks of their positions in SOME
+    order (any value-at-rank or bucket-of-rank derivation is still
+    deterministic). Returns the input columns plus ``__rank`` (long,
+    1-based) and ``__N`` (long, total rows) — the shared skeleton under
+    :func:`score_buckets` and :func:`exact_quantiles`. Two full-data
+    shuffles (range + pid-hash for the window); everything else is
+    constant-size."""
+    from pyspark.sql.window import Window
+
+    ranged = df.repartitionByRange(
+        *[F.col(c).asc() for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
+    cnts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # offsets: rows in all earlier range partitions. |partitions| rows
+    # total, so the unpartitioned window is a constant-size driver-free
+    # cumsum, not a data-volume sort.
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    total = cnts.agg(F.sum("__n").cast("long").alias("__N"))
+    w_rank = Window.partitionBy("__pid").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        ranged.withColumn("__r", F.row_number().over(w_rank).cast("long"))
+        .join(F.broadcast(offs), "__pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__rank", F.col("__off") + F.col("__r"))
+        .drop("__pid", "__r", "__off")
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """EXACT quantile values (discrete / lower-rank definition: the value
+    at rank ``ceil(q * N)``, rank 1-based ascending, floored at 1) — the
+    scale-safe twin of a sort-and-pick. Global form rides
+    :func:`global_sort_rank` (range partition + offset ranks — no
+    single-partition sort); the ``by`` form windows per group (groups
+    parallelize across the cluster, so the per-group sort IS the
+    distributed plan). The target rank is computed in EXACT integer
+    arithmetic — q is carried as integer millionths and
+    ``rank = (q_ppm * N + 999_999) div 1_000_000`` — so both engines cut
+    at identical ranks with no float boundary (ties in the value column
+    cannot change the value at a rank).
+
+    Returns ``(*by, q_ppm bigint, value)`` — one row per (group ×
+    quantile); empty input (or empty group) yields no rows."""
+    if not qs:
+        raise ValueError("exact_quantiles: qs must be non-empty")
+    ppms = []
+    for q in qs:
+        p = int(round(float(q) * 1_000_000))
+        if not 0 < p <= 1_000_000:
+            raise ValueError(
+                f"exact_quantiles: q must be in (0, 1], got {q}"
+            )
+        ppms.append(p)
+    if len(set(ppms)) != len(ppms):
+        raise ValueError(f"exact_quantiles: duplicate quantiles in {list(qs)}")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(p,) for p in ppms], "q_ppm long")
+    if by:
+        from pyspark.sql.window import Window
+
+        gcols = list(by)
+        w = Window.partitionBy(*gcols).orderBy(F.col(value_col).asc())
+        ranked = df.select(*gcols, value_col).withColumn(
+            "__rank", F.row_number().over(w).cast("long")
+        ).withColumn(
+            "__N", F.count(F.lit(1)).over(Window.partitionBy(*gcols)).cast("long")
+        )
+    else:
+        gcols = []
+        ranked = global_sort_rank(df.select(value_col), [value_col])
+    tr = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("(q_ppm * __N + 999999) div 1000000"),
+    )
+    return (
+        ranked.join(F.broadcast(qdf), tr == F.col("__rank"))
+        .select(*gcols, "q_ppm", F.col(value_col).alias("value"))
+    )
+
+
 def score_buckets(
     df: DataFrame,
     id_col: str,
@@ -538,35 +638,10 @@ def score_buckets(
     if n_buckets < 1:
         raise ValueError(f"score_buckets: n_buckets must be >= 1, got {n_buckets}")
     if exact:
-        from pyspark.sql.window import Window
-
         nb = int(n_buckets)
-        ranged = df.repartitionByRange(
-            F.col(score_col).asc(), F.col(id_col).asc()
-        ).withColumn("__pid", F.spark_partition_id())
-        cnts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-        # offsets: rows in all earlier range partitions. |partitions| rows
-        # total, so the unpartitioned window is a constant-size driver-free
-        # cumsum, not a data-volume sort.
-        w_off = Window.orderBy("__pid").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offs = cnts.select(
-            "__pid",
-            F.coalesce(F.sum("__n").over(w_off), F.lit(0))
-            .cast("long")
-            .alias("__off"),
-        )
-        total = cnts.agg(F.sum("__n").cast("long").alias("__N"))
-        w_rank = Window.partitionBy("__pid").orderBy(
-            F.col(score_col).asc(), F.col(id_col).asc()
-        )
         keep = df.columns
         return (
-            ranged.withColumn("__r", F.row_number().over(w_rank).cast("long"))
-            .join(F.broadcast(offs), "__pid")
-            .crossJoin(F.broadcast(total))
-            .withColumn("__rank", F.col("__off") + F.col("__r"))
+            global_sort_rank(df, [score_col, id_col])
             .withColumn("__q", F.expr(f"__N div {nb}"))
             .withColumn("__r0", (F.col("__N") % nb).cast("long"))
             .withColumn(

@@ -469,6 +469,44 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+#: Quantiles gated by q_exact_quantiles, as integer millionths (the ppm
+#: form is what both engines compute ranks from — no float boundary).
+EXACT_QUANTILE_PPMS = (250_000, 500_000, 750_000, 900_000, 990_000)
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantile values of order totals — the sorted-pick
+    semantics (value at rank ceil(q*N), q carried as integer millionths)
+    computed by the distributed sort-rank plan
+    (operators/relational.py:exact_quantiles riding global_sort_rank:
+    range repartition + per-partition row_number + broadcast offsets —
+    no single-partition global sort anywhere, the plan a 100 TB corpus
+    could run). Oracle: DuckDB row_number pick at the identical integer
+    rank. Returns (q_ppm, value)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import exact_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    return exact_quantiles(
+        orders, "o_totalprice", [p / 1_000_000 for p in EXACT_QUANTILE_PPMS]
+    )
+
+
+EXACT_QUANTILES_ORACLE = f"""
+    WITH t AS (SELECT o_totalprice AS v FROM orders),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM t),
+    q AS (SELECT CAST(x AS BIGINT) AS q_ppm
+          FROM (VALUES {", ".join(f"({p})" for p in EXACT_QUANTILE_PPMS)}) AS qv(x)),
+    tgt AS (SELECT q_ppm,
+                   GREATEST(CAST(1 AS BIGINT),
+                            (q_ppm * n + 999999) // 1000000) AS tr
+            FROM q, n)
+    SELECT tgt.q_ppm AS q_ppm, r.v AS value
+    FROM tgt JOIN r ON r.rk = tgt.tr
+"""
+
+
 def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, counted again on
     each later active day offset — first-seen via one min-aggregate (no
@@ -4722,4 +4760,6 @@ STAGED_CANDIDATES = {
     "substring_search": (q_substring_search, SUBSTR_SEARCH_ORACLE),
     "session_pairs": (q_session_pairs, SESSION_PAIRS_ORACLE),
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_ORACLE),
+    # staged in r10 for the r11 window
+    "exact_quantiles": (q_exact_quantiles, EXACT_QUANTILES_ORACLE),
 }

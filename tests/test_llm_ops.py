@@ -1667,3 +1667,76 @@ def test_minhash_lsh_dedup_bucket_cap_threads_through(spark):
     assert (
         minhash_lsh_dedup(df, "doc_id", "text", max_bucket_size=4).count() == 0
     )
+
+
+def test_exact_quantiles_global_matches_sorted_pick(spark):
+    """Global exact quantiles via the distributed sort-rank plan must
+    equal the sorted-list pick at rank ceil(q*N) — across ties, tiny N,
+    and q=1.0 — and the plan must carry no single-partition ntile and no
+    CartesianProduct."""
+    import random
+
+    from chess_lakehouse_spark.operators.relational import exact_quantiles
+
+    rng = random.Random(11)
+    cases = [
+        [float(rng.randint(0, 9)) for _ in range(257)],   # heavy ties
+        [float(rng.randint(0, 10**6)) for _ in range(100)],
+        [41.0, 7.0, 7.0],
+        [3.0],
+    ]
+    qs = [0.25, 0.5, 0.75, 0.9, 1.0]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(7)
+        got = {
+            r.q_ppm: r.value for r in exact_quantiles(df, "v", qs).collect()
+        }
+        s = sorted(vals)
+        want = {}
+        for q in qs:
+            ppm = int(round(q * 1_000_000))
+            rank = max(1, (ppm * len(s) + 999_999) // 1_000_000)
+            want[ppm] = s[rank - 1]
+        assert got == want, vals
+
+    # empty input: no rows, not a crash
+    empty = spark.createDataFrame([], "v double")
+    assert exact_quantiles(empty, "v", [0.5]).count() == 0
+
+    plan = (
+        exact_quantiles(
+            spark.createDataFrame([(1.0,)], "v double"), "v", [0.5]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan and "CartesianProduct" not in plan
+
+
+def test_exact_quantiles_by_group_and_validation(spark):
+    import pytest
+
+    from chess_lakehouse_spark.operators.relational import exact_quantiles
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.q_ppm): r.value
+        for r in exact_quantiles(df, "v", [0.5, 1.0], by=["g"]).collect()
+    }
+    assert got == {
+        ("a", 500_000): 2.0,   # ceil(0.5*4) = 2 -> 2nd smallest
+        ("a", 1_000_000): 4.0,
+        ("b", 500_000): 10.0,
+        ("b", 1_000_000): 10.0,
+    }
+
+    with pytest.raises(ValueError, match="non-empty"):
+        exact_quantiles(df, "v", [])
+    with pytest.raises(ValueError, match="q must be"):
+        exact_quantiles(df, "v", [0.0])
+    with pytest.raises(ValueError, match="q must be"):
+        exact_quantiles(df, "v", [1.5])
+    with pytest.raises(ValueError, match="duplicate"):
+        exact_quantiles(df, "v", [0.5, 0.5])
