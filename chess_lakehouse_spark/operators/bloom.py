@@ -1,0 +1,156 @@
+"""Portable Bloom-filter membership gate (Bloom 1970).
+
+The 100 TB pattern this serves: a blocklist / already-seen set that is
+too large to broadcast raw (billions of keys) but whose MEMBERSHIP test
+must run map-side against a huge corpus without a shuffle join. A Bloom
+filter compresses the set to ``m`` bits with a bounded false-positive
+rate and NO false negatives; the bitmap broadcasts as ONE row, and the
+gate is a pure column expression — zero shuffle, zero Python, rides the
+scan.
+
+Unlike Spark's built-in ``bloom_filter_agg``/``might_contain`` (whose
+bit layout is engine-private), this filter's bit positions come from the
+repo's portable md5 hash chain (``operators/dedup.py:md5_hash64`` — the
+same ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` contract every sampling /
+dedup membership decision already rests on), so the EXACT bit pattern —
+including which non-members false-positive — is reproducible in ANSI SQL
+and therefore oracle-checkable. Words are 63 bits wide (bit index 0..62)
+so no shift ever touches the sign bit, whose overflow semantics differ
+across engines.
+
+Determinism: position ``i`` of key ``x`` is ``md5_hash64(i || ':' || x)
+% m_bits`` — no seed, no RNG, no partition dependence.
+
+Sizing (standard Bloom math): for ``n`` keys and target FP rate ``p``,
+``m = -n ln p / (ln 2)^2`` and ``k = (m/n) ln 2``; e.g. 1e9 keys at 1%
+FP is ~1.2 GB of bitmap — broadcastable where the raw keys are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.dedup import md5_hash64
+
+#: Bits used per bitmap word. 63 (not 64) so ``1 << bit`` never reaches
+#: the sign bit — Spark and DuckDB agree on every shift this emits.
+WORD_BITS = 63
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a key — the portable md5 chain, i-prefixed."""
+    s = key.cast("string")
+    return [
+        md5_hash64(F.concat(F.lit(f"{i}:"), s)) % F.lit(m_bits).cast("long")
+        for i in range(k)
+    ]
+
+
+def _validate(m_bits: int, k: int) -> None:
+    if not WORD_BITS <= m_bits <= 1 << 40:
+        raise ValueError(
+            f"build_bloom: m_bits must be in [{WORD_BITS}, 2^40], got {m_bits}"
+        )
+    if not 1 <= k <= 16:
+        raise ValueError(f"build_bloom: k must be in [1, 16], got {k}")
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 7
+) -> DataFrame:
+    """Build the bitmap: ONE row ``(words array<long>, m_bits long,
+    k int, n_keys long)`` with ``words[w]`` holding bits
+    ``w*63 .. w*63+62`` of the filter.
+
+    Plan: keys × k positions explode → ONE map-combined ``groupBy`` on
+    the word index (≤ m/63 groups regardless of key count — hot words
+    combine map-side) → one bounded ``map_from_entries`` assembly into
+    the single bitmap row. NULL keys are excluded (a NULL is not a set
+    member). Cost is one aggregation over k·|keys| rows; the corpus is
+    never touched."""
+    _validate(m_bits, k)
+    n_words = -(-m_bits // WORD_BITS)
+    keys = (
+        df.select(F.col(key_col).cast("string").alias("__key"))
+        .where(F.col("__key").isNotNull())
+    )
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col("__key"), m_bits, k))).alias("p")
+    )
+    words = (
+        pos.select(
+            F.expr(f"p div {WORD_BITS}").cast("int").alias("widx"),
+            (F.col("p") % WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(
+            # shiftleft with a COLUMN shift amount needs the SQL form (the
+            # pyspark wrapper only takes a literal int)
+            F.expr("bit_or(shiftleft(CAST(1 AS LONG), bit))").alias("word")
+        )
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    return (
+        words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("widx", "word"))
+            ).alias("__mp")
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), "
+                f"i -> coalesce(element_at(__mp, i), CAST(0 AS LONG)))"
+            ).alias("words"),
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k).cast("int").alias("k"),
+            "n_keys",
+        )
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame, key_col: str, bloom: DataFrame, out_col: str = "might_contain"
+) -> DataFrame:
+    """Gate a corpus by the bitmap: the input columns plus ``out_col``
+    (boolean) — true iff all k bits of the key are set. NO false
+    negatives (every built key tests true); false positives at the
+    filter's designed rate, IDENTICALLY in Spark and the SQL oracle
+    (same md5 bit math). NULL keys test false.
+
+    Plan: the 1-row bitmap crossJoins in as a broadcast
+    (BroadcastNestedLoopJoin over one build row), and the k bit tests
+    are plain column expressions on the array — map-side, zero shuffle,
+    whole-stage codegen. m/k are read from the bitmap row (one bounded
+    1-row driver fetch) so gate and build cannot disagree."""
+    meta = bloom.select("m_bits", "k").first()
+    if meta is None:
+        raise ValueError("bloom_might_contain: empty bloom frame")
+    m_bits, k = int(meta["m_bits"]), int(meta["k"])
+    _validate(m_bits, k)
+    key = F.col(key_col)
+    staged = df.crossJoin(
+        F.broadcast(bloom.select(F.col("words").alias("__bloom_words")))
+    )
+    pos_names = []
+    for i, p in enumerate(_positions(key, m_bits, k)):
+        staged = staged.withColumn(f"__bp{i}", p)
+        pos_names.append(f"__bp{i}")
+    cond = None
+    for name in pos_names:
+        # word index via integer div (SQL form — the pyspark shift
+        # wrappers only take literal shift amounts)
+        t = F.expr(
+            f"(shiftright(element_at(__bloom_words, "
+            f"CAST({name} div {WORD_BITS} AS INT) + 1), "
+            f"CAST({name} % {WORD_BITS} AS INT)) & 1) = 1"
+        )
+        cond = t if cond is None else (cond & t)
+    return (
+        staged.withColumn(
+            out_col, F.when(key.isNull(), F.lit(False)).otherwise(cond)
+        )
+        .drop("__bloom_words", *pos_names)
+    )

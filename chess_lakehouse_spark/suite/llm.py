@@ -469,6 +469,74 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb, "label", "embedding")
 
 
+#: Bloom gate dimensions for q_bloom_gate — small enough that the SQL
+#: twin's word table stays tiny, large enough that false positives are
+#: rare at sf0.01 and present at sf0.1 (both states deterministic and
+#: identical across engines, since the bit math is the shared md5 chain).
+BLOOM_M_BITS = 4032  # 64 words of 63 bits
+BLOOM_K = 3
+_BLOOM_BLOCKED_SOURCES = ("src1", "src2", "src3")
+
+
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate (operators/bloom.py): build the
+    bitmap over the blocked sources' text fingerprints, then flag EVERY
+    document map-side by testing its fingerprint's k bits — the
+    broadcast-a-bitmap-not-the-keys pattern for blocklists too large to
+    broadcast raw. might_contain includes the filter's false positives
+    BIT-IDENTICALLY in both engines (positions are the portable md5
+    chain; words are 63-bit so no shift touches the sign bit). Returns
+    (doc_id, might_contain)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    block = docs.where(
+        F.col("source").isin(*_BLOOM_BLOCKED_SOURCES)
+    ).select(F.md5("text").alias("bkey"))
+    bloom = build_bloom(block, "bkey", m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    keyed = docs.select("doc_id", F.md5("text").alias("bkey"))
+    return bloom_might_contain(keyed, "bkey", bloom).select(
+        "doc_id", "might_contain"
+    )
+
+
+_BLOOM_I_VALUES = ", ".join(f"('{i}')" for i in range(BLOOM_K))
+_BLOOM_SRC_IN = ", ".join(f"'{s}'" for s in _BLOOM_BLOCKED_SOURCES)
+BLOOM_GATE_ORACLE = f"""
+    WITH block AS (
+      SELECT md5(text) AS bkey FROM documents
+      WHERE source IN ({_BLOOM_SRC_IN})
+    ),
+    pos AS (
+      SELECT CAST('0x' || substr(md5(i || ':' || bkey), 1, 15) AS BIGINT)
+               % {BLOOM_M_BITS} AS p
+      FROM block, (VALUES {_BLOOM_I_VALUES}) AS ii(i)
+    ),
+    words AS (
+      SELECT p // 63 AS widx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+      FROM pos GROUP BY 1
+    ),
+    kpos AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(i || ':' || md5(text)), 1, 15) AS BIGINT)
+               % {BLOOM_M_BITS} AS p
+      FROM documents, (VALUES {_BLOOM_I_VALUES}) AS ii(i)
+    ),
+    hits AS (
+      SELECT doc_id,
+             COALESCE((word >> CAST(p % 63 AS INT)) & 1, CAST(0 AS BIGINT)) AS b
+      FROM kpos LEFT JOIN words ON words.widx = kpos.p // 63
+    )
+    SELECT doc_id, (MIN(b) = 1) AS might_contain
+    FROM hits GROUP BY doc_id
+"""
+
+
 #: Quantiles gated by q_exact_quantiles, as integer millionths (the ppm
 #: form is what both engines compute ranks from — no float boundary).
 EXACT_QUANTILE_PPMS = (250_000, 500_000, 750_000, 900_000, 990_000)
@@ -4762,4 +4830,5 @@ STAGED_CANDIDATES = {
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_ORACLE),
     # staged in r10 for the r11 window
     "exact_quantiles": (q_exact_quantiles, EXACT_QUANTILES_ORACLE),
+    "bloom_gate": (q_bloom_gate, BLOOM_GATE_ORACLE),
 }

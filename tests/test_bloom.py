@@ -1,0 +1,128 @@
+"""Portable Bloom-filter gate (operators/bloom.py): no false negatives,
+bounded false positives, partition-invariance, a pure-Python bit-math
+reference, and the r11 staging candidate's two-scale oracle parity
+(suite/llm.py:q_bloom_gate / BLOOM_GATE_ORACLE)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from chess_lakehouse_spark.operators.bloom import (
+    WORD_BITS,
+    bloom_might_contain,
+    build_bloom,
+)
+from chess_lakehouse_spark.suite.llm import (
+    BLOOM_GATE_ORACLE,
+    q_bloom_gate,
+)
+
+
+def _py_positions(key: str, m_bits: int, k: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def _py_might(key: str, members: set[str], m_bits: int, k: int) -> bool:
+    bits = set()
+    for mkey in members:
+        bits.update(_py_positions(mkey, m_bits, k))
+    return all(p in bits for p in _py_positions(key, m_bits, k))
+
+
+def test_bloom_no_false_negatives_and_python_reference(spark):
+    members = [f"member-{i}" for i in range(200)]
+    probes = [f"probe-{i}" for i in range(500)]
+    m_bits, k = 63 * 40, 4
+    mdf = spark.createDataFrame([(m,) for m in members], "key string")
+    bloom = build_bloom(mdf, "key", m_bits=m_bits, k=k)
+    pdf = spark.createDataFrame(
+        [(p,) for p in members + probes], "key string"
+    ).repartition(9)
+    got = {
+        r.key: r.might_contain
+        for r in bloom_might_contain(pdf, "key", bloom).collect()
+    }
+    # no false negatives, ever
+    assert all(got[m] for m in members)
+    # every verdict — including each false positive — matches the
+    # pure-Python bit-math reference exactly
+    mset = set(members)
+    for p in members + probes:
+        assert got[p] == _py_might(p, mset, m_bits, k), p
+    # the filter discriminates: most probes are rejected
+    fps = sum(1 for p in probes if got[p])
+    assert fps < len(probes) * 0.2
+
+
+def test_bloom_partition_invariance_and_nulls(spark):
+    members = [f"m{i}" for i in range(50)]
+    m1 = spark.createDataFrame([(m,) for m in members], "key string").coalesce(1)
+    m2 = spark.createDataFrame(
+        [(m,) for m in reversed(members)], "key string"
+    ).repartition(13)
+    b1 = build_bloom(m1, "key", m_bits=63 * 8, k=3).first()
+    b2 = build_bloom(m2, "key", m_bits=63 * 8, k=3).first()
+    assert list(b1["words"]) == list(b2["words"])  # order/partition invariant
+    assert b1["n_keys"] == b2["n_keys"] == 50
+
+    probe = spark.createDataFrame([("m1",), (None,)], "key string")
+    bloom = build_bloom(m1, "key", m_bits=63 * 8, k=3)
+    got = {
+        r.key: r.might_contain
+        for r in bloom_might_contain(probe, "key", bloom).collect()
+    }
+    assert got["m1"] is True and got[None] is False
+
+
+def test_bloom_empty_blocklist_and_validation(spark):
+    empty = spark.createDataFrame([], "key string")
+    bloom = build_bloom(empty, "key", m_bits=63 * 4, k=2)
+    row = bloom.first()
+    assert row["n_keys"] == 0 and all(w == 0 for w in row["words"])
+    probe = spark.createDataFrame([("x",)], "key string")
+    assert not bloom_might_contain(probe, "key", bloom).first()["might_contain"]
+
+    with pytest.raises(ValueError, match="m_bits"):
+        build_bloom(empty, "key", m_bits=10)
+    with pytest.raises(ValueError, match="k must"):
+        build_bloom(empty, "key", k=0)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_bloom_gate_candidate_matches_oracle_two_scales(spark, sf_dir):
+    sdf = q_bloom_gate(spark, sf_dir)
+    assert dict(sdf.dtypes) == {"doc_id": "bigint", "might_contain": "boolean"}
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    drows = sorted(tuple(r) for r in con.execute(BLOOM_GATE_ORACLE).fetchall())
+    con.close()
+    assert len(srows) > 0
+    assert srows == drows
+    # the gate discriminates on this corpus: both verdicts present
+    verdicts = {r[1] for r in srows}
+    assert verdicts == {True, False}
+
+
+def test_bloom_gate_candidate_plan_is_map_side(spark):
+    plan = (
+        q_bloom_gate(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # the bitmap rides in as a broadcast
