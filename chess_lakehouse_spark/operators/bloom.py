@@ -111,6 +111,62 @@ def build_bloom(
     )
 
 
+def merge_blooms(*blooms: DataFrame) -> DataFrame:
+    """OR bitmaps built with IDENTICAL (m_bits, k) into one filter — the
+    property that makes Bloom filters the right seen-set for incremental
+    ingest: per-batch filters build independently (even on different
+    clusters/days) and fold with pure bitwise OR, no rebuild. Mismatched
+    dimensions raise loudly (ORing differently-hashed bitmaps is silent
+    corruption). ``n_keys`` sums the folded key INSTANCES — an upper
+    bound on distinct keys (cross-batch duplicates double-count; the
+    bits are exact either way). One posexplode + a ≤ m/63-group
+    aggregation; never touches any corpus."""
+    from functools import reduce
+
+    if not blooms:
+        raise ValueError("merge_blooms: at least one bloom required")
+    u = reduce(lambda a, b: a.unionByName(b), blooms)
+    metas = u.select("m_bits", "k").distinct().collect()  # bounded: |blooms|
+    if len(metas) != 1:
+        raise ValueError(
+            f"merge_blooms: mismatched dimensions {sorted(map(tuple, metas))}"
+        )
+    m_bits, k = int(metas[0]["m_bits"]), int(metas[0]["k"])
+    merged = (
+        u.select(
+            F.posexplode("words").alias("i", "w"),
+        )
+        .groupBy("i")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, w))), s -> s.w)"
+            ).alias("words")
+        )
+    )
+    n_keys = u.agg(F.sum("n_keys").cast("long").alias("n_keys"))
+    return merged.crossJoin(F.broadcast(n_keys)).select(
+        "words",
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.lit(k).cast("int").alias("k"),
+        "n_keys",
+    )
+
+
+def append_bloom(delta_df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+    """Fold NEW keys into an existing filter: build a delta bitmap with
+    the existing filter's own (m_bits, k) — read from its row, so append
+    and build cannot disagree — and OR the two. O(k·|delta|); the prior
+    key set is never re-read."""
+    meta = bloom.select("m_bits", "k").first()
+    if meta is None:
+        raise ValueError("append_bloom: empty bloom frame")
+    delta = build_bloom(
+        delta_df, key_col, m_bits=int(meta["m_bits"]), k=int(meta["k"])
+    )
+    return merge_blooms(bloom, delta)
+
+
 def bloom_might_contain(
     df: DataFrame, key_col: str, bloom: DataFrame, out_col: str = "might_contain"
 ) -> DataFrame:

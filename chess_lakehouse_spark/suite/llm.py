@@ -560,6 +560,47 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-group quantiles gated by q_group_quantiles (integer millionths).
+GROUP_QUANTILE_PPMS = (500_000, 900_000, 990_000)
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT quantiles (the `by` form of exact_quantiles):
+    value at rank ceil(q*N_group) within each (l_returnflag,
+    l_linestatus) group — groups parallelize across the cluster, so the
+    per-group window IS the distributed plan (no global sort). Returns
+    (l_returnflag, l_linestatus, q_ppm, value)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li,
+        "l_extendedprice",
+        [p / 1_000_000 for p in GROUP_QUANTILE_PPMS],
+        by=["l_returnflag", "l_linestatus"],
+    )
+
+
+GROUP_QUANTILES_ORACLE = f"""
+    WITH r AS (
+      SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+             row_number() OVER (
+               PARTITION BY l_returnflag, l_linestatus ORDER BY l_extendedprice
+             ) AS rk,
+             CAST(COUNT(*) OVER (
+               PARTITION BY l_returnflag, l_linestatus
+             ) AS BIGINT) AS n
+      FROM lineitem
+    ),
+    q AS (SELECT CAST(x AS BIGINT) AS q_ppm
+          FROM (VALUES {", ".join(f"({p})" for p in GROUP_QUANTILE_PPMS)}) AS qv(x))
+    SELECT r.l_returnflag, r.l_linestatus, q.q_ppm AS q_ppm, r.v AS value
+    FROM r JOIN q
+      ON r.rk = GREATEST(CAST(1 AS BIGINT), (q.q_ppm * r.n + 999999) // 1000000)
+"""
+
+
 EXACT_QUANTILES_ORACLE = f"""
     WITH t AS (SELECT o_totalprice AS v FROM orders),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
@@ -4831,4 +4872,5 @@ STAGED_CANDIDATES = {
     # staged in r10 for the r11 window
     "exact_quantiles": (q_exact_quantiles, EXACT_QUANTILES_ORACLE),
     "bloom_gate": (q_bloom_gate, BLOOM_GATE_ORACLE),
+    "group_quantiles": (q_group_quantiles, GROUP_QUANTILES_ORACLE),
 }

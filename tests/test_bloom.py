@@ -126,3 +126,54 @@ def test_bloom_gate_candidate_plan_is_map_side(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan  # the bitmap rides in as a broadcast
+
+
+def test_merge_and_append_bloom_equals_single_build(spark):
+    """Bitwise-OR mergeability: per-batch filters folded with
+    merge_blooms / append_bloom must be BIT-IDENTICAL to one filter
+    built over the union of keys, mismatched dimensions must raise, and
+    n_keys sums the folded instances."""
+    from chess_lakehouse_spark.operators.bloom import append_bloom, merge_blooms
+
+    a = [f"a{i}" for i in range(40)]
+    b = [f"b{i}" for i in range(60)]
+    m_bits, k = 63 * 8, 3
+    df_a = spark.createDataFrame([(x,) for x in a], "key string")
+    df_b = spark.createDataFrame([(x,) for x in b], "key string")
+    df_ab = spark.createDataFrame([(x,) for x in a + b], "key string")
+
+    ba = build_bloom(df_a, "key", m_bits=m_bits, k=k)
+    bb = build_bloom(df_b, "key", m_bits=m_bits, k=k)
+    want = build_bloom(df_ab, "key", m_bits=m_bits, k=k).first()
+
+    merged = merge_blooms(ba, bb).first()
+    assert list(merged["words"]) == list(want["words"])
+    assert (merged["m_bits"], merged["k"]) == (m_bits, k)
+    assert merged["n_keys"] == 100
+
+    appended = append_bloom(df_b, "key", ba).first()
+    assert list(appended["words"]) == list(want["words"])
+
+    # appended filter gates exactly like the single build
+    probe = spark.createDataFrame(
+        [(x,) for x in a + b + ["nope1", "nope2"]], "key string"
+    )
+    got = {
+        r.key: r.might_contain
+        for r in bloom_might_contain(
+            probe, "key", merge_blooms(ba, bb)
+        ).collect()
+    }
+    ref = {
+        r.key: r.might_contain
+        for r in bloom_might_contain(
+            probe, "key", build_bloom(df_ab, "key", m_bits=m_bits, k=k)
+        ).collect()
+    }
+    assert got == ref
+    assert all(got[x] for x in a + b)
+
+    with pytest.raises(ValueError, match="mismatched"):
+        merge_blooms(ba, build_bloom(df_b, "key", m_bits=63 * 4, k=k)).first()
+    with pytest.raises(ValueError, match="at least one"):
+        merge_blooms()

@@ -48,3 +48,34 @@ def test_exact_quantiles_candidate_plan_is_distributed(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_group_quantiles_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        GROUP_QUANTILE_PPMS,
+        GROUP_QUANTILES_ORACLE,
+        q_group_quantiles,
+    )
+
+    sdf = q_group_quantiles(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "q_ppm": "bigint",
+        "value": "double",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    drows = sorted(
+        tuple(r) for r in con.execute(GROUP_QUANTILES_ORACLE).fetchall()
+    )
+    con.close()
+    n_groups = len({(r[0], r[1]) for r in srows})
+    assert len(srows) == n_groups * len(GROUP_QUANTILE_PPMS)
+    assert srows == drows
