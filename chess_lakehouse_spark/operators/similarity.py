@@ -777,25 +777,38 @@ def label_centroids(
     )
 
 
+def _check_ivf_batch_id(batch_id: str) -> None:
+    if not batch_id or any(c in batch_id for c in "/=\\"):
+        raise ValueError(f"ivf index: bad batch_id {batch_id!r}")
+
+
 def publish_ivf_index(
     corpus: DataFrame,
     out_dir: str,
     id_col: str,
     vec_col: str,
     centroids: list[tuple[int, list[float]]],
+    batch_id: str = "base",
 ) -> None:
     """Materialize an IVF index AS LAKE LAYOUT: assign every vector to its
     centroid list (map-side argmax — zero shuffle for assignment) and write
-    the corpus Hive-partitioned by ``list_id``.
+    the corpus Hive-partitioned as ``batch_id=<id>/list_id=<n>``.
 
     This turns ANN search into PARTITION PRUNING: a probe that touches
     ``nprobe`` lists reads exactly those ``list_id=`` directories — the
     scan itself skips (n_centroids - nprobe)/n_centroids of a 100 TB
     corpus, before any executor sees a row. The write shuffles once on
-    list_id (file-count control, same as ``write_partitioned``).
-    """
+    list_id (file-count control, same as ``write_partitioned``). The
+    ``batch_id`` outer level is the append lifecycle's unit
+    (:func:`append_ivf_index` — the rollup/bm25 discipline); pruning on
+    the inner ``list_id`` column is unaffected. The centroids persist as
+    a ``_centroids`` sidecar (underscore-prefixed: input listings skip
+    it) so append and search can never assign with different centroids
+    than the build."""
     from chess_lakehouse_spark.operators.publish import write_partitioned
 
+    _check_ivf_batch_id(batch_id)
+    spark = corpus.sparkSession
     cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
     cent_arr = _centroid_literal_array(cent_rows)
     assigned = corpus.select(
@@ -803,7 +816,51 @@ def publish_ivf_index(
         F.col(vec_col),
         dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
     ).withColumn("list_id", _ranked_lists(cent_arr, F.col(vec_col), F.col("n2"))[0]["cid"])
-    write_partitioned(assigned, out_dir, ("list_id",))
+    write_partitioned(assigned, f"{out_dir}/batch_id={batch_id}", ("list_id",))
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/_centroids")
+
+
+def read_ivf_centroids(spark, index_dir: str) -> list[tuple[int, list[float]]]:
+    """Load the ``_centroids`` sidecar a publish stored — the single
+    source of truth for every later assignment against this index."""
+    rows = spark.read.parquet(f"{index_dir}/_centroids").collect()  # k rows
+    return sorted((int(r["cid"]), list(r["centroid"])) for r in rows)
+
+
+def append_ivf_index(
+    delta: DataFrame,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    batch_id: str,
+) -> None:
+    """Fold NEW vectors into a published IVF index in O(delta): assign
+    with the index's OWN sidecar centroids (so append and build cannot
+    disagree) and overwrite the delta's ``batch_id=<id>`` partition tree.
+    Retry-IDEMPOTENT at every crash point — a replay rewrites the same
+    partitions (the rollup/streaming contract); distinct ingests MUST use
+    distinct batch_ids, and reusing one REPLACES that batch's vectors —
+    the corrected-re-delivery semantics. The staged lists are never
+    re-read or re-clustered; searches prune on ``list_id`` exactly as
+    before, now across every batch level."""
+    from chess_lakehouse_spark.operators.publish import write_partitioned
+
+    _check_ivf_batch_id(batch_id)
+    if batch_id == "base":
+        raise ValueError("append_ivf_index: batch_id 'base' is the build's own")
+    spark = delta.sparkSession
+    centroids = read_ivf_centroids(spark, index_dir)
+    cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
+    cent_arr = _centroid_literal_array(cent_rows)
+    assigned = delta.select(
+        F.col(id_col),
+        F.col(vec_col),
+        dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
+    ).withColumn("list_id", _ranked_lists(cent_arr, F.col(vec_col), F.col("n2"))[0]["cid"])
+    write_partitioned(assigned, f"{index_dir}/batch_id={batch_id}", ("list_id",))
 
 
 def search_ivf_index(

@@ -23,8 +23,8 @@ def test_ivf_index_publish_prune_and_match(spark, tmp_path):
     cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1, seed=0)
     idx = str(tmp_path / "ivf")
     publish_ivf_index(emb, idx, "vec_id", "embedding", cents)
-    # one Hive partition per centroid list
-    parts = sorted(glob.glob(f"{idx}/list_id=*"))
+    # one Hive partition per centroid list, under the build's batch level
+    parts = sorted(glob.glob(f"{idx}/batch_id=base/list_id=*"))
     assert 1 < len(parts) <= 4
 
     probes = emb.where(F.col("vec_id") < 3)
@@ -80,3 +80,55 @@ def test_ivf_index_two_stage_full_pool_matches_exact(spark, tmp_path):
         search_ivf_index_two_stage(
             spark, idx, probes, "vec_id", "embedding", cents, pool=2, k=5
         )
+
+
+def test_ivf_index_append_lifecycle(spark, tmp_path):
+    """append_ivf_index folds a delta in O(delta): searches over the
+    appended index equal searches over a fresh publish of the full
+    corpus; the sidecar centroids are the single source of truth; a
+    replayed append (same batch_id) changes nothing; and 'base' or
+    malformed batch ids are rejected."""
+    import pytest
+
+    from chess_lakehouse_spark.operators.similarity import (
+        append_ivf_index,
+        read_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    cents = kmeans_fit(old, "vec_id", "embedding", k=4, iters=1, seed=0)
+
+    idx = str(tmp_path / "ivf_inc")
+    publish_ivf_index(old, idx, "vec_id", "embedding", cents)
+    assert read_ivf_centroids(spark, idx) == sorted(
+        (cid, list(cv)) for cid, cv in cents
+    )
+    append_ivf_index(new, idx, "vec_id", "embedding", batch_id="d1")
+    append_ivf_index(new, idx, "vec_id", "embedding", batch_id="d1")  # replay
+
+    ref = str(tmp_path / "ivf_full")
+    publish_ivf_index(emb, ref, "vec_id", "embedding", cents)
+
+    probes = emb.where(F.col("vec_id") < 3)
+    got = search_ivf_index(
+        spark, idx, probes, "vec_id", "embedding", cents, nprobe=2, k=5
+    )
+    want = search_ivf_index(
+        spark, ref, probes, "vec_id", "embedding", cents, nprobe=2, k=5
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # pruning still reaches the scan with the batch level present
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+
+    with pytest.raises(ValueError, match="base"):
+        append_ivf_index(new, idx, "vec_id", "embedding", batch_id="base")
+    with pytest.raises(ValueError, match="bad batch_id"):
+        append_ivf_index(new, idx, "vec_id", "embedding", batch_id="a/b")
