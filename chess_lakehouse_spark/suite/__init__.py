@@ -219,6 +219,33 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # must take the 13 deferred queries first, then the stalest r9-green.
 # With the 4 registrations N = 113 non-rows-only; P stays
 # ceil(113/50) = 3.
+#
+# r11 window planning — FIRST bump WINDOW_BUDGETED_FOR to 11: (1) any
+# staged candidates registered at the re-plan go first. FOURTEEN are
+# ready in llm.py:STAGED_CANDIDATES — the eleven staged in r9
+# (badwords_gate, rollup_staged, corpus_overlap, funnel_steps, gapfill,
+# anomaly_flags, dedup_edit, cms_freq, substring_search, session_pairs,
+# event_transitions) plus three staged in r10:
+#   - q_exact_quantiles / EXACT_QUANTILES_ORACLE (register as
+#     `exact_quantiles`; distributed sort-rank global quantiles, rank in
+#     integer millionths; tests/test_exact_quantiles.py);
+#   - q_group_quantiles / GROUP_QUANTILES_ORACLE (register as
+#     `group_quantiles`; the by-group form; same test file);
+#   - q_bloom_gate / BLOOM_GATE_ORACLE (register as `bloom_gate`; the
+#     portable Bloom bitmap gate, FP set engine-identical;
+#     tests/test_bloom.py).
+# Register as many as window arithmetic allows after (2) the 13 deferred
+# r8-green queries (anti_join, collect_set, cube, distinct_agg, except,
+# intersect, pivot, range_join, rollup, running_sum, sessionize,
+# shipping_priority, text_normalize — at the P - 1 bound, they MUST take
+# slots) and (3) enough stalest r9-green to keep every registered query
+# within the bound — with N' = 113 + R registrations, P stays 3 while
+# N' <= 150, so a full 14-candidate registration (N' = 127) leaves
+# 50 - 14 - 13 = 23 slots for r9-green rotation, which satisfies the
+# bound only if the remaining 27 r9-green + 37 r10-green queries stay
+# within age 2 — they do (r9-green age 2 at r12, revisited in r12's
+# window per the same rotation). Verify with tests/test_suite_order.py
+# before committing the re-plan.
 WINDOW_BUDGETED_FOR = 10
 
 _WINDOW_ORDER = [
