@@ -639,6 +639,110 @@ def cmd_build_search_index(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_bloom(args: argparse.Namespace) -> None:
+    """Bloom-filter lifecycle stages (operators/bloom.py): ``bloom-build``
+    folds a key parquet into a broadcastable bitmap artifact,
+    ``bloom-append`` ORs a delta's keys into it (retry-safe: the delta
+    bitmap rebuilds byte-identically, and the publish swaps atomically),
+    ``bloom-gate`` flags or filters a corpus map-side by membership —
+    the broadcast-the-bitmap-not-the-keys blocklist pattern. Gate
+    semantics: a kept row is one the filter REJECTS (not in the set);
+    false positives drop a bounded extra fraction, never the reverse —
+    there are no false negatives, so every true member is always gated."""
+    from chess_lakehouse_spark.operators.bloom import (
+        append_bloom,
+        bloom_might_contain,
+        build_bloom,
+    )
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    spark = _spark()
+    if args.stage == "bloom-build":
+        bloom = build_bloom(
+            spark.read.parquet(args.keysParquet),
+            args.keyCol,
+            m_bits=args.mBits,
+            k=args.k,
+        )
+        bloom.coalesce(1).write.mode("overwrite").parquet(args.bloomDir)
+        row = spark.read.parquet(args.bloomDir).first()
+        print(
+            f"[bloom-build] m_bits={row['m_bits']} k={row['k']} "
+            f"n_keys={row['n_keys']} -> {args.bloomDir}"
+        )
+    elif args.stage == "bloom-append":
+        merged = append_bloom(
+            spark.read.parquet(args.keysParquet),
+            args.keyCol,
+            spark.read.parquet(args.bloomDir),
+        )
+        tmp = args.bloomDir.rstrip("/") + ".staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_lake_dirs(spark, tmp, args.bloomDir.rstrip("/"), "bloom-append")
+        row = spark.read.parquet(args.bloomDir).first()
+        print(f"[bloom-append] n_keys={row['n_keys']} -> {args.bloomDir}")
+    else:  # bloom-gate
+        flagged = bloom_might_contain(
+            spark.read.parquet(args.inParquet),
+            args.keyCol,
+            spark.read.parquet(args.bloomDir),
+        )
+        out = (
+            flagged
+            if args.emit == "flags"
+            else flagged.where(~flagged["might_contain"]).drop("might_contain")
+        )
+        out.write.mode("overwrite").parquet(args.outDir)
+        n = spark.read.parquet(args.outDir).count()
+        print(f"[bloom-gate] emit={args.emit} rows={n} -> {args.outDir}")
+
+
+def cmd_ann_index(args: argparse.Namespace) -> None:
+    """ANN lake-index lifecycle stages (operators/similarity.py):
+    ``ann-index-build`` fits k-means centroids and publishes the corpus
+    Hive-partitioned by centroid list (probes then read only their
+    nprobe list_id= directories — partition pruning IS the index);
+    ``ann-index-append`` folds a vector delta in O(delta) as its own
+    batch partition, assigning with the index's sidecar centroids;
+    ``ann-search`` serves top-k for a probe parquet with zero
+    non-probed-list reads."""
+    from chess_lakehouse_spark.operators.similarity import (
+        append_ivf_index,
+        kmeans_fit,
+        publish_ivf_index,
+        read_ivf_centroids,
+        search_ivf_index,
+    )
+
+    spark = _spark()
+    if args.stage == "ann-index-build":
+        corpus = spark.read.parquet(args.inParquet)
+        cents = kmeans_fit(
+            corpus, args.idCol, args.vecCol, k=args.lists,
+            iters=args.iters, seed=args.seed,
+        )
+        publish_ivf_index(corpus, args.indexDir, args.idCol, args.vecCol, cents)
+        print(
+            f"[ann-index-build] lists={len(cents)} -> {args.indexDir}"
+        )
+    elif args.stage == "ann-index-append":
+        append_ivf_index(
+            spark.read.parquet(args.inParquet),
+            args.indexDir, args.idCol, args.vecCol, batch_id=args.batchId,
+        )
+        print(f"[ann-index-append] batch_id={args.batchId} -> {args.indexDir}")
+    else:  # ann-search
+        cents = read_ivf_centroids(spark, args.indexDir)
+        hits = search_ivf_index(
+            spark, args.indexDir,
+            spark.read.parquet(args.probesParquet),
+            args.idCol, args.vecCol, cents, nprobe=args.nprobe, k=args.topK,
+        )
+        hits.write.mode("overwrite").parquet(args.outDir)
+        n = spark.read.parquet(args.outDir).count()
+        print(f"[ann-search] nprobe={args.nprobe} k={args.topK} rows={n} -> {args.outDir}")
+
+
 def cmd_read_wet(args: argparse.Namespace) -> None:
     """WET web-archive ingest stage (sources/warc.py): CommonCrawl-layout
     .wet/.wet.gz archives → (url, warc_date, text, doc_id) parquet — the
@@ -1124,6 +1228,56 @@ def main(argv: list[str] | None = None) -> None:
     rs.add_argument("--compact", action="store_true",
                     help="refold all batch partitions first")
     rs.set_defaults(fn=cmd_rollup)
+
+    bb = sub.add_parser("bloom-build")
+    bb.add_argument("--keysParquet", required=True)
+    bb.add_argument("--keyCol", required=True)
+    bb.add_argument("--bloomDir", required=True)
+    bb.add_argument("--mBits", type=int, default=1 << 20)
+    bb.add_argument("--k", type=int, default=7)
+    bb.set_defaults(fn=cmd_bloom)
+
+    bap = sub.add_parser("bloom-append")
+    bap.add_argument("--keysParquet", required=True)
+    bap.add_argument("--keyCol", required=True)
+    bap.add_argument("--bloomDir", required=True)
+    bap.set_defaults(fn=cmd_bloom)
+
+    bg = sub.add_parser("bloom-gate")
+    bg.add_argument("--inParquet", required=True)
+    bg.add_argument("--keyCol", required=True)
+    bg.add_argument("--bloomDir", required=True)
+    bg.add_argument("--outDir", required=True)
+    bg.add_argument("--emit", choices=("clean", "flags"), default="clean")
+    bg.set_defaults(fn=cmd_bloom)
+
+    ab = sub.add_parser("ann-index-build")
+    ab.add_argument("--inParquet", required=True)
+    ab.add_argument("--indexDir", required=True)
+    ab.add_argument("--idCol", default="vec_id")
+    ab.add_argument("--vecCol", default="embedding")
+    ab.add_argument("--lists", type=int, default=16)
+    ab.add_argument("--iters", type=int, default=3)
+    ab.add_argument("--seed", type=int, default=0)
+    ab.set_defaults(fn=cmd_ann_index)
+
+    aa = sub.add_parser("ann-index-append")
+    aa.add_argument("--inParquet", required=True)
+    aa.add_argument("--indexDir", required=True)
+    aa.add_argument("--idCol", default="vec_id")
+    aa.add_argument("--vecCol", default="embedding")
+    aa.add_argument("--batchId", required=True)
+    aa.set_defaults(fn=cmd_ann_index)
+
+    asr = sub.add_parser("ann-search")
+    asr.add_argument("--indexDir", required=True)
+    asr.add_argument("--probesParquet", required=True)
+    asr.add_argument("--outDir", required=True)
+    asr.add_argument("--idCol", default="vec_id")
+    asr.add_argument("--vecCol", default="embedding")
+    asr.add_argument("--nprobe", type=int, default=2)
+    asr.add_argument("--topK", type=int, default=5)
+    asr.set_defaults(fn=cmd_ann_index)
 
     dr = sub.add_parser("delete-rows")
     dr.add_argument("--lakeDir", required=True)

@@ -773,6 +773,8 @@ def test_example_dvc_stages_reference_real_cli_subcommands():
         "train-quality-model", "train-hashed-model", "image-dedup", "read-wet",
         "rollup-build", "rollup-append", "rollup-serve", "rank-hosts",
         "edit-dedup", "encode-corpus", "build-search-index",
+        "bloom-build", "bloom-gate", "ann-index-build", "ann-index-append",
+        "ann-search",
     }
     for stage, flags in stages:
         assert f'add_parser("{stage}")' in cli_src, f"unknown stage in example: {stage}"
@@ -987,3 +989,114 @@ def test_pipeline_cli_full_export_chain(spark, tmp_path, capsys):
     assert [(r.qid, r.doc_id) for r in hits] == [(1, 3)]
     out_text = capsys.readouterr().out
     assert "[encode-corpus]" in out_text and "[build-search-index]" in out_text
+
+
+def test_pipeline_cli_bloom_stages_roundtrip(spark, tmp_path, capsys):
+    """bloom-build -> bloom-append -> bloom-gate through the CLI: the
+    gated output keeps exactly the rows the folded filter rejects (no
+    false negatives: every blocklisted key is dropped), and the appended
+    artifact swaps atomically (no .staging/.old leftovers)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    block1 = tmp_path / "block1"
+    block2 = tmp_path / "block2"
+    corpus = tmp_path / "corpus"
+    bloom = str(tmp_path / "bloom")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [(f"https://bad{i}.example/",) for i in range(30)], "url string"
+    ).write.parquet(str(block1))
+    spark.createDataFrame(
+        [(f"https://worse{i}.example/",) for i in range(20)], "url string"
+    ).write.parquet(str(block2))
+    rows = [(i, f"https://bad{i}.example/") for i in range(10)] + [
+        (100 + i, f"https://worse{i}.example/") for i in range(5)
+    ] + [(200 + i, f"https://fine{i}.example/") for i in range(50)]
+    spark.createDataFrame(rows, "doc_id long, url string").write.parquet(
+        str(corpus)
+    )
+
+    pipeline_cli.main([
+        "bloom-build", "--keysParquet", str(block1), "--keyCol", "url",
+        "--bloomDir", bloom, "--mBits", str(63 * 64), "--k", "4",
+    ])
+    pipeline_cli.main([
+        "bloom-append", "--keysParquet", str(block2), "--keyCol", "url",
+        "--bloomDir", bloom,
+    ])
+    stdout = capsys.readouterr().out
+    assert "[bloom-build] m_bits=4032 k=4 n_keys=30" in stdout
+    assert "[bloom-append] n_keys=50" in stdout
+    import os
+
+    assert not os.path.exists(bloom + ".staging")
+    assert not os.path.exists(bloom + ".old")
+
+    pipeline_cli.main([
+        "bloom-gate", "--inParquet", str(corpus), "--keyCol", "url",
+        "--bloomDir", bloom, "--outDir", out, "--emit", "clean",
+    ])
+    kept = {r.url for r in spark.read.parquet(out).collect()}
+    # no false negatives: every blocklisted url is gone
+    assert not any("bad" in u or "worse" in u for u in kept)
+    # the gate discriminates: most clean urls survive (FPs bounded)
+    assert len(kept) >= 40
+
+
+def test_pipeline_cli_ann_stages_roundtrip(spark, tmp_path, capsys):
+    """ann-index-build -> ann-index-append -> ann-search through the CLI:
+    search over the appended index equals search over one build of the
+    full corpus (the sidecar centroids keep assignment consistent)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+    from chess_lakehouse_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old_p = str(tmp_path / "emb_old")
+    new_p = str(tmp_path / "emb_new")
+    probes_p = str(tmp_path / "probes")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(old_p)
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(new_p)
+    emb.where(F.col("vec_id") < 3).write.parquet(probes_p)
+
+    idx = str(tmp_path / "annidx")
+    hits1 = str(tmp_path / "hits_inc")
+    pipeline_cli.main([
+        "ann-index-build", "--inParquet", old_p, "--indexDir", idx,
+        "--lists", "4", "--iters", "1", "--seed", "0",
+    ])
+    pipeline_cli.main([
+        "ann-index-append", "--inParquet", new_p, "--indexDir", idx,
+        "--batchId", "d1",
+    ])
+    pipeline_cli.main([
+        "ann-search", "--indexDir", idx, "--probesParquet", probes_p,
+        "--outDir", hits1, "--nprobe", "2", "--topK", "5",
+    ])
+
+    # reference: one build over the union, searched with the SAME
+    # centroids (read from the incremental index's sidecar)
+    from chess_lakehouse_spark.operators.similarity import (
+        publish_ivf_index,
+        read_ivf_centroids,
+        search_ivf_index,
+    )
+
+    cents = read_ivf_centroids(spark, idx)
+    ref_idx = str(tmp_path / "annidx_full")
+    publish_ivf_index(emb, ref_idx, "vec_id", "embedding", cents)
+    want = search_ivf_index(
+        spark, ref_idx, spark.read.parquet(probes_p), "vec_id", "embedding",
+        cents, nprobe=2, k=5,
+    )
+    got_rows = {tuple(r) for r in spark.read.parquet(hits1).collect()}
+    assert got_rows == {tuple(r) for r in want.collect()}
+    assert len(got_rows) > 0
+    assert "[ann-search] nprobe=2 k=5" in capsys.readouterr().out
