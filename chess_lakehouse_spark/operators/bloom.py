@@ -126,10 +126,17 @@ def merge_blooms(*blooms: DataFrame) -> DataFrame:
     if not blooms:
         raise ValueError("merge_blooms: at least one bloom required")
     u = reduce(lambda a, b: a.unionByName(b), blooms)
-    metas = u.select("m_bits", "k").distinct().collect()  # bounded: |blooms|
+    return _merge_bloom_rows(u, "merge_blooms")
+
+
+def _merge_bloom_rows(u: DataFrame, op: str) -> DataFrame:
+    """OR a frame of bloom ROWS (words, m_bits, k, n_keys) into one —
+    shared by :func:`merge_blooms` and the batch-partitioned state
+    readers. Returns None-shaped nothing; raises on mixed dimensions."""
+    metas = u.select("m_bits", "k").distinct().collect()  # bounded: |rows|
     if len(metas) != 1:
         raise ValueError(
-            f"merge_blooms: mismatched dimensions {sorted(map(tuple, metas))}"
+            f"{op}: mismatched dimensions {sorted(map(tuple, metas))}"
         )
     m_bits, k = int(metas[0]["m_bits"]), int(metas[0]["k"])
     merged = (
@@ -151,6 +158,51 @@ def merge_blooms(*blooms: DataFrame) -> DataFrame:
         F.lit(k).cast("int").alias("k"),
         "n_keys",
     )
+
+
+def write_bloom_batch(bloom: DataFrame, state_dir: str, batch_id) -> None:
+    """Stage one batch's bitmap as its own ``batch_id=<id>`` partition —
+    the replay-safe state layout: a crash-replayed batch OVERWRITES its
+    own partition byte-identically, and readers can exclude the in-flight
+    batch (bits merged into one bitmap could never be un-ORed)."""
+    bloom.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/batch_id={batch_id}"
+    )
+
+
+def read_bloom_merged(
+    spark, state_dir: str, exclude_batch=None
+) -> DataFrame | None:
+    """OR every staged batch bitmap (optionally excluding one batch id —
+    the streaming replay-hole guard) into a single filter row; None when
+    no state (or none left after the exclusion). O(#batches) rows of
+    m/63 longs — compact state regardless of how many keys ever passed."""
+    df = spark.read.parquet(state_dir)
+    if exclude_batch is not None:
+        df = df.where(
+            F.col("batch_id").cast("string") != F.lit(str(exclude_batch))
+        )
+    rows = df.select("words", "m_bits", "k", "n_keys")
+    if rows.isEmpty():
+        return None
+    return _merge_bloom_rows(rows, "read_bloom_merged")
+
+
+def compact_bloom_state(spark, state_dir: str) -> None:
+    """Fold every staged batch bitmap into one ``batch_id=base``
+    partition — bounded state forever, crash-safe via the rename-aside
+    swap (mirrors ``compact_rollup`` / ``compact_stream_state``). The
+    merged bits are identical to the multi-batch OR, so gating before
+    and after compaction agrees exactly."""
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    merged = _merge_bloom_rows(
+        spark.read.parquet(state_dir).select("words", "m_bits", "k", "n_keys"),
+        "compact_bloom_state",
+    )
+    tmp = state_dir.rstrip("/") + ".compacting"
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/batch_id=base")
+    _swap_lake_dirs(spark, tmp, state_dir.rstrip("/"), "compact_bloom_state")
 
 
 def append_bloom(delta_df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:

@@ -696,6 +696,116 @@ def url_dedup_batch(
         canon.unpersist()
 
 
+def bloom_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    bloom_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    key_col: str = "url",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> None:
+    """One micro-batch of the streaming Bloom-frontier dedup loop —
+    module-level so the crash-replay contract is directly testable (see
+    ``stream_bloom_dedup``)."""
+    from chess_lakehouse_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+        read_bloom_merged,
+        write_bloom_batch,
+    )
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        winners = batch_df.groupBy(key_col).agg(F.min(id_col).alias(id_col))
+        staged = None
+        if _path_exists(spark, bloom_dir):
+            # Replay-hole guard: never gate a replayed batch against its
+            # own staged bitmap (bits can't be un-ORed, so the state is
+            # batch-partitioned and the in-flight id is excluded here).
+            staged = read_bloom_merged(spark, bloom_dir, exclude_batch=batch_id)
+        if staged is not None:
+            row = staged.select("m_bits", "k").first()
+            m_bits, k = int(row["m_bits"]), int(row["k"])  # state owns dims
+            winners = (
+                bloom_might_contain(winners, key_col, staged)
+                .where(~F.col("might_contain"))
+                .drop("might_contain")
+            )
+        winners = winners.persist()
+        try:
+            admitted = batch_df.join(
+                winners.select(id_col), id_col, "left_semi"
+            )
+            admitted.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            delta_bloom = build_bloom(
+                winners.select(key_col), key_col, m_bits=m_bits, k=k
+            )
+            write_bloom_batch(delta_bloom, bloom_dir, batch_id)
+        finally:
+            winners.unpersist()
+    finally:
+        batch_df.unpersist()
+
+
+def stream_bloom_dedup(
+    new_docs: DataFrame,
+    bloom_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    key_col: str = "url",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> None:
+    """Streaming Bloom-FRONTIER dedup — the crawl-frontier form of
+    ``stream_url_dedup``: each micro-batch admits the first occurrence of
+    every key within the batch (min id wins) and against a Bloom filter
+    of everything ADMITTED by earlier batches, then ORs its own admitted
+    keys into the staged bitmap. The trade vs the exact loop is explicit:
+    state is O(m_bits) FOREVER — a frontier of billions of URLs gates
+    through a bitmap of a few GB instead of a staged key table it must
+    anti-join — at the cost of the filter's false-positive rate
+    PERMANENTLY dropping that fraction of genuinely-new keys (no false
+    negatives: an admitted key is never re-admitted). Size m_bits/k for
+    the target corpus with the standard Bloom math (module docstring);
+    the parameters bind at the FIRST batch, after which the staged
+    state's own dimensions govern (a changed arg cannot silently split
+    the filter).
+
+    Replay contract, same as every loop here: the batch bitmap and the
+    admitted docs land as ``batch_id=N`` overwrite partitions, and the
+    staged-bitmap read EXCLUDES the in-flight batch (bits merged into
+    one bitmap could never be un-ORed — the batch-partitioned state
+    exists exactly so the replay hole stays closed); a crash-replayed
+    batch therefore rewrites both partitions byte-identically
+    (double-invoke pinned). ``compact_bloom_state`` folds old batch
+    bitmaps into ``batch_id=base`` so state file counts stay bounded;
+    keep the IN-FLIGHT batch out of a compaction window (the same
+    exclusive-maintenance contract as ``compact_stream_state``).
+    Per-batch cost: one map-combined groupBy on the batch's keys + k bit
+    tests per winner against the broadcast bitmap + an O(k·|admitted|)
+    delta-bitmap build — the staged corpus is never re-read."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_dedup_batch(
+            batch_df, batch_id, bloom_dir, out_dir,
+            id_col=id_col, key_col=key_col, m_bits=m_bits, k=k,
+        )
+
+    q = (
+        new_docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_phash_dedup(
     new_docs: DataFrame,
     sigs_dir: str,

@@ -1626,3 +1626,87 @@ def test_stream_substring_index_rejects_drifted_or_flat_layout(spark, tmp_path):
     build_substring_index(docs, "doc_id", "text", flat, q=3)
     with pytest.raises(ValueError, match="FLAT"):
         substring_index_batch(docs, 0, flat, q=3)
+
+
+def test_stream_bloom_dedup_daily_drops_and_replay(spark, tmp_path):
+    """The Bloom-frontier dedup loop: with a filter sized so this key
+    count produces no false positives, two drops admit EXACTLY the
+    first-occurrence set the exact URL pass would (cross-batch dup
+    rejected, fresh keys admitted); a double-invoked batch (crash
+    replay) rewrites its partitions identically; and compacting the
+    batch bitmaps into base changes no later gating decision."""
+    import glob
+    import shutil
+
+    from chess_lakehouse_spark.operators.bloom import compact_bloom_state
+    from chess_lakehouse_spark.streaming import (
+        bloom_dedup_batch,
+        stream_bloom_dedup,
+    )
+
+    schema = "doc_id long, url string"
+    d1 = [(1, "https://a.example/"), (2, "https://b.example/"),
+          (3, "https://a.example/")]            # in-batch dup of a
+    d2 = [(10, "https://b.example/"),           # cross-batch dup of b
+          (11, "https://c.example/")]           # fresh
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    bloom_dir, out, ckpt = (
+        str(tmp_path / d) for d in ("bloom", "out", "ckpt")
+    )
+
+    def land(name, rs):
+        staging = tmp_path / f"_st_{name}"
+        spark.createDataFrame(rs, schema).coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_bloom_dedup(
+            stream, bloom_dir, out, ckpt, m_bits=63 * 64, k=4
+        )
+
+    land("d1", d1)
+    run()
+    land("d2", d2)
+    run()
+
+    admitted = sorted(
+        (r.doc_id, r.url) for r in spark.read.parquet(out).collect()
+    )
+    assert admitted == [
+        (1, "https://a.example/"), (2, "https://b.example/"),
+        (11, "https://c.example/"),
+    ]
+
+    # crash replay: double-invoke the LAST batch id by hand — partitions
+    # must rewrite identically (the staged read excludes the in-flight id)
+    batch_parts = sorted(glob.glob(f"{out}/batch_id=*"))
+    last_bid = batch_parts[-1].rsplit("=", 1)[1]
+    bloom_words_before = spark.read.parquet(bloom_dir).where(
+        F.col("batch_id").cast("string") == last_bid
+    ).first()["words"]
+    bloom_dedup_batch(
+        spark.createDataFrame(d2, schema), int(last_bid), bloom_dir, out,
+        m_bits=63 * 64, k=4,
+    )
+    again = sorted((r.doc_id, r.url) for r in spark.read.parquet(out).collect())
+    assert again == admitted
+    bloom_words_after = spark.read.parquet(bloom_dir).where(
+        F.col("batch_id").cast("string") == last_bid
+    ).first()["words"]
+    assert list(bloom_words_before) == list(bloom_words_after)
+
+    # compaction folds batch bitmaps into base; a third drop still gates
+    # against everything admitted before it
+    compact_bloom_state(spark, bloom_dir)
+    parts = sorted(glob.glob(f"{bloom_dir}/batch_id=*"))
+    assert [p.rsplit("=", 1)[1] for p in parts] == ["base"]
+    land("d3", [(20, "https://c.example/"), (21, "https://d.example/")])
+    run()
+    final = sorted((r.doc_id, r.url) for r in spark.read.parquet(out).collect())
+    assert final == admitted + [(21, "https://d.example/")]
