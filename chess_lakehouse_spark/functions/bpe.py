@@ -203,15 +203,19 @@ def build_token_vocab(
     token_id) with ids assigned by LEXICOGRAPHIC token order starting at
     1 — id 0 is reserved for ``unk`` — so the same corpus always yields
     the same table on any partitioning (no monotonically_increasing_id,
-    whose values depend on partition layout). One distinct + one
-    vocabulary-sized window; the table is broadcast-sized by construction
-    (vocabularies are bounded, corpora are not). A corpus token EQUAL to
+    whose values depend on partition layout). One distinct + the
+    DISTRIBUTED sort-rank (operators/relational.py:global_sort_rank —
+    range repartition + per-partition row_number + broadcast offsets):
+    ids stay lexicographic and partition-invariant, but a web-scale
+    vocabulary (hundreds of millions of distinct tokens at 100 TB) never
+    funnels through the single-partition window Spark plans for a bare
+    row_number-over-order-by. A corpus token EQUAL to
     the ``unk`` sentinel is excluded from the minted rows (it would
     otherwise appear twice — once as the reserved id 0, once minted — and
     the token-keyed encode join would duplicate every occurrence); such
     tokens encode to id 0 and decode back to the sentinel, the only
     consistent reading of a corpus that already carries unk markers."""
-    from pyspark.sql.window import Window
+    from chess_lakehouse_spark.operators.relational import global_sort_rank
 
     toks = (
         tokens_df.select(F.explode(F.col(tokens_col)).alias("token"))
@@ -222,9 +226,8 @@ def build_token_vocab(
         )
         .distinct()
     )
-    w = Window.orderBy("token")
-    vocab = toks.select(
-        "token", F.row_number().over(w).cast("long").alias("token_id")
+    vocab = global_sort_rank(toks, ["token"]).select(
+        "token", F.col("__rank").cast("long").alias("token_id")
     )
     unk_row = tokens_df.sparkSession.createDataFrame(
         [(unk, 0)], "token string, token_id long"

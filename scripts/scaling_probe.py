@@ -779,6 +779,81 @@ def main() -> None:
                 ).count(),
             )
 
+        if only_ops is None or {
+            "bloom_build", "bloom_gate_serve", "exact_quantiles",
+            "score_buckets_exact", "ivf_append_fixed_delta",
+        } & only_ops:
+            from chess_lakehouse_spark.operators.bloom import (
+                bloom_might_contain,
+                build_bloom,
+            )
+            from chess_lakehouse_spark.operators.relational import (
+                exact_quantiles,
+                score_buckets,
+            )
+            from chess_lakehouse_spark.operators.similarity import (
+                append_ivf_index,
+                kmeans_fit,
+                publish_ivf_index,
+            )
+
+            # bloom build: one map-combined groupBy bounded by m/63 word
+            # groups — linear in keys, never corpus-rescan
+            keys_x = docs.select(F.md5("text").alias("bk"))
+            probe(
+                "bloom_build", factor,
+                lambda: build_bloom(keys_x, "bk", m_bits=1 << 20, k=7).first(),
+            )
+            # bloom gate SERVE: FIXED bitmap (built from the base table)
+            # against the x-factor corpus — pure map-side column exprs,
+            # should ride the scan linearly like gopher_rules
+            bloom_fixed = build_bloom(
+                spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                    F.md5("text").alias("bk")
+                ),
+                "bk", m_bits=1 << 20, k=7,
+            )
+            probe(
+                "bloom_gate_serve", factor,
+                lambda: bloom_might_contain(keys_x, "bk", bloom_fixed)
+                .agg(F.sum(F.col("might_contain").cast("long")))
+                .collect(),
+            )
+            # distributed sort-rank forms (r10: the exact ntile / exact
+            # quantile plans with NO single-partition sort): two full-data
+            # shuffles — linear growth is the contract
+            scored = docs.select(
+                "doc_id", F.length("text").cast("double").alias("s")
+            )
+            probe(
+                "exact_quantiles", factor,
+                lambda: exact_quantiles(scored, "s", [0.5, 0.9, 0.99]).count(),
+            )
+            probe(
+                "score_buckets_exact", factor,
+                lambda: score_buckets(scored, "doc_id", "s", 10)
+                .groupBy("bucket").count().count(),
+            )
+            # IVF append: FIXED vector delta against an x-factor staged
+            # index — O(delta) assignment from sidecar centroids + one
+            # delta-sized batch write; must stay FLAT (rep 2 replays the
+            # same batch_id, exercising the idempotent rewrite)
+            ividx = f"{tmp}/ivfidx_x{factor}"
+            iv_cents = kmeans_fit(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                "vec_id", "embedding", k=16, iters=1, seed=0,
+            )
+            publish_ivf_index(emb, ividx, "vec_id", "embedding", iv_cents)
+            iv_delta = spark.read.parquet(
+                f"{sf_dir}/embeddings.parquet"
+            ).withColumn("vec_id", F.col("vec_id") + F.lit(970_000_000))
+            probe(
+                "ivf_append_fixed_delta", factor,
+                lambda: append_ivf_index(
+                    iv_delta, ividx, "vec_id", "embedding", batch_id="d1"
+                ),
+            )
+
         if only_ops is None or {"pagerank_5it"} & only_ops:
             # PageRank over a synthetic host graph whose |V| and |E| both
             # grow with the corpus (md5-derived edges — near-uniform
