@@ -23,8 +23,11 @@ Determinism: position ``i`` of key ``x`` is ``md5_hash64(i || ':' || x)
 % m_bits`` — no seed, no RNG, no partition dependence.
 
 Sizing (standard Bloom math): for ``n`` keys and target FP rate ``p``,
-``m = -n ln p / (ln 2)^2`` and ``k = (m/n) ln 2``; e.g. 1e9 keys at 1%
-FP is ~1.2 GB of bitmap — broadcastable where the raw keys are not.
+``m = -n ln p / (ln 2)^2`` and ``k = (m/n) ln 2``. This module's
+single-array-row layout is capped at m = 2^31 bits (a ~268 MB broadcast
+row) — about 180M keys at 1% FP, or 450M at 10%; a larger set needs the
+word-TABLE layout (keys join their word index against the (widx, word)
+frame instead of indexing one array row) at the cost of one shuffle.
 """
 
 from __future__ import annotations
@@ -49,9 +52,13 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
 
 
 def _validate(m_bits: int, k: int) -> None:
-    if not WORD_BITS <= m_bits <= 1 << 40:
+    # Upper bound is honest about THIS layout: the bitmap lives as one
+    # array<long> row (2^31 bits = a 260 MB row — the practical ceiling
+    # for a single broadcast row). Bigger filters need the word-TABLE
+    # layout (join on word index) instead of the single-row array.
+    if not WORD_BITS <= m_bits <= 1 << 31:
         raise ValueError(
-            f"build_bloom: m_bits must be in [{WORD_BITS}, 2^40], got {m_bits}"
+            f"build_bloom: m_bits must be in [{WORD_BITS}, 2^31], got {m_bits}"
         )
     if not 1 <= k <= 16:
         raise ValueError(f"build_bloom: k must be in [1, 16], got {k}")
@@ -107,6 +114,87 @@ def build_bloom(
             F.lit(m_bits).cast("long").alias("m_bits"),
             F.lit(k).cast("int").alias("k"),
             "n_keys",
+        )
+    )
+
+
+def build_bloom_table(
+    df: DataFrame, key_col: str, m_bits: int, k: int = 7
+) -> DataFrame:
+    """The word-TABLE layout for filters past the single-row cap: returns
+    the sparse ``(widx int, word long)`` frame (absent words are zero) —
+    no assembly into one row, so ``m_bits`` is bounded only by storage.
+    Same md5 bit math as :func:`build_bloom`; gate with
+    :func:`bloom_might_contain_table`. One map-combined groupBy on the
+    word index, ≤ m/63 groups."""
+    if not 1 <= k <= 16:
+        raise ValueError(f"build_bloom_table: k must be in [1, 16], got {k}")
+    if m_bits < WORD_BITS:
+        raise ValueError(
+            f"build_bloom_table: m_bits must be >= {WORD_BITS}, got {m_bits}"
+        )
+    keys = (
+        df.select(F.col(key_col).cast("string").alias("__key"))
+        .where(F.col("__key").isNotNull())
+    )
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col("__key"), m_bits, k))).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr(f"p div {WORD_BITS}").cast("int").alias("widx"),
+            (F.col("p") % WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS LONG), bit))").alias("word"))
+    )
+
+
+def bloom_might_contain_table(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    words: DataFrame,
+    m_bits: int,
+    k: int = 7,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Gate through the word-TABLE layout: each key's k positions join
+    the sparse (widx, word) frame and a row passes when ALL k bits are
+    set — identical verdicts to the array form (pinned in tests), at the
+    cost of ONE shuffle (the per-row k-position explode grouped back on
+    ``id_col``, map-combined). Use when the bitmap outgrows the ~268 MB
+    single-row cap; below it, :func:`bloom_might_contain` is the
+    zero-shuffle plan. ``id_col`` must be unique per row; NULL keys test
+    false. Returns (id_col, key_col, out_col)."""
+    if not 1 <= k <= 16:
+        raise ValueError(
+            f"bloom_might_contain_table: k must be in [1, 16], got {k}"
+        )
+    key = F.col(key_col)
+    pos = df.select(
+        id_col,
+        key_col,
+        F.explode(F.array(*_positions(key, m_bits, k))).alias("p"),
+    ).select(
+        id_col,
+        key_col,
+        F.expr(f"p div {WORD_BITS}").cast("int").alias("widx"),
+        (F.col("p") % WORD_BITS).cast("int").alias("bit"),
+    )
+    hit = F.coalesce(
+        F.expr("(shiftright(word, bit) & 1) = 1"), F.lit(False)
+    )
+    return (
+        pos.join(words, "widx", "left")
+        .select(id_col, key_col, hit.cast("int").alias("__b"))
+        .groupBy(id_col, key_col)
+        .agg((F.min("__b") == 1).alias(out_col))
+        .withColumn(
+            out_col,
+            F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(
+                F.col(out_col)
+            ),
         )
     )
 

@@ -177,3 +177,43 @@ def test_merge_and_append_bloom_equals_single_build(spark):
         merge_blooms(ba, build_bloom(df_b, "key", m_bits=63 * 4, k=k)).first()
     with pytest.raises(ValueError, match="at least one"):
         merge_blooms()
+
+
+def test_bloom_table_layout_matches_array_form(spark):
+    """The word-TABLE layout (for filters past the single-row cap) must
+    produce IDENTICAL verdicts to the array form on every probe —
+    members, misses, false positives, and NULL keys."""
+    from chess_lakehouse_spark.operators.bloom import (
+        bloom_might_contain_table,
+        build_bloom_table,
+    )
+
+    members = [f"member-{i}" for i in range(150)]
+    probes = [f"probe-{i}" for i in range(300)]
+    m_bits, k = 63 * 24, 4
+    mdf = spark.createDataFrame([(m,) for m in members], "key string")
+
+    bloom = build_bloom(mdf, "key", m_bits=m_bits, k=k)
+    words = build_bloom_table(mdf, "key", m_bits=m_bits, k=k)
+
+    # the sparse table IS the array's non-zero words
+    arr = bloom.first()["words"]
+    table = {r.widx: r.word for r in words.collect()}
+    assert table == {i: w for i, w in enumerate(arr) if w != 0}
+
+    pdf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(members + probes)] + [(9999, None)],
+        "rid long, key string",
+    ).repartition(7)
+    got_arr = {
+        r.rid: r.might_contain
+        for r in bloom_might_contain(pdf, "key", bloom).collect()
+    }
+    got_tbl = {
+        r.rid: r.might_contain
+        for r in bloom_might_contain_table(
+            pdf, "key", "rid", words, m_bits=m_bits, k=k
+        ).collect()
+    }
+    assert got_tbl == got_arr
+    assert got_tbl[9999] is False
