@@ -537,6 +537,47 @@ BLOOM_GATE_ORACLE = f"""
 """
 
 
+#: Salt fan-out for q_salted_join (the skew-mitigation knob; the salt
+#: never affects the RESULT — that is exactly what the oracle checks).
+SALTED_JOIN_N = 8
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted equi-join (operators/relational.py:
+    salted_join): lineitem (the large, potentially hot-keyed side) joins
+    orders on the order key through the (key, salt) expansion — a hot
+    order key's rows spread over SALTED_JOIN_N reducers — then rolls up
+    per order status. The oracle is the PLAIN un-salted join + GROUP BY:
+    salting must never change a single row of the result, only where
+    rows land. Returns (o_orderstatus, n_rows, sum_price)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    j = salted_join(li, orders, "l_orderkey", n_salts=SALTED_JOIN_N, how="inner")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_price"),
+    )
+
+
+SALTED_JOIN_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+"""
+
+
 #: Quantiles gated by q_exact_quantiles, as integer millionths (the ppm
 #: form is what both engines compute ranks from — no float boundary).
 EXACT_QUANTILE_PPMS = (250_000, 500_000, 750_000, 900_000, 990_000)
@@ -4873,4 +4914,5 @@ STAGED_CANDIDATES = {
     "exact_quantiles": (q_exact_quantiles, EXACT_QUANTILES_ORACLE),
     "bloom_gate": (q_bloom_gate, BLOOM_GATE_ORACLE),
     "group_quantiles": (q_group_quantiles, GROUP_QUANTILES_ORACLE),
+    "salted_join": (q_salted_join, SALTED_JOIN_ORACLE),
 }

@@ -1740,3 +1740,44 @@ def test_exact_quantiles_by_group_and_validation(spark):
         exact_quantiles(df, "v", [1.5])
     with pytest.raises(ValueError, match="duplicate"):
         exact_quantiles(df, "v", [0.5, 0.5])
+
+
+def test_salted_join_candidate_matches_plain_join_oracle(spark):
+    """r11 staging candidate q_salted_join: the salted (key, salt)
+    expansion must produce exactly the plain-join rollup at both local
+    scales — salting moves rows, never changes them — and the plan must
+    carry the salt machinery (xxhash64 placement hash + the salt in the
+    join key)."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import SALTED_JOIN_ORACLE, q_salted_join
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        sdf = q_salted_join(spark, sf_dir)
+        assert dict(sdf.dtypes) == {
+            "o_orderstatus": "string",
+            "n_rows": "bigint",
+            "sum_price": "double",
+        }
+        srows = sorted(tuple(r) for r in sdf.collect())
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        drows = sorted(
+            tuple(r) for r in con.execute(SALTED_JOIN_ORACLE).fetchall()
+        )
+        con.close()
+        assert len(srows) > 0
+        assert srows == drows
+
+    plan = (
+        q_salted_join(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
