@@ -1100,3 +1100,113 @@ def test_pipeline_cli_ann_stages_roundtrip(spark, tmp_path, capsys):
     assert got_rows == {tuple(r) for r in want.collect()}
     assert len(got_rows) > 0
     assert "[ann-search] nprobe=2 k=5" in capsys.readouterr().out
+
+
+def test_pipeline_cli_crawl_side_chain_matches_example_dag(spark, tmp_path, capsys):
+    """The example DAG's crawl-side chain EXECUTED with real artifacts
+    (the rollup_build/bloom_gate schema-drift class a flags check cannot
+    catch): read-wet writes the (url, warc_date, text, doc_id) feeder;
+    bloom-build compresses a url blocklist; bloom-gate keys on `url`
+    against exactly that feeder (the r10 example fix — the cleaned
+    staged_corpus carries no url); clean-corpus stages staged_corpus;
+    rollup-build keys on (source, lang) with the in-stage
+    --derive n_chars=length(text), mirroring the stage verbatim."""
+    import gzip
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    def _rec(url, text):
+        body = text.encode()
+        head = (
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{abs(hash(url))}>\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        )
+        return gzip.compress(head.encode() + body + b"\r\n\r\n")
+
+    crawl = tmp_path / "crawl-wet"
+    crawl.mkdir()
+    stops = "the be to of and that have with"
+    recs = [
+        _rec(f"https://bad{i}.example/p", f"blocked doc{i} " + stops)
+        for i in range(3)
+    ] + [
+        _rec(f"https://ok{i}.example/p", f"kept doc{i} " + stops)
+        for i in range(5)
+    ]
+    (crawl / "seg00000.wet.gz").write_bytes(b"".join(recs))
+
+    feeder = tmp_path / "corpus-from-crawl"
+    pipeline_cli.main([
+        "read-wet", "--inDir", str(crawl), "--outDir", str(feeder),
+    ])
+    assert {"url", "warc_date", "text", "doc_id"} <= set(
+        spark.read.parquet(str(feeder)).columns
+    )
+
+    blocklist = tmp_path / "blocklist"
+    spark.createDataFrame(
+        [(f"https://bad{i}.example/p",) for i in range(3)], "url string"
+    ).write.parquet(str(blocklist))
+    bloom = str(tmp_path / "blocklist-bloom")
+    unblocked = str(tmp_path / "corpus-unblocked")
+    pipeline_cli.main([
+        "bloom-build", "--keysParquet", str(blocklist), "--keyCol", "url",
+        "--bloomDir", bloom, "--mBits", "1048576", "--k", "7",
+    ])
+    pipeline_cli.main([
+        "bloom-gate", "--inParquet", str(feeder), "--keyCol", "url",
+        "--bloomDir", bloom, "--outDir", unblocked, "--emit", "clean",
+    ])
+    kept = {r.url for r in spark.read.parquet(unblocked).collect()}
+    assert kept == {f"https://ok{i}.example/p" for i in range(5)}
+
+    # clean-corpus -> staged_corpus -> rollup-build with the stage's
+    # exact keys/derive/measures
+    src = tmp_path / "corpus-jsonl"
+    src.mkdir()
+    lines = [
+        json.dumps({
+            "doc_id": i,
+            "text": " ".join(f"tok{i}x{j} {stops}" for j in range(12)),
+            "lang": "en" if i % 2 else "fr",
+            "source": f"s{i % 2}",
+        })
+        for i in range(8)
+    ]
+    (src / "p.jsonl").write_text("\n".join(lines) + "\n")
+    clean = tmp_path / "corpus-clean"
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", str(src), "--outDir", str(clean),
+        "--gate", "gopher", "--gopherMinWords", "10", "--gopherMinStops", "2",
+        "--threshold", "0.9", "--evalFrac", "0.2", "--stageForStreaming",
+    ])
+    rollup = str(tmp_path / "rollup")
+    pipeline_cli.main([
+        "rollup-build", "--inParquet", str(clean / "staged_corpus"),
+        "--rollupDir", rollup, "--keys", "source,lang",
+        "--derive", "n_chars=length(text)",
+        "--measures",
+        "n:count,nn:countnn:n_chars,s6:sum6:n_chars,mn:min:n_chars,mx:max:n_chars",
+    ])
+    report = str(tmp_path / "rollup-report")
+    pipeline_cli.main([
+        "rollup-serve", "--rollupDir", rollup, "--outDir", report,
+        "--avg6", "avg_chars:s6:nn",
+    ])
+    rows = spark.read.parquet(report).collect()
+    staged = spark.read.parquet(str(clean / "staged_corpus"))
+    want = {
+        (r.source, r.lang): r.n
+        for r in staged.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r.source, r.lang): r.n for r in rows} == want
+    assert all(r.avg_chars > 0 for r in rows)
