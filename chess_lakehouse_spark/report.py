@@ -111,3 +111,70 @@ def corpus_card(
         ),
     ]
     return "\n".join(lines)
+
+
+def gate_attribution(
+    df: DataFrame,
+    gates,
+) -> DataFrame:
+    """Curation observability: which gate drops what, in ONE corpus pass.
+
+    ``gates`` is an ORDERED mapping of gate name → boolean Column (true =
+    the row PASSES that gate — the convention every gate in this package
+    emits). Returns one row per gate:
+
+    - ``n_fail``            rows failing the gate in isolation
+    - ``n_first_fail``      rows dropped AT this stage of the ordered
+                            pipeline (pass all earlier gates, fail this
+                            one) — the stage-attribution number that sums
+                            to total drops with no double counting
+    - ``n_only_fail``       rows ONLY this gate catches (pass every other
+                            gate) — removing the gate would admit exactly
+                            these
+    - ``n_pass_all``        rows passing every gate (same value each row)
+
+    Everything is conditional sums inside ONE aggregate (|gates|² cells of
+    driver state at most, corpus touched once, map-combined) — the plan a
+    100 TB curation audit needs: never one job per gate. NULL gate values
+    count as FAIL (a gate that cannot evaluate a row does not pass it).
+    """
+    from pyspark.sql import functions as F
+
+    names = list(gates)
+    if not names:
+        raise ValueError("gate_attribution: at least one gate required")
+    for n in names:
+        if not n or any(c in n for c in "'\"\n\r"):
+            raise ValueError(f"gate_attribution: bad gate name {n!r}")
+    passes = {n: F.coalesce(gates[n], F.lit(False)) for n in names}
+    aggs = []
+    for i, n in enumerate(names):
+        fail_n = ~passes[n]
+        aggs.append(F.sum(fail_n.cast("long")).alias(f"__f_{i}"))
+        first = fail_n
+        for e in names[:i]:
+            first = first & passes[e]
+        aggs.append(F.sum(first.cast("long")).alias(f"__ff_{i}"))
+        only = fail_n
+        for o in names:
+            if o != n:
+                only = only & passes[o]
+        aggs.append(F.sum(only.cast("long")).alias(f"__of_{i}"))
+    all_pass = passes[names[0]]
+    for n in names[1:]:
+        all_pass = all_pass & passes[n]
+    aggs.append(F.sum(all_pass.cast("long")).alias("__pa"))
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{n}', __f_{i}, __ff_{i}, __of_{i}" for i, n in enumerate(names)
+    )
+    return row.selectExpr(
+        f"stack({len(names)}, {stack}) AS (gate, n_fail, n_first_fail, n_only_fail)",
+        "__pa AS n_pass_all",
+    ).select(
+        "gate",
+        F.coalesce("n_fail", F.lit(0)).alias("n_fail"),
+        F.coalesce("n_first_fail", F.lit(0)).alias("n_first_fail"),
+        F.coalesce("n_only_fail", F.lit(0)).alias("n_only_fail"),
+        F.coalesce("n_pass_all", F.lit(0)).alias("n_pass_all"),
+    )

@@ -537,6 +537,62 @@ BLOOM_GATE_ORACLE = f"""
 """
 
 
+#: Gates for q_gate_attribution, in pipeline order: a length floor, an
+#: English-only language gate, and a stopword-presence gate — each a
+#: pure SQL-expressible boolean so the attribution math is oracle-exact.
+GATE_ATTR_MIN_CHARS = 300
+
+
+def q_gate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation gate attribution (report.py:gate_attribution): per gate,
+    rows failing it in isolation, rows dropped AT its stage of the
+    ordered pipeline (pass all earlier, fail this — sums to total drops
+    with no double counting), rows ONLY it catches, and the pass-all
+    count — ONE map-combined aggregate over one corpus pass, never a job
+    per gate. Returns (gate, n_fail, n_first_fail, n_only_fail,
+    n_pass_all)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.report import gate_attribution
+
+    docs = load_table(spark, sf_dir, "documents")
+    gates = {
+        "len": F.col("n_chars") >= GATE_ATTR_MIN_CHARS,
+        "lang": F.col("lang") == "en",
+        "stop": F.col("text").contains(" the "),
+    }
+    return gate_attribution(docs, gates)
+
+
+GATE_ATTRIBUTION_ORACLE = f"""
+    WITH g AS (
+      SELECT COALESCE(n_chars >= {GATE_ATTR_MIN_CHARS}, FALSE) AS g_len,
+             COALESCE(lang = 'en', FALSE) AS g_lang,
+             COALESCE(contains(text, ' the '), FALSE) AS g_stop
+      FROM documents
+    ),
+    a AS (
+      SELECT
+        CAST(SUM(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+        CAST(SUM(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS BIGINT) AS ff_len,
+        CAST(SUM(CASE WHEN NOT g_len AND g_lang AND g_stop THEN 1 ELSE 0 END) AS BIGINT) AS of_len,
+        CAST(SUM(CASE WHEN NOT g_lang THEN 1 ELSE 0 END) AS BIGINT) AS f_lang,
+        CAST(SUM(CASE WHEN g_len AND NOT g_lang THEN 1 ELSE 0 END) AS BIGINT) AS ff_lang,
+        CAST(SUM(CASE WHEN g_len AND NOT g_lang AND g_stop THEN 1 ELSE 0 END) AS BIGINT) AS of_lang,
+        CAST(SUM(CASE WHEN NOT g_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+        CAST(SUM(CASE WHEN g_len AND g_lang AND NOT g_stop THEN 1 ELSE 0 END) AS BIGINT) AS ff_stop,
+        CAST(SUM(CASE WHEN g_len AND g_lang AND NOT g_stop THEN 1 ELSE 0 END) AS BIGINT) AS of_stop,
+        CAST(SUM(CASE WHEN g_len AND g_lang AND g_stop THEN 1 ELSE 0 END) AS BIGINT) AS pa
+      FROM g
+    )
+    SELECT 'len' AS gate, f_len AS n_fail, ff_len AS n_first_fail,
+           of_len AS n_only_fail, pa AS n_pass_all FROM a
+    UNION ALL
+    SELECT 'lang', f_lang, ff_lang, of_lang, pa FROM a
+    UNION ALL
+    SELECT 'stop', f_stop, ff_stop, of_stop, pa FROM a
+"""
+
+
 #: Salt fan-out for q_salted_join (the skew-mitigation knob; the salt
 #: never affects the RESULT — that is exactly what the oracle checks).
 SALTED_JOIN_N = 8
@@ -4915,4 +4971,5 @@ STAGED_CANDIDATES = {
     "bloom_gate": (q_bloom_gate, BLOOM_GATE_ORACLE),
     "group_quantiles": (q_group_quantiles, GROUP_QUANTILES_ORACLE),
     "salted_join": (q_salted_join, SALTED_JOIN_ORACLE),
+    "gate_attribution": (q_gate_attribution, GATE_ATTRIBUTION_ORACLE),
 }

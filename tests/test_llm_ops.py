@@ -1781,3 +1781,109 @@ def test_salted_join_candidate_matches_plain_join_oracle(spark):
     assert "xxhash64" in plan
     assert "__salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gate_attribution_matches_python_reference(spark):
+    """One-pass gate attribution: n_fail / n_first_fail (stage
+    attribution — must sum to total drops) / n_only_fail / n_pass_all all
+    equal a brute-force Python evaluation; NULL gate values count as
+    FAIL; bad gate names and empty gate maps are rejected."""
+    import pytest
+
+    from chess_lakehouse_spark.report import gate_attribution
+
+    rows = [
+        # (id, a, b, c) gate booleans, with NULLs
+        (0, True, True, True),
+        (1, False, True, True),
+        (2, True, False, True),
+        (3, True, True, False),
+        (4, False, False, True),
+        (5, None, True, False),
+        (6, True, None, None),
+        (7, False, False, False),
+    ]
+    df = spark.createDataFrame(rows, "id long, a boolean, b boolean, c boolean")
+    gates = {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}
+    got = {r.gate: r for r in gate_attribution(df, gates).collect()}
+
+    def p(v):
+        return bool(v)
+
+    names = ["a", "b", "c"]
+    by_gate = {n: [] for n in names}
+    for _, a, b, c in rows:
+        vals = {"a": p(a), "b": p(b), "c": p(c)}
+        for n in names:
+            by_gate[n].append(vals)
+    for i, n in enumerate(names):
+        vals_rows = by_gate[n]
+        n_fail = sum(1 for v in vals_rows if not v[n])
+        n_first = sum(
+            1 for v in vals_rows if not v[n] and all(v[e] for e in names[:i])
+        )
+        n_only = sum(
+            1 for v in vals_rows if not v[n] and all(v[o] for o in names if o != n)
+        )
+        assert (got[n].n_fail, got[n].n_first_fail, got[n].n_only_fail) == (
+            n_fail, n_first, n_only,
+        ), n
+    n_pass_all = sum(1 for _, a, b, c in rows if p(a) and p(b) and p(c))
+    assert all(r.n_pass_all == n_pass_all for r in got.values())
+    # stage attribution partitions the drops exactly
+    assert sum(r.n_first_fail for r in got.values()) == len(rows) - n_pass_all
+
+    with pytest.raises(ValueError, match="at least one"):
+        gate_attribution(df, {})
+    with pytest.raises(ValueError, match="bad gate name"):
+        gate_attribution(df, {"x'y": F.col("a")})
+
+    # empty input: zero counts, not NULLs
+    empty = spark.createDataFrame([], "id long, a boolean")
+    z = gate_attribution(empty, {"a": F.col("a")}).collect()
+    assert [tuple(r) for r in z] == [("a", 0, 0, 0, 0)]
+
+
+def test_gate_attribution_candidate_matches_oracle_two_scales(spark):
+    """r11/r12 staging candidate q_gate_attribution: exact parity with
+    the conditional-sum SQL oracle at both local scales, driver-safe
+    types, single-aggregate plan (no join, no cartesian)."""
+    import duckdb
+
+    from chess_lakehouse_spark.suite.llm import (
+        GATE_ATTRIBUTION_ORACLE,
+        q_gate_attribution,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        sdf = q_gate_attribution(spark, sf_dir)
+        assert dict(sdf.dtypes) == {
+            "gate": "string",
+            "n_fail": "bigint",
+            "n_first_fail": "bigint",
+            "n_only_fail": "bigint",
+            "n_pass_all": "bigint",
+        }
+        srows = sorted(tuple(r) for r in sdf.collect())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        drows = sorted(
+            tuple(r) for r in con.execute(GATE_ATTRIBUTION_ORACLE).fetchall()
+        )
+        con.close()
+        assert len(srows) == 3
+        assert srows == drows
+        # the gates discriminate on this corpus: every gate drops some
+        # rows AT ITS STAGE, and some rows pass the whole stack
+        assert all(r[1] > 0 and r[2] > 0 for r in srows)
+        assert all(r[4] > 0 for r in srows)
+
+    plan = (
+        q_gate_attribution(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
