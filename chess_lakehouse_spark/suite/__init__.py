@@ -221,11 +221,11 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # ceil(113/50) = 3.
 #
 # r11 window planning — FIRST bump WINDOW_BUDGETED_FOR to 11: (1) any
-# staged candidates registered at the re-plan go first. FIFTEEN are
+# staged candidates registered at the re-plan go first. SIXTEEN are
 # ready in llm.py:STAGED_CANDIDATES — the eleven staged in r9
 # (badwords_gate, rollup_staged, corpus_overlap, funnel_steps, gapfill,
 # anomaly_flags, dedup_edit, cms_freq, substring_search, session_pairs,
-# event_transitions) plus four staged in r10:
+# event_transitions) plus five staged in r10:
 #   - q_exact_quantiles / EXACT_QUANTILES_ORACLE (register as
 #     `exact_quantiles`; distributed sort-rank global quantiles, rank in
 #     integer millionths; tests/test_exact_quantiles.py);
@@ -236,16 +236,19 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     tests/test_bloom.py);
 #   - q_salted_join / SALTED_JOIN_ORACLE (register as `salted_join`;
 #     the skew-salted equi-join vs the PLAIN-join oracle;
-#     tests/test_llm_ops.py).
+#     tests/test_llm_ops.py);
+#   - q_gate_attribution / GATE_ATTRIBUTION_ORACLE (register as
+#     `gate_attribution`; one-pass curation gate audit vs the
+#     conditional-sum oracle; tests/test_llm_ops.py).
 # Register as many as window arithmetic allows after (2) the 13 deferred
 # r8-green queries (anti_join, collect_set, cube, distinct_agg, except,
 # intersect, pivot, range_join, rollup, running_sum, sessionize,
 # shipping_priority, text_normalize — at the P - 1 bound, they MUST take
 # slots) and (3) enough stalest r9-green to keep every registered query
 # within the bound — with N' = 113 + R registrations, P stays 3 while
-# N' <= 150, so a full 15-candidate registration (N' = 128) leaves
-# 50 - 15 - 13 = 22 slots for r9-green rotation, which satisfies the
-# bound only if the remaining 28 r9-green + 37 r10-green queries stay
+# N' <= 150, so a full 16-candidate registration (N' = 129) leaves
+# 50 - 16 - 13 = 21 slots for r9-green rotation, which satisfies the
+# bound only if the remaining 29 r9-green + 37 r10-green queries stay
 # within age 2 — they do (r9-green age 2 at r12, revisited in r12's
 # window per the same rotation). Verify with tests/test_suite_order.py
 # before committing the re-plan.
