@@ -552,52 +552,9 @@ def main() -> None:
             )
 
         if only_ops is None or {
-            "video_frame_pairs", "warc_wet_parse",
+            "warc_wet_parse",
             "rollup_build", "rollup_append_fixed_delta", "rollup_serve",
         } & only_ops:
-            # video end-to-end: 4-frame Y4M clips synthesized from doc
-            # text bytes (per-frame pixel noise — near-uniform frame
-            # hashes, the no-clusters worst case): Arrow decode +
-            # per-frame pHash + the shared 16-bit-band join + the
-            # containment vote
-            from chess_lakehouse_spark.operators.video import (
-                encode_y4m,
-                video_near_pairs,
-            )
-
-            def _y4m_payloads(d):
-                import numpy as np
-                import pandas as pd
-
-                def _mk(batches):
-                    for pdf in batches:
-                        payloads = []
-                        for t in pdf["text"]:
-                            b = (t.encode() * 2)[: 4 * 256]
-                            b = b + bytes(4 * 256 - len(b))
-                            arr = np.frombuffer(b, dtype=np.uint8).reshape(
-                                4, 16, 16
-                            )
-                            payloads.append(
-                                encode_y4m(
-                                    [np.repeat(np.repeat(f, 2, 0), 2, 1) for f in arr]
-                                )
-                            )
-                        yield pd.DataFrame(
-                            {"doc_id": pdf["doc_id"], "payload": payloads}
-                        )
-
-                return d.select("doc_id", "text").mapInPandas(
-                    _mk, "doc_id long, payload binary"
-                )
-
-            probe(
-                "video_frame_pairs", factor,
-                lambda: video_near_pairs(
-                    _y4m_payloads(docs), max_hamming=3, band_bits=16
-                ).count(),
-            )
-
             # WARC/WET source: x-factor ARCHIVE FILES (the unit of
             # parallelism) at a constant ~record count per file — the
             # CommonCrawl shape, where a crawl grows by adding segments
@@ -873,6 +830,54 @@ def main() -> None:
             probe(
                 "pagerank_5it", factor,
                 lambda: pagerank(pr_edges, n_iter=5).count(),
+            )
+
+        if only_ops is None or {"video_frame_pairs"} & only_ops:
+            # video end-to-end, deliberately LAST in the factor: its x8
+            # rep thrashes executor memory for minutes (r10 finding —
+            # TaskMemoryManager page-allocation retries), and any cell
+            # measured in that wake reads 3-4x its true cost. Fencing it
+            # to the end keeps the rest of the factor's cells clean.
+            # 4-frame Y4M clips synthesized from doc text bytes
+            # (per-frame pixel noise — near-uniform frame hashes, the
+            # no-clusters worst case): Arrow decode + per-frame pHash +
+            # the shared 16-bit-band join + the containment vote
+            from chess_lakehouse_spark.operators.video import (
+                encode_y4m,
+                video_near_pairs,
+            )
+
+            def _y4m_payloads(d):
+                import numpy as np
+                import pandas as pd
+
+                def _mk(batches):
+                    for pdf in batches:
+                        payloads = []
+                        for t in pdf["text"]:
+                            b = (t.encode() * 2)[: 4 * 256]
+                            b = b + bytes(4 * 256 - len(b))
+                            arr = np.frombuffer(b, dtype=np.uint8).reshape(
+                                4, 16, 16
+                            )
+                            payloads.append(
+                                encode_y4m(
+                                    [np.repeat(np.repeat(f, 2, 0), 2, 1) for f in arr]
+                                )
+                            )
+                        yield pd.DataFrame(
+                            {"doc_id": pdf["doc_id"], "payload": payloads}
+                        )
+
+                return d.select("doc_id", "text").mapInPandas(
+                    _mk, "doc_id long, payload binary"
+                )
+
+            probe(
+                "video_frame_pairs", factor,
+                lambda: video_near_pairs(
+                    _y4m_payloads(docs), max_hamming=3, band_bits=16
+                ).count(),
             )
 
     # Boilerplate-bomb stress: one shared token interleaved between every
