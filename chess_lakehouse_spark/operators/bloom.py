@@ -71,34 +71,20 @@ def build_bloom(
     k int, n_keys long)`` with ``words[w]`` holding bits
     ``w*63 .. w*63+62`` of the filter.
 
-    Plan: keys × k positions explode → ONE map-combined ``groupBy`` on
-    the word index (≤ m/63 groups regardless of key count — hot words
-    combine map-side) → one bounded ``map_from_entries`` assembly into
-    the single bitmap row. NULL keys are excluded (a NULL is not a set
-    member). Cost is one aggregation over k·|keys| rows; the corpus is
-    never touched."""
+    Plan: the shared :func:`build_bloom_table` word aggregation (ONE
+    map-combined ``groupBy`` on the word index — ≤ m/63 groups regardless
+    of key count, hot words combine map-side) → one bounded
+    ``map_from_entries`` assembly into the single bitmap row. NULL keys
+    are excluded (a NULL is not a set member). Cost is one aggregation
+    over k·|keys| rows; the corpus is never touched."""
     _validate(m_bits, k)
     n_words = -(-m_bits // WORD_BITS)
-    keys = (
+    words = build_bloom_table(df, key_col, m_bits, k)
+    n_keys = (
         df.select(F.col(key_col).cast("string").alias("__key"))
         .where(F.col("__key").isNotNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     )
-    pos = keys.select(
-        F.explode(F.array(*_positions(F.col("__key"), m_bits, k))).alias("p")
-    )
-    words = (
-        pos.select(
-            F.expr(f"p div {WORD_BITS}").cast("int").alias("widx"),
-            (F.col("p") % WORD_BITS).cast("int").alias("bit"),
-        )
-        .groupBy("widx")
-        .agg(
-            # shiftleft with a COLUMN shift amount needs the SQL form (the
-            # pyspark wrapper only takes a literal int)
-            F.expr("bit_or(shiftleft(CAST(1 AS LONG), bit))").alias("word")
-        )
-    )
-    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     return (
         words.agg(
             F.map_from_entries(

@@ -516,12 +516,32 @@ def global_sort_rank(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
     1-based) and ``__N`` (long, total rows) — the shared skeleton under
     :func:`score_buckets` and :func:`exact_quantiles`. Two full-data
     shuffles (range + pid-hash for the window); everything else is
-    constant-size."""
+    constant-size.
+
+    The ranged frame is materialized through an EAGER ``localCheckpoint``
+    (the pagerank discipline): the offsets, the total and the rank branch
+    all read ONE fixed snapshot, so correctness never depends on
+    Catalyst's exchange-reuse rule deduplicating three instances of a
+    sampled range exchange — with reuse disabled (or a plan shape that
+    defeats canonicalization) independent evaluations could draw
+    different partitioner boundaries and desynchronize ``__off`` from
+    ``__pid``. (A persist-plus-GC-lease would not survive derivation:
+    cache substitution happens at action time, so a lease collected with
+    an intermediate frame reopens the hole; the checkpointed RDD is
+    referenced structurally by every derived plan.) Reserved working
+    names must be free."""
     from pyspark.sql.window import Window
 
-    ranged = df.repartitionByRange(
-        *[F.col(c).asc() for c in order_cols]
-    ).withColumn("__pid", F.spark_partition_id())
+    clash = {"__pid", "__rank", "__N", "__r", "__off", "__n"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_sort_rank: input carries reserved column(s) {sorted(clash)}"
+        )
+    ranged = (
+        df.repartitionByRange(*[F.col(c).asc() for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     cnts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     # offsets: rows in all earlier range partitions. |partitions| rows
     # total, so the unpartitioned window is a constant-size driver-free
@@ -560,7 +580,12 @@ def exact_quantiles(
     arithmetic — q is carried as integer millionths and
     ``rank = (q_ppm * N + 999_999) div 1_000_000`` — so both engines cut
     at identical ranks with no float boundary (ties in the value column
-    cannot change the value at a rank).
+    cannot change the value at a rank). NULL values are EXCLUDED from N
+    and from ranking (the SQL percentile convention — counting them
+    would shift every rank and return NULL at low quantiles; note
+    Spark's ascending sort would also rank them FIRST where DuckDB ranks
+    them last, a cross-engine trap this filter removes). A group that is
+    all-NULL yields no rows.
 
     Returns ``(*by, q_ppm bigint, value)`` — one row per (group ×
     quantile); empty input (or empty group) yields no rows."""
@@ -578,6 +603,7 @@ def exact_quantiles(
         raise ValueError(f"exact_quantiles: duplicate quantiles in {list(qs)}")
     spark = df.sparkSession
     qdf = spark.createDataFrame([(p,) for p in ppms], "q_ppm long")
+    df = df.where(F.col(value_col).isNotNull())
     if by:
         from pyspark.sql.window import Window
 
@@ -639,7 +665,10 @@ def score_buckets(
         raise ValueError(f"score_buckets: n_buckets must be >= 1, got {n_buckets}")
     if exact:
         nb = int(n_buckets)
-        keep = df.columns
+        # a pre-existing 'bucket' column is REPLACED (the old native-ntile
+        # form's withColumn semantics); it re-lands as the LAST column
+        keep = [c for c in df.columns if c != "bucket"]
+        df = df.drop("bucket") if "bucket" in df.columns else df
         return (
             global_sort_rank(df, [score_col, id_col])
             .withColumn("__q", F.expr(f"__N div {nb}"))

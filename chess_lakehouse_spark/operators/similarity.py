@@ -782,6 +782,26 @@ def _check_ivf_batch_id(batch_id: str) -> None:
         raise ValueError(f"ivf index: bad batch_id {batch_id!r}")
 
 
+def _assign_lists(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Map-side centroid argmax shared by publish and append — ONE
+    implementation so build and append can never place the same vector
+    in different lists."""
+    cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
+    cent_arr = _centroid_literal_array(cent_rows)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
+    ).withColumn(
+        "list_id", _ranked_lists(cent_arr, F.col(vec_col), F.col("n2"))[0]["cid"]
+    )
+
+
 def publish_ivf_index(
     corpus: DataFrame,
     out_dir: str,
@@ -804,23 +824,32 @@ def publish_ivf_index(
     the inner ``list_id`` column is unaffected. The centroids persist as
     a ``_centroids`` sidecar (underscore-prefixed: input listings skip
     it) so append and search can never assign with different centroids
-    than the build."""
-    from chess_lakehouse_spark.operators.publish import write_partitioned
+    than the build.
+
+    A RE-publish over an existing ``out_dir`` REPLACES the whole index
+    atomically (staged aside + rename swap) — including every appended
+    batch partition: those were assigned under the OLD centroids, and
+    leaving them in place under new centroids would silently mis-list
+    their vectors (probes rank lists with the new centroids and miss
+    them). Re-fold deltas after a rebuild."""
+    from chess_lakehouse_spark.operators.publish import (
+        _swap_lake_dirs,
+        write_partitioned,
+    )
 
     _check_ivf_batch_id(batch_id)
     spark = corpus.sparkSession
-    cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
-    cent_arr = _centroid_literal_array(cent_rows)
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
-    ).withColumn("list_id", _ranked_lists(cent_arr, F.col(vec_col), F.col("n2"))[0]["cid"])
-    write_partitioned(assigned, f"{out_dir}/batch_id={batch_id}", ("list_id",))
+    tmp = out_dir.rstrip("/") + ".compacting"
+    write_partitioned(
+        _assign_lists(corpus, id_col, vec_col, centroids),
+        f"{tmp}/batch_id={batch_id}",
+        ("list_id",),
+    )
     spark.createDataFrame(
         [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
         "cid int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/_centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_centroids")
+    _swap_lake_dirs(spark, tmp, out_dir.rstrip("/"), "publish_ivf_index")
 
 
 def read_ivf_centroids(spark, index_dir: str) -> list[tuple[int, list[float]]]:
@@ -853,14 +882,11 @@ def append_ivf_index(
         raise ValueError("append_ivf_index: batch_id 'base' is the build's own")
     spark = delta.sparkSession
     centroids = read_ivf_centroids(spark, index_dir)
-    cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
-    cent_arr = _centroid_literal_array(cent_rows)
-    assigned = delta.select(
-        F.col(id_col),
-        F.col(vec_col),
-        dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
-    ).withColumn("list_id", _ranked_lists(cent_arr, F.col(vec_col), F.col("n2"))[0]["cid"])
-    write_partitioned(assigned, f"{index_dir}/batch_id={batch_id}", ("list_id",))
+    write_partitioned(
+        _assign_lists(delta, id_col, vec_col, centroids),
+        f"{index_dir}/batch_id={batch_id}",
+        ("list_id",),
+    )
 
 
 def search_ivf_index(

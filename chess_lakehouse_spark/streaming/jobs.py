@@ -727,6 +727,10 @@ def bloom_dedup_batch(
             # batch-partitioned and the in-flight id is excluded here).
             staged = read_bloom_merged(spark, bloom_dir, exclude_batch=batch_id)
         if staged is not None:
+            # persist the merged bitmap: the dims fetch, the gate's own
+            # meta fetch and the broadcast would otherwise each re-run
+            # the multi-batch OR over the staged state
+            staged = staged.persist()
             row = staged.select("m_bits", "k").first()
             m_bits, k = int(row["m_bits"]), int(row["k"])  # state owns dims
             winners = (
@@ -748,6 +752,8 @@ def bloom_dedup_batch(
             write_bloom_batch(delta_bloom, bloom_dir, batch_id)
         finally:
             winners.unpersist()
+            if staged is not None:
+                staged.unpersist()
     finally:
         batch_df.unpersist()
 

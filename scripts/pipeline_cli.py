@@ -210,6 +210,39 @@ def cmd_clean_corpus(args: argparse.Namespace) -> None:
             F.lit("commoncrawl").alias("source"),
             *([F.col("url").alias(args.urlCol)] if args.urlCol else []),
         )
+    elif getattr(args, "inFormat", "jsonl") == "parquet":
+        # parquet-feeder ingest (e.g. the bloom-gated read-wet output):
+        # the cleaning chain's documents shape synthesized from whatever
+        # columns the feeder carries — missing lang/source fill with the
+        # crawl defaults, a missing doc_id derives from the url (or text)
+        # via the portable md5 chain
+        raw = spark.read.parquet(args.inDir)
+        cols = set(raw.columns)
+        if "text" not in cols:
+            raise SystemExit(
+                "clean-corpus --inFormat parquet: input carries no text column"
+            )
+        if args.urlCol and args.urlCol not in cols:
+            raise SystemExit(
+                f"clean-corpus --inFormat parquet: --urlCol {args.urlCol} "
+                "not in the input"
+            )
+        n_bad = 0
+        id_src = F.col(args.urlCol) if args.urlCol else F.col("text")
+        doc_id = (
+            F.col("doc_id").cast("long")
+            if "doc_id" in cols
+            else F.conv(F.substring(F.md5(id_src), 1, 15), 16, 10).cast("long")
+        )
+        docs = raw.select(
+            doc_id.alias("doc_id"),
+            "text",
+            (F.col("lang") if "lang" in cols else F.lit("und")).alias("lang"),
+            (
+                F.col("source") if "source" in cols else F.lit("commoncrawl")
+            ).alias("source"),
+            *([F.col(args.urlCol)] if args.urlCol else []),
+        )
     else:
         docs, quarantined = split_corrupt(
             read_jsonl(spark, args.inDir, schema=schema)
@@ -664,7 +697,11 @@ def cmd_bloom(args: argparse.Namespace) -> None:
             m_bits=args.mBits,
             k=args.k,
         )
-        bloom.coalesce(1).write.mode("overwrite").parquet(args.bloomDir)
+        # rename-aside swap like bloom-append: a REBUILD over a live
+        # bloomDir must never expose readers to a deleted/partial table
+        tmp = args.bloomDir.rstrip("/") + ".staging"
+        bloom.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_lake_dirs(spark, tmp, args.bloomDir.rstrip("/"), "bloom-build")
         row = spark.read.parquet(args.bloomDir).first()
         print(
             f"[bloom-build] m_bits={row['m_bits']} k={row['k']} "
@@ -993,7 +1030,7 @@ def main(argv: list[str] | None = None) -> None:
 
     cc = sub.add_parser("clean-corpus")
     cc.add_argument("--inDir", required=True, help="JSONL corpus path/glob")
-    cc.add_argument("--inFormat", choices=("jsonl", "wet"), default="jsonl",
+    cc.add_argument("--inFormat", choices=("jsonl", "wet", "parquet"), default="jsonl",
                     help="jsonl (default) or wet: CommonCrawl-layout WET "
                          "archives ingested directly (sources/warc.py)")
     cc.add_argument("--outDir", required=True)

@@ -761,21 +761,25 @@ def main() -> None:
                 "bloom_build", factor,
                 lambda: build_bloom(keys_x, "bk", m_bits=1 << 20, k=7).first(),
             )
-            # bloom gate SERVE: FIXED bitmap (built from the base table)
-            # against the x-factor corpus — pure map-side column exprs,
-            # should ride the scan linearly like gopher_rules
+            # bloom gate SERVE: FIXED bitmap (built from the base table,
+            # MATERIALIZED once — an unpersisted lazy bitmap would rebuild
+            # inside every timed rep and misstate serve cost) against the
+            # x-factor corpus — pure map-side column exprs, should ride
+            # the scan linearly like gopher_rules
             bloom_fixed = build_bloom(
                 spark.read.parquet(f"{sf_dir}/documents.parquet").select(
                     F.md5("text").alias("bk")
                 ),
                 "bk", m_bits=1 << 20, k=7,
-            )
+            ).persist()
+            bloom_fixed.count()
             probe(
                 "bloom_gate_serve", factor,
                 lambda: bloom_might_contain(keys_x, "bk", bloom_fixed)
                 .agg(F.sum(F.col("might_contain").cast("long")))
                 .collect(),
             )
+            bloom_fixed.unpersist()
             # distributed sort-rank forms (r10: the exact ntile / exact
             # quantile plans with NO single-partition sort): two full-data
             # shuffles — linear growth is the contract

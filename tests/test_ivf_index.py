@@ -132,3 +132,52 @@ def test_ivf_index_append_lifecycle(spark, tmp_path):
         append_ivf_index(new, idx, "vec_id", "embedding", batch_id="base")
     with pytest.raises(ValueError, match="bad batch_id"):
         append_ivf_index(new, idx, "vec_id", "embedding", batch_id="a/b")
+
+
+def test_ivf_publish_rebuild_replaces_stale_append_batches(spark, tmp_path):
+    """A RE-publish over an existing index must atomically replace the
+    WHOLE index — stale append batches were assigned under the OLD
+    centroids and would silently mis-list their vectors under the new
+    ones. After rebuild: only batch_id=base remains, the sidecar carries
+    the new centroids, and searches equal a fresh publish."""
+    import glob
+
+    import pytest
+
+    from chess_lakehouse_spark.operators.similarity import (
+        append_ivf_index,
+        read_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+
+    idx = str(tmp_path / "ivf_rebuild")
+    c1 = kmeans_fit(old, "vec_id", "embedding", k=4, iters=1, seed=0)
+    publish_ivf_index(old, idx, "vec_id", "embedding", c1)
+    append_ivf_index(new, idx, "vec_id", "embedding", batch_id="d1")
+
+    # rebuild with DIFFERENT centroids over the full corpus
+    c2 = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2, seed=1)
+    publish_ivf_index(emb, idx, "vec_id", "embedding", c2)
+    parts = sorted(glob.glob(f"{idx}/batch_id=*"))
+    assert [p.rsplit("=", 1)[1] for p in parts] == ["base"]
+    assert read_ivf_centroids(spark, idx) == sorted(
+        (cid, list(cv)) for cid, cv in c2
+    )
+    import os
+
+    assert not os.path.exists(idx + ".compacting")
+    assert not os.path.exists(idx + ".old")
+
+    ref = str(tmp_path / "ivf_rebuild_ref")
+    publish_ivf_index(emb, ref, "vec_id", "embedding", c2)
+    probes = emb.where(F.col("vec_id") < 3)
+    got = search_ivf_index(
+        spark, idx, probes, "vec_id", "embedding", c2, nprobe=2, k=5
+    )
+    want = search_ivf_index(
+        spark, ref, probes, "vec_id", "embedding", c2, nprobe=2, k=5
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}

@@ -1887,3 +1887,48 @@ def test_gate_attribution_candidate_matches_oracle_two_scales(spark):
         .toString()
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_global_sort_rank_guards_and_null_quantiles(spark):
+    """Review fixes pinned: exact_quantiles EXCLUDES NULL values from N
+    and ranking (the SQL percentile convention); score_buckets(exact)
+    REPLACES a pre-existing bucket column instead of duplicating it; and
+    reserved working names are rejected loudly."""
+    import pytest
+
+    from chess_lakehouse_spark.operators.relational import (
+        exact_quantiles,
+        global_sort_rank,
+        score_buckets,
+    )
+
+    vals = [1.0, None, 2.0, None, 3.0, 4.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r.q_ppm: r.value for r in exact_quantiles(df, "v", [0.25, 1.0]).collect()
+    }
+    # N = 4 non-null values: ceil(0.25*4) = 1 -> 1.0; q=1.0 -> 4.0
+    assert got == {250_000: 1.0, 1_000_000: 4.0}
+    # all-NULL input: no rows
+    alln = spark.createDataFrame([(None,), (None,)], "v double")
+    assert exact_quantiles(alln, "v", [0.5]).count() == 0
+    # by-group: an all-NULL group vanishes, others unaffected
+    g = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", None)], "g string, v double"
+    )
+    per = {
+        (r.g, r.q_ppm): r.value
+        for r in exact_quantiles(g, "v", [0.5], by=["g"]).collect()
+    }
+    assert per == {("a", 500_000): 1.0}
+
+    rebucket = spark.createDataFrame(
+        [(i, float(i), 1) for i in range(8)], "id long, score double, bucket int"
+    )
+    out = score_buckets(rebucket, "id", "score", 4)
+    assert out.columns.count("bucket") == 1
+    assert {r.bucket for r in out.collect()} == {1, 2, 3, 4}
+
+    bad = spark.createDataFrame([(1, 1.0)], "__rank long, v double")
+    with pytest.raises(ValueError, match="reserved column"):
+        global_sort_rank(bad, ["v"])

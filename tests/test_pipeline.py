@@ -1166,6 +1166,26 @@ def test_pipeline_cli_crawl_side_chain_matches_example_dag(spark, tmp_path, caps
     ])
     kept = {r.url for r in spark.read.parquet(unblocked).collect()}
     assert kept == {f"https://ok{i}.example/p" for i in range(5)}
+    import os
+
+    assert not os.path.exists(unblocked + ".staging")
+    assert not os.path.exists(bloom + ".staging") and not os.path.exists(
+        bloom + ".old"
+    )
+
+    # the gated feeder flows into the SAME cleaning chain (--inFormat
+    # parquet, the clean_corpus_crawl stage verbatim): published docs
+    # carry only unblocked urls
+    crawl_clean = tmp_path / "corpus-clean-crawl"
+    pipeline_cli.main([
+        "clean-corpus", "--inDir", unblocked, "--outDir", str(crawl_clean),
+        "--inFormat", "parquet", "--urlCol", "url", "--hostCap", "100000",
+        "--gate", "gopher", "--gopherMinWords", "5", "--gopherMinStops", "2",
+        "--threshold", "0.5", "--evalFrac", "0.2",
+    ])
+    published = spark.read.json(str(crawl_clean / "corpus")).collect()
+    assert 0 < len(published) <= 5
+    assert all(r.source == "commoncrawl" for r in published)
 
     # clean-corpus -> staged_corpus -> rollup-build with the stage's
     # exact keys/derive/measures

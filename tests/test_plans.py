@@ -312,13 +312,16 @@ def test_vocab_topk_partial_agg_take_ordered(spark):
 
 
 def test_quality_buckets_distributed_rank(spark):
-    """Exact ntile is computed by the distributed sort-rank plan: a range
-    repartition + per-partition row_number with broadcast offsets — never
-    Spark's native single-partition ntile window, and never a shuffled
-    join (offsets and the 1-row total ship as broadcasts)."""
+    """Exact ntile is computed by the distributed sort-rank plan: the
+    range-repartitioned snapshot materializes through an eager
+    localCheckpoint (so the derived plan reads an ExistingRDD — the range
+    exchange ran inside the checkpoint job), then per-partition
+    row_number with broadcast offsets — never Spark's native
+    single-partition ntile window, and never a shuffled join (offsets and
+    the 1-row total ship as broadcasts)."""
     plan = explain(spark, llm.q_quality_buckets(spark, SF_DIR))
     assert "ntile" not in plan  # the single-partition global-sort form
-    assert "rangepartitioning" in plan.lower()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the checkpoint
     assert "row_number" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
