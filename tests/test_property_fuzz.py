@@ -271,3 +271,105 @@ def test_edit_distance_pairs_complete_on_unicode(spark, texts, d):
         )
     )
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    keys=st.lists(st.text(min_size=0, max_size=24), min_size=0, max_size=40),
+    probes=st.lists(st.text(min_size=0, max_size=24), min_size=1, max_size=25),
+    n_words=st.integers(min_value=1, max_value=12),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_bloom_gate_property(spark, keys, probes, n_words, k):
+    """Property fuzz for the portable Bloom bit math: arbitrary unicode
+    keys/probes and filter dimensions — every verdict equals the
+    pure-Python md5 reference, and no member is ever rejected."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.bloom import (
+        WORD_BITS,
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    m_bits = WORD_BITS * n_words
+
+    def pos(key):
+        return {
+            int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % m_bits
+            for i in range(k)
+        }
+
+    bits = set()
+    for key in keys:
+        bits |= pos(key)
+
+    mdf = spark.createDataFrame(
+        [(x,) for x in keys], "key string"
+    ) if keys else spark.createDataFrame([], "key string")
+    bloom = build_bloom(mdf, "key", m_bits=m_bits, k=k)
+    pdf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(probes)], "rid long, key string"
+    )
+    got = {
+        r.rid: r.might_contain
+        for r in bloom_might_contain(pdf, "key", bloom).collect()
+    }
+    for i, p in enumerate(probes):
+        want = pos(p) <= bits
+        assert got[i] == want, (p, keys)
+        if p in keys:
+            assert got[i] is True
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=32,
+                min_value=-1e6, max_value=1e6,
+            ),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    qs=st.lists(
+        st.integers(min_value=1, max_value=1_000_000), min_size=1,
+        max_size=4, unique=True,
+    ),
+)
+def test_exact_quantiles_property(spark, vals, qs):
+    """Property fuzz for distributed exact quantiles: arbitrary floats
+    with NULLs mixed in, arbitrary q-millionths — the value at rank
+    ceil(q*N) over the NON-NULL sorted values, every time, on any
+    partitioning."""
+    from chess_lakehouse_spark.operators.relational import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(5)
+    got = {
+        r.q_ppm: r.value
+        for r in exact_quantiles(
+            df, "v", [p / 1_000_000 for p in qs]
+        ).collect()
+    }
+    s = sorted(v for v in vals if v is not None)
+    if not s:
+        assert got == {}
+        return
+    want = {}
+    for p in qs:
+        rank = max(1, (p * len(s) + 999_999) // 1_000_000)
+        want[p] = s[rank - 1]
+    assert got == want
