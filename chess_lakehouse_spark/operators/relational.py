@@ -131,7 +131,11 @@ def asof_join(
         raise ValueError(f"asof_join: payload columns already exist on left: {sorted(clash)}")
     need = {*key_cols, right_ts, *payload_cols, *tiebreak_cols}
     r = (
-        right.select(*[c for c in right.columns if c in need])
+        # a NULL right_ts satisfies `right_ts <= left_ts` for NO left row —
+        # unfiltered it would sort NULLS FIRST and become the visible
+        # payload for every left row of its key
+        right.where(F.col(right_ts).isNotNull())
+        .select(*[c for c in right.columns if c in need])
         .withColumnRenamed(right_ts, "__ts")
         .withColumn("__side", F.lit(0))
     )
@@ -213,12 +217,23 @@ def snapshot_delta(
     One full-outer equi-join on the id with md5 content digests computed
     map-side on each branch; unchanged rows are filtered out inside the
     join's codegen stage, so the result is |delta|-sized, not corpus-sized.
-    Returns (id, change).
+    NULL content digests as a sentinel distinct from every real hash
+    (``md5(NULL)`` is NULL, which would be indistinguishable from the row
+    being ABSENT — a NULL-content row would misreport as added/removed,
+    and NULL-vs-value changes would vanish through NULL-propagating
+    ``!=``). Returns (id, change).
     """
     from pyspark.sql import functions as F
 
-    o = old.select(F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("oh"))
-    n = new.select(F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("nh"))
+    def digest(c):
+        # 'v:'-prefixed hash for values, a bare '0' for NULL content —
+        # never equal to a real digest, never NULL for a present row
+        return F.when(
+            F.col(c).isNull(), F.lit("0")
+        ).otherwise(F.concat(F.lit("v:"), F.md5(F.col(c))))
+
+    o = old.select(F.col(id_col).alias("id"), digest(content_col).alias("oh"))
+    n = new.select(F.col(id_col).alias("id"), digest(content_col).alias("nh"))
     return (
         o.join(n, "id", "full_outer")
         .select(
@@ -284,7 +299,16 @@ def zscore_outliers(
             F.col(id_col),
             F.col(group_col),
             F.col(value_col),
-            F.round((F.col(value_col) - F.col("mean")) / F.col("std"), 6).alias("z"),
+            # a constant group (std = 0) has no outliers BY DEFINITION —
+            # the unguarded quotient is a DIVIDE_BY_ZERO job abort under
+            # Spark 4's default ANSI mode (and a NaN>=threshold
+            # every-row-flagged disaster without it)
+            F.when(
+                F.col("std") != 0,
+                F.round(
+                    (F.col(value_col) - F.col("mean")) / F.col("std"), 6
+                ),
+            ).alias("z"),
         )
         .where(F.abs(F.col("z")) >= z_threshold)
     )
@@ -312,6 +336,8 @@ def dq_violations(
 
     from pyspark.sql import functions as F
 
+    if not rules:
+        raise ValueError("dq_violations: at least one rule required")
     for name in rules:
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise ValueError(
@@ -372,8 +398,13 @@ def winsorize(
         F.col(value_col).alias("value"),
     )
     if exact:
+        # NULL values are EXCLUDED from ranking and from n (the SQL
+        # percentile convention approx_percentile already follows — Spark
+        # would otherwise rank NULLs FIRST and shift both thresholds onto
+        # wrong rows); NULL-value rows pass through with clipped = NULL
+        nn = base.where(F.col("value").isNotNull())
         w = Window.partitionBy("grp").orderBy(F.col("value").asc(), F.col("id").asc())
-        ranked = base.select(
+        ranked = nn.select(
             "grp",
             "value",
             F.row_number().over(w).alias("rn"),
@@ -392,12 +423,19 @@ def winsorize(
             F.expr(f"approx_percentile(value, {upper_pct}, 10000)").alias("hi"),
         )
     return (
-        base.join(F.broadcast(bounds), "grp")
+        # left join: an all-NULL group has no bounds row but its rows
+        # still pass through (value NULL -> clipped NULL)
+        base.join(F.broadcast(bounds), "grp", "left")
         .select(
             F.col("id").alias(id_col),
             F.col("grp").alias(group_col),
             "value",
-            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("clipped"),
+            # guarded: Spark's greatest/least IGNORE NULL operands, so the
+            # bare clip would turn a NULL value into the lower bound
+            F.when(
+                F.col("value").isNotNull(),
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")),
+            ).alias("clipped"),
         )
     )
 
@@ -453,14 +491,21 @@ def rolling_time_mean(
         )
         .over(w)
         .alias("_s"),
-        F.count(F.lit(1)).over(w).alias("_n"),
+        # count the VALUE column, not lit(1): the frame sum skips NULL
+        # values, so counting NULL-value rows would understate the mean —
+        # this is SQL AVG's null convention
+        F.count(F.col(value_col)).over(w).alias("_n"),
     )
     return staged.select(
         id_col,
         key_col,
         "ts_us",
         "value",
-        mean_scaled("_s", "_n", precision).alias("mean"),
+        # all-NULL frame: n = 0 -> mean NULL (guarded — integer DIV by a
+        # zero count is an ANSI-mode job abort, not a NULL)
+        F.when(
+            F.col("_n") > 0, mean_scaled("_s", "_n", precision)
+        ).alias("mean"),
     )
 
 
@@ -488,10 +533,15 @@ def activity_streaks(
     """
     from pyspark.sql.window import Window
 
-    days = df.select(
-        F.col(key_col).alias("key"),
-        F.expr(f"unix_micros({ts_col}) div {_US_PER_DAY}").alias("day"),
-    ).distinct()
+    days = (
+        df.where(F.col(ts_col).isNotNull())  # a NULL ts is not activity on
+        # any day — it would otherwise emit a bogus (key, NULL, 1) streak
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros({ts_col}) div {_US_PER_DAY}").alias("day"),
+        )
+        .distinct()
+    )
     w = Window.partitionBy("key").orderBy(F.col("day").asc())
     islands = days.withColumn("island", F.col("day") - F.row_number().over(w))
     return (
@@ -669,8 +719,15 @@ def score_buckets(
         # form's withColumn semantics); it re-lands as the LAST column
         keep = [c for c in df.columns if c != "bucket"]
         df = df.drop("bucket") if "bucket" in df.columns else df
-        return (
-            global_sort_rank(df, [score_col, id_col])
+        # NULL scores cannot be ranked: they bucket as NULL and are
+        # EXCLUDED from N (Spark would otherwise rank them FIRST into
+        # bucket 1 and shift every boundary — and DuckDB, sorting NULLS
+        # LAST, would put the same rows in bucket n)
+        nulls = df.where(F.col(score_col).isNull()).select(
+            *keep, F.lit(None).cast("int").alias("bucket")
+        )
+        return nulls.unionByName(
+            global_sort_rank(df.where(F.col(score_col).isNotNull()), [score_col, id_col])
             .withColumn("__q", F.expr(f"__N div {nb}"))
             .withColumn("__r0", (F.col("__N") % nb).cast("long"))
             .withColumn(
@@ -698,9 +755,12 @@ def score_buckets(
         df.crossJoin(F.broadcast(cuts))
         .withColumn(
             "bucket",
-            (
+            # NULL score -> NULL bucket (matching the exact path; the bare
+            # filter-count would silently assign NULL scores to bucket 1)
+            F.when(
+                F.col(score_col).isNotNull(),
                 F.lit(1)
-                + F.size(F.filter(F.col("cuts"), lambda c: c < F.col(score_col)))
+                + F.size(F.filter(F.col("cuts"), lambda c: c < F.col(score_col))),
             ).cast("int"),
         )
         .drop("cuts")

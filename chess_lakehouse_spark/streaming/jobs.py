@@ -265,8 +265,11 @@ def stream_corpus_to_jsonl_shards(
     hashed_threshold_margin: float = 0.0,
 ) -> None:
     """Land the cleaned stream as size-budgeted JSONL training shards via
-    foreachBatch (same sink contract as `sources.jsonl.write_jsonl_shards`,
-    append-per-micro-batch). availableNow drains what exists and stops —
+    foreachBatch (same sink contract as `sources.jsonl.write_jsonl_shards`),
+    each micro-batch OVERWRITING its own ``batch_id=N`` shard directory —
+    the module's replay contract: a crash-replayed batch rewrites its
+    partition byte-identically instead of appending duplicate training
+    docs into a flat dir. availableNow drains what exists and stops —
     the test/backfill trigger; production swaps in a live trigger on the
     identical plan.
 
@@ -321,10 +324,14 @@ def stream_corpus_to_jsonl_shards(
                 .drop("text")
                 .withColumnRenamed("__pd_text", "text")
             )
+        # per-batch OVERWRITE partition, never a flat-dir append: a
+        # crash-replayed micro-batch must rewrite its own shard directory
+        # byte-identically instead of appending duplicate training docs
+        # (the replay contract every other loop in this module holds)
         (
             out_df.write.option("maxRecordsPerFile", max_records_per_file)
-            .mode("append")
-            .json(out_dir)
+            .mode("overwrite")
+            .json(f"{out_dir}/batch_id={batch_id}")
         )
 
     q = (
@@ -1448,7 +1455,8 @@ def substring_index_batch(
 ) -> None:
     """One micro-batch of the streaming substring-index loop: the batch's
     postings land gram-clustered in ``postings/batch_id=b<N>`` and meta/
-    is (re)written from the loop constants — NO staged reads at all, so
+    is written ONCE when absent (swap-published; it is constant for the
+    index's lifetime) — NO staged data reads at all, so
     replay idempotency is STRUCTURAL (the rollup-fold class: a replayed
     batch rewrites its own partition and the identical meta byte-for-byte;
     contrast the dedup loops, which must exclude their in-flight
@@ -1510,9 +1518,18 @@ def substring_index_batch(
         ["g"],
         n_files=n_posting_files,
     )
-    spark.createDataFrame(
-        [(q, None, bool(fold_case))], "q int, n_docs long, fold_case boolean"
-    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    # meta is CONSTANT for the index's lifetime (the drift guard above
+    # enforces it), so it only needs writing when absent — and through
+    # the rename-aside swap, never an in-place overwrite a concurrent
+    # substring_search_from_index reader could catch half-deleted
+    if not _path_exists(spark, f"{index_dir}/meta"):
+        from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+        tmp_m = f"{index_dir}/meta.compacting"
+        spark.createDataFrame(
+            [(q, None, bool(fold_case))], "q int, n_docs long, fold_case boolean"
+        ).write.mode("overwrite").parquet(tmp_m)
+        _swap_lake_dirs(spark, tmp_m, f"{index_dir}/meta", "substring_index_batch")
 
 
 def stream_substring_index(

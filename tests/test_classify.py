@@ -185,7 +185,7 @@ def test_streaming_model_gate_matches_batch(spark, tmp_path, labeled, model):
     )
     stream_corpus_to_jsonl_shards(clean, out, str(tmp_path / "ckpt"))
     got = set()
-    for path in glob.glob(f"{out}/*.json"):
+    for path in glob.glob(f"{out}/batch_id=*/*.json"):
         with open(path) as fh:
             got |= {_json.loads(line)["doc_id"] for line in fh}
 

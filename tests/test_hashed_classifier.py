@@ -350,7 +350,7 @@ def test_streaming_hashed_gate_matches_batch(spark, tmp_path):
         clean, out, str(tmp_path / "ckpt"), hashed_model_dir=model_dir
     )
     got = set()
-    for path in glob.glob(f"{out}/*.json"):
+    for path in glob.glob(f"{out}/batch_id=*/*.json"):
         with open(path) as fh:
             got |= {_json.loads(line)["doc_id"] for line in fh}
     want = {

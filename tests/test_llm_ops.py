@@ -1932,3 +1932,82 @@ def test_global_sort_rank_guards_and_null_quantiles(spark):
     bad = spark.createDataFrame([(1, 1.0)], "__rank long, v double")
     with pytest.raises(ValueError, match="reserved column"):
         global_sort_rank(bad, ["v"])
+
+
+def test_null_and_degenerate_input_fixes_across_relational_ops(spark):
+    """r10 review batch 2, pinned: constant groups don't abort (or flag
+    everything) in zscore_outliers; winsorize excludes NULLs from ranks
+    and passes NULL rows through; asof_join never lets a NULL right_ts
+    win; snapshot_delta distinguishes NULL content from absence;
+    rolling_time_mean follows SQL AVG's null convention; activity_streaks
+    drops NULL timestamps; dq_violations rejects an empty rule map."""
+    import datetime as dt
+
+    import pytest
+
+    from chess_lakehouse_spark.operators.relational import (
+        activity_streaks,
+        asof_join,
+        dq_violations,
+        rolling_time_mean,
+        snapshot_delta,
+        winsorize,
+        zscore_outliers,
+    )
+
+    # zscore: constant group must not ANSI-abort and must flag nothing;
+    # the varying group still works
+    z_in = spark.createDataFrame(
+        [(1, "c", 5.0), (2, "c", 5.0), (3, "c", 5.0),
+         (4, "v", 0.0), (5, "v", 0.0), (6, "v", 0.0), (7, "v", 100.0)],
+        "id long, g string, v double",
+    )
+    hits = zscore_outliers(z_in, "id", "g", "v", z_threshold=1.5).collect()
+    assert [r.id for r in hits] == [7]
+
+    # winsorize: NULLs out of ranks, NULL rows pass through unclipped
+    w_in = spark.createDataFrame(
+        [(1, "g", None), (2, "g", None), (3, "g", None),
+         (4, "g", 10.0), (5, "g", 20.0)],
+        "id long, g string, v double",
+    )
+    w = {r.id: r.clipped for r in winsorize(w_in, "id", "g", "v", 0.2, 0.8).collect()}
+    assert w[4] == 10.0 and w[5] == 20.0  # 20.0 must NOT clip down
+    assert w[1] is None and w[2] is None and w[3] is None
+
+    # asof: NULL right_ts qualifies for no left row
+    t0 = dt.datetime(2020, 1, 1)
+    left = spark.createDataFrame([("k", t0)], "k string, lts timestamp")
+    right = spark.createDataFrame(
+        [("k", None, 99.0)], "k string, rts timestamp, pay double"
+    )
+    got = asof_join(left, right, ["k"], "lts", "rts", ["pay"]).first()
+    assert got["asof_pay"] is None
+
+    # snapshot_delta: NULL content is present, not absent
+    old = spark.createDataFrame([(1, None), (2, None), (3, "x")], "id long, c string")
+    new = spark.createDataFrame([(1, "now"), (2, None), (4, "y")], "id long, c string")
+    d = {r.id: r.change for r in snapshot_delta(old, new, "id", "c").collect()}
+    assert d == {1: "changed", 3: "removed", 4: "added"}  # 2 unchanged
+
+    # rolling mean: NULL values excluded from the denominator (SQL AVG)
+    rows = [
+        (1, "k", dt.datetime(2020, 1, 1, 0, 0, 0), 10.0),
+        (2, "k", dt.datetime(2020, 1, 1, 0, 0, 30), None),
+    ]
+    r_in = spark.createDataFrame(rows, "id long, k string, ts timestamp, v double")
+    means = {
+        r.id: r.mean
+        for r in rolling_time_mean(r_in, "id", "k", "ts", "v", window_s=60).collect()
+    }
+    assert means[1] == 10.0 and means[2] == 10.0  # not 5.0
+
+    # streaks: a NULL ts emits no bogus island
+    s_in = spark.createDataFrame(
+        [("u", dt.datetime(2020, 1, 1)), ("u", None)], "u string, ts timestamp"
+    )
+    streaks = activity_streaks(s_in, "u", "ts").collect()
+    assert len(streaks) == 1 and streaks[0].start_day is not None
+
+    with pytest.raises(ValueError, match="at least one rule"):
+        dq_violations(z_in, {})

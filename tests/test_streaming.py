@@ -281,7 +281,7 @@ def test_corpus_ingest_clean_matches_batch_and_shards(spark, tmp_path):
     stream_corpus_to_jsonl_shards(clean, out, str(tmp_path / "ckpt"), max_records_per_file=50)
 
     got = set()
-    for path in glob.glob(f"{out}/*.json"):
+    for path in glob.glob(f"{out}/batch_id=*/*.json"):
         with open(path) as fh:
             for line in fh:
                 got.add(json.loads(line)["content_md5"])
@@ -443,7 +443,7 @@ def test_corpus_ingest_clean_gopher_gate_matches_batch(spark, tmp_path):
     stream_corpus_to_jsonl_shards(clean, out, str(tmp_path / "ckpt"), max_records_per_file=50)
 
     got = set()
-    for path in glob.glob(f"{out}/*.json"):
+    for path in glob.glob(f"{out}/batch_id=*/*.json"):
         with open(path) as fh:
             for line in fh:
                 got.add(json.loads(line)["content_md5"])
@@ -492,7 +492,7 @@ def test_stream_paragraph_dedup_matches_batch(spark, tmp_path):
         clean, out, str(tmp_path / "ckpt"), paragraph_dedup_sep="\n"
     )
     got = {}
-    for path in glob.glob(f"{out}/*.json"):
+    for path in glob.glob(f"{out}/batch_id=*/*.json"):
         with open(path) as fh:
             for line in fh:
                 rec = json.loads(line)
@@ -626,7 +626,7 @@ def test_corpus_ingest_clean_strip_markup_matches_batch(spark, tmp_path):
     stream_corpus_to_jsonl_shards(clean, out, str(tmp_path / "ckpt"))
 
     got = set()
-    for path in glob.glob(f"{out}/*.json"):
+    for path in glob.glob(f"{out}/batch_id=*/*.json"):
         with open(path) as fh:
             for line in fh:
                 got.add((json.loads(line)["doc_id"], json.loads(line)["text"]))
