@@ -64,6 +64,24 @@ def _validate(m_bits: int, k: int) -> None:
         raise ValueError(f"build_bloom: k must be in [1, 16], got {k}")
 
 
+#: Hard ceiling for the word-TABLE layout: the word index is an INT32
+#: (``widx`` casts to int), so ``m_bits div 63`` must fit in 2^31 words
+#: — 63 * 2^31 bits ≈ 1.35e11 (a ~16.9 GB sparse bitmap, ~9.4e10 keys
+#: at 1% FP). Past the cap the ``cast('int')`` overflows: a job abort
+#: under ANSI, silent bit collisions without it — so it is validated
+#: loudly at both table-layout entry points.
+TABLE_MAX_BITS = WORD_BITS * (1 << 31)
+
+
+def _validate_table(m_bits: int, k: int, op: str) -> None:
+    if not 1 <= k <= 16:
+        raise ValueError(f"{op}: k must be in [1, 16], got {k}")
+    if not WORD_BITS <= m_bits <= TABLE_MAX_BITS:
+        raise ValueError(
+            f"{op}: m_bits must be in [{WORD_BITS}, 63*2^31], got {m_bits}"
+        )
+
+
 def build_bloom(
     df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 7
 ) -> DataFrame:
@@ -76,7 +94,15 @@ def build_bloom(
     of key count, hot words combine map-side) → one bounded
     ``map_from_entries`` assembly into the single bitmap row. NULL keys
     are excluded (a NULL is not a set member). Cost is one aggregation
-    over k·|keys| rows; the corpus is never touched."""
+    over k·|keys| rows; the corpus is never touched.
+
+    ``n_keys`` counts non-null key INSTANCES, not distinct keys — an
+    upper bound on distinct keys (duplicate input keys double-count; the
+    bits are exact either way, a duplicate just re-sets set bits). Kept
+    as an instance count deliberately so it folds additively through
+    :func:`merge_blooms` / :func:`append_bloom` without a distinct pass;
+    FP-rate estimates derived from it are therefore conservative
+    (over-estimate) under duplicate-heavy input."""
     _validate(m_bits, k)
     n_words = -(-m_bits // WORD_BITS)
     words = build_bloom_table(df, key_col, m_bits, k)
@@ -113,12 +139,7 @@ def build_bloom_table(
     Same md5 bit math as :func:`build_bloom`; gate with
     :func:`bloom_might_contain_table`. One map-combined groupBy on the
     word index, ≤ m/63 groups."""
-    if not 1 <= k <= 16:
-        raise ValueError(f"build_bloom_table: k must be in [1, 16], got {k}")
-    if m_bits < WORD_BITS:
-        raise ValueError(
-            f"build_bloom_table: m_bits must be >= {WORD_BITS}, got {m_bits}"
-        )
+    _validate_table(m_bits, k, "build_bloom_table")
     keys = (
         df.select(F.col(key_col).cast("string").alias("__key"))
         .where(F.col("__key").isNotNull())
@@ -153,10 +174,7 @@ def bloom_might_contain_table(
     single-row cap; below it, :func:`bloom_might_contain` is the
     zero-shuffle plan. ``id_col`` must be unique per row; NULL keys test
     false. Returns (id_col, key_col, out_col)."""
-    if not 1 <= k <= 16:
-        raise ValueError(
-            f"bloom_might_contain_table: k must be in [1, 16], got {k}"
-        )
+    _validate_table(m_bits, k, "bloom_might_contain_table")
     key = F.col(key_col)
     pos = df.select(
         id_col,
@@ -236,12 +254,24 @@ def _merge_bloom_rows(u: DataFrame, op: str) -> DataFrame:
 
 def write_bloom_batch(bloom: DataFrame, state_dir: str, batch_id) -> None:
     """Stage one batch's bitmap as its own ``batch_id=<id>`` partition —
-    the replay-safe state layout: a crash-replayed batch OVERWRITES its
+    the replay-safe state layout: a crash-replayed batch republishes its
     own partition byte-identically, and readers can exclude the in-flight
-    batch (bits merged into one bitmap could never be un-ORed)."""
-    bloom.coalesce(1).write.mode("overwrite").parquet(
-        f"{state_dir}/batch_id={batch_id}"
-    )
+    batch (bits merged into one bitmap could never be un-ORed).
+
+    Publish is the module's rename-aside swap (``_swap_lake_dirs``), not
+    an in-place overwrite: the bitmap writes to a dot-prefixed staging
+    sibling (hidden from Spark's file listing, so a concurrent
+    :func:`read_bloom_merged` never sees it) and renames into place — a
+    crash mid-write leaves only the hidden staging dir plus at worst a
+    ``batch_id=<id>.old`` rollback copy holding the byte-identical
+    previous replay, never a half-written live partition."""
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    root = state_dir.rstrip("/")
+    live = f"{root}/batch_id={batch_id}"
+    tmp = f"{root}/.staging-batch_id={batch_id}"
+    bloom.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_lake_dirs(bloom.sparkSession, tmp, live, "write_bloom_batch")
 
 
 def read_bloom_merged(
@@ -312,6 +342,16 @@ def bloom_might_contain(
         raise ValueError("bloom_might_contain: empty bloom frame")
     m_bits, k = int(meta["m_bits"]), int(meta["k"])
     _validate(m_bits, k)
+    # Reserved-name clash check (the global_sort_rank convention): the
+    # staging columns and out_col would silently OVERWRITE same-named
+    # input columns through withColumn/crossJoin — raise loudly instead.
+    reserved = {"__bloom_words", out_col, *(f"__bp{i}" for i in range(k))}
+    clashes = sorted(reserved & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"bloom_might_contain: input columns clash with reserved "
+            f"staging names {clashes}; rename them or pick another out_col"
+        )
     key = F.col(key_col)
     staged = df.crossJoin(
         F.broadcast(bloom.select(F.col("words").alias("__bloom_words")))

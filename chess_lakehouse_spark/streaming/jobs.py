@@ -273,6 +273,14 @@ def stream_corpus_to_jsonl_shards(
     the test/backfill trigger; production swaps in a live trigger on the
     identical plan.
 
+    .. warning:: **Sink-layout contract change (r10, CHANGELOG.md).**
+       Shards land under ``out_dir/batch_id=N/part-*.json``, not the
+       pre-r10 flat ``out_dir/*.json``. A consumer still globbing the
+       flat layout reads ZERO files silently — switch to
+       ``out_dir/batch_id=*/*.json`` or Spark partition discovery
+       (``spark.read.json(out_dir)``, which also surfaces ``batch_id``
+       as a column for replay-aware readers).
+
     ``paragraph_dedup_sep`` additionally rewrites each document's text
     with `operators.dedup.paragraph_dedup(scope="document")` inside the
     micro-batch — the RefinedWeb intra-document line pass. Document scope

@@ -217,3 +217,86 @@ def test_bloom_table_layout_matches_array_form(spark):
     }
     assert got_tbl == got_arr
     assert got_tbl[9999] is False
+
+
+def test_bloom_gate_reserved_column_clash_raises(spark):
+    """bloom_might_contain must refuse inputs whose columns collide with
+    its staging names (__bloom_words, __bp*) or the out_col, instead of
+    silently overwriting them (the global_sort_rank convention)."""
+    members = spark.createDataFrame([("m",)], "key string")
+    bloom = build_bloom(members, "key", m_bits=63 * 4, k=2)
+
+    clash_words = spark.createDataFrame(
+        [("x", 1)], "key string, __bloom_words int"
+    )
+    with pytest.raises(ValueError, match="__bloom_words"):
+        bloom_might_contain(clash_words, "key", bloom)
+
+    clash_bp = spark.createDataFrame([("x", 1)], "key string, __bp1 int")
+    with pytest.raises(ValueError, match="__bp1"):
+        bloom_might_contain(clash_bp, "key", bloom)
+
+    clash_out = spark.createDataFrame(
+        [("x", True)], "key string, might_contain boolean"
+    )
+    with pytest.raises(ValueError, match="might_contain"):
+        bloom_might_contain(clash_out, "key", bloom)
+    # a custom out_col that clashes is equally refused; a free name passes
+    with pytest.raises(ValueError, match="key"):
+        bloom_might_contain(clash_out, "key", bloom, out_col="key")
+    ok = bloom_might_contain(clash_out, "key", bloom, out_col="verdict")
+    assert set(ok.columns) == {"key", "might_contain", "verdict"}
+
+
+def test_bloom_table_layout_m_bits_ceiling(spark):
+    """The word-TABLE entry points validate the INT32 word-index ceiling
+    (63 * 2^31 bits) loudly instead of overflowing the widx cast."""
+    from chess_lakehouse_spark.operators.bloom import (
+        TABLE_MAX_BITS,
+        bloom_might_contain_table,
+        build_bloom_table,
+    )
+
+    df = spark.createDataFrame([("x",)], "key string")
+    with pytest.raises(ValueError, match="63\\*2\\^31"):
+        build_bloom_table(df, "key", m_bits=TABLE_MAX_BITS + 1)
+    with pytest.raises(ValueError, match="63\\*2\\^31"):
+        bloom_might_contain_table(
+            df.withColumn("rid", F.lit(1)),
+            "key",
+            "rid",
+            spark.createDataFrame([], "widx int, word long"),
+            m_bits=TABLE_MAX_BITS + 1,
+        )
+    assert TABLE_MAX_BITS == 63 * (1 << 31)
+
+
+def test_write_bloom_batch_swap_publish(spark, tmp_path):
+    """write_bloom_batch publishes via the rename-aside swap: the live
+    batch partition round-trips, re-publish (crash replay) lands
+    byte-identically, and no staging/aside leftovers survive the happy
+    path — so a concurrent read_bloom_merged can never observe a
+    half-written partition."""
+    import os
+
+    from chess_lakehouse_spark.operators.bloom import (
+        read_bloom_merged,
+        write_bloom_batch,
+    )
+
+    state = str(tmp_path / "bloom_state")
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(20)], "key string")
+    bloom = build_bloom(keys, "key", m_bits=63 * 8, k=3)
+
+    write_bloom_batch(bloom, state, 0)
+    first = read_bloom_merged(spark, state).first()
+    assert first["n_keys"] == 20
+
+    # replay: same batch id republishes over the live partition
+    write_bloom_batch(bloom, state, 0)
+    replay = read_bloom_merged(spark, state).first()
+    assert list(replay["words"]) == list(first["words"])
+    assert replay["n_keys"] == 20
+
+    entries = sorted(os.listdir(state))
+    assert entries == ["batch_id=0"], entries  # no .staging / .old leftovers
