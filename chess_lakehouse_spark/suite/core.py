@@ -497,22 +497,69 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — HyperLogLog distinct count and quantile
-    sketch. At 100 TB these replace exact COUNT(DISTINCT)/percentile when
-    the exact form's shuffle dominates: sketches merge map-side, the
-    exchange carries kilobytes. Values are sketch-implementation-specific,
-    so there is deliberately NO SQL oracle (driver records the rows-only
-    check); accuracy vs exact is pinned in tests/test_llm_ops.py.
+    sketch — through the DRIVER-CHECKABLE projection (the
+    corpus_sketch_counts pattern, which retired this suite's last
+    `no_oracle` row in r11). At 100 TB these replace exact
+    COUNT(DISTINCT)/percentile when the exact form's shuffle dominates:
+    sketches merge map-side, the exchange carries kilobytes.
 
-    Quantiles are projected as separate DOUBLE columns (p50/p95), never an
-    array — the driver's canonicalizer cannot hash array cells (round-1
-    CORRECTNESS err: "unhashable type: numpy.ndarray")."""
+    The sketch VALUES are implementation-specific (HLL++ register
+    layout, QuantileSummaries compaction), so the gated columns are (a)
+    exact row/distinct counts and (b) estimate-within-guarantee BOOLEANS
+    that are deterministically TRUE unless the sketch path actually
+    breaks — the oracle pins the exact counts and the TRUE literals:
+
+    - ``approx_orders_within_10pct``: approx_count_distinct (default
+      rsd 0.05, observed HLL++ error 1-2%) vs the exact distinct count,
+      ±10% — 5× the configured rsd.
+    - ``p50/p95_within_bounds``: approx_percentile at accuracy 10000
+      guarantees rank error ≤ N/10000 = 1e-4·N after merge; the bound
+      checks the returned value against the EXACT quantile values at
+      q ± 0.02 (operators/relational.py:exact_quantiles — the
+      distributed sort-rank path, integer-millionths rank cut), a 200×
+      margin. Value-based bounds are monotone in q, so ties in
+      l_extendedprice cannot flip the boolean.
+
+    Raw approximate values (engine-private) stay out of the projection;
+    their accuracy is additionally pinned in tests/test_llm_ops.py."""
+    from chess_lakehouse_spark.operators.relational import exact_quantiles
+
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
     q = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        q.getItem(0).alias("price_p50"),
-        q.getItem(1).alias("price_p95"),
+    approx = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("l_orderkey").cast("long").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey").alias("__approx_orders"),
+        q.getItem(0).alias("__p50"),
+        q.getItem(1).alias("__p95"),
+    )
+    bounds = (
+        exact_quantiles(li, "l_extendedprice", [0.48, 0.52, 0.93, 0.97])
+        .groupBy()
+        .agg(
+            *[
+                F.min(F.when(F.col("q_ppm") == ppm, F.col("value"))).alias(name)
+                for ppm, name in [
+                    (480_000, "__lo50"),
+                    (520_000, "__hi50"),
+                    (930_000, "__lo95"),
+                    (970_000, "__hi95"),
+                ]
+            ]
+        )
+    )
+    err = F.abs(F.col("__approx_orders").cast("double") - F.col("exact_orders"))
+    return approx.crossJoin(F.broadcast(bounds)).select(
+        "n_rows",
+        "exact_orders",
+        (err <= 0.1 * F.col("exact_orders")).alias("approx_orders_within_10pct"),
+        F.col("__p50").between(F.col("__lo50"), F.col("__hi50")).alias(
+            "p50_within_bounds"
+        ),
+        F.col("__p95").between(F.col("__lo95"), F.col("__hi95")).alias(
+            "p95_within_bounds"
+        ),
     )
 
 
@@ -764,6 +811,18 @@ ORACLES = {
                json_extract_string(props, '$.missing') AS missing_val,
                CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
         FROM events
+    """,
+    # the checked-projection sketch gate (corpus_sketch_counts pattern):
+    # exact counts are pinned by value; the within-guarantee booleans are
+    # deterministically TRUE on the Spark side unless the sketch path
+    # breaks, so the oracle pins the TRUE literals.
+    "approx_stats": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS approx_orders_within_10pct,
+               TRUE AS p50_within_bounds,
+               TRUE AS p95_within_bounds
+        FROM lineitem
     """,
     "shipping_priority": """
         SELECT orderkey, orderdate_us, orderpriority, revenue FROM (

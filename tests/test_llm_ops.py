@@ -669,17 +669,32 @@ def test_split_contamination_finds_exact_dupes_across_split(spark):
 
 
 def test_approx_stats_close_to_exact(spark):
+    """The raw approximate values (kept OUT of the gated projection —
+    engine-private) stay within tight bands of exact, and the gated
+    checked projection's booleans are all TRUE with exact counts."""
     from chess_lakehouse_spark.suite.core import q_approx_stats
 
     sf = "/root/testdata/sf0.01"
-    row = q_approx_stats(spark, sf).collect()[0]
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     exact_orders = li.select("l_orderkey").distinct().count()
-    assert abs(row.approx_orders - exact_orders) / exact_orders < 0.05
+    raw = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("ps"),
+    ).collect()[0]
+    assert abs(raw.approx_orders - exact_orders) / exact_orders < 0.05
     exact_median = li.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
-    assert abs(row.price_p50 - exact_median) / exact_median < 0.05
+    assert abs(raw.ps[0] - exact_median) / exact_median < 0.05
     exact_p95 = li.approxQuantile("l_extendedprice", [0.95], 0.0)[0]
-    assert abs(row.price_p95 - exact_p95) / exact_p95 < 0.05
+    assert abs(raw.ps[1] - exact_p95) / exact_p95 < 0.05
+
+    row = q_approx_stats(spark, sf).collect()[0]
+    assert row.n_rows == li.count()
+    assert row.exact_orders == exact_orders
+    assert row.approx_orders_within_10pct is True
+    assert row.p50_within_bounds is True
+    assert row.p95_within_bounds is True
 
 
 def test_chunk_tokens_overlap_and_tail(spark):
