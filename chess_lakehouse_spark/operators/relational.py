@@ -677,12 +677,34 @@ def exact_quantiles(
     )
 
 
+def _ntile_bucket_expr(nb: int) -> Column:
+    """Bucket label from an exact 1-based rank — the integer ntile
+    formula (q = N div n, r0 = N mod n: the first r0 buckets hold q+1
+    rows), shared by the global and per-group exact forms so the two
+    paths cannot drift. Expects ``__rank`` and ``__N`` columns."""
+    return (
+        F.when(
+            F.col("__rank") <= F.col("__r0") * (F.col("__q") + 1),
+            F.expr("(__rank + __q) div (__q + 1)"),
+        )
+        .otherwise(
+            F.col("__r0")
+            + F.expr(
+                "(__rank - __r0 * (__q + 1) + greatest(__q, 1) - 1)"
+                " div greatest(__q, 1)"
+            )
+        )
+        .cast("int")
+    )
+
+
 def score_buckets(
     df: DataFrame,
     id_col: str,
     score_col: str,
     n_buckets: int = 10,
     exact: bool = True,
+    by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Global score stratification: every row tagged with its quantile
     bucket (1..n_buckets) — the 'quality deciles' step of corpus curation.
@@ -709,6 +731,15 @@ def score_buckets(
     then deviate only by the sketch's ~1e-4 relative rank error; ties
     at a cut point go to the upper bucket deterministically.
 
+    ``by`` stratifies WITHIN each group (per-source quality quartiles):
+    the exact form ranks with a PARTITIONED window (groups parallelize
+    across the cluster, so the per-group sort IS the distributed plan —
+    no range exchange needed) and applies the same integer ntile
+    formula against the group's own N; the approx form computes one
+    ``approx_percentile`` cut array per group and joins it back. Group
+    columns must not contain NULL-sensitive surprises: NULL group keys
+    form their own group (standard groupBy semantics).
+
     Returns the input columns plus ``bucket`` (int).
     """
     if n_buckets < 1:
@@ -726,45 +757,163 @@ def score_buckets(
         nulls = df.where(F.col(score_col).isNull()).select(
             *keep, F.lit(None).cast("int").alias("bucket")
         )
-        return nulls.unionByName(
-            global_sort_rank(df.where(F.col(score_col).isNotNull()), [score_col, id_col])
-            .withColumn("__q", F.expr(f"__N div {nb}"))
-            .withColumn("__r0", (F.col("__N") % nb).cast("long"))
-            .withColumn(
-                "bucket",
-                F.when(
-                    F.col("__rank") <= F.col("__r0") * (F.col("__q") + 1),
-                    F.expr("(__rank + __q) div (__q + 1)"),
-                )
-                .otherwise(
-                    F.col("__r0")
-                    + F.expr(
-                        "(__rank - __r0 * (__q + 1) + greatest(__q, 1) - 1)"
-                        " div greatest(__q, 1)"
-                    )
-                )
-                .cast("int"),
+        nn = df.where(F.col(score_col).isNotNull())
+        if by:
+            from pyspark.sql.window import Window
+
+            gcols = list(by)
+            w = Window.partitionBy(*gcols).orderBy(
+                F.col(score_col).asc(), F.col(id_col).asc()
             )
+            ranked = nn.withColumn(
+                "__rank", F.row_number().over(w).cast("long")
+            ).withColumn(
+                "__N",
+                F.count(F.lit(1))
+                .over(Window.partitionBy(*gcols))
+                .cast("long"),
+            )
+        else:
+            ranked = global_sort_rank(nn, [score_col, id_col])
+        return nulls.unionByName(
+            ranked.withColumn("__q", F.expr(f"__N div {nb}"))
+            .withColumn("__r0", (F.col("__N") % nb).cast("long"))
+            .withColumn("bucket", _ntile_bucket_expr(nb))
             .select(*keep, "bucket")
         )
     qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    bucket_of = F.when(
+        # NULL score -> NULL bucket (matching the exact path; the bare
+        # filter-count would silently assign NULL scores to bucket 1)
+        F.col(score_col).isNotNull(),
+        F.lit(1) + F.size(F.filter(F.col("cuts"), lambda c: c < F.col(score_col))),
+    ).cast("int")
+    if by:
+        gcols = list(by)
+        cuts = df.groupBy(*gcols).agg(
+            F.expr(f"approx_percentile({score_col}, array({qs}), 10000)").alias(
+                "cuts"
+            )
+        )
+        # |groups| rows; un-hinted join so AQE broadcasts when small and
+        # shuffles when the group-key cardinality is itself at scale
+        return df.join(cuts, gcols, "left").withColumn("bucket", bucket_of).drop(
+            "cuts"
+        )
     cuts = df.agg(
         F.expr(f"approx_percentile({score_col}, array({qs}), 10000)").alias("cuts")
     )
     return (
         df.crossJoin(F.broadcast(cuts))
-        .withColumn(
-            "bucket",
-            # NULL score -> NULL bucket (matching the exact path; the bare
-            # filter-count would silently assign NULL scores to bucket 1)
-            F.when(
-                F.col(score_col).isNotNull(),
-                F.lit(1)
-                + F.size(F.filter(F.col("cuts"), lambda c: c < F.col(score_col))),
-            ).cast("int"),
-        )
+        .withColumn("bucket", bucket_of)
         .drop("cuts")
     )
+
+
+def global_percent_rank(
+    df: DataFrame, order_cols: Sequence[str], out_col: str = "pct_ppm"
+) -> DataFrame:
+    """Deterministic global percent-rank in EXACT integer millionths —
+    the score-calibration / quantile-normalization pass (map every score
+    to its corpus position in [0, 1_000_000]): ``ppm = ((rank - 1) *
+    1_000_000) div (N - 1)``, SQL percent_rank's (rank-1)/(N-1) carried
+    in integer arithmetic so no float-division boundary exists between
+    engines. A single-row input (N = 1) is defined as 0 (percent_rank's
+    own convention, and the ANSI-safe guard for the N-1 divisor).
+
+    The caller makes ``order_cols`` a UNIQUE total order (append an id
+    column): classic percent_rank SHARES ranks across ties, while this
+    form ranks tied rows consecutively — with a unique key the two
+    definitions coincide and the output is partition-invariant (the
+    global_sort_rank determinism contract). NULL ordering keys are the
+    caller's concern: they rank FIRST (Spark ASC NULLS FIRST) — filter
+    them out beforehand if the SQL-percentile convention is wanted.
+
+    Rides :func:`global_sort_rank` (range repartition + per-partition
+    row_number + broadcast offsets — never a single-partition global
+    sort), so the plan survives 100 TB. Returns the input columns plus
+    ``out_col`` (long)."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"global_percent_rank: out_col {out_col!r} already in input"
+        )
+    ranked = global_sort_rank(df, order_cols)
+    ppm = (
+        F.when(F.col("__N") <= 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("((__rank - 1) * CAST(1000000 AS BIGINT)) div (__N - 1)")
+        )
+        .alias(out_col)
+    )
+    return ranked.select(*df.columns, ppm)
+
+
+def robust_zscore_flags(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    k: float = 3.0,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Median/MAD robust outlier flags — the Hampel-identifier form of
+    the robust z-score (Iglewicz & Hoaglin 1993 class, threshold applied
+    to the raw deviation): a row flags when ``|x − med| > k · MAD`` with
+    ``med`` the group median and ``MAD = median(|x − med|)``. Unlike the
+    classic z-score (q_event_outliers), a single extreme row cannot mask
+    itself by inflating the stddev — median and MAD have a 50% breakdown
+    point.
+
+    Cross-engine determinism: both medians are EXACT DISCRETE quantiles
+    (value at rank ceil(N/2) via :func:`exact_quantiles` — actual data
+    values / single-subtraction deviations, never interpolated), and
+    ``|x − med|`` / ``k·MAD`` are single correctly-rounded IEEE ops on
+    identical doubles, so the flag is bit-deterministic in Spark and the
+    SQL oracle. NULL values flag NULL and are excluded from med/MAD
+    (the exact_quantiles convention); an all-NULL group has no med row,
+    so its rows flag NULL too.
+
+    Scale shape: two exact_quantiles passes (per-group windows — groups
+    parallelize; the global form rides the distributed sort-rank) plus
+    two UN-hinted equi-joins on the group key (AQE broadcasts the
+    |groups|-row med/MAD frames when small, shuffles when the key
+    cardinality is itself at scale). Nothing is all-pairs or
+    driver-materialized. Returns the input columns plus ``med``,
+    ``mad`` (double) and ``out_col`` (boolean)."""
+    clash = {"med", "mad", out_col, "__dev", "__j"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"robust_zscore_flags: input carries reserved column(s) "
+            f"{sorted(clash)}"
+        )
+    gcols = list(by) if by else []
+    val = F.col(value_col)
+
+    def _median(frame: DataFrame, col: str, alias: str) -> DataFrame:
+        m = exact_quantiles(frame, col, [0.5], by=gcols or None)
+        return m.select(*gcols, F.col("value").alias(alias))
+
+    def _attach(frame: DataFrame, small: DataFrame) -> DataFrame:
+        if gcols:
+            return frame.join(small, gcols, "left")
+        # global form: constant-key LEFT join (not a crossJoin — an
+        # empty med frame from an all-NULL input must keep every row
+        # with a NULL median, not drop the corpus)
+        return (
+            frame.withColumn("__j", F.lit(1))
+            .join(F.broadcast(small.withColumn("__j", F.lit(1))), "__j", "left")
+            .drop("__j")
+        )
+
+    med = _median(df.select(*gcols, value_col), value_col, "med")
+    with_med = _attach(df, med)
+    dev = with_med.withColumn("__dev", F.abs(val - F.col("med")))
+    mad = _median(dev.select(*gcols, "__dev"), "__dev", "mad")
+    with_mad = _attach(dev, mad)
+    flag = F.when(
+        val.isNull() | F.col("med").isNull() | F.col("mad").isNull(),
+        F.lit(None).cast("boolean"),
+    ).otherwise(F.col("__dev") > F.lit(float(k)) * F.col("mad"))
+    return with_mad.select(*df.columns, "med", "mad", flag.alias(out_col))
 
 
 def funnel(

@@ -537,6 +537,39 @@ BLOOM_GATE_ORACLE = f"""
 """
 
 
+def q_bloom_gate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-TABLE Bloom layout (operators/bloom.py:build_bloom_table
+    / bloom_might_contain_table) — the serving plan for filters past the
+    single-row 2^31-bit cap (~268 MB broadcast row): keys JOIN the
+    sparse (widx, word) frame on the word index instead of indexing one
+    broadcast array, at the cost of one shuffle. Same md5 63-bit-word
+    bit math as q_bloom_gate, so every verdict — INCLUDING the false
+    positives — must be bit-identical to the array form and to the
+    oracle (which is the SAME SQL: the layout may never change a
+    verdict; equality with the array form is additionally pinned in
+    tests/test_bloom.py). Returns (doc_id, might_contain)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.bloom import (
+        bloom_might_contain_table,
+        build_bloom_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    block = docs.where(
+        F.col("source").isin(*_BLOOM_BLOCKED_SOURCES)
+    ).select(F.md5("text").alias("bkey"))
+    words = build_bloom_table(block, "bkey", m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    keyed = docs.select("doc_id", F.md5("text").alias("bkey"))
+    return bloom_might_contain_table(
+        keyed, "bkey", "doc_id", words, m_bits=BLOOM_M_BITS, k=BLOOM_K
+    ).select("doc_id", "might_contain")
+
+
+#: the table layout must reproduce the array layout's verdicts exactly,
+#: so it shares q_bloom_gate's oracle verbatim.
+BLOOM_GATE_TABLE_ORACLE = BLOOM_GATE_ORACLE
+
+
 #: Gates for q_gate_attribution, in pipeline order: a length floor, an
 #: English-only language gate, and a stopword-presence gate — each a
 #: pure SQL-expressible boolean so the attribution math is oracle-exact.
@@ -710,6 +743,135 @@ EXACT_QUANTILES_ORACLE = f"""
             FROM q, n)
     SELECT tgt.q_ppm AS q_ppm, r.v AS value
     FROM tgt JOIN r ON r.rk = tgt.tr
+"""
+
+
+# --------------------------------------------------------------------------
+# r12 staging candidates (built in r11; registration happens only at the
+# r12 window re-plan — the STAGED_CANDIDATES manifest at the bottom of
+# this module is the machine-checked hand-off).
+# --------------------------------------------------------------------------
+
+
+def q_score_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percent-rank calibration in EXACT integer millionths
+    (operators/relational.py:global_percent_rank): every order mapped to
+    its corpus position ppm = ((rank-1)*1e6) div (N-1) over the unique
+    (o_totalprice, o_orderkey) total order — the score-normalization
+    pass of corpus curation (calibrate heterogeneous quality scores to
+    ranks before mixing), riding the distributed sort-rank plan (range
+    repartition + offsets, never a single-partition global sort).
+    Integer arithmetic end to end: no float-division boundary for the
+    oracle to diverge on. Returns (o_orderkey, pct_ppm)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import global_percent_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return global_percent_rank(orders, ["o_totalprice", "o_orderkey"]).select(
+        "o_orderkey", "pct_ppm"
+    )
+
+
+SCORE_PERCENTILE_ORACLE = """
+    SELECT o_orderkey,
+           CAST(((rk - 1) * 1000000) // (n - 1) AS BIGINT) AS pct_ppm
+    FROM (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM orders
+    )
+"""
+
+
+#: Robust-z threshold for q_robust_zscore: flag when |x - med| > k * MAD.
+ROBUST_Z_K = 3.0
+
+
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags per event type
+    (operators/relational.py:robust_zscore_flags — the Hampel
+    identifier): |value − group median| > k·MAD, with both medians EXACT
+    discrete quantiles (value at rank ceil(N/2) — actual data values,
+    never interpolated) so the flag is bit-deterministic cross-engine.
+    Unlike the classic z-score (q_event_outliers), one extreme row
+    cannot mask itself by inflating sigma — median/MAD have a 50%
+    breakdown point. NULL values flag NULL. Returns
+    (event_id, event_type, is_outlier)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import robust_zscore_flags
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return robust_zscore_flags(ev, "value", by=["event_type"], k=ROBUST_Z_K).select(
+        "event_id", "event_type", "is_outlier"
+    )
+
+
+ROBUST_ZSCORE_ORACLE = f"""
+    WITH base AS (SELECT event_id, event_type, value FROM events),
+    med AS (
+      SELECT event_type, v AS med FROM (
+        SELECT event_type, value AS v,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM base WHERE value IS NOT NULL
+      ) WHERE rk = GREATEST(CAST(1 AS BIGINT), (500000 * n + 999999) // 1000000)
+    ),
+    dev AS (
+      SELECT b.event_id, b.event_type, b.value, m.med,
+             abs(b.value - m.med) AS d
+      FROM base b LEFT JOIN med m ON b.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, d AS mad FROM (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM dev WHERE d IS NOT NULL
+      ) WHERE rk = GREATEST(CAST(1 AS BIGINT), (500000 * n + 999999) // 1000000)
+    )
+    SELECT dev.event_id, dev.event_type,
+           CASE WHEN dev.value IS NULL OR dev.med IS NULL OR mad.mad IS NULL
+                THEN NULL
+                ELSE dev.d > CAST({ROBUST_Z_K} AS DOUBLE) * mad.mad
+           END AS is_outlier
+    FROM dev LEFT JOIN mad ON dev.event_type = mad.event_type
+"""
+
+
+#: Buckets per source for q_group_buckets (per-group exact ntile).
+GROUP_BUCKETS_N = 4
+
+
+def q_group_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group score stratification (the `by` form of
+    operators/relational.py:score_buckets): documents quartiled by
+    length WITHIN each source — per-source quality strata for mixture
+    weighting. The per-group window IS the distributed plan (groups
+    parallelize; no global sort), and the bucket label comes from the
+    same integer ntile formula as the global form, tie-broken on doc_id
+    so both engines cut identically. Returns (doc_id, source, bucket)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import score_buckets
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return score_buckets(
+        docs, "doc_id", "n_chars", n_buckets=GROUP_BUCKETS_N, by=["source"]
+    ).select("doc_id", "source", "bucket")
+
+
+GROUP_BUCKETS_ORACLE = f"""
+    SELECT doc_id, source,
+           CAST(ntile({GROUP_BUCKETS_N}) OVER (
+             PARTITION BY source ORDER BY n_chars ASC, doc_id ASC
+           ) AS INT) AS bucket
+    FROM documents
 """
 
 
@@ -4972,4 +5134,10 @@ STAGED_CANDIDATES = {
     "group_quantiles": (q_group_quantiles, GROUP_QUANTILES_ORACLE),
     "salted_join": (q_salted_join, SALTED_JOIN_ORACLE),
     "gate_attribution": (q_gate_attribution, GATE_ATTRIBUTION_ORACLE),
+    # staged in r11 for the r12 window (tests/test_r12_candidates.py:
+    # two-scale exact parity + cold-JVM ANSI + plan guards)
+    "bloom_gate_table": (q_bloom_gate_table, BLOOM_GATE_TABLE_ORACLE),
+    "score_percentile": (q_score_percentile, SCORE_PERCENTILE_ORACLE),
+    "robust_zscore": (q_robust_zscore, ROBUST_ZSCORE_ORACLE),
+    "group_buckets": (q_group_buckets, GROUP_BUCKETS_ORACLE),
 }

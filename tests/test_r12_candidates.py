@@ -1,0 +1,253 @@
+"""Staging tests for the four r12 window candidates built in r11
+(suite/llm.py STAGED_CANDIDATES): two-scale exact parity against their
+suite-defined DuckDB oracles, driver-safe output types, plan-shape
+guards, and the operator-level semantics pins (percent-rank reference,
+robust-z NULL/mask behavior, per-group ntile formula equivalence).
+
+- bloom_gate_table  — word-TABLE Bloom layout, oracle shared verbatim
+  with bloom_gate (the layout may never change a verdict)
+- score_percentile  — global percent-rank in exact integer millionths
+  (operators/relational.py:global_percent_rank)
+- robust_zscore     — median/MAD Hampel outlier flags
+  (operators/relational.py:robust_zscore_flags)
+- group_buckets     — per-group exact ntile (score_buckets `by` form)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _oracle_rows(sf_dir: str, tables: list[str], sql: str):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    rows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    con.close()
+    return rows
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_bloom_gate_table_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        BLOOM_GATE_ORACLE,
+        BLOOM_GATE_TABLE_ORACLE,
+        q_bloom_gate,
+        q_bloom_gate_table,
+    )
+
+    assert BLOOM_GATE_TABLE_ORACLE is BLOOM_GATE_ORACLE
+    sdf = q_bloom_gate_table(spark, sf_dir)
+    assert dict(sdf.dtypes) == {"doc_id": "bigint", "might_contain": "boolean"}
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert srows == _oracle_rows(sf_dir, ["documents"], BLOOM_GATE_TABLE_ORACLE)
+    # and bit-identical to the array-layout candidate on the same corpus
+    arows = sorted(tuple(r) for r in q_bloom_gate(spark, sf_dir).collect())
+    assert srows == arows
+    assert {r[1] for r in srows} == {True, False}
+
+
+def test_bloom_gate_table_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_bloom_gate_table
+
+    plan = _plan(q_bloom_gate_table(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_score_percentile_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        SCORE_PERCENTILE_ORACLE,
+        q_score_percentile,
+    )
+
+    sdf = q_score_percentile(spark, sf_dir)
+    assert dict(sdf.dtypes) == {"o_orderkey": "bigint", "pct_ppm": "bigint"}
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = _oracle_rows(sf_dir, ["orders"], SCORE_PERCENTILE_ORACLE)
+    assert len(srows) > 0
+    assert srows == drows
+    # endpoint contract: exactly one 0 and one 1_000_000 (unique order)
+    ppms = [r[1] for r in srows]
+    assert min(ppms) == 0 and max(ppms) == 1_000_000
+
+
+def test_score_percentile_candidate_plan_is_distributed(spark):
+    from chess_lakehouse_spark.suite.llm import q_score_percentile
+
+    plan = _plan(q_score_percentile(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # rides global_sort_rank's eager localCheckpoint snapshot
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_global_percent_rank_reference_and_guards(spark):
+    """Pure-Python reference on a known order, the N=1 convention, the
+    partition-invariance of the unique-key contract, and the reserved
+    out_col guard."""
+    from chess_lakehouse_spark.operators.relational import global_percent_rank
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(11)], "id long, s double"
+    ).repartition(5)
+    got = {
+        r.id: r.pct_ppm
+        for r in global_percent_rank(df, ["s", "id"]).collect()
+    }
+    # id=10 has the LOWEST score -> rank 1 -> 0 ppm; id=0 the highest
+    assert got == {10 - i: i * 100_000 for i in range(11)}
+
+    one = spark.createDataFrame([(1, 5.0)], "id long, s double")
+    assert global_percent_rank(one, ["s", "id"]).first()["pct_ppm"] == 0
+
+    with pytest.raises(ValueError, match="out_col"):
+        global_percent_rank(df.withColumn("pct_ppm", F.lit(1)), ["s", "id"])
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_robust_zscore_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        ROBUST_ZSCORE_ORACLE,
+        q_robust_zscore,
+    )
+
+    sdf = q_robust_zscore(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "event_id": "bigint",
+        "event_type": "string",
+        "is_outlier": "boolean",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = _oracle_rows(sf_dir, ["events"], ROBUST_ZSCORE_ORACLE)
+    assert len(srows) > 0
+    assert srows == drows
+
+
+def test_robust_zscore_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_robust_zscore
+
+    plan = _plan(q_robust_zscore(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_robust_zscore_flags_semantics(spark):
+    """Masking resistance (one extreme row cannot hide), NULL flags,
+    all-NULL group, zero-MAD group, and the reserved-column guard."""
+    from chess_lakehouse_spark.operators.relational import robust_zscore_flags
+
+    rows = (
+        [(i, "a", float(i)) for i in range(1, 10)]
+        + [(99, "a", 1000.0)]          # the outlier a stddev-z would dilute
+        + [(100, "b", None), (101, "b", None)]  # all-NULL group
+        + [(200, "c", 7.0), (201, "c", 7.0), (202, "c", 7.0), (203, "c", 42.0)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {
+        r.id: (r.med, r.mad, r.is_outlier)
+        for r in robust_zscore_flags(df, "v", by=["g"], k=3).collect()
+    }
+    # group a: med=5 (rank 5 of 10), MAD=2 -> only 1000.0 flags
+    assert got[99] == (5.0, 2.0, True)
+    assert got[5] == (5.0, 2.0, False)
+    # NULL value -> NULL flag, group all-NULL -> NULL med/mad
+    assert got[100] == (None, None, None)
+    # zero-MAD group: med=7, deviations (0,0,0,35) -> MAD=0, any
+    # deviation > 0 flags (the degenerate-spread convention)
+    assert got[200] == (7.0, 0.0, False)
+    assert got[203] == (7.0, 0.0, True)
+
+    with pytest.raises(ValueError, match="reserved"):
+        robust_zscore_flags(df.withColumn("mad", F.lit(1.0)), "v", by=["g"])
+
+    # global form keeps every row even when ALL values are NULL
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v double"
+    )
+    out = robust_zscore_flags(allnull, "v").collect()
+    assert len(out) == 2 and all(r.is_outlier is None for r in out)
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_group_buckets_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        GROUP_BUCKETS_ORACLE,
+        q_group_buckets,
+    )
+
+    sdf = q_group_buckets(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "doc_id": "bigint",
+        "source": "string",
+        "bucket": "int",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = _oracle_rows(sf_dir, ["documents"], GROUP_BUCKETS_ORACLE)
+    assert len(srows) > 0
+    assert srows == drows
+    # every (source) stratum uses all buckets at these scales
+    from chess_lakehouse_spark.suite.llm import GROUP_BUCKETS_N
+
+    per_src = {}
+    for _, src, b in srows:
+        per_src.setdefault(src, set()).add(b)
+    assert all(v == set(range(1, GROUP_BUCKETS_N + 1)) for v in per_src.values())
+
+
+def test_group_buckets_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_group_buckets
+
+    plan = _plan(q_group_buckets(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the per-group form must NOT pay the global range exchange
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_score_buckets_by_matches_native_ntile_and_null_rule(spark):
+    """The by-form's integer formula equals native per-group ntile on a
+    unique order, and NULL scores bucket NULL without shifting a group's
+    boundaries."""
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.operators.relational import score_buckets
+
+    rows = [(i, f"s{i % 3}", float(i * 7 % 23)) for i in range(40)]
+    rows += [(100, "s0", None), (101, "s9", None)]  # NULL score, own group too
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {
+        r.id: r.bucket
+        for r in score_buckets(
+            df, "id", "v", n_buckets=3, exact=True, by=["g"]
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        r.id: r.bucket
+        for r in df.where(F.col("v").isNotNull())
+        .withColumn("bucket", F.ntile(3).over(w))
+        .collect()
+    }
+    assert got[100] is None and got[101] is None
+    assert {k: v for k, v in got.items() if v is not None} == want
+
+    # approx by-form: same grouping keys, buckets within range, NULL->NULL
+    approx = {
+        r.id: r.bucket
+        for r in score_buckets(
+            df, "id", "v", n_buckets=3, exact=False, by=["g"]
+        ).collect()
+    }
+    assert approx[100] is None
+    assert all(v in (1, 2, 3) for k, v in approx.items() if v is not None)
