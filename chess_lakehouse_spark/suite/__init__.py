@@ -252,62 +252,131 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # within age 2 — they do (r9-green age 2 at r12, revisited in r12's
 # window per the same rotation). Verify with tests/test_suite_order.py
 # before committing the re-plan.
-WINDOW_BUDGETED_FOR = 10
+#
+# Round-11 window (executed per the committed r10 plan above; ratchet
+# bumped FIRST):
+#   1. the 16 queries NEW to the gate, never driver-verified — all
+#      sixteen STAGED_CANDIDATES promoted verbatim from llm.py's
+#      manifest (each with a suite-defined oracle, two-scale exact
+#      parity, and a cold-JVM ANSI run): exact_quantiles,
+#      group_quantiles, bloom_gate, salted_join, gate_attribution (the
+#      five r10-staged, scale-headline distributed-sort-rank /
+#      broadcast-bitmap / skew-salt family) plus the eleven r9-staged
+#      (badwords_gate, rollup_staged, corpus_overlap, funnel_steps,
+#      gapfill, anomaly_flags, dedup_edit, cms_freq, substring_search,
+#      session_pairs, event_transitions).
+#   2. approx_stats — newly ORACLED in r11 (the checked-projection
+#      rewrite retired the suite's last no_oracle row, suite/core.py);
+#      never hash-verified, so it takes a slot the same round its
+#      oracle lands. One extra slot vs the committed plan, absorbed by
+#      item 4 taking 20 instead of 21 rotation slots.
+#   3. the 13 queries whose newest green row is r08 (deferred from r10
+#      at the P - 1 bound per the committed plan): anti_join,
+#      collect_set, cube, distinct_agg, except, intersect, pivot,
+#      range_join, rollup, running_sum, sessionize, shipping_priority,
+#      text_normalize.
+#   4. 20 of the 50 r9-green queries — selected as the 20 MOST
+#      EXPENSIVE by the committed BENCH_FULL.json per-query record (the
+#      complex plans carry the most regression risk, so they refresh
+#      first; the established defer-the-cheap-stable pattern). The
+#      remaining 30 (activity_islands, asof_join, budget_sample,
+#      canary_scan, chess_export, chunk_dedup, dedup_exact, dq_check,
+#      enrich_argmax, html_strip, lateral_topk, merge_update,
+#      mm_frame_sample, paragraph_dedup, pii_scan, qc_count,
+#      sample_temperature, semi_join, shard_assignments, sort_limit,
+#      source_stats_pandas, text_langid, text_quality, token_count,
+#      token_entropy, udaf_gmean, udtf_bigrams, union_append,
+#      window_topk, winsorize) defer to the FRONT of the r12 window;
+#      their age at r11-commit time is latest - 1 = within the P - 1
+#      bound.
+# After r11 lands the steady-state rotation holds: 50 r11-green (age
+# 0), 50 r10-green (age 1), 30 r9-green (age 2, at the bound) — r12's
+# window must take the 30 deferred queries first. With the 16
+# registrations (plus approx_stats' oracle) N = 129 non-rows-only
+# (130 registered minus approx_stats' historic no_oracle exemption);
+# P stays ceil(129/50) = 3.
+#
+# r12 window planning — FIRST bump WINDOW_BUDGETED_FOR to 12: (1) any
+# staged candidates registered at the re-plan go first. FOUR are ready
+# in llm.py:STAGED_CANDIDATES, built and parity-pinned in r11
+# (tests/test_r12_candidates.py):
+#   - q_bloom_gate_table / BLOOM_GATE_TABLE_ORACLE (register as
+#     `bloom_gate_table`; the word-TABLE Bloom layout past the
+#     single-row 2^31-bit cap — oracle is BLOOM_GATE_ORACLE verbatim,
+#     the layout may never change a verdict);
+#   - q_score_percentile / SCORE_PERCENTILE_ORACLE (register as
+#     `score_percentile`; global percent-rank in exact integer
+#     millionths riding global_sort_rank);
+#   - q_robust_zscore / ROBUST_ZSCORE_ORACLE (register as
+#     `robust_zscore`; median/MAD Hampel outlier flags, both medians
+#     exact discrete quantiles);
+#   - q_group_buckets / GROUP_BUCKETS_ORACLE (register as
+#     `group_buckets`; the per-group exact-ntile `by` form of
+#     score_buckets).
+# (2) then the 30 deferred r9-green queries listed above — at the
+# P - 1 bound, they MUST take slots; (3) then 50 - R - 30 stalest
+# r10-green. With R = 4 that is exactly 4 + 30 + 16 = 50; N' = 134,
+# P stays 3, and the 34 r10-green left out defer to the r13 front the
+# same way. Verify with tests/test_suite_order.py before committing.
+WINDOW_BUDGETED_FOR = 11
 
 _WINDOW_ORDER = [
-    # new to the gate in r10 — never driver-verified
-    "bm25_staged",
-    "classifier_hashed",
-    "contamination_semantic",
-    "dedup_hamming64",
-    # newest green row r07 — the 9 deferred from r9, at the age bound
-    "events_hourly",
-    "export_projection",
-    "filter_null_predicate",
-    "groupby_agg",
-    "join_star",
-    "json_extract",
-    "rolling_avg",
-    "scalar_kitchen",
-    "supplier_revenue",
-    # newest green row r08 — rotate back in (37 of 50)
-    "bm25_batch",
-    "bm25_topk",
-    "boilerplate_strip",
-    "bpe_train",
-    "contamination_ngram",
-    "corpus_delta",
-    "corpus_sketch_counts",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_span",
-    "doc_chunks",
-    "dsir_topk",
-    "embedding_drift",
-    "event_funnel",
-    "event_outliers",
-    "knn_ivf_kmeans",
-    "knn_quantized",
-    "label_centroids",
-    "lake_skipping_read",
-    "lm_score",
-    "lm_score_bigram",
-    "mm_decode_meta",
-    "pack_sequences",
-    "pmi_topk",
-    "quality_buckets",
-    "quality_gopher",
-    "repetition_metrics",
-    "rrf_fuse",
-    "sample_hash",
-    "sample_mix",
-    "sample_per_group",
-    "sample_weighted",
-    "split_contamination",
-    "tfidf_cosine",
-    "url_canonical",
-    "user_retention",
-    "vocab_topk",
+    # new to the gate in r11 — never driver-verified (the sixteen
+    # promoted STAGED_CANDIDATES, scale-headline family first)
+    "exact_quantiles",
+    "group_quantiles",
+    "bloom_gate",
+    "salted_join",
+    "gate_attribution",
+    "badwords_gate",
+    "rollup_staged",
+    "corpus_overlap",
+    "funnel_steps",
+    "gapfill",
+    "anomaly_flags",
+    "dedup_edit",
+    "cms_freq",
+    "substring_search",
+    "session_pairs",
+    "event_transitions",
+    # newly ORACLED in r11 (checked-projection rewrite) — first hash row
+    "approx_stats",
+    # newest green row r08 — the 13 deferred from r10, at the age bound
+    "anti_join",
+    "collect_set",
+    "cube",
+    "distinct_agg",
+    "except",
+    "intersect",
+    "pivot",
+    "range_join",
+    "rollup",
+    "running_sum",
+    "sessionize",
+    "shipping_priority",
+    "text_normalize",
+    # newest green row r09 — the 20 most expensive by BENCH_FULL.json
+    # (defer-the-cheap-stable: complex plans refresh first)
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "pipeline_clean_corpus",
+    "dedup_semantic",
+    "split_leakage_safe",
+    "dup_matrix",
+    "knn_ivf",
+    "dedup_priority",
+    "dedup_clusters",
+    "knn_lsh",
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
+    "classifier_serve",
+    "dedup_simhash",
+    "lm_staged",
+    "knn_two_stage",
+    "chess_enrich",
+    "tfidf",
+    "source_kl",
+    "knn_brute_force",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

@@ -5018,6 +5018,24 @@ ORACLES = {
     "classifier_hashed": HASHED_CLASSIFIER_ORACLE,
     "contamination_semantic": SEM_CONTAM_ORACLE,
     "dedup_hamming64": HAMMING64_ORACLE,
+    # registered at the r11 window re-plan (suite/__init__.py): the
+    # sixteen staged candidates, promoted verbatim from STAGED_CANDIDATES
+    "badwords_gate": BADWORDS_ORACLE,
+    "rollup_staged": ROLLUP_STAGED_ORACLE,
+    "corpus_overlap": CORPUS_OVERLAP_ORACLE,
+    "funnel_steps": FUNNEL_ORACLE,
+    "gapfill": GAPFILL_ORACLE,
+    "anomaly_flags": ANOMALY_ORACLE,
+    "dedup_edit": EDIT_DIST_ORACLE,
+    "cms_freq": CMS_FREQ_ORACLE,
+    "substring_search": SUBSTR_SEARCH_ORACLE,
+    "session_pairs": SESSION_PAIRS_ORACLE,
+    "event_transitions": EVENT_TRANSITIONS_ORACLE,
+    "exact_quantiles": EXACT_QUANTILES_ORACLE,
+    "bloom_gate": BLOOM_GATE_ORACLE,
+    "group_quantiles": GROUP_QUANTILES_ORACLE,
+    "salted_join": SALTED_JOIN_ORACLE,
+    "gate_attribution": GATE_ATTRIBUTION_ORACLE,
 }
 
 QUERIES = {
@@ -5102,6 +5120,24 @@ QUERIES = {
     "classifier_hashed": q_classifier_hashed,
     "contamination_semantic": q_contamination_semantic,
     "dedup_hamming64": q_hamming64,
+    # registered at the r11 window re-plan (suite/__init__.py): the
+    # sixteen staged candidates, promoted verbatim from STAGED_CANDIDATES
+    "badwords_gate": q_badwords,
+    "rollup_staged": q_rollup_staged,
+    "corpus_overlap": q_corpus_overlap,
+    "funnel_steps": q_funnel,
+    "gapfill": q_gapfill,
+    "anomaly_flags": q_anomaly,
+    "dedup_edit": q_dedup_edit,
+    "cms_freq": q_cms_freq,
+    "substring_search": q_substring_search,
+    "session_pairs": q_session_pairs,
+    "event_transitions": q_event_transitions,
+    "exact_quantiles": q_exact_quantiles,
+    "bloom_gate": q_bloom_gate,
+    "group_quantiles": q_group_quantiles,
+    "salted_join": q_salted_join,
+    "gate_attribution": q_gate_attribution,
 }
 
 #: Machine-checkable staging manifest: every gating candidate that is
@@ -5113,27 +5149,12 @@ QUERIES = {
 #: well-formed, and registration REMOVES the entry (a query present in
 #: both would double-claim its verification state).
 STAGED_CANDIDATES = {
-    # (the four r10-plan entries — bm25_staged, classifier_hashed,
-    # contamination_semantic, dedup_hamming64 — were promoted into
-    # QUERIES/ORACLES at the r10 window re-plan, suite/__init__.py)
-    # r11 plan
-    "badwords_gate": (q_badwords, BADWORDS_ORACLE),
-    "rollup_staged": (q_rollup_staged, ROLLUP_STAGED_ORACLE),
-    "corpus_overlap": (q_corpus_overlap, CORPUS_OVERLAP_ORACLE),
-    "funnel_steps": (q_funnel, FUNNEL_ORACLE),
-    "gapfill": (q_gapfill, GAPFILL_ORACLE),
-    "anomaly_flags": (q_anomaly, ANOMALY_ORACLE),
-    "dedup_edit": (q_dedup_edit, EDIT_DIST_ORACLE),
-    "cms_freq": (q_cms_freq, CMS_FREQ_ORACLE),
-    "substring_search": (q_substring_search, SUBSTR_SEARCH_ORACLE),
-    "session_pairs": (q_session_pairs, SESSION_PAIRS_ORACLE),
-    "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_ORACLE),
-    # staged in r10 for the r11 window
-    "exact_quantiles": (q_exact_quantiles, EXACT_QUANTILES_ORACLE),
-    "bloom_gate": (q_bloom_gate, BLOOM_GATE_ORACLE),
-    "group_quantiles": (q_group_quantiles, GROUP_QUANTILES_ORACLE),
-    "salted_join": (q_salted_join, SALTED_JOIN_ORACLE),
-    "gate_attribution": (q_gate_attribution, GATE_ATTRIBUTION_ORACLE),
+    # (the sixteen r11-plan entries — badwords_gate, rollup_staged,
+    # corpus_overlap, funnel_steps, gapfill, anomaly_flags, dedup_edit,
+    # cms_freq, substring_search, session_pairs, event_transitions,
+    # exact_quantiles, group_quantiles, bloom_gate, salted_join,
+    # gate_attribution — were promoted into QUERIES/ORACLES at the r11
+    # window re-plan, suite/__init__.py)
     # staged in r11 for the r12 window (tests/test_r12_candidates.py:
     # two-scale exact parity + cold-JVM ANSI + plan guards)
     "bloom_gate_table": (q_bloom_gate_table, BLOOM_GATE_TABLE_ORACLE),

@@ -1710,3 +1710,121 @@ def test_stream_bloom_dedup_daily_drops_and_replay(spark, tmp_path):
     run()
     final = sorted((r.doc_id, r.url) for r in spark.read.parquet(out).collect())
     assert final == admitted + [(21, "https://d.example/")]
+
+
+def test_cross_loop_url_then_incremental_dedup_composition(spark, tmp_path):
+    """Pipeline-grain integration of TWO stateful loops sharing a corpus
+    across a restart (r10 verdict task 4): stream_url_dedup's admitted
+    output feeds stream_incremental_dedup as a second stream, each loop
+    with its own checkpoint/state. Two waves with a full stop between
+    them (fresh availableNow query instances on the same checkpoints =
+    restart), then a no-op third run. The composed admission must equal
+    the BATCH composition in pipeline_clean_corpus's order (URL dedup
+    first, near-dup second over the URL winners) — computed here with
+    the batch operators, not hand-listed."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.functions.urls import url_dedup_groups
+    from chess_lakehouse_spark.operators.dedup import minhash_lsh_dedup
+    from chess_lakehouse_spark.operators.graph import connected_components
+    from chess_lakehouse_spark.streaming import (
+        stream_incremental_dedup,
+        stream_url_dedup,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    third = " ".join(f"y{i}" for i in range(30))
+    fourth = " ".join(f"z{i}" for i in range(30))
+    near_base = " ".join(f"w{i}" for i in range(29)) + " zz"
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    url_out = str(tmp_path / "url_out")
+    urls_dir = str(tmp_path / "urls")
+    url_ckpt = str(tmp_path / "url_ckpt")
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    pairs = str(tmp_path / "pairs")
+    dd_ckpt = str(tmp_path / "dd_ckpt")
+
+    def land(name, rows):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run_both():
+        static = spark.read.parquet(str(drops))
+        in1 = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_url_dedup(in1, urls_dir, url_out, url_ckpt)
+        mid_static = spark.read.parquet(url_out)
+        in2 = (
+            spark.readStream.schema(mid_static.schema)
+            .parquet(url_out)
+            .select("doc_id", "text")
+        )
+        stream_incremental_dedup(
+            in2, corpus, sigs, pairs, dd_ckpt,
+            k=3, num_hashes=8, band_size=2, threshold=0.5,
+        )
+
+    # wave 1: docs 1/2 share a canonical URL (scheme/WWW/tracking noise);
+    # doc 3 is distinct on both axes
+    land("d1", [
+        Row(doc_id=1, url="https://ex.com/p", text=base),
+        Row(doc_id=2, url="HTTP://WWW.Ex.COM/p/", text=other),
+        Row(doc_id=3, url="https://ex.com/q", text=other),
+    ])
+    run_both()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3}
+
+    # wave 2 AFTER a full stop (restart on both checkpoints):
+    # doc 10 = new URL but near-dup of ADMITTED doc 1 (loop-2 cross-batch
+    # rejection); doc 11 = same canonical URL as doc 1 (loop-1 cross-batch
+    # rejection — its text must never even reach loop 2); doc 12 = clean
+    land("d2", [
+        Row(doc_id=10, url="https://ex.com/r", text=near_base),
+        Row(doc_id=11, url="https://ex.com/p?utm_source=z#frag", text=fourth),
+        Row(doc_id=12, url="https://ex.com/s", text=third),
+    ])
+    run_both()
+    admitted = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert admitted == {1, 3, 12}
+    # loop-1 stopped doc 11 (its text never staged a signature);
+    # loop-2 stopped doc 10 with a cross pair against doc 1
+    assert {tuple(r) for r in spark.read.parquet(sigs).select("doc_id").collect()} \
+        == {(1,), (3,), (12,)}
+    p = {(r.id_a, r.id_b, r.kind) for r in spark.read.parquet(pairs).collect()}
+    assert (10, 1, "cross") in p
+    assert not any(11 in (a, b) for a, b, _ in p)
+
+    # restart with nothing new: both checkpoints hold, state unchanged
+    run_both()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 12}
+
+    # the BATCH composition (pipeline_clean_corpus's order: URL winners
+    # first, then near-dup canonicals among them) over the FULL input
+    # must select the same documents
+    full = spark.read.parquet(str(drops))
+    winners = url_dedup_groups(full, "doc_id", "url").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    url_clean = full.join(winners, "doc_id")
+    batch_pairs = minhash_lsh_dedup(
+        url_clean, "doc_id", "text",
+        k=3, num_hashes=8, band_size=2, threshold=0.5,
+    )
+    comp = connected_components(batch_pairs.select("id_a", "id_b"))
+    batch_admitted = {
+        r.doc_id
+        for r in url_clean.join(comp, url_clean.doc_id == comp.id, "left")
+        .where(F.col("id").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+        .collect()
+    }
+    assert batch_admitted == admitted
