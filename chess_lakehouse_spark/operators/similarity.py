@@ -874,19 +874,35 @@ def append_ivf_index(
     distinct batch_ids, and reusing one REPLACES that batch's vectors —
     the corrected-re-delivery semantics. The staged lists are never
     re-read or re-clustered; searches prune on ``list_id`` exactly as
-    before, now across every batch level."""
-    from chess_lakehouse_spark.operators.publish import write_partitioned
+    before, now across every batch level.
+
+    Publish is the rename-aside swap (``_swap_lake_dirs``), not an
+    in-place overwrite: the assigned delta writes to a dot-prefixed
+    staging sibling — hidden from Spark's file listing, so a concurrent
+    ``search_ivf_index`` scanning ``batch_id=*/list_id=*`` can never see
+    a half-committed batch — and renames into place in one step. The
+    remaining append↔serve window is therefore the module-wide
+    two-rename contract (SCALE.md "Staged-index append ↔ serve
+    coordination contract"), not a window proportional to the delta's
+    file count."""
+    from chess_lakehouse_spark.operators.publish import (
+        _swap_lake_dirs,
+        write_partitioned,
+    )
 
     _check_ivf_batch_id(batch_id)
     if batch_id == "base":
         raise ValueError("append_ivf_index: batch_id 'base' is the build's own")
     spark = delta.sparkSession
     centroids = read_ivf_centroids(spark, index_dir)
+    root = index_dir.rstrip("/")
+    tmp = f"{root}/.staging-batch_id={batch_id}"
     write_partitioned(
         _assign_lists(delta, id_col, vec_col, centroids),
-        f"{index_dir}/batch_id={batch_id}",
+        tmp,
         ("list_id",),
     )
+    _swap_lake_dirs(spark, tmp, f"{root}/batch_id={batch_id}", "append_ivf_index")
 
 
 def search_ivf_index(

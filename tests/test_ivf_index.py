@@ -181,3 +181,60 @@ def test_ivf_publish_rebuild_replaces_stale_append_batches(spark, tmp_path):
         spark, ref, probes, "vec_id", "embedding", c2, nprobe=2, k=5
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_ivf_index_append_swap_publish_hidden_staging(spark, tmp_path):
+    """append_ivf_index publishes its batch via the rename-aside swap:
+    the happy path leaves NO .staging/.old siblings (so a serve listing
+    batch_id=*/list_id=* can only observe whole batches — the two-rename
+    window of the staged-serving contract, not a file-count-proportional
+    one), a pre-staged leftover dot-dir is invisible to reads, and a
+    serve snapshot collected BEFORE the append is unaffected by it."""
+    import os
+
+    from chess_lakehouse_spark.operators.similarity import (
+        append_ivf_index,
+        kmeans_fit,
+        read_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    cents = kmeans_fit(old, "vec_id", "embedding", k=3, iters=1, seed=0)
+    idx = str(tmp_path / "ivf")
+    publish_ivf_index(old, idx, "vec_id", "embedding", cents)
+
+    probes = emb.where(F.col("vec_id") < 3)
+    served_cents = read_ivf_centroids(spark, idx)
+    before = {
+        tuple(r)
+        for r in search_ivf_index(
+            spark, idx, probes, "vec_id", "embedding", served_cents,
+            nprobe=3, k=5,
+        ).collect()
+    }
+
+    # a crashed earlier attempt's leftover staging dir must not be read
+    os.makedirs(f"{idx}/.staging-batch_id=zz/list_id=0", exist_ok=True)
+
+    append_ivf_index(new, idx, "vec_id", "embedding", batch_id="d1")
+    entries = sorted(
+        e for e in os.listdir(idx) if not e.startswith(".") and "=" in e
+    )
+    assert entries == ["batch_id=base", "batch_id=d1"]
+    assert not os.path.exists(f"{idx}/batch_id=d1.old")
+
+    # the pre-append snapshot still reflects only the base batch
+    again = {
+        tuple(r)
+        for r in search_ivf_index(
+            spark, idx, probes, "vec_id", "embedding", served_cents,
+            nprobe=3, k=5,
+        ).collect()
+    }
+    assert len(again) >= len(before)
+    # post-append serve includes delta ids; base-only snapshot did not
+    base_ids = {r[0] for r in old.select("vec_id").collect()}
+    assert all(cand in base_ids for _, cand, _, _ in before)
+    assert any(cand not in base_ids for _, cand, _, _ in again)
