@@ -815,6 +815,78 @@ def main() -> None:
                 ),
             )
 
+        if only_ops is None or {
+            "bloom_table_build", "bloom_table_serve", "global_percent_rank",
+            "robust_zscore_by", "group_buckets_by",
+        } & only_ops:
+            from chess_lakehouse_spark.operators.bloom import (
+                bloom_might_contain_table,
+                build_bloom_table,
+            )
+            from chess_lakehouse_spark.operators.relational import (
+                global_percent_rank,
+                robust_zscore_flags,
+                score_buckets,
+            )
+
+            # word-TABLE bloom layout (r11): build is the same bounded
+            # word aggregation as the array form minus the single-row
+            # assembly; SERVE pays the one k-position explode + join +
+            # regroup shuffle the array form avoids — measured here so
+            # SCALE.md can state the crossover guidance vs
+            # bloom_gate_serve (use the array form below the 2^31-bit
+            # single-row cap, the table form only past it)
+            keyed_x = docs.select("doc_id", F.md5("text").alias("bk"))
+            probe(
+                "bloom_table_build", factor,
+                lambda: build_bloom_table(
+                    keyed_x, "bk", m_bits=1 << 20, k=7
+                ).count(),
+            )
+            words_fixed = build_bloom_table(
+                spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                    F.md5("text").alias("bk")
+                ),
+                "bk", m_bits=1 << 20, k=7,
+            ).persist()
+            words_fixed.count()
+            probe(
+                "bloom_table_serve", factor,
+                lambda: bloom_might_contain_table(
+                    keyed_x, "bk", "doc_id", words_fixed,
+                    m_bits=1 << 20, k=7,
+                )
+                .agg(F.sum(F.col("might_contain").cast("long")))
+                .collect(),
+            )
+            words_fixed.unpersist()
+            # r11 relational additions: percent-rank rides the same
+            # two-shuffle sort-rank skeleton as exact_quantiles; the
+            # by-group forms are one partitioned window / two
+            # exact-median passes — linear growth is the contract
+            scored_g = docs.select(
+                "doc_id", "source", F.length("text").cast("double").alias("s")
+            )
+            probe(
+                "global_percent_rank", factor,
+                lambda: global_percent_rank(
+                    scored_g.select("doc_id", "s"), ["s", "doc_id"]
+                ).count(),
+            )
+            probe(
+                "robust_zscore_by", factor,
+                lambda: robust_zscore_flags(scored_g, "s", by=["source"])
+                .agg(F.sum(F.col("is_outlier").cast("long")))
+                .collect(),
+            )
+            probe(
+                "group_buckets_by", factor,
+                lambda: score_buckets(scored_g, "doc_id", "s", 4, by=["source"])
+                .groupBy("bucket")
+                .count()
+                .count(),
+            )
+
         if only_ops is None or {"pagerank_5it"} & only_ops:
             # PageRank over a synthetic host graph whose |V| and |E| both
             # grow with the corpus (md5-derived edges — near-uniform
