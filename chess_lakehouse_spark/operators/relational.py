@@ -916,6 +916,82 @@ def robust_zscore_flags(
     return with_mad.select(*df.columns, "med", "mad", flag.alias(out_col))
 
 
+def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Rows on the 2-D Pareto frontier (skyline, Börzsönyi et al. ICDE
+    2001): every row NOT weakly dominated — ``p`` dominates ``q`` iff
+    ``p.x >= q.x`` AND ``p.y >= q.y`` with strict inequality in at least
+    one coordinate. The multi-objective selection pass of corpus
+    curation ("keep the documents no other document beats on BOTH
+    quality axes"); exact duplicates of a frontier point all survive
+    (equal points do not dominate each other). Rows with a NULL in
+    either coordinate are EXCLUDED (incomparable).
+
+    Plan — never the naive all-pairs dominance test:
+
+    1. ``groupBy(x).max(y)`` (one map-combined shuffle): every same-x
+       row below its x's max y is dominated by that max (x equal, y
+       strictly greater), so only the |distinct x|-row ``best`` frame
+       continues.
+    2. Distributed EXCLUSIVE prefix-max of y over x DESCENDING on the
+       best frame — the :func:`global_sort_rank` skeleton generalized
+       from prefix-count to prefix-max: range repartition on x desc
+       (+ eager localCheckpoint so offsets and rows read ONE fixed
+       partitioning), per-partition exclusive running max, plus a
+       broadcast |partitions|-row exclusive cummax of per-partition
+       maxima. A surviving x is one whose best y exceeds every y at
+       strictly greater x: ``y > prefix_max`` (prefix NULL = no
+       greater-x row = survives). No single-partition sort anywhere.
+    3. One semi-join of the input on the surviving (x, y) pairs —
+       frontier-sized build side.
+
+    Returns the input columns, frontier rows only."""
+    clash = {"__pid", "__lm", "__pm", "__om", "__gm", "__x", "__y"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"pareto_frontier_2d: input carries reserved column(s) "
+            f"{sorted(clash)}"
+        )
+    from pyspark.sql.window import Window
+
+    pts = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    best = pts.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(y_col).alias("__y")
+    )
+    ranged = (
+        best.repartitionByRange(F.col("__x").desc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = ranged.withColumn("__lm", F.max("__y").over(w_loc))
+    pmax = ranged.groupBy("__pid").agg(F.max("__y").alias("__pm"))
+    # exclusive cummax over the |partitions|-row maxima frame — the
+    # constant-size unpartitioned window of the sort-rank skeleton
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pmax.select("__pid", F.max("__pm").over(w_off).alias("__om"))
+    sky = (
+        loc.join(F.broadcast(offs), "__pid")
+        # greatest() skips NULLs: NULL prefix on both sides = first row
+        .withColumn("__gm", F.greatest("__lm", "__om"))
+        .where(F.col("__gm").isNull() | (F.col("__y") > F.col("__gm")))
+        .select("__x", "__y")
+    )
+    # un-hinted equi-semi-join: the frontier is usually tiny (AQE
+    # broadcasts it), but an adversarial anti-correlated input makes it
+    # |distinct x|-sized — the shuffle path must stay available
+    return pts.join(
+        sky,
+        (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__y")),
+        "left_semi",
+    )
+
+
 def funnel(
     events: DataFrame,
     user_col: str,

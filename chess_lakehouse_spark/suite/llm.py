@@ -875,6 +875,54 @@ GROUP_BUCKETS_ORACLE = f"""
 """
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier / skyline (operators/relational.py:
+    pareto_frontier_2d, Börzsönyi ICDE'01): lineitem rows weakly
+    dominated on (extendedprice, quantity) by no other row — the
+    multi-objective "no other row beats it on BOTH axes" selection.
+    Never all-pairs: groupBy-collapse to one best row per distinct x,
+    then the distributed exclusive prefix-max over x DESC (the
+    sort-rank skeleton generalized from prefix-count to prefix-max),
+    then one frontier-sized semi-join. The oracle is the O(n log n)
+    window form (exclusive running max over x desc); the definition
+    itself is additionally pinned against a brute-force NOT EXISTS in
+    tests/test_r12_candidates.py. Returns
+    (l_orderkey, l_linenumber, price, qty)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import pareto_frontier_2d
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return pareto_frontier_2d(li, "price", "qty")
+
+
+PARETO_FRONTIER_ORACLE = """
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice AS price, l_quantity AS qty
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    best AS (SELECT price, MAX(qty) AS qty FROM pts GROUP BY price),
+    sky AS (
+      SELECT price, qty FROM (
+        SELECT price, qty,
+               MAX(qty) OVER (
+                 ORDER BY price DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS m
+        FROM best
+      ) WHERE m IS NULL OR qty > m
+    )
+    SELECT p.l_orderkey, p.l_linenumber, p.price, p.qty
+    FROM pts p JOIN sky s ON p.price = s.price AND p.qty = s.qty
+"""
+
+
 def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, counted again on
     each later active day offset — first-seen via one min-aggregate (no
@@ -5161,4 +5209,5 @@ STAGED_CANDIDATES = {
     "score_percentile": (q_score_percentile, SCORE_PERCENTILE_ORACLE),
     "robust_zscore": (q_robust_zscore, ROBUST_ZSCORE_ORACLE),
     "group_buckets": (q_group_buckets, GROUP_BUCKETS_ORACLE),
+    "pareto_frontier": (q_pareto_frontier, PARETO_FRONTIER_ORACLE),
 }

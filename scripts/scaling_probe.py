@@ -817,7 +817,7 @@ def main() -> None:
 
         if only_ops is None or {
             "bloom_table_build", "bloom_table_serve", "global_percent_rank",
-            "robust_zscore_by", "group_buckets_by",
+            "robust_zscore_by", "group_buckets_by", "pareto_frontier",
         } & only_ops:
             from chess_lakehouse_spark.operators.bloom import (
                 bloom_might_contain_table,
@@ -825,6 +825,7 @@ def main() -> None:
             )
             from chess_lakehouse_spark.operators.relational import (
                 global_percent_rank,
+                pareto_frontier_2d,
                 robust_zscore_flags,
                 score_buckets,
             )
@@ -885,6 +886,18 @@ def main() -> None:
                 .groupBy("bucket")
                 .count()
                 .count(),
+            )
+            # skyline: groupBy-collapse + distinct-x prefix-max +
+            # frontier-sized semi-join — one map-combined shuffle on x,
+            # the prefix pass on the collapsed frame only
+            pareto_pts = docs.select(
+                "doc_id",
+                F.length("text").cast("double").alias("px"),
+                (F.col("doc_id") % 997).cast("double").alias("py"),
+            )
+            probe(
+                "pareto_frontier", factor,
+                lambda: pareto_frontier_2d(pareto_pts, "px", "py").count(),
             )
 
         if only_ops is None or {"pagerank_5it"} & only_ops:

@@ -1,8 +1,9 @@
-"""Staging tests for the four r12 window candidates built in r11
+"""Staging tests for the five r12 window candidates built in r11
 (suite/llm.py STAGED_CANDIDATES): two-scale exact parity against their
 suite-defined DuckDB oracles, driver-safe output types, plan-shape
 guards, and the operator-level semantics pins (percent-rank reference,
-robust-z NULL/mask behavior, per-group ntile formula equivalence).
+robust-z NULL/mask behavior, per-group ntile formula equivalence,
+brute-force skyline definition).
 
 - bloom_gate_table  — word-TABLE Bloom layout, oracle shared verbatim
   with bloom_gate (the layout may never change a verdict)
@@ -11,6 +12,8 @@ robust-z NULL/mask behavior, per-group ntile formula equivalence).
 - robust_zscore     — median/MAD Hampel outlier flags
   (operators/relational.py:robust_zscore_flags)
 - group_buckets     — per-group exact ntile (score_buckets `by` form)
+- pareto_frontier   — 2-D skyline via groupBy-collapse + distributed
+  exclusive prefix-max (operators/relational.py:pareto_frontier_2d)
 """
 
 from __future__ import annotations
@@ -251,3 +254,90 @@ def test_score_buckets_by_matches_native_ntile_and_null_rule(spark):
     }
     assert approx[100] is None
     assert all(v in (1, 2, 3) for k, v in approx.items() if v is not None)
+
+
+def _brute_skyline(points):
+    """Reference weak-dominance skyline: p dominates q iff p.x >= q.x and
+    p.y >= q.y with strict inequality in at least one coordinate."""
+    out = []
+    for q in points:
+        dominated = any(
+            p[0] >= q[0] and p[1] >= q[1] and (p[0] > q[0] or p[1] > q[1])
+            for p in points
+        )
+        if not dominated:
+            out.append(q)
+    return sorted(out)
+
+
+def test_pareto_frontier_matches_brute_force_definition(spark):
+    """The operator's output equals the NOT-EXISTS weak-dominance
+    definition on crafted data covering duplicates on the frontier,
+    same-x/same-y ties, NULL coordinates, and an anti-correlated chain
+    (everything on the frontier)."""
+    from chess_lakehouse_spark.operators.relational import pareto_frontier_2d
+
+    rows = [
+        (1, 10.0, 1.0), (2, 9.0, 2.0), (3, 8.0, 3.0),   # anti-corr chain
+        (4, 9.0, 2.0),                                   # exact dup of 2
+        (5, 9.0, 1.5),                                   # same x, lower y
+        (6, 7.0, 3.0),                                   # same y as 3, lower x
+        (7, 1.0, 1.0),                                   # interior
+        (8, None, 5.0), (9, 5.0, None),                  # incomparable
+        (10, 10.0, 0.5),                                 # same x as 1, lower y
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double").repartition(7)
+    got = sorted(
+        (r.x, r.y) for r in pareto_frontier_2d(df, "x", "y").collect()
+    )
+    pts = [(x, y) for _, x, y in rows if x is not None and y is not None]
+    assert got == _brute_skyline(pts)
+    ids = {r.id for r in pareto_frontier_2d(df, "x", "y").collect()}
+    assert ids == {1, 2, 3, 4}  # both duplicates of the frontier point kept
+
+    with pytest.raises(ValueError, match="reserved"):
+        pareto_frontier_2d(df.withColumn("__pid", F.lit(1)), "x", "y")
+
+    # all-on-frontier and empty inputs
+    chain = spark.createDataFrame(
+        [(i, float(100 - i), float(i)) for i in range(50)],
+        "id long, x double, y double",
+    ).repartition(6)
+    assert pareto_frontier_2d(chain, "x", "y").count() == 50
+    empty = spark.createDataFrame([], "id long, x double, y double")
+    assert pareto_frontier_2d(empty, "x", "y").count() == 0
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_pareto_frontier_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        PARETO_FRONTIER_ORACLE,
+        q_pareto_frontier,
+    )
+
+    sdf = q_pareto_frontier(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "l_orderkey": "bigint",
+        "l_linenumber": "int",
+        "price": "double",
+        "qty": "double",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = _oracle_rows(sf_dir, ["lineitem"], PARETO_FRONTIER_ORACLE)
+    assert 0 < len(srows) < 100  # a selection, not the corpus
+    assert srows == drows
+    # frontier property spot-check against the raw table: no survivor is
+    # weakly dominated by any other survivor
+    assert _brute_skyline([(r[2], r[3]) for r in srows]) == sorted(
+        {(r[2], r[3]) for r in srows}
+    )
+
+
+def test_pareto_frontier_candidate_plan_is_distributed(spark):
+    from chess_lakehouse_spark.suite.llm import q_pareto_frontier
+
+    plan = _plan(q_pareto_frontier(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the prefix-max rides the checkpointed range snapshot
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
