@@ -26,9 +26,27 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute host load — recorded with every bench line so an
+    inflated record is attributable to host contention at a glance (the
+    r9/r10 driver records both carried undetected ~45% contention
+    inflation; SCALE.md's run-order contract requires the bench to run
+    FIRST on a quiet host, and this field proves whether it did)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # watchlist / re-measure mode: time only the named queries (comma
+    # list). The driver never sets this; it exists for the quiet-host
+    # min-of-3 re-measures SCALE.md records per round.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {q.strip() for q in only_env.split(",") if q.strip()} or None
 
     from chess_lakehouse_spark import suite
     from chess_lakehouse_spark.session import get_spark
@@ -54,10 +72,13 @@ def main() -> None:
     spark.range(4).select(_noop(F.col("id"))).count()
     warmup_s = time.perf_counter() - t0
 
+    load_start = _loadavg()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name, fn in suite.QUERIES.items():
+        if only is not None and name not in only:
+            continue
         best = None
         for _ in range(reps):
             # operators persist intermediate frames; drop them between runs so
@@ -95,6 +116,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "warmup_sec": round(warmup_s, 4),
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
     if failures:
         out["failures"] = failures
@@ -105,7 +128,10 @@ def main() -> None:
     # under that bound: emit the slowest queries until the line would
     # exceed the budget, roll the rest into one "other" bucket, and write
     # the COMPLETE per-query map next to this script for auditing.
-    full_path = os.path.join(_REPO, "BENCH_FULL.json")
+    # subset runs must never clobber the full-suite audit record
+    full_path = os.path.join(
+        _REPO, "BENCH_FULL.json" if only is None else "BENCH_SUBSET.json"
+    )
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
 
