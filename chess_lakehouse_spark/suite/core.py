@@ -7,7 +7,7 @@ citations point at the reference declaration being covered.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chess_lakehouse_spark.catalog import load_table
@@ -514,16 +514,18 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       ±10% — 5× the configured rsd.
     - ``p50/p95_within_bounds``: approx_percentile at accuracy 10000
       guarantees rank error ≤ N/10000 = 1e-4·N after merge; the bound
-      checks the returned value against the EXACT quantile values at
-      q ± 0.02 (operators/relational.py:exact_quantiles — the
-      distributed sort-rank path, integer-millionths rank cut), a 200×
-      margin. Value-based bounds are monotone in q, so ties in
-      l_extendedprice cannot flip the boolean.
+      inverts the check to RANK space — the returned value v's true rank
+      interval is [count(x < v) + 1, count(x <= v)], and the boolean
+      asserts that interval intersects [q−0.02, q+0.02]·N (a 200×
+      margin), i.e. ``100·count(< v) <= (q+2)·N`` and ``100·count(<= v)
+      >= (q−2)·N`` in EXACT integer arithmetic. Counting instead of
+      sorting keeps the check at two map-combined scans — no range
+      shuffle, the plan a 100 TB fact table wants — and the two-sided
+      strict/non-strict pair makes it tie-safe: an arbitrarily heavy tie
+      mass AT v cannot flip either inequality.
 
     Raw approximate values (engine-private) stay out of the projection;
     their accuracy is additionally pinned in tests/test_llm_ops.py."""
-    from chess_lakehouse_spark.operators.relational import exact_quantiles
-
     apply_runtime_conf(spark)
     li = load_table(spark, sf_dir, "lineitem")
     q = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
@@ -534,32 +536,36 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.getItem(0).alias("__p50"),
         q.getItem(1).alias("__p95"),
     )
-    bounds = (
-        exact_quantiles(li, "l_extendedprice", [0.48, 0.52, 0.93, 0.97])
-        .groupBy()
-        .agg(
-            *[
-                F.min(F.when(F.col("q_ppm") == ppm, F.col("value"))).alias(name)
-                for ppm, name in [
-                    (480_000, "__lo50"),
-                    (520_000, "__hi50"),
-                    (930_000, "__lo95"),
-                    (970_000, "__hi95"),
-                ]
+    v = F.col("l_extendedprice")
+    counts = li.crossJoin(F.broadcast(approx)).agg(
+        *[
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(name)
+            for name, cond in [
+                ("__lt50", v < F.col("__p50")),
+                ("__le50", v <= F.col("__p50")),
+                ("__lt95", v < F.col("__p95")),
+                ("__le95", v <= F.col("__p95")),
             ]
-        )
+        ]
     )
+
+    def _within(lt: str, le: str, pct: int) -> Column:
+        # true-rank interval [lt+1, le] must intersect [(pct-2)%, (pct+2)%]
+        # of N — all-integer, tie-safe on both sides
+        return (
+            (100 * F.col(lt) <= (pct + 2) * F.col("n_rows"))
+            & (100 * F.col(le) >= (pct - 2) * F.col("n_rows"))
+        )
+
     err = F.abs(F.col("__approx_orders").cast("double") - F.col("exact_orders"))
-    return approx.crossJoin(F.broadcast(bounds)).select(
+    return approx.crossJoin(F.broadcast(counts)).select(
         "n_rows",
         "exact_orders",
         (err <= 0.1 * F.col("exact_orders")).alias("approx_orders_within_10pct"),
-        F.col("__p50").between(F.col("__lo50"), F.col("__hi50")).alias(
-            "p50_within_bounds"
-        ),
-        F.col("__p95").between(F.col("__lo95"), F.col("__hi95")).alias(
-            "p95_within_bounds"
-        ),
+        _within("__lt50", "__le50", 50).alias("p50_within_bounds"),
+        _within("__lt95", "__le95", 95).alias("p95_within_bounds"),
     )
 
 
