@@ -373,3 +373,124 @@ def test_exact_quantiles_property(spark, vals, qs):
         rank = max(1, (p * len(s) + 999_999) // 1_000_000)
         want[p] = s[rank - 1]
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_global_percent_rank_property(spark, vals):
+    """Property fuzz for the exact-millionths percent-rank: against the
+    pure-Python ((rank-1)*1e6)//(N-1) over the (value, id) unique order,
+    on any partitioning; NULL values rank FIRST (documented Spark ASC
+    NULLS FIRST contract — callers filter when unwanted)."""
+    from chess_lakehouse_spark.operators.relational import global_percent_rank
+
+    rows = list(enumerate(vals))
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    got = {
+        r.id: r.pct_ppm
+        for r in global_percent_rank(df, ["v", "id"]).collect()
+    }
+    # python reference: NULLs first (as Spark sorts them), then value
+    order = sorted(rows, key=lambda t: (t[1] is not None, t[1], t[0]))
+    n = len(order)
+    want = {
+        rid: (0 if n <= 1 else ((rank * 1_000_000) // (n - 1)))
+        for rank, (rid, _) in enumerate(order)
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_pareto_frontier_property(spark, pts):
+    """Property fuzz for the distributed skyline: tiny integer grids
+    maximize ties/duplicates — every surviving row must be exactly the
+    brute-force weak-dominance reference, on any partitioning."""
+    from chess_lakehouse_spark.operators.relational import pareto_frontier_2d
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double").repartition(6)
+    got = sorted(r.id for r in pareto_frontier_2d(df, "x", "y").collect())
+    want = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            px >= x and py >= y and (px > x or py > y) for _, px, py in rows
+        )
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+            ),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    k=st.sampled_from([1.0, 3.0]),
+)
+def test_robust_zscore_property(spark, vals, k):
+    """Property fuzz for the Hampel flags: med/MAD from the discrete
+    lower-rank median, flag = |x-med| > k*MAD, NULLs flag NULL — against
+    a pure-Python reference on any partitioning."""
+    from chess_lakehouse_spark.operators.relational import robust_zscore_flags
+
+    rows = list(enumerate(vals))
+    df = spark.createDataFrame(rows, "id long, v double").repartition(5)
+    got = {
+        r.id: (r.med, r.mad, r.is_outlier)
+        for r in robust_zscore_flags(df, "v", k=k).collect()
+    }
+    assert set(got) == {i for i, _ in rows}
+
+    def _med(xs):
+        s = sorted(xs)
+        return s[max(1, (500_000 * len(s) + 999_999) // 1_000_000) - 1]
+
+    nn = [v for _, v in rows if v is not None]
+    if not nn:
+        assert all(g == (None, None, None) for g in got.values())
+        return
+    med = _med(nn)
+    mad = _med([abs(v - med) for v in nn])
+    for i, v in rows:
+        if v is None:
+            assert got[i][2] is None
+        else:
+            assert got[i] == (med, mad, abs(v - med) > k * mad)
