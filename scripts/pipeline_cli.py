@@ -571,6 +571,64 @@ def cmd_image_dedup(args: argparse.Namespace) -> None:
     print(f"[image-dedup] kept={kept.count()} -> {args.outDir}")
 
 
+def cmd_score_calibrate(args: argparse.Namespace) -> None:
+    """Score-calibration stage (r11): map a raw quality score to its
+    EXACT corpus percent-rank in integer millionths
+    (operators/relational.py:global_percent_rank — the distributed
+    sort-rank plan) and, optionally, to exact ntile strata
+    (score_buckets) either globally or within --by groups. The
+    normalization step before mixing heterogeneous quality signals:
+    downstream weighting reads ``pct_ppm``/``bucket`` instead of raw
+    engine-specific score scales. Rows with a NULL score are EXCLUDED
+    from the rank (and bucket NULL) — the SQL percentile convention.
+
+    ``--deriveQuality`` computes the composite ``quality_score`` from
+    ``--textCol`` first (functions/text.py:quality_metrics) for inputs
+    that carry raw text but no score column — e.g. clean-corpus's
+    staged corpus (doc_id, text, lang, source); without it the score
+    column must already exist (checked loudly at plan time)."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.relational import (
+        global_percent_rank,
+        score_buckets,
+    )
+
+    spark = _spark()
+    df = spark.read.parquet(args.inParquet)
+    if args.deriveQuality:
+        from chess_lakehouse_spark.functions.text import quality_metrics
+
+        if args.scoreCol != "quality_score":
+            raise SystemExit(
+                "--deriveQuality computes 'quality_score'; drop --scoreCol "
+                f"or set it to quality_score (got {args.scoreCol!r})"
+            )
+        m = quality_metrics(df, args.idCol, args.textCol).select(
+            args.idCol, "quality_score"
+        )
+        df = df.join(m, args.idCol, "left")
+    elif args.scoreCol not in df.columns:
+        raise SystemExit(
+            f"score-calibrate: column {args.scoreCol!r} not in input "
+            f"{sorted(df.columns)}; pass --deriveQuality to compute the "
+            "composite quality score from text"
+        )
+    nn = df.where(F.col(args.scoreCol).isNotNull())
+    ranked = global_percent_rank(nn, [args.scoreCol, args.idCol])
+    nulls = df.where(F.col(args.scoreCol).isNull()).withColumn(
+        "pct_ppm", F.lit(None).cast("long")
+    )
+    out = ranked.unionByName(nulls)
+    if args.buckets:
+        by = args.by.split(",") if args.by else None
+        out = score_buckets(
+            out, args.idCol, args.scoreCol, n_buckets=args.buckets, by=by
+        )
+    out.write.mode("overwrite").parquet(args.outDir)
+    print(f"[score-calibrate] rows={out.count()} -> {args.outDir}")
+
+
 def cmd_edit_dedup(args: argparse.Namespace) -> None:
     """Edit-distance near-dedup stage: exact Levenshtein-<=d pairs via the
     q-gram count filter, connected components, keep the min-id canonical
@@ -1164,6 +1222,24 @@ def main(argv: list[str] | None = None) -> None:
     imd.add_argument("--bandBits", type=int, default=8)
     imd.add_argument("--codec", default="auto", choices=["auto", "real"])
     imd.set_defaults(fn=cmd_image_dedup)
+
+    scb = sub.add_parser("score-calibrate")
+    scb.add_argument("--inParquet", required=True)
+    scb.add_argument("--outDir", required=True)
+    scb.add_argument("--idCol", default="doc_id")
+    scb.add_argument("--scoreCol", required=True)
+    scb.add_argument("--buckets", type=int, default=0,
+                     help="also attach an exact ntile bucket column "
+                          "(0 = percent-rank only)")
+    scb.add_argument("--by", default="",
+                     help="comma list of group columns: bucket WITHIN "
+                          "each group instead of globally")
+    scb.add_argument("--deriveQuality", action="store_true",
+                     help="compute quality_score from --textCol first "
+                          "(for score-less corpora like the staged "
+                          "clean-corpus output)")
+    scb.add_argument("--textCol", default="text")
+    scb.set_defaults(fn=cmd_score_calibrate)
 
     ed = sub.add_parser("edit-dedup")
     ed.add_argument("--inParquet", required=True)

@@ -1230,3 +1230,93 @@ def test_pipeline_cli_crawl_side_chain_matches_example_dag(spark, tmp_path, caps
     }
     assert {(r.source, r.lang): r.n for r in rows} == want
     assert all(r.avg_chars > 0 for r in rows)
+
+
+def test_score_calibrate_cli_roundtrip(spark, tmp_path):
+    """score-calibrate stage: percent-rank in exact millionths over a
+    known order, NULL scores pass through with NULL pct/bucket, and the
+    --by form buckets within groups."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    rows = [(i, "g%d" % (i % 2), float(i)) for i in range(10)] + [
+        (100, "g0", None)
+    ]
+    src = str(tmp_path / "scored")
+    spark.createDataFrame(rows, "doc_id long, grp string, score double") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "calibrated")
+    pipeline_cli.main([
+        "score-calibrate", "--inParquet", src, "--outDir", out,
+        "--scoreCol", "score", "--buckets", "2", "--by", "grp",
+    ])
+    got = {r.doc_id: (r.pct_ppm, r.bucket)
+           for r in spark.read.parquet(out).collect()}
+    assert len(got) == 11
+    # global percent rank over scores 0..9 -> i/9 millionths
+    for i in range(10):
+        assert got[i][0] == (i * 1_000_000) // 9
+    assert got[100] == (None, None)
+    # per-group halves: g0 = {0,2,4,6,8} -> low {0,2,4}=1 (2+3 split puts
+    # the extra row in bucket 1), high {6,8}=2
+    assert [got[i][1] for i in (0, 2, 4, 6, 8)] == [1, 1, 1, 2, 2]
+    assert [got[i][1] for i in (1, 3, 5, 7, 9)] == [1, 1, 1, 2, 2]
+
+    # percent-rank-only form leaves no bucket column
+    out2 = str(tmp_path / "cal2")
+    pipeline_cli.main([
+        "score-calibrate", "--inParquet", src, "--outDir", out2,
+        "--scoreCol", "score",
+    ])
+    cols = spark.read.parquet(out2).columns
+    assert "pct_ppm" in cols and "bucket" not in cols
+
+
+def test_score_calibrate_cli_derive_quality_and_missing_column(spark, tmp_path):
+    """--deriveQuality computes the composite score from text (the
+    staged-corpus shape: no score column), a missing score column
+    without the flag fails loudly at plan time, and --deriveQuality
+    with a mismatched --scoreCol is rejected."""
+    import sys
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    src = str(tmp_path / "staged")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+         (2, "a b", "en", "s1"),
+         (3, "another longer document with several common words in it",
+          "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "cal")
+    pipeline_cli.main([
+        "score-calibrate", "--inParquet", src, "--outDir", out,
+        "--scoreCol", "quality_score", "--deriveQuality",
+    ])
+    got = spark.read.parquet(out)
+    assert {"doc_id", "quality_score", "pct_ppm"} <= set(got.columns)
+    assert got.count() == 3
+    assert got.where("pct_ppm IS NULL").count() == 0
+
+    with _pytest.raises(SystemExit, match="not in input"):
+        pipeline_cli.main([
+            "score-calibrate", "--inParquet", src, "--outDir", out,
+            "--scoreCol", "no_such_col",
+        ])
+    with _pytest.raises(SystemExit, match="deriveQuality"):
+        pipeline_cli.main([
+            "score-calibrate", "--inParquet", src, "--outDir", out,
+            "--scoreCol", "other", "--deriveQuality",
+        ])
