@@ -774,7 +774,7 @@ def test_example_dvc_stages_reference_real_cli_subcommands():
         "rollup-build", "rollup-append", "rollup-serve", "rank-hosts",
         "edit-dedup", "encode-corpus", "build-search-index",
         "bloom-build", "bloom-gate", "ann-index-build", "ann-index-append",
-        "ann-search",
+        "ann-search", "score-calibrate",
     }
     for stage, flags in stages:
         assert f'add_parser("{stage}")' in cli_src, f"unknown stage in example: {stage}"
