@@ -677,6 +677,124 @@ def exact_quantiles(
     )
 
 
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """EXACT weighted quantiles (lower / discrete definition): the value
+    at the first row, in value-ascending order, whose CUMULATIVE weight
+    reaches ``ceil(q * W)`` (W = total weight) — the weighted twin of
+    :func:`exact_quantiles`, for "median document by TOKEN mass" /
+    compute-budget percentile questions where a row's importance is its
+    weight, not its existence.
+
+    Exactness contract: weights must be POSITIVE INTEGERS (cast to
+    long) — cumulative sums and the target rank are then exact integer
+    arithmetic with q carried in millionths (``t = (q_ppm * W + 999_999)
+    div 1e6``, floored at 1), so both engines cut at identical
+    cumulative positions with no float boundary. Rows with NULL value,
+    NULL weight, or weight <= 0 are EXCLUDED (a zero-weight row cannot
+    carry a quantile; negative weights have no quantile semantics).
+    Ties in the value column cannot change the selected VALUE: the
+    threshold either falls inside a tie group's cumulative range (the
+    group's value is returned regardless of intra-tie order) or outside
+    it entirely.
+
+    Plan: the global form is the :func:`global_sort_rank` skeleton
+    generalized from prefix-COUNT to prefix-SUM — range repartition on
+    value (+ eager localCheckpoint snapshot), per-partition inclusive
+    running weight, broadcast |partitions|-row exclusive cumsum of
+    partition weights; the ``by`` form windows per group (groups
+    parallelize). Each target then picks ``min_by(value, cw)`` over
+    ``cw >= t`` — cw is strictly increasing (weights >= 1), so the
+    arg-min is unique. Returns ``(*by, q_ppm bigint, value)``; empty
+    input (or group) yields no rows."""
+    from pyspark.sql.window import Window
+
+    if not qs:
+        raise ValueError("weighted_quantiles: qs must be non-empty")
+    ppms = []
+    for q in qs:
+        p = int(round(float(q) * 1_000_000))
+        if not 0 < p <= 1_000_000:
+            raise ValueError(f"weighted_quantiles: q must be in (0, 1], got {q}")
+        ppms.append(p)
+    if len(set(ppms)) != len(ppms):
+        raise ValueError(f"weighted_quantiles: duplicate quantiles in {list(qs)}")
+    clash = {"__w", "__cw", "__tw", "__pid", "__lw", "__pw", "__ow", "q_ppm"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"weighted_quantiles: input carries reserved column(s) "
+            f"{sorted(clash)}"
+        )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(p,) for p in ppms], "q_ppm long")
+    w = F.col(weight_col).cast("long")
+    pts = df.where(
+        F.col(value_col).isNotNull() & w.isNotNull() & (w > 0)
+    ).select(*(list(by) if by else []), value_col, w.alias("__w"))
+    gcols = list(by) if by else []
+    if gcols:
+        wo = Window.partitionBy(*gcols).orderBy(F.col(value_col).asc())
+        cum = pts.withColumn(
+            "__cw",
+            F.sum("__w")
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        ).withColumn(
+            "__tw",
+            F.sum("__w").over(Window.partitionBy(*gcols)).cast("long"),
+        )
+    else:
+        ranged = (
+            pts.repartitionByRange(F.col(value_col).asc())
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        w_loc = (
+            Window.partitionBy("__pid")
+            .orderBy(F.col(value_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        loc = ranged.withColumn("__lw", F.sum("__w").over(w_loc).cast("long"))
+        pw = ranged.groupBy("__pid").agg(F.sum("__w").cast("long").alias("__pw"))
+        w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offs = pw.select(
+            "__pid",
+            F.coalesce(F.sum("__pw").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__ow"),
+        )
+        total = pw.agg(F.sum("__pw").cast("long").alias("__tw"))
+        cum = (
+            loc.join(F.broadcast(offs), "__pid")
+            .crossJoin(F.broadcast(total))
+            .withColumn("__cw", F.col("__ow") + F.col("__lw"))
+        )
+    # the target falls in exactly ONE row's cumulative interval
+    # (cw - w, cw] per group x q: broadcast the |qs|-row frame in and
+    # filter — |qs| rows per group out, no aggregation at all.
+    # (crossJoin-then-filter rather than a conditioned join: Spark 4's
+    # join-condition resolver flags the reused per-partition-weights
+    # lineage as ambiguous when the condition's F.expr references both
+    # sides; the single-frame filter resolves cleanly and plans to the
+    # same BroadcastNestedLoopJoin + Filter.)
+    tgt = F.greatest(
+        F.lit(1).cast("long"), F.expr("(q_ppm * __tw + 999999) div 1000000")
+    )
+    hit = (F.col("__cw") >= tgt) & (F.col("__cw") - F.col("__w") < tgt)
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(hit)
+        .select(*gcols, "q_ppm", F.col(value_col).alias("value"))
+    )
+
+
 def _ntile_bucket_expr(nb: int) -> Column:
     """Bucket label from an exact 1-based rank — the integer ntile
     formula (q = N div n, r0 = N mod n: the first r0 buckets hold q+1

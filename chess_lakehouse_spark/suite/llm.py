@@ -900,6 +900,68 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(li, "price", "qty")
 
 
+#: Weighted quantiles gated by q_weighted_quantiles (integer millionths).
+WEIGHTED_Q_PPMS = (500_000, 900_000)
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT weighted quantiles (operators/relational.py:
+    weighted_quantiles): the price at which each return-flag group's
+    cumulative QUANTITY mass reaches ceil(q·W) — the "median document
+    by token mass" / compute-budget percentile shape, weights as
+    positive integers so every cumulative position is exact integer
+    arithmetic (q in millionths, no float boundary). Ties in price
+    cannot change the selected value (the threshold lands inside a tie
+    group's contiguous cumulative block). Returns
+    (l_returnflag, q_ppm, value)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import weighted_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty_w"),
+    )
+    return weighted_quantiles(
+        li,
+        "l_extendedprice",
+        "qty_w",
+        [p / 1_000_000 for p in WEIGHTED_Q_PPMS],
+        by=["l_returnflag"],
+    )
+
+
+WEIGHTED_QUANTILES_ORACLE = f"""
+    WITH t AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND CAST(l_quantity AS BIGINT) > 0
+    ),
+    c AS (
+      SELECT g, v, w,
+             CAST(SUM(w) OVER (
+               PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+      FROM t
+    ),
+    q AS (SELECT CAST(x AS BIGINT) AS q_ppm
+          FROM (VALUES {", ".join(f"({p})" for p in WEIGHTED_Q_PPMS)}) AS qv(x)),
+    j AS (
+      SELECT c.g, q.q_ppm, c.v,
+             GREATEST(CAST(1 AS BIGINT),
+                      (q.q_ppm * c.tw + 999999) // 1000000) AS tgt,
+             c.cw, c.w
+      FROM c JOIN q ON TRUE
+    )
+    SELECT g AS l_returnflag, q_ppm, v AS value
+    FROM j WHERE cw >= tgt AND cw - w < tgt
+"""
+
+
 PARETO_FRONTIER_ORACLE = """
     WITH pts AS (
       SELECT l_orderkey, l_linenumber,
@@ -5210,4 +5272,5 @@ STAGED_CANDIDATES = {
     "robust_zscore": (q_robust_zscore, ROBUST_ZSCORE_ORACLE),
     "group_buckets": (q_group_buckets, GROUP_BUCKETS_ORACLE),
     "pareto_frontier": (q_pareto_frontier, PARETO_FRONTIER_ORACLE),
+    "weighted_quantiles": (q_weighted_quantiles, WEIGHTED_QUANTILES_ORACLE),
 }

@@ -818,6 +818,7 @@ def main() -> None:
         if only_ops is None or {
             "bloom_table_build", "bloom_table_serve", "global_percent_rank",
             "robust_zscore_by", "group_buckets_by", "pareto_frontier",
+            "weighted_quantiles",
         } & only_ops:
             from chess_lakehouse_spark.operators.bloom import (
                 bloom_might_contain_table,
@@ -828,6 +829,7 @@ def main() -> None:
                 pareto_frontier_2d,
                 robust_zscore_flags,
                 score_buckets,
+                weighted_quantiles,
             )
 
             # word-TABLE bloom layout (r11): build is the same bounded
@@ -898,6 +900,18 @@ def main() -> None:
             probe(
                 "pareto_frontier", factor,
                 lambda: pareto_frontier_2d(pareto_pts, "px", "py").count(),
+            )
+            # weighted quantiles: the prefix-SUM skeleton — same
+            # two-shuffle shape as global_percent_rank
+            wq_pts = docs.select(
+                F.length("text").cast("double").alias("wv"),
+                (F.col("doc_id") % 7 + 1).cast("long").alias("ww"),
+            )
+            probe(
+                "weighted_quantiles", factor,
+                lambda: weighted_quantiles(
+                    wq_pts, "wv", "ww", [0.5, 0.9, 0.99]
+                ).count(),
             )
 
         if only_ops is None or {"pagerank_5it"} & only_ops:

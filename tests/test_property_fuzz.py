@@ -494,3 +494,57 @@ def test_robust_zscore_property(spark, vals, k):
             assert got[i][2] is None
         else:
             assert got[i] == (med, mad, abs(v - med) > k * mad)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-8, max_value=8),  # small grid -> ties
+            st.integers(min_value=-2, max_value=5),  # incl. nonpositive w
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    qs=st.lists(
+        st.integers(min_value=1, max_value=1_000_000),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_weighted_quantiles_property(spark, rows, qs):
+    """Property fuzz for exact weighted quantiles: value at the first
+    cumulative-weight position reaching ceil(q*W) over the sorted
+    positive-weight rows — against a pure-Python reference, heavy value
+    ties included, on any partitioning."""
+    from chess_lakehouse_spark.operators.relational import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(float(v), w) for v, w in rows], "v double, w long"
+    ).repartition(5)
+    got = {
+        r.q_ppm: r.value
+        for r in weighted_quantiles(
+            df, "v", "w", [p / 1_000_000 for p in qs]
+        ).collect()
+    }
+    kept = sorted((float(v), w) for v, w in rows if w > 0)
+    if not kept:
+        assert got == {}
+        return
+    W = sum(w for _, w in kept)
+    want = {}
+    for p in qs:
+        t = max(1, (p * W + 999_999) // 1_000_000)
+        cw = 0
+        for v, w in kept:
+            cw += w
+            if cw >= t:
+                want[p] = v
+                break
+    assert got == want

@@ -1,4 +1,4 @@
-"""Staging tests for the five r12 window candidates built in r11
+"""Staging tests for the six r12 window candidates built in r11
 (suite/llm.py STAGED_CANDIDATES): two-scale exact parity against their
 suite-defined DuckDB oracles, driver-safe output types, plan-shape
 guards, and the operator-level semantics pins (percent-rank reference,
@@ -14,6 +14,9 @@ brute-force skyline definition).
 - group_buckets     — per-group exact ntile (score_buckets `by` form)
 - pareto_frontier   — 2-D skyline via groupBy-collapse + distributed
   exclusive prefix-max (operators/relational.py:pareto_frontier_2d)
+- weighted_quantiles — exact integer-weight quantiles, the prefix-SUM
+  form of the sort-rank skeleton
+  (operators/relational.py:weighted_quantiles)
 """
 
 from __future__ import annotations
@@ -341,3 +344,78 @@ def test_pareto_frontier_candidate_plan_is_distributed(spark):
     assert "BatchEvalPython" not in plan
     # the prefix-max rides the checkpointed range snapshot
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_weighted_quantiles_semantics(spark):
+    """Known-answer checks: weighted lower-quantile picks, by-group form,
+    exclusion of NULL/zero/negative weights and NULL values, empty
+    input, validation, and the reserved-column guard."""
+    from chess_lakehouse_spark.operators.relational import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(float(v), v) for v in (1, 2, 3, 4)], "v double, w long"
+    ).repartition(3)
+    got = sorted(
+        tuple(r)
+        for r in weighted_quantiles(df, "v", "w", [0.05, 0.5, 0.9, 1.0]).collect()
+    )
+    # W=10; targets 1,5,9,10 over cumulative 1,3,6,10
+    assert got == [
+        (50_000, 1.0), (500_000, 3.0), (900_000, 4.0), (1_000_000, 4.0)
+    ]
+
+    g = spark.createDataFrame(
+        [("a", float(v), 1) for v in range(1, 6)]
+        + [("b", 7.0, 5), ("b", 9.0, 1)],
+        "g string, v double, w long",
+    )
+    assert sorted(
+        tuple(r) for r in weighted_quantiles(g, "v", "w", [0.5], by=["g"]).collect()
+    ) == [("a", 500_000, 3.0), ("b", 500_000, 7.0)]
+
+    n = spark.createDataFrame(
+        [(1.0, 0), (2.0, None), (None, 3), (5.0, 2), (6.0, -4)],
+        "v double, w long",
+    )
+    # only the (5.0, w=2) row is rankable: zero/NULL/negative weights and
+    # NULL values are all excluded
+    assert [tuple(r) for r in weighted_quantiles(n, "v", "w", [0.5]).collect()] \
+        == [(500_000, 5.0)]
+
+    empty = spark.createDataFrame([], "v double, w long")
+    assert weighted_quantiles(empty, "v", "w", [0.5]).count() == 0
+
+    with pytest.raises(ValueError, match="qs must"):
+        weighted_quantiles(df, "v", "w", [])
+    with pytest.raises(ValueError, match="q must"):
+        weighted_quantiles(df, "v", "w", [1.5])
+    with pytest.raises(ValueError, match="reserved"):
+        weighted_quantiles(df.withColumn("__cw", F.lit(1)), "v", "w", [0.5])
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_weighted_quantiles_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        WEIGHTED_QUANTILES_ORACLE,
+        WEIGHTED_Q_PPMS,
+        q_weighted_quantiles,
+    )
+
+    sdf = q_weighted_quantiles(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "l_returnflag": "string",
+        "q_ppm": "bigint",
+        "value": "double",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = _oracle_rows(sf_dir, ["lineitem"], WEIGHTED_QUANTILES_ORACLE)
+    assert len(srows) == 3 * len(WEIGHTED_Q_PPMS)  # 3 return flags
+    assert srows == drows
+
+
+def test_weighted_quantiles_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_weighted_quantiles
+
+    plan = _plan(q_weighted_quantiles(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
