@@ -297,7 +297,7 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # P stays ceil(129/50) = 3.
 #
 # r12 window planning — FIRST bump WINDOW_BUDGETED_FOR to 12: (1) any
-# staged candidates registered at the re-plan go first. SIX are ready
+# staged candidates registered at the re-plan go first. SEVEN are ready
 # in llm.py:STAGED_CANDIDATES, built and parity-pinned in r11
 # (tests/test_r12_candidates.py):
 #   - q_bloom_gate_table / BLOOM_GATE_TABLE_ORACLE (register as
@@ -320,11 +320,14 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #   - q_weighted_quantiles / WEIGHTED_QUANTILES_ORACLE (register as
 #     `weighted_quantiles`; exact weighted quantiles — cumulative
 #     integer-weight cut at ceil(q·W), the prefix-SUM form of the
-#     skeleton).
+#     skeleton);
+#   - q_scd2 / SCD2_ORACLE (register as `scd2_versions`; the Kimball
+#     Type-2 slowly-changing-dimension fold — per-key event windows,
+#     no-op collapse, validity-interval chaining).
 # (2) then the 30 deferred r9-green queries listed above — at the
 # P - 1 bound, they MUST take slots; (3) then 50 - R - 30 stalest
-# r10-green. With R = 6 that is exactly 6 + 30 + 14 = 50; N' = 136,
-# P stays 3, and the 36 r10-green left out defer to the r13 front the
+# r10-green. With R = 7 that is exactly 7 + 30 + 13 = 50; N' = 137,
+# P stays 3, and the 37 r10-green left out defer to the r13 front the
 # same way. Verify with tests/test_suite_order.py before committing.
 WINDOW_BUDGETED_FOR = 11
 

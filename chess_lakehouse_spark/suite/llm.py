@@ -900,6 +900,69 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(li, "price", "qty")
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension fold (operators/publish.py:
+    scd2_apply, Kimball SCD2): customers open at segment
+    ``c_mktsegment`` from t=0; the orders feed (attr =
+    o_orderpriority, event time = epoch-micros(o_orderdate) +
+    o_orderkey — unique per key by construction) versions each
+    customer's attribute history, consecutive equal attributes
+    collapsing to one validity interval. Two per-key windows — groups
+    parallelize, no global sort. Returns
+    (c_custkey, seg, valid_from, valid_to) with valid_to NULL on each
+    key's open version."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.publish import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("seg"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.col("o_orderkey")
+        ).alias("ts"),
+    )
+    return scd2_apply(cust, orders, ["k"], ["seg"], "ts").select(
+        F.col("k").alias("c_custkey"), "seg", "valid_from", "valid_to"
+    )
+
+
+SCD2_ORACLE = """
+    WITH dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(0 AS BIGINT) AS ts, 0 AS src
+      FROM customer
+    ),
+    upd AS (
+      SELECT o_custkey AS k, o_orderpriority AS seg,
+             epoch_us(o_orderdate) + o_orderkey AS ts, 1 AS src
+      FROM orders
+    ),
+    ev AS (SELECT * FROM dim UNION ALL SELECT * FROM upd),
+    d AS (
+      SELECT k, seg, ts, src,
+             row_number() OVER w AS rn,
+             LAG(seg) OVER w AS pseg
+      FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts, src)
+    ),
+    keep AS (
+      SELECT k, seg, ts, src FROM d
+      WHERE rn = 1 OR seg IS DISTINCT FROM pseg
+    )
+    SELECT k AS c_custkey, seg,
+           CAST(ts AS BIGINT) AS valid_from,
+           CAST(LEAD(ts) OVER (PARTITION BY k ORDER BY ts, src) AS BIGINT)
+             AS valid_to
+    FROM keep
+"""
+
+
 #: Weighted quantiles gated by q_weighted_quantiles (integer millionths).
 WEIGHTED_Q_PPMS = (500_000, 900_000)
 
@@ -5273,4 +5336,5 @@ STAGED_CANDIDATES = {
     "group_buckets": (q_group_buckets, GROUP_BUCKETS_ORACLE),
     "pareto_frontier": (q_pareto_frontier, PARETO_FRONTIER_ORACLE),
     "weighted_quantiles": (q_weighted_quantiles, WEIGHTED_QUANTILES_ORACLE),
+    "scd2_versions": (q_scd2, SCD2_ORACLE),
 }

@@ -548,3 +548,62 @@ def test_weighted_quantiles_property(spark, rows, qs):
                 want[p] = v
                 break
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    opens=st.dictionaries(
+        st.integers(min_value=0, max_value=4),          # key
+        st.sampled_from(["a", "b", None]),              # open-row attr
+        max_size=5,
+    ),
+    upd=st.dictionaries(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # key
+            st.integers(min_value=0, max_value=12),     # ts (unique per key)
+        ),
+        st.sampled_from(["a", "b", "c", None]),         # attr
+        max_size=20,
+    ),
+)
+def test_scd2_apply_property(spark, opens, upd):
+    """Property fuzz for the SCD2 fold vs a pure-Python event-fold
+    reference: arbitrary open rows (valid_from 0) + a unique-(key,ts)
+    update feed with NULL attrs mixed in — versions, collapse, and
+    interval chaining must match on any partitioning."""
+    from chess_lakehouse_spark.operators.publish import scd2_apply
+
+    dim_rows = [(k, a, 0, None) for k, a in opens.items()]
+    upd_rows = [(k, a, ts) for (k, ts), a in upd.items()]
+    dim = spark.createDataFrame(
+        dim_rows, "k long, seg string, valid_from long, valid_to long"
+    ).repartition(3)
+    updates = spark.createDataFrame(
+        upd_rows, "k long, seg string, ts long"
+    ).repartition(4)
+    got = sorted(
+        (tuple(r) for r in scd2_apply(dim, updates, ["k"], ["seg"], "ts").collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+    events = {}
+    for k, a in opens.items():
+        events.setdefault(k, []).append((0, 0, a))
+    for (k, ts), a in upd.items():
+        events.setdefault(k, []).append((ts, 1, a))
+    want = []
+    for k, evs in events.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        versions = []
+        for ts, _, a in evs:
+            if not versions or versions[-1][1] != a:
+                versions.append((ts, a))
+        for i, (ts, a) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            want.append((k, a, ts, nxt))
+    want.sort(key=lambda t: tuple((x is None, x) for x in t))
+    assert got == want

@@ -1,4 +1,4 @@
-"""Staging tests for the six r12 window candidates built in r11
+"""Staging tests for the seven r12 window candidates built in r11
 (suite/llm.py STAGED_CANDIDATES): two-scale exact parity against their
 suite-defined DuckDB oracles, driver-safe output types, plan-shape
 guards, and the operator-level semantics pins (percent-rank reference,
@@ -17,6 +17,8 @@ brute-force skyline definition).
 - weighted_quantiles — exact integer-weight quantiles, the prefix-SUM
   form of the sort-rank skeleton
   (operators/relational.py:weighted_quantiles)
+- scd2_versions     — Kimball Type-2 slowly-changing-dimension fold
+  (operators/publish.py:scd2_apply)
 """
 
 from __future__ import annotations
@@ -417,5 +419,107 @@ def test_weighted_quantiles_candidate_plan(spark):
     from chess_lakehouse_spark.suite.llm import q_weighted_quantiles
 
     plan = _plan(q_weighted_quantiles(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_apply_semantics(spark):
+    """Kimball SCD2 fold: closed history untouched, no-op updates
+    collapse, same-instant update supersedes the open snapshot,
+    first-load keys version from their first event, multi-attr NULL-safe
+    change detection, and validation."""
+    from chess_lakehouse_spark.operators.publish import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", None, 0, 100),       # closed history
+            (1, "silver", None, 100, None),  # open
+            (2, "bronze", "x", 50, None),
+            (4, "iron", None, 5, None),
+        ],
+        "k long, seg string, tier string, valid_from long, valid_to long",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "silver", None, 150),  # no-op -> collapses
+            (1, "gold", None, 200),    # real change
+            (2, "bronze", None, 60),   # NULL-safe attr change (x -> NULL)
+            (3, "new", "y", 10),       # first load
+            (4, "steel", None, 5),     # same-instant supersede
+        ],
+        "k long, seg string, tier string, ts long",
+    )
+    def _key(t):
+        return tuple((x is None, x) for x in t)
+
+    out = sorted(
+        (tuple(r) for r in scd2_apply(dim, upd, ["k"], ["seg", "tier"], "ts").collect()),
+        key=_key,
+    )
+    assert out == sorted([
+        (1, "gold", None, 0, 100),
+        (1, "silver", None, 100, 200),
+        (1, "gold", None, 200, None),
+        (2, "bronze", "x", 50, 60),
+        (2, "bronze", None, 60, None),
+        (3, "new", "y", 10, None),
+        (4, "iron", None, 5, 5),     # superseded at the same instant
+        (4, "steel", None, 5, None),
+    ], key=_key)
+
+    with pytest.raises(ValueError, match="missing columns"):
+        scd2_apply(dim.drop("valid_to"), upd, ["k"], ["seg"], "ts")
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_apply(dim, upd, ["k"], [], "ts")
+    with pytest.raises(ValueError, match="reserved"):
+        scd2_apply(dim, upd.withColumn("__src", F.lit(1)), ["k"], ["seg"], "ts")
+
+    # empty dim = pure first load; empty updates = dim unchanged
+    empty_dim = spark.createDataFrame(
+        [], "k long, seg string, tier string, valid_from long, valid_to long"
+    )
+    first = scd2_apply(empty_dim, upd, ["k"], ["seg", "tier"], "ts")
+    assert first.where("valid_to IS NULL").count() == 4  # one open row per key
+    empty_upd = spark.createDataFrame([], "k long, seg string, tier string, ts long")
+    same = sorted(
+        (tuple(r)
+         for r in scd2_apply(dim, empty_upd, ["k"], ["seg", "tier"], "ts").collect()),
+        key=_key,
+    )
+    assert same == sorted((tuple(r) for r in dim.collect()), key=_key)
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_scd2_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import SCD2_ORACLE, q_scd2
+
+    sdf = q_scd2(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "c_custkey": "bigint",
+        "seg": "string",
+        "valid_from": "bigint",
+        "valid_to": "bigint",
+    }
+    srows = sorted(
+        tuple(-2 if x is None else x for x in r) for r in sdf.collect()
+    )
+    drows = sorted(
+        tuple(-2 if x is None else x for x in r)
+        for r in __import__("duckdb").connect().execute(
+            SCD2_ORACLE.replace("customer", f"'{sf_dir}/customer.parquet'", 1)
+            .replace("orders", f"'{sf_dir}/orders.parquet'", 1)
+        ).fetchall()
+    )
+    assert len(srows) > 0
+    assert srows == drows
+    # exactly one open version per customer with >= 1 event
+    opens = sdf.where("valid_to IS NULL").groupBy("c_custkey").count()
+    assert opens.where("count != 1").count() == 0
+
+
+def test_scd2_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_scd2
+
+    plan = _plan(q_scd2(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
