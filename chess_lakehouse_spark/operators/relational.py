@@ -92,6 +92,74 @@ def salted_join(
     return lsalt.join(rsalt, on=[key, "__salt"], how=how).drop("__salt")
 
 
+def _asof_pass(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tiebreak_cols: list,
+    direction: str,
+    out_col: str,
+) -> DataFrame:
+    """One directional as-of sweep (backward or forward): the union +
+    ordered-window ``last(ignorenulls)`` pass shared by every
+    :func:`asof_join` direction. Adds ``out_col`` — a struct of the
+    matched right row's ts (``__mts``) plus the payload columns, NULL
+    when no right row qualifies. Extra left columns (including a prior
+    pass's struct) ride through the union as NULL on right rows."""
+    from pyspark.sql.window import Window
+
+    need = {*key_cols, right_ts, *payload_cols, *tiebreak_cols}
+    r = (
+        # a NULL right_ts matches NO left row in either direction —
+        # unfiltered it would sort NULLS FIRST (asc pass) and become the
+        # visible payload for every left row of its key
+        right.where(F.col(right_ts).isNotNull())
+        .select(*[c for c in right.columns if c in need])
+        .withColumnRenamed(right_ts, "__ts")
+        .withColumn("__side", F.lit(0))
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal __ts (side 0 < 1) in BOTH
+    # directions, so a payload stamped exactly at left_ts is visible to
+    # that left row. Backward: ascending ts, greatest tiebreak wins among
+    # equal-ts right rows. Forward: descending ts, SMALLEST tiebreak wins
+    # (the mirrored order) — each documented on asof_join.
+    if direction == "backward":
+        order = [
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            *[F.col(c).asc() for c in tiebreak_cols],
+        ]
+    else:
+        order = [
+            F.col("__ts").desc(),
+            F.col("__side").asc(),
+            *[F.col(c).desc() for c in tiebreak_cols],
+        ]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__ts").alias("__mts"), *[F.col(c) for c in payload_cols]
+        ),
+    )
+    matched = F.last(marked, ignorenulls=True).over(w)
+    # a NULL left_ts matches nothing: in the desc (forward) pass it sorts
+    # NULLS LAST and would otherwise see every right row as preceding
+    out = u.withColumn(
+        out_col, F.when(F.col(left_ts).isNotNull(), matched)
+    )
+    return out.where(F.col("__side") == 1).drop("__ts", "__side")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -100,65 +168,127 @@ def asof_join(
     right_ts: str,
     payload_cols: Sequence[str],
     tiebreak_cols: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """Left as-of join: for each left row, the payload of the latest right
-    row with the same key and ``right_ts <= left_ts`` (NULL if none) —
-    an operator the reference lists as absent (SURVEY.md §2.3) and Spark
-    has no native form for.
+    """Left as-of join (the pandas ``merge_asof`` surface, distributed):
+    for each left row, the payload of the matched right row with the
+    same key (NULL if none) — an operator the reference lists as absent
+    (SURVEY.md §2.3) and Spark has no native form for.
 
-    Implemented as union + window ``last_value(ignorenulls)`` rather than a
-    per-row correlated subquery or a range join: ONE shuffle by key, then a
-    single ordered pass per key — the shape that survives 100 TB (a range
-    join explodes on wide time spans; a lateral subquery is a nested loop).
-    Ties on right_ts resolve to the greatest tiebreak_cols (deterministic).
-    Right columns other than key/ts/payload/tiebreak are dropped.
+    ``direction``:
 
-    NULL payloads are faithful: the window carries a struct of ALL payload
-    columns that is non-NULL exactly on right rows, so the most recent right
-    row wins even when its payload values are NULL — ``last(col,
-    ignorenulls)`` directly would skip it and silently fall back to an older
-    right row, diverging from the LATERAL ... ORDER BY ts DESC LIMIT 1
-    semantics this operator promises.
+    - ``"backward"`` (default): the LATEST right row with
+      ``right_ts <= left_ts``; ties on right_ts resolve to the greatest
+      ``tiebreak_cols``.
+    - ``"forward"``: the EARLIEST right row with ``right_ts >=
+      left_ts``; ties resolve to the smallest tiebreak (the mirrored
+      order).
+    - ``"nearest"``: whichever of the two is closer by ``|right_ts −
+      left_ts|``; an exact-distance tie prefers the backward match (the
+      pandas convention). Requires a NUMERIC ts column (distance
+      arithmetic) — convert timestamps to epoch micros first.
+
+    ``tolerance`` (same units as the ts columns, numeric ts required):
+    a match farther than ``tolerance`` from ``left_ts`` is discarded —
+    the "only join telemetry within 5 minutes" contract. ``None`` = any
+    distance.
+
+    Implemented as union + window ``last_value(ignorenulls)`` per
+    direction rather than a per-row correlated subquery or a range join:
+    ONE shuffle by key then a single ordered pass per key per direction
+    (nearest = two), the shape that survives 100 TB (a range join
+    explodes on wide time spans; a lateral subquery is a nested loop).
+    Right columns other than key/ts/payload/tiebreak are dropped; NULL
+    left or right ts rows match nothing.
+
+    NULL payloads are faithful: the window carries a struct of the match
+    ts plus ALL payload columns that is non-NULL exactly on right rows,
+    so the nearest right row wins even when its payload values are NULL
+    — ``last(col, ignorenulls)`` directly would skip it and silently
+    fall back to an older right row, diverging from the LATERAL ...
+    ORDER BY ... LIMIT 1 semantics this operator promises.
     """
     key_cols = list(key_cols)
     tiebreak_cols = list(tiebreak_cols)
-    from pyspark.sql.window import Window
-
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward/forward/nearest, "
+            f"got {direction!r}"
+        )
     clash = set(payload_cols) & set(left.columns)
     if clash:
         # the window's last(ignorenulls) would read the LEFT row's own value
         # as a payload candidate — silently wrong results, so refuse
-        raise ValueError(f"asof_join: payload columns already exist on left: {sorted(clash)}")
-    need = {*key_cols, right_ts, *payload_cols, *tiebreak_cols}
-    r = (
-        # a NULL right_ts satisfies `right_ts <= left_ts` for NO left row —
-        # unfiltered it would sort NULLS FIRST and become the visible
-        # payload for every left row of its key
-        right.where(F.col(right_ts).isNotNull())
-        .select(*[c for c in right.columns if c in need])
-        .withColumnRenamed(right_ts, "__ts")
-        .withColumn("__side", F.lit(0))
-    )
-    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    u = l.unionByName(r, allowMissingColumns=True)
-    # right rows sort before left rows at equal __ts (side 0 < 1), so a
-    # payload stamped exactly at left_ts is visible to that left row; among
-    # equal-ts right rows the greatest tiebreak comes last and wins
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *[F.col(c).asc() for c in tiebreak_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    marked = F.when(
-        F.col("__side") == 0, F.struct(*[F.col(c) for c in payload_cols])
-    )
-    out = u.withColumn("__asof", F.last(marked, ignorenulls=True).over(w))
-    return (
-        out.where(F.col("__side") == 1)
-        .select(
-            *left.columns,
-            *[F.col("__asof").getField(c).alias(f"asof_{c}") for c in payload_cols],
+        raise ValueError(
+            f"asof_join: payload columns already exist on left: {sorted(clash)}"
         )
+    reserved = {"__ts", "__side", "__asof", "__asofb", "__asoff"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"asof_join: reserved column(s) {sorted(reserved)} in input"
+        )
+    if tolerance is not None or direction == "nearest":
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
+                   "decimal"}
+        lt = dict(left.dtypes).get(left_ts, "")
+        rt = dict(right.dtypes).get(right_ts, "")
+        bad = [
+            (n, t)
+            for n, t in ((left_ts, lt), (right_ts, rt))
+            if t.split("(")[0] not in numeric
+        ]
+        if bad:
+            raise ValueError(
+                "asof_join: tolerance/nearest need NUMERIC ts columns "
+                f"(distance arithmetic); got {bad} — convert timestamps "
+                "to epoch micros first"
+            )
+
+    def _gap(struct_col: str) -> Column:
+        return F.abs(F.col(left_ts) - F.col(struct_col).getField("__mts"))
+
+    def _ok(struct_col: str) -> Column:
+        cond = F.col(struct_col).isNotNull()
+        if tolerance is not None:
+            cond = cond & (_gap(struct_col) <= F.lit(tolerance))
+        return cond
+
+    if direction in ("backward", "forward"):
+        out = _asof_pass(
+            left, right, key_cols, left_ts, right_ts, payload_cols,
+            tiebreak_cols, direction, "__asof",
+        )
+        if tolerance is None:
+            picked = F.col("__asof")
+        else:
+            picked = F.when(_ok("__asof"), F.col("__asof"))
+        return out.select(
+            *left.columns,
+            *[
+                picked.getField(c).alias(f"asof_{c}")
+                for c in payload_cols
+            ],
+        )
+    b = _asof_pass(
+        left, right, key_cols, left_ts, right_ts, payload_cols,
+        tiebreak_cols, "backward", "__asofb",
+    )
+    bf = _asof_pass(
+        b, right, key_cols, left_ts, right_ts, payload_cols,
+        tiebreak_cols, "forward", "__asoff",
+    )
+    use_b = _ok("__asofb") & (
+        ~_ok("__asoff") | (_gap("__asofb") <= _gap("__asoff"))
+    )
+    picked = F.when(use_b, F.col("__asofb")).otherwise(
+        F.when(_ok("__asoff"), F.col("__asoff"))
+    )
+    return bf.select(
+        *left.columns,
+        *[picked.getField(c).alias(f"asof_{c}") for c in payload_cols],
     )
 
 

@@ -297,7 +297,7 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # P stays ceil(129/50) = 3.
 #
 # r12 window planning — FIRST bump WINDOW_BUDGETED_FOR to 12: (1) any
-# staged candidates registered at the re-plan go first. SEVEN are ready
+# staged candidates registered at the re-plan go first. EIGHT are ready
 # in llm.py:STAGED_CANDIDATES, built and parity-pinned in r11
 # (tests/test_r12_candidates.py):
 #   - q_bloom_gate_table / BLOOM_GATE_TABLE_ORACLE (register as
@@ -323,11 +323,14 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #     skeleton);
 #   - q_scd2 / SCD2_ORACLE (register as `scd2_versions`; the Kimball
 #     Type-2 slowly-changing-dimension fold — per-key event windows,
-#     no-op collapse, validity-interval chaining).
+#     no-op collapse, validity-interval chaining);
+#   - q_asof_nearest / ASOF_NEAREST_ORACLE (register as `asof_nearest`;
+#     the merge_asof nearest-direction + tolerance surface — two
+#     ordered key-window passes, backward-preferred distance ties).
 # (2) then the 30 deferred r9-green queries listed above — at the
 # P - 1 bound, they MUST take slots; (3) then 50 - R - 30 stalest
-# r10-green. With R = 7 that is exactly 7 + 30 + 13 = 50; N' = 137,
-# P stays 3, and the 37 r10-green left out defer to the r13 front the
+# r10-green. With R = 8 that is exactly 8 + 30 + 12 = 50; N' = 138,
+# P stays 3, and the 38 r10-green left out defer to the r13 front the
 # same way. Verify with tests/test_suite_order.py before committing.
 WINDOW_BUDGETED_FOR = 11
 

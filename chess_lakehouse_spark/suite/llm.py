@@ -900,6 +900,82 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(li, "price", "qty")
 
 
+#: Nearest-asof tolerance for q_asof_nearest: 2 days in microseconds.
+ASOF_NEAREST_TOL_US = 2 * 86_400 * 1_000_000
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with a tolerance window
+    (operators/relational.py:asof_join(direction='nearest') — the pandas
+    merge_asof surface, distributed): each click event picks up its
+    user's CLOSEST purchase by |Δt|, exact ties preferring the backward
+    match (the pandas convention), matches farther than 2 days
+    discarded. Purchases are pre-collapsed to unique (user, ts) — max
+    value per instant — so no tiebreak order is needed in either
+    engine. Two ordered key-window passes, no range-join blowup.
+    Returns (event_id, user_id, t_us, purchase_us, purchase_value)."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    purchases = (
+        ev.where((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .groupBy("user_id", F.unix_micros("ts").alias("p_us"))
+        .agg(F.max("value").alias("pval"))
+        .select(
+            "user_id", "p_us", F.col("p_us").alias("p_ts_us"), "pval"
+        )
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="t_us",
+        right_ts="p_us",
+        payload_cols=["p_ts_us", "pval"],
+        direction="nearest",
+        tolerance=ASOF_NEAREST_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.col("asof_p_ts_us").alias("purchase_us"),
+        F.col("asof_pval").alias("purchase_value"),
+    )
+
+
+ASOF_NEAREST_ORACLE = f"""
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, epoch_us(ts) AS p_us, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      GROUP BY user_id, epoch_us(ts)
+    ),
+    j AS (
+      SELECT l.event_id, r.p_us, r.pval,
+             row_number() OVER (
+               PARTITION BY l.event_id
+               ORDER BY ABS(r.p_us - l.t_us) ASC,
+                        CASE WHEN r.p_us <= l.t_us THEN 0 ELSE 1 END ASC
+             ) AS rk
+      FROM l JOIN r ON l.user_id = r.user_id
+                   AND ABS(r.p_us - l.t_us) <= {ASOF_NEAREST_TOL_US}
+    )
+    SELECT l.event_id, l.user_id, CAST(l.t_us AS BIGINT) AS t_us,
+           CAST(j.p_us AS BIGINT) AS purchase_us,
+           j.pval AS purchase_value
+    FROM l LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
+      ON l.event_id = j.event_id
+"""
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension fold (operators/publish.py:
     scd2_apply, Kimball SCD2): customers open at segment
@@ -5337,4 +5413,5 @@ STAGED_CANDIDATES = {
     "pareto_frontier": (q_pareto_frontier, PARETO_FRONTIER_ORACLE),
     "weighted_quantiles": (q_weighted_quantiles, WEIGHTED_QUANTILES_ORACLE),
     "scd2_versions": (q_scd2, SCD2_ORACLE),
+    "asof_nearest": (q_asof_nearest, ASOF_NEAREST_ORACLE),
 }

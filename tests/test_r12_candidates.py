@@ -1,4 +1,4 @@
-"""Staging tests for the seven r12 window candidates built in r11
+"""Staging tests for the eight r12 window candidates built in r11
 (suite/llm.py STAGED_CANDIDATES): two-scale exact parity against their
 suite-defined DuckDB oracles, driver-safe output types, plan-shape
 guards, and the operator-level semantics pins (percent-rank reference,
@@ -19,6 +19,8 @@ brute-force skyline definition).
   (operators/relational.py:weighted_quantiles)
 - scd2_versions     — Kimball Type-2 slowly-changing-dimension fold
   (operators/publish.py:scd2_apply)
+- asof_nearest      — merge_asof nearest-direction + tolerance surface
+  (operators/relational.py:asof_join(direction=, tolerance=))
 """
 
 from __future__ import annotations
@@ -523,3 +525,90 @@ def test_scd2_candidate_plan(spark):
     plan = _plan(q_scd2(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_direction_and_tolerance_semantics(spark):
+    """merge_asof surface: backward/forward/nearest picks on a known
+    timeline, tolerance cut, NULL left/right ts matching nothing, the
+    backward-preference distance tie, and validation."""
+    from chess_lakehouse_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 300),
+         (4, "v", 50), (5, "u", None), (6, "u", 150)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u", 90, "a"), ("u", 210, "b"), ("u", 400, "c"),
+         ("w", 1, "z"), ("u", None, "n")],
+        "k string, rt long, p string",
+    )
+
+    def run(**kw):
+        return {
+            r.lid: r.asof_p
+            for r in asof_join(
+                left, right, ["k"], "t", "rt", ["p"], **kw
+            ).collect()
+        }
+
+    assert run() == {1: "a", 2: "a", 3: "b", 4: None, 5: None, 6: "a"}
+    assert run(direction="forward") == {
+        1: "b", 2: "b", 3: "c", 4: None, 5: None, 6: "b"
+    }
+    # lid=6 t=150: |150-90|=60 == |210-150|=60 -> backward wins the tie
+    assert run(direction="nearest") == {
+        1: "a", 2: "b", 3: "b", 4: None, 5: None, 6: "a"
+    }
+    assert run(direction="nearest", tolerance=10) == {
+        1: "a", 2: "b", 3: None, 4: None, 5: None, 6: None
+    }
+    assert run(direction="forward", tolerance=5) == {
+        1: None, 2: "b", 3: None, 4: None, 5: None, 6: None
+    }
+
+    with pytest.raises(ValueError, match="direction"):
+        run(direction="sideways")
+    with pytest.raises(ValueError, match="NUMERIC"):
+        asof_join(
+            left.withColumn("t", F.timestamp_micros("t")),
+            right.withColumn("rt", F.timestamp_micros("rt")),
+            ["k"], "t", "rt", ["p"], direction="nearest",
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left.withColumn("__asofb", F.lit(1)),
+                  right, ["k"], "t", "rt", ["p"])
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_asof_nearest_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        ASOF_NEAREST_ORACLE,
+        q_asof_nearest,
+    )
+
+    sdf = q_asof_nearest(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "event_id": "bigint",
+        "user_id": "bigint",
+        "t_us": "bigint",
+        "purchase_us": "bigint",
+        "purchase_value": "double",
+    }
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    srows = sorted((tuple(r) for r in sdf.collect()), key=key)
+    drows = sorted(_oracle_rows(sf_dir, ["events"], ASOF_NEAREST_ORACLE), key=key)
+    assert len(srows) > 0
+    assert srows == drows
+    # both matched and unmatched clicks exist under the 2-day window
+    matched = [r for r in srows if r[3] is not None]
+    assert 0 < len(matched) < len(srows)
+
+
+def test_asof_nearest_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_asof_nearest
+
+    plan = _plan(q_asof_nearest(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # windows, not a range join
