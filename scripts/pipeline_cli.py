@@ -571,6 +571,60 @@ def cmd_image_dedup(args: argparse.Namespace) -> None:
     print(f"[image-dedup] kept={kept.count()} -> {args.outDir}")
 
 
+def cmd_scd2_apply(args: argparse.Namespace) -> None:
+    """SCD2 dimension maintenance stage (operators/publish.py:
+    scd2_apply, Kimball Type-2): fold an update feed into a versioned
+    dimension. ``--dimDir`` absent/missing = the first load (every key
+    versions from its first event). With ``--inPlace`` the new table
+    publishes OVER ``--dimDir`` via the crash-safe rename-aside swap
+    (the served-surface convention); otherwise it lands in ``--outDir``
+    and the caller rotates."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.publish import (
+        _swap_lake_dirs,
+        scd2_apply,
+    )
+
+    spark = _spark()
+    keys = args.keyCols.split(",")
+    attrs = args.attrCols.split(",")
+    updates = spark.read.parquet(args.updatesParquet)
+    dim_path = Path(args.dimDir) if args.dimDir else None
+    if dim_path is not None and dim_path.exists():
+        dim = spark.read.parquet(str(dim_path))
+    else:
+        # first load: an empty dim with the update feed's key/attr types
+        # and the ts column's type for the validity bounds
+        dim = (
+            updates.select(
+                *keys,
+                *attrs,
+                F.col(args.tsCol).alias("valid_from"),
+                F.col(args.tsCol).alias("valid_to"),
+            )
+            .limit(0)
+        )
+    out = scd2_apply(dim, updates, keys, attrs, args.tsCol)
+    if args.inPlace:
+        if not args.dimDir:
+            raise SystemExit("scd2-apply: --inPlace requires --dimDir")
+        tmp = args.dimDir.rstrip("/") + ".scd2-staging"
+        out.write.mode("overwrite").parquet(tmp)
+        _swap_lake_dirs(spark, tmp, args.dimDir.rstrip("/"), "scd2-apply")
+        dest = args.dimDir
+    else:
+        if not args.outDir:
+            raise SystemExit("scd2-apply: pass --outDir (or --inPlace)")
+        out.write.mode("overwrite").parquet(args.outDir)
+        dest = args.outDir
+    n = spark.read.parquet(dest)
+    print(
+        f"[scd2-apply] versions={n.count()} "
+        f"open={n.where('valid_to IS NULL').count()} -> {dest}"
+    )
+
+
 def cmd_score_calibrate(args: argparse.Namespace) -> None:
     """Score-calibration stage (r11): map a raw quality score to its
     EXACT corpus percent-rank in integer millionths
@@ -1222,6 +1276,19 @@ def main(argv: list[str] | None = None) -> None:
     imd.add_argument("--bandBits", type=int, default=8)
     imd.add_argument("--codec", default="auto", choices=["auto", "real"])
     imd.set_defaults(fn=cmd_image_dedup)
+
+    s2 = sub.add_parser("scd2-apply")
+    s2.add_argument("--dimDir", default="",
+                    help="current SCD2 dimension parquet (absent = first load)")
+    s2.add_argument("--updatesParquet", required=True)
+    s2.add_argument("--outDir", default="",
+                    help="where the new dimension lands (or use --inPlace)")
+    s2.add_argument("--keyCols", required=True, help="comma list")
+    s2.add_argument("--attrCols", required=True, help="comma list")
+    s2.add_argument("--tsCol", default="ts")
+    s2.add_argument("--inPlace", action="store_true",
+                    help="publish over --dimDir via the rename-aside swap")
+    s2.set_defaults(fn=cmd_scd2_apply)
 
     scb = sub.add_parser("score-calibrate")
     scb.add_argument("--inParquet", required=True)

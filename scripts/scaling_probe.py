@@ -818,7 +818,7 @@ def main() -> None:
         if only_ops is None or {
             "bloom_table_build", "bloom_table_serve", "global_percent_rank",
             "robust_zscore_by", "group_buckets_by", "pareto_frontier",
-            "weighted_quantiles",
+            "weighted_quantiles", "scd2_fold", "asof_nearest",
         } & only_ops:
             from chess_lakehouse_spark.operators.bloom import (
                 bloom_might_contain_table,
@@ -911,6 +911,56 @@ def main() -> None:
                 "weighted_quantiles", factor,
                 lambda: weighted_quantiles(
                     wq_pts, "wv", "ww", [0.5, 0.9, 0.99]
+                ).count(),
+            )
+            # SCD2 fold: docs as the dimension (key = doc_id % groups),
+            # the x-factor corpus as the feed — two per-key windows
+            from chess_lakehouse_spark.operators.publish import scd2_apply
+
+            scd_dim = spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).select(
+                (F.col("doc_id") % 1000).alias("k"),
+                F.col("source").alias("seg"),
+                F.lit(0).cast("long").alias("valid_from"),
+                F.lit(None).cast("long").alias("valid_to"),
+            ).groupBy("k").agg(
+                F.max("seg").alias("seg"),
+                F.min("valid_from").alias("valid_from"),
+                F.min("valid_to").alias("valid_to"),
+            )
+            scd_upd = docs.select(
+                (F.col("doc_id") % 1000).alias("k"),
+                F.col("source").alias("seg"),
+                F.col("doc_id").alias("ts"),
+            )
+            probe(
+                "scd2_fold", factor,
+                lambda: scd2_apply(
+                    scd_dim, scd_upd, ["k"], ["seg"], "ts"
+                ).count(),
+            )
+            # nearest-asof: two ordered key-window passes over the
+            # x-factor left side against a FIXED right side
+            from chess_lakehouse_spark.operators.relational import asof_join
+
+            asof_left = docs.select(
+                (F.col("doc_id") % 500).alias("k"),
+                F.col("doc_id").alias("lid"),
+                (F.col("doc_id") * 37 % 100000).cast("long").alias("t"),
+            )
+            asof_right = spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).select(
+                (F.col("doc_id") % 500).alias("k"),
+                (F.col("doc_id") * 53 % 100000).cast("long").alias("rt"),
+                F.col("n_chars").alias("p"),
+            ).groupBy("k", "rt").agg(F.max("p").alias("p"))
+            probe(
+                "asof_nearest", factor,
+                lambda: asof_join(
+                    asof_left, asof_right, ["k"], "t", "rt", ["p"],
+                    direction="nearest", tolerance=5000,
                 ).count(),
             )
 

@@ -1320,3 +1320,49 @@ def test_score_calibrate_cli_derive_quality_and_missing_column(spark, tmp_path):
             "score-calibrate", "--inParquet", src, "--outDir", out,
             "--scoreCol", "other", "--deriveQuality",
         ])
+
+
+def test_scd2_apply_cli_lifecycle(spark, tmp_path):
+    """scd2-apply stage: first load (no dim), then an in-place fold of a
+    second feed via the rename-aside swap — versions chain, no-op
+    updates collapse, no staging leftovers."""
+    import os
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    upd1 = str(tmp_path / "u1")
+    spark.createDataFrame(
+        [(1, "gold", 10), (2, "iron", 20)], "k long, seg string, ts long"
+    ).write.parquet(upd1)
+    dim = str(tmp_path / "dim")
+
+    pipeline_cli.main([
+        "scd2-apply", "--updatesParquet", upd1, "--outDir", dim,
+        "--keyCols", "k", "--attrCols", "seg",
+    ])
+    first = {tuple(r) for r in spark.read.parquet(dim).collect()}
+    assert first == {(1, "gold", 10, None), (2, "iron", 20, None)}
+
+    upd2 = str(tmp_path / "u2")
+    spark.createDataFrame(
+        [(1, "gold", 30),    # no-op: collapses
+         (2, "steel", 40),   # real change
+         (3, "new", 50)],    # first event for a new key
+        "k long, seg string, ts long",
+    ).write.parquet(upd2)
+    pipeline_cli.main([
+        "scd2-apply", "--dimDir", dim, "--updatesParquet", upd2,
+        "--keyCols", "k", "--attrCols", "seg", "--inPlace",
+    ])
+    folded = {tuple(r) for r in spark.read.parquet(dim).collect()}
+    assert folded == {
+        (1, "gold", 10, None),
+        (2, "iron", 20, 40),
+        (2, "steel", 40, None),
+        (3, "new", 50, None),
+    }
+    assert not os.path.exists(dim + ".scd2-staging")
+    assert not os.path.exists(dim + ".old")
