@@ -1236,6 +1236,139 @@ def compact_stream_state(
     _swap_lake_dirs(spark, tmp, state_dir.rstrip("/"), "compact_stream_state")
 
 
+def read_scd2_current(
+    spark: SparkSession, dim_dir: str, exclude_batch=None
+) -> DataFrame | None:
+    """The served SCD2 dimension: the LATEST committed snapshot under
+    ``dim_dir/batch_id=N`` (optionally excluding one batch id — the
+    streaming replay-hole guard). None when no snapshot exists. The
+    distinct-id fetch is bounded by |batches| (compact regularly)."""
+    if not _path_exists(spark, dim_dir):
+        return None
+    snaps = spark.read.parquet(dim_dir)
+    if exclude_batch is not None:
+        snaps = snaps.where(
+            F.col("batch_id").cast("string") != F.lit(str(exclude_batch))
+        )
+    ids = [str(r.batch_id) for r in snaps.select("batch_id").distinct().collect()]
+    if not ids:
+        return None
+    latest = max(ids, key=lambda b: (b.isdigit(), int(b) if b.isdigit() else -1, b))
+    return snaps.where(
+        F.col("batch_id").cast("string") == F.lit(latest)
+    ).drop("batch_id")
+
+
+def scd2_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    dim_dir: str,
+    key_cols,
+    attr_cols,
+    ts_col: str,
+) -> None:
+    """One micro-batch of the streaming SCD2 loop — module-level so the
+    crash-replay contract is directly testable. The Type-2 fold is
+    ORDER-DEPENDENT (closed history cannot be un-closed), so unlike the
+    dedup loops its state cannot be batch-partitioned rows: state is
+    SNAPSHOT-PER-BATCH — each micro-batch reads the latest committed
+    snapshot EXCLUDING its own batch id (the replay-hole guard: a crash
+    after the snapshot write but before the checkpoint commit would
+    otherwise fold the replay into its own output, double-versioning
+    every event), folds with :func:`scd2_apply`'s exact batch
+    semantics, and publishes the NEW full snapshot under
+    ``batch_id=<id>`` via the rename-aside swap. A replayed batch
+    therefore rewrites its snapshot byte-identically. Per-batch cost is
+    O(|dim| + |batch|) — dimensions are small relative to fact/corpus
+    tables, the documented trade for exact fold semantics; prune old
+    snapshots with :func:`compact_scd2_snapshots`."""
+    from chess_lakehouse_spark.operators.publish import (
+        _swap_lake_dirs,
+        scd2_apply,
+    )
+
+    spark = batch_df.sparkSession
+    keys, attrs = list(key_cols), list(attr_cols)
+    prior = read_scd2_current(spark, dim_dir, exclude_batch=batch_id)
+    if prior is None:
+        prior = (
+            batch_df.select(
+                *keys,
+                *attrs,
+                F.col(ts_col).alias("valid_from"),
+                F.col(ts_col).alias("valid_to"),
+            ).limit(0)
+        )
+    out = scd2_apply(prior, batch_df, keys, attrs, ts_col)
+    root = dim_dir.rstrip("/")
+    tmp = f"{root}/.staging-batch_id={batch_id}"
+    out.write.mode("overwrite").parquet(tmp)
+    _swap_lake_dirs(spark, tmp, f"{root}/batch_id={batch_id}", "scd2_batch")
+
+
+def stream_scd2(
+    updates: DataFrame,
+    dim_dir: str,
+    checkpoint_dir: str,
+    key_cols,
+    attr_cols,
+    ts_col: str = "ts",
+) -> None:
+    """Streaming SCD2 dimension maintenance — the eighth stateful loop:
+    every micro-batch of the update feed folds into the versioned
+    dimension with :func:`scd2_apply`'s exact batch semantics (see
+    :func:`scd2_batch` for the snapshot-per-batch state layout and the
+    replay contract; stream == one-shot batch fold when the feed's
+    (key, ts) order is consistent with batch boundaries, pinned in
+    tests/test_streaming.py). Serve with :func:`read_scd2_current`;
+    prune snapshots with :func:`compact_scd2_snapshots`. availableNow
+    drains and stops (test/backfill); production uses a live trigger on
+    the identical plan."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_batch(batch_df, batch_id, dim_dir, key_cols, attr_cols, ts_col)
+
+    q = (
+        updates.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def compact_scd2_snapshots(
+    spark: SparkSession, dim_dir: str, keep_recent: int = 2
+) -> None:
+    """Prune old SCD2 snapshots: unlike ``compact_stream_state`` (which
+    MERGES row-grain state), each snapshot here is a complete dimension
+    state, so compaction simply KEEPS the ``keep_recent`` most recent
+    ``batch_id=N`` snapshots and drops the rest — served rows
+    (:func:`read_scd2_current` = the latest snapshot) are untouched.
+    Crash-safe via the rename-aside swap; run BETWEEN stream runs and
+    keep ``keep_recent`` >= 1 so a crashed-uncommitted batch still
+    finds its prior snapshot to re-fold from (>= 2 keeps one fallback
+    generation)."""
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    if keep_recent < 1:
+        raise ValueError(
+            f"compact_scd2_snapshots: keep_recent must be >= 1, got {keep_recent}"
+        )
+    df = spark.read.parquet(dim_dir)
+    ids = [str(r.batch_id) for r in df.select("batch_id").distinct().collect()]
+    ids.sort(key=lambda b: (b.isdigit(), int(b) if b.isdigit() else -1, b))
+    kept = ids[-keep_recent:]
+    if set(kept) == set(ids):
+        return
+    remain = df.where(F.col("batch_id").cast("string").isin(kept))
+    tmp = f"{dim_dir.rstrip('/')}.compacting"
+    remain.withColumn(
+        "batch_id", F.col("batch_id").cast("string")
+    ).write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+    _swap_lake_dirs(spark, tmp, dim_dir.rstrip("/"), "compact_scd2_snapshots")
+
+
 def stream_anomaly_alerts(
     new_events: DataFrame,
     rollup_dir: str,

@@ -1828,3 +1828,91 @@ def test_cross_loop_url_then_incremental_dedup_composition(spark, tmp_path):
         .collect()
     }
     assert batch_admitted == admitted
+
+
+def test_stream_scd2_folds_drops_and_replay(spark, tmp_path):
+    """The streaming SCD2 loop (snapshot-per-batch state): drop 1
+    versions from scratch, drop 2 folds — no-op collapse, real change,
+    new key — a restart with nothing new is a no-op, the direct batch
+    replay (scd2_batch with the same id) rewrites its snapshot
+    identically, the composed stream state equals the ONE-SHOT batch
+    fold of all updates, and snapshot compaction keeps serving the same
+    rows."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.operators.publish import scd2_apply
+    from chess_lakehouse_spark.streaming import (
+        compact_scd2_snapshots,
+        read_scd2_current,
+        scd2_batch,
+        stream_scd2,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_scd2(stream, dim_dir, ckpt, ["k"], ["seg"], "ts")
+
+    land("d1", [Row(k=1, seg="gold", ts=10), Row(k=2, seg="iron", ts=20)])
+    run()
+    cur = {tuple(r) for r in read_scd2_current(spark, dim_dir).collect()}
+    assert cur == {(1, "gold", 10, None), (2, "iron", 20, None)}
+
+    land("d2", [
+        Row(k=1, seg="gold", ts=30),   # no-op
+        Row(k=2, seg="steel", ts=40),  # change
+        Row(k=3, seg="new", ts=50),    # first event
+    ])
+    run()
+    cur2 = {tuple(r) for r in read_scd2_current(spark, dim_dir).collect()}
+    want = {
+        (1, "gold", 10, None),
+        (2, "iron", 20, 40),
+        (2, "steel", 40, None),
+        (3, "new", 50, None),
+    }
+    assert cur2 == want
+
+    # restart with nothing new: checkpoint holds
+    run()
+    assert {tuple(r) for r in read_scd2_current(spark, dim_dir).collect()} == want
+
+    # crash-replay: re-invoking the last batch id rewrites its snapshot
+    # identically (the own-snapshot exclusion guard)
+    last = spark.read.parquet(str(drops / "d2.parquet"))
+    scd2_batch(last, 1, dim_dir, ["k"], ["seg"], "ts")
+    assert {tuple(r) for r in read_scd2_current(spark, dim_dir).collect()} == want
+
+    # composed stream state == one-shot batch fold of the full feed
+    allup = spark.read.parquet(str(drops))
+    empty = allup.select(
+        "k", "seg",
+        allup.ts.alias("valid_from"), allup.ts.alias("valid_to"),
+    ).limit(0)
+    batch = {
+        tuple(r) for r in scd2_apply(empty, allup, ["k"], ["seg"], "ts").collect()
+    }
+    assert batch == want
+
+    # compaction drops old snapshots, serving unchanged
+    compact_scd2_snapshots(spark, dim_dir, keep_recent=1)
+    assert {tuple(r) for r in read_scd2_current(spark, dim_dir).collect()} == want
+    import os
+
+    snaps = [d for d in os.listdir(dim_dir) if d.startswith("batch_id=")]
+    assert len(snaps) == 1
