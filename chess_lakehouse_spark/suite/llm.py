@@ -5405,7 +5405,9 @@ STAGED_CANDIDATES = {
     # gate_attribution — were promoted into QUERIES/ORACLES at the r11
     # window re-plan, suite/__init__.py)
     # staged in r11 for the r12 window (tests/test_r12_candidates.py:
-    # two-scale exact parity + cold-JVM ANSI + plan guards)
+    # two-scale exact parity + cold-JVM ANSI + plan guards; additionally
+    # hand-verified exact-match against their oracles at sf0.1 — THREE
+    # scales — in the r11 build session)
     "bloom_gate_table": (q_bloom_gate_table, BLOOM_GATE_TABLE_ORACLE),
     "score_percentile": (q_score_percentile, SCORE_PERCENTILE_ORACLE),
     "robust_zscore": (q_robust_zscore, ROBUST_ZSCORE_ORACLE),
