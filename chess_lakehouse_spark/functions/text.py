@@ -1446,13 +1446,15 @@ def build_substring_index(
     )
     write_clustered(postings, f"{index_dir}/postings", ["g"], n_files=n_posting_files)
     # n_docs = INDEXED documents (>= 1 gram, i.e. len >= q) — the same
-    # definition append_substring_index recomputes from the merged
-    # postings, so the two lifecycles cannot drift on gramless docs
+    # value append_substring_index recomputes from the merged postings
+    # (it has no full-corpus frame to count). Here the full corpus IS in
+    # hand, so count the doc frame directly instead of re-reading and
+    # re-distincting the ~|total chars| exploded postings: lower() never
+    # changes length, so len(t) >= q selects exactly the docs that emit
+    # >= 1 gram, and the distinct guards duplicate input ids the same
+    # way the postings-side distinct did.
     n_docs = (
-        base.sparkSession.read.parquet(f"{index_dir}/postings")
-        .select("doc_id")
-        .distinct()
-        .count()
+        base.where(F.length("t") >= q).select("doc_id").distinct().count()
     )
     base.sparkSession.createDataFrame(
         [(q, n_docs, bool(fold_case))], "q int, n_docs long, fold_case boolean"
