@@ -1662,3 +1662,62 @@ def event_transitions(
             ).alias("p_ppm"),
         )
     )
+
+
+def daily_user_growth(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    day_fmt: str = "yyyy-MM-dd",
+) -> DataFrame:
+    """User growth accounting: per activity day, the DISTINCT active
+    users, the NEW users (first ever appearance), and the cumulative
+    distinct-user count — the audience-growth curve, computed WITHOUT
+    any running-distinct state: a day's cumulative distinct count equals
+    the count of users whose FIRST day is <= that day, so keyed
+    aggregations plus a cumsum over the |days| frame replace a per-day
+    COUNT(DISTINCT) over ever-growing prefixes (which would rescan the
+    whole history per day).
+
+    Scale shape: one (user, day)-keyed distinct shuffle over the events,
+    one user-keyed min (first day), two |days|-row aggregations, then
+    the cumulative sum over the |days|-row frame — CALENDAR-bounded
+    cardinality (the offsets-cumsum class: a century of days is ~36.5k
+    rows), never data-volume, so the unpartitioned window is safe by
+    construction. NULL timestamps drop (they have no day); NULL user ids
+    group as one pseudo-user, matching SQL GROUP BY semantics on both
+    engines. Every output day has n_active >= 1 by construction (days
+    exist only through activity), and n_new is 0 on days with no
+    first-timers.
+
+    Output: ``day`` (formatted string — driver-safe VARCHAR, not DATE),
+    ``n_active``, ``n_new``, ``cum_users`` (all long).
+    """
+    from pyspark.sql.window import Window
+
+    act = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), F.to_date(ts_col).alias("__day"))
+        .distinct()
+    )
+    n_active = act.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    n_new = (
+        act.groupBy("__u")
+        .agg(F.min("__day").alias("__day"))
+        .groupBy("__day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    daily = n_active.join(n_new, "__day", "left").select(
+        "__day",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    w = Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("__day", day_fmt).alias("day"),
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )

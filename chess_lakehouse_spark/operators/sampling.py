@@ -777,3 +777,142 @@ def pack_bins_bfd(
         schema=f"id {id_type}, n_tokens long, shard int, bin_id long, "
                "bin_fill long, oversize boolean",
     ).withColumnsRenamed({"id": id_col})
+
+
+def upsample_epochs(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    group_col: str,
+    budget: int,
+    max_epochs: int = 4,
+    seed: int = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Data-constrained corpus repetition — the 'repeat good data for
+    multiple epochs' step of a budgeted pretraining recipe (Muennighoff
+    et al. 2023, "Scaling Data-Constrained Language Models",
+    arXiv:2305.16264, public): split a global size ``budget`` EQUALLY
+    across groups (uniform domain weighting — small high-quality domains
+    upweight), give every document of a group ``ep = min(max_epochs,
+    budget_per_group div group_size)`` full epochs, and fill the
+    remainder with ONE extra epoch for a deterministic hash-selected
+    fraction of the group's docs (``frac_ppm = remainder·10⁶ div
+    group_size``; membership = :func:`sample_hash` ppm < frac_ppm — the
+    hash_sample convention, so the fractional epoch is reproducible,
+    engine-portable, and nested across budget changes). A group larger
+    than its share gets ep=0 full epochs and the fractional pass
+    degrades to a plain hash SUBsample — the budget semantics stay
+    monotone through the boundary. All arithmetic is non-negative
+    integer ``div`` (ANSI-safe, no float epoch boundaries); zero-size
+    groups contribute nothing (CASE-guarded, no division).
+
+    Output: one row per (document, epoch) with ``epoch_col`` counting
+    from 1 — the materialized training-mixture manifest (compose with
+    pack_sequences / write_shuffled_shards downstream).
+
+    Scale shape: one |groups|-row aggregate broadcast back, then a
+    map-side sequence-explode — the corpus itself never shuffles, so the
+    op costs one scan plus output write at any corpus size. Output
+    volume is ~budget by construction (<= corpus·max_epochs).
+    """
+    if budget < 0:
+        raise ValueError(f"upsample_epochs: budget must be >= 0, got {budget}")
+    if max_epochs < 1:
+        raise ValueError(
+            f"upsample_epochs: max_epochs must be >= 1, got {max_epochs}"
+        )
+    reserved = {"__tot", "__ng", "__bpg", "__ep", "__fppm", "__hppm", "__nep", epoch_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"upsample_epochs: input carries reserved column(s) {sorted(clash)}"
+        )
+    stats = df.groupBy(group_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("__tot")
+    )
+    ngroups = stats.agg(F.count(F.lit(1)).alias("__ng"))
+    plan = (
+        stats.crossJoin(F.broadcast(ngroups))
+        .withColumn("__bpg", F.expr(f"{budget} div __ng"))
+        .withColumn(
+            "__ep",
+            F.when(
+                F.col("__tot") > 0,
+                F.least(F.lit(max_epochs), F.expr("__bpg div __tot")),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__fppm",
+            F.when(
+                (F.col("__tot") > 0) & (F.col("__ep") < max_epochs),
+                F.expr("((__bpg - __ep * __tot) * 1000000) div __tot"),
+            ).otherwise(F.lit(0)),
+        )
+        .select(group_col, "__ep", "__fppm")
+    )
+    joined = df.join(F.broadcast(plan), group_col).withColumn(
+        "__hppm", sample_hash(F.col(id_col), seed) % F.lit(1_000_000)
+    )
+    n_ep = (
+        F.col("__ep")
+        + F.when(F.col("__hppm") < F.col("__fppm"), 1).otherwise(0)
+    ).cast("int")
+    # sequence(1, 0) counts DOWN in Spark — CASE-guard the empty case
+    epochs = F.when(n_ep >= 1, F.sequence(F.lit(1), n_ep)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return joined.withColumn(epoch_col, F.explode(epochs)).drop(
+        "__ep", "__fppm", "__hppm"
+    )
+
+
+def interleave_groups(
+    df: DataFrame, id_col: str, group_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic round-robin training ORDER over a grouped corpus —
+    the fixed data-mixing order a multi-source pretraining run consumes
+    (each step draws from sources in rotation, each source internally
+    hash-shuffled): rows sort by ``(seq, group)`` where ``seq`` is the
+    row's position within its group under the portable md5 order. The
+    result is a pure function of (seed, ids) — re-runs, re-partitions
+    and engine swaps produce the identical order, the reproducibility
+    contract a training manifest needs.
+
+    Both ranks come from :func:`~chess_lakehouse_spark.operators.\
+relational.global_sort_rank` (range repartition + per-partition
+    row_number + broadcast offsets — Spark's scalable sort machinery,
+    never a single-partition global window): the first over
+    ``(group, hash, id)`` gives contiguous-by-group positions that a
+    broadcast |groups|-row min-rank frame rebases to per-group ``seq``;
+    the second over ``(seq, group)`` yields the interleaved global
+    ``pos``. Both keys are unique (ids are), so every rank is exact and
+    tie-free. Four keyed shuffles total at any scale; everything else
+    is |groups|-sized.
+
+    Output: input id/group columns plus ``seq`` (1-based within group)
+    and ``pos`` (1-based global interleave position), one row per input
+    row.
+    """
+    from chess_lakehouse_spark.operators.relational import global_sort_rank
+
+    reserved = {"__h", "__minr", "seq", "pos", "__rank", "__N"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"interleave_groups: input carries reserved column(s) {sorted(clash)}"
+        )
+    hashed = df.select(id_col, group_col).withColumn(
+        "__h", sample_hash(F.col(id_col), seed)
+    )
+    ranked = global_sort_rank(hashed, [group_col, "__h", id_col])
+    offsets = ranked.groupBy(group_col).agg(F.min("__rank").alias("__minr"))
+    seqd = (
+        ranked.join(F.broadcast(offsets), group_col)
+        .withColumn("seq", (F.col("__rank") - F.col("__minr") + 1))
+        .select(id_col, group_col, "seq")
+    )
+    out = global_sort_rank(seqd, ["seq", group_col])
+    return out.select(
+        id_col, group_col, "seq", F.col("__rank").alias("pos")
+    )

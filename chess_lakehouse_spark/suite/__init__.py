@@ -327,10 +327,24 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 #   - q_asof_nearest / ASOF_NEAREST_ORACLE (register as `asof_nearest`;
 #     the merge_asof nearest-direction + tolerance surface — two
 #     ordered key-window passes, backward-preferred distance ties).
+# A second r11-built batch raises the manifest to ELEVEN (same
+# two-scale + sf0.1 hand-check + cold-JVM + plan-guard discipline,
+# tests/test_r12_candidates.py):
+#   - q_upsample_epochs / UPSAMPLE_EPOCHS_ORACLE (register as
+#     `upsample_epochs`; budgeted data-constrained corpus repetition,
+#     Muennighoff 2023 — integer allocation, broadcast plan, map-side
+#     epoch explode, zero corpus shuffles);
+#   - q_user_growth / USER_GROWTH_ORACLE (register as `user_growth`;
+#     daily active/new/cumulative distinct users with NO running-
+#     distinct state — first-day counts + calendar-bounded cumsum);
+#   - q_interleave_sources / INTERLEAVE_ORACLE (register as
+#     `interleave_sources`; deterministic round-robin training order —
+#     two global_sort_rank passes, per-group rebase via broadcast
+#     min-rank offsets).
 # (2) then the 30 deferred r9-green queries listed above — at the
 # P - 1 bound, they MUST take slots; (3) then 50 - R - 30 stalest
-# r10-green. With R = 8 that is exactly 8 + 30 + 12 = 50; N' = 138,
-# P stays 3, and the 38 r10-green left out defer to the r13 front the
+# r10-green. With R = 11 that is exactly 11 + 30 + 9 = 50; N' = 141,
+# P stays 3, and the r10-green left out defer to the r13 front the
 # same way. Verify with tests/test_suite_order.py before committing.
 WINDOW_BUDGETED_FOR = 11
 

@@ -5389,6 +5389,179 @@ QUERIES = {
     "gate_attribution": q_gate_attribution,
 }
 
+
+# --------------------------------------------------------------------------
+# r11-built staging candidates (second batch): budgeted corpus repetition,
+# growth accounting, deterministic training-order interleave.
+# --------------------------------------------------------------------------
+
+#: Global char budget for the epoch-upsampling recipe — sized so every
+#: allocation path is exercised across the fixture scales: at sf0.001/
+#: sf0.01 (~7.5k chars/source) each source gets ~2 full epochs plus a
+#: ~68% fractional pass; at sf0.1 (~74k chars/source) ep = 0 and the
+#: fractional pass degrades to a ~27% hash subsample (the documented
+#: over-budget boundary).
+UPSAMPLE_BUDGET_CHARS = 400_000
+UPSAMPLE_MAX_EPOCHS = 4
+UPSAMPLE_SEED = 7
+INTERLEAVE_SEED = 3
+
+
+def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained corpus repetition (operators/sampling.py:
+    upsample_epochs; Muennighoff et al. 2023, arXiv:2305.16264): an
+    equal char budget per source, min(4, bpg div tot) full epochs each,
+    remainder filled by a deterministic md5-ppm fractional epoch — the
+    materialized training-mixture manifest, one (doc, epoch) row each.
+    All-integer allocation (ANSI-safe), zero corpus shuffles (a
+    |sources|-row plan broadcasts back; the explode is map-side).
+
+    r12 STAGING CANDIDATE — not yet registered: exact value parity
+    against UPSAMPLE_EPOCHS_ORACLE pinned in tests/test_r12_candidates.py
+    at two scales + cold-JVM; registration at a window re-plan is a
+    dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import upsample_epochs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return upsample_epochs(
+        docs,
+        "doc_id",
+        "n_chars",
+        "source",
+        budget=UPSAMPLE_BUDGET_CHARS,
+        max_epochs=UPSAMPLE_MAX_EPOCHS,
+        seed=UPSAMPLE_SEED,
+    ).select("doc_id", "source", "epoch")
+
+
+#: Canonical q_upsample_epochs oracle: the identical integer allocation in
+#: SQL — equal split, floor epochs, ppm fractional membership via the
+#: portable md5 hash, LATERAL generate_series as the epoch explode
+#: (generate_series(1, 0) is empty on both engines after the CASE guard).
+UPSAMPLE_EPOCHS_ORACLE = f"""
+    WITH tot AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tot
+      FROM documents GROUP BY source
+    ),
+    ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng FROM tot),
+    plan AS (
+      SELECT source, tot, CAST({UPSAMPLE_BUDGET_CHARS} AS BIGINT) // ng AS bpg
+      FROM tot, ng
+    ),
+    e1 AS (
+      SELECT source, tot, bpg,
+             CASE WHEN tot > 0
+                  THEN LEAST(CAST({UPSAMPLE_MAX_EPOCHS} AS BIGINT), bpg // tot)
+                  ELSE CAST(0 AS BIGINT) END AS ep
+      FROM plan
+    ),
+    e2 AS (
+      SELECT source, ep,
+             CASE WHEN tot > 0 AND ep < {UPSAMPLE_MAX_EPOCHS}
+                  THEN ((bpg - ep * tot) * 1000000) // tot
+                  ELSE CAST(0 AS BIGINT) END AS fppm
+      FROM e1
+    ),
+    sel AS (
+      SELECT d.doc_id, d.source,
+             e2.ep + CASE WHEN {_HASH64.format(expr=f"concat('{UPSAMPLE_SEED}|', CAST(d.doc_id AS VARCHAR))")} % 1000000
+                          < e2.fppm THEN 1 ELSE 0 END AS nep
+      FROM documents d JOIN e2 USING (source)
+    )
+    SELECT sel.doc_id, sel.source, CAST(e.epoch AS INT) AS epoch
+    FROM sel, LATERAL (
+      SELECT unnest(generate_series(1, sel.nep)) AS epoch
+    ) e
+"""
+
+
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new + cumulative distinct users (operators/relational.py:
+    daily_user_growth): cumulative distinct WITHOUT running-distinct
+    state — a day's cumulative count is the count of users whose FIRST
+    day is <= it, so the plan is two keyed aggregations plus a cumsum
+    over the calendar-bounded |days| frame (the offsets-cumsum class).
+
+    r12 STAGING CANDIDATE — not yet registered: exact value parity
+    against USER_GROWTH_ORACLE pinned in tests/test_r12_candidates.py
+    at two scales + cold-JVM; registration at a window re-plan is a
+    dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import daily_user_growth
+
+    ev = load_table(spark, sf_dir, "events")
+    return daily_user_growth(ev, "user_id", "ts")
+
+
+#: Canonical q_user_growth oracle — distinct (user, day) activity,
+#: first-seen day per user, per-day counts, running sum (HUGEINT-cast;
+#: day serialized as VARCHAR, the driver type allowlist has no DATE).
+USER_GROWTH_ORACLE = """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL
+    ),
+    na AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active FROM act GROUP BY d),
+    fs AS (SELECT u, MIN(d) AS d FROM act GROUP BY u),
+    nn AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY d),
+    dd AS (
+      SELECT na.d, na.n_active,
+             CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new
+      FROM na LEFT JOIN nn ON na.d = nn.d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_active, n_new,
+           CAST(SUM(n_new) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM dd
+"""
+
+
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin training order (operators/sampling.py:
+    interleave_groups): per-source md5-order position ``seq`` and the
+    interleaved global ``pos`` over (seq, source) — the reproducible
+    data-mixing order a multi-source run consumes. Both ranks ride
+    global_sort_rank (the distributed sort-rank skeleton — range
+    repartition + broadcast offsets, never a single-partition window);
+    both sort keys are unique, so every rank is exact and tie-free.
+
+    r12 STAGING CANDIDATE — not yet registered: exact value parity
+    against INTERLEAVE_ORACLE pinned in tests/test_r12_candidates.py
+    at two scales + cold-JVM; registration at a window re-plan is a
+    dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import interleave_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_groups(docs, "doc_id", "source", seed=INTERLEAVE_SEED)
+
+
+#: Canonical q_interleave_sources oracle — the same two-rank composition
+#: as window functions (DuckDB runs single-node, so plain row_numbers are
+#: the honest spec the distributed plan must reproduce).
+INTERLEAVE_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_HASH64.format(expr=f"concat('{INTERLEAVE_SEED}|', CAST(doc_id AS VARCHAR))")} AS hh
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY hh, doc_id
+             ) AS BIGINT) AS seq
+      FROM h
+    )
+    SELECT doc_id, source, seq,
+           CAST(row_number() OVER (ORDER BY seq, source) AS BIGINT) AS pos
+    FROM s
+"""
+
+
 #: Machine-checkable staging manifest: every gating candidate that is
 #: READY (suite-defined oracle, two-scale exact parity, cold-JVM ANSI
 #: run — see each function's docstring and test file) but NOT yet
@@ -5416,4 +5589,9 @@ STAGED_CANDIDATES = {
     "weighted_quantiles": (q_weighted_quantiles, WEIGHTED_QUANTILES_ORACLE),
     "scd2_versions": (q_scd2, SCD2_ORACLE),
     "asof_nearest": (q_asof_nearest, ASOF_NEAREST_ORACLE),
+    # second r11-built batch (tests/test_r12_candidates.py: same
+    # two-scale + cold-JVM + plan-guard discipline)
+    "upsample_epochs": (q_upsample_epochs, UPSAMPLE_EPOCHS_ORACLE),
+    "user_growth": (q_user_growth, USER_GROWTH_ORACLE),
+    "interleave_sources": (q_interleave_sources, INTERLEAVE_ORACLE),
 }

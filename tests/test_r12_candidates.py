@@ -612,3 +612,226 @@ def test_asof_nearest_candidate_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan  # windows, not a range join
+
+
+# ---------------------------------------------------------------------------
+# upsample_epochs — budgeted corpus repetition (second r11-built batch)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_upsample_epochs_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        UPSAMPLE_EPOCHS_ORACLE,
+        q_upsample_epochs,
+    )
+
+    sdf = q_upsample_epochs(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "doc_id": "bigint",
+        "source": "string",
+        "epoch": "int",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["documents"], UPSAMPLE_EPOCHS_ORACLE)
+    # the fixture budget exercises BOTH allocation paths at these scales:
+    # >= 1 full epoch for every doc of some source, plus a fractional pass
+    per_doc = {}
+    for doc_id, _src, _ep in srows:
+        per_doc[doc_id] = per_doc.get(doc_id, 0) + 1
+    assert max(per_doc.values()) > min(per_doc.values())
+
+
+def test_upsample_epochs_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_upsample_epochs
+
+    plan = _plan(q_upsample_epochs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the |sources|-row plan broadcasts back; the corpus never sort-merges
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the epoch explode is a Generate (map-side), not a join fan-out
+    assert "Generate" in plan
+
+
+def test_upsample_epochs_semantics_and_guards(spark):
+    """Pure-Python allocation reference on a planted corpus (incl. a
+    zero-size group), budget monotonicity (smaller budget's manifest is a
+    subset of the larger's), and the loud input guards."""
+    import hashlib
+
+    from chess_lakehouse_spark.operators.sampling import upsample_epochs
+
+    rows = [(i, f"g{i % 3}", [40, 200, 0][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, grp string, sz long")
+
+    def py_manifest(budget, max_epochs, seed):
+        tot = {}
+        for i, g, s in rows:
+            tot[g] = tot.get(g, 0) + s
+        ng = len(tot)
+        bpg = budget // ng
+        out = set()
+        for i, g, _s in rows:
+            t = tot[g]
+            ep = min(max_epochs, bpg // t) if t > 0 else 0
+            fppm = (
+                ((bpg - ep * t) * 1_000_000) // t
+                if t > 0 and ep < max_epochs
+                else 0
+            )
+            h = (
+                int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+                % 1_000_000
+            )
+            n = ep + (1 if h < fppm else 0)
+            for e in range(1, n + 1):
+                out.add((i, g, e))
+        return out
+
+    got = {
+        (r["id"], r["grp"], r["epoch"])
+        for r in upsample_epochs(df, "id", "sz", "grp", budget=9000, seed=5).collect()
+    }
+    assert got == py_manifest(9000, 4, 5)
+    # zero-size group contributes nothing, others do
+    assert not any(g == "g2" for _i, g, _e in got)
+    assert any(g == "g0" for _i, g, _e in got)
+    # budget monotonicity: the smaller manifest nests inside the larger
+    small = {
+        (r["id"], r["grp"], r["epoch"])
+        for r in upsample_epochs(df, "id", "sz", "grp", budget=4000, seed=5).collect()
+    }
+    assert small <= got
+    with pytest.raises(ValueError, match="budget"):
+        upsample_epochs(df, "id", "sz", "grp", budget=-1)
+    with pytest.raises(ValueError, match="max_epochs"):
+        upsample_epochs(df, "id", "sz", "grp", budget=10, max_epochs=0)
+    with pytest.raises(ValueError, match="reserved"):
+        upsample_epochs(
+            df.withColumn("epoch", F.lit(1)), "id", "sz", "grp", budget=10
+        )
+
+
+# ---------------------------------------------------------------------------
+# user_growth — daily active / new / cumulative distinct users
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_user_growth_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import USER_GROWTH_ORACLE, q_user_growth
+
+    sdf = q_user_growth(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "day": "string",
+        "n_active": "bigint",
+        "n_new": "bigint",
+        "cum_users": "bigint",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 1
+    assert srows == _oracle_rows(sf_dir, ["events"], USER_GROWTH_ORACLE)
+    # curve invariants: cum is the running sum of n_new and never drops;
+    # every activity day has at least one active user
+    cum = 0
+    for _day, n_active, n_new, cum_users in srows:  # sorted = day order
+        cum += n_new
+        assert cum_users == cum
+        assert n_active >= 1
+
+
+def test_user_growth_semantics(spark):
+    """Planted events: a second-day-only user, a returning user (active
+    but not new), and a NULL timestamp that must drop."""
+    from chess_lakehouse_spark.operators.relational import daily_user_growth
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-02 09:00:00"),  # returning: active, not new
+        ("u2", "2024-01-02 12:00:00"),  # new on day 2
+        ("u1", None),  # no day — drops
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = sorted(
+        tuple(r) for r in daily_user_growth(ev, "user_id", "ts").collect()
+    )
+    assert got == [
+        ("2024-01-01", 1, 1, 1),
+        ("2024-01-02", 2, 1, 2),
+    ]
+
+
+def test_user_growth_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_user_growth
+
+    plan = _plan(q_user_growth(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the cumsum window runs over the |days|-row AGGREGATE (calendar-
+    # bounded), downstream of hash aggregation — never over raw events
+    assert "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# interleave_sources — deterministic round-robin training order
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_interleave_sources_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        INTERLEAVE_ORACLE,
+        q_interleave_sources,
+    )
+
+    sdf = q_interleave_sources(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "doc_id": "bigint",
+        "source": "string",
+        "seq": "bigint",
+        "pos": "bigint",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["documents"], INTERLEAVE_ORACLE)
+    # pos is a permutation of 1..N; seq restarts per source
+    assert sorted(r[3] for r in srows) == list(range(1, len(srows) + 1))
+
+
+def test_interleave_groups_round_robin_and_determinism(spark):
+    """On balanced groups the interleave is strict round-robin (block k
+    of |groups| positions holds exactly the k-th element of every
+    group); the order is a pure function of (seed, ids) — invariant
+    under repartitioning — and reserved names raise loudly."""
+    from chess_lakehouse_spark.operators.sampling import interleave_groups
+
+    rows = [(i, f"g{i % 4}") for i in range(40)]  # 4 groups x 10
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = interleave_groups(df, "id", "grp", seed=11).collect()
+    by_pos = sorted((r["pos"], r["seq"], r["grp"]) for r in out)
+    for k in range(10):  # block k: positions 4k+1 .. 4k+4
+        block = by_pos[4 * k : 4 * k + 4]
+        assert [b[1] for b in block] == [k + 1] * 4
+        assert sorted(b[2] for b in block) == ["g0", "g1", "g2", "g3"]
+    again = interleave_groups(df.repartition(7), "id", "grp", seed=11).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with pytest.raises(ValueError, match="reserved"):
+        interleave_groups(df.withColumn("pos", F.lit(1)), "id", "grp")
+
+
+def test_interleave_sources_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_interleave_sources
+
+    plan = _plan(q_interleave_sources(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # both ranks ride global_sort_rank's checkpointed range snapshot;
+    # the offset rebase is a broadcast |groups|-row join
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
