@@ -964,6 +964,55 @@ def main() -> None:
                 ).count(),
             )
 
+        if only_ops is None or {
+            "upsample_epochs", "user_growth", "interleave_sources",
+        } & only_ops:
+            from chess_lakehouse_spark.operators.relational import (
+                daily_user_growth,
+            )
+            from chess_lakehouse_spark.operators.sampling import (
+                interleave_groups,
+                upsample_epochs,
+            )
+
+            # budgeted epoch upsampling: budget grows WITH the corpus so
+            # per-source epochs (and thus output volume per input row)
+            # stay constant — the honest end-to-end; the op itself is a
+            # broadcast plan + map-side explode, expected linear
+            probe(
+                "upsample_epochs", factor,
+                lambda: upsample_epochs(
+                    docs.select("doc_id", "source", "n_chars"),
+                    "doc_id", "n_chars", "source",
+                    budget=400_000 * factor, max_epochs=4, seed=7,
+                ).count(),
+            )
+            # growth accounting over synthesized activity (user/day from
+            # doc_id arithmetic — x-factor events, fixed 5000-user,
+            # 90-day universe): two keyed aggs + a |days| cumsum,
+            # expected linear
+            growth_ev = docs.select(
+                (F.col("doc_id") % 5000).alias("u"),
+                F.timestamp_seconds(
+                    F.lit(1704067200)
+                    + (F.col("doc_id") * 37 % 90) * 86400
+                    + F.col("doc_id") % 86400
+                ).alias("ts"),
+            )
+            probe(
+                "user_growth", factor,
+                lambda: daily_user_growth(growth_ev, "u", "ts").count(),
+            )
+            # round-robin interleave: two global_sort_rank passes (four
+            # keyed shuffles) — expected ~linear with the usual sort
+            # superlinearity at the margins
+            probe(
+                "interleave_sources", factor,
+                lambda: interleave_groups(
+                    docs, "doc_id", "source", seed=3
+                ).count(),
+            )
+
         if only_ops is None or {"pagerank_5it"} & only_ops:
             # PageRank over a synthetic host graph whose |V| and |E| both
             # grow with the corpus (md5-derived edges — near-uniform
