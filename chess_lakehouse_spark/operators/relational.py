@@ -1693,13 +1693,24 @@ def daily_user_growth(
     Output: ``day`` (formatted string — driver-safe VARCHAR, not DATE),
     ``n_active``, ``n_new``, ``cum_users`` (all long).
     """
-    from pyspark.sql.window import Window
-
     act = (
         events.where(F.col(ts_col).isNotNull())
         .select(F.col(user_col).alias("__u"), F.to_date(ts_col).alias("__day"))
         .distinct()
     )
+    return growth_from_activity(act, day_fmt=day_fmt)
+
+
+def growth_from_activity(act: DataFrame, day_fmt: str = "yyyy-MM-dd") -> DataFrame:
+    """The growth-curve tail of :func:`daily_user_growth`, over an
+    already-DISTINCT activity frame with columns ``__u`` (user) and
+    ``__day`` (date) — shared verbatim by the batch operator and the
+    streaming serve path (``streaming/jobs.py: serve_user_growth``), so
+    the two cannot drift. Input must be distinct at (user, day) grain;
+    callers own that contract (both here distinct right before the
+    call)."""
+    from pyspark.sql.window import Window
+
     n_active = act.groupBy("__day").agg(
         F.count(F.lit(1)).cast("long").alias("n_active")
     )

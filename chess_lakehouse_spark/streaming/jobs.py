@@ -1707,3 +1707,94 @@ def stream_substring_index(
         .start()
     )
     q_.awaitTermination()
+
+
+def user_growth_batch(
+    batch_df: DataFrame,
+    batch_id,
+    state_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Fold one micro-batch into the growth-accounting activity state:
+    the batch's DISTINCT (user, day) rows land as their own
+    ``batch_id=<id>`` partition via the rename-aside swap (the
+    write_bloom_batch publish discipline — a concurrent serve never sees
+    a half-written partition). Replay safety is STRUCTURAL (the
+    stream_rollup class): the fold reads NO staged state and writes only
+    its own partition, so a crash-replayed batch rewrites it
+    byte-identically with no exclusion filter needed — and cross-batch
+    duplicate (user, day) rows are harmless because
+    :func:`serve_user_growth` re-distincts at the activity grain (a
+    distinct is the idempotent-merge state class: replaying ANY subset
+    of history cannot change the served curve)."""
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    act = (
+        batch_df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+        )
+        .distinct()
+    )
+    root = state_dir.rstrip("/")
+    live = f"{root}/batch_id={batch_id}"
+    tmp = f"{root}/.staging-batch_id={batch_id}"
+    act.write.mode("overwrite").parquet(tmp)
+    _swap_lake_dirs(act.sparkSession, tmp, live, "user_growth_batch")
+
+
+def stream_user_growth(
+    new_events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Streaming user-growth accounting — the ninth cross-batch loop,
+    and the first of the IDEMPOTENT-MERGE state class: the staged state
+    is the distinct (user, day) activity set, which is a set-union fold,
+    so micro-batch order, replays, and overlap all collapse under the
+    serve-side distinct (contrast the bitmap loops, where replayed bits
+    can't be un-ORed and state must be batch-partitioned for exclusion,
+    and the SCD2 loop, whose order-dependent fold needs
+    snapshot-per-batch). Per-batch cost: one map-combined distinct over
+    the batch — NO staged-state read at fold time; the curve
+    materializes only when :func:`serve_user_growth` is called.
+    ``compact_stream_state`` bounds the partition count; serving is
+    unchanged by compaction because rows are preserved exactly and the
+    serve re-distincts."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        user_growth_batch(
+            batch_df, f"b{batch_id}", state_dir, user_col=user_col, ts_col=ts_col
+        )
+
+    q = (
+        new_events.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def serve_user_growth(
+    spark: SparkSession, state_dir: str, day_fmt: str = "yyyy-MM-dd"
+) -> DataFrame:
+    """Serve the growth curve from streamed activity state: distinct the
+    union of every staged batch partition at (user, day) grain, then the
+    SAME curve math as the batch operator
+    (operators/relational.py: growth_from_activity — shared verbatim, so
+    stream and batch cannot drift; the stream==batch equivalence is
+    pytest-pinned). Cost: one distinct over the staged activity set —
+    the honest lower bound for exact cumulative-distinct accounting —
+    plus the calendar-bounded curve tail."""
+    from chess_lakehouse_spark.operators.relational import growth_from_activity
+
+    act = (
+        spark.read.parquet(state_dir)
+        .select(F.col("u").alias("__u"), F.col("day").alias("__day"))
+        .distinct()
+    )
+    return growth_from_activity(act, day_fmt=day_fmt)

@@ -1916,3 +1916,85 @@ def test_stream_scd2_folds_drops_and_replay(spark, tmp_path):
 
     snaps = [d for d in os.listdir(dim_dir) if d.startswith("batch_id=")]
     assert len(snaps) == 1
+
+
+def test_stream_user_growth_equals_batch_and_replay(spark, tmp_path):
+    """The streaming growth loop (idempotent-merge state class): serve
+    after two drops equals the one-shot batch operator on the union of
+    all events; a restart with nothing new is a no-op; the direct batch
+    replay (same batch_id) rewrites its partition without changing the
+    served curve (set-union state); NULL timestamps drop at the fold;
+    compact_stream_state preserves the served curve exactly."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Row
+
+    from chess_lakehouse_spark.operators.relational import daily_user_growth
+    from chess_lakehouse_spark.streaming import (
+        compact_stream_state,
+        serve_user_growth,
+        stream_user_growth,
+        user_growth_batch,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return [
+            Row(user_id=u, ts=None if t is None else __import__("datetime").datetime.fromisoformat(t))
+            for u, t in rows
+        ]
+
+    def land(name, rows):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            mk(rows), "user_id string, ts timestamp"
+        ).coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_user_growth(stream, state, ckpt)
+
+    b1 = [("u1", "2024-01-01 08:00:00"), ("u1", "2024-01-01 09:00:00"),
+          ("u2", "2024-01-02 10:00:00"), ("u1", None)]
+    b2 = [("u1", "2024-01-02 11:00:00"),  # returning across batches
+          ("u3", "2024-01-03 12:00:00"),
+          ("u2", "2024-01-02 13:00:00")]  # same (user, day) again
+    land("b1", b1)
+    run()
+    land("b2", b2)
+    run()
+
+    got = sorted(tuple(r) for r in serve_user_growth(spark, state).collect())
+    assert got == [
+        ("2024-01-01", 1, 1, 1),
+        ("2024-01-02", 2, 1, 2),
+        ("2024-01-03", 1, 1, 3),
+    ]
+    # stream == batch: the one-shot operator on the union of all events
+    allrows = spark.createDataFrame(mk(b1 + b2), "user_id string, ts timestamp")
+    want = sorted(tuple(r) for r in daily_user_growth(allrows, "user_id", "ts").collect())
+    assert got == want
+
+    # restart with nothing new: checkpoint holds, curve unchanged
+    run()
+    assert sorted(tuple(r) for r in serve_user_growth(spark, state).collect()) == want
+
+    # direct same-id replay of batch 1 (the crash-replay shape): the
+    # partition rewrites; set-union state leaves the curve unchanged
+    user_growth_batch(
+        spark.createDataFrame(mk(b1), "user_id string, ts timestamp"), "b0", state
+    )
+    assert sorted(tuple(r) for r in serve_user_growth(spark, state).collect()) == want
+
+    # compaction preserves serving
+    compact_stream_state(spark, state, keep_recent=1)
+    assert sorted(tuple(r) for r in serve_user_growth(spark, state).collect()) == want
