@@ -683,6 +683,40 @@ def cmd_score_calibrate(args: argparse.Namespace) -> None:
     print(f"[score-calibrate] rows={out.count()} -> {args.outDir}")
 
 
+def cmd_upsample_epochs(args: argparse.Namespace) -> None:
+    """Budgeted epoch-upsampling stage (r11): materialize the training
+    mixture manifest — one (doc, epoch) row per repetition — from a
+    global size budget split equally across --groupCol domains
+    (operators/sampling.py:upsample_epochs; Muennighoff et al. 2023,
+    arXiv:2305.16264). ``--sizeCol`` defaults to n_chars; pass a token
+    count column for token-denominated budgets. The deterministic md5
+    fractional pass means re-running the stage (or re-running at a
+    bigger budget) reproduces / extends the same manifest — never
+    reshuffles it. Compose downstream with pack-sequences / shard
+    writing; the manifest preserves all input columns plus ``epoch``."""
+    from chess_lakehouse_spark.operators.sampling import upsample_epochs
+
+    spark = _spark()
+    df = spark.read.parquet(args.inParquet)
+    for col in (args.idCol, args.sizeCol, args.groupCol):
+        if col not in df.columns:
+            raise SystemExit(
+                f"upsample-epochs: column {col!r} not in input "
+                f"{sorted(df.columns)}"
+            )
+    out = upsample_epochs(
+        df,
+        args.idCol,
+        args.sizeCol,
+        args.groupCol,
+        budget=args.budget,
+        max_epochs=args.maxEpochs,
+        seed=args.seed,
+    )
+    out.write.mode("overwrite").parquet(args.outDir)
+    print(f"[upsample-epochs] rows={out.count()} -> {args.outDir}")
+
+
 def cmd_edit_dedup(args: argparse.Namespace) -> None:
     """Edit-distance near-dedup stage: exact Levenshtein-<=d pairs via the
     q-gram count filter, connected components, keep the min-id canonical
@@ -1307,6 +1341,19 @@ def main(argv: list[str] | None = None) -> None:
                           "clean-corpus output)")
     scb.add_argument("--textCol", default="text")
     scb.set_defaults(fn=cmd_score_calibrate)
+
+    ue = sub.add_parser("upsample-epochs")
+    ue.add_argument("--inParquet", required=True)
+    ue.add_argument("--outDir", required=True)
+    ue.add_argument("--idCol", default="doc_id")
+    ue.add_argument("--sizeCol", default="n_chars")
+    ue.add_argument("--groupCol", default="source")
+    ue.add_argument("--budget", type=int, required=True,
+                    help="global size budget in --sizeCol units, split "
+                         "equally across groups")
+    ue.add_argument("--maxEpochs", type=int, default=4)
+    ue.add_argument("--seed", type=int, default=0)
+    ue.set_defaults(fn=cmd_upsample_epochs)
 
     ed = sub.add_parser("edit-dedup")
     ed.add_argument("--inParquet", required=True)

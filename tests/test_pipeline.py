@@ -774,7 +774,7 @@ def test_example_dvc_stages_reference_real_cli_subcommands():
         "rollup-build", "rollup-append", "rollup-serve", "rank-hosts",
         "edit-dedup", "encode-corpus", "build-search-index",
         "bloom-build", "bloom-gate", "ann-index-build", "ann-index-append",
-        "ann-search", "score-calibrate",
+        "ann-search", "score-calibrate", "upsample-epochs",
     }
     for stage, flags in stages:
         assert f'add_parser("{stage}")' in cli_src, f"unknown stage in example: {stage}"
@@ -1366,3 +1366,58 @@ def test_scd2_apply_cli_lifecycle(spark, tmp_path):
     }
     assert not os.path.exists(dim + ".scd2-staging")
     assert not os.path.exists(dim + ".old")
+
+
+def test_upsample_epochs_cli_roundtrip(spark, tmp_path):
+    """upsample-epochs stage: the manifest equals the operator's on the
+    same inputs, re-running at a LARGER budget extends (never reshuffles)
+    the smaller manifest, and a missing column fails loudly."""
+    import sys
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    from chess_lakehouse_spark.operators.sampling import upsample_epochs
+
+    rows = [(i, f"s{i % 3}", 50 + (i * 7) % 90) for i in range(30)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, source string, n_chars long") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "manifest")
+    pipeline_cli.main([
+        "upsample-epochs", "--inParquet", src, "--outDir", out,
+        "--budget", "6000", "--maxEpochs", "3", "--seed", "9",
+    ])
+    got = {
+        (r.doc_id, r.source, r.epoch)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.source, r.epoch)
+        for r in upsample_epochs(
+            spark.read.parquet(src), "doc_id", "n_chars", "source",
+            budget=6000, max_epochs=3, seed=9,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    out2 = str(tmp_path / "manifest_big")
+    pipeline_cli.main([
+        "upsample-epochs", "--inParquet", src, "--outDir", out2,
+        "--budget", "9000", "--maxEpochs", "3", "--seed", "9",
+    ])
+    bigger = {
+        (r.doc_id, r.source, r.epoch)
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got <= bigger
+
+    with _pytest.raises(SystemExit, match="not in input"):
+        pipeline_cli.main([
+            "upsample-epochs", "--inParquet", src, "--outDir",
+            str(tmp_path / "x"), "--budget", "100", "--sizeCol", "nope",
+        ])

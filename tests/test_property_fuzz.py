@@ -607,3 +607,110 @@ def test_scd2_apply_property(spark, opens, upd):
             want.append((k, a, ts, nxt))
     want.sort(key=lambda t: tuple((x is None, x) for x in t))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# upsample_epochs — allocation fold vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+_UPS_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # id basis (deduped below)
+        st.sampled_from(["g0", "g1", "g2"]),
+        st.integers(min_value=0, max_value=300),  # size (0 exercised)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_upsample(rows, budget, max_epochs, seed):
+    import hashlib
+
+    tot: dict[str, int] = {}
+    for _i, g, s in rows:
+        tot[g] = tot.get(g, 0) + s
+    bpg = budget // len(tot)
+    out = set()
+    for i, g, _s in rows:
+        t = tot[g]
+        ep = min(max_epochs, bpg // t) if t > 0 else 0
+        fppm = (
+            ((bpg - ep * t) * 1_000_000) // t if t > 0 and ep < max_epochs else 0
+        )
+        h = (
+            int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+            % 1_000_000
+        )
+        n = ep + (1 if h < fppm else 0)
+        out.update((i, g, e) for e in range(1, n + 1))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    rows=_UPS_ROWS,
+    budget=st.integers(min_value=0, max_value=5000),
+    max_epochs=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_upsample_epochs_property(spark, rows, budget, max_epochs, seed):
+    from chess_lakehouse_spark.operators.sampling import upsample_epochs
+
+    rows = list({r[0]: r for r in rows}.values())  # unique ids
+    df = spark.createDataFrame(rows, "id long, grp string, sz long")
+    got = {
+        (r["id"], r["grp"], r["epoch"])
+        for r in upsample_epochs(
+            df, "id", "sz", "grp", budget=budget, max_epochs=max_epochs, seed=seed
+        ).collect()
+    }
+    assert got == _py_upsample(rows, budget, max_epochs, seed)
+
+
+# ---------------------------------------------------------------------------
+# interleave_groups — order vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=30),
+    n_groups=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2),
+)
+def test_interleave_groups_property(spark, ids, n_groups, seed):
+    import hashlib
+
+    from chess_lakehouse_spark.operators.sampling import interleave_groups
+
+    rows = [(i, f"g{i % n_groups}") for i in sorted(set(ids))]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    got = sorted(
+        (r["pos"], r["seq"], r["grp"], r["id"])
+        for r in interleave_groups(df, "id", "grp", seed=seed).collect()
+    )
+
+    def h(i):
+        return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+
+    by_g: dict[str, list[int]] = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    seqd = []  # (seq, grp, id) per row
+    for g, members in by_g.items():
+        for k, i in enumerate(sorted(members, key=lambda i: (h(i), i)), start=1):
+            seqd.append((k, g, i))
+    want = [
+        (p, s, g, i)
+        for p, (s, g, i) in enumerate(sorted(seqd), start=1)
+    ]
+    assert got == want
