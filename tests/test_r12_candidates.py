@@ -835,3 +835,36 @@ def test_interleave_sources_candidate_plan(spark):
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_upsample_manifest_feeds_sequence_packing(spark):
+    """Pipeline-grain composition: the epoch-upsampling manifest is the
+    input contract of pack_sequences — each (doc, epoch) repetition packs
+    as its own document (the unit a budgeted training run consumes), so
+    the packed stream's total token mass equals sum(n_chars * n_epochs)
+    and every repetition of a doc carries the doc's full length."""
+    from chess_lakehouse_spark.operators.sampling import (
+        pack_sequences,
+        upsample_epochs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    manifest = upsample_epochs(
+        docs.select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", "source", budget=400_000, max_epochs=4, seed=7,
+    )
+    # repetition identity = (doc_id, epoch): pack each as its own unit
+    units = manifest.select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("epoch").cast("string")).alias("rep_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(units, "rep_id", "source", "n_tokens", budget=4096)
+    prows = packed.collect()
+    assert len(prows) == manifest.count()
+    mass = sum(r["n_tokens"] for r in prows)
+    want_mass = manifest.agg(F.sum("n_chars")).first()[0]
+    assert mass == want_mass
+    # offsets stay inside the budget; seq ids are dense non-negative
+    assert all(0 <= r["seq_offset"] < 4096 for r in prows)
+    assert min(r["seq_id"] for r in prows) == 0
