@@ -893,6 +893,13 @@ relational.global_sort_rank` (range repartition + per-partition
     Output: input id/group columns plus ``seq`` (1-based within group)
     and ``pos`` (1-based global interleave position), one row per input
     row.
+
+    NULL group keys form their own group (SQL PARTITION BY semantics on
+    both engines) but their POSITION in the interleave follows Spark's
+    NULLS-FIRST ascending sort — DuckDB defaults to NULLS LAST, so a
+    cross-engine oracle comparison needs non-NULL groups (the suite's
+    gated query reads the non-NULL ``source`` column) or an explicit
+    NULLS FIRST in the SQL.
     """
     from chess_lakehouse_spark.operators.relational import global_sort_rank
 
