@@ -923,3 +923,59 @@ relational.global_sort_rank` (range repartition + per-partition
     return out.select(
         id_col, group_col, "seq", F.col("__rank").alias("pos")
     )
+
+
+def shard_balance_audit(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Training-shard balance audit — the hot-shard detector for the
+    :func:`shard_assignments` layout: per shard, the document count, the
+    total size mass, and ``skew_ppm`` = this shard's mass relative to
+    the mean shard in exact integer millionths (1_000_000 = perfectly
+    balanced; a straggling trainer worker reads as a shard well above
+    it). The ratio is computed as ``(mass · |shards| · 10⁶) div total``
+    — all-integer, ANSI-safe (CASE-guarded when the corpus has zero
+    total mass), no float boundary.
+
+    Plan: the same single corpus exchange as shard_assignments collapsed
+    to its map-combined aggregate (the window/pos is NOT computed — an
+    audit needs masses, not positions), then a broadcast 1-row total.
+    |shards| output rows at any corpus size."""
+    if n_shards < 1:
+        raise ValueError(
+            f"shard_balance_audit: n_shards must be >= 1, got {n_shards}"
+        )
+    h = sample_hash(
+        F.concat(F.lit("shuffle|"), F.col(id_col).cast("string")), seed
+    )
+    per = (
+        df.select(
+            F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+            F.col(size_col).cast("long").alias("__sz"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__sz").alias("size_mass"),
+        )
+    )
+    tot = per.agg(
+        F.sum("size_mass").alias("__tot"),
+        F.count(F.lit(1)).alias("__ns"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "size_mass",
+        F.when(
+            F.col("__tot") > 0,
+            F.expr("(size_mass * __ns * 1000000) div __tot"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("skew_ppm"),
+    )

@@ -178,3 +178,40 @@ def gate_attribution(
         F.coalesce("n_only_fail", F.lit(0)).alias("n_only_fail"),
         F.coalesce("n_pass_all", F.lit(0)).alias("n_pass_all"),
     )
+
+
+def log2_length_histogram(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Power-of-two size histogram per group — the corpus-card length
+    distribution a QC report shows ("how many docs per source in the
+    1-2 KB band"): bucket = bit length of the size (floor(log2)+1),
+    computed EXACTLY in the integer domain via the base-2 digit string
+    (``conv(size, 10, 2)`` length in Spark == ``length(bin(size))`` in
+    DuckDB — no float log2, no boundary drift at exact powers of two);
+    sizes <= 0 or NULL land in bucket 0. One map-combined aggregation at
+    (group, bucket) grain — cardinality |groups| x ~64, never
+    data-volume.
+
+    Returns (group, log2_bucket int, n_docs, min/max/sum of the size —
+    all long)."""
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.when(
+            F.col(size_col) > 0,
+            F.length(F.conv(F.col(size_col).cast("string"), 10, 2)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return df.groupBy(
+        F.col(group_col), bucket.alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(F.col(size_col).cast("long")).alias("min_size"),
+        F.max(F.col(size_col).cast("long")).alias("max_size"),
+        F.sum(F.col(size_col).cast("long")).alias("sum_size"),
+    )

@@ -5562,6 +5562,87 @@ INTERLEAVE_ORACLE = f"""
 """
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source power-of-two length histogram (report.py:
+    log2_length_histogram): the corpus-card size-distribution report,
+    bucketed EXACTLY in the integer domain (bit length via the base-2
+    digit string — no float log2, no drift at exact powers of two).
+    One map-combined aggregation; (|sources| x ~64)-row output.
+
+    r13-bound STAGING CANDIDATE — not yet registered: exact value parity
+    against LENGTH_HISTOGRAM_ORACLE pinned in tests/test_r12_candidates.py
+    at two scales + cold-JVM; registration at a window re-plan is a
+    dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.report import log2_length_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return log2_length_histogram(docs, "source", "n_chars")
+
+
+#: Canonical q_length_histogram oracle — length(bin(x)) is DuckDB's bit
+#: length, matching Spark's length(conv(x, 10, 2)) exactly for positive
+#: BIGINTs; <= 0 / NULL sizes land in bucket 0 on both engines.
+LENGTH_HISTOGRAM_ORACLE = """
+    SELECT source,
+           CAST(CASE WHEN n_chars > 0
+                     THEN length(bin(CAST(n_chars AS BIGINT)))
+                     ELSE 0 END AS INT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_size,
+           CAST(MAX(n_chars) AS BIGINT) AS max_size,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_size
+    FROM documents
+    GROUP BY source, log2_bucket
+"""
+
+
+def q_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard balance audit (operators/sampling.py:
+    shard_balance_audit): per shard_assignments shard (same md5 layout
+    and constants as the gated `shard_assignments` query), the doc
+    count, char mass, and mass-vs-mean-shard ratio in exact integer
+    millionths — the hot-shard detector for the curation-to-training
+    handoff. One map-combined aggregate + a broadcast 1-row total;
+    |shards| output rows at any corpus size.
+
+    r13-bound STAGING CANDIDATE — not yet registered: exact value parity
+    against SHARD_SKEW_ORACLE pinned in tests/test_r12_candidates.py
+    at two scales + cold-JVM; registration at a window re-plan is a
+    dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import shard_balance_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_balance_audit(docs, "doc_id", "n_chars", SHARD_N, SHARD_SEED)
+
+
+#: Canonical q_shard_skew oracle — the shard_assignments hash layout
+#: collapsed to per-shard masses, ratio as floor millionths (// == div
+#: for these non-negative operands).
+SHARD_SKEW_ORACLE = f"""
+    WITH h AS (
+      SELECT CAST(
+               CAST('0x' || substr(md5('{SHARD_SEED}|shuffle|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % {SHARD_N} AS INT) AS shard,
+             CAST(n_chars AS BIGINT) AS sz
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(sz) AS BIGINT) AS size_mass
+      FROM h GROUP BY shard
+    ),
+    t AS (SELECT CAST(SUM(size_mass) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS ns FROM per)
+    SELECT shard, n_docs, size_mass,
+           CAST(CASE WHEN tot > 0
+                     THEN (size_mass * ns * 1000000) // tot
+                     ELSE 0 END AS BIGINT) AS skew_ppm
+    FROM per, t
+"""
+
+
 #: Machine-checkable staging manifest: every gating candidate that is
 #: READY (suite-defined oracle, two-scale exact parity, cold-JVM ANSI
 #: run — see each function's docstring and test file) but NOT yet
@@ -5594,4 +5675,10 @@ STAGED_CANDIDATES = {
     "upsample_epochs": (q_upsample_epochs, UPSAMPLE_EPOCHS_ORACLE),
     "user_growth": (q_user_growth, USER_GROWTH_ORACLE),
     "interleave_sources": (q_interleave_sources, INTERLEAVE_ORACLE),
+    # r13-BOUND surplus (r12's window arithmetic is full at eleven
+    # registrations — 11 + 30 deferred + 9 rotation = 50; these two keep
+    # the manifest non-empty ACROSS the r12 promotion, so the r12 session
+    # can promote without having to build candidates in the same commit)
+    "length_histogram": (q_length_histogram, LENGTH_HISTOGRAM_ORACLE),
+    "shard_skew": (q_shard_skew, SHARD_SKEW_ORACLE),
 }

@@ -868,3 +868,105 @@ def test_upsample_manifest_feeds_sequence_packing(spark):
     # offsets stay inside the budget; seq ids are dense non-negative
     assert all(0 <= r["seq_offset"] < 4096 for r in prows)
     assert min(r["seq_id"] for r in prows) == 0
+
+
+# ---------------------------------------------------------------------------
+# length_histogram / shard_skew — r13-bound QC-report candidates
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_length_histogram_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        LENGTH_HISTOGRAM_ORACLE,
+        q_length_histogram,
+    )
+
+    sdf = q_length_histogram(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "source": "string",
+        "log2_bucket": "int",
+        "n_docs": "bigint",
+        "min_size": "bigint",
+        "max_size": "bigint",
+        "sum_size": "bigint",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["documents"], LENGTH_HISTOGRAM_ORACLE)
+    # bucket invariant: 2^(b-1) <= min <= max < 2^b for every bucket > 0
+    for _src, b, _n, lo, hi, _s in srows:
+        assert b > 0 and (1 << (b - 1)) <= lo <= hi < (1 << b)
+
+
+def test_length_histogram_exact_power_boundaries_and_degenerates(spark):
+    """Exact powers of two land in their own bucket (the float-log2
+    drift case the integer digit-string method avoids), and <= 0 / NULL
+    sizes land in bucket 0."""
+    from chess_lakehouse_spark.report import log2_length_histogram
+
+    rows = [(1, "g", 1), (2, "g", 2), (3, "g", 3), (4, "g", 4),
+            (5, "g", 1024), (6, "g", 1023), (7, "g", 0), (8, "g", None)]
+    df = spark.createDataFrame(rows, "id long, g string, sz long")
+    got = {
+        r["log2_bucket"]: (r["n_docs"], r["min_size"], r["max_size"])
+        for r in log2_length_histogram(df, "g", "sz").collect()
+    }
+    assert got[1] == (1, 1, 1)
+    assert got[2] == (2, 2, 3)
+    assert got[3] == (1, 4, 4)
+    assert got[10] == (1, 1023, 1023)  # 2^10 - 1
+    assert got[11] == (1, 1024, 1024)  # 2^10 exactly -> next bucket
+    assert got[0][0] == 2  # the 0 and the NULL
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_shard_skew_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import SHARD_SKEW_ORACLE, q_shard_skew
+
+    sdf = q_shard_skew(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "shard": "int",
+        "n_docs": "bigint",
+        "size_mass": "bigint",
+        "skew_ppm": "bigint",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["documents"], SHARD_SKEW_ORACLE)
+    # the ppm ratios average to ~1_000_000 (floor rounding only drops)
+    ppms = [r[3] for r in srows]
+    assert 1_000_000 - len(ppms) <= sum(ppms) // len(ppms) <= 1_000_000
+
+
+def test_shard_skew_matches_shard_assignments_layout(spark):
+    """The audit's masses equal groupBy(shard) over shard_assignments'
+    actual layout (same hash, same constants) — the audit can never
+    drift from the layout it audits; zero-mass corpora CASE-guard to
+    skew_ppm 0; n_shards < 1 raises."""
+    from chess_lakehouse_spark.operators.sampling import (
+        shard_assignments,
+        shard_balance_audit,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    audit = {
+        r["shard"]: (r["n_docs"], r["size_mass"])
+        for r in shard_balance_audit(docs, "doc_id", "n_chars", 8, seed=4).collect()
+    }
+    layout = {
+        r["shard"]: (r["n"], r["mass"])
+        for r in shard_assignments(docs, "doc_id", 8, seed=4)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("n_chars").cast("long")).alias("mass"),
+        )
+        .collect()
+    }
+    assert audit == layout
+    zero = docs.select("doc_id", F.lit(0).cast("long").alias("z"))
+    zrows = shard_balance_audit(zero, "doc_id", "z", 4).collect()
+    assert zrows and all(r["skew_ppm"] == 0 for r in zrows)
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_balance_audit(docs, "doc_id", "n_chars", 0)
