@@ -1732,3 +1732,52 @@ def growth_from_activity(act: DataFrame, day_fmt: str = "yyyy-MM-dd") -> DataFra
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cum_users"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    group_out: str = "group_pct_ppm",
+    global_out: str = "global_pct_ppm",
+) -> DataFrame:
+    """Cross-group score comparability — per row, BOTH the within-group
+    and the whole-corpus percent-rank in exact integer millionths: the
+    quantile-normalization step before mixing heterogeneous quality
+    signals ("src3's 90th-percentile doc is only the corpus's 40th"),
+    and the calibration-drift report grouped any way downstream wants.
+    Both ranks use the consecutive-tie (row_number with id tie-break)
+    convention of :func:`global_percent_rank`, so the output is
+    partition-invariant and engine-exact; single-row populations define
+    their ppm as 0 (percent_rank's convention, ANSI-safe N-1 guard).
+    NULL ordering keys rank first (Spark ASC NULLS FIRST) — filter
+    beforehand for the SQL-percentile convention.
+
+    Plan: the global rank rides :func:`global_sort_rank` (two keyed
+    shuffles, never a single-partition window); the group rank is one
+    group-keyed window (groups parallelize — the score_buckets ``by``
+    convention). Returns the input columns plus the two ppm longs."""
+    from pyspark.sql.window import Window
+
+    clash = {group_out, global_out, "__grk", "__gn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"quantile_normalize: input carries reserved column(s) {sorted(clash)}"
+        )
+    g = global_percent_rank(df, [value_col, id_col], out_col=global_out)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    staged = g.withColumn("__grk", F.row_number().over(w)).withColumn(
+        "__gn", F.count(F.lit(1)).over(wn)
+    )
+    ppm = (
+        F.when(F.col("__gn") <= 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("((__grk - 1) * CAST(1000000 AS BIGINT)) div (__gn - 1)")
+        )
+        .alias(group_out)
+    )
+    return staged.select(*df.columns, F.col(global_out), ppm)

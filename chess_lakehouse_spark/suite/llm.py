@@ -5643,6 +5643,53 @@ SHARD_SKEW_ORACLE = f"""
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score comparability (operators/relational.py:
+    quantile_normalize): every document's char-length mapped to BOTH its
+    within-source and whole-corpus percent-rank in exact integer
+    millionths — the quantile-normalization pass before mixing
+    heterogeneous quality scales. Global rank rides global_sort_rank;
+    group rank is one source-keyed window.
+
+    r13-bound STAGING CANDIDATE — not yet registered: exact value parity
+    against QUANTILE_NORMALIZE_ORACLE pinned in
+    tests/test_r12_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.relational import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("value")
+    )
+    return quantile_normalize(docs, "doc_id", "value", "source")
+
+
+#: Canonical q_quantile_normalize oracle — both ranks as consecutive-tie
+#: row_numbers (id tie-break), ppm = (rk-1)*10^6 // (n-1) with the N=1
+#: convention; // == div on these non-negative operands.
+QUANTILE_NORMALIZE_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS value FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, value,
+             row_number() OVER (ORDER BY value, doc_id) AS rk,
+             COUNT(*) OVER () AS n,
+             row_number() OVER (PARTITION BY source ORDER BY value, doc_id) AS grk,
+             COUNT(*) OVER (PARTITION BY source) AS gn
+      FROM b
+    )
+    SELECT doc_id, source, value,
+           CAST(CASE WHEN n <= 1 THEN 0
+                     ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
+             AS global_pct_ppm,
+           CAST(CASE WHEN gn <= 1 THEN 0
+                     ELSE ((grk - 1) * 1000000) // (gn - 1) END AS BIGINT)
+             AS group_pct_ppm
+    FROM g
+"""
+
+
 #: Machine-checkable staging manifest: every gating candidate that is
 #: READY (suite-defined oracle, two-scale exact parity, cold-JVM ANSI
 #: run — see each function's docstring and test file) but NOT yet
@@ -5681,4 +5728,5 @@ STAGED_CANDIDATES = {
     # can promote without having to build candidates in the same commit)
     "length_histogram": (q_length_histogram, LENGTH_HISTOGRAM_ORACLE),
     "shard_skew": (q_shard_skew, SHARD_SKEW_ORACLE),
+    "quantile_normalize": (q_quantile_normalize, QUANTILE_NORMALIZE_ORACLE),
 }

@@ -970,3 +970,77 @@ def test_shard_skew_matches_shard_assignments_layout(spark):
     assert zrows and all(r["skew_ppm"] == 0 for r in zrows)
     with pytest.raises(ValueError, match="n_shards"):
         shard_balance_audit(docs, "doc_id", "n_chars", 0)
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize — r13-bound dual percent-rank
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_quantile_normalize_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        QUANTILE_NORMALIZE_ORACLE,
+        q_quantile_normalize,
+    )
+
+    sdf = q_quantile_normalize(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "doc_id": "bigint",
+        "source": "string",
+        "value": "bigint",
+        "global_pct_ppm": "bigint",
+        "group_pct_ppm": "bigint",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["documents"], QUANTILE_NORMALIZE_ORACLE)
+    # endpoint contract per population: exactly one global 0 and one
+    # global 1_000_000; every group hits both endpoints too
+    gl = [r[3] for r in srows]
+    assert gl.count(0) == 1 and gl.count(1_000_000) == 1
+    by_src = {}
+    for r in srows:
+        by_src.setdefault(r[1], []).append(r[4])
+    for ppms in by_src.values():
+        assert min(ppms) == 0 and max(ppms) == 1_000_000
+
+
+def test_quantile_normalize_semantics_and_guards(spark):
+    """Known-answer dual ranks (incl. a single-row group defined as 0),
+    partition-invariance, and the reserved-name guard."""
+    from chess_lakehouse_spark.operators.relational import quantile_normalize
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30),
+            (4, "b", 15), (5, "b", 25), (6, "c", 5)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {r["id"]: (r["global_pct_ppm"], r["group_pct_ppm"])
+           for r in quantile_normalize(df, "id", "v", "g").collect()}
+    # global order by v: 6(5) 1(10) 4(15) 2(20) 5(25) 3(30) -> ppm i/5
+    assert got[6] == (0, 0)                       # single-row group -> 0
+    assert got[1] == (200_000, 0)
+    assert got[4] == (400_000, 0)
+    assert got[2] == (600_000, 500_000)
+    assert got[5] == (800_000, 1_000_000)
+    assert got[3] == (1_000_000, 1_000_000)
+    again = {r["id"]: (r["global_pct_ppm"], r["group_pct_ppm"])
+             for r in quantile_normalize(df.repartition(5), "id", "v", "g").collect()}
+    assert again == got
+    with pytest.raises(ValueError, match="reserved"):
+        quantile_normalize(df.withColumn("group_pct_ppm", F.lit(1)), "id", "v", "g")
+
+
+def test_quantile_normalize_candidate_plan(spark):
+    from chess_lakehouse_spark.suite.llm import q_quantile_normalize
+
+    plan = _plan(q_quantile_normalize(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # global rank rides the checkpointed range snapshot; group rank is a
+    # partitioned (never empty-partitionBy) window
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "windowspecdefinition(" in seg
