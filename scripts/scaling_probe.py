@@ -966,6 +966,7 @@ def main() -> None:
 
         if only_ops is None or {
             "upsample_epochs", "user_growth", "interleave_sources",
+            "quantile_normalize", "length_histogram", "shard_skew",
         } & only_ops:
             from chess_lakehouse_spark.operators.relational import (
                 daily_user_growth,
@@ -1010,6 +1011,36 @@ def main() -> None:
                 "interleave_sources", factor,
                 lambda: interleave_groups(
                     docs, "doc_id", "source", seed=3
+                ).count(),
+            )
+            # dual percent-rank: the sort-rank skeleton + one group
+            # window — expected ~linear
+            from chess_lakehouse_spark.operators.relational import (
+                quantile_normalize,
+            )
+
+            probe(
+                "quantile_normalize", factor,
+                lambda: quantile_normalize(
+                    docs.select("doc_id", "source", "n_chars"),
+                    "doc_id", "n_chars", "source",
+                ).count(),
+            )
+            # QC report pair: one map-combined agg each — expected flat
+            # to linear-in-scan
+            from chess_lakehouse_spark.operators.sampling import (
+                shard_balance_audit,
+            )
+            from chess_lakehouse_spark.report import log2_length_histogram
+
+            probe(
+                "length_histogram", factor,
+                lambda: log2_length_histogram(docs, "source", "n_chars").count(),
+            )
+            probe(
+                "shard_skew", factor,
+                lambda: shard_balance_audit(
+                    docs, "doc_id", "n_chars", 16
                 ).count(),
             )
 
