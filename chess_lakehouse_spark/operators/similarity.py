@@ -1240,3 +1240,52 @@ def project_embeddings(
         for comp in components
     ]
     return corpus.select(F.col(id_col), F.array(*coords).alias("proj"))
+
+
+def ann_recall_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """Recall@k audit for an approximate-NN result against the exact
+    top-k on the same probes — the measured side of every cost/recall
+    knob this module documents (nprobe, plane sets, band_bits): per
+    query, the exact-set size, the approx-set size, their overlap, and
+    ``recall_ppm`` = overlap·10⁶ div |exact| in exact integer millionths
+    (no float ever compared — similarity scores are NOT joined on, only
+    (query, candidate) identity). Queries the approx path missed
+    entirely still report (n_approx = 0, recall 0) via the left join
+    from the exact side.
+
+    Plan: one equi-join on (query, cand) + three map-combined
+    aggregates, all keyed by query — |probes|-row output at any corpus
+    size."""
+    q, c = query_col, cand_col
+    ex = exact.select(F.col(q).alias("__q"), F.col(c).alias("__c"))
+    ap = approx.select(F.col(q).alias("__q"), F.col(c).alias("__c"))
+    n_exact = ex.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_approx = ap.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    common = (
+        ex.join(ap, ["__q", "__c"])
+        .groupBy("__q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        n_exact.join(n_approx, "__q", "left")
+        .join(common, "__q", "left")
+        .select(
+            F.col("__q").alias(q),
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "CAST((coalesce(n_common, 0) * CAST(1000000 AS BIGINT))"
+                " div n_exact AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -5690,6 +5690,54 @@ QUANTILE_NORMALIZE_ORACLE = """
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the gated IVF path against the gated brute-force
+    exact path (operators/similarity.py: ann_recall_report) — the
+    MEASURED side of the nprobe cost/recall knob, as a first-class
+    query: per probe, exact/approx/overlap set sizes and recall in
+    integer millionths. Composes the two already-gated KNN queries; the
+    join is on (query, candidate) identity only — no float similarity
+    ever compared.
+
+    r13-bound STAGING CANDIDATE — not yet registered: exact value parity
+    against ANN_RECALL_ORACLE (built VERBATIM from the registered
+    knn_brute_force / knn_ivf oracle texts as CTEs — the three
+    definitions cannot drift) pinned in tests/test_r12_candidates.py at
+    two scales + cold-JVM; registration at a window re-plan is a dict +
+    window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import ann_recall_report
+
+    exact = q_knn_brute_force(spark, sf_dir)
+    approx = q_knn_ivf(spark, sf_dir)
+    return ann_recall_report(approx, exact, "query_id", "cand_id")
+
+
+#: Canonical q_ann_recall oracle — the REGISTERED brute/IVF oracle texts
+#: wrapped verbatim as CTE subqueries (nested WITH is legal DuckDB), so
+#: the recall audit's ground truths are definitionally the gated queries.
+ANN_RECALL_ORACLE = f"""
+    WITH brute AS ({ORACLES["knn_brute_force"]}),
+    approx AS ({ORACLES["knn_ivf"]}),
+    ne AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM brute GROUP BY query_id),
+    na AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+           FROM approx GROUP BY query_id),
+    j AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM brute b JOIN approx a
+            ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+          GROUP BY b.query_id)
+    SELECT ne.query_id, ne.n_exact,
+           CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(COALESCE(j.n_common, 0) AS BIGINT) AS n_common,
+           CAST((COALESCE(j.n_common, 0) * CAST(1000000 AS BIGINT))
+                // ne.n_exact AS BIGINT) AS recall_ppm
+    FROM ne
+    LEFT JOIN na ON na.query_id = ne.query_id
+    LEFT JOIN j ON j.query_id = ne.query_id
+"""
+
+
 #: Machine-checkable staging manifest: every gating candidate that is
 #: READY (suite-defined oracle, two-scale exact parity, cold-JVM ANSI
 #: run — see each function's docstring and test file) but NOT yet
@@ -5729,4 +5777,5 @@ STAGED_CANDIDATES = {
     "length_histogram": (q_length_histogram, LENGTH_HISTOGRAM_ORACLE),
     "shard_skew": (q_shard_skew, SHARD_SKEW_ORACLE),
     "quantile_normalize": (q_quantile_normalize, QUANTILE_NORMALIZE_ORACLE),
+    "ann_recall": (q_ann_recall, ANN_RECALL_ORACLE),
 }

@@ -1044,3 +1044,53 @@ def test_quantile_normalize_candidate_plan(spark):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start():m.start() + 400]
         assert "windowspecdefinition(" in seg
+
+
+# ---------------------------------------------------------------------------
+# ann_recall — r13-bound recall@k audit (IVF vs brute)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_ann_recall_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import ANN_RECALL_ORACLE, q_ann_recall
+
+    sdf = q_ann_recall(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "query_id": "bigint",
+        "n_exact": "bigint",
+        "n_approx": "bigint",
+        "n_common": "bigint",
+        "recall_ppm": "bigint",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["embeddings"], ANN_RECALL_ORACLE)
+    # audit invariants: one row per probe, overlap bounded by both sides,
+    # and recall_ppm consistent with the counts
+    for _q, ne, na, nc, ppm in srows:
+        assert 0 <= nc <= min(ne, na)
+        assert ppm == (nc * 1_000_000) // ne
+
+
+def test_ann_recall_report_semantics(spark):
+    """Planted exact/approx sets: full recall, partial recall, a probe
+    the approx path missed entirely (left-join row with recall 0), and
+    approx-only candidates never inflating the overlap."""
+    from chess_lakehouse_spark.operators.similarity import ann_recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, cand_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 21), (2, 99)],  # q3 missed; 99 is noise
+        "query_id long, cand_id long",
+    )
+    got = {r["query_id"]: (r["n_exact"], r["n_approx"], r["n_common"], r["recall_ppm"])
+           for r in ann_recall_report(approx, exact).collect()}
+    assert got == {
+        1: (2, 2, 2, 1_000_000),
+        2: (2, 2, 1, 500_000),
+        3: (1, 0, 0, 0),
+    }
