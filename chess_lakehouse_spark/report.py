@@ -199,6 +199,13 @@ def log2_length_histogram(
     all long)."""
     from pyspark.sql import functions as F
 
+    reserved = {"log2_bucket", "n_docs", "min_size", "max_size", "sum_size"}
+    clash = reserved & {group_col, size_col}
+    if clash:
+        raise ValueError(
+            "log2_length_histogram: group/size column(s) "
+            f"{sorted(clash)} collide with the output schema"
+        )
     bucket = (
         F.when(
             F.col(size_col) > 0,

@@ -1094,3 +1094,11 @@ def test_ann_recall_report_semantics(spark):
         2: (2, 2, 1, 500_000),
         3: (1, 0, 0, 0),
     }
+
+
+def test_length_histogram_reserved_name_guard(spark):
+    from chess_lakehouse_spark.report import log2_length_histogram
+
+    df = spark.createDataFrame([(1, "g", 5)], "id long, n_docs string, sz long")
+    with pytest.raises(ValueError, match="collide"):
+        log2_length_histogram(df, "n_docs", "sz")
