@@ -346,65 +346,94 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # r10-green. With R = 11 that is exactly 11 + 30 + 9 = 50; N' = 141,
 # P stays 3, and the r10-green left out defer to the r13 front the
 # same way. Verify with tests/test_suite_order.py before committing.
-WINDOW_BUDGETED_FOR = 11
+#
+# r12 window (EXECUTED per the committed plan above; ratchet bumped
+# FIRST):
+#   1. the 11 queries NEW to the gate, never driver-verified — the
+#      eleven r11-staged candidates promoted verbatim from
+#      llm.py:STAGED_CANDIDATES at this re-plan (bloom_gate_table,
+#      score_percentile, robust_zscore, group_buckets, pareto_frontier,
+#      weighted_quantiles, scd2_versions, asof_nearest, upsample_epochs,
+#      user_growth, interleave_sources — two-scale exact parity +
+#      cold-JVM ANSI + plan guards in tests/test_r12_candidates.py,
+#      hand-verified at sf0.1 in the r11 build session).
+#   2. the 30 queries whose newest green row is r09 (deferred from r11
+#      at the P - 1 bound per the committed plan): activity_islands …
+#      winsorize, alphabetical.
+#   3. the 9 most expensive r10-green queries by BENCH_FULL.json
+#      (defer-the-cheap-stable: complex plans refresh first):
+#      bm25_batch, bm25_staged, contamination_ngram, knn_ivf_kmeans,
+#      dedup_incremental, dsir_topk, dedup_span, tfidf_cosine,
+#      contamination_semantic. The remaining 41 r10-green defer to the
+#      FRONT of the r13 window; their age at r12-commit time is
+#      latest - 1 = within the P - 1 bound (N' = 141, P = ceil(141/50)
+#      = 3 — the bound is unchanged).
+# After r12 lands the steady-state rotation holds: 50 r12-green (age
+# 0), 50 r11-green (age 1), 41 r10-green (age 2, at the bound) — r13's
+# window must take those 41 first, then 50 - R' - 41 stalest r11-green
+# (with R' staged registrations; the manifest holds 4 r13-bound today:
+# length_histogram, shard_skew, quantile_normalize, ann_recall — at
+# R' = 4 that is 4 + 41 + 5 = 50; N'' = 145, P stays 3).
+WINDOW_BUDGETED_FOR = 12
 
 _WINDOW_ORDER = [
-    # new to the gate in r11 — never driver-verified (the sixteen
-    # promoted STAGED_CANDIDATES, scale-headline family first)
-    "exact_quantiles",
-    "group_quantiles",
-    "bloom_gate",
-    "salted_join",
-    "gate_attribution",
-    "badwords_gate",
-    "rollup_staged",
-    "corpus_overlap",
-    "funnel_steps",
-    "gapfill",
-    "anomaly_flags",
-    "dedup_edit",
-    "cms_freq",
-    "substring_search",
-    "session_pairs",
-    "event_transitions",
-    # newly ORACLED in r11 (checked-projection rewrite) — first hash row
-    "approx_stats",
-    # newest green row r08 — the 13 deferred from r10, at the age bound
-    "anti_join",
-    "collect_set",
-    "cube",
-    "distinct_agg",
-    "except",
-    "intersect",
-    "pivot",
-    "range_join",
-    "rollup",
-    "running_sum",
-    "sessionize",
-    "shipping_priority",
-    "text_normalize",
-    # newest green row r09 — the 20 most expensive by BENCH_FULL.json
+    # new to the gate in r12 — never driver-verified (the eleven
+    # promoted STAGED_CANDIDATES; scale-headline family first: the
+    # Bloom TABLE layout and the sort-rank-skeleton quantile family,
+    # then dimension/join surfaces, then the sampling/growth trio)
+    "bloom_gate_table",
+    "score_percentile",
+    "robust_zscore",
+    "group_buckets",
+    "pareto_frontier",
+    "weighted_quantiles",
+    "scd2_versions",
+    "asof_nearest",
+    "upsample_epochs",
+    "user_growth",
+    "interleave_sources",
+    # newest green row r09 — the 30 deferred from r11, at the age bound
+    "activity_islands",
+    "asof_join",
+    "budget_sample",
+    "canary_scan",
+    "chess_export",
+    "chunk_dedup",
+    "dedup_exact",
+    "dq_check",
+    "enrich_argmax",
+    "html_strip",
+    "lateral_topk",
+    "merge_update",
+    "mm_frame_sample",
+    "paragraph_dedup",
+    "pii_scan",
+    "qc_count",
+    "sample_temperature",
+    "semi_join",
+    "shard_assignments",
+    "sort_limit",
+    "source_stats_pandas",
+    "text_langid",
+    "text_quality",
+    "token_count",
+    "token_entropy",
+    "udaf_gmean",
+    "udtf_bigrams",
+    "union_append",
+    "window_topk",
+    "winsorize",
+    # newest green row r10 — the 9 most expensive by BENCH_FULL.json
     # (defer-the-cheap-stable: complex plans refresh first)
-    "dedup_ngram_jaccard",
-    "doc_fingerprint",
-    "pipeline_clean_corpus",
-    "dedup_semantic",
-    "split_leakage_safe",
-    "dup_matrix",
-    "knn_ivf",
-    "dedup_priority",
-    "dedup_clusters",
-    "knn_lsh",
-    "dedup_embedding_cosine",
-    "dedup_simhash_pairs",
-    "classifier_serve",
-    "dedup_simhash",
-    "lm_staged",
-    "knn_two_stage",
-    "chess_enrich",
-    "tfidf",
-    "source_kl",
-    "knn_brute_force",
+    "bm25_batch",
+    "bm25_staged",
+    "contamination_ngram",
+    "knn_ivf_kmeans",
+    "dedup_incremental",
+    "dsir_topk",
+    "dedup_span",
+    "tfidf_cosine",
+    "contamination_semantic",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

@@ -2081,10 +2081,10 @@ def q_bm25_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query, serve through the staged layout, and the result must
     equal what the raw table computes.
 
-    r10 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r10 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r10. Exact value parity additionally
     against BM25_STAGED_ORACLE pinned in tests/test_bm25.py at two
-    scales + cold-JVM; registration at the r10 window re-plan is a
-    dict + window edit, per the suite/__init__.py plan."""
+    scales + cold-JVM."""
     from chess_lakehouse_spark.functions.text import (
         bm25_from_index,
         build_bm25_index,
@@ -2122,10 +2122,10 @@ def q_rollup_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the direct GROUP BY over the full raw table, so the
     hash-match certifies build+append+merge+serve end to end.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against ROLLUP_STAGED_ORACLE pinned in tests/test_rollup.py at two
-    scales + cold-JVM; registration at a window re-plan is a dict +
-    window edit."""
+    scales + cold-JVM."""
     from chess_lakehouse_spark.operators.rollup import (
         append_rollup,
         build_rollup,
@@ -2169,10 +2169,10 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel entry in exact integer microseconds. K-1 user-keyed joins +
     map-combined groupBys, type filters pushed to the scan.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against FUNNEL_ORACLE pinned in tests/test_funnel.py at two scales +
-    cold-JVM; registration at a window re-plan is a dict + window
-    edit."""
+    cold-JVM."""
     from chess_lakehouse_spark.operators.relational import funnel
 
     apply_runtime_conf(spark)
@@ -2223,10 +2223,10 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score would ride the ROUND-of-transcendental risk. NULL until the
     trailing window is full.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against ANOMALY_ORACLE pinned in tests/test_anomaly.py at two scales
-    + cold-JVM; registration at a window re-plan is a dict + window
-    edit."""
+    + cold-JVM."""
     from chess_lakehouse_spark.operators.relational import integer_zscore_flags
     from chess_lakehouse_spark.operators.rollup import time_bucket
 
@@ -2279,10 +2279,10 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     min to max, forward-filled counts, is_filled markers. Grid explode
     is output-sized; the fill is one window per series.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against GAPFILL_ORACLE pinned in tests/test_gapfill.py at two scales
-    + cold-JVM; registration at a window re-plan is a dict + window
-    edit."""
+    + cold-JVM."""
     from chess_lakehouse_spark.operators.relational import gapfill_series
     from chess_lakehouse_spark.operators.rollup import time_bucket
 
@@ -2340,10 +2340,10 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shingle-keyed self-join bounded by |groups| per hash; nothing
     all-pairs in documents.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against CORPUS_OVERLAP_ORACLE pinned in tests/test_corpus_overlap.py
-    at two scales + cold-JVM; registration at a window re-plan is a dict
-    + window edit."""
+    at two scales + cold-JVM."""
     from chess_lakehouse_spark.operators.dedup import corpus_overlap_matrix
 
     apply_runtime_conf(spark)
@@ -2417,10 +2417,10 @@ def q_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined doc sum through the ROUND->DECIMAL(18,6) chain, margin
     and keep in exact DECIMAL — no float-sum order, no transcendental.
 
-    r10 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r10 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r10. Exact value parity additionally
     against HASHED_CLASSIFIER_ORACLE pinned in
-    tests/test_hashed_classifier.py at two scales + cold-JVM;
-    registration at the r10 window re-plan is a dict + window edit."""
+    tests/test_hashed_classifier.py at two scales + cold-JVM."""
     from chess_lakehouse_spark.operators.classify import (
         hashed_classifier_margins,
         hashed_weights_from_tokens,
@@ -2462,10 +2462,10 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-check at SEM_CONTAM_THRESHOLD. Returns
     (corpus_id, eval_id, sim).
 
-    r10 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r10 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r10. Exact value parity additionally
     against SEM_CONTAM_ORACLE pinned in tests/test_semantic_contamination.py
-    at two scales + cold-JVM; registration at the r10 window re-plan is
-    a dict + window edit."""
+    at two scales + cold-JVM."""
     from chess_lakehouse_spark.operators.similarity import semantic_contamination
 
     apply_runtime_conf(spark)
@@ -2510,10 +2510,10 @@ def q_hamming64(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the brute-force oracle checks RECALL as well as precision.
     Returns (id_a, id_b, hamming).
 
-    r10 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r10 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r10. Exact value parity additionally
     against HAMMING64_ORACLE pinned in tests/test_phash.py at two scales
-    + cold-JVM; registration at the r10 window re-plan is a dict +
-    window edit."""
+    + cold-JVM."""
     from chess_lakehouse_spark.operators.dedup import hamming_near_pairs
 
     apply_runtime_conf(spark)
@@ -2558,10 +2558,10 @@ def q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document boolean projection — pure codegen, rides the scan.
     Returns (doc_id, keep_doc).
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against BADWORDS_ORACLE pinned in tests/test_gopher.py at two scales
-    + cold-JVM; registration at a window re-plan is a dict + window
-    edit."""
+    + cold-JVM."""
     from chess_lakehouse_spark.functions.text import badwords_gate
 
     apply_runtime_conf(spark)
@@ -3751,10 +3751,10 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tractable, and byte-level (DuckDB) vs char-level (Spark) levenshtein
     agree exactly on ASCII. The Spark side runs the real gram-keyed plan.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against EDIT_DIST_ORACLE pinned in tests/test_edit_join.py at two
-    scales + cold-JVM; registration at a window re-plan is a dict +
-    window edit."""
+    scales + cold-JVM."""
     from chess_lakehouse_spark.operators.dedup import edit_distance_pairs
 
     apply_runtime_conf(spark)
@@ -3807,9 +3807,10 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter is a plain SUM over md5-derived buckets, so the sketch is
     exactly oracle-able.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against CMS_FREQ_ORACLE pinned in tests/test_cms.py at two scales +
-    cold-JVM; registration at a window re-plan is a dict + window edit."""
+    cold-JVM."""
     from chess_lakehouse_spark.operators.dedup import tokens
     from chess_lakehouse_spark.operators.sketches import (
         CmsSpec,
@@ -3889,10 +3890,10 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp root (the lake_skipping_read pattern); the ORACLE is the honest
     brute contains() scan the index path must reproduce exactly.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against SUBSTR_SEARCH_ORACLE pinned in tests/test_substring_index.py
-    at two scales + cold-JVM; registration at a window re-plan is a dict
-    + window edit."""
+    at two scales + cold-JVM."""
     from chess_lakehouse_spark.functions.text import (
         build_substring_index,
         substring_search_from_index,
@@ -3956,10 +3957,10 @@ def q_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count), and the positive-association flag is the exact integer
     comparison n_ab·n_sessions > n_a·n_b — no float lift ever computed.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against SESSION_PAIRS_ORACLE pinned in tests/test_session_pairs.py
-    at two scales + cold-JVM; registration at a window re-plan is a dict
-    + window edit."""
+    at two scales + cold-JVM."""
     from chess_lakehouse_spark.operators.relational import session_cooccurrence
 
     apply_runtime_conf(spark)
@@ -4034,10 +4035,10 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer millionths (DECIMAL floor division), session boundaries never
     bridged.
 
-    r11 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r11 window re-plan (suite/__init__.py) and
+    hash-green in CORRECTNESS_r11. Exact value parity additionally
     against EVENT_TRANSITIONS_ORACLE pinned in tests/test_session_pairs.py
-    at two scales + cold-JVM; registration at a window re-plan is a dict
-    + window edit."""
+    at two scales + cold-JVM."""
     from chess_lakehouse_spark.operators.relational import event_transitions
 
     apply_runtime_conf(spark)
@@ -5285,6 +5286,19 @@ ORACLES = {
     "group_quantiles": GROUP_QUANTILES_ORACLE,
     "salted_join": SALTED_JOIN_ORACLE,
     "gate_attribution": GATE_ATTRIBUTION_ORACLE,
+    # registered at the r12 window re-plan (suite/__init__.py): eight of
+    # the eleven r11-staged candidates, promoted verbatim from
+    # STAGED_CANDIDATES (the remaining three — upsample_epochs,
+    # user_growth, interleave_sources — are defined below this dict and
+    # join via the ORACLES.update alongside their definitions)
+    "bloom_gate_table": BLOOM_GATE_TABLE_ORACLE,
+    "score_percentile": SCORE_PERCENTILE_ORACLE,
+    "robust_zscore": ROBUST_ZSCORE_ORACLE,
+    "group_buckets": GROUP_BUCKETS_ORACLE,
+    "pareto_frontier": PARETO_FRONTIER_ORACLE,
+    "weighted_quantiles": WEIGHTED_QUANTILES_ORACLE,
+    "scd2_versions": SCD2_ORACLE,
+    "asof_nearest": ASOF_NEAREST_ORACLE,
 }
 
 QUERIES = {
@@ -5387,6 +5401,18 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "salted_join": q_salted_join,
     "gate_attribution": q_gate_attribution,
+    # registered at the r12 window re-plan (suite/__init__.py): eight of
+    # the eleven r11-staged candidates, promoted verbatim from
+    # STAGED_CANDIDATES (upsample_epochs / user_growth /
+    # interleave_sources are defined below and join via QUERIES.update)
+    "bloom_gate_table": q_bloom_gate_table,
+    "score_percentile": q_score_percentile,
+    "robust_zscore": q_robust_zscore,
+    "group_buckets": q_group_buckets,
+    "pareto_frontier": q_pareto_frontier,
+    "weighted_quantiles": q_weighted_quantiles,
+    "scd2_versions": q_scd2,
+    "asof_nearest": q_asof_nearest,
 }
 
 
@@ -5416,10 +5442,10 @@ def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer allocation (ANSI-safe), zero corpus shuffles (a
     |sources|-row plan broadcasts back; the explode is map-side).
 
-    r12 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r12 window re-plan (suite/__init__.py); the
+    CORRECTNESS_r12 driver row is the gate. Exact value parity
     against UPSAMPLE_EPOCHS_ORACLE pinned in tests/test_r12_candidates.py
-    at two scales + cold-JVM; registration at a window re-plan is a
-    dict + window edit."""
+    at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.sampling import upsample_epochs
 
@@ -5485,10 +5511,10 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     day is <= it, so the plan is two keyed aggregations plus a cumsum
     over the calendar-bounded |days| frame (the offsets-cumsum class).
 
-    r12 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r12 window re-plan (suite/__init__.py); the
+    CORRECTNESS_r12 driver row is the gate. Exact value parity
     against USER_GROWTH_ORACLE pinned in tests/test_r12_candidates.py
-    at two scales + cold-JVM; registration at a window re-plan is a
-    dict + window edit."""
+    at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.relational import daily_user_growth
 
@@ -5529,10 +5555,10 @@ def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition + broadcast offsets, never a single-partition window);
     both sort keys are unique, so every rank is exact and tie-free.
 
-    r12 STAGING CANDIDATE — not yet registered: exact value parity
+    Registered at the r12 window re-plan (suite/__init__.py); the
+    CORRECTNESS_r12 driver row is the gate. Exact value parity
     against INTERLEAVE_ORACLE pinned in tests/test_r12_candidates.py
-    at two scales + cold-JVM; registration at a window re-plan is a
-    dict + window edit."""
+    at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.sampling import interleave_groups
 
@@ -5560,6 +5586,25 @@ INTERLEAVE_ORACLE = f"""
            CAST(row_number() OVER (ORDER BY seq, source) AS BIGINT) AS pos
     FROM s
 """
+
+
+# registered at the r12 window re-plan (suite/__init__.py): the three
+# r11-staged candidates whose definitions sit below the main dicts —
+# promoted verbatim from STAGED_CANDIDATES, same entries, same oracles.
+QUERIES.update(
+    {
+        "upsample_epochs": q_upsample_epochs,
+        "user_growth": q_user_growth,
+        "interleave_sources": q_interleave_sources,
+    }
+)
+ORACLES.update(
+    {
+        "upsample_epochs": UPSAMPLE_EPOCHS_ORACLE,
+        "user_growth": USER_GROWTH_ORACLE,
+        "interleave_sources": INTERLEAVE_ORACLE,
+    }
+)
 
 
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5747,32 +5792,15 @@ ANN_RECALL_ORACLE = f"""
 #: well-formed, and registration REMOVES the entry (a query present in
 #: both would double-claim its verification state).
 STAGED_CANDIDATES = {
-    # (the sixteen r11-plan entries — badwords_gate, rollup_staged,
-    # corpus_overlap, funnel_steps, gapfill, anomaly_flags, dedup_edit,
-    # cms_freq, substring_search, session_pairs, event_transitions,
-    # exact_quantiles, group_quantiles, bloom_gate, salted_join,
-    # gate_attribution — were promoted into QUERIES/ORACLES at the r11
-    # window re-plan, suite/__init__.py)
-    # staged in r11 for the r12 window (tests/test_r12_candidates.py:
-    # two-scale exact parity + cold-JVM ANSI + plan guards; additionally
-    # hand-verified exact-match against their oracles at sf0.1 — THREE
-    # scales — in the r11 build session)
-    "bloom_gate_table": (q_bloom_gate_table, BLOOM_GATE_TABLE_ORACLE),
-    "score_percentile": (q_score_percentile, SCORE_PERCENTILE_ORACLE),
-    "robust_zscore": (q_robust_zscore, ROBUST_ZSCORE_ORACLE),
-    "group_buckets": (q_group_buckets, GROUP_BUCKETS_ORACLE),
-    "pareto_frontier": (q_pareto_frontier, PARETO_FRONTIER_ORACLE),
-    "weighted_quantiles": (q_weighted_quantiles, WEIGHTED_QUANTILES_ORACLE),
-    "scd2_versions": (q_scd2, SCD2_ORACLE),
-    "asof_nearest": (q_asof_nearest, ASOF_NEAREST_ORACLE),
-    # second r11-built batch (tests/test_r12_candidates.py: same
-    # two-scale + cold-JVM + plan-guard discipline)
-    "upsample_epochs": (q_upsample_epochs, UPSAMPLE_EPOCHS_ORACLE),
-    "user_growth": (q_user_growth, USER_GROWTH_ORACLE),
-    "interleave_sources": (q_interleave_sources, INTERLEAVE_ORACLE),
-    # r13-BOUND surplus (r12's window arithmetic is full at eleven
-    # registrations — 11 + 30 deferred + 9 rotation = 50; these two keep
-    # the manifest non-empty ACROSS the r12 promotion, so the r12 session
+    # (the eleven r11-staged entries — bloom_gate_table,
+    # score_percentile, robust_zscore, group_buckets, pareto_frontier,
+    # weighted_quantiles, scd2_versions, asof_nearest, upsample_epochs,
+    # user_growth, interleave_sources — were promoted into
+    # QUERIES/ORACLES at the r12 window re-plan, suite/__init__.py; the
+    # sixteen r11-plan entries landed at the r11 re-plan before them)
+    # r13-BOUND (staged in r11, tests/test_r12_candidates.py: two-scale
+    # exact parity + cold-JVM ANSI + plan guards; these keep the
+    # manifest non-empty ACROSS the r12 promotion, so the r13 session
     # can promote without having to build candidates in the same commit)
     "length_histogram": (q_length_histogram, LENGTH_HISTOGRAM_ORACLE),
     "shard_skew": (q_shard_skew, SHARD_SKEW_ORACLE),
