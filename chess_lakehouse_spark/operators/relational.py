@@ -1042,11 +1042,25 @@ def score_buckets(
             F.expr(f"approx_percentile({score_col}, array({qs}), 10000)").alias(
                 "cuts"
             )
+        ).select(
+            *[F.col(g).alias(f"__g{i}") for i, g in enumerate(gcols)], "cuts"
         )
+        # NULL-safe equi-join: the groupBy emits a NULL-group cuts row, so
+        # a plain equi-join would hand NULL-group rows cuts=NULL → bucket
+        # NULL while the exact path buckets them normally (r11 ADVICE).
         # |groups| rows; un-hinted join so AQE broadcasts when small and
         # shuffles when the group-key cardinality is itself at scale
-        return df.join(cuts, gcols, "left").withColumn("bucket", bucket_of).drop(
-            "cuts"
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                df[g].eqNullSafe(F.col(f"__g{i}"))
+                for i, g in enumerate(gcols)
+            ],
+        )
+        return (
+            df.join(cuts, cond, "left")
+            .withColumn("bucket", bucket_of)
+            .drop("cuts", *[f"__g{i}" for i in range(len(gcols))])
         )
     cuts = df.agg(
         F.expr(f"approx_percentile({score_col}, array({qs}), 10000)").alias("cuts")

@@ -805,7 +805,10 @@ def upsample_epochs(
     degrades to a plain hash SUBsample — the budget semantics stay
     monotone through the boundary. All arithmetic is non-negative
     integer ``div`` (ANSI-safe, no float epoch boundaries); zero-size
-    groups contribute nothing (CASE-guarded, no division).
+    groups contribute nothing (CASE-guarded, no division). NULL group
+    keys form their own group (standard groupBy semantics; the plan
+    joins back NULL-safe, so NULL-group docs draw their share like any
+    other group).
 
     Output: one row per (document, epoch) with ``epoch_col`` counting
     from 1 — the materialized training-mixture manifest (compose with
@@ -822,7 +825,10 @@ def upsample_epochs(
         raise ValueError(
             f"upsample_epochs: max_epochs must be >= 1, got {max_epochs}"
         )
-    reserved = {"__tot", "__ng", "__bpg", "__ep", "__fppm", "__hppm", "__nep", epoch_col}
+    reserved = {
+        "__tot", "__ng", "__bpg", "__ep", "__fppm", "__hppm", "__nep",
+        "__g", epoch_col,
+    }
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
@@ -844,15 +850,31 @@ def upsample_epochs(
         )
         .withColumn(
             "__fppm",
+            # the remainder is < __tot by construction, so the ×10⁶ blow-up
+            # rides DECIMAL(38,0): a BIGINT multiply aborts (ANSI) once a
+            # group holds > ~9.2e12 size units — ~9 TB of chars, reachable
+            # at the 100 TB contract scale (r11 ADVICE)
             F.when(
                 (F.col("__tot") > 0) & (F.col("__ep") < max_epochs),
-                F.expr("((__bpg - __ep * __tot) * 1000000) div __tot"),
+                F.expr(
+                    "CAST((CAST(__bpg - __ep * __tot AS DECIMAL(38,0))"
+                    " * 1000000) div __tot AS BIGINT)"
+                ),
             ).otherwise(F.lit(0)),
         )
-        .select(group_col, "__ep", "__fppm")
+        .select(F.col(group_col).alias("__g"), "__ep", "__fppm")
     )
-    joined = df.join(F.broadcast(plan), group_col).withColumn(
-        "__hppm", sample_hash(F.col(id_col), seed) % F.lit(1_000_000)
+    # NULL-safe equi-join: the groupBy above DOES emit a NULL-group plan
+    # row, so a plain equi-join would silently drop every NULL-group doc
+    # from the manifest while its budget stays allocated (r11 ADVICE)
+    joined = (
+        df.join(
+            F.broadcast(plan), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
+        .drop("__g")
+        .withColumn(
+            "__hppm", sample_hash(F.col(id_col), seed) % F.lit(1_000_000)
+        )
     )
     n_ep = (
         F.col("__ep")
@@ -903,7 +925,7 @@ relational.global_sort_rank` (range repartition + per-partition
     """
     from chess_lakehouse_spark.operators.relational import global_sort_rank
 
-    reserved = {"__h", "__minr", "seq", "pos", "__rank", "__N"}
+    reserved = {"__h", "__minr", "__g", "seq", "pos", "__rank", "__N"}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
@@ -913,9 +935,17 @@ relational.global_sort_rank` (range repartition + per-partition
         "__h", sample_hash(F.col(id_col), seed)
     )
     ranked = global_sort_rank(hashed, [group_col, "__h", id_col])
-    offsets = ranked.groupBy(group_col).agg(F.min("__rank").alias("__minr"))
+    # NULL-safe equi-join back to the broadcast min-rank frame: NULL
+    # groups rank (NULLS FIRST) and aggregate into an offsets row, so a
+    # plain equi-join would silently drop their rows and break the
+    # one-row-per-input-row contract (r11 ADVICE)
+    offsets = ranked.groupBy(group_col).agg(
+        F.min("__rank").alias("__minr")
+    ).select(F.col(group_col).alias("__g"), "__minr")
     seqd = (
-        ranked.join(F.broadcast(offsets), group_col)
+        ranked.join(
+            F.broadcast(offsets), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
         .withColumn("seq", (F.col("__rank") - F.col("__minr") + 1))
         .select(id_col, group_col, "seq")
     )
@@ -967,13 +997,20 @@ def shard_balance_audit(
         F.sum("size_mass").alias("__tot"),
         F.count(F.lit(1)).alias("__ns"),
     )
+    # the ratio rides DECIMAL(38,0): size_mass·|shards|·10⁶ overflows
+    # BIGINT once total size mass passes ~9.2e12 units — an ANSI abort at
+    # exactly the 100 TB char-mass scale this audit exists for (r11
+    # ADVICE); DuckDB's HUGEINT widening makes the oracle agree verbatim
     return per.crossJoin(F.broadcast(tot)).select(
         "shard",
         "n_docs",
         "size_mass",
         F.when(
             F.col("__tot") > 0,
-            F.expr("(size_mass * __ns * 1000000) div __tot"),
+            F.expr(
+                "(CAST(size_mass AS DECIMAL(38,0)) * __ns * 1000000)"
+                " div __tot"
+            ),
         )
         .otherwise(F.lit(0))
         .cast("long")

@@ -5486,8 +5486,11 @@ UPSAMPLE_EPOCHS_ORACLE = f"""
     ),
     e2 AS (
       SELECT source, ep,
+             -- HUGEINT widening mirrors the Spark side's DECIMAL(38,0)
+             -- ride: the remainder×10⁶ overflows BIGINT past ~9.2e12
              CASE WHEN tot > 0 AND ep < {UPSAMPLE_MAX_EPOCHS}
-                  THEN ((bpg - ep * tot) * 1000000) // tot
+                  THEN CAST((CAST(bpg - ep * tot AS HUGEINT) * 1000000) // tot
+                       AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS fppm
       FROM e1
     ),
@@ -5681,8 +5684,10 @@ SHARD_SKEW_ORACLE = f"""
     t AS (SELECT CAST(SUM(size_mass) AS BIGINT) AS tot,
                  CAST(COUNT(*) AS BIGINT) AS ns FROM per)
     SELECT shard, n_docs, size_mass,
+           -- HUGEINT widening mirrors the Spark side's DECIMAL(38,0)
+           -- ride: BIGINT size_mass·ns·10⁶ overflows past ~9.2e12 mass
            CAST(CASE WHEN tot > 0
-                     THEN (size_mass * ns * 1000000) // tot
+                     THEN (CAST(size_mass AS HUGEINT) * ns * 1000000) // tot
                      ELSE 0 END AS BIGINT) AS skew_ppm
     FROM per, t
 """
