@@ -1313,6 +1313,8 @@ def stream_scd2(
     key_cols,
     attr_cols,
     ts_col: str = "ts",
+    compact_every: int | None = None,
+    keep_recent: int = 2,
 ) -> None:
     """Streaming SCD2 dimension maintenance — the eighth stateful loop:
     every micro-batch of the update feed folds into the versioned
@@ -1320,13 +1322,43 @@ def stream_scd2(
     :func:`scd2_batch` for the snapshot-per-batch state layout and the
     replay contract; stream == one-shot batch fold when the feed's
     (key, ts) order is consistent with batch boundaries, pinned in
-    tests/test_streaming.py). Serve with :func:`read_scd2_current`;
-    prune snapshots with :func:`compact_scd2_snapshots`. availableNow
-    drains and stops (test/backfill); production uses a live trigger on
-    the identical plan."""
+    tests/test_streaming.py). Serve with :func:`read_scd2_current`.
+    availableNow drains and stops (test/backfill); production uses a
+    live trigger on the identical plan.
+
+    ``compact_every=N`` auto-compacts the snapshot-per-batch state
+    IN-LOOP: after every N-th micro-batch publishes, only the
+    ``keep_recent`` newest ``batch_id=`` snapshots survive — without
+    it, state maintenance is an out-of-band
+    :func:`compact_scd2_snapshots` call that a year of hourly
+    micro-batches (~9k full snapshots) can outrun. ``keep_recent`` must
+    stay >= 2 when compaction runs in-loop: compaction fires BEFORE the
+    batch's checkpoint commit, so a crash in that gap replays the batch
+    — the replay excludes its own snapshot (the replay-hole guard) and
+    must still find its PRIOR snapshot to re-fold from. Compaction
+    itself is a pure function of the surviving snapshot set, so a
+    replayed compact keeps the same snapshots (idempotent); pinned with
+    serving-equality across an in-loop compaction in
+    tests/test_streaming.py."""
+    if compact_every is not None:
+        if compact_every < 1:
+            raise ValueError(
+                f"stream_scd2: compact_every must be >= 1, got {compact_every}"
+            )
+        if keep_recent < 2:
+            raise ValueError(
+                "stream_scd2: in-loop compaction needs keep_recent >= 2 "
+                "(a crash between compact and checkpoint-commit replays "
+                f"the batch, which re-folds from its PRIOR snapshot), got "
+                f"{keep_recent}"
+            )
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         scd2_batch(batch_df, batch_id, dim_dir, key_cols, attr_cols, ts_col)
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_scd2_snapshots(
+                batch_df.sparkSession, dim_dir, keep_recent=keep_recent
+            )
 
     q = (
         updates.writeStream.foreachBatch(_batch)
