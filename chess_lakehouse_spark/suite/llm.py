@@ -5788,6 +5788,76 @@ ANN_RECALL_ORACLE = f"""
 """
 
 
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup recipe as ONE query (Abbas et al. 2023,
+    arXiv:2303.09540 — public method; operators/similarity.py:
+    kmeans_fit + semantic_dedup): k-means-TRAINED clusters (k=8, 2
+    iterations, seed 0 — the exact trainer q_knn_ivf_kmeans gates, so
+    the oracle reuses its unrolled-iteration CTEs), cosine near-pairs
+    via the trained list_id equi-join only, keep the min-id
+    representative of every within-cluster duplicate group. Returns
+    survivors (vec_id, list_id) — what `dedup_semantic` gates with the
+    lowest-id surrogate layout, here with the embedding-space
+    clustering real pretraining pipelines run.
+
+    Recall vs the UNBLOCKED all-pairs form (measured,
+    tests/test_r13_candidates.py): blocking can only split ε-balls that
+    straddle a cluster boundary, so the blocked form keeps a strict
+    SUPERSET of the unblocked survivors — duplicate-detection recall on
+    the fixtures is 4/7 (sf0.001) and 5/14 (sf0.01). The fixture
+    embeddings are near-uniform random (the worst case for clustering);
+    real corpora cluster semantically, which is why the paper accepts
+    the trade as the price of never comparing all pairs (the 100 TB
+    contract — cluster populations are bounded by k ∝
+    corpus/target_cluster_size, and a larger k RAISES recall by
+    shrinking each ball's boundary surface relative to its volume).
+
+    r13-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against DEDUP_SEMDEDUP_ORACLE pinned in
+    tests/test_r13_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS, seed=KMEANS_SEED
+    )
+    return semantic_dedup(
+        emb, "vec_id", "embedding",
+        threshold=SEMANTIC_THRESHOLD, centroids=cents,
+    )
+
+
+DEDUP_SEMDEDUP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cid, v AS cv FROM (
+        SELECT v, row_number() OVER (
+          ORDER BY md5('{KMEANS_SEED}|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e
+      ) WHERE rn <= {KMEANS_K}
+    ),
+    {_kmeans_iter_ctes('c0', 1)},
+    {_kmeans_iter_ctes('c1', 2)},
+    assigned AS (
+      SELECT e.vec_id, e.v, CAST(a.cid AS INT) AS list_id
+      FROM e, LATERAL (
+        SELECT c.cid FROM c2 c
+        ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cid ASC LIMIT 1
+      ) a
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a='a.v', b='b.v')} >= {SEMANTIC_THRESHOLD}
+    )
+    SELECT vec_id, list_id FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 #: Machine-checkable staging manifest: every gating candidate that is
 #: READY (suite-defined oracle, two-scale exact parity, cold-JVM ANSI
 #: run — see each function's docstring and test file) but NOT yet
@@ -5811,4 +5881,7 @@ STAGED_CANDIDATES = {
     "shard_skew": (q_shard_skew, SHARD_SKEW_ORACLE),
     "quantile_normalize": (q_quantile_normalize, QUANTILE_NORMALIZE_ORACLE),
     "ann_recall": (q_ann_recall, ANN_RECALL_ORACLE),
+    # staged in r12 (tests/test_r13_candidates.py: same two-scale +
+    # cold-JVM + plan-guard discipline)
+    "dedup_semdedup": (q_dedup_semdedup, DEDUP_SEMDEDUP_ORACLE),
 }
