@@ -222,3 +222,131 @@ def log2_length_histogram(
         F.max(F.col(size_col).cast("long")).alias("max_size"),
         F.sum(F.col(size_col).cast("long")).alias("sum_size"),
     )
+
+
+#: Signals a qc_report_bundle run emits, in render order. Each is a
+#: bounded-cardinality frame (|sources| / |gates| / |shards| /
+#: |source-pairs| / |days| rows) so the markdown collect is safe at any
+#: corpus size; the corpus itself is scanned once per signal, with zero
+#: all-pairs or data-volume windows anywhere in the family.
+QC_BUNDLE_SIGNALS = (
+    "source_summary",
+    "gate_attribution",
+    "length_histogram",
+    "shard_balance",
+    "corpus_overlap",
+    "source_kl",
+    "user_growth",
+)
+
+
+def qc_report_bundle(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    lang_col: str = "lang",
+    n_shards: int = 64,
+    gates=None,
+    events: DataFrame | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_markdown_rows: int = 200,
+) -> str:
+    """One-command pre-release corpus QC card — the composed pass a real
+    user runs before shipping a dataset, instead of invoking each report
+    operator by hand: per-source summary, ordered gate attribution
+    (default battery: Gopher rules + non-empty text), power-of-two
+    length histogram, training-shard balance, pairwise source shingle
+    overlap, per-source unigram KL skew, and (when an ``events`` frame
+    is supplied) the daily user-growth curve.
+
+    Every signal is persisted as parquet under ``out_dir/<signal>`` (the
+    machine-readable bundle downstream dashboards ingest) and rendered
+    into ONE ``CARD.md`` (the human artifact a release ships). Returns
+    the markdown. Tables longer than ``max_markdown_rows`` are truncated
+    in the markdown ONLY — the parquet always holds the full frame, and
+    the card says what was cut (the no-silent-caps reporting rule).
+
+    Scale: signals are one corpus scan each over bounded-cardinality
+    outputs; nothing here materializes corpus-sized state to the driver.
+    At 100 TB run it as the last DAG stage over the published corpus
+    (see the ``qc-report`` stage in scripts/pipeline_cli.py).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.functions.text import (
+        gopher_passes,
+        source_unigram_kl,
+    )
+    from chess_lakehouse_spark.operators.dedup import corpus_overlap_matrix
+    from chess_lakehouse_spark.operators.sampling import shard_balance_audit
+
+    if gates is None:
+        gates = {
+            "non_empty": F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0,
+            "gopher": gopher_passes(F.col(text_col)),
+        }
+
+    source_summary = (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(size_col).cast("long")).alias("n_chars"),
+            F.concat_ws(" ", F.array_sort(F.collect_set(lang_col))).alias("langs"),
+        )
+        .orderBy("source")
+    )
+    signals: dict[str, DataFrame] = {
+        "source_summary": source_summary,
+        "gate_attribution": gate_attribution(docs, gates),
+        "length_histogram": log2_length_histogram(docs, source_col, size_col)
+        .orderBy(source_col, "log2_bucket"),
+        "shard_balance": shard_balance_audit(docs, id_col, size_col, n_shards)
+        .orderBy("shard"),
+        "corpus_overlap": corpus_overlap_matrix(docs, source_col, text_col),
+        "source_kl": source_unigram_kl(docs, source_col, text_col),
+    }
+    if events is not None:
+        from chess_lakehouse_spark.operators.relational import daily_user_growth
+
+        signals["user_growth"] = daily_user_growth(events, user_col, ts_col)
+
+    parts = ["# Corpus QC card", ""]
+    for name in QC_BUNDLE_SIGNALS:
+        df = signals.get(name)
+        if df is None:
+            continue
+        path = os.path.join(out_dir, name)
+        # single-file write: every signal is bounded-cardinality, and one
+        # file makes the read-back row order equal the frame's declared
+        # order, so the rendered card is deterministic
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        # render from the JUST-WRITTEN parquet so the card and the bundle
+        # can never diverge (and the signal computes exactly once)
+        back = df.sparkSession.read.parquet(path)
+        rows = back.limit(max_markdown_rows + 1).collect()
+        truncated = len(rows) > max_markdown_rows
+        rows = rows[:max_markdown_rows]
+        cols = back.columns
+        parts += [
+            f"## {name}",
+            "",
+            markdown_table(cols, [[r[c] for c in cols] for r in rows]),
+        ]
+        if truncated:
+            parts.append(
+                f"\n({name} truncated to the first {max_markdown_rows} rows "
+                "in this card; the parquet holds the full table)"
+            )
+        parts.append("")
+    card = "\n".join(parts)
+    card_path = os.path.join(out_dir, "CARD.md")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(card_path, "w") as fh:
+        fh.write(card)
+    return card

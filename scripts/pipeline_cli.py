@@ -683,6 +683,43 @@ def cmd_score_calibrate(args: argparse.Namespace) -> None:
     print(f"[score-calibrate] rows={out.count()} -> {args.outDir}")
 
 
+def cmd_qc_report(args: argparse.Namespace) -> None:
+    """One-command pre-release corpus QC card (report.py:
+    qc_report_bundle): per-source summary, ordered gate attribution
+    (Gopher + non-empty default battery), log2 length histogram,
+    training-shard balance, pairwise source shingle overlap, per-source
+    unigram KL, and — with --eventsParquet — the daily user-growth
+    curve. Emits one parquet bundle (out/<signal>/) plus out/CARD.md.
+    Run as the LAST DAG stage over the published corpus."""
+    from chess_lakehouse_spark.report import qc_report_bundle
+
+    spark = _spark()
+    docs = spark.read.parquet(args.inParquet)
+    for col in (args.idCol, args.textCol, args.sourceCol, args.sizeCol,
+                args.langCol):
+        if col not in docs.columns:
+            raise SystemExit(
+                f"qc-report: column {col!r} not in input {sorted(docs.columns)}"
+            )
+    events = (
+        spark.read.parquet(args.eventsParquet) if args.eventsParquet else None
+    )
+    card = qc_report_bundle(
+        docs,
+        args.outDir,
+        id_col=args.idCol,
+        text_col=args.textCol,
+        source_col=args.sourceCol,
+        size_col=args.sizeCol,
+        lang_col=args.langCol,
+        n_shards=args.nShards,
+        events=events,
+        user_col=args.userCol,
+        ts_col=args.tsCol,
+    )
+    print(card.split("\n", 1)[0], f"-> {args.outDir}/CARD.md")
+
+
 def cmd_upsample_epochs(args: argparse.Namespace) -> None:
     """Budgeted epoch-upsampling stage (r11): materialize the training
     mixture manifest — one (doc, epoch) row per repetition — from a
@@ -1422,6 +1459,22 @@ def main(argv: list[str] | None = None) -> None:
     rh.add_argument("--damping", type=float, default=0.85)
     rh.add_argument("--iterations", type=int, default=12)
     rh.set_defaults(fn=cmd_rank_hosts)
+
+    qr = sub.add_parser("qc-report")
+    qr.add_argument("--inParquet", required=True)
+    qr.add_argument("--outDir", required=True)
+    qr.add_argument("--idCol", default="doc_id")
+    qr.add_argument("--textCol", default="text")
+    qr.add_argument("--sourceCol", default="source")
+    qr.add_argument("--sizeCol", default="n_chars")
+    qr.add_argument("--langCol", default="lang")
+    qr.add_argument("--nShards", type=int, default=64)
+    qr.add_argument("--eventsParquet", default=None,
+                    help="optional events parquet; adds the daily "
+                         "user-growth signal")
+    qr.add_argument("--userCol", default="user_id")
+    qr.add_argument("--tsCol", default="ts")
+    qr.set_defaults(fn=cmd_qc_report)
 
     rb = sub.add_parser("rollup-build")
     rb.add_argument("--rollupDir", required=True)

@@ -1421,3 +1421,65 @@ def test_upsample_epochs_cli_roundtrip(spark, tmp_path):
             "upsample-epochs", "--inParquet", src, "--outDir",
             str(tmp_path / "x"), "--budget", "100", "--sizeCol", "nope",
         ])
+
+
+def test_qc_report_cli_roundtrip(spark, tmp_path):
+    """qc-report stage (r11 verdict task 6): one command emits the full
+    QC bundle — every signal lands as parquet, CARD.md renders every
+    section, the per-source summary matches a direct aggregate, the gate
+    attribution sums drops with no double counting, and the optional
+    events input adds the user-growth signal."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    from chess_lakehouse_spark.report import QC_BUNDLE_SIGNALS
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ev = "/root/testdata/sf0.001/events.parquet"
+    out = str(tmp_path / "qc")
+    pipeline_cli.main([
+        "qc-report", "--inParquet", src, "--outDir", out,
+        "--nShards", "8", "--eventsParquet", ev,
+    ])
+
+    card = (Path(out) / "CARD.md").read_text()
+    assert card.startswith("# Corpus QC card")
+    for name in QC_BUNDLE_SIGNALS:
+        assert f"## {name}" in card, f"missing card section {name}"
+        got = spark.read.parquet(f"{out}/{name}")
+        assert got.count() > 0, f"empty signal parquet {name}"
+
+    docs = spark.read.parquet(src)
+    summary = {
+        (r.source, r.n_docs, r.n_chars)
+        for r in spark.read.parquet(f"{out}/source_summary").collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r.source, r.n_docs, r.n_chars)
+        for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars"),
+        ).collect()
+    }
+    assert summary == want
+
+    # stage attribution partitions the drops: sum(n_first_fail) +
+    # n_pass_all == corpus size
+    att = spark.read.parquet(f"{out}/gate_attribution").collect()
+    n = docs.count()
+    assert sum(r.n_first_fail for r in att) + att[0].n_pass_all == n
+
+    # shard balance covers every doc
+    bal = spark.read.parquet(f"{out}/shard_balance").collect()
+    assert sum(r.n_docs for r in bal) == n and len(bal) <= 8
+
+    # without events, the user_growth signal is absent (not an error)
+    out2 = str(tmp_path / "qc_noev")
+    pipeline_cli.main(["qc-report", "--inParquet", src, "--outDir", out2])
+    assert not (Path(out2) / "user_growth").exists()
+    assert "## user_growth" not in (Path(out2) / "CARD.md").read_text()
