@@ -780,6 +780,83 @@ def main() -> None:
                 .collect(),
             )
             bloom_fixed.unpersist()
+
+        if only_ops is not None and "bloom_table_ceiling" in only_ops:
+            # the umbrella op name covers both timed sub-probes
+            only_ops |= {
+                "bloom_table_ceiling_build", "bloom_table_ceiling_serve",
+            }
+            # word-TABLE layout ABOVE the array cap, AT the INT32-widx
+            # ceiling (r11 verdict task 7): m_bits = TABLE_MAX_BITS =
+            # 63*2^31, so positions reach ~1.35e11 and widx reaches
+            # 2^31 - 1 — the exact boundary the cast('int') must survive.
+            # Sparse words (k·|keys| set bits in a 16.9 GB-range space),
+            # modest key counts scaled by the x-factor: build is the one
+            # map-combined word groupBy, serve is the k-position
+            # join+regroup. Invariants checked in-probe: ZERO false
+            # negatives (every inserted key tests true) and a sampled
+            # non-key FP count of ~0 at this sparsity.
+            from chess_lakehouse_spark.operators.bloom import (
+                TABLE_MAX_BITS,
+                bloom_might_contain_table,
+                build_bloom_table,
+            )
+
+            tkeys = docs.select(
+                F.col("doc_id").alias("kid"), F.md5("text").alias("bk")
+            )
+            table_path = f"{tmp}/bloom_table_x{factor}"
+
+            def _ceiling_build():
+                build_bloom_table(
+                    tkeys, "bk", m_bits=TABLE_MAX_BITS, k=7
+                ).write.mode("overwrite").parquet(table_path)
+
+            probe("bloom_table_ceiling_build", factor, _ceiling_build)
+            words = spark.read.parquet(table_path)
+
+            def _ceiling_serve():
+                hits = (
+                    bloom_might_contain_table(
+                        tkeys, "bk", "kid", words,
+                        m_bits=TABLE_MAX_BITS, k=7,
+                    )
+                    .agg(F.sum(F.col("might_contain").cast("long")))
+                    .first()[0]
+                )
+                n = tkeys.count()
+                assert hits == n, (
+                    f"false negatives at the widx ceiling: {hits}/{n}"
+                )
+
+            probe("bloom_table_ceiling_serve", factor, _ceiling_serve)
+            neg = tkeys.select(
+                "kid", F.md5(F.concat(F.lit("miss|"), "bk")).alias("bk")
+            )
+            fp = (
+                bloom_might_contain_table(
+                    neg, "bk", "kid", words, m_bits=TABLE_MAX_BITS, k=7
+                )
+                .agg(F.sum(F.col("might_contain").cast("long")))
+                .first()[0]
+            )
+            print(
+                json.dumps(
+                    {"op": "bloom_table_ceiling_fp", "factor": factor,
+                     "false_positives": int(fp)}
+                ),
+                flush=True,
+            )
+
+        if only_ops is None or {
+            "bloom_build", "bloom_gate_serve", "exact_quantiles",
+            "score_buckets_exact", "ivf_append_fixed_delta",
+        } & only_ops:
+            from chess_lakehouse_spark.operators.relational import (  # noqa: F811
+                exact_quantiles,
+                score_buckets,
+            )
+
             # distributed sort-rank forms (r10: the exact ntile / exact
             # quantile plans with NO single-partition sort): two full-data
             # shuffles — linear growth is the contract
