@@ -3094,12 +3094,18 @@ vocab{q} AS MATERIALIZED (
 )"""
 
 
-def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
-    """Full unrolled-CTE DuckDB oracle for ``bpe_train`` (functions/bpe.py):
-    vocab1 is the distinct-word frequency table with char symbols + the
-    EOW marker, then one :func:`_bpe_iter_ctes` block per round. Pinned
-    against BOTH the Spark implementation and the pure-Python reference in
-    tests/test_bpe.py."""
+def _bpe_chain_ctes(n_merges: int, min_pair_count: int = 2) -> str:
+    """The shared unrolled BPE training chain: vocab1 is the distinct-word
+    frequency table with char symbols + the EOW marker, then one
+    :func:`_bpe_iter_ctes` block per round — ending at
+    ``vocab{n_merges+1}``, the per-word symbol lists AFTER every merge.
+    Consumed by the ``bpe_train`` oracle (reads each round's winner) and
+    the ``tokenizer_fertility`` oracle (reads the final symbol counts:
+    for words OF the training corpus, the training fold's per-round
+    leftmost-non-overlap sweep IS rank-priority ``bpe_apply`` — apply's
+    candidate ranks are strictly increasing because a merge can never
+    recreate an earlier rank's pair, so one sweep per rank in training
+    order reproduces apply exactly; pinned in tests)."""
     ctes = [
         r"""vocab1 AS MATERIALIZED (
   SELECT w, SUM(n) AS n, syms FROM (
@@ -3115,11 +3121,19 @@ def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
     ]
     for r in range(1, n_merges + 1):
         ctes.append(_bpe_iter_ctes(r, min_pair_count))
+    return ",".join(ctes)
+
+
+def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
+    """Full unrolled-CTE DuckDB oracle for ``bpe_train`` (functions/bpe.py):
+    the shared :func:`_bpe_chain_ctes` chain, reading each round's winner.
+    Pinned against BOTH the Spark implementation and the pure-Python
+    reference in tests/test_bpe.py."""
     finals = "\nUNION ALL\n".join(
         f"SELECT {r} AS rk, pa, pb FROM best{r}" for r in range(1, n_merges + 1)
     )
     return (
-        "WITH " + ",".join(ctes)
+        "WITH " + _bpe_chain_ctes(n_merges, min_pair_count)
         + f"\nSELECT CAST(rk AS INT) AS rk, pa, pb FROM ({finals}) ORDER BY rk"
     )
 
@@ -5788,6 +5802,105 @@ ANN_RECALL_ORACLE = f"""
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit over the BPE path (functions/bpe.py:
+    bpe_train + bpe_apply; fertility = subword tokens per whitespace
+    word — the tokenizer-quality metric of Ács 2019 / the BLOOM
+    tokenizer evaluation, public): train the gated BPE_MERGES-merge
+    vocabulary, tokenize the corpus with it, and report per source the
+    doc/word/token totals plus ``fertility_ppm`` = tokens·10⁶ div words
+    in exact integer arithmetic (DECIMAL(38,0)-ridden, so a 100 TB
+    per-source token count cannot overflow the ×10⁶). A high-fertility
+    source is one the tokenizer fragments — the audit a multilingual
+    mixture runs before committing a tokenizer.
+
+    Plan: one corpus aggregation for the merge training (the gated
+    bpe_train plan), one Arrow-batched bpe_apply pass producing per-doc
+    token counts, one broadcast-joinable per-doc word count, one
+    map-combined per-source aggregate. The oracle replays training
+    through the shared _bpe_chain_ctes unroll and derives each word's
+    token count from the final vocab state (= rank-priority apply for
+    training-corpus words; see _bpe_chain_ctes).
+
+    r13-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against TOKENIZER_FERTILITY_ORACLE pinned in
+    tests/test_r13_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.bpe import bpe_apply, bpe_train
+    from chess_lakehouse_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=BPE_MERGES)
+    toks = bpe_apply(docs, "doc_id", "text", merges).select(
+        "doc_id", F.size("tokens").cast("long").alias("__nt")
+    )
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(ws_tokens(F.col("text")), lambda t: t != ""))
+        .cast("long")
+        .alias("__nw"),
+    )
+    per_source = (
+        words.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nw").alias("n_words"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr(
+                "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000)"
+                " div n_words AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("fertility_ppm"),
+    )
+
+
+TOKENIZER_FERTILITY_ORACLE = (
+    "WITH "
+    + _bpe_chain_ctes(BPE_MERGES)
+    + f""",
+    wt AS MATERIALIZED (
+      SELECT w, CAST(list_count(syms) AS BIGINT) AS nt
+      FROM vocab{BPE_MERGES + 1}
+    ),
+    dw AS (
+      SELECT doc_id, source,
+             unnest(list_filter(
+               string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+'),
+               x -> x <> '')) AS w
+      FROM documents
+    ),
+    dt AS (
+      SELECT dw.doc_id, CAST(SUM(wt.nt) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS nw
+      FROM dw JOIN wt USING (w) GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(dt.nw), 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(SUM(dt.nt), 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN COALESCE(SUM(dt.nw), 0) > 0
+                THEN (CAST(SUM(dt.nt) AS HUGEINT) * 1000000) // SUM(dt.nw)
+                ELSE 0 END AS BIGINT) AS fertility_ppm
+    FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id
+    GROUP BY 1
+"""
+)
+
+
 def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full SemDeDup recipe as ONE query (Abbas et al. 2023,
     arXiv:2303.09540 — public method; operators/similarity.py:
@@ -5884,4 +5997,5 @@ STAGED_CANDIDATES = {
     # staged in r12 (tests/test_r13_candidates.py: same two-scale +
     # cold-JVM + plan-guard discipline)
     "dedup_semdedup": (q_dedup_semdedup, DEDUP_SEMDEDUP_ORACLE),
+    "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_ORACLE),
 }

@@ -6,6 +6,10 @@ guards, and operator-level semantics pins.
 - dedup_semdedup — the full SemDeDup recipe (Abbas et al. 2023) as one
   query: k-means-trained clusters (the q_knn_ivf_kmeans trainer) ->
   within-cluster cosine near-dup -> min-id canonical keep.
+- tokenizer_fertility — subword tokens per whitespace word, per source
+  (Ács 2019 / BLOOM tokenizer-eval metric), over the gated BPE path;
+  the oracle derives token counts from the shared training-chain
+  unroll, whose apply==fold equivalence is pinned directly here.
 """
 
 from __future__ import annotations
@@ -111,3 +115,69 @@ def test_dedup_semdedup_blocked_recall_vs_unblocked(spark):
         f"blocked dedup caught {n_caught}/{n_true} dups ({recall_ppm} ppm) — "
         "the fixture clustering should catch most duplicates"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_tokenizer_fertility_candidate_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        TOKENIZER_FERTILITY_ORACLE,
+        q_tokenizer_fertility,
+    )
+
+    sdf = q_tokenizer_fertility(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "source": "string",
+        "n_docs": "bigint",
+        "n_words": "bigint",
+        "n_tokens": "bigint",
+        "fertility_ppm": "bigint",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["documents"], TOKENIZER_FERTILITY_ORACLE)
+    for _src, n_docs, n_words, n_tokens, fppm in srows:
+        # BPE can only merge: tokens per word lies in [1, chars+1]; with
+        # the EOW marker and 8 merges fertility must stay >= 1.0 and the
+        # ratio must be the exact integer div
+        assert n_docs > 0 and n_words > 0
+        assert n_tokens >= n_words
+        assert fppm == n_tokens * 1_000_000 // n_words
+
+
+def test_tokenizer_fertility_apply_equals_training_fold(spark):
+    """The oracle's load-bearing equivalence: for words OF the training
+    corpus, rank-priority bpe_apply equals the training fold's final
+    symbol state (one leftmost-non-overlap sweep per rank in training
+    order) — checked directly against the Spark trainer + tokenizer on
+    the fixture corpus."""
+    from chess_lakehouse_spark.functions.bpe import bpe_apply, bpe_train
+    from chess_lakehouse_spark.suite.llm import BPE_MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, "text", n_merges=BPE_MERGES)
+    toks = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_apply(docs, "doc_id", "text", merges).collect()
+    }
+    # training-fold replay in plain Python: apply each merge once, in
+    # rank order, leftmost-non-overlapping per word
+    def fold_word(w):
+        syms = list(w)
+        if syms:
+            syms[-1] += "</w>"
+        for pa, pb in merges:
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == pa and syms[j + 1] == pb:
+                    out.append(pa + pb)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    for r in docs.select("doc_id", "text").collect():
+        want = [t for w in (r["text"].split() if r["text"] else [])
+                for t in fold_word(w)]
+        assert toks[r["doc_id"]] == want, r["doc_id"]
