@@ -5971,6 +5971,128 @@ DEDUP_SEMDEDUP_ORACLE = f"""
 """
 
 
+#: Attribution window for the stream-stream interval join candidate: a
+#: click attributes to a signup of the SAME user within this many
+#: seconds. 30 minutes over the ~10-minute fixture event spacing keeps
+#: both matched and unmatched cases populated at every scale.
+STREAM_JOIN_WINDOW_S = 1800
+
+#: One staging root per process for q_stream_interval_join's file feeds
+#: (the _sklake_dir convention: per-process mkdtemp, removed at exit —
+#: a fresh tree per invocation would leak feeds under /tmp every
+#: suite/bench rep).
+_SSJOIN_ROOT: list[str] = []
+
+
+def _ssjoin_dir(sf_dir: str) -> str:
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    if not _SSJOIN_ROOT:
+        root = tempfile.mkdtemp(prefix="chess_lakehouse_ssjoin_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SSJOIN_ROOT.append(root)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{_SSJOIN_ROOT[0]}/{tag}"
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, END TO END through Structured
+    Streaming (the one streaming op class that had pytest-only evidence
+    until now): the fixture events split into two file FEEDS — signups
+    (impressions) and clicks — each consumed as a watermarked stream,
+    inner-joined on user with the time-bound attribution condition
+    ``cts BETWEEN its AND its + 30 minutes`` (watermarks bound BOTH
+    sides' join state — the property that makes the operator runnable
+    forever at 100 TB/day), drained with availableNow into a parquet
+    sink, and the sink read back as the result. The oracle is the
+    equivalent BATCH interval join — stream == batch is exactly the
+    semantics Structured Streaming promises for an inner join with
+    complete input, so the hash certifies the streaming plan itself.
+
+    Determinism: the matched-pair SET is a pure function of the events
+    table; timestamps are emitted as epoch micros per the suite
+    contract. Feeds stage once per process (overwrite; removed at
+    exit); the checkpoint is fresh per invocation, so every run drains
+    the complete feeds in one availableNow pass.
+
+    r13-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against STREAM_INTERVAL_JOIN_ORACLE pinned in
+    tests/test_r13_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    import tempfile
+
+    apply_runtime_conf(spark)
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    root = _ssjoin_dir(sf_dir)
+    imp_dir, clk_dir = f"{root}/imps", f"{root}/clicks"
+    events.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("i_user"),
+        F.col("event_id").alias("imp_id"),
+        F.col("ts").alias("its"),
+    ).coalesce(1).write.mode("overwrite").parquet(imp_dir)
+    events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    ).coalesce(1).write.mode("overwrite").parquet(clk_dir)
+
+    imps = (
+        spark.readStream.schema("i_user long, imp_id long, its timestamp")
+        .parquet(imp_dir)
+        .withWatermark("its", "1 hour")
+    )
+    clks = (
+        spark.readStream.schema("c_user long, click_id long, cts timestamp")
+        .parquet(clk_dir)
+        .withWatermark("cts", "1 hour")
+    )
+    joined = imps.join(
+        clks,
+        F.expr(
+            "i_user = c_user AND cts BETWEEN its AND"
+            f" its + INTERVAL {STREAM_JOIN_WINDOW_S} SECONDS"
+        ),
+    ).select(
+        F.col("i_user").alias("user_id"),
+        "imp_id",
+        "click_id",
+        F.unix_micros("its").alias("its_us"),
+        F.unix_micros("cts").alias("cts_us"),
+    )
+    run = tempfile.mkdtemp(prefix="run_", dir=root)
+    out_dir, ckpt = f"{run}/out", f"{run}/ckpt"
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "user_id long, imp_id long, click_id long, its_us long, cts_us long"
+    ).parquet(out_dir)
+
+
+STREAM_INTERVAL_JOIN_ORACLE = f"""
+    SELECT a.user_id,
+           a.event_id AS imp_id,
+           b.event_id AS click_id,
+           epoch_us(a.ts) AS its_us,
+           epoch_us(b.ts) AS cts_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL {STREAM_JOIN_WINDOW_S} SECONDS
+    WHERE a.event_type = 'signup' AND b.event_type = 'click'
+      AND a.ts IS NOT NULL AND b.ts IS NOT NULL
+"""
+
+
 #: Machine-checkable staging manifest: every gating candidate that is
 #: READY (suite-defined oracle, two-scale exact parity, cold-JVM ANSI
 #: run — see each function's docstring and test file) but NOT yet
@@ -5998,4 +6120,5 @@ STAGED_CANDIDATES = {
     # cold-JVM + plan-guard discipline)
     "dedup_semdedup": (q_dedup_semdedup, DEDUP_SEMDEDUP_ORACLE),
     "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_ORACLE),
+    "stream_interval_join": (q_stream_interval_join, STREAM_INTERVAL_JOIN_ORACLE),
 }

@@ -10,6 +10,10 @@ guards, and operator-level semantics pins.
   (Ács 2019 / BLOOM tokenizer-eval metric), over the gated BPE path;
   the oracle derives token counts from the shared training-chain
   unroll, whose apply==fold equivalence is pinned directly here.
+- stream_interval_join — a REAL watermarked stream-stream interval
+  join drained end to end through Structured Streaming; the oracle is
+  the batch interval join (stream == batch for inner joins over
+  complete input).
 """
 
 from __future__ import annotations
@@ -181,3 +185,34 @@ def test_tokenizer_fertility_apply_equals_training_fold(spark):
         want = [t for w in (r["text"].split() if r["text"] else [])
                 for t in fold_word(w)]
         assert toks[r["doc_id"]] == want, r["doc_id"]
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_stream_interval_join_candidate_matches_oracle_two_scales(spark, sf_dir):
+    """The streaming plan's output — drained through a real
+    watermarked stream-stream interval join — equals the batch interval
+    join the oracle runs (stream == batch for an inner join over
+    complete input)."""
+    from chess_lakehouse_spark.suite.llm import (
+        STREAM_INTERVAL_JOIN_ORACLE,
+        q_stream_interval_join,
+    )
+
+    sdf = q_stream_interval_join(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "user_id": "bigint",
+        "imp_id": "bigint",
+        "click_id": "bigint",
+        "its_us": "bigint",
+        "cts_us": "bigint",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["events"], STREAM_INTERVAL_JOIN_ORACLE)
+    # the attribution bound actually binds: every match inside the window
+    for _u, _i, _c, its, cts in srows:
+        assert its <= cts <= its + 1800 * 1_000_000
+    # re-invocation (bench reps / verify): fresh checkpoint per run means
+    # the second drain reproduces the identical set
+    again = sorted(tuple(r) for r in q_stream_interval_join(spark, sf_dir).collect())
+    assert again == srows
