@@ -371,9 +371,13 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # After r12 lands the steady-state rotation holds: 50 r12-green (age
 # 0), 50 r11-green (age 1), 41 r10-green (age 2, at the bound) — r13's
 # window must take those 41 first, then 50 - R' - 41 stalest r11-green
-# (with R' staged registrations; the manifest holds 4 r13-bound today:
-# length_histogram, shard_skew, quantile_normalize, ann_recall — at
-# R' = 4 that is 4 + 41 + 5 = 50; N'' = 145, P stays 3).
+# (with R' staged registrations; the manifest holds SEVEN r13-bound
+# after the r12 build session: length_histogram, shard_skew,
+# quantile_normalize, ann_recall staged in r11 plus dedup_semdedup,
+# tokenizer_fertility, stream_interval_join staged in r12 — at R' = 7
+# that is 7 + 41 + 2 = 50; N'' = 148, P stays 3. If all seven
+# register, exactly 2 rotation slots remain: give them to the 2 most
+# expensive r11-green by BENCH_FULL.json, defer-the-cheap-stable.)
 WINDOW_BUDGETED_FOR = 12
 
 _WINDOW_ORDER = [
