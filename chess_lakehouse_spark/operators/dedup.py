@@ -1112,8 +1112,13 @@ def corpus_overlap_matrix(
         .withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
         .withColumn("u", F.col("n1") + F.col("n2") - F.col("shared"))
     )
+    # 2e6·shared rides DECIMAL(38,0): a slice holding > ~4.6e12 distinct
+    # shingles would abort the BIGINT form under ANSI (the r11-ADVICE
+    # overflow class; Spark DIV returns BIGINT for decimal operands, so
+    # the cast chain is unchanged); oracle mirrors via HUGEINT
     jaccard = F.expr(
-        "CAST((2 * 1000000 * shared + u) DIV (2 * u) AS DOUBLE) "
+        "CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * shared + u)"
+        " DIV (2 * u) AS DOUBLE) "
         "/ CAST(1000000 AS DOUBLE)"
     )
     return out.select(

@@ -797,9 +797,15 @@ def exact_quantiles(
     else:
         gcols = []
         ranked = global_sort_rank(df.select(value_col), [value_col])
+    # the q_ppm·N product rides DECIMAL(38,0): at ~9.2e12 rows the BIGINT
+    # form aborts under ANSI (the r11-ADVICE overflow class; oracle
+    # mirrors via HUGEINT) — values are unchanged below that scale
     tr = F.greatest(
         F.lit(1).cast("long"),
-        F.expr("(q_ppm * __N + 999999) div 1000000"),
+        F.expr(
+            "CAST((CAST(q_ppm AS DECIMAL(38,0)) * __N + 999999)"
+            " div 1000000 AS BIGINT)"
+        ),
     )
     return (
         ranked.join(F.broadcast(qdf), tr == F.col("__rank"))
@@ -914,8 +920,15 @@ def weighted_quantiles(
     # lineage as ambiguous when the condition's F.expr references both
     # sides; the single-frame filter resolves cleanly and plans to the
     # same BroadcastNestedLoopJoin + Filter.)
+    # q_ppm·total-WEIGHT rides DECIMAL(38,0): weights are often token/char
+    # masses, which pass the BIGINT ×1e6 abort point (~9.2e12) at ~9 TB —
+    # exactly the scale this operator budgets (r11-ADVICE overflow class)
     tgt = F.greatest(
-        F.lit(1).cast("long"), F.expr("(q_ppm * __tw + 999999) div 1000000")
+        F.lit(1).cast("long"),
+        F.expr(
+            "CAST((CAST(q_ppm AS DECIMAL(38,0)) * __tw + 999999)"
+            " div 1000000 AS BIGINT)"
+        ),
     )
     hit = (F.col("__cw") >= tgt) & (F.col("__cw") - F.col("__w") < tgt)
     return (
@@ -1103,7 +1116,12 @@ def global_percent_rank(
     ppm = (
         F.when(F.col("__N") <= 1, F.lit(0).cast("long"))
         .otherwise(
-            F.expr("((__rank - 1) * CAST(1000000 AS BIGINT)) div (__N - 1)")
+            # rank·1e6 rides DECIMAL(38,0): BIGINT aborts past ~9.2e12
+            # rows under ANSI (r11-ADVICE overflow class)
+            F.expr(
+                "CAST((CAST(__rank - 1 AS DECIMAL(38,0)) * 1000000)"
+                " div (__N - 1) AS BIGINT)"
+            )
         )
         .alias(out_col)
     )
@@ -1790,7 +1808,12 @@ def quantile_normalize(
     ppm = (
         F.when(F.col("__gn") <= 1, F.lit(0).cast("long"))
         .otherwise(
-            F.expr("((__grk - 1) * CAST(1000000 AS BIGINT)) div (__gn - 1)")
+            # same DECIMAL(38,0) ride as global_percent_rank: BIGINT
+            # aborts past ~9.2e12 rows per group under ANSI
+            F.expr(
+                "CAST((CAST(__grk - 1 AS DECIMAL(38,0)) * 1000000)"
+                " div (__gn - 1) AS BIGINT)"
+            )
         )
         .alias(group_out)
     )

@@ -351,7 +351,12 @@ def percentile_from_counts(
         out = None
         for p6, name in zip(p6s, names):
             hit = (
-                c.where(F.col("_cum") * 1_000_000 >= F.lit(p6) * F.col("_tot"))
+                # DECIMAL(38,0) ride: cum·1e6 over BIGINT aborts under
+                # ANSI past ~9.2e12 counts per group (r11-ADVICE class)
+                c.where(
+                    F.col("_cum").cast("decimal(38,0)") * 1_000_000
+                    >= F.lit(p6).cast("decimal(38,0)") * F.col("_tot")
+                )
                 .groupBy(*group_keys)
                 .agg(F.min(bucket_col).alias(name))
             )

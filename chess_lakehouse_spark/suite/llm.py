@@ -727,7 +727,8 @@ GROUP_QUANTILES_ORACLE = f"""
           FROM (VALUES {", ".join(f"({p})" for p in GROUP_QUANTILE_PPMS)}) AS qv(x))
     SELECT r.l_returnflag, r.l_linestatus, q.q_ppm AS q_ppm, r.v AS value
     FROM r JOIN q
-      ON r.rk = GREATEST(CAST(1 AS BIGINT), (q.q_ppm * r.n + 999999) // 1000000)
+      ON r.rk = GREATEST(CAST(1 AS BIGINT),
+                         (CAST(q.q_ppm AS HUGEINT) * r.n + 999999) // 1000000)
 """
 
 
@@ -739,7 +740,7 @@ EXACT_QUANTILES_ORACLE = f"""
           FROM (VALUES {", ".join(f"({p})" for p in EXACT_QUANTILE_PPMS)}) AS qv(x)),
     tgt AS (SELECT q_ppm,
                    GREATEST(CAST(1 AS BIGINT),
-                            (q_ppm * n + 999999) // 1000000) AS tr
+                            (CAST(q_ppm AS HUGEINT) * n + 999999) // 1000000) AS tr
             FROM q, n)
     SELECT tgt.q_ppm AS q_ppm, r.v AS value
     FROM tgt JOIN r ON r.rk = tgt.tr
@@ -776,7 +777,7 @@ def q_score_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCORE_PERCENTILE_ORACLE = """
     SELECT o_orderkey,
-           CAST(((rk - 1) * 1000000) // (n - 1) AS BIGINT) AS pct_ppm
+           CAST((CAST(rk - 1 AS HUGEINT) * 1000000) // (n - 1) AS BIGINT) AS pct_ppm
     FROM (
       SELECT o_orderkey,
              row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk,
@@ -819,7 +820,7 @@ ROBUST_ZSCORE_ORACLE = f"""
                row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
         FROM base WHERE value IS NOT NULL
-      ) WHERE rk = GREATEST(CAST(1 AS BIGINT), (500000 * n + 999999) // 1000000)
+      ) WHERE rk = GREATEST(CAST(1 AS BIGINT), (CAST(500000 AS HUGEINT) * n + 999999) // 1000000)
     ),
     dev AS (
       SELECT b.event_id, b.event_type, b.value, m.med,
@@ -832,7 +833,7 @@ ROBUST_ZSCORE_ORACLE = f"""
                row_number() OVER (PARTITION BY event_type ORDER BY d) AS rk,
                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
         FROM dev WHERE d IS NOT NULL
-      ) WHERE rk = GREATEST(CAST(1 AS BIGINT), (500000 * n + 999999) // 1000000)
+      ) WHERE rk = GREATEST(CAST(1 AS BIGINT), (CAST(500000 AS HUGEINT) * n + 999999) // 1000000)
     )
     SELECT dev.event_id, dev.event_type,
            CASE WHEN dev.value IS NULL OR dev.med IS NULL OR mad.mad IS NULL
@@ -1092,7 +1093,7 @@ WEIGHTED_QUANTILES_ORACLE = f"""
     j AS (
       SELECT c.g, q.q_ppm, c.v,
              GREATEST(CAST(1 AS BIGINT),
-                      (q.q_ppm * c.tw + 999999) // 1000000) AS tgt,
+                      (CAST(q.q_ppm AS HUGEINT) * c.tw + 999999) // 1000000) AS tgt,
              c.cw, c.w
       FROM c JOIN q ON TRUE
     )
@@ -2383,7 +2384,7 @@ grid AS (
 )
 SELECT g1, g2, n1, n2, shared,
        CASE WHEN u > 0 THEN
-         CAST((2 * 1000000 * shared + u) // (2 * u) AS DOUBLE)
+         CAST((2 * CAST(1000000 AS HUGEINT) * shared + u) // (2 * u) AS DOUBLE)
          / CAST(1000000 AS DOUBLE)
        END AS jaccard
 FROM grid
@@ -5745,10 +5746,10 @@ QUANTILE_NORMALIZE_ORACLE = """
     )
     SELECT doc_id, source, value,
            CAST(CASE WHEN n <= 1 THEN 0
-                     ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
+                     ELSE (CAST(rk - 1 AS HUGEINT) * 1000000) // (n - 1) END AS BIGINT)
              AS global_pct_ppm,
            CAST(CASE WHEN gn <= 1 THEN 0
-                     ELSE ((grk - 1) * 1000000) // (gn - 1) END AS BIGINT)
+                     ELSE (CAST(grk - 1 AS HUGEINT) * 1000000) // (gn - 1) END AS BIGINT)
              AS group_pct_ppm
     FROM g
 """
