@@ -41,13 +41,22 @@ def _check_precision(precision: int) -> None:
 
 def sum_scaled_long(col: Column, precision: int = 6) -> Column:
     """Aggregate expression: exact scale-``precision`` integer sum of
-    ``col``. Each element is cast to DECIMAL(18, precision) (exact
+    ``col``. Each ELEMENT is cast to DECIMAL(18, precision) (exact
     p-decimal value — the scale matches the multiplier, so the long cast
-    is exact, never a truncation), scaled to an integer, and summed as
-    longs — order-free and engine-exact."""
+    is exact, never a truncation) and scaled to an integer long; the SUM
+    itself accumulates in DECIMAL(38,0) — a BIGINT accumulator aborts
+    under ANSI once the summed mass passes ~9.2e12 value units (the
+    r11-ADVICE overflow class: avg-chars over a ~9 TB source already
+    crosses it), while the 38-digit accumulator is exact to 1e38. The
+    DuckDB oracle twin (suite/llm.py:_sum6_sql) accumulates in HUGEINT —
+    both stay integers, so the engine-exactness argument is unchanged.
+    Returns DECIMAL(38,0); :func:`mean_scaled` consumes it via SQL
+    integer ops, where decimal operands are first-class."""
     _check_precision(precision)
     return F.sum(
-        (col.cast(f"decimal(18,{precision})") * (10**precision)).cast("long")
+        (col.cast(f"decimal(18,{precision})") * (10**precision))
+        .cast("long")
+        .cast("decimal(38,0)")
     )
 
 

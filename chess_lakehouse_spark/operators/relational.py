@@ -617,7 +617,12 @@ def rolling_time_mean(
             (
                 F.col(value_col).cast(f"decimal(18,{precision})")
                 * (10**precision)
-            ).cast("long")
+            )
+            .cast("long")
+            # DECIMAL(38,0) accumulator: a BIGINT frame sum aborts under
+            # ANSI once a key's window mass passes ~9.2e12 value units
+            # (the r11-ADVICE overflow class)
+            .cast("decimal(38,0)")
         )
         .over(w)
         .alias("_s"),

@@ -33,7 +33,9 @@ in the staged state):
     ``count``    row count                               (merge: SUM)
     ``countnn``  non-NULL count of a column              (merge: SUM)
     ``sum``      exact integer sum (cast long)           (merge: SUM)
-    ``sum6``     decimal(18,6)-scaled LONG sum of a double column
+    ``sum6``     decimal(18,6)-scaled exact integer sum of a double column
+                 (DECIMAL(38,0) partials since r12 — a LONG partial
+                 aborts under ANSI past ~9.2e12 summed units)
                  (functions/exact.py:sum_scaled_long — exact integer
                  state, so append == rebuild is bit-identical and the
                  served double matches the DuckDB
@@ -131,7 +133,20 @@ def _partial_aggs(measures) -> list[Column]:
 
 def _merge_aggs(measures) -> list[Column]:
     m = {"min": F.min, "max": F.max, "hll": F.hll_union_agg}
-    return [m.get(agg, F.sum)(F.col(name)).alias(name) for name, agg, _ in measures]
+    out = []
+    for name, agg, _ in measures:
+        if agg == "sum6":
+            # widen BEFORE the merge sum: (a) the fold itself must not
+            # abort past ~9.2e12 summed units, (b) casting at read makes
+            # the merge type-stable across states whose partials were
+            # written as LONG (pre-r12) or DECIMAL(38,0), so compaction
+            # MIGRATES an old state instead of perpetuating it
+            out.append(
+                F.sum(F.col(name).cast("decimal(38,0)")).alias(name)
+            )
+        else:
+            out.append(m.get(agg, F.sum)(F.col(name)).alias(name))
+    return out
 
 
 def _write_spec(spark: SparkSession, keys, measures, rollup_dir: str) -> None:

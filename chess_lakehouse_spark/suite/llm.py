@@ -3142,7 +3142,12 @@ def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
 def _sum6_sql(v: str) -> str:
     """Exact scale-6 integer sum — DuckDB twin of functions/exact.py
     sum6_long."""
-    return f"CAST(SUM(CAST(CAST({v} AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)"
+    # per-element cast stays BIGINT-exact; the SUM accumulates in DuckDB's
+    # native HUGEINT (no outer BIGINT narrowing — it would abort past
+    # ~9.2e12 summed units, mirroring the Spark side's DECIMAL(38,0)
+    # accumulator). s6 is always an INTERNAL column (consumed by
+    # _mean6_sql or a final double division), never a hashed output.
+    return f"SUM(CAST(CAST({v} AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
 
 
 def _mean6_sql(s6: str, n: str) -> str:

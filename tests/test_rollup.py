@@ -400,3 +400,36 @@ def test_percentile_exact_boundary_and_label_collision(spark, tmp_path):
 
     with pytest.raises(ValueError, match="collide"):
         percentile_from_counts(df, ["g"], "b", "cnt", [0.12, 0.125])
+
+
+def test_sum6_partials_are_wide_and_old_long_state_migrates(spark, docs, tmp_path):
+    """r12 accumulator widening: sum6 partials are DECIMAL(38,0) (a LONG
+    partial aborts under ANSI past ~9.2e12 summed units), and a pre-r12
+    state whose partials are LONG is MIGRATED by compact_rollup (the
+    merge casts at read), after which appends and serving work
+    unchanged."""
+    d = str(tmp_path / "r")
+    build_rollup(docs.where(F.col("doc_id") % 2 == 0), ["source"], MEASURES, d)
+    agg = spark.read.parquet(f"{d}/agg")
+    assert dict(agg.dtypes)["sum_chars6"] == "decimal(38,0)"
+
+    # simulate a pre-r12 state: rewrite the partials with LONG sum6
+    old = agg.withColumn("sum_chars6", F.col("sum_chars6").cast("long"))
+    tmp = str(tmp_path / "old_agg")
+    old.write.partitionBy("batch_id").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(f"{d}/agg")
+    shutil.move(tmp, f"{d}/agg")
+    assert dict(spark.read.parquet(f"{d}/agg").dtypes)["sum_chars6"] == "bigint"
+
+    # serving an all-LONG state still works (cast-at-merge)...
+    before = _rows(serve_rollup(spark, d))
+    # ...and compaction migrates it to the wide layout
+    compact_rollup(spark, d)
+    assert dict(spark.read.parquet(f"{d}/agg").dtypes)["sum_chars6"] == "decimal(38,0)"
+    assert _rows(serve_rollup(spark, d)) == before
+
+    # post-migration appends compose and equal the direct aggregate
+    append_rollup(docs.where(F.col("doc_id") % 2 == 1), d, "d1")
+    assert _rows(serve_rollup(spark, d)) == _rows(_direct(docs, ["source"]))
