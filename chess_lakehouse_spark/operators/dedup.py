@@ -1617,3 +1617,100 @@ def edit_distance_join(
         q=q,
         stop_gram_min_df=stop_gram_min_df,
     )
+
+
+def exact_jaccard_pairs_ppm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """GROUND-TRUTH near-dup pairs: every unordered pair (id_a < id_b)
+    whose EXACT word-k-shingle Jaccard reaches ``threshold_ppm``
+    (integer millionths, floor division — fully deterministic, no float
+    round anywhere). Returns (id_a, id_b, jaccard_ppm).
+
+    Blocking is the shingle inverted index itself (:func:`cooccur_pairs`
+    on the shingle key, no bucket cap): any pair with Jaccard > 0 shares
+    at least one shingle, so the candidate set is LOSSLESS — this is the
+    exact side, so unlike the LSH path nothing may be dropped. Cost is
+    sum over shingles of |posting|^2/2; that makes this an AUDIT-side
+    operator: at 100 TB you run it on a sample (or a stratum) to measure
+    the production LSH path's recall (:func:`lsh_recall_report`), never
+    on the full corpus. The integer ppm rides DECIMAL(38,0) so shingle
+    counts near the BIGINT/1e6 cliff cannot abort under ANSI.
+    """
+    sh = word_shingles(df, id_col, text_col, k=k)
+    cand = cooccur_pairs(sh, ["shingle"], id_col, max_bucket_size=None).distinct()
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jppm = F.expr(
+        "CAST((CAST(n_common AS DECIMAL(38,0)) * 1000000)"
+        " div (n_a + n_b - n_common) AS BIGINT)"
+    )
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", jppm.alias("jaccard_ppm"))
+        .where(F.col("jaccard_ppm") >= F.lit(int(threshold_ppm)))
+    )
+
+
+def lsh_recall_report(
+    exact_pairs: DataFrame,
+    found_pairs: DataFrame,
+    bucket_ppm: int = 100_000,
+) -> DataFrame:
+    """The measured LSH S-curve: recall of a candidate-generation path
+    against ground truth, AS A FUNCTION OF true similarity — the audit
+    that tells you whether your band/row geometry actually catches the
+    similarity range your dedup threshold targets (banding recall rises
+    steeply with Jaccard; the interesting number is recall just above
+    the threshold, which a single aggregate recall hides).
+
+    ``exact_pairs`` carries (id_a, id_b, jaccard_ppm) ground truth
+    (:func:`exact_jaccard_pairs_ppm`); ``found_pairs`` carries the pairs
+    the production path emitted (e.g. :func:`minhash_lsh_dedup`). Output
+    one row per ``bucket_ppm``-wide similarity bucket: (bucket_lo_ppm,
+    n_exact, n_found, recall_ppm) — all exact integers; found pairs
+    outside the ground-truth set are ignored (they answer precision, a
+    different audit). The join is on pair identity only; |exact| rows,
+    never corpus rows."""
+    if bucket_ppm < 1:
+        raise ValueError(f"lsh_recall_report: bucket_ppm must be >= 1, got {bucket_ppm}")
+    f = (
+        found_pairs.select("id_a", "id_b")
+        .distinct()
+        .withColumn("__found", F.lit(1).cast("long"))
+    )
+    joined = exact_pairs.join(f, ["id_a", "id_b"], "left")
+    return (
+        joined.groupBy(
+            F.expr(f"(jaccard_ppm div {int(bucket_ppm)}) * {int(bucket_ppm)}").alias(
+                "bucket_lo_ppm"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__found"), F.lit(0))).cast("long").alias("n_found"),
+        )
+        .select(
+            "bucket_lo_ppm",
+            "n_exact",
+            "n_found",
+            F.expr(
+                "CAST((CAST(n_found AS DECIMAL(38,0)) * 1000000)"
+                " div n_exact AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -230,3 +230,245 @@ def cms_estimate(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def mg_sketch(df: DataFrame, term_col: str, k: int) -> DataFrame:
+    """Misra-Gries heavy-hitters summary over ``term_col``: at most ``k``
+    (term, est) rows with the deterministic guarantees
+
+    - ``est <= true_count(term)`` (never over-counts), and
+    - ``true_count(term) - est <= N / (k + 1)`` where N is the total
+      non-NULL term count — so every term with ``true_count > N/(k+1)``
+      is GUARANTEED present in the summary.
+
+    Distributed as a mergeable summary (Agarwal, Cormode, Huang,
+    Phillips, Wei, Yi — "Mergeable Summaries", PODS 2012, public): one
+    Arrow-batched ``mapInPandas`` pass keeps a <= k-counter dict per
+    partition (per input batch: add the batch's value counts, then if
+    more than k counters survive subtract the (k+1)-th largest counter
+    value from all and drop the non-positive — each such step removes at
+    least (k+1)x the largest per-item decrement, which is the whole
+    guarantee), then the <= k*|partitions| partial rows merge with ONE
+    tiny groupBy-sum plus the same prune applied in-plan: t = the
+    (k+1)-th largest combined counter (0 if fewer than k+1 survive),
+    keep ``est - t > 0``. Counter VALUES depend on partitioning and
+    arrival order — only the two bounds above are order-invariant, which
+    is why the gated projection (:func:`heavy_hitters_audit`) exposes
+    exact counts plus guarantee BOOLEANS, the ``approx_stats`` pattern.
+
+    100 TB shape: the corpus is touched once, map-side, with O(k) state
+    per task; the only shuffle moves k rows per partition; the final
+    prune is algebra over a k*|partitions|-row frame. Compare the exact
+    answer: a corpus-wide groupBy shuffle on a token-cardinality key.
+    NULL terms are ignored (they are not countable items; the oracle
+    twin filters them identically).
+
+    Contract: ``k >= 1``; term column is cast to string in the summary.
+    """
+    if k < 1:
+        raise ValueError(f"mg_sketch: k must be >= 1, got {k}")
+    import pandas as pd
+
+    def _partial(batches):
+        d: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["__term"].dropna().value_counts()
+            for t, c in vc.items():
+                d[t] = d.get(t, 0) + int(c)
+            if len(d) > k:
+                m = sorted(d.values(), reverse=True)[k]
+                d = {t: c - m for t, c in d.items() if c - m > 0}
+        yield pd.DataFrame(
+            {"term": list(d.keys()), "est": [int(v) for v in d.values()]}
+        )
+
+    partials = (
+        df.where(F.col(term_col).isNotNull())
+        .select(F.col(term_col).cast("string").alias("__term"))
+        .mapInPandas(_partial, "term string, est long")
+    )
+    combined = partials.groupBy("term").agg(F.sum("est").alias("est"))
+    top = combined.orderBy(F.desc("est"), F.asc("term")).limit(k + 1)
+    th = top.agg(
+        F.count(F.lit(1)).alias("__n"), F.min("est").alias("__m")
+    ).select(
+        F.when(F.col("__n") == k + 1, F.col("__m"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__t")
+    )
+    return (
+        combined.crossJoin(F.broadcast(th))
+        .select("term", (F.col("est") - F.col("__t")).cast("long").alias("est"))
+        .where(F.col("est") > 0)
+    )
+
+
+def heavy_hitters_audit(df: DataFrame, term_col: str, k: int) -> DataFrame:
+    """Driver-checkable heavy-hitters projection (the ``approx_stats``
+    pattern): for every term whose EXACT count exceeds N/(k+1) — the
+    population :func:`mg_sketch` guarantees it retains — emit the exact
+    count plus two booleans that are deterministically TRUE unless the
+    sketch path actually breaks:
+
+    - ``in_sketch``: the term is present in the merged summary
+      (guaranteed: its count clears the retention bound);
+    - ``within_bound``: ``est <= true_cnt`` and
+      ``(true_cnt - est) * (k+1) <= N`` in exact integer arithmetic
+      (DECIMAL(38,0)-ridden so a 100 TB term mass cannot overflow the
+      multiply under ANSI).
+
+    The exact-count side is a corpus groupBy — the AUDIT cost, paid to
+    certify the sketch; production serves from the sketch alone and
+    runs this audit on a sample. Output: (term, true_cnt, in_sketch,
+    within_bound), at most k rows (fewer than k+1 terms can each hold
+    more than an exact (k+1)-th of the mass)."""
+    nn = df.where(F.col(term_col).isNotNull()).select(
+        F.col(term_col).cast("string").alias("term")
+    )
+    exact = nn.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    tot = nn.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    sk = mg_sketch(df, term_col, k).withColumnRenamed("est", "__est")
+    kp1 = F.lit(k + 1).cast("decimal(38,0)")
+    hh = exact.crossJoin(F.broadcast(tot)).where(
+        F.col("true_cnt").cast("decimal(38,0)") * kp1 > F.col("__n").cast("decimal(38,0)")
+    )
+    return hh.join(sk, "term", "left").select(
+        "term",
+        "true_cnt",
+        F.col("__est").isNotNull().alias("in_sketch"),
+        (
+            F.col("__est").isNotNull()
+            & (F.col("__est") <= F.col("true_cnt"))
+            & (
+                (F.col("true_cnt") - F.col("__est")).cast("decimal(38,0)") * kp1
+                <= F.col("__n").cast("decimal(38,0)")
+            )
+        ).alias("within_bound"),
+    )
+
+
+def mg_batch_partial(
+    df: DataFrame, term_col: str, k: int, exact: bool = True
+) -> DataFrame:
+    """One ingest batch's Misra-Gries PARTIAL for the staged
+    heavy-hitters lifecycle: (term, est, n_batch) with at most k term
+    rows; ``n_batch`` (the batch's total non-NULL term count, repeated
+    per row) is what lets the serve side compute the merged error bound
+    N/(k+1) without ever re-reading corpora.
+
+    Two builders, same summary contract (est <= true_in_batch;
+    true_in_batch - est <= n_batch/(k+1); every term above
+    n_batch/(k+1) retained):
+
+    - ``exact=True`` (default): prune-of-exact-counts — groupBy the
+      BATCH (batch-sized shuffle, not corpus-sized), subtract the
+      (k+1)-th largest count, keep positive. DETERMINISTIC, so a
+      crash-replayed batch republishes its partition value-identically
+      — the property the batch_id state layout wants.
+    - ``exact=False``: the O(k)-state :func:`mg_sketch` pass — for a
+      batch too large to groupBy; values then depend on partitioning,
+      and replay safety degrades to bounds-level (any valid summary of
+      the same batch keeps every served guarantee).
+
+    Every partial carries ONE extra mass-carrier row (term NULL,
+    est 0): a batch whose counters all prune away (> k equal-count
+    terms) still contributes its n_batch to the served error bound —
+    dropping it would UNDERSTATE N and make the claimed guarantee
+    anti-conservatively tight. Serve-side reads filter the carrier out
+    of the counters and read the mass off any row.
+    """
+    nn = df.where(F.col(term_col).isNotNull()).select(
+        F.col(term_col).cast("string").alias("term")
+    )
+    tot = nn.agg(F.count(F.lit(1)).cast("long").alias("n_batch"))
+    if exact:
+        counts = nn.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("est"))
+        top = counts.orderBy(F.desc("est"), F.asc("term")).limit(k + 1)
+        th = top.agg(
+            F.count(F.lit(1)).alias("__n"), F.min("est").alias("__m")
+        ).select(
+            F.when(F.col("__n") == k + 1, F.col("__m"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("__t")
+        )
+        sk = (
+            counts.crossJoin(F.broadcast(th))
+            .select("term", (F.col("est") - F.col("__t")).cast("long").alias("est"))
+            .where(F.col("est") > 0)
+        )
+    else:
+        sk = mg_sketch(df, term_col, k)
+    carrier = tot.select(
+        F.lit(None).cast("string").alias("term"),
+        F.lit(0).cast("long").alias("est"),
+        "n_batch",
+    )
+    return sk.crossJoin(F.broadcast(tot)).unionByName(carrier)
+
+
+def write_mg_batch(partial: DataFrame, state_dir: str, batch_id) -> None:
+    """Stage one batch's heavy-hitters partial as its own
+    ``batch_id=<id>`` partition — the module-wide replay-safe state
+    layout (see ``write_bloom_batch``): a crash-replayed batch
+    republishes its OWN partition (value-identically for the default
+    exact partial), readers can exclude an in-flight batch, and publish
+    rides the rename-aside swap through a hidden ``.staging-`` sibling,
+    never an in-place overwrite."""
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    root = state_dir.rstrip("/")
+    live = f"{root}/batch_id={batch_id}"
+    tmp = f"{root}/.staging-batch_id={batch_id}"
+    partial.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_lake_dirs(partial.sparkSession, tmp, live, "write_mg_batch")
+
+
+def mg_from_batches(spark, state_dir: str, k: int) -> DataFrame:
+    """Serve the merged heavy-hitters summary from STAGED batch
+    partials, touching zero corpus rows: groupBy-sum the <= k rows per
+    batch, prune with the same in-plan (k+1)-th-largest subtraction —
+    the Mergeable Summaries merge, so the served sketch carries the
+    GLOBAL guarantee (est <= true; true - est <= N/(k+1) with
+    N = :func:`mg_state_total`; every term with true > N/(k+1)
+    present), identical in form to a single-pass sketch of the union
+    corpus. Cost: |batches| * k rows in, <= k out. Returns (term, est).
+    """
+    state = spark.read.parquet(state_dir.rstrip("/"))
+    combined = (
+        state.where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("est").alias("est"))
+    )
+    top = combined.orderBy(F.desc("est"), F.asc("term")).limit(k + 1)
+    th = top.agg(
+        F.count(F.lit(1)).alias("__n"), F.min("est").alias("__m")
+    ).select(
+        F.when(F.col("__n") == k + 1, F.col("__m"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__t")
+    )
+    return (
+        combined.crossJoin(F.broadcast(th))
+        .select("term", (F.col("est") - F.col("__t")).cast("long").alias("est"))
+        .where(F.col("est") > 0)
+    )
+
+
+def mg_state_total(spark, state_dir: str) -> int:
+    """Total term mass N summarized by the staged state — the
+    denominator of every served guarantee (error <= N/(k+1)). One tiny
+    scan of the state rows: n_batch is constant within a batch and the
+    mass-carrier row makes it present even for a batch whose counters
+    all pruned away, so N is exactly the sum of one value per batch
+    partition."""
+    state = spark.read.parquet(state_dir.rstrip("/"))
+    row = (
+        state.groupBy("batch_id")
+        .agg(F.max("n_batch").alias("nb"))
+        .agg(F.sum("nb").alias("n"))
+        .collect()[0]
+    )
+    return int(row["n"] or 0)

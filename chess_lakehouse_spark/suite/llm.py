@@ -6099,6 +6099,280 @@ STREAM_INTERVAL_JOIN_ORACLE = f"""
 """
 
 
+#: Misra-Gries summary size for the heavy-hitters audit: k = 50 keeps
+#: the retained-term guarantee threshold at N/51 (~2% of token mass) —
+#: ~30 guaranteed heavy hitters on the fixture corpus at every scale.
+MG_K = 50
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters over the corpus token stream via a MERGEABLE
+    Misra-Gries summary (Agarwal et al., "Mergeable Summaries", PODS
+    2012 — public; operators/sketches.py: mg_sketch), through the
+    driver-checkable projection (the approx_stats pattern): summary
+    counter VALUES are partitioning/order-dependent, so the gated
+    columns are (a) the EXACT count of every term the sketch guarantees
+    to retain (true_cnt > N/(k+1)) and (b) guarantee BOOLEANS —
+    ``in_sketch`` (the term survived the merged summary) and
+    ``within_bound`` (est <= true and (true - est)·(k+1) <= N in exact
+    DECIMAL(38,0) arithmetic) — that are deterministically TRUE unless
+    the sketch path actually breaks. The oracle pins the exact counts
+    and the TRUE literals.
+
+    100 TB shape: the sketch side touches the corpus once, map-side,
+    with O(k) state per task and a k·|partitions|-row merge; the exact
+    side is the AUDIT cost (run on a sample in production). The raw
+    summary's bounds are additionally property-pinned in
+    tests/test_r14_candidates.py across partitioning layouts.
+
+    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against HEAVY_HITTERS_ORACLE pinned in
+    tests/test_r14_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import ws_tokens
+    from chess_lakehouse_spark.operators.sketches import heavy_hitters_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(ws_tokens(F.col("text")), lambda t: t != "")).alias(
+            "term"
+        )
+    )
+    return heavy_hitters_audit(toks, "term", MG_K)
+
+
+HEAVY_HITTERS_ORACLE = rf"""
+    WITH tk AS (
+      SELECT unnest(list_filter({_TOKS}, x -> x <> '')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt
+            FROM tk GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk)
+    SELECT term, true_cnt,
+           TRUE AS in_sketch, TRUE AS within_bound
+    FROM cnt, tot
+    WHERE CAST(true_cnt AS HUGEINT) * {MG_K + 1} > n
+"""
+
+
+#: Ground-truth Jaccard floor for the LSH recall audit. 0 = every pair
+#: with ANY shared shingle (J > 0), so the measured S-curve covers its
+#: whole domain: the low buckets report candidate LEAKAGE on
+#: non-duplicate pairs (wasted verification work), the high buckets the
+#: recall on true near-dups — both sides of the band-geometry trade.
+LSH_RECALL_FLOOR_PPM = 0
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured MinHash-LSH S-curve: recall of the gated dedup
+    path's CANDIDATE GENERATION (word 3-shingles → 8 minhashes → 4
+    bands of 2 → bucket join, the exact stack `dedup_minhash_lsh`
+    runs, default bucket cap included) against GROUND TRUTH — every
+    pair with exact shingle Jaccard > 0, from the lossless shingle
+    inverted index (operators/dedup.py: exact_jaccard_pairs_ppm) — per
+    100k-ppm similarity bucket. Candidate generation is the ONLY lossy
+    step (verification is exact Jaccard), so this curve IS the
+    band/row-geometry audit: the dedup twin of the gated ann_recall
+    query. The high buckets certify recall on true near-dups; the low
+    buckets measure candidate LEAKAGE on non-duplicates — the wasted
+    verification work the band geometry admits. All-integer output:
+    (bucket_lo_ppm, n_exact, n_found, recall_ppm).
+
+    The exact side costs sum(|posting|²)/2 over shingle postings — the
+    AUDIT cost, paid on a sample at 100 TB; the found side is the
+    production candidate plan unchanged. The oracle reuses the
+    REGISTERED minhash pair CTEs verbatim (its `cand` stage) for the
+    found side, so the production path and its audit cannot drift.
+
+    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against LSH_RECALL_ORACLE pinned in
+    tests/test_r14_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.dedup import (
+        exact_jaccard_pairs_ppm,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from chess_lakehouse_spark.operators.dedup import lsh_recall_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_jaccard_pairs_ppm(
+        docs, "doc_id", "text", k=3, threshold_ppm=LSH_RECALL_FLOOR_PPM
+    )
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    bands = lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
+    cand = lsh_candidate_pairs(bands, "doc_id", max_bucket_size=LSH_MAX_BUCKET_SIZE)
+    return lsh_recall_report(exact, cand, bucket_ppm=100_000)
+
+
+LSH_RECALL_ORACLE = f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    xc AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON b.shingle = a.shingle AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT x.id_a, x.id_b,
+             CAST((CAST(x.n_common AS HUGEINT) * 1000000)
+                  // (ca.n_sh + cb.n_sh - x.n_common) AS BIGINT) AS jppm
+      FROM xc x
+      JOIN counts ca ON ca.doc_id = x.id_a
+      JOIN counts cb ON cb.doc_id = x.id_b
+    ),
+    exx AS (SELECT * FROM ex WHERE jppm >= {LSH_RECALL_FLOOR_PPM}),
+    fnd AS (SELECT id_a, id_b, 1 AS hit FROM cand)
+    SELECT (e.jppm // 100000) * 100000 AS bucket_lo_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(f.hit), 0) AS BIGINT) AS n_found,
+           CAST((CAST(COALESCE(SUM(f.hit), 0) AS HUGEINT) * 1000000)
+                // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM exx e
+    LEFT JOIN fnd f ON f.id_a = e.id_a AND f.id_b = e.id_b
+    GROUP BY 1
+"""
+
+
+#: Inactivity gap for the streaming sessionization candidate — the same
+#: 30 minutes the gated batch `sessionize` query uses, so the two
+#: definitions of "session" cannot drift.
+STREAM_SESSION_GAP_S = 1800
+
+#: One staging root per process for q_stream_sessionize's file feed
+#: (the _ssjoin_dir convention: per-process mkdtemp, removed at exit).
+_SSESS_ROOT: list[str] = []
+
+#: Sentinel user for the end-of-feed watermark flush. Fixture user_ids
+#: are non-negative; the sentinel's own (never-emitted) session is
+#: filtered from the sink read-back.
+_SSESS_SENTINEL_USER = -1
+
+
+def _ssess_dir(sf_dir: str) -> str:
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    if not _SSESS_ROOT:
+        root = tempfile.mkdtemp(prefix="chess_lakehouse_ssess_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SSESS_ROOT.append(root)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{_SSESS_ROOT[0]}/{tag}"
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation END TO END through Structured
+    Streaming (``F.session_window`` — the one built-in streaming window
+    class the gated surface didn't exercise yet): the fixture events
+    feed a watermarked file stream, sessions close after a 30-minute
+    inactivity gap, and per (user, session) the count plus the window
+    bounds drain through an append-mode parquet sink (availableNow),
+    then read back as the result. Watermark bounds the session state —
+    the property that keeps per-user session state finite at 100
+    TB/day. The oracle is the equivalent BATCH gaps-and-islands
+    sessionization (stream == batch for complete input).
+
+    Boundary semantics measured and pinned (tests): an event exactly
+    ``gap`` after the previous one EXTENDS the session (Spark merges
+    touching-inclusive session ranges), matching the gated batch
+    `sessionize` query's ``diff > gap`` new-session rule; window end =
+    last event + gap. Emission of the final sessions relies on the
+    end-of-stream no-data batch after a far-future SENTINEL row
+    (user -1, max ts + 365 days) advances the watermark past every real
+    session; the sentinel's own session stays in (discarded) state and
+    is additionally filtered from the read-back.
+
+    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against STREAM_SESSIONIZE_ORACLE pinned in
+    tests/test_r14_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    import tempfile
+
+    apply_runtime_conf(spark)
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    root = _ssess_dir(sf_dir)
+    feed = f"{root}/feed"
+    sentinel = events.agg(F.max("ts").alias("__mx")).select(
+        F.lit(_SSESS_SENTINEL_USER).cast("long").alias("user_id"),
+        (F.col("__mx") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+    )
+    events.select("user_id", "ts").unionByName(sentinel).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(feed)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(feed)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{STREAM_SESSION_GAP_S} seconds").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    run = tempfile.mkdtemp(prefix="run_", dir=root)
+    out_dir, ckpt = f"{run}/out", f"{run}/ckpt"
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            "user_id long, session_start_us long, session_end_us long,"
+            " n_events long"
+        )
+        .parquet(out_dir)
+        .where(F.col("user_id") != F.lit(_SSESS_SENTINEL_USER))
+    )
+
+
+STREAM_SESSIONIZE_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w
+                       > {STREAM_SESSION_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {STREAM_SESSION_GAP_S} * 1000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
 #: Machine-checkable staging manifest: every gating candidate that is
 #: READY (suite-defined oracle, two-scale exact parity, cold-JVM ANSI
 #: run — see each function's docstring and test file) but NOT yet
@@ -6127,4 +6401,12 @@ STAGED_CANDIDATES = {
     "dedup_semdedup": (q_dedup_semdedup, DEDUP_SEMDEDUP_ORACLE),
     "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_ORACLE),
     "stream_interval_join": (q_stream_interval_join, STREAM_INTERVAL_JOIN_ORACLE),
+    # staged in the r12 build session's second batch
+    # (tests/test_r14_candidates.py: same two-scale + cold-JVM +
+    # plan-guard discipline); two are r13-bound (the r13 window has
+    # exactly 9 never-verified slots ahead of the 41 age-bound rows),
+    # the overflow waits for r14
+    "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_ORACLE),
+    "lsh_recall": (q_lsh_recall, LSH_RECALL_ORACLE),
+    "stream_sessionize": (q_stream_sessionize, STREAM_SESSIONIZE_ORACLE),
 }

@@ -1121,6 +1121,110 @@ def main() -> None:
                 ).count(),
             )
 
+        if only_ops is None or {
+            "mg_heavy_hitters", "lsh_recall_audit", "stream_sessionize"
+        } & only_ops:
+            # r12 second-batch candidates. mg_sketch: one Arrow pass with
+            # O(k) task state + a k*|partitions|-row merge — expected
+            # linear-in-scan, flat beyond (the whole point vs the exact
+            # token groupBy). lsh_recall audit: exact side is the shingle
+            # inverted-index pair expansion (copies have disjoint vocab,
+            # so pairs grow LINEARLY with the factor — corpus growth, not
+            # quadratic blowup; on a real corpus this is the documented
+            # run-on-a-sample audit). stream_sessionize: full availableNow
+            # drain (feed scan + session-window state + parquet sink) over
+            # x-factor events with x-factor users — state grows with
+            # active sessions, expected linear.
+            from chess_lakehouse_spark.functions.text import ws_tokens
+            from chess_lakehouse_spark.operators.dedup import (
+                exact_jaccard_pairs_ppm,
+                lsh_bands,
+                lsh_candidate_pairs,
+                lsh_recall_report,
+                minhash_signatures,
+                word_shingles,
+            )
+            from chess_lakehouse_spark.operators.sketches import mg_sketch
+
+            toks = docs.select(
+                F.explode(
+                    F.filter(ws_tokens(F.col("text")), lambda t: t != "")
+                ).alias("term")
+            )
+            probe(
+                "mg_heavy_hitters", factor,
+                lambda: mg_sketch(toks, "term", 50).count(),
+            )
+
+            def _lsh_recall():
+                exact = exact_jaccard_pairs_ppm(
+                    docs, "doc_id", "text", k=3, threshold_ppm=0
+                )
+                sh = word_shingles(docs, "doc_id", "text", k=3)
+                cand = lsh_candidate_pairs(
+                    lsh_bands(
+                        minhash_signatures(sh, "doc_id"), "doc_id", band_size=2
+                    ),
+                    "doc_id",
+                    max_bucket_size=10_000,
+                )
+                return lsh_recall_report(exact, cand).count()
+
+            probe("lsh_recall_audit", factor, _lsh_recall)
+
+            ev_base = spark.read.parquet(f"{sf_dir}/events.parquet")
+            ts_type = dict(ev_base.dtypes).get("ts")
+            if ts_type == "bigint":
+                ev_base = ev_base.withColumn(
+                    "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+                )
+            elif ts_type == "timestamp_ntz":
+                ev_base = ev_base.withColumn("ts", F.col("ts").cast("timestamp"))
+            ev_base = ev_base.where(F.col("ts").isNotNull()).select("user_id", "ts")
+            sess_copies = [
+                ev_base.withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+                )
+                for i in range(factor)
+            ]
+            sess_ev = sess_copies[0]
+            for c in sess_copies[1:]:
+                sess_ev = sess_ev.unionByName(c)
+            sentinel = sess_ev.agg(F.max("ts").alias("__mx")).select(
+                F.lit(-1).cast("long").alias("user_id"),
+                (F.col("__mx") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+            )
+            feed = f"{tmp}/ssess_feed_x{factor}"
+            sess_ev.unionByName(sentinel).coalesce(4).write.mode(
+                "overwrite"
+            ).parquet(feed)
+
+            def _ssess():
+                run = tempfile.mkdtemp(prefix="ssx_", dir=tmp)
+                out_dir, ckpt = f"{run}/out", f"{run}/ckpt"
+                stream = (
+                    spark.readStream.schema("user_id long, ts timestamp")
+                    .parquet(feed)
+                    .withWatermark("ts", "1 hour")
+                    .groupBy(
+                        F.session_window("ts", "1800 seconds").alias("sw"),
+                        "user_id",
+                    )
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                q = (
+                    stream.writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return spark.read.parquet(out_dir).count()
+
+            probe("stream_sessionize", factor, _ssess)
+
         if only_ops is None or {"pagerank_5it"} & only_ops:
             # PageRank over a synthetic host graph whose |V| and |E| both
             # grow with the corpus (md5-derived edges — near-uniform

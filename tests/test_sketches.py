@@ -104,3 +104,102 @@ def test_daily_novelty_from_sketches(spark):
     assert est["est_union"] == pytest.approx(
         est["est_corpus"] + exact_new, rel=0.05
     )
+
+
+# ------------------------------------------------- staged Misra-Gries state
+
+
+def _exact_counts(spark, rows):
+    from collections import Counter
+
+    return Counter(t for (t,) in rows if t is not None)
+
+
+def test_mg_staged_lifecycle_bounds_and_retention(spark, tmp_path):
+    """Batches staged with write_mg_batch serve a merged summary with
+    the GLOBAL Mergeable-Summaries guarantee: est <= true over the
+    union corpus, true - est <= N/(k+1) with N from mg_state_total,
+    and every term above N/(k+1) present — for both partial builders."""
+    from chess_lakehouse_spark.operators.sketches import (
+        mg_batch_partial,
+        mg_from_batches,
+        mg_state_total,
+        write_mg_batch,
+    )
+
+    k = 6
+    b1 = [("a",)] * 120 + [("b",)] * 60 + [(f"x{i}",) for i in range(40)]
+    b2 = [("a",)] * 80 + [("c",)] * 70 + [(f"y{i}",) for i in range(30)]
+    b3 = [("b",)] * 90 + [(None,)] * 5 + [(f"z{i}",) for i in range(25)]
+    state = str(tmp_path / "mg_state")
+    for exact in (True, False):
+        d = f"{state}_{exact}"
+        for bid, rows in (("d1", b1), ("d2", b2), ("d3", b3)):
+            df = spark.createDataFrame(rows, "term string").repartition(3)
+            write_mg_batch(mg_batch_partial(df, "term", k, exact=exact), d, bid)
+        n = mg_state_total(spark, d)
+        true = _exact_counts(spark, b1 + b2 + b3)
+        assert n == sum(true.values())
+        served = {r["term"]: r["est"] for r in mg_from_batches(spark, d, k).collect()}
+        assert 0 < len(served) <= k
+        for t, est in served.items():
+            assert 0 < est <= true[t], (exact, t)
+            assert (true[t] - est) * (k + 1) <= n, (exact, t)
+        # retention: every term with true > N/(k+1) is guaranteed served
+        for t, c in true.items():
+            if c * (k + 1) > n:
+                assert t in served, (exact, t)
+
+
+def test_mg_staged_replay_is_value_identical_for_exact_partials(spark, tmp_path):
+    """A crash-replayed batch republishes its own partition
+    value-identically under the default deterministic (exact) partial:
+    the served summary is unchanged by the replay."""
+    from chess_lakehouse_spark.operators.sketches import (
+        mg_batch_partial,
+        mg_from_batches,
+        mg_state_total,
+        write_mg_batch,
+    )
+
+    k = 4
+    state = str(tmp_path / "mg_replay")
+    b1 = [("a",)] * 50 + [("b",)] * 20 + [(f"t{i}",) for i in range(10)]
+    b2 = [("b",)] * 40 + [("c",)] * 30
+    df1 = spark.createDataFrame(b1, "term string")
+    df2 = spark.createDataFrame(b2, "term string")
+    write_mg_batch(mg_batch_partial(df1, "term", k), state, 1)
+    write_mg_batch(mg_batch_partial(df2, "term", k), state, 2)
+    before = sorted(tuple(r) for r in mg_from_batches(spark, state, k).collect())
+    n_before = mg_state_total(spark, state)
+    # replay batch 2 (different partitioning of the same data)
+    write_mg_batch(mg_batch_partial(df2.repartition(7), "term", k), state, 2)
+    after = sorted(tuple(r) for r in mg_from_batches(spark, state, k).collect())
+    assert after == before
+    assert mg_state_total(spark, state) == n_before
+
+
+def test_mg_all_pruned_batch_still_carries_its_mass(spark, tmp_path):
+    """The mass-carrier row: a batch of > k equal-count terms prunes
+    every counter away, but its n_batch must still widen the served
+    error bound — dropping it would claim an anti-conservatively tight
+    guarantee."""
+    from chess_lakehouse_spark.operators.sketches import (
+        mg_batch_partial,
+        mg_from_batches,
+        mg_state_total,
+        write_mg_batch,
+    )
+
+    k = 3
+    state = str(tmp_path / "mg_carrier")
+    heavy = spark.createDataFrame([("a",)] * 10, "term string")
+    flat = spark.createDataFrame([(f"u{i}",) for i in range(8)], "term string")
+    p = mg_batch_partial(flat, "term", k)
+    # the flat batch prunes to carrier-only (4+ equal counts, k = 3)
+    assert [r["term"] for r in p.collect()] == [None]
+    write_mg_batch(mg_batch_partial(heavy, "term", k), state, "h")
+    write_mg_batch(p, state, "f")
+    assert mg_state_total(spark, state) == 18
+    served = {r["term"]: r["est"] for r in mg_from_batches(spark, state, k).collect()}
+    assert served == {"a": 10}
