@@ -6157,6 +6157,70 @@ HEAVY_HITTERS_ORACLE = rf"""
 """
 
 
+def q_heavy_hitters_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STAGED heavy-hitters lifecycle end to end, as one query (the
+    rollup_staged / lm_staged stage-inside-query convention): the corpus
+    token stream splits into three ingest batches (doc_id % 3), each
+    batch stages its deterministic exact Misra-Gries partial via
+    write_mg_batch (batch_id partition + rename-aside swap — the
+    replay-safe frontier layout), the summary is SERVED from the staged
+    partials alone (mg_from_batches: |batches|·k rows in, zero corpus
+    rows), and the serve is audited with the same checked projection the
+    single-pass query gates — exact counts of every guaranteed-retained
+    term plus guarantee booleans, with N taken from mg_state_total (the
+    mass-carrier contract). The oracle is HEAVY_HITTERS_ORACLE VERBATIM:
+    staging the sketch may never change the audit verdict — exactly the
+    bloom_gate_table discipline (same truth, different serving layout).
+
+    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity pinned in tests/test_r14_candidates.py at two scales +
+    cold-JVM; registration at a window re-plan is a dict + window edit.
+    """
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import ws_tokens
+    from chess_lakehouse_spark.operators.sketches import (
+        mg_batch_partial,
+        mg_from_batches,
+        mg_state_total,
+        write_mg_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = _sklake_dir(sf_dir).rsplit("/", 1)[0] + "/mgstate"
+
+    def _toks(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.explode(F.filter(ws_tokens(F.col("text")), lambda t: t != "")).alias(
+                "term"
+            )
+        )
+
+    for b in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == b)
+        write_mg_batch(mg_batch_partial(_toks(batch), "term", MG_K), state, b)
+
+    served = mg_from_batches(spark, state, MG_K).withColumnRenamed("est", "__est")
+    n_total = mg_state_total(spark, state)
+    nn = _toks(docs)
+    exact = nn.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    kp1 = F.lit(MG_K + 1).cast("decimal(38,0)")
+    n_lit = F.lit(n_total).cast("decimal(38,0)")
+    hh = exact.where(F.col("true_cnt").cast("decimal(38,0)") * kp1 > n_lit)
+    return hh.join(served, "term", "left").select(
+        "term",
+        "true_cnt",
+        F.col("__est").isNotNull().alias("in_sketch"),
+        (
+            F.col("__est").isNotNull()
+            & (F.col("__est") <= F.col("true_cnt"))
+            & (
+                (F.col("true_cnt") - F.col("__est")).cast("decimal(38,0)") * kp1
+                <= n_lit
+            )
+        ).alias("within_bound"),
+    )
+
+
 #: Ground-truth Jaccard floor for the LSH recall audit. 0 = every pair
 #: with ANY shared shingle (J > 0), so the measured S-curve covers its
 #: whole domain: the low buckets report candidate LEAKAGE on
@@ -6409,4 +6473,8 @@ STAGED_CANDIDATES = {
     "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_ORACLE),
     "lsh_recall": (q_lsh_recall, LSH_RECALL_ORACLE),
     "stream_sessionize": (q_stream_sessionize, STREAM_SESSIONIZE_ORACLE),
+    # the staged-lifecycle twin shares HEAVY_HITTERS_ORACLE verbatim —
+    # the bloom_gate_table discipline: a serving layout may never
+    # change the audit verdict
+    "heavy_hitters_staged": (q_heavy_hitters_staged, HEAVY_HITTERS_ORACLE),
 }

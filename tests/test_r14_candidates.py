@@ -322,3 +322,35 @@ def test_session_window_exact_gap_boundary_extends_session(spark, tmp_path):
         (2, base, base + gap, 1),
         (2, base + gap + 1, base + 2 * gap + 1, 1),
     ]
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_heavy_hitters_staged_candidate_matches_oracle_two_scales(spark, sf_dir):
+    """The staged lifecycle (3 ingest batches -> write_mg_batch ->
+    mg_from_batches serve, N from mg_state_total) passes the SAME audit
+    as the single-pass sketch — against HEAVY_HITTERS_ORACLE verbatim,
+    the serving-layout-may-never-change-the-verdict discipline."""
+    from chess_lakehouse_spark.suite.llm import (
+        HEAVY_HITTERS_ORACLE,
+        STAGED_CANDIDATES,
+        q_heavy_hitters_staged,
+    )
+
+    # the manifest pins the verbatim oracle share
+    assert STAGED_CANDIDATES["heavy_hitters_staged"][1] is HEAVY_HITTERS_ORACLE
+
+    sdf = q_heavy_hitters_staged(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "term": "string",
+        "true_cnt": "bigint",
+        "in_sketch": "boolean",
+        "within_bound": "boolean",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["documents"], HEAVY_HITTERS_ORACLE)
+    assert all(r[2] and r[3] for r in srows)
+    # re-invocation replays every batch partition value-identically
+    # (deterministic exact partials) — the served audit is unchanged
+    again = sorted(tuple(r) for r in q_heavy_hitters_staged(spark, sf_dir).collect())
+    assert again == srows
