@@ -917,6 +917,54 @@ def cmd_bloom(args: argparse.Namespace) -> None:
         print(f"[bloom-gate] emit={args.emit} rows={n} -> {args.outDir}")
 
 
+def cmd_heavy_hitters(args: argparse.Namespace) -> None:
+    """Heavy-hitters frontier stages (operators/sketches.py, Mergeable
+    Summaries): ``hh-ingest`` stages ONE batch's Misra-Gries partial as
+    its own ``batch_id=`` partition (retry-safe: the default exact
+    partial rebuilds value-identically and the publish swaps
+    atomically), ``hh-serve`` merges the staged partials into the <= k
+    summary — |batches|*k rows in, zero corpus rows — and writes it with
+    the guarantee metadata (N, the error bound N/(k+1)) printed for the
+    run log. Every served term t satisfies est <= true(t) and
+    true(t) - est <= N/(k+1); every term with true > N/(k+1) is present."""
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.sketches import (
+        mg_batch_partial,
+        mg_from_batches,
+        mg_state_total,
+        write_mg_batch,
+    )
+
+    spark = _spark()
+    if args.stage == "hh-ingest":
+        partial = mg_batch_partial(
+            spark.read.parquet(args.inParquet),
+            args.termCol,
+            args.k,
+            exact=not args.streamed,
+        )
+        write_mg_batch(partial, args.stateDir, args.batchId)
+        n_terms = (
+            spark.read.parquet(f"{args.stateDir.rstrip('/')}/batch_id={args.batchId}")
+            .where(F.col("term").isNotNull())
+            .count()
+        )
+        print(
+            f"[hh-ingest] batch_id={args.batchId} k={args.k} "
+            f"terms={n_terms} -> {args.stateDir}"
+        )
+    else:  # hh-serve
+        served = mg_from_batches(spark, args.stateDir, args.k)
+        served.coalesce(1).write.mode("overwrite").parquet(args.outDir)
+        n = mg_state_total(spark, args.stateDir)
+        n_rows = spark.read.parquet(args.outDir).count()
+        print(
+            f"[hh-serve] terms={n_rows} n_total={n} "
+            f"max_err={n // (args.k + 1)} -> {args.outDir}"
+        )
+
+
 def cmd_ann_index(args: argparse.Namespace) -> None:
     """ANN lake-index lifecycle stages (operators/similarity.py):
     ``ann-index-build`` fits k-means centroids and publishes the corpus
@@ -1530,6 +1578,26 @@ def main(argv: list[str] | None = None) -> None:
     bg.add_argument("--outDir", required=True)
     bg.add_argument("--emit", choices=("clean", "flags"), default="clean")
     bg.set_defaults(fn=cmd_bloom)
+
+    hi = sub.add_parser("hh-ingest")
+    hi.add_argument("--inParquet", required=True)
+    hi.add_argument("--termCol", required=True)
+    hi.add_argument("--stateDir", required=True)
+    hi.add_argument("--batchId", required=True)
+    hi.add_argument("--k", type=int, default=50)
+    hi.add_argument(
+        "--streamed",
+        action="store_true",
+        help="O(k)-state pass for oversized batches (replay then holds at"
+        " bounds level, not value-identity)",
+    )
+    hi.set_defaults(fn=cmd_heavy_hitters)
+
+    hs = sub.add_parser("hh-serve")
+    hs.add_argument("--stateDir", required=True)
+    hs.add_argument("--outDir", required=True)
+    hs.add_argument("--k", type=int, default=50)
+    hs.set_defaults(fn=cmd_heavy_hitters)
 
     ab = sub.add_parser("ann-index-build")
     ab.add_argument("--inParquet", required=True)

@@ -1483,3 +1483,47 @@ def test_qc_report_cli_roundtrip(spark, tmp_path):
     pipeline_cli.main(["qc-report", "--inParquet", src, "--outDir", out2])
     assert not (Path(out2) / "user_growth").exists()
     assert "## user_growth" not in (Path(out2) / "CARD.md").read_text()
+
+
+def test_pipeline_cli_heavy_hitters_stages(spark, tmp_path, capsys):
+    """hh-ingest/hh-serve round-trip: two staged batches (one replayed)
+    serve a merged summary whose Mergeable-Summaries guarantees hold
+    against the exact union counts, computed here in-driver."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import pipeline_cli
+
+    b1 = [("a",)] * 60 + [("b",)] * 25 + [(f"x{i}",) for i in range(15)]
+    b2 = [("a",)] * 30 + [("c",)] * 40 + [(f"y{i}",) for i in range(10)]
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame(b1, "term string").write.parquet(p1)
+    spark.createDataFrame(b2, "term string").write.parquet(p2)
+    state, out = str(tmp_path / "state"), str(tmp_path / "served")
+
+    k = 5
+    for bid, p in (("d1", p1), ("d2", p2), ("d2", p2)):  # d2 replayed
+        pipeline_cli.main([
+            "hh-ingest", "--inParquet", p, "--termCol", "term",
+            "--stateDir", state, "--batchId", bid, "--k", str(k),
+        ])
+    pipeline_cli.main([
+        "hh-serve", "--stateDir", state, "--outDir", out, "--k", str(k),
+    ])
+    logs = capsys.readouterr().out
+    assert "[hh-ingest] batch_id=d2" in logs
+    n = len(b1) + len(b2)
+    assert f"n_total={n}" in logs and f"max_err={n // (k + 1)}" in logs
+
+    served = {r["term"]: r["est"] for r in spark.read.parquet(out).collect()}
+    from collections import Counter
+
+    true = Counter(t for (t,) in b1 + b2)
+    assert 0 < len(served) <= k
+    for t, est in served.items():
+        assert 0 < est <= true[t]
+        assert (true[t] - est) * (k + 1) <= n
+    for t, c in true.items():
+        if c * (k + 1) > n:
+            assert t in served
