@@ -459,16 +459,19 @@ def mg_from_batches(spark, state_dir: str, k: int) -> DataFrame:
 
 def mg_state_total(spark, state_dir: str) -> int:
     """Total term mass N summarized by the staged state — the
-    denominator of every served guarantee (error <= N/(k+1)). One tiny
-    scan of the state rows: n_batch is constant within a batch and the
-    mass-carrier row makes it present even for a batch whose counters
-    all pruned away, so N is exactly the sum of one value per batch
-    partition."""
+    denominator of every served guarantee (error <= N/(k+1)). N is the
+    sum of ``n_batch`` over the MASS-CARRIER rows only (term IS NULL):
+    every :func:`mg_batch_partial` emits exactly one carrier, so the sum
+    is one value per ORIGINAL batch — robust both to a batch whose
+    counters all pruned away (the carrier still exists) and to
+    row-preserving state compaction (``compact_stream_state`` merges
+    several batches under one ``batch_id`` label; a per-label
+    aggregation would then silently undercount N, the carrier sum does
+    not)."""
     state = spark.read.parquet(state_dir.rstrip("/"))
     row = (
-        state.groupBy("batch_id")
-        .agg(F.max("n_batch").alias("nb"))
-        .agg(F.sum("nb").alias("n"))
+        state.where(F.col("term").isNull())
+        .agg(F.sum("n_batch").alias("n"))
         .collect()[0]
     )
     return int(row["n"] or 0)

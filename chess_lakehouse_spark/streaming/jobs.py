@@ -1830,3 +1830,48 @@ def serve_user_growth(
         .distinct()
     )
     return growth_from_activity(act, day_fmt=day_fmt)
+
+
+def stream_heavy_hitters(
+    new_rows: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    term_col: str = "term",
+    k: int = 50,
+) -> None:
+    """Streaming heavy-hitters frontier — the tenth cross-batch loop,
+    in the STRUCTURAL-idempotency state class (stream_rollup's): each
+    micro-batch stages its deterministic exact Misra-Gries partial
+    (operators/sketches.py: mg_batch_partial, <= k counter rows + the
+    mass-carrier) as its OWN ``batch_id=b<N>`` partition via
+    write_mg_batch's rename-aside swap. The fold writes nothing but its
+    own partition and reads no staged state, and the exact partial is a
+    pure function of the batch's rows — so a crash-replayed batch
+    republishes VALUE-identically with no exclusion filter needed.
+
+    Serving at any time is :func:`mg_from_batches` (|batches|·k rows,
+    zero corpus) with the global Mergeable-Summaries guarantee over
+    everything ingested so far: est <= true, true − est <= N/(k+1),
+    every term with true > N/(k+1) present, N = mg_state_total (the
+    carrier-row sum — exact even across ``compact_stream_state``, which
+    may merge several batches under one partition label). Per-batch
+    cost: one batch-sized groupBy + a (k+1)-row prune — the state the
+    exact answer would need (a corpus-cardinality running groupBy) never
+    exists anywhere."""
+    from chess_lakehouse_spark.operators.sketches import (
+        mg_batch_partial,
+        write_mg_batch,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_mg_batch(
+            mg_batch_partial(batch_df, term_col, k), state_dir, f"b{batch_id}"
+        )
+
+    q = (
+        new_rows.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

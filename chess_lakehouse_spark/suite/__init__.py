@@ -371,17 +371,17 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # After r12 lands the steady-state rotation holds: 50 r12-green (age
 # 0), 50 r11-green (age 1), 41 r10-green (age 2, at the bound) — r13's
 # window must take those 41 first, then 50 - R' - 41 stalest r11-green
-# (with R' staged registrations; the manifest holds ELEVEN after the
+# (with R' staged registrations; the manifest holds TWELVE after the
 # r12 build session: length_histogram, shard_skew, quantile_normalize,
 # ann_recall staged in r11, plus dedup_semdedup, tokenizer_fertility,
 # stream_interval_join, heavy_hitters, lsh_recall, stream_sessionize,
-# heavy_hitters_staged staged in r12. The r13 window has room for
-# R' = 9 never-verified registrations ahead of the 41 age-bound rows
-# (9 + 41 = 50, zero rotation slots); register the seven
-# r11/early-r12-staged first plus TWO of the r12 second batch and
-# carry the other two to r14 — N'' = 150, P stays 3, and the carried
-# candidates plus fresh r13 staging keep the manifest non-empty across
-# the promotion, the standing invariant.)
+# heavy_hitters_staged, stream_dedup_watermark staged in r12. The r13
+# window has room for R' = 9 never-verified registrations ahead of the
+# 41 age-bound rows (9 + 41 = 50, zero rotation slots); register the
+# seven r11/early-r12-staged first plus TWO of the r12 second batch
+# and carry the other three to r14 — N'' = 150, P stays 3, and the
+# carried candidates plus fresh r13 staging keep the manifest
+# non-empty across the promotion, the standing invariant.)
 WINDOW_BUDGETED_FOR = 12
 
 _WINDOW_ORDER = [

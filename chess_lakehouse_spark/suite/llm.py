@@ -6437,6 +6437,79 @@ STREAM_SESSIONIZE_ORACLE = f"""
 """
 
 
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion dedup via the BUILT-IN
+    ``dropDuplicatesWithinWatermark`` operator, end to end (the one
+    built-in streaming dedup class the gated surface didn't exercise —
+    the custom loops in streaming/jobs.py implement the same contract by
+    hand over staged state): the fixture events DOUBLED (union with
+    itself — the at-least-once delivery shape every real ingest has)
+    feed a watermarked file stream, duplicates collapse on the unique
+    event_id with state bounded by the 1-hour watermark (the
+    run-forever property), and the stream drains availableNow through
+    an append parquet sink. No sentinel needed: the operator is a
+    stateful FILTER, not an aggregation — first-seen rows emit
+    immediately; watermark only EVICTS state. The oracle is the plain
+    batch projection of the original events (stream == batch because
+    every duplicate arrives inside the watermark window — here the same
+    micro-batch — and duplicate copies are value-identical, so survivor
+    choice cannot matter).
+
+    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against STREAM_DEDUP_WATERMARK_ORACLE pinned in
+    tests/test_r14_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    import tempfile
+
+    apply_runtime_conf(spark)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    root = _ssess_dir(sf_dir)
+    feed = f"{root}/ddw_feed"
+    events.unionByName(events).coalesce(1).write.mode("overwrite").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        .parquet(feed)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "value",
+        )
+    )
+    run = tempfile.mkdtemp(prefix="ddw_run_", dir=root)
+    out_dir, ckpt = f"{run}/out", f"{run}/ckpt"
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "event_id long, user_id long, ts_us long, event_type string,"
+        " value double"
+    ).parquet(out_dir)
+
+
+STREAM_DEDUP_WATERMARK_ORACLE = """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM events WHERE ts IS NOT NULL
+"""
+
+
 #: Machine-checkable staging manifest: every gating candidate that is
 #: READY (suite-defined oracle, two-scale exact parity, cold-JVM ANSI
 #: run — see each function's docstring and test file) but NOT yet
@@ -6477,4 +6550,8 @@ STAGED_CANDIDATES = {
     # the bloom_gate_table discipline: a serving layout may never
     # change the audit verdict
     "heavy_hitters_staged": (q_heavy_hitters_staged, HEAVY_HITTERS_ORACLE),
+    "stream_dedup_watermark": (
+        q_stream_dedup_watermark,
+        STREAM_DEDUP_WATERMARK_ORACLE,
+    ),
 }

@@ -354,3 +354,33 @@ def test_heavy_hitters_staged_candidate_matches_oracle_two_scales(spark, sf_dir)
     # (deterministic exact partials) — the served audit is unchanged
     again = sorted(tuple(r) for r in q_heavy_hitters_staged(spark, sf_dir).collect())
     assert again == srows
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_stream_dedup_watermark_candidate_matches_oracle_two_scales(spark, sf_dir):
+    """The built-in dropDuplicatesWithinWatermark operator — drained end
+    to end over the DOUBLED events feed (at-least-once delivery) —
+    collapses exactly back to the original events (stream == batch when
+    every duplicate lands inside the watermark window and copies are
+    value-identical)."""
+    from chess_lakehouse_spark.suite.llm import (
+        STREAM_DEDUP_WATERMARK_ORACLE,
+        q_stream_dedup_watermark,
+    )
+
+    sdf = q_stream_dedup_watermark(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "event_id": "bigint",
+        "user_id": "bigint",
+        "ts_us": "bigint",
+        "event_type": "string",
+        "value": "double",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["events"], STREAM_DEDUP_WATERMARK_ORACLE)
+    # the dedup actually fired: unique event_ids, half the feed volume
+    assert len({r[0] for r in srows}) == len(srows)
+    # re-invocation (fresh checkpoint per run) reproduces the set
+    again = sorted(tuple(r) for r in q_stream_dedup_watermark(spark, sf_dir).collect())
+    assert again == srows

@@ -2089,3 +2089,101 @@ def test_stream_scd2_in_loop_auto_compaction(spark, tmp_path):
             stream, dim_dir, ckpt, ["k"], ["seg"], "ts",
             compact_every=1, keep_recent=1,
         )
+
+
+def test_stream_heavy_hitters_guarantees_replay_and_compaction(spark, tmp_path):
+    """The streaming heavy-hitters loop (structural-idempotency state
+    class): after two drops the served summary satisfies the global
+    Mergeable-Summaries guarantee against the exact union counts; a
+    restart with nothing new is a no-op; a direct same-id crash replay
+    republishes its partition VALUE-identically (deterministic exact
+    partials); compact_stream_state preserves both the served summary
+    and the guarantee denominator N (the carrier-row sum — a per-label
+    aggregation would undercount after merge)."""
+    import glob
+    import shutil
+    from collections import Counter
+
+    from chess_lakehouse_spark.operators.sketches import (
+        mg_batch_partial,
+        mg_from_batches,
+        mg_state_total,
+        write_mg_batch,
+    )
+    from chess_lakehouse_spark.streaming import (
+        compact_stream_state,
+        stream_heavy_hitters,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    k = 5
+
+    def land(name, rows):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, "term string").coalesce(1).write.parquet(
+            str(staging)
+        )
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_heavy_hitters(stream, state, ckpt, term_col="term", k=k)
+
+    b1 = [("a",)] * 70 + [("b",)] * 30 + [(f"x{i}",) for i in range(20)]
+    b2 = [("a",)] * 40 + [("c",)] * 50 + [(None,)] * 3 + [(f"y{i}",) for i in range(10)]
+    land("b1", b1)
+    run()
+    land("b2", b2)
+    run()
+
+    true = Counter(t for (t,) in b1 + b2 if t is not None)
+    n = sum(true.values())
+    assert mg_state_total(spark, state) == n
+
+    def check_served():
+        served = {r["term"]: r["est"] for r in mg_from_batches(spark, state, k).collect()}
+        assert 0 < len(served) <= k
+        for t, est in served.items():
+            assert 0 < est <= true[t], t
+            assert (true[t] - est) * (k + 1) <= n, t
+        for t, c in true.items():
+            if c * (k + 1) > n:
+                assert t in served, t
+        return sorted(served.items())
+
+    base = check_served()
+
+    # restart with nothing new: checkpoint holds, state unchanged
+    run()
+    assert check_served() == base
+
+    # direct same-id crash replay of batch 0: VALUE-identical partition
+    def part_rows():
+        return sorted(
+            (tuple(r) for r in spark.read.parquet(f"{state}/batch_id=b0").collect()),
+            key=lambda t: (t[0] is None, t),
+        )
+
+    before = part_rows()
+    write_mg_batch(
+        mg_batch_partial(
+            spark.createDataFrame(b1, "term string").repartition(6), "term", k
+        ),
+        state,
+        "b0",
+    )
+    after = part_rows()
+    assert after == before
+    assert check_served() == base
+
+    # compaction merges batch partitions row-preservingly: served summary
+    # and N both survive (N via the carrier sum, not per-label max)
+    compact_stream_state(spark, state, keep_recent=1)
+    assert mg_state_total(spark, state) == n
+    assert check_served() == base
