@@ -236,6 +236,7 @@ QC_BUNDLE_SIGNALS = (
     "shard_balance",
     "corpus_overlap",
     "source_kl",
+    "top_tokens",
     "user_growth",
 )
 
@@ -260,8 +261,9 @@ def qc_report_bundle(
     operator by hand: per-source summary, ordered gate attribution
     (default battery: Gopher rules + non-empty text), power-of-two
     length histogram, training-shard balance, pairwise source shingle
-    overlap, per-source unigram KL skew, and (when an ``events`` frame
-    is supplied) the daily user-growth curve.
+    overlap, per-source unigram KL skew, the exact top-50 token table,
+    and (when an ``events`` frame is supplied) the daily user-growth
+    curve.
 
     Every signal is persisted as parquet under ``out_dir/<signal>`` (the
     machine-readable bundle downstream dashboards ingest) and rendered
@@ -282,6 +284,7 @@ def qc_report_bundle(
     from chess_lakehouse_spark.functions.text import (
         gopher_passes,
         source_unigram_kl,
+        vocab_top_k,
     )
     from chess_lakehouse_spark.operators.dedup import corpus_overlap_matrix
     from chess_lakehouse_spark.operators.sampling import shard_balance_audit
@@ -310,6 +313,11 @@ def qc_report_bundle(
         .orderBy("shard"),
         "corpus_overlap": corpus_overlap_matrix(docs, source_col, text_col),
         "source_kl": source_unigram_kl(docs, source_col, text_col),
+        # exact top tokens (deterministic tie-break), not the MG sketch:
+        # a release card must not vary with partitioning. The sketch path
+        # (operators/sketches.py) is for the STREAMING frontier where an
+        # exact vocab groupBy per serve is the cost being avoided.
+        "top_tokens": vocab_top_k(docs, id_col, text_col, k=50),
     }
     if events is not None:
         from chess_lakehouse_spark.operators.relational import daily_user_growth
