@@ -43,21 +43,40 @@ def sum_scaled_long(col: Column, precision: int = 6) -> Column:
     """Aggregate expression: exact scale-``precision`` integer sum of
     ``col``. Each ELEMENT is cast to DECIMAL(18, precision) (exact
     p-decimal value — the scale matches the multiplier, so the long cast
-    is exact, never a truncation) and scaled to an integer long; the SUM
-    itself accumulates in DECIMAL(38,0) — a BIGINT accumulator aborts
-    under ANSI once the summed mass passes ~9.2e12 value units (the
-    r11-ADVICE overflow class: avg-chars over a ~9 TB source already
-    crosses it), while the 38-digit accumulator is exact to 1e38. The
-    DuckDB oracle twin (suite/llm.py:_sum6_sql) accumulates in HUGEINT —
-    both stay integers, so the engine-exactness argument is unchanged.
-    Returns DECIMAL(38,0); :func:`mean_scaled` consumes it via SQL
-    integer ops, where decimal operands are first-class."""
+    is exact, never a truncation) and scaled to an integer long.
+
+    The accumulator is the SPLIT-SUM: the long element v is divided in
+    two's complement as ``v = (v >> 20)·2^20 + (v & 0xFFFFF)`` (an exact
+    identity for negatives too — arithmetic shift is floor division, the
+    masked remainder is in [0, 2^20)), each half summed as a PRIMITIVE
+    long (Spark's fast vectorized hash-agg path), and the halves
+    recombined into DECIMAL(38,0) once per GROUP. This replaces the r12
+    first cut that summed DECIMAL(38,0) directly — exact, but 2-4×
+    slower on agg-heavy queries (BigDecimal add per row; the non-compact
+    accumulator falls off the primitive fast path; measured in
+    BENCH_FULL A/B).
+
+    Overflow safety (the r11-ADVICE class — a plain BIGINT sum aborts
+    under ANSI past ~9.2e12 summed value units, which avg-chars over a
+    ~9 TB source already crosses): the low sum is bounded by
+    N·2^20 (aborts only past N = 2^43 ≈ 8.8e12 ROWS per group) and the
+    high sum by Σ|v|/2^20 (aborts only past ~9.7e18 summed value units
+    ≈ 10 exabytes of char mass per group) — both ~10^6× beyond the
+    100 TB regime, loud (ANSI) if ever crossed, and documented here as
+    the contract ceiling. The DuckDB oracle twin
+    (suite/llm.py:_sum6_sql) accumulates in HUGEINT — both engines stay
+    exact integers, so the cross-engine argument is unchanged. Returns
+    DECIMAL(38,0) exactly as before (rollup staged-state layout
+    unaffected); :func:`mean_scaled` consumes it via SQL integer ops,
+    where decimal operands are first-class."""
     _check_precision(precision)
-    return F.sum(
-        (col.cast(f"decimal(18,{precision})") * (10**precision))
-        .cast("long")
-        .cast("decimal(38,0)")
-    )
+    v = (col.cast(f"decimal(18,{precision})") * (10**precision)).cast("long")
+    hi = F.sum(F.shiftright(v, 20))
+    lo = F.sum(v.bitwiseAND(F.lit((1 << 20) - 1)))
+    return (
+        hi.cast("decimal(38,0)") * F.lit(1 << 20).cast("decimal(38,0)")
+        + lo.cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
 
 
 def mean_scaled(s: str, n: str, precision: int = 6) -> Column:

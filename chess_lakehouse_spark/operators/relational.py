@@ -608,24 +608,30 @@ def rolling_time_mean(
         .orderBy(ts_us.asc())
         .rangeBetween(-window_s * 1_000_000, 0)
     )
+    # split-sum frame accumulation (the functions/exact.py pattern): the
+    # scaled-long element splits as hi·2²⁰ + lo in two's complement, each
+    # half frame-sums as a PRIMITIVE long (the r12 first cut summed
+    # DECIMAL(38,0) frames directly — exact but BigDecimal-per-row,
+    # measured ~3× on the gated rolling_avg), and the halves recombine in
+    # DECIMAL(38,0) once per row. A plain BIGINT frame sum aborts under
+    # ANSI past ~9.2e12 value units of window mass (the r11-ADVICE
+    # class); the split ceilings are ~10⁶× higher (2⁴³ frame rows /
+    # ~10¹⁹ value units per frame), still loud if ever crossed.
+    v = (
+        F.col(value_col).cast(f"decimal(18,{precision})") * (10**precision)
+    ).cast("long")
     staged = df.select(
         F.col(id_col),
         F.col(key_col),
         ts_us.alias("ts_us"),
         F.col(value_col).alias("value"),
-        F.sum(
-            (
-                F.col(value_col).cast(f"decimal(18,{precision})")
-                * (10**precision)
-            )
-            .cast("long")
-            # DECIMAL(38,0) accumulator: a BIGINT frame sum aborts under
-            # ANSI once a key's window mass passes ~9.2e12 value units
-            # (the r11-ADVICE overflow class)
+        (
+            F.sum(F.shiftright(v, 20)).over(w).cast("decimal(38,0)")
+            * F.lit(1 << 20).cast("decimal(38,0)")
+            + F.sum(v.bitwiseAND(F.lit((1 << 20) - 1)))
+            .over(w)
             .cast("decimal(38,0)")
-        )
-        .over(w)
-        .alias("_s"),
+        ).cast("decimal(38,0)").alias("_s"),
         # count the VALUE column, not lit(1): the frame sum skips NULL
         # values, so counting NULL-value rows would understate the mean —
         # this is SQL AVG's null convention
@@ -802,14 +808,21 @@ def exact_quantiles(
     else:
         gcols = []
         ranked = global_sort_rank(df.select(value_col), [value_col])
-    # the q_ppm·N product rides DECIMAL(38,0): at ~9.2e12 rows the BIGINT
-    # form aborts under ANSI (the r11-ADVICE overflow class; oracle
-    # mirrors via HUGEINT) — values are unchanged below that scale
+    # overflow-free LONG arithmetic via the exact split identity
+    # (N = a·10⁶ + b): (q_ppm·N + 999999) div 10⁶ =
+    # q_ppm·a + (q_ppm·b + 999999) div 10⁶ — the first term is a
+    # multiple of 10⁶ inside the div, so the identity is exact; both
+    # products stay below 2⁶³ for EVERY N < 2⁶³ (q_ppm·a ≤ N;
+    # q_ppm·b < 10¹²). This replaces the r12 first cut's DECIMAL(38,0)
+    # ride, which was exact but evaluated per (row × quantile) in the
+    # rank-join condition — BigDecimal math on the hot path (measured
+    # 2.7-3.4× on the gated quantile queries). The oracle keeps its
+    # HUGEINT form: values are identical.
     tr = F.greatest(
         F.lit(1).cast("long"),
         F.expr(
-            "CAST((CAST(q_ppm AS DECIMAL(38,0)) * __N + 999999)"
-            " div 1000000 AS BIGINT)"
+            "q_ppm * (__N div 1000000)"
+            " + (q_ppm * (__N % 1000000) + 999999) div 1000000"
         ),
     )
     return (
@@ -925,14 +938,16 @@ def weighted_quantiles(
     # lineage as ambiguous when the condition's F.expr references both
     # sides; the single-frame filter resolves cleanly and plans to the
     # same BroadcastNestedLoopJoin + Filter.)
-    # q_ppm·total-WEIGHT rides DECIMAL(38,0): weights are often token/char
-    # masses, which pass the BIGINT ×1e6 abort point (~9.2e12) at ~9 TB —
-    # exactly the scale this operator budgets (r11-ADVICE overflow class)
+    # overflow-free LONG arithmetic via the same exact split identity as
+    # exact_quantiles (see there): total weight __tw is often a token/
+    # char mass that passes the BIGINT ×10⁶ abort point (~9.2e12) at
+    # ~9 TB — the split form stays exact below 2⁶³ total weight with
+    # pure long ops on the per-(row × quantile) hot path
     tgt = F.greatest(
         F.lit(1).cast("long"),
         F.expr(
-            "CAST((CAST(q_ppm AS DECIMAL(38,0)) * __tw + 999999)"
-            " div 1000000 AS BIGINT)"
+            "q_ppm * (__tw div 1000000)"
+            " + (q_ppm * (__tw % 1000000) + 999999) div 1000000"
         ),
     )
     hit = (F.col("__cw") >= tgt) & (F.col("__cw") - F.col("__w") < tgt)
@@ -1120,9 +1135,16 @@ def global_percent_rank(
     ranked = global_sort_rank(df, order_cols)
     ppm = (
         F.when(F.col("__N") <= 1, F.lit(0).cast("long"))
+        # guarded fast path: rank ≤ N, so the ×10⁶ product fits BIGINT
+        # whenever N ≤ 9e12 — every realistic frame takes the pure-long
+        # branch (CASE branches evaluate lazily in codegen); past it the
+        # DECIMAL(38,0) branch keeps the r11-ADVICE overflow class safe
+        # with identical values (div is floor in both forms)
+        .when(
+            F.col("__N") <= 9_000_000_000_000,
+            F.expr("((__rank - 1) * 1000000) div (__N - 1)"),
+        )
         .otherwise(
-            # rank·1e6 rides DECIMAL(38,0): BIGINT aborts past ~9.2e12
-            # rows under ANSI (r11-ADVICE overflow class)
             F.expr(
                 "CAST((CAST(__rank - 1 AS DECIMAL(38,0)) * 1000000)"
                 " div (__N - 1) AS BIGINT)"
@@ -1812,9 +1834,14 @@ def quantile_normalize(
     )
     ppm = (
         F.when(F.col("__gn") <= 1, F.lit(0).cast("long"))
+        # guarded fast path, same shape as global_percent_rank: pure-long
+        # whenever the group is ≤ 9e12 rows, the DECIMAL(38,0) branch
+        # only past the BIGINT ×10⁶ point — identical values either way
+        .when(
+            F.col("__gn") <= 9_000_000_000_000,
+            F.expr("((__grk - 1) * 1000000) div (__gn - 1)"),
+        )
         .otherwise(
-            # same DECIMAL(38,0) ride as global_percent_rank: BIGINT
-            # aborts past ~9.2e12 rows per group under ANSI
             F.expr(
                 "CAST((CAST(__grk - 1 AS DECIMAL(38,0)) * 1000000)"
                 " div (__gn - 1) AS BIGINT)"

@@ -104,6 +104,9 @@ def test_mg_sketch_rejects_bad_k_and_ignores_nulls(spark):
         mg_sketch(df, "term", 0)
     got = {r["term"]: r["est"] for r in mg_sketch(df, "term", 4).collect()}
     assert got == {"a": 2}  # NULLs are not countable items
+    # empty input (and therefore empty Arrow partitions) is a valid corpus
+    empty = spark.createDataFrame([], "term string")
+    assert mg_sketch(empty, "term", 4).collect() == []
 
 
 def test_heavy_hitters_audit_is_all_true_and_bounded(spark):
