@@ -4728,15 +4728,24 @@ ORACLES = {
         WITH v AS (SELECT user_id AS u, ts AS t_view FROM events WHERE event_type = 'view'),
         c AS (SELECT user_id AS u, ts AS t_click FROM events WHERE event_type = 'click'),
         p AS (SELECT user_id AS u, ts AS t_buy FROM events WHERE event_type = 'purchase'),
-        chains AS (
-          SELECT DISTINCT p.u, p.t_buy
+        -- cp is MATERIALIZED to pin the two-stage hash-join shape: left
+        -- as one 3-way, DuckDB 1.0's planner sometimes picks an
+        -- inequality-driven order that evaluates the u-equality as a
+        -- post-filter (observed mid-r12: 780s / 12 GB on the sf0.1
+        -- fixture vs 0.05s staged; value-identical at every scale)
+        cp AS MATERIALIZED (
+          SELECT p.u, p.t_buy, c.t_click
           FROM p
           JOIN c ON c.u = p.u
            AND c.t_click < p.t_buy
            AND c.t_click >= p.t_buy - INTERVAL 24 HOUR
-          JOIN v ON v.u = p.u
-           AND v.t_view < c.t_click
-           AND v.t_view >= p.t_buy - INTERVAL 24 HOUR
+        ),
+        chains AS (
+          SELECT DISTINCT cp.u, cp.t_buy
+          FROM cp
+          JOIN v ON v.u = cp.u
+           AND v.t_view < cp.t_click
+           AND v.t_view >= cp.t_buy - INTERVAL 24 HOUR
         )
         SELECT u AS user_id, COUNT(*) AS n_funnels FROM chains GROUP BY u
     """,
