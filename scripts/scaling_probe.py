@@ -1225,6 +1225,95 @@ def main() -> None:
 
             probe("stream_sessionize", factor, _ssess)
 
+        if only_ops is None or {
+            "mg_staged_lifecycle", "stream_dedup_watermark"
+        } & only_ops:
+            # staged MG lifecycle: 3 batch ingests (batch-sized groupBy
+            # partials, <= k rows each) + the |batches|*k-row serve —
+            # ingest linear-in-scan, serve flat. watermark dedup: full
+            # availableNow drain over the DOUBLED feed through
+            # dropDuplicatesWithinWatermark + parquet sink — state
+            # bounded by the watermark, expected linear in events.
+            from chess_lakehouse_spark.functions.text import ws_tokens
+            from chess_lakehouse_spark.operators.sketches import (
+                mg_batch_partial,
+                mg_from_batches,
+                write_mg_batch,
+            )
+
+            mg_state = f"{tmp}/mgstate_x{factor}"
+
+            def _mg_staged():
+                toks2 = docs.select(
+                    "doc_id",
+                    F.explode(
+                        F.filter(ws_tokens(F.col("text")), lambda t: t != "")
+                    ).alias("term"),
+                )
+                for b in range(3):
+                    write_mg_batch(
+                        mg_batch_partial(
+                            toks2.where(F.col("doc_id") % 3 == b), "term", 50
+                        ),
+                        mg_state,
+                        b,
+                    )
+                return mg_from_batches(spark, mg_state, 50).count()
+
+            probe("mg_staged_lifecycle", factor, _mg_staged)
+
+            ddw_feed = f"{tmp}/ddw_feed_x{factor}"
+            base = spark.read.parquet(f"{sf_dir}/events.parquet")
+            ts_type = dict(base.dtypes).get("ts")
+            if ts_type == "bigint":
+                base = base.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")),
+                )
+            elif ts_type == "timestamp_ntz":
+                base = base.withColumn("ts", F.col("ts").cast("timestamp"))
+            base = base.where(F.col("ts").isNotNull())
+            cps = [
+                base.select(
+                    (F.col("event_id") + F.lit(i * 100_000_000)).alias(
+                        "event_id"
+                    ),
+                    "user_id",
+                    "ts",
+                )
+                for i in range(factor)
+            ]
+            ev1 = cps[0]
+            for c in cps[1:]:
+                ev1 = ev1.unionByName(c)
+            ev1.unionByName(ev1).coalesce(4).write.mode("overwrite").parquet(
+                ddw_feed
+            )
+
+            def _ddw():
+                run = tempfile.mkdtemp(prefix="ddwx_", dir=tmp)
+                out_dir, ckpt = f"{run}/out", f"{run}/ckpt"
+                stream = (
+                    spark.readStream.schema(
+                        "event_id long, user_id long, ts timestamp"
+                    )
+                    .parquet(ddw_feed)
+                    .withWatermark("ts", "1 hour")
+                    .dropDuplicatesWithinWatermark(["event_id"])
+                )
+                q = (
+                    stream.writeStream.format("parquet")
+                    .outputMode("append")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return spark.read.parquet(out_dir).count()
+
+            probe("stream_dedup_watermark", factor, _ddw)
+
         if only_ops is None or {"pagerank_5it"} & only_ops:
             # PageRank over a synthetic host graph whose |V| and |E| both
             # grow with the corpus (md5-derived edges — near-uniform
