@@ -382,66 +382,93 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # and carry the other three to r14 — N'' = 150, P stays 3, and the
 # carried candidates plus fresh r13 staging keep the manifest
 # non-empty across the promotion, the standing invariant.)
-WINDOW_BUDGETED_FOR = 12
+#
+# r13 window (EXECUTED per the committed r12 plan above; ratchet bumped
+# FIRST):
+#   1. the 9 queries NEW to the gate, never driver-verified — nine
+#      staged candidates promoted verbatim from llm.py:STAGED_CANDIDATES
+#      at this re-plan: the four r11-staged (length_histogram,
+#      shard_skew, quantile_normalize, ann_recall —
+#      tests/test_r12_candidates.py), the three early-r12-staged
+#      (dedup_semdedup, tokenizer_fertility, stream_interval_join —
+#      tests/test_r13_candidates.py), and the two broadest-audit-value
+#      entries of the r12 second batch (heavy_hitters, lsh_recall —
+#      tests/test_r14_candidates.py); each with two-scale exact parity +
+#      cold-JVM ANSI + plan guards.
+#   2. the 41 queries whose newest green row is r10 (at the P - 1 = 2
+#      age bound after r12 — they MUST take the remaining slots):
+#      bm25_topk … vocab_topk, alphabetical. 9 + 41 = 50, zero rotation
+#      slack — exactly the committed arithmetic.
+# After r13 lands the steady-state rotation holds: 50 r13-green (age
+# 0), 50 r12-green (age 1), 50 r11-green (age 2, at the bound) — r14's
+# window must take those 50 r11-green first. N'' = 150, P stays
+# ceil(150/50) = 3, so an r14 registration is only legal because each
+# new registration RAISES N past 150 and with it P to ceil(N/50) = 4,
+# loosening the bound to 3 exactly when the window gives up a refresh
+# slot — the ratchet's self-balancing arithmetic
+# (tests/test_suite_order.py computes P dynamically). The manifest
+# holds THREE after this promotion (stream_sessionize,
+# heavy_hitters_staged, stream_dedup_watermark — r12-staged) plus
+# whatever the r13 build session stages; r14 should register 3-5 and
+# backfill the stalest r12-green with the remaining slots.
+WINDOW_BUDGETED_FOR = 13
 
 _WINDOW_ORDER = [
-    # new to the gate in r12 — never driver-verified (the eleven
-    # promoted STAGED_CANDIDATES; scale-headline family first: the
-    # Bloom TABLE layout and the sort-rank-skeleton quantile family,
-    # then dimension/join surfaces, then the sampling/growth trio)
-    "bloom_gate_table",
-    "score_percentile",
-    "robust_zscore",
-    "group_buckets",
-    "pareto_frontier",
-    "weighted_quantiles",
-    "scd2_versions",
-    "asof_nearest",
-    "upsample_epochs",
-    "user_growth",
-    "interleave_sources",
-    # newest green row r09 — the 30 deferred from r11, at the age bound
-    "activity_islands",
-    "asof_join",
-    "budget_sample",
-    "canary_scan",
-    "chess_export",
-    "chunk_dedup",
-    "dedup_exact",
-    "dq_check",
-    "enrich_argmax",
-    "html_strip",
-    "lateral_topk",
-    "merge_update",
-    "mm_frame_sample",
-    "paragraph_dedup",
-    "pii_scan",
-    "qc_count",
-    "sample_temperature",
-    "semi_join",
-    "shard_assignments",
-    "sort_limit",
-    "source_stats_pandas",
-    "text_langid",
-    "text_quality",
-    "token_count",
-    "token_entropy",
-    "udaf_gmean",
-    "udtf_bigrams",
-    "union_append",
-    "window_topk",
-    "winsorize",
-    # newest green row r10 — the 9 most expensive by BENCH_FULL.json
-    # (defer-the-cheap-stable: complex plans refresh first)
-    "bm25_batch",
-    "bm25_staged",
-    "contamination_ngram",
-    "knn_ivf_kmeans",
-    "dedup_incremental",
-    "dsir_topk",
-    "dedup_span",
-    "tfidf_cosine",
-    "contamination_semantic",
+    # new to the gate in r13 — never driver-verified (the nine promoted
+    # STAGED_CANDIDATES; audit family first — the recall/fertility
+    # audits that grade other gated operators — then the QC-report
+    # surfaces, the quantile/dedup pair, and the streaming class)
+    "ann_recall",
+    "lsh_recall",
+    "tokenizer_fertility",
+    "heavy_hitters",
+    "length_histogram",
+    "shard_skew",
+    "quantile_normalize",
+    "dedup_semdedup",
+    "stream_interval_join",
+    # newest green row r10 — the 41 deferred from r12, at the age bound
+    "bm25_topk",
+    "boilerplate_strip",
+    "bpe_train",
+    "classifier_hashed",
+    "corpus_delta",
+    "corpus_sketch_counts",
+    "dedup_hamming64",
+    "dedup_minhash_lsh",
+    "doc_chunks",
+    "embedding_drift",
+    "event_funnel",
+    "event_outliers",
+    "events_hourly",
+    "export_projection",
+    "filter_null_predicate",
+    "groupby_agg",
+    "join_star",
+    "json_extract",
+    "knn_quantized",
+    "label_centroids",
+    "lake_skipping_read",
+    "lm_score",
+    "lm_score_bigram",
+    "mm_decode_meta",
+    "pack_sequences",
+    "pmi_topk",
+    "quality_buckets",
+    "quality_gopher",
+    "repetition_metrics",
+    "rolling_avg",
+    "rrf_fuse",
+    "sample_hash",
+    "sample_mix",
+    "sample_per_group",
+    "sample_weighted",
+    "scalar_kitchen",
+    "split_contamination",
+    "supplier_revenue",
+    "url_canonical",
+    "user_retention",
+    "vocab_topk",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

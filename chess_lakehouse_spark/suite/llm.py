@@ -5646,10 +5646,9 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit string — no float log2, no drift at exact powers of two).
     One map-combined aggregation; (|sources| x ~64)-row output.
 
-    r13-bound STAGING CANDIDATE — not yet registered: exact value parity
-    against LENGTH_HISTOGRAM_ORACLE pinned in tests/test_r12_candidates.py
-    at two scales + cold-JVM; registration at a window re-plan is a
-    dict + window edit."""
+    Registered at the r13 window re-plan (suite/__init__.py); exact
+    value parity against LENGTH_HISTOGRAM_ORACLE pinned in
+    tests/test_r12_candidates.py at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.report import log2_length_histogram
 
@@ -5683,10 +5682,9 @@ def q_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     handoff. One map-combined aggregate + a broadcast 1-row total;
     |shards| output rows at any corpus size.
 
-    r13-bound STAGING CANDIDATE — not yet registered: exact value parity
-    against SHARD_SKEW_ORACLE pinned in tests/test_r12_candidates.py
-    at two scales + cold-JVM; registration at a window re-plan is a
-    dict + window edit."""
+    Registered at the r13 window re-plan (suite/__init__.py); exact
+    value parity against SHARD_SKEW_ORACLE pinned in
+    tests/test_r12_candidates.py at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.sampling import shard_balance_audit
 
@@ -5730,10 +5728,9 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     heterogeneous quality scales. Global rank rides global_sort_rank;
     group rank is one source-keyed window.
 
-    r13-bound STAGING CANDIDATE — not yet registered: exact value parity
-    against QUANTILE_NORMALIZE_ORACLE pinned in
-    tests/test_r12_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r13 window re-plan (suite/__init__.py); exact
+    value parity against QUANTILE_NORMALIZE_ORACLE pinned in
+    tests/test_r12_candidates.py at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.relational import quantile_normalize
 
@@ -5778,12 +5775,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is on (query, candidate) identity only — no float similarity
     ever compared.
 
-    r13-bound STAGING CANDIDATE — not yet registered: exact value parity
-    against ANN_RECALL_ORACLE (built VERBATIM from the registered
-    knn_brute_force / knn_ivf oracle texts as CTEs — the three
-    definitions cannot drift) pinned in tests/test_r12_candidates.py at
-    two scales + cold-JVM; registration at a window re-plan is a dict +
-    window edit."""
+    Registered at the r13 window re-plan (suite/__init__.py); exact
+    value parity against ANN_RECALL_ORACLE (built VERBATIM from the
+    registered knn_brute_force / knn_ivf oracle texts as CTEs — the
+    three definitions cannot drift) pinned in
+    tests/test_r12_candidates.py at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.similarity import ann_recall_report
 
@@ -5837,10 +5833,9 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count from the final vocab state (= rank-priority apply for
     training-corpus words; see _bpe_chain_ctes).
 
-    r13-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against TOKENIZER_FERTILITY_ORACLE pinned in
-    tests/test_r13_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r13 window re-plan (suite/__init__.py); exact
+    value parity against TOKENIZER_FERTILITY_ORACLE pinned in
+    tests/test_r13_candidates.py at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.functions.bpe import bpe_apply, bpe_train
     from chess_lakehouse_spark.functions.text import ws_tokens
@@ -5940,10 +5935,9 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus/target_cluster_size, and a larger k RAISES recall by
     shrinking each ball's boundary surface relative to its volume).
 
-    r13-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against DEDUP_SEMDEDUP_ORACLE pinned in
-    tests/test_r13_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r13 window re-plan (suite/__init__.py); exact
+    value parity against DEDUP_SEMDEDUP_ORACLE pinned in
+    tests/test_r13_candidates.py at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.similarity import semantic_dedup
 
@@ -6033,10 +6027,9 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exit); the checkpoint is fresh per invocation, so every run drains
     the complete feeds in one availableNow pass.
 
-    r13-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against STREAM_INTERVAL_JOIN_ORACLE pinned in
-    tests/test_r13_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r13 window re-plan (suite/__init__.py); exact
+    value parity against STREAM_INTERVAL_JOIN_ORACLE pinned in
+    tests/test_r13_candidates.py at two scales + cold-JVM."""
     import tempfile
 
     apply_runtime_conf(spark)
@@ -6134,10 +6127,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary's bounds are additionally property-pinned in
     tests/test_r14_candidates.py across partitioning layouts.
 
-    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against HEAVY_HITTERS_ORACLE pinned in
-    tests/test_r14_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r13 window re-plan (suite/__init__.py); exact
+    value parity against HEAVY_HITTERS_ORACLE pinned in
+    tests/test_r14_candidates.py at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.functions.text import ws_tokens
     from chess_lakehouse_spark.operators.sketches import heavy_hitters_audit
@@ -6181,7 +6173,7 @@ def q_heavy_hitters_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging the sketch may never change the audit verdict — exactly the
     bloom_gate_table discipline (same truth, different serving layout).
 
-    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
     parity pinned in tests/test_r14_candidates.py at two scales +
     cold-JVM; registration at a window re-plan is a dict + window edit.
     """
@@ -6259,10 +6251,9 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     REGISTERED minhash pair CTEs verbatim (its `cand` stage) for the
     found side, so the production path and its audit cannot drift.
 
-    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against LSH_RECALL_ORACLE pinned in
-    tests/test_r14_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r13 window re-plan (suite/__init__.py); exact
+    value parity against LSH_RECALL_ORACLE pinned in
+    tests/test_r14_candidates.py at two scales + cold-JVM."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.dedup import (
         exact_jaccard_pairs_ppm,
@@ -6363,7 +6354,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session; the sentinel's own session stays in (discarded) state and
     is additionally filtered from the read-back.
 
-    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
     parity against STREAM_SESSIONIZE_ORACLE pinned in
     tests/test_r14_candidates.py at two scales + cold-JVM; registration
     at a window re-plan is a dict + window edit."""
@@ -6464,7 +6455,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch — and duplicate copies are value-identical, so survivor
     choice cannot matter).
 
-    r13/r14-bound STAGING CANDIDATE — not yet registered: exact value
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
     parity against STREAM_DEDUP_WATERMARK_ORACLE pinned in
     tests/test_r14_candidates.py at two scales + cold-JVM; registration
     at a window re-plan is a dict + window edit."""
@@ -6527,33 +6518,52 @@ STREAM_DEDUP_WATERMARK_ORACLE = """
 #: names stay disjoint from the registered dicts, callables/oracles are
 #: well-formed, and registration REMOVES the entry (a query present in
 #: both would double-claim its verification state).
+# registered at the r13 window re-plan (suite/__init__.py): nine staged
+# candidates promoted verbatim from STAGED_CANDIDATES — the four
+# r11-staged (length_histogram, shard_skew, quantile_normalize,
+# ann_recall), the three early-r12-staged (dedup_semdedup,
+# tokenizer_fertility, stream_interval_join), plus the two
+# broadest-audit-value entries of the r12 second batch (heavy_hitters,
+# lsh_recall). Same entries, same oracles.
+QUERIES.update(
+    {
+        "length_histogram": q_length_histogram,
+        "shard_skew": q_shard_skew,
+        "quantile_normalize": q_quantile_normalize,
+        "ann_recall": q_ann_recall,
+        "dedup_semdedup": q_dedup_semdedup,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "stream_interval_join": q_stream_interval_join,
+        "heavy_hitters": q_heavy_hitters,
+        "lsh_recall": q_lsh_recall,
+    }
+)
+ORACLES.update(
+    {
+        "length_histogram": LENGTH_HISTOGRAM_ORACLE,
+        "shard_skew": SHARD_SKEW_ORACLE,
+        "quantile_normalize": QUANTILE_NORMALIZE_ORACLE,
+        "ann_recall": ANN_RECALL_ORACLE,
+        "dedup_semdedup": DEDUP_SEMDEDUP_ORACLE,
+        "tokenizer_fertility": TOKENIZER_FERTILITY_ORACLE,
+        "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
+        "heavy_hitters": HEAVY_HITTERS_ORACLE,
+        "lsh_recall": LSH_RECALL_ORACLE,
+    }
+)
+
+
 STAGED_CANDIDATES = {
-    # (the eleven r11-staged entries — bloom_gate_table,
-    # score_percentile, robust_zscore, group_buckets, pareto_frontier,
-    # weighted_quantiles, scd2_versions, asof_nearest, upsample_epochs,
-    # user_growth, interleave_sources — were promoted into
-    # QUERIES/ORACLES at the r12 window re-plan, suite/__init__.py; the
-    # sixteen r11-plan entries landed at the r11 re-plan before them)
-    # r13-BOUND (staged in r11, tests/test_r12_candidates.py: two-scale
+    # (the nine r13-plan entries — length_histogram, shard_skew,
+    # quantile_normalize, ann_recall, dedup_semdedup,
+    # tokenizer_fertility, stream_interval_join, heavy_hitters,
+    # lsh_recall — were promoted into QUERIES/ORACLES at the r13 window
+    # re-plan above; the eleven r12-plan and sixteen r11-plan entries
+    # landed at their re-plans before them)
+    # r14-BOUND (staged in r12, tests/test_r14_candidates.py: two-scale
     # exact parity + cold-JVM ANSI + plan guards; these keep the
-    # manifest non-empty ACROSS the r12 promotion, so the r13 session
+    # manifest non-empty ACROSS the r13 promotion, so the r14 session
     # can promote without having to build candidates in the same commit)
-    "length_histogram": (q_length_histogram, LENGTH_HISTOGRAM_ORACLE),
-    "shard_skew": (q_shard_skew, SHARD_SKEW_ORACLE),
-    "quantile_normalize": (q_quantile_normalize, QUANTILE_NORMALIZE_ORACLE),
-    "ann_recall": (q_ann_recall, ANN_RECALL_ORACLE),
-    # staged in r12 (tests/test_r13_candidates.py: same two-scale +
-    # cold-JVM + plan-guard discipline)
-    "dedup_semdedup": (q_dedup_semdedup, DEDUP_SEMDEDUP_ORACLE),
-    "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_ORACLE),
-    "stream_interval_join": (q_stream_interval_join, STREAM_INTERVAL_JOIN_ORACLE),
-    # staged in the r12 build session's second batch
-    # (tests/test_r14_candidates.py: same two-scale + cold-JVM +
-    # plan-guard discipline); two are r13-bound (the r13 window has
-    # exactly 9 never-verified slots ahead of the 41 age-bound rows),
-    # the overflow waits for r14
-    "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_ORACLE),
-    "lsh_recall": (q_lsh_recall, LSH_RECALL_ORACLE),
     "stream_sessionize": (q_stream_sessionize, STREAM_SESSIONIZE_ORACLE),
     # the staged-lifecycle twin shares HEAVY_HITTERS_ORACLE verbatim —
     # the bloom_gate_table discipline: a serving layout may never
