@@ -1686,15 +1686,29 @@ def lsh_recall_report(
     n_exact, n_found, recall_ppm) — all exact integers; found pairs
     outside the ground-truth set are ignored (they answer precision, a
     different audit). The join is on pair identity only; |exact| rows,
-    never corpus rows."""
+    never corpus rows.
+
+    Pair orientation is normalized on BOTH inputs (least/greatest over
+    (id_a, id_b)) before the join: a found frame carrying (id_a > id_b)
+    rows — trivially producible by a caller that built pairs the other
+    way around — would otherwise score every such pair as missed,
+    silently understating recall with no error."""
     if bucket_ppm < 1:
         raise ValueError(f"lsh_recall_report: bucket_ppm must be >= 1, got {bucket_ppm}")
+
+    def _oriented(pairs: DataFrame, *extra: str) -> DataFrame:
+        return pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            *extra,
+        )
+
     f = (
-        found_pairs.select("id_a", "id_b")
+        _oriented(found_pairs)
         .distinct()
         .withColumn("__found", F.lit(1).cast("long"))
     )
-    joined = exact_pairs.join(f, ["id_a", "id_b"], "left")
+    joined = _oriented(exact_pairs, "jaccard_ppm").join(f, ["id_a", "id_b"], "left")
     return (
         joined.groupBy(
             F.expr(f"(jaccard_ppm div {int(bucket_ppm)}) * {int(bucket_ppm)}").alias(

@@ -256,10 +256,14 @@ def mg_sketch(df: DataFrame, term_col: str, k: int) -> DataFrame:
     is why the gated projection (:func:`heavy_hitters_audit`) exposes
     exact counts plus guarantee BOOLEANS, the ``approx_stats`` pattern.
 
-    100 TB shape: the corpus is touched once, map-side, with O(k) state
-    per task; the only shuffle moves k rows per partition; the final
-    prune is algebra over a k*|partitions|-row frame. Compare the exact
-    answer: a corpus-wide groupBy shuffle on a token-cardinality key.
+    100 TB shape: the corpus is touched once, map-side; per-task state
+    is k counters plus, transiently, one Arrow batch's distinct terms
+    (the batch's value_counts join the dict before the once-per-batch
+    prune, so the bound is k + the batch vocabulary — capped by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, not by k); the
+    only shuffle moves k rows per partition; the final prune is algebra
+    over a k*|partitions|-row frame. Compare the exact answer: a
+    corpus-wide groupBy shuffle on a token-cardinality key.
     NULL terms are ignored (they are not countable items; the oracle
     twin filters them identically).
 
@@ -352,10 +356,13 @@ def mg_batch_partial(
     df: DataFrame, term_col: str, k: int, exact: bool = True
 ) -> DataFrame:
     """One ingest batch's Misra-Gries PARTIAL for the staged
-    heavy-hitters lifecycle: (term, est, n_batch) with at most k term
+    heavy-hitters lifecycle: (term, est, n_batch, k) with at most k term
     rows; ``n_batch`` (the batch's total non-NULL term count, repeated
     per row) is what lets the serve side compute the merged error bound
-    N/(k+1) without ever re-reading corpora.
+    N/(k+1) without ever re-reading corpora, and ``k`` (the ingest-time
+    summary size, repeated per row) is what lets it REFUSE a serve
+    claiming a tighter bound than the partials support (see
+    :func:`mg_from_batches`).
 
     Two builders, same summary contract (est <= true_in_batch;
     true_in_batch - est <= n_batch/(k+1); every term above
@@ -405,7 +412,11 @@ def mg_batch_partial(
         F.lit(0).cast("long").alias("est"),
         "n_batch",
     )
-    return sk.crossJoin(F.broadcast(tot)).unionByName(carrier)
+    return (
+        sk.crossJoin(F.broadcast(tot))
+        .unionByName(carrier)
+        .withColumn("k", F.lit(int(k)).cast("long"))
+    )
 
 
 def write_mg_batch(partial: DataFrame, state_dir: str, batch_id) -> None:
@@ -434,8 +445,35 @@ def mg_from_batches(spark, state_dir: str, k: int) -> DataFrame:
     N = :func:`mg_state_total`; every term with true > N/(k+1)
     present), identical in form to a single-pass sketch of the union
     corpus. Cost: |batches| * k rows in, <= k out. Returns (term, est).
+
+    The served bound N/(k+1) is only as tight as the LOOSEST ingest: a
+    partial built with k_ingest counters supports no claim tighter than
+    N/(k_ingest+1). Every partial records its ingest k
+    (:func:`mg_batch_partial`), and this serve raises ``ValueError``
+    when ``k`` exceeds the minimum recorded ingest k — silently
+    over-claiming the error bound was the failure mode (serving k=50
+    over k=5 partials would print max_err = N/51 while the partials
+    only guarantee N/6). Serving with a SMALLER k is always legal: the
+    merge prunes further and the claimed bound is looser than what the
+    state supports.
     """
     state = spark.read.parquet(state_dir.rstrip("/"))
+    if "k" not in state.columns:
+        raise ValueError(
+            "mg_from_batches: staged state at "
+            f"{state_dir!r} predates the k-stamped partial layout "
+            "(no 'k' column) — re-ingest the batches with "
+            "mg_batch_partial to serve with a validated error bound"
+        )
+    k_min_row = state.agg(F.min("k").alias("k_min")).collect()[0]
+    k_min = k_min_row["k_min"]
+    if k_min is not None and int(k) > int(k_min):
+        raise ValueError(
+            f"mg_from_batches: serve k={k} exceeds the smallest ingest "
+            f"k={int(k_min)} in the staged state — the partials only "
+            f"support an error bound of N/{int(k_min) + 1}; serve with "
+            f"k <= {int(k_min)} or re-ingest with a larger k"
+        )
     combined = (
         state.where(F.col("term").isNotNull())
         .groupBy("term")

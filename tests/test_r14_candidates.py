@@ -387,3 +387,31 @@ def test_stream_dedup_watermark_candidate_matches_oracle_two_scales(spark, sf_di
     # re-invocation (fresh checkpoint per run) reproduces the set
     again = sorted(tuple(r) for r in q_stream_dedup_watermark(spark, sf_dir).collect())
     assert again == srows
+
+
+def test_lsh_recall_report_normalizes_pair_orientation(spark):
+    """A found frame carrying (id_a > id_b) rows must score as FOUND —
+    the raw-identity join silently counted every reversed pair as
+    missed, understating recall with no error."""
+    from chess_lakehouse_spark.operators.dedup import lsh_recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 2, 950_000), (3, 4, 910_000)],
+        "id_a long, id_b long, jaccard_ppm long",
+    )
+    found_reversed = spark.createDataFrame(
+        [(2, 1), (4, 3)], "id_a long, id_b long"
+    )
+    got = lsh_recall_report(exact, found_reversed).collect()
+    assert len(got) == 1
+    assert (got[0]["n_exact"], got[0]["n_found"], got[0]["recall_ppm"]) == (
+        2,
+        2,
+        1_000_000,
+    )
+    # and a reversed EXACT side buckets identically too
+    exact_rev = exact.select(
+        exact.id_b.alias("id_a"), exact.id_a.alias("id_b"), "jaccard_ppm"
+    )
+    got2 = lsh_recall_report(exact_rev, found_reversed).collect()
+    assert sorted(tuple(r) for r in got2) == sorted(tuple(r) for r in got)

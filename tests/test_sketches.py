@@ -203,3 +203,30 @@ def test_mg_all_pruned_batch_still_carries_its_mass(spark, tmp_path):
     assert mg_state_total(spark, state) == 18
     served = {r["term"]: r["est"] for r in mg_from_batches(spark, state, k).collect()}
     assert served == {"a": 10}
+
+
+def test_mg_serve_k_validated_against_ingest_k(spark, tmp_path):
+    """Every partial records its ingest k; serving with a LARGER k must
+    raise (the partials only support an error bound of N/(k_ingest+1) —
+    a k=50 serve over k=5 partials would print a bound ten times
+    tighter than the state guarantees). Serving with a smaller k stays
+    legal: the merge prunes further, the claimed bound is looser."""
+    import pytest
+
+    from chess_lakehouse_spark.operators.sketches import (
+        mg_batch_partial,
+        mg_from_batches,
+        write_mg_batch,
+    )
+
+    state = str(tmp_path / "mg_kcheck")
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 20 + [("c",)] * 10, "term string"
+    )
+    write_mg_batch(mg_batch_partial(df, "term", 5), state, 1)
+    write_mg_batch(mg_batch_partial(df, "term", 8), state, 2)
+    # min ingest k is 5: k=5 and smaller serve fine, k=6 must refuse
+    assert mg_from_batches(spark, state, 5).count() >= 1
+    assert mg_from_batches(spark, state, 2).count() >= 1
+    with pytest.raises(ValueError, match="smallest ingest k=5"):
+        mg_from_batches(spark, state, 6)
