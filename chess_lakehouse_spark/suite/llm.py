@@ -1860,24 +1860,38 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rk int, pa string, pb string")
 
 
-#: One staging root per process for q_lake_skipping_read, removed at
-#: interpreter exit — a fresh mkdtemp per invocation leaked a full corpus
-#: copy under /tmp on every suite/bench run (r6 advice).
-_SKLAKE_ROOT: list[str] = []
+#: One staging root per (process, kind) for the queries that stage a
+#: lake/feed on local disk (lake_skipping_read, the stream-gated trio,
+#: the staged heavy-hitters state), created lazily and removed at
+#: interpreter exit — a fresh mkdtemp per invocation leaked a full
+#: corpus copy under /tmp on every suite/bench rep (r6 advice). The
+#: base directory honors ``SPARK_GRAFT_TMPDIR`` when set (r12 advice:
+#: on a shared-cluster driver the system temp dir is a collision and
+#: cleanup hazard — point every staging root at one job-scoped scratch
+#: path instead); default is the system temp dir.
+_SCRATCH_ROOTS: dict[str, str] = {}
 
 
-def _sklake_dir(sf_dir: str) -> str:
+def _scratch_dir(kind: str, sf_dir: str) -> str:
     import atexit
     import hashlib
+    import os
     import shutil
     import tempfile
 
-    if not _SKLAKE_ROOT:
-        root = tempfile.mkdtemp(prefix="chess_lakehouse_sklake_")
+    if kind not in _SCRATCH_ROOTS:
+        base = os.environ.get("SPARK_GRAFT_TMPDIR") or None
+        if base:
+            os.makedirs(base, exist_ok=True)
+        root = tempfile.mkdtemp(prefix=f"chess_lakehouse_{kind}_", dir=base)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _SKLAKE_ROOT.append(root)
+        _SCRATCH_ROOTS[kind] = root
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"{_SKLAKE_ROOT[0]}/{tag}/docs"
+    return f"{_SCRATCH_ROOTS[kind]}/{tag}"
+
+
+def _sklake_dir(sf_dir: str) -> str:
+    return _scratch_dir("sklake", sf_dir) + "/docs"
 
 
 def q_lake_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5986,25 +6000,10 @@ DEDUP_SEMDEDUP_ORACLE = f"""
 #: both matched and unmatched cases populated at every scale.
 STREAM_JOIN_WINDOW_S = 1800
 
-#: One staging root per process for q_stream_interval_join's file feeds
-#: (the _sklake_dir convention: per-process mkdtemp, removed at exit —
-#: a fresh tree per invocation would leak feeds under /tmp every
-#: suite/bench rep).
-_SSJOIN_ROOT: list[str] = []
-
-
 def _ssjoin_dir(sf_dir: str) -> str:
-    import atexit
-    import hashlib
-    import shutil
-    import tempfile
-
-    if not _SSJOIN_ROOT:
-        root = tempfile.mkdtemp(prefix="chess_lakehouse_ssjoin_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _SSJOIN_ROOT.append(root)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"{_SSJOIN_ROOT[0]}/{tag}"
+    """q_stream_interval_join's per-process feed root (the _scratch_dir
+    convention: SPARK_GRAFT_TMPDIR-overridable, removed at exit)."""
+    return _scratch_dir("ssjoin", sf_dir)
 
 
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6308,10 +6307,6 @@ LSH_RECALL_ORACLE = f"""
 #: definitions of "session" cannot drift.
 STREAM_SESSION_GAP_S = 1800
 
-#: One staging root per process for q_stream_sessionize's file feed
-#: (the _ssjoin_dir convention: per-process mkdtemp, removed at exit).
-_SSESS_ROOT: list[str] = []
-
 #: Sentinel user for the end-of-feed watermark flush. Fixture user_ids
 #: are non-negative; the sentinel's own (never-emitted) session is
 #: filtered from the sink read-back.
@@ -6319,17 +6314,10 @@ _SSESS_SENTINEL_USER = -1
 
 
 def _ssess_dir(sf_dir: str) -> str:
-    import atexit
-    import hashlib
-    import shutil
-    import tempfile
-
-    if not _SSESS_ROOT:
-        root = tempfile.mkdtemp(prefix="chess_lakehouse_ssess_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _SSESS_ROOT.append(root)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"{_SSESS_ROOT[0]}/{tag}"
+    """q_stream_sessionize / q_stream_dedup_watermark's per-process feed
+    root (the _scratch_dir convention: SPARK_GRAFT_TMPDIR-overridable,
+    removed at exit)."""
+    return _scratch_dir("ssess", sf_dir)
 
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -415,3 +415,22 @@ def test_lsh_recall_report_normalizes_pair_orientation(spark):
     )
     got2 = lsh_recall_report(exact_rev, found_reversed).collect()
     assert sorted(tuple(r) for r in got2) == sorted(tuple(r) for r in got)
+
+
+def test_scratch_roots_honor_spark_graft_tmpdir(tmp_path, monkeypatch):
+    """Every on-disk staging root (lake, stream feeds, MG state) must
+    land under SPARK_GRAFT_TMPDIR when set — on a shared-cluster driver
+    the system temp dir is a collision/cleanup hazard (r12 advice)."""
+    import chess_lakehouse_spark.suite.llm as llm
+
+    base = str(tmp_path / "scratch")
+    monkeypatch.setenv("SPARK_GRAFT_TMPDIR", base)
+    monkeypatch.setattr(llm, "_SCRATCH_ROOTS", {})
+    for fn in (llm._sklake_dir, llm._ssjoin_dir, llm._ssess_dir):
+        d = fn("/root/testdata/sf0.001")
+        assert d.startswith(base + "/"), (fn.__name__, d)
+    # unset -> system default; fresh registry so the env is re-read
+    monkeypatch.delenv("SPARK_GRAFT_TMPDIR")
+    monkeypatch.setattr(llm, "_SCRATCH_ROOTS", {})
+    d = llm._ssjoin_dir("/root/testdata/sf0.001")
+    assert not d.startswith(base)
