@@ -1625,6 +1625,9 @@ def exact_jaccard_pairs_ppm(
     text_col: str,
     k: int = 3,
     threshold_ppm: int = 500_000,
+    max_pairs: int | None = None,
+    sample_rate: float | None = None,
+    sample_seed: int = 0,
 ) -> DataFrame:
     """GROUND-TRUTH near-dup pairs: every unordered pair (id_a < id_b)
     whose EXACT word-k-shingle Jaccard reaches ``threshold_ppm``
@@ -1645,8 +1648,58 @@ def exact_jaccard_pairs_ppm(
     production LSH path's recall (:func:`lsh_recall_report`), never on
     the full corpus. The integer ppm rides DECIMAL(38,0) so shingle
     counts near the BIGINT/1e6 cliff cannot abort under ANSI.
+
+    The "run it on a sample" note is ENFORCEABLE, not just advisory
+    (pair expansion is genuinely super-linear in duplicated corpora —
+    measured 2.9x cost at x8 corpus scale, SCALE.md):
+
+    - ``sample_rate``: deterministic doc-level hash sample
+      (:func:`~chess_lakehouse_spark.operators.sampling.hash_sample`)
+      applied BEFORE shingling — the sampled stratum's ground truth
+      stays exact (both docs of a pair survive together or not at all;
+      pairs survive at ~rate², the standard pair-sampling discount),
+      and samples at different rates are nested, so staged scale-ups
+      compare.
+    - ``max_pairs``: a hard pair-expansion budget. When set, one extra
+      map-combined aggregation over the shingle postings measures the
+      EXACT expansion size sum(C(|posting|, 2)) up front and raises
+      ``ValueError`` — loudly, before any pair is materialized — if it
+      exceeds the budget, naming the measured size and the sample rate
+      that would fit. The guard job costs one shingle scan (cheap
+      relative to the expansion it refuses); the shingle subtree is
+      recomputed by the main job, the documented price of an opt-in
+      guard without an implicit persist.
     """
+    if sample_rate is not None:
+        from chess_lakehouse_spark.operators.sampling import hash_sample
+
+        df = hash_sample(df, id_col, sample_rate, seed=sample_seed)
     sh = word_shingles(df, id_col, text_col, k=k)
+    if max_pairs is not None:
+        if max_pairs < 0:
+            raise ValueError(
+                f"exact_jaccard_pairs_ppm: max_pairs must be >= 0, got {max_pairs}"
+            )
+        est_row = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(
+                    F.expr("(CAST(n AS DECIMAL(38,0)) * (n - 1)) div 2")
+                ).alias("p")
+            )
+            .collect()[0]
+        )
+        est = int(est_row["p"] or 0)
+        if est > max_pairs:
+            hint = (max_pairs / est) ** 0.5 * (sample_rate or 1.0)
+            raise ValueError(
+                f"exact_jaccard_pairs_ppm: the shingle-posting pair "
+                f"expansion is {est} pairs, over the max_pairs budget of "
+                f"{max_pairs} — run the audit on a sample "
+                f"(sample_rate~={hint:.4f} would fit; pairs scale ~rate²) "
+                f"or raise the budget"
+            )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cooccur_pairs(sh, ["shingle"], id_col, max_bucket_size=None)

@@ -395,12 +395,18 @@ def zscore_outliers(
     value ranges, swap the decimal moments for Welford/built-in stddev_pop
     and accept float associativity — the structure (tiny stats table
     broadcast onto an un-shuffled stream) is unchanged.
-    Returns (id, group, value, z) for flagged rows only.
+    Returns (id, group, value, z) for flagged rows only. A NULL group
+    key is its own group: the join back to the moment table is
+    NULL-safe, so NULL-group outliers flag like any other group's
+    (the unsafe form silently exempted them — r13 NULL-group sweep,
+    tests/test_null_group_contracts.py).
     """
     from pyspark.sql import functions as F
 
     from chess_lakehouse_spark.functions.exact import mean6, sum6_long
 
+    if "__g" in df.columns:
+        raise ValueError("zscore_outliers: input carries reserved column __g")
     vdec = F.col(value_col).cast("decimal(18,6)")
     stats = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
@@ -408,7 +414,7 @@ def zscore_outliers(
         F.sum(vdec).alias("s1"),
         F.sum(vdec * vdec).alias("s2"),
     ).select(
-        group_col,
+        F.col(group_col).alias("__g"),
         # integer half-away mean (functions/exact.py — double-quotient
         # ROUND ties are engine-divergent); std keeps the double domain:
         # a sqrt output landing within an ulp of a 6-decimal half is the
@@ -424,7 +430,7 @@ def zscore_outliers(
         ).alias("std"),
     )
     return (
-        df.join(F.broadcast(stats), group_col)
+        df.join(F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("__g")))
         .select(
             F.col(id_col),
             F.col(group_col),
@@ -1186,13 +1192,15 @@ def robust_zscore_flags(
     cardinality is itself at scale). Nothing is all-pairs or
     driver-materialized. Returns the input columns plus ``med``,
     ``mad`` (double) and ``out_col`` (boolean)."""
-    clash = {"med", "mad", out_col, "__dev", "__j"} & set(df.columns)
+    gcols = list(by) if by else []
+    clash = (
+        {"med", "mad", out_col, "__dev", "__j"} | {f"__j_{c}" for c in gcols}
+    ) & set(df.columns)
     if clash:
         raise ValueError(
             f"robust_zscore_flags: input carries reserved column(s) "
             f"{sorted(clash)}"
         )
-    gcols = list(by) if by else []
     val = F.col(value_col)
 
     def _median(frame: DataFrame, col: str, alias: str) -> DataFrame:
@@ -1201,7 +1209,21 @@ def robust_zscore_flags(
 
     def _attach(frame: DataFrame, small: DataFrame) -> DataFrame:
         if gcols:
-            return frame.join(small, gcols, "left")
+            # NULL-safe key equality: a NULL group has a med/MAD row
+            # like any other (exact_quantiles groups NULLs together);
+            # the NULL-unsafe form silently left its rows with NULL
+            # flags (r13 NULL-group sweep,
+            # tests/test_null_group_contracts.py)
+            sm = small
+            for c in gcols:
+                sm = sm.withColumnRenamed(c, f"__j_{c}")
+            cond = None
+            for c in gcols:
+                e = frame[c].eqNullSafe(sm[f"__j_{c}"])
+                cond = e if cond is None else (cond & e)
+            return frame.join(sm, cond, "left").drop(
+                *[f"__j_{c}" for c in gcols]
+            )
         # global form: constant-key LEFT join (not a crossJoin — an
         # empty med frame from an all-NULL input must keep every row
         # with a NULL median, not drop the corpus)

@@ -332,14 +332,22 @@ def temperature_sample(
     itself never shuffles, so the operator is a constant-factor pass at
     100 TB. Rates are ROUNDed to ``precision`` before the compare so the
     pow() low bits can't flip membership between engines; membership is
-    then a pure function of (seed, id, group sizes).
+    then a pure function of (seed, id, group sizes). A NULL group key is
+    its own group (it already counted as one in the rate table; the join
+    back is NULL-safe so its rows sample at that rate instead of
+    silently vanishing — the r13 NULL-group sweep caught the unsafe
+    form, tests/test_null_group_contracts.py).
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"temperature_sample: alpha must be in [0, 1], got {alpha}")
+    if "__g" in df.columns or "_rate" in df.columns:
+        raise ValueError(
+            "temperature_sample: input carries reserved column __g/_rate"
+        )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
     n_min = counts.agg(F.min("_n_g").alias("_n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
-        F.col(group_col),
+        F.col(group_col).alias("__g"),
         F.round(
             F.pow(
                 F.col("_n_min").cast("double") / F.col("_n_g").cast("double"),
@@ -348,9 +356,11 @@ def temperature_sample(
             precision,
         ).alias("_rate"),
     )
-    joined = df.join(F.broadcast(rates), group_col)
+    joined = df.join(
+        F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("__g"))
+    )
     kept = weighted_sample(joined, id_col, F.col("_rate"), seed=seed)
-    return kept.drop("_rate")
+    return kept.drop("_rate", "__g")
 
 
 def dsir_topk(

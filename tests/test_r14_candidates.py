@@ -434,3 +434,45 @@ def test_scratch_roots_honor_spark_graft_tmpdir(tmp_path, monkeypatch):
     monkeypatch.setattr(llm, "_SCRATCH_ROOTS", {})
     d = llm._ssjoin_dir("/root/testdata/sf0.001")
     assert not d.startswith(base)
+
+
+def test_exact_jaccard_pair_budget_guard(spark):
+    """max_pairs refuses an over-budget expansion LOUDLY before any pair
+    materializes, names the measured size, and suggests a fitting
+    sample rate; a budget at/above the measured size passes; the
+    sample_rate path keeps the sampled stratum's ground truth exact."""
+    import pytest
+
+    from chess_lakehouse_spark.operators.dedup import exact_jaccard_pairs_ppm
+    from chess_lakehouse_spark.operators.sampling import hash_sample
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over a sleepy dog"),
+        (4, "entirely different words compose this sample text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = exact_jaccard_pairs_ppm(df, "doc_id", "text", threshold_ppm=1)
+    n_full = full.count()
+    assert n_full >= 3  # docs 1/2/3 all share shingles
+
+    with pytest.raises(ValueError, match="over the max_pairs budget"):
+        exact_jaccard_pairs_ppm(df, "doc_id", "text", threshold_ppm=1, max_pairs=1)
+    # a generous budget passes through to the identical result
+    ok = exact_jaccard_pairs_ppm(
+        df, "doc_id", "text", threshold_ppm=1, max_pairs=10_000
+    )
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, full.collect()))
+
+    # sampled audit == unsampled audit restricted to surviving docs
+    sampled = exact_jaccard_pairs_ppm(
+        df, "doc_id", "text", threshold_ppm=1, sample_rate=0.5, sample_seed=3
+    )
+    kept = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.5, seed=3).collect()}
+    expect = [
+        tuple(r)
+        for r in full.collect()
+        if r["id_a"] in kept and r["id_b"] in kept
+    ]
+    assert sorted(map(tuple, sampled.collect())) == sorted(expect)
