@@ -761,6 +761,74 @@ def global_sort_rank(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "cum",
+    rank_col: str = "pos",
+) -> DataFrame:
+    """Exact global running integer sum of ``value_col`` over the
+    ``order_cols`` ascending total order, plus the 1-based global rank —
+    :func:`global_sort_rank`'s twin for 'cumulative tokens in training
+    order' style cuts, by the same DISTRIBUTED plan (range repartition +
+    per-partition running window + broadcast per-partition offsets),
+    never a single-partition global-sort window. The per-partition
+    offset here is the SUM OF VALUES in all earlier range partitions
+    (still a |partitions|-row constant-size cumsum). ``order_cols`` must
+    be a total order (unique-key tie-break) or the running sum at tied
+    keys is partitioner-dependent. Values are cast to long (exact
+    integer masses — tokens, chars, bytes); NULL values count as 0.
+    Returns the input columns plus ``rank_col`` and ``out_col`` (long).
+
+    Same eager ``localCheckpoint`` discipline as global_sort_rank: the
+    offsets and the running branch must read one fixed range snapshot.
+    """
+    from pyspark.sql.window import Window
+
+    clash = {
+        "__pid", "__v", "__r", "__c", "__off", "__roff", "__n", "__nr",
+        rank_col, out_col,
+    } & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_prefix_sum: input carries reserved column(s) {sorted(clash)}"
+        )
+    ranged = (
+        df.withColumn("__v", F.coalesce(F.col(value_col).cast("long"), F.lit(0)))
+        .repartitionByRange(*[F.col(c).asc() for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # per-partition row count (rank offset) and value mass (sum offset):
+    # ONE |partitions|-row frame carries both constant-size cumsums
+    cnts = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__nr"), F.sum("__v").alias("__n")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.select(
+        "__pid",
+        F.coalesce(F.sum("__nr").over(w_off), F.lit(0)).cast("long").alias("__roff"),
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    w_run = Window.partitionBy("__pid").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        ranged.withColumn("__r", F.row_number().over(w_run).cast("long"))
+        .withColumn(
+            "__c",
+            F.sum("__v")
+            .over(w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(rank_col, (F.col("__roff") + F.col("__r")).cast("long"))
+        .withColumn(out_col, (F.col("__off") + F.col("__c")).cast("long"))
+        .drop("__pid", "__v", "__r", "__c", "__off", "__roff")
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,

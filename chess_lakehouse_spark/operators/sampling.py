@@ -1026,3 +1026,149 @@ def shard_balance_audit(
         .cast("long")
         .alias("skew_ppm"),
     )
+
+
+def weighted_reservoir_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    precision: int = 6,
+) -> DataFrame:
+    """Deterministic weighted reservoir sample of ``k`` items per group —
+    algorithm A-ES (Efraimidis & Spirakis, "Weighted random sampling
+    with a reservoir", IPL 2006, public): each item draws a uniform
+    ``u`` and the sample is the k items with the LARGEST key
+    ``u^(1/w)``, which realizes weighted sampling WITHOUT replacement
+    (inclusion probabilities follow successive weighted draws). Here
+    ``u`` is the deterministic md5 sampling hash mapped to millionths
+    ``(h mod 10^6 + 1)/10^6`` ∈ (0, 1], so the sample is a pure function
+    of (seed, ids, weights) — reproducible across re-runs, partitionings
+    and engines, the property a training-mixture manifest needs.
+
+    The rank key is the monotone transform ``ln(u)/w`` (descending —
+    same order as u^(1/w); avoids underflowing tiny powers), ROUNDed to
+    ``precision`` with the id as total-order tie-break: the suite's
+    documented ROUND-of-a-transcendental accepted-risk class (the same
+    class lm_score rides; sweep-tested ln parity). Rows whose weight is
+    NULL or <= 0 have an UNDEFINED A-ES key and are excluded from the
+    reservoir — stated contract, not silent loss; audit the excluded
+    mass with dq_violations if it matters. NULL group keys form their
+    own group (window PARTITION BY semantics on both engines).
+
+    Scale shape: one keyed window shuffle on the group column — no
+    global sort, no driver state; at 100 TB this is one shuffle over
+    the corpus keyed by group, exactly what 'k docs per domain,
+    weighted by length' costs. Returns (id, group, weight, rk) with
+    rk ∈ [1, k]."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"weighted_reservoir_per_group: k must be >= 1, got {k}")
+    if {"__key", "rk"} & set(df.columns):
+        raise ValueError(
+            "weighted_reservoir_per_group: input carries reserved column __key/rk"
+        )
+    u_ppm = (sample_hash(F.col(id_col), seed) % F.lit(1_000_000)) + F.lit(1)
+    key = F.when(
+        F.col("weight") > 0,
+        F.round(
+            F.log(u_ppm.cast("double") / F.lit(1_000_000.0))
+            / F.col("weight"),
+            precision,
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__key"), F.asc(id_col)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .withColumn("__key", key)
+        .where(F.col("__key").isNotNull())
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .drop("__key")
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    quality_col: str,
+    tokens_col: str,
+    n_phases: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Token-budget curriculum ordering — the quality-descending
+    training order a curriculum-learning run consumes (easy/clean data
+    first, long tail later), with an EXACT cumulative token count so a
+    trainer cuts at any budget ('first N tokens' == 'the best-first
+    curriculum prefix'):
+
+    1. ``phase`` 1..n_phases: exact descending-quality quantile bucket
+       (:func:`~chess_lakehouse_spark.operators.relational.score_buckets`
+       exact ntile over (quality, id) — phase 1 = top bucket);
+    2. within (phase, group): documents order by the deterministic md5
+       hash (``seq`` — each source internally shuffled, the
+       interleave_groups discipline);
+    3. the global order is (phase, seq, group): within each phase the
+       sources INTERLEAVE round-robin — one doc per source per rotation
+       — so no contiguous run of a single source appears at any scale;
+    4. ``pos``/``cum_tokens``: exact global rank + running token sum
+       over that order via the distributed
+       :func:`~chess_lakehouse_spark.operators.relational.global_prefix_sum`
+       (range partition + offsets — never a single-partition window).
+
+    Rows with a NULL quality cannot be placed (score_buckets buckets
+    them NULL) and are EXCLUDED — stated contract, not silent loss.
+    NULL group keys form their own interleave lane, with the same
+    cross-engine caveat as interleave_groups (Spark sorts NULL groups
+    first, DuckDB last — use non-NULL groups for oracle comparison).
+
+    Scale shape: two full-data shuffles from score_buckets' sort-rank,
+    one (phase, group)-keyed window, two from global_prefix_sum — all
+    keyed or ranged, nothing single-partition, no driver state. Returns
+    (id, group, phase, seq, n_tokens, pos, cum_tokens)."""
+    from pyspark.sql.window import Window
+
+    from chess_lakehouse_spark.operators.relational import (
+        global_prefix_sum,
+        score_buckets,
+    )
+
+    if n_phases < 1:
+        raise ValueError(f"curriculum_order: n_phases must be >= 1, got {n_phases}")
+    reserved = {"phase", "seq", "pos", "cum_tokens", "n_tokens", "bucket", "__h"}
+    clash = reserved & set(df.columns) - {tokens_col}
+    if clash:
+        raise ValueError(
+            f"curriculum_order: input carries reserved column(s) {sorted(clash)}"
+        )
+    slim = df.select(
+        id_col,
+        group_col,
+        F.col(quality_col).alias("__q"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    b = score_buckets(slim, id_col, "__q", n_phases, exact=True)
+    phased = b.where(F.col("bucket").isNotNull()).select(
+        id_col,
+        group_col,
+        "n_tokens",
+        (F.lit(n_phases + 1) - F.col("bucket")).cast("int").alias("phase"),
+    )
+    w = Window.partitionBy("phase", group_col).orderBy(
+        sample_hash(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    seqd = phased.withColumn("seq", F.row_number().over(w).cast("long"))
+    return global_prefix_sum(
+        seqd, ["phase", "seq", group_col], "n_tokens",
+        out_col="cum_tokens", rank_col="pos",
+    ).select(id_col, group_col, "phase", "seq", "n_tokens", "pos", "cum_tokens")

@@ -241,9 +241,8 @@ QC_BUNDLE_SIGNALS = (
 )
 
 
-def qc_report_bundle(
+def qc_signal_frames(
     docs: DataFrame,
-    out_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
@@ -251,34 +250,17 @@ def qc_report_bundle(
     lang_col: str = "lang",
     n_shards: int = 64,
     gates=None,
+    top_k: int = 50,
     events: DataFrame | None = None,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    max_markdown_rows: int = 200,
-) -> str:
-    """One-command pre-release corpus QC card — the composed pass a real
-    user runs before shipping a dataset, instead of invoking each report
-    operator by hand: per-source summary, ordered gate attribution
-    (default battery: Gopher rules + non-empty text), power-of-two
-    length histogram, training-shard balance, pairwise source shingle
-    overlap, per-source unigram KL skew, the exact top-50 token table,
-    and (when an ``events`` frame is supplied) the daily user-growth
-    curve.
-
-    Every signal is persisted as parquet under ``out_dir/<signal>`` (the
-    machine-readable bundle downstream dashboards ingest) and rendered
-    into ONE ``CARD.md`` (the human artifact a release ships). Returns
-    the markdown. Tables longer than ``max_markdown_rows`` are truncated
-    in the markdown ONLY — the parquet always holds the full frame, and
-    the card says what was cut (the no-silent-caps reporting rule).
-
-    Scale: signals are one corpus scan each over bounded-cardinality
-    outputs; nothing here materializes corpus-sized state to the driver.
-    At 100 TB run it as the last DAG stage over the published corpus
-    (see the ``qc-report`` stage in scripts/pipeline_cli.py).
-    """
-    import os
-
+) -> dict[str, DataFrame]:
+    """The QC-card signal frames, one dict entry per QC_BUNDLE_SIGNALS
+    name — factored out of :func:`qc_report_bundle` so the one-command
+    bundle, the ``qc-report`` CLI stage and the GATED ``qc_card_signals``
+    query all compose EXACTLY the same frames (the bm25 shared-template
+    discipline: a signal definition exists once). Each frame is
+    bounded-cardinality; the corpus is scanned once per signal."""
     from pyspark.sql import functions as F
 
     from chess_lakehouse_spark.functions.text import (
@@ -317,12 +299,158 @@ def qc_report_bundle(
         # a release card must not vary with partitioning. The sketch path
         # (operators/sketches.py) is for the STREAMING frontier where an
         # exact vocab groupBy per serve is the cost being avoided.
-        "top_tokens": vocab_top_k(docs, id_col, text_col, k=50),
+        "top_tokens": vocab_top_k(docs, id_col, text_col, k=top_k),
     }
     if events is not None:
         from chess_lakehouse_spark.operators.relational import daily_user_growth
 
         signals["user_growth"] = daily_user_growth(events, user_col, ts_col)
+    return signals
+
+
+def qc_card_signals_tall(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    lang_col: str = "lang",
+    n_shards: int = 64,
+    gates=None,
+    top_k: int = 50,
+) -> DataFrame:
+    """The QC card's INTEGER-VALUED signals as one tall frame —
+    (signal, k1, k2, metric, value, value_str) — built from the same
+    :func:`qc_signal_frames` the bundle renders, so the composition a
+    release pass runs is itself oracle-gateable as one query (r12
+    verdict task: the one-command card gets the same evidence class as
+    its parts). Covered: source_summary (n_docs / n_chars / the sorted
+    langs string in ``value_str``), gate_attribution, length_histogram,
+    shard_balance, top_tokens. The DOUBLE-valued signals
+    (source_kl) and the pair-matrix (corpus_overlap) stay in their own
+    gated queries (``source_kl``, ``corpus_overlap``) — the tall card
+    unions the integer family; nothing is silently dropped, the split
+    is stated here. Output is |sources|+|gates|+|histogram
+    cells|+|shards|+top_k rows — bounded at any corpus size."""
+    from pyspark.sql import functions as F
+
+    sig = qc_signal_frames(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        size_col=size_col,
+        lang_col=lang_col,
+        n_shards=n_shards,
+        gates=gates,
+        top_k=top_k,
+    )
+
+    def tall(df, name, k1, k2, metrics, value_str=None):
+        rows = []
+        for m in metrics:
+            rows.append(
+                df.select(
+                    F.lit(name).alias("signal"),
+                    k1.cast("string").alias("k1"),
+                    (k2 if k2 is not None else F.lit("")).cast("string").alias("k2"),
+                    F.lit(m).alias("metric"),
+                    F.col(m).cast("long").alias("value"),
+                    F.lit(None).cast("string").alias("value_str"),
+                )
+            )
+        if value_str is not None:
+            rows.append(
+                df.select(
+                    F.lit(name).alias("signal"),
+                    k1.cast("string").alias("k1"),
+                    F.lit("").alias("k2"),
+                    F.lit(value_str).alias("metric"),
+                    F.lit(None).cast("long").alias("value"),
+                    F.col(value_str).cast("string").alias("value_str"),
+                )
+            )
+        return rows
+
+    parts = []
+    parts += tall(
+        sig["source_summary"], "source_summary", F.col("source"), None,
+        ["n_docs", "n_chars"], value_str="langs",
+    )
+    parts += tall(
+        sig["gate_attribution"], "gate_attribution", F.col("gate"), None,
+        ["n_fail", "n_first_fail", "n_only_fail", "n_pass_all"],
+    )
+    parts += tall(
+        sig["length_histogram"], "length_histogram", F.col(source_col),
+        F.col("log2_bucket"),
+        ["n_docs", "min_size", "max_size", "sum_size"],
+    )
+    parts += tall(
+        sig["shard_balance"], "shard_balance", F.col("shard"), None,
+        ["n_docs", "size_mass", "skew_ppm"],
+    )
+    parts += tall(
+        sig["top_tokens"], "top_tokens", F.col("token"), None,
+        ["n_total", "n_docs", "rk"],
+    )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def qc_report_bundle(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    lang_col: str = "lang",
+    n_shards: int = 64,
+    gates=None,
+    events: DataFrame | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_markdown_rows: int = 200,
+) -> str:
+    """One-command pre-release corpus QC card — the composed pass a real
+    user runs before shipping a dataset, instead of invoking each report
+    operator by hand: per-source summary, ordered gate attribution
+    (default battery: Gopher rules + non-empty text), power-of-two
+    length histogram, training-shard balance, pairwise source shingle
+    overlap, per-source unigram KL skew, the exact top-50 token table,
+    and (when an ``events`` frame is supplied) the daily user-growth
+    curve.
+
+    Every signal is persisted as parquet under ``out_dir/<signal>`` (the
+    machine-readable bundle downstream dashboards ingest) and rendered
+    into ONE ``CARD.md`` (the human artifact a release ships). Returns
+    the markdown. Tables longer than ``max_markdown_rows`` are truncated
+    in the markdown ONLY — the parquet always holds the full frame, and
+    the card says what was cut (the no-silent-caps reporting rule).
+
+    Scale: signals are one corpus scan each over bounded-cardinality
+    outputs; nothing here materializes corpus-sized state to the driver.
+    At 100 TB run it as the last DAG stage over the published corpus
+    (see the ``qc-report`` stage in scripts/pipeline_cli.py).
+    """
+    import os
+
+    signals = qc_signal_frames(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+        size_col=size_col,
+        lang_col=lang_col,
+        n_shards=n_shards,
+        gates=gates,
+        events=events,
+        user_col=user_col,
+        ts_col=ts_col,
+    )
 
     parts = ["# Corpus QC card", ""]
     for name in QC_BUNDLE_SIGNALS:

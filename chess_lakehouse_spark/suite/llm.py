@@ -1887,7 +1887,9 @@ def _scratch_dir(kind: str, sf_dir: str) -> str:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _SCRATCH_ROOTS[kind] = root
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"{_SCRATCH_ROOTS[kind]}/{tag}"
+    d = f"{_SCRATCH_ROOTS[kind]}/{tag}"
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def _sklake_dir(sf_dir: str) -> str:
@@ -6506,6 +6508,280 @@ STREAM_DEDUP_WATERMARK_ORACLE = """
 #: names stay disjoint from the registered dicts, callables/oracles are
 #: well-formed, and registration REMOVES the entry (a query present in
 #: both would double-claim its verification state).
+#: Weighted-reservoir staging constants: k docs per source, weighted by
+#: n_chars (longer docs proportionally likelier), distinct seed so the
+#: sample is uncorrelated with the other gated hash samples.
+RESERVOIR_K = 5
+RESERVOIR_SEED = 11
+
+
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample per source (operators/sampling.py:
+    weighted_reservoir_per_group — algorithm A-ES, Efraimidis & Spirakis
+    2006, public): the k=5 docs per source with the largest
+    deterministic key u^(1/w), u = md5-millionths, w = n_chars — exact
+    weighted sampling without replacement as ONE keyed window shuffle,
+    reproducible across runs/partitionings/engines. The rank key is the
+    monotone ln(u)/w ROUNDed to 6 with the doc_id tie-break (the
+    documented ROUND-of-a-transcendental accepted-risk class the gated
+    lm_score already rides; ln parity is sweep-tested).
+
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against SAMPLE_RESERVOIR_ORACLE pinned in
+    tests/test_r15_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sampling import (
+        weighted_reservoir_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_reservoir_per_group(
+        docs, "doc_id", "source", "n_chars", RESERVOIR_K, seed=RESERVOIR_SEED
+    )
+
+
+SAMPLE_RESERVOIR_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+             ROUND(ln((({_HASH64.format(expr=f"concat('{RESERVOIR_SEED}|', CAST(doc_id AS VARCHAR))")}
+                        % 1000000) + 1) / 1000000.0)
+                   / n_chars, 6) AS r
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, source, weight, rk FROM (
+      SELECT doc_id, source, weight,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY r DESC, doc_id ASC
+             ) AS BIGINT) AS rk
+      FROM keyed
+    ) WHERE rk <= {RESERVOIR_K}
+"""
+
+
+#: Curriculum staging constants: three quality phases (top third first),
+#: distinct interleave seed.
+CURRICULUM_PHASES = 3
+CURRICULUM_SEED = 5
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curriculum ordering (operators/sampling.py:
+    curriculum_order): the quality-descending training order a
+    curriculum run consumes — exact descending-quality terciles of the
+    gated composite quality score (the quality_buckets formula), sources
+    round-robin-interleaved within each phase in deterministic md5
+    order, and an EXACT global cumulative token count via the
+    distributed prefix-sum skeleton (operators/relational.py:
+    global_prefix_sum — range partition + per-partition running window +
+    broadcast offsets, never a single-partition global window), so a
+    trainer cuts the best-first prefix at any token budget.
+
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against CURRICULUM_ORDER_ORACLE pinned in
+    tests/test_r15_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.functions.text import quality_score, ws_tokens
+    from chess_lakehouse_spark.operators.sampling import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    slim = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("q"),
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    return curriculum_order(
+        slim, "doc_id", "source", "q", "n_toks",
+        CURRICULUM_PHASES, seed=CURRICULUM_SEED,
+    )
+
+
+CURRICULUM_ORDER_ORACLE = rf"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_transform(toks, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+               / len(toks) AS avg_len,
+             CAST(len(list_filter(toks, x -> x IN ({_STOP['en']}))) AS DOUBLE)
+               / len(toks) AS stop_ratio
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, source, n_tokens,
+             ROUND(0.4 * ln(1.0 + CAST(n_chars AS DOUBLE))
+                   + 0.3 * stop_ratio
+                   + 0.3 * least(avg_len / 10.0, 1.0), 6) AS q
+      FROM m
+    ),
+    ph AS (
+      SELECT doc_id, source, n_tokens,
+             CAST({CURRICULUM_PHASES} + 1 - ntile({CURRICULUM_PHASES}) OVER (
+               ORDER BY q ASC, doc_id ASC) AS INT) AS phase
+      FROM scored WHERE q IS NOT NULL
+    ),
+    sq AS (
+      SELECT doc_id, source, n_tokens, phase,
+             CAST(row_number() OVER (
+               PARTITION BY phase, source
+               ORDER BY {_HASH64.format(expr=f"concat('{CURRICULUM_SEED}|', CAST(doc_id AS VARCHAR))")} ASC,
+                        doc_id ASC
+             ) AS BIGINT) AS seq
+      FROM ph
+    )
+    SELECT doc_id, source, phase, seq, n_tokens,
+           CAST(row_number() OVER (ORDER BY phase, seq, source) AS BIGINT) AS pos,
+           CAST(SUM(n_tokens) OVER (
+             ORDER BY phase, seq, source ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_tokens
+    FROM sq
+"""
+
+
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-rollup STREAMING twin, gated end to end (the last
+    streaming loop with pytest-only evidence — the gap class the r12
+    stream trio closed for the built-in operators): build the hourly
+    continuous aggregate over the historical slice
+    (event_id % {ROLLUP_DELTA_MOD} != 0, the registered rollup_staged
+    split), then the delta arrives as a watermark-free file STREAM in
+    two micro-batches (maxFilesPerTrigger=1 over a two-file feed) that
+    streaming/jobs.py: stream_rollup folds — each batch its own
+    agg/batch_id= partition, structurally replay-idempotent — and serve
+    with ZERO raw-table access. The oracle is ROLLUP_STAGED_ORACLE
+    VERBATIM (the bloom_gate_table discipline: an ingestion path may
+    never change the served truth — batch fold and stream fold must be
+    indistinguishable at serve time).
+
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity pinned in tests/test_r15_candidates.py at two scales +
+    cold-JVM; registration at a window re-plan is a dict + window edit.
+    """
+    import tempfile
+
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.rollup import (
+        build_rollup,
+        serve_rollup,
+        time_bucket,
+    )
+    from chess_lakehouse_spark.streaming.jobs import stream_rollup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_epoch", time_bucket(F.col("ts"), 3600)
+    )
+    root = _scratch_dir("sroll", sf_dir)
+    run = tempfile.mkdtemp(prefix="run_", dir=root)
+    rdir, feed, ckpt = f"{run}/rollup", f"{run}/feed", f"{run}/ckpt"
+    build_rollup(
+        ev.where(F.col("event_id") % ROLLUP_DELTA_MOD != 0),
+        ["hour_epoch", "event_type"],
+        [
+            ("n", "count", None),
+            ("n_value", "countnn", "value"),
+            ("sum_value", "sum6", "value"),
+            ("min_value", "min", "value"),
+            ("max_value", "max", "value"),
+        ],
+        rdir,
+    )
+    (
+        ev.where(F.col("event_id") % ROLLUP_DELTA_MOD == 0)
+        .select("hour_epoch", "event_type", "value")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(feed)
+    )
+    stream = (
+        spark.readStream.schema("hour_epoch long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    stream_rollup(stream, rdir, ckpt)
+    return serve_rollup(spark, rdir, avg6=[("avg_value", "sum_value", "n_value")])
+
+
+def q_qc_card_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-command QC card's integer-valued signal COMPOSITION as a
+    single tall gated frame (report.py: qc_card_signals_tall, built from
+    the same qc_signal_frames the qc_report_bundle/CLI stage renders —
+    one definition, the bm25 shared-template discipline): source
+    summary (+ the sorted langs string), ordered gate attribution over
+    the registered len/lang/stop battery, the power-of-two length
+    histogram, the training-shard balance audit, and the exact top-50
+    tokens — |sources|+|gates|+|cells|+|shards|+50 rows, each signal one
+    corpus scan. The double-valued source_kl and the pair-matrix
+    corpus_overlap stay in their own gated queries (stated split, not a
+    silent drop).
+
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against QC_CARD_SIGNALS_ORACLE (built from the REGISTERED
+    gate_attribution / length_histogram / shard_skew / vocab_topk
+    oracle texts as CTEs — the definitions cannot drift) pinned in
+    tests/test_r15_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.report import qc_card_signals_tall
+
+    docs = load_table(spark, sf_dir, "documents")
+    gates = {
+        "len": F.col("n_chars") >= GATE_ATTR_MIN_CHARS,
+        "lang": F.col("lang") == "en",
+        "stop": F.col("text").contains(" the "),
+    }
+    return qc_card_signals_tall(
+        docs, n_shards=SHARD_N, gates=gates, top_k=50
+    )
+
+
+#: The tall QC-card oracle composes the REGISTERED signal oracles
+#: verbatim as CTEs (nested-WITH subqueries — DuckDB allows a CTE body
+#: to open its own WITH), so the card's per-signal truth can never
+#: drift from the individually gated queries. Only source_summary is
+#: new SQL (a plain per-source aggregate; langs via ordered
+#: string_agg == Spark's concat_ws-of-sorted-set).
+QC_CARD_SIGNALS_ORACLE = f"""
+    WITH ga AS ({GATE_ATTRIBUTION_ORACLE}),
+    lh AS ({LENGTH_HISTOGRAM_ORACLE}),
+    sb AS ({SHARD_SKEW_ORACLE}),
+    tt AS ({ORACLES["vocab_topk"]}),
+    ss AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             COALESCE(string_agg(DISTINCT lang, ' ' ORDER BY lang), '') AS langs
+      FROM documents GROUP BY source
+    )
+    SELECT 'source_summary' AS signal, source AS k1, '' AS k2,
+           'n_docs' AS metric, n_docs AS value,
+           CAST(NULL AS VARCHAR) AS value_str FROM ss
+    UNION ALL SELECT 'source_summary', source, '', 'n_chars', n_chars, NULL FROM ss
+    UNION ALL SELECT 'source_summary', source, '', 'langs',
+                     CAST(NULL AS BIGINT), langs FROM ss
+    UNION ALL SELECT 'gate_attribution', gate, '', 'n_fail', n_fail, NULL FROM ga
+    UNION ALL SELECT 'gate_attribution', gate, '', 'n_first_fail', n_first_fail, NULL FROM ga
+    UNION ALL SELECT 'gate_attribution', gate, '', 'n_only_fail', n_only_fail, NULL FROM ga
+    UNION ALL SELECT 'gate_attribution', gate, '', 'n_pass_all', n_pass_all, NULL FROM ga
+    UNION ALL SELECT 'length_histogram', source, CAST(log2_bucket AS VARCHAR),
+                     'n_docs', n_docs, NULL FROM lh
+    UNION ALL SELECT 'length_histogram', source, CAST(log2_bucket AS VARCHAR),
+                     'min_size', min_size, NULL FROM lh
+    UNION ALL SELECT 'length_histogram', source, CAST(log2_bucket AS VARCHAR),
+                     'max_size', max_size, NULL FROM lh
+    UNION ALL SELECT 'length_histogram', source, CAST(log2_bucket AS VARCHAR),
+                     'sum_size', sum_size, NULL FROM lh
+    UNION ALL SELECT 'shard_balance', CAST(shard AS VARCHAR), '', 'n_docs', n_docs, NULL FROM sb
+    UNION ALL SELECT 'shard_balance', CAST(shard AS VARCHAR), '', 'size_mass', size_mass, NULL FROM sb
+    UNION ALL SELECT 'shard_balance', CAST(shard AS VARCHAR), '', 'skew_ppm', skew_ppm, NULL FROM sb
+    UNION ALL SELECT 'top_tokens', token, '', 'n_total', CAST(n_total AS BIGINT), NULL FROM tt
+    UNION ALL SELECT 'top_tokens', token, '', 'n_docs', CAST(n_docs AS BIGINT), NULL FROM tt
+    UNION ALL SELECT 'top_tokens', token, '', 'rk', CAST(rk AS BIGINT), NULL FROM tt
+"""
+
+
 # registered at the r13 window re-plan (suite/__init__.py): nine staged
 # candidates promoted verbatim from STAGED_CANDIDATES — the four
 # r11-staged (length_histogram, shard_skew, quantile_normalize,
@@ -6561,4 +6837,14 @@ STAGED_CANDIDATES = {
         q_stream_dedup_watermark,
         STREAM_DEDUP_WATERMARK_ORACLE,
     ),
+    # staged in the r13 build session (tests/test_r15_candidates.py:
+    # same two-scale + cold-JVM + plan-guard discipline) — these keep
+    # the manifest stocked for the r14/r15 windows
+    "sample_reservoir": (q_sample_reservoir, SAMPLE_RESERVOIR_ORACLE),
+    "curriculum_order": (q_curriculum_order, CURRICULUM_ORDER_ORACLE),
+    # the streaming fold shares ROLLUP_STAGED_ORACLE verbatim — the
+    # bloom_gate_table discipline: an ingestion path may never change
+    # the served truth
+    "stream_rollup": (q_stream_rollup, ROLLUP_STAGED_ORACLE),
+    "qc_card_signals": (q_qc_card_signals, QC_CARD_SIGNALS_ORACLE),
 }
