@@ -1314,6 +1314,128 @@ def main() -> None:
 
             probe("stream_dedup_watermark", factor, _ddw)
 
+        if only_ops is None or {
+            "sample_reservoir", "curriculum_order", "qc_card_signals",
+            "stream_rollup",
+        } & only_ops:
+            # r13-staged candidates. sample_reservoir: one keyed window
+            # shuffle — linear-in-scan. curriculum_order: two sort-rank
+            # shuffles + keyed window + the distributed prefix-sum pair
+            # — near-linear. qc_card_signals: five one-scan
+            # bounded-cardinality signals — linear. stream_rollup: build
+            # + two-micro-batch stream fold + zero-raw-serve — linear in
+            # events.
+            from chess_lakehouse_spark.functions.text import (
+                quality_score,
+                ws_tokens,
+            )
+            from chess_lakehouse_spark.operators.sampling import (
+                curriculum_order,
+                weighted_reservoir_per_group,
+            )
+            from chess_lakehouse_spark.report import qc_card_signals_tall
+
+            probe(
+                "sample_reservoir", factor,
+                lambda: weighted_reservoir_per_group(
+                    docs, "doc_id", "source", "n_chars", 5, seed=11
+                ).count(),
+            )
+
+            def _curr():
+                slim = docs.select(
+                    "doc_id",
+                    "source",
+                    quality_score(F.col("text")).alias("q"),
+                    F.size(ws_tokens(F.col("text"))).cast("long").alias("nt"),
+                )
+                return curriculum_order(
+                    slim, "doc_id", "source", "q", "nt", 3, seed=5
+                ).count()
+
+            probe("curriculum_order", factor, _curr)
+
+            qc_gates = {
+                "len": F.col("n_chars") >= 300,
+                "lang": F.col("lang") == "en",
+                "stop": F.col("text").contains(" the "),
+            }
+            probe(
+                "qc_card_signals", factor,
+                lambda: qc_card_signals_tall(
+                    docs, n_shards=16, gates=qc_gates, top_k=50
+                ).count(),
+            )
+
+            from chess_lakehouse_spark.operators.rollup import (
+                build_rollup,
+                serve_rollup,
+                time_bucket,
+            )
+            from chess_lakehouse_spark.streaming.jobs import stream_rollup
+
+            sr_base = spark.read.parquet(f"{sf_dir}/events.parquet")
+            sr_ts = dict(sr_base.dtypes).get("ts")
+            if sr_ts == "bigint":
+                sr_base = sr_base.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")),
+                )
+            elif sr_ts == "timestamp_ntz":
+                sr_base = sr_base.withColumn("ts", F.col("ts").cast("timestamp"))
+            sr_cps = [
+                sr_base.select(
+                    (F.col("event_id") + F.lit(i * 100_000_000)).alias(
+                        "event_id"
+                    ),
+                    "event_type",
+                    "ts",
+                    "value",
+                )
+                for i in range(factor)
+            ]
+            sr_ev = sr_cps[0]
+            for c in sr_cps[1:]:
+                sr_ev = sr_ev.unionByName(c)
+            sr_ev = sr_ev.withColumn(
+                "hour_epoch", time_bucket(F.col("ts"), 3600)
+            )
+            sr_feed = f"{tmp}/sroll_feed_x{factor}"
+            (
+                sr_ev.where(F.col("event_id") % 4 == 0)
+                .select("hour_epoch", "event_type", "value")
+                .repartition(2)
+                .write.mode("overwrite")
+                .parquet(sr_feed)
+            )
+
+            def _sroll():
+                run = tempfile.mkdtemp(prefix="srx_", dir=tmp)
+                rdir, ckpt = f"{run}/rollup", f"{run}/ckpt"
+                build_rollup(
+                    sr_ev.where(F.col("event_id") % 4 != 0),
+                    ["hour_epoch", "event_type"],
+                    [
+                        ("n", "count", None),
+                        ("n_value", "countnn", "value"),
+                        ("s6", "sum6", "value"),
+                        ("mn", "min", "value"),
+                        ("mx", "max", "value"),
+                    ],
+                    rdir,
+                )
+                stream = (
+                    spark.readStream.schema(
+                        "hour_epoch long, event_type string, value double"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(sr_feed)
+                )
+                stream_rollup(stream, rdir, ckpt)
+                return serve_rollup(spark, rdir).count()
+
+            probe("stream_rollup", factor, _sroll)
+
         if only_ops is None or {"pagerank_5it"} & only_ops:
             # PageRank over a synthetic host graph whose |V| and |E| both
             # grow with the corpus (md5-derived edges — near-uniform

@@ -714,3 +714,92 @@ def test_interleave_groups_property(spark, ids, n_groups, seed):
         for p, (s, g, i) in enumerate(sorted(seqd), start=1)
     ]
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # group key
+            st.integers(min_value=1, max_value=1000),  # value
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_global_prefix_sum_property(spark, rows):
+    """global_prefix_sum == the pure-Python running sum over the sorted
+    order, for arbitrary (group, value) multisets — the distributed
+    range-partition/offset plan must be invisible."""
+    from chess_lakehouse_spark.operators.relational import global_prefix_sum
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long").repartition(5)
+    out = {
+        r["id"]: (r["pos"], r["cum"])
+        for r in global_prefix_sum(df, ["k", "id"], "v").collect()
+    }
+    tot = 0
+    for pos0, (i, g, v) in enumerate(
+        sorted(data, key=lambda r: (r[1], r[0])), start=1
+    ):
+        tot += v
+        assert out[i] == (pos0, tot), (i, out[i], (pos0, tot))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", None]),
+            st.integers(min_value=-5, max_value=1000),  # weight, may be <= 0
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_weighted_reservoir_property(spark, rows, k, seed):
+    """A-ES reservoir == the pure-Python reference: md5-millionths u,
+    key = round(ln(u)/w, 6), top-k per group by (key desc, id asc);
+    non-positive/NULL weights excluded."""
+    import hashlib
+    import math
+
+    from chess_lakehouse_spark.operators.sampling import (
+        weighted_reservoir_per_group,
+    )
+
+    data = [(i, g, w) for i, (g, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g string, w long").repartition(3)
+    got = sorted(
+        (r["id"], r["g"], r["weight"], r["rk"])
+        for r in weighted_reservoir_per_group(df, "id", "g", "w", k, seed=seed)
+        .collect()
+    )
+
+    def u_ppm(i):
+        h = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+        return (h % 1_000_000) + 1
+
+    by_group: dict = {}
+    for i, g, w in data:
+        if w is None or w <= 0:
+            continue
+        key = round(math.log(u_ppm(i) / 1_000_000.0) / w, 6)
+        by_group.setdefault(g, []).append((key, i, w))
+    want = []
+    for g, items in by_group.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (key, i, w) in enumerate(items[:k], start=1):
+            want.append((i, g, w, rk))
+    assert got == sorted(want)
