@@ -6738,6 +6738,169 @@ def q_qc_card_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Record-linkage staging constants: bucket cap per blocking pass, and
+#: the name-similarity floor for the emitted comparison vectors (ppm).
+LINKAGE_MAX_BUCKET = 10_000
+LINKAGE_NAME_PPM = 700_000
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage comparison vectors over the customer dimension
+    (operators/linkage.py — the Fellegi-Sunter pipeline, blocking +
+    per-field comparison, never all-pairs): candidate pairs from TWO
+    independent blocking passes OR-unioned (same (segment, nation,
+    1000-unit balance band); same 3-char name suffix — the banded-LSH
+    recall-amplification pattern on record keys), each pass bucket-capped;
+    then the exact per-field vector — character-trigram name Jaccard in
+    integer ppm, segment/nation equality booleans, absolute balance
+    difference in exact integer cents — filtered to name similarity >=
+    {ppm} ppm. The TPC-H-ish customer names carry genuine near-dup
+    structure (Customer#000000111 vs #000001111 are trigram-identical),
+    so the output exercises the full similarity range at every scale.
+
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against RECORD_LINKAGE_ORACLE pinned in
+    tests/test_r15_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.linkage import (
+        blocking_pairs,
+        pair_field_jaccard_ppm,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    blocks = {
+        "seg_nation_bal": [
+            F.col("c_mktsegment"),
+            F.col("c_nationkey"),
+            F.expr("CAST(c_acctbal AS INT) div 1000"),
+        ],
+        "name_suffix": [F.substring("c_name", -3, 3)],
+    }
+    pairs = blocking_pairs(
+        cust, "c_custkey", blocks, max_bucket_size=LINKAGE_MAX_BUCKET
+    )
+    scored = pair_field_jaccard_ppm(
+        pairs, cust, "c_custkey", "c_name", q=3, out_col="name_jac_ppm"
+    )
+    attrs = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("__bal_c"),
+    )
+    a = attrs.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_mktsegment").alias("__seg_a"),
+        F.col("c_nationkey").alias("__nat_a"),
+        F.col("__bal_c").alias("__bal_a"),
+    )
+    b = attrs.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_mktsegment").alias("__seg_b"),
+        F.col("c_nationkey").alias("__nat_b"),
+        F.col("__bal_c").alias("__bal_b"),
+    )
+    return (
+        scored.where(F.col("name_jac_ppm") >= LINKAGE_NAME_PPM)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "name_jac_ppm",
+            (F.col("__seg_a") == F.col("__seg_b")).alias("seg_match"),
+            (F.col("__nat_a") == F.col("__nat_b")).alias("nation_match"),
+            F.abs(F.col("__bal_a") - F.col("__bal_b")).alias("bal_diff_cents"),
+        )
+    )
+
+
+q_record_linkage.__doc__ = q_record_linkage.__doc__.format(ppm=LINKAGE_NAME_PPM)
+
+
+#: The linkage oracle mirrors both blocking passes as capped self-joins
+#: (the okb-guard pattern the LSH oracles use: a bucket over the cap
+#: contributes no pairs), the trigram Jaccard via the unnested distinct
+#: gram sets, and the same integer-cents balance arithmetic.
+RECORD_LINKAGE_ORACLE = f"""
+    WITH recs AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+             CAST(c_acctbal AS INT) // 1000 AS balk,
+             substr(c_name, length(c_name) - 2, 3) AS sfx
+      FROM customer
+    ),
+    k1 AS (
+      SELECT c_mktsegment, c_nationkey, balk
+      FROM recs
+      WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+            AND balk IS NOT NULL
+      GROUP BY 1, 2, 3
+      HAVING COUNT(DISTINCT c_custkey) <= {LINKAGE_MAX_BUCKET}
+    ),
+    p1 AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM recs a
+      JOIN k1 USING (c_mktsegment, c_nationkey, balk)
+      JOIN recs b
+        ON a.c_mktsegment = b.c_mktsegment
+       AND a.c_nationkey = b.c_nationkey
+       AND a.balk = b.balk
+       AND a.c_custkey < b.c_custkey
+    ),
+    k2 AS (
+      SELECT sfx FROM recs WHERE sfx IS NOT NULL
+      GROUP BY 1 HAVING COUNT(DISTINCT c_custkey) <= {LINKAGE_MAX_BUCKET}
+    ),
+    p2 AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM recs a JOIN k2 USING (sfx)
+      JOIN recs b ON a.sfx = b.sfx AND a.c_custkey < b.c_custkey
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      )
+    ),
+    grams AS (
+      SELECT DISTINCT c_custkey AS id,
+             unnest(list_transform(range(1, length(c_name) - 1),
+                    i -> substr(c_name, CAST(i AS INT), 3))) AS g
+      FROM recs WHERE length(c_name) >= 3
+    ),
+    gcnt AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS m
+      FROM cand c
+      JOIN grams ga ON ga.id = c.id_a
+      JOIN grams gb ON gb.id = c.id_b AND gb.g = ga.g
+      GROUP BY 1, 2
+    ),
+    vec AS (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+                       - COALESCE(i.m, 0) > 0
+                  THEN CAST((CAST(COALESCE(i.m, 0) AS HUGEINT) * 1000000)
+                       // (COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+                           - COALESCE(i.m, 0)) AS BIGINT)
+             END AS name_jac_ppm
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      LEFT JOIN gcnt na ON na.id = c.id_a
+      LEFT JOIN gcnt nb ON nb.id = c.id_b
+    )
+    SELECT v.id_a, v.id_b, v.name_jac_ppm,
+           a.c_mktsegment = b.c_mktsegment AS seg_match,
+           a.c_nationkey = b.c_nationkey AS nation_match,
+           abs(a.bal_c - b.bal_c) AS bal_diff_cents
+    FROM vec v
+    JOIN recs a ON a.c_custkey = v.id_a
+    JOIN recs b ON b.c_custkey = v.id_b
+    WHERE v.name_jac_ppm >= {LINKAGE_NAME_PPM}
+"""
+
+
 #: The tall QC-card oracle composes the REGISTERED signal oracles
 #: verbatim as CTEs (nested-WITH subqueries — DuckDB allows a CTE body
 #: to open its own WITH), so the card's per-signal truth can never
@@ -6847,4 +7010,5 @@ STAGED_CANDIDATES = {
     # the served truth
     "stream_rollup": (q_stream_rollup, ROLLUP_STAGED_ORACLE),
     "qc_card_signals": (q_qc_card_signals, QC_CARD_SIGNALS_ORACLE),
+    "record_linkage": (q_record_linkage, RECORD_LINKAGE_ORACLE),
 }

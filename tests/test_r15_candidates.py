@@ -308,3 +308,93 @@ def test_staged_candidate_plans_clean(spark):
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan, fn.__name__
+
+
+# ------------------------------------------------------------ record_linkage
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_record_linkage_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        RECORD_LINKAGE_ORACLE,
+        q_record_linkage,
+    )
+
+    sdf = q_record_linkage(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "id_a": "bigint",
+        "id_b": "bigint",
+        "name_jac_ppm": "bigint",
+        "seg_match": "boolean",
+        "nation_match": "boolean",
+        "bal_diff_cents": "bigint",
+    }
+    srows = sorted(
+        tuple((x is not None, x) for x in r) for r in sdf.collect()
+    )
+    orows = sorted(
+        tuple((x is not None, x) for x in r)
+        for r in _oracle_rows(sf_dir, ["customer"], RECORD_LINKAGE_ORACLE)
+    )
+    assert len(srows) > 0
+    assert srows == orows
+
+
+def test_blocking_pairs_semantics(spark):
+    """Multi-pass OR union; NULL blocking keys excluded from their pass
+    (but the record still pairs through other passes); the bucket cap
+    drops a non-discriminative key's pairs; empty key_sets rejected."""
+    from chess_lakehouse_spark.operators.linkage import blocking_pairs
+
+    rows = [
+        (1, "x", "p"),
+        (2, "x", "p"),
+        (3, None, "p"),   # NULL in pass-1 key; pairs through pass 2
+        (4, "y", None),   # NULL in pass-2 key; pairs through pass 1
+        (5, "y", "q"),
+    ]
+    df = spark.createDataFrame(rows, "id long, k1 string, k2 string")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in blocking_pairs(
+            df, "id", {"a": [F.col("k1")], "b": [F.col("k2")]}
+        ).collect()
+    )
+    # pass a: (1,2) via x, (4,5) via y; pass b: (1,2),(1,3),(2,3) via p
+    assert got == [(1, 2), (1, 3), (2, 3), (4, 5)]
+
+    capped = blocking_pairs(
+        df, "id", {"b": [F.col("k2")]}, max_bucket_size=2
+    )
+    assert capped.collect() == []  # the p-bucket (3 ids) is over the cap
+
+    with pytest.raises(ValueError, match="at least one pass"):
+        blocking_pairs(df, "id", {})
+    with pytest.raises(ValueError, match="no key columns"):
+        blocking_pairs(df, "id", {"a": []})
+
+
+def test_pair_field_jaccard_edges(spark):
+    """Gram-set edges: identical fields -> 1e6; one side shorter than q
+    -> 0; both sides empty -> NULL (incomparable, not identical)."""
+    from chess_lakehouse_spark.operators.linkage import pair_field_jaccard_ppm
+
+    recs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdef"), (3, "ab"), (4, None), (5, "x")],
+        "id long, f string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in pair_field_jaccard_ppm(
+            pairs, recs, "id", "f", q=3, out_col="j"
+        ).collect()
+    }
+    assert got == {
+        (1, 2): 1_000_000,
+        (1, 3): 0,
+        (3, 4): None,
+        (4, 5): None,
+    }
