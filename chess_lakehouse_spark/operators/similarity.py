@@ -1289,3 +1289,129 @@ def ann_recall_report(
             ).alias("recall_ppm"),
         )
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 1,
+    seed: int = 0,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou, Douze, Schmid — "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011, public),
+    spherical variant: split every vector into ``m`` equal contiguous
+    subvectors and train ONE :func:`kmeans_fit` codebook per slice —
+    same seeded md5-smallest init ids for every slice (the joint init:
+    slice s of the same k seed vectors), same exact-DECIMAL /
+    ROUND(·, 6) update arithmetic, so a fixed (m, k, iters, seed) run is
+    oracle-checkable in SQL with each per-slice chain unrolled on the
+    sliced vectors. Returns ``m`` codebooks, each
+    ``[(cid, centroid), ...]`` sorted by cid.
+
+    The PQ memory story this trains for: a dim-double corpus vector
+    serves as ``m`` small integer codes (m bytes at k <= 256) — the
+    100 TB ANN compression step between the IVF partition pruning and
+    the exact re-rank."""
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_train: empty corpus")
+    dim = int(dim_row["d"])
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq_train: m={m} must divide the vector dim {dim}"
+        )
+    d = dim // m
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(as_double(F.col(vec_col)), s * d + 1, d).alias("__sub"),
+        )
+        books.append(kmeans_fit(sliced, id_col, "__sub", k=k, iters=iters, seed=seed))
+    return books
+
+
+def _pq_literals(codebooks) -> list[Column]:
+    return [
+        _centroid_literal_array(
+            [(cid, cv, _py_dot(cv, cv)) for cid, cv in book]
+        )
+        for book in codebooks
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook codes: per slice, the
+    argmax-cosine centroid (ROUND(·, 6), cid tie-break — the exact
+    :func:`knn_ivf` assignment semantics). Map-side only: the codebooks
+    ride the plan as literals (m·k·(dim/m) doubles — the same size class
+    as one IVF centroid literal), the corpus is scanned once, zero
+    shuffle. Returns (id, codes array<int>)."""
+    cbs = _pq_literals(codebooks)
+    m = len(cbs)
+    dim = sum(len(book[0][1]) for book in codebooks)
+    d = dim // m
+    v = as_double(F.col(vec_col))
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        codes.append(_ranked_lists(cbs[s], sub, dot(sub, sub))[0]["cid"])
+    return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+    n: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-n (the ADC serve of Jégou et al. 2011):
+    the ENCODED corpus against RAW probe vectors — per pair, the
+    approximate inner product ``ROUND(Σ_s dot(q_s, centroid_s,code_s),
+    6)`` against the reconstruction x̂, never the raw corpus vector (the
+    serve reads m codes per doc, the whole point of PQ). Probes
+    broadcast; scoring is map-side expression work over the encoded
+    scan (codebook literals + slice/element_at lookups); one per-query
+    window ranks top-n with the cand-id tie-break. At production scale
+    compose with the IVF partition-pruned index: prune lists first,
+    ADC-score the survivors, exact-re-rank the top shortlist
+    (:func:`search_ivf_index_two_stage` shape). Self-pairs (probe id ==
+    corpus id) are excluded, matching the knn family. Returns
+    (query_id, cand_id, sim, rk)."""
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError(f"pq_adc_topk: n must be >= 1, got {n}")
+    cbs = _pq_literals(codebooks)
+    m = len(cbs)
+    dim = sum(len(book[0][1]) for book in codebooks)
+    d = dim // m
+    enc = pq_encode(corpus, id_col, vec_col, codebooks).withColumnRenamed(
+        id_col, "cand_id"
+    )
+    q = probes.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
+    )
+    terms = []
+    for s in range(m):
+        cent = F.element_at(
+            cbs[s], F.element_at(F.col("codes"), s + 1) + F.lit(1)
+        )["ccv"]
+        terms.append(dot(F.slice(F.col("__qv"), s * d + 1, d), cent))
+    sim = F.round(sum(terms[1:], terms[0]), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(enc)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= n)
+    )

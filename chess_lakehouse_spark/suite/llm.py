@@ -6738,6 +6738,141 @@ def q_qc_card_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Product-quantization staging constants: 2 slices x 8 codes, one
+#: unrolled k-means iteration (the oracle unrolls each slice's chain).
+PQ_M = 2
+PQ_K = 8
+PQ_ITERS = 1
+PQ_SEED = 0
+
+
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN serve, end to end (operators/similarity.py:
+    pq_train / pq_encode / pq_adc_topk — Jégou, Douze, Schmid TPAMI 2011,
+    public; spherical variant riding the gated kmeans_fit trainer): train
+    one codebook per vector slice (shared seeded init ids), encode the
+    corpus as m codes per vector (map-side argmax over the codebook
+    literals, zero shuffle), then ADC top-k — RAW probe vectors scored
+    against the RECONSTRUCTION (sum of per-slice query·centroid dots,
+    ROUND 6, cand-id tie-break), never the raw corpus vector: the serve
+    reads m small codes per doc, which is PQ's memory story at 100 TB
+    (compose with the IVF partition-pruned index + exact re-rank in
+    production). Probes are the same vec_id < {probes} rows the knn
+    family uses; self-pairs excluded.
+
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against KNN_PQ_ADC_ORACLE (each slice's k-means chain
+    unrolled on the sliced vectors — the knn_ivf_kmeans oracle
+    discipline) pinned in tests/test_r15_candidates.py at two scales +
+    cold-JVM; registration at a window re-plan is a dict + window
+    edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, iters=PQ_ITERS, seed=PQ_SEED
+    )
+    probes = emb.where(F.col("vec_id") < KNN_PROBES)
+    return pq_adc_topk(
+        emb, probes, "vec_id", "embedding", books, n=KNN_K
+    ).select("query_id", "cand_id", "sim", "rk")
+
+
+q_knn_pq_adc.__doc__ = q_knn_pq_adc.__doc__.format(probes=KNN_PROBES)
+
+
+def _pq_sub_ctes(sub: int, lo: int, hi: int) -> str:
+    """One PQ slice's unrolled chain (cites _kmeans_iter_ctes — the same
+    assignment/update arithmetic on the sliced vectors): es{sub} slice,
+    c0_{sub} init from the shared ``ids`` draw, one iteration to
+    c1_{sub}, enc_{sub} argmax codes."""
+    cos0 = _COS.format(a="s.v", b="c.cv")
+    return f"""es{sub} AS (
+      SELECT vec_id, v[{lo}:{hi}] AS v FROM e
+    ),
+    c0_{sub} AS (
+      SELECT i.cid, s.v AS cv FROM ids i JOIN es{sub} s USING (vec_id)
+    ),
+    a1_{sub} AS (
+      SELECT s.vec_id, s.v, l.cid AS code
+      FROM es{sub} s, LATERAL (
+        SELECT c.cid FROM c0_{sub} c
+        ORDER BY {cos0} DESC, c.cid ASC LIMIT 1
+      ) l
+    ),
+    m1_{sub} AS (
+      SELECT code AS cid, pos,
+             ROUND(CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mval
+      FROM (SELECT code, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+            FROM a1_{sub})
+      GROUP BY 1, 2
+    ),
+    c1_{sub} AS (
+      SELECT i.cid, COALESCE(mm.cv, i.cv) AS cv
+      FROM c0_{sub} i LEFT JOIN
+        (SELECT cid, list(mval ORDER BY pos) AS cv FROM m1_{sub} GROUP BY cid)
+        mm USING (cid)
+    ),
+    enc_{sub} AS (
+      SELECT s.vec_id, l.cid AS code
+      FROM es{sub} s, LATERAL (
+        SELECT c.cid FROM c1_{sub} c
+        ORDER BY {cos0} DESC, c.cid ASC LIMIT 1
+      ) l
+    )"""
+
+
+def _pq_oracle_sql() -> str:
+    dim = 64
+    d = dim // PQ_M
+    slices = ",\n    ".join(
+        _pq_sub_ctes(s, s * d + 1, (s + 1) * d) for s in range(PQ_M)
+    )
+    enc_joins = "\n      ".join(
+        f"JOIN enc_{s} t{s} ON t{s}.vec_id = t0.vec_id" for s in range(1, PQ_M)
+    )
+    cb_joins = "\n      ".join(
+        f"JOIN c1_{s} cs{s} ON cs{s}.cid = t{s}.code" for s in range(PQ_M)
+    )
+    sim_terms = " + ".join(
+        f"list_dot_product(q.qv[{s * d + 1}:{(s + 1) * d}], cs{s}.cv)"
+        for s in range(PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ids AS (
+      SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
+        SELECT vec_id, row_number() OVER (
+          ORDER BY md5('{PQ_SEED}|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e
+      ) WHERE rn <= {PQ_K}
+    ),
+    {slices},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {KNN_PROBES}),
+    s AS (
+      SELECT q.query_id, t0.vec_id AS cand_id,
+             ROUND({sim_terms}, 6) AS sim
+      FROM q
+      JOIN enc_0 t0 ON t0.vec_id <> q.query_id
+      {enc_joins}
+      {cb_joins}
+    )
+    SELECT query_id, cand_id, sim, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rk
+      FROM s
+    ) WHERE rk <= {KNN_K}
+"""
+
+
+KNN_PQ_ADC_ORACLE = _pq_oracle_sql()
+
+
 #: Record-linkage staging constants: bucket cap per blocking pass, and
 #: the name-similarity floor for the emitted comparison vectors (ppm).
 LINKAGE_MAX_BUCKET = 10_000
@@ -7011,4 +7146,5 @@ STAGED_CANDIDATES = {
     "stream_rollup": (q_stream_rollup, ROLLUP_STAGED_ORACLE),
     "qc_card_signals": (q_qc_card_signals, QC_CARD_SIGNALS_ORACLE),
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_ORACLE),
+    "knn_pq_adc": (q_knn_pq_adc, KNN_PQ_ADC_ORACLE),
 }

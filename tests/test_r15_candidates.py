@@ -398,3 +398,80 @@ def test_pair_field_jaccard_edges(spark):
         (3, 4): None,
         (4, 5): None,
     }
+
+
+# ---------------------------------------------------------------- knn_pq_adc
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_knn_pq_adc_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import KNN_PQ_ADC_ORACLE, q_knn_pq_adc
+
+    # the oracle unrolls the slice chains against dim=64 — pin the
+    # fixture dim so a testdata change fails loudly here, not as a
+    # silent slice mismatch
+    dim = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("d"))
+        .first()["d"]
+    )
+    assert dim == 64
+    sdf = q_knn_pq_adc(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "query_id": "bigint",
+        "cand_id": "bigint",
+        "sim": "double",
+        "rk": "int",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["embeddings"], KNN_PQ_ADC_ORACLE)
+
+
+def test_pq_semantics(spark):
+    """PQ pins: codes live in [0, k) with one code per slice;
+    encoding is partitioning-invariant; m must divide the dim; the ADC
+    score of a probe against a corpus vector equals the probe·x̂ dot
+    with x̂ the concatenated chosen centroids (reconstruction
+    identity)."""
+    from chess_lakehouse_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, "vec_id", "embedding", m=4, k=5, iters=1, seed=3)
+    assert len(books) == 4 and all(len(b) == 5 for b in books)
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    rows = enc.collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 5 for r in rows for c in r["codes"])
+    enc7 = pq_encode(emb.repartition(7), "vec_id", "embedding", books)
+    assert sorted(map(tuple, enc7.collect())) == sorted(map(tuple, rows))
+
+    with pytest.raises(ValueError, match="must divide"):
+        pq_train(emb, "vec_id", "embedding", m=7)
+
+    # reconstruction identity for one probe/cand pair, via driver math
+    probe = emb.where(F.col("vec_id") == 0)
+    out = pq_adc_topk(emb, probe, "vec_id", "embedding", books, n=3).collect()
+    assert len(out) == 3
+    qv = [float(x) for x in probe.first()["embedding"]]
+    code_by_id = {r["vec_id"]: r["codes"] for r in rows}
+    d = 64 // 4
+    for r in out:
+        xhat = []
+        for s, c in enumerate(code_by_id[r["cand_id"]]):
+            xhat.extend(dict(books[s])[c])
+        acc = 0.0
+        for i in range(64):
+            acc += qv[i] * xhat[i]
+        # same left-fold order per slice; cross-slice addition matches
+        accs = 0.0
+        for s in range(4):
+            sub = 0.0
+            for i in range(s * d, (s + 1) * d):
+                sub += qv[i] * xhat[i]
+            accs += sub
+        assert round(accs, 6) == r["sim"]
