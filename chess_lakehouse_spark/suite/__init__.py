@@ -407,19 +407,20 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # loosening the bound to 3 exactly when the window gives up a refresh
 # slot — the ratchet's self-balancing arithmetic
 # (tests/test_suite_order.py computes P dynamically). The manifest
-# holds SEVEN after this promotion: the three r12-staged carries
+# holds NINE after this promotion: the three r12-staged carries
 # (stream_sessionize, heavy_hitters_staged, stream_dedup_watermark)
-# plus four staged in the r13 build session (sample_reservoir,
-# curriculum_order, stream_rollup, qc_card_signals —
-# tests/test_r15_candidates.py: two-scale exact parity + cold-JVM ANSI
-# + plan guards each). COMMITTED r14 plan: bump the budget FIRST,
-# register R of the seven (suggest 4-5, newest-evidence first:
-# qc_card_signals, sample_reservoir, curriculum_order, stream_rollup,
-# then one of the stream trio), then 50 - R of the stalest r11-green;
-# the R r11-green left out sit at age 3 = the NEW P - 1 bound (P
-# becomes ceil((150 + R)/50) = 4 at the same moment the registrations
-# raise N past 150), so r15's window MUST take them first — verify
-# with tests/test_suite_order.py before committing, as always.
+# plus six staged in the r13 build session (sample_reservoir,
+# curriculum_order, stream_rollup, qc_card_signals, record_linkage,
+# knn_pq_adc — tests/test_r15_candidates.py: two-scale exact parity +
+# cold-JVM ANSI + plan guards each). COMMITTED r14 plan: bump the
+# budget FIRST, register R of the nine (suggest 5-6, newest-evidence
+# first: qc_card_signals, sample_reservoir, curriculum_order,
+# stream_rollup, record_linkage, knn_pq_adc; carry the stream trio if
+# slots run short), then 50 - R of the stalest r11-green; the R
+# r11-green left out sit at age 3 = the NEW P - 1 bound (P becomes
+# ceil((150 + R)/50) = 4 at the same moment the registrations raise N
+# past 150), so r15's window MUST take them first — verify with
+# tests/test_suite_order.py before committing, as always.
 WINDOW_BUDGETED_FOR = 13
 
 _WINDOW_ORDER = [
