@@ -6873,6 +6873,62 @@ def _pq_oracle_sql() -> str:
 KNN_PQ_ADC_ORACLE = _pq_oracle_sql()
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the staged PQ-ADC path against the gated
+    brute-force exact path (operators/similarity.py: ann_recall_report
+    — the ann_recall discipline applied to the quantized serve): per
+    probe, exact/approx/overlap set sizes and recall in integer
+    millionths. This is the number that prices PQ's memory compression
+    (m codes per vector) in recall — the audit a production IVF-PQ
+    deployment runs per (m, k) choice. Composes q_knn_pq_adc and the
+    registered q_knn_brute_force; the join is on (query, candidate)
+    identity only, no float similarity ever compared. Expect LOW
+    fixture recall (measured 0-200000 ppm at sf0.01): the synthetic
+    near-uniform random embeddings are PQ's worst case — 8 codes per
+    32-dim slice carry little signal without cluster structure — which
+    is exactly what the audit exists to surface; real embedding
+    corpora cluster and the same audit prices (m, k) against them.
+
+    r14-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against PQ_RECALL_ORACLE (built VERBATIM from
+    KNN_PQ_ADC_ORACLE and the registered knn_brute_force oracle text as
+    CTEs — the three definitions cannot drift) pinned in
+    tests/test_r15_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import ann_recall_report
+
+    exact = q_knn_brute_force(spark, sf_dir)
+    approx = q_knn_pq_adc(spark, sf_dir)
+    return ann_recall_report(approx, exact, "query_id", "cand_id")
+
+
+#: Canonical q_pq_recall oracle — KNN_PQ_ADC_ORACLE and the REGISTERED
+#: brute-force oracle text wrapped verbatim as CTE subqueries (the
+#: ann_recall discipline), so the audit's ground truths are
+#: definitionally the gated/staged queries.
+PQ_RECALL_ORACLE = f"""
+    WITH brute AS ({ORACLES["knn_brute_force"]}),
+    approx AS ({KNN_PQ_ADC_ORACLE}),
+    ne AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM brute GROUP BY query_id),
+    na AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+           FROM approx GROUP BY query_id),
+    j AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM brute b JOIN approx a
+            ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+          GROUP BY b.query_id)
+    SELECT ne.query_id, ne.n_exact,
+           CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(COALESCE(j.n_common, 0) AS BIGINT) AS n_common,
+           CAST((COALESCE(j.n_common, 0) * CAST(1000000 AS BIGINT))
+                // ne.n_exact AS BIGINT) AS recall_ppm
+    FROM ne
+    LEFT JOIN na ON na.query_id = ne.query_id
+    LEFT JOIN j ON j.query_id = ne.query_id
+"""
+
+
 #: Record-linkage staging constants: bucket cap per blocking pass, and
 #: the name-similarity floor for the emitted comparison vectors (ppm).
 LINKAGE_MAX_BUCKET = 10_000
@@ -7147,4 +7203,7 @@ STAGED_CANDIDATES = {
     "qc_card_signals": (q_qc_card_signals, QC_CARD_SIGNALS_ORACLE),
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_ORACLE),
     "knn_pq_adc": (q_knn_pq_adc, KNN_PQ_ADC_ORACLE),
+    # the audit shares its ground-truth CTEs with the queries it grades
+    # (the ann_recall discipline)
+    "pq_recall": (q_pq_recall, PQ_RECALL_ORACLE),
 }

@@ -475,3 +475,24 @@ def test_pq_semantics(spark):
                 sub += qv[i] * xhat[i]
             accs += sub
         assert round(accs, 6) == r["sim"]
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_pq_recall_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import PQ_RECALL_ORACLE, q_pq_recall
+
+    sdf = q_pq_recall(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "query_id": "bigint",
+        "n_exact": "bigint",
+        "n_approx": "bigint",
+        "n_common": "bigint",
+        "recall_ppm": "bigint",
+    }
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["embeddings"], PQ_RECALL_ORACLE)
+    # structural invariants: overlap bounded by both sides
+    for _, ne, na, nc, rp in srows:
+        assert 0 <= nc <= min(ne, na)
+        assert rp == nc * 1_000_000 // ne
