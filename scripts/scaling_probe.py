@@ -1436,6 +1436,26 @@ def main() -> None:
 
             probe("stream_rollup", factor, _sroll)
 
+        if only_ops is None or {"pq_adc"} & only_ops:
+            # PQ train (m per-slice kmeans passes) + map-side encode +
+            # broadcast-probe ADC top-k — expected linear-in-scan (the
+            # codebooks are literals, the serve is one encoded pass)
+            from chess_lakehouse_spark.operators.similarity import (
+                pq_adc_topk,
+                pq_train,
+            )
+
+            def _pq():
+                books = pq_train(
+                    emb, "vec_id", "embedding", m=2, k=8, iters=1, seed=0
+                )
+                pr = emb.where(F.col("vec_id") < 10)
+                return pq_adc_topk(
+                    emb, pr, "vec_id", "embedding", books, n=5
+                ).count()
+
+            probe("pq_adc", factor, _pq)
+
         if only_ops is None or {"pagerank_5it"} & only_ops:
             # PageRank over a synthetic host graph whose |V| and |E| both
             # grow with the corpus (md5-derived edges — near-uniform
