@@ -100,6 +100,11 @@ def pair_field_jaccard_ppm(
     under ANSI. Returns ``pairs`` + ``out_col`` (long, NULL-able)."""
     if q < 1:
         raise ValueError(f"pair_field_jaccard_ppm: q must be >= 1, got {q}")
+    if out_col in pairs.columns:
+        raise ValueError(
+            f"pair_field_jaccard_ppm: pairs already carries {out_col!r} — "
+            "pick a distinct out_col per field"
+        )
     grams = (
         df.select(
             F.col(id_col),
