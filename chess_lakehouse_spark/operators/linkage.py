@@ -148,3 +148,84 @@ def pair_field_jaccard_ppm(
         .join(cb, "id_b", "left")
         .select(*pairs.columns, jppm.alias(out_col))
     )
+
+
+def fs_weights_ppm(m_ppm: int, u_ppm: int) -> tuple[int, int]:
+    """Fellegi-Sunter field log-weights in integer millionths from the
+    field's conditional agreement probabilities m = P(agree | match) and
+    u = P(agree | non-match), both in ppm: (agreement weight
+    round(log2(m/u)·10⁶), disagreement weight round(log2((1-m)/(1-u))·10⁶)).
+    The classic decision rule (Fellegi & Sunter JASA 1969 eq. 3.8 —
+    sum of per-field log likelihood ratios) needs only these two
+    constants per field; computing them HOST-SIDE once and riding them
+    as integer literals keeps the distributed plan float-free — the
+    engine and the SQL oracle consume the same baked integers, so
+    cross-engine log() drift can never touch a gated number. A
+    discriminative field has m > u (positive agreement weight, negative
+    disagreement weight); inverted inputs are a spec error and refused."""
+    import math
+
+    if not 0 < u_ppm < m_ppm < 1_000_000:
+        raise ValueError(
+            "fs_weights_ppm: need 0 < u_ppm < m_ppm < 1000000, got "
+            f"m={m_ppm} u={u_ppm}"
+        )
+    agree = round(math.log2(m_ppm / u_ppm) * 1_000_000)
+    disagree = round(
+        math.log2((1_000_000 - m_ppm) / (1_000_000 - u_ppm)) * 1_000_000
+    )
+    return agree, disagree
+
+
+def fs_match_score(
+    vectors: DataFrame,
+    fields: Sequence[tuple[Column, int, int]],
+    lower_ppm: int,
+    upper_ppm: int,
+    score_col: str = "score_ppm",
+    decision_col: str = "decision",
+) -> DataFrame:
+    """Fellegi-Sunter match scoring over a comparison-vector frame (the
+    decision stage completing the blocking → comparison → decision
+    pipeline; Fellegi & Sunter JASA 1969): each field contributes its
+    agreement weight when its agreement predicate is TRUE, its
+    disagreement weight when FALSE, and 0 when NULL — the standard
+    missing-field treatment (an incomparable field carries no evidence
+    either way). The summed integer-ppm score cuts into the three
+    Fellegi-Sunter regions: >= ``upper_ppm`` → 'match', <= ``lower_ppm``
+    → 'nonmatch', else 'possible' (the clerical-review band).
+
+    ``fields`` is a sequence of (agreement boolean Column, agree_wt_ppm,
+    disagree_wt_ppm) — weights from :func:`fs_weights_ppm`. Pure column
+    arithmetic over the candidate-pair frame: zero shuffles, zero joins,
+    so the decision stage adds nothing to the blocking pipeline's cost
+    at any scale. Returns ``vectors`` + (score_col long, decision_col
+    string)."""
+    if not fields:
+        raise ValueError("fs_match_score: fields must name at least one field")
+    if lower_ppm > upper_ppm:
+        raise ValueError(
+            f"fs_match_score: lower_ppm ({lower_ppm}) must be <= "
+            f"upper_ppm ({upper_ppm})"
+        )
+    for col in (score_col, decision_col):
+        if col in vectors.columns:
+            raise ValueError(
+                f"fs_match_score: vectors already carries {col!r} — "
+                "pick distinct output names"
+            )
+    terms = [
+        F.when(agree, F.lit(aw).cast("long"))
+        .when(~agree, F.lit(dw).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for agree, aw, dw in fields
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    decision = (
+        F.when(F.col(score_col) >= upper_ppm, F.lit("match"))
+        .when(F.col(score_col) <= lower_ppm, F.lit("nonmatch"))
+        .otherwise(F.lit("possible"))
+    )
+    return vectors.withColumn(score_col, score).withColumn(decision_col, decision)

@@ -421,64 +421,90 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # ceil((150 + R)/50) = 4 at the same moment the registrations raise N
 # past 150), so r15's window MUST take them first — verify with
 # tests/test_suite_order.py before committing, as always.
-WINDOW_BUDGETED_FOR = 13
+#
+# r14 window (EXECUTED per the committed r13 plan above; ratchet bumped
+# FIRST):
+#   1. the 6 queries NEW to the gate, never driver-verified — six
+#      staged candidates promoted verbatim from llm.py:STAGED_CANDIDATES
+#      at this re-plan, newest-evidence first per the committed plan:
+#      sample_reservoir, curriculum_order, stream_rollup,
+#      qc_card_signals, record_linkage, knn_pq_adc (all staged in the
+#      r13 build session — two-scale exact parity + cold-JVM ANSI +
+#      plan guards in tests/test_r15_candidates.py).
+#   2. 44 of the 50 queries whose newest green row is r11 (at the
+#      P - 1 = 2 age bound after r13): anomaly_flags … sessionize,
+#      alphabetical. 6 + 44 = 50, zero rotation slack.
+# The 6 r11-green left out (alphabetical tail: shipping_priority,
+# source_kl, split_leakage_safe, substring_search, text_normalize,
+# tfidf) sit at age 3 = the NEW P - 1 bound: the six registrations
+# raise N to 156, so P becomes ceil(156/50) = 4 at the same moment the
+# window gives up six refresh slots — the ratchet's self-balancing
+# arithmetic (tests/test_suite_order.py computes P dynamically).
+# COMMITTED r15 plan: bump the budget FIRST, then (1) the 6 age-bound
+# r11-green above MUST take slots; (2) register R of the staged
+# manifest, oldest staged evidence first (stream_sessionize,
+# heavy_hitters_staged, stream_dedup_watermark carried since r12, then
+# pq_recall and whatever the r14 build session stages); (3) fill the
+# remaining 50 - 6 - R slots with the stalest r12-green. Verify with
+# tests/test_suite_order.py before committing, as always.
+WINDOW_BUDGETED_FOR = 14
 
 _WINDOW_ORDER = [
-    # new to the gate in r13 — never driver-verified (the nine promoted
-    # STAGED_CANDIDATES; audit family first — the recall/fertility
-    # audits that grade other gated operators — then the QC-report
-    # surfaces, the quantile/dedup pair, and the streaming class)
-    "ann_recall",
-    "lsh_recall",
-    "tokenizer_fertility",
-    "heavy_hitters",
-    "length_histogram",
-    "shard_skew",
-    "quantile_normalize",
-    "dedup_semdedup",
-    "stream_interval_join",
-    # newest green row r10 — the 41 deferred from r12, at the age bound
-    "bm25_topk",
-    "boilerplate_strip",
-    "bpe_train",
-    "classifier_hashed",
-    "corpus_delta",
-    "corpus_sketch_counts",
-    "dedup_hamming64",
-    "dedup_minhash_lsh",
-    "doc_chunks",
-    "embedding_drift",
-    "event_funnel",
-    "event_outliers",
-    "events_hourly",
-    "export_projection",
-    "filter_null_predicate",
-    "groupby_agg",
-    "join_star",
-    "json_extract",
-    "knn_quantized",
-    "label_centroids",
-    "lake_skipping_read",
-    "lm_score",
-    "lm_score_bigram",
-    "mm_decode_meta",
-    "pack_sequences",
-    "pmi_topk",
-    "quality_buckets",
-    "quality_gopher",
-    "repetition_metrics",
-    "rolling_avg",
-    "rrf_fuse",
-    "sample_hash",
-    "sample_mix",
-    "sample_per_group",
-    "sample_weighted",
-    "scalar_kitchen",
-    "split_contamination",
-    "supplier_revenue",
-    "url_canonical",
-    "user_retention",
-    "vocab_topk",
+    # new to the gate in r14 — never driver-verified (the six promoted
+    # STAGED_CANDIDATES, newest-evidence first per the committed plan)
+    "sample_reservoir",
+    "curriculum_order",
+    "stream_rollup",
+    "qc_card_signals",
+    "record_linkage",
+    "knn_pq_adc",
+    # newest green row r11 — 44 of the 50 at the age bound, alphabetical
+    # (the 6 left out move to age 3 = the new P - 1 bound; r15 takes
+    # them first)
+    "anomaly_flags",
+    "anti_join",
+    "approx_stats",
+    "badwords_gate",
+    "bloom_gate",
+    "chess_enrich",
+    "classifier_serve",
+    "cms_freq",
+    "collect_set",
+    "corpus_overlap",
+    "cube",
+    "dedup_clusters",
+    "dedup_edit",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_priority",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "distinct_agg",
+    "doc_fingerprint",
+    "dup_matrix",
+    "event_transitions",
+    "exact_quantiles",
+    "except",
+    "funnel_steps",
+    "gapfill",
+    "gate_attribution",
+    "group_quantiles",
+    "intersect",
+    "knn_brute_force",
+    "knn_ivf",
+    "knn_lsh",
+    "knn_two_stage",
+    "lm_staged",
+    "pipeline_clean_corpus",
+    "pivot",
+    "range_join",
+    "rollup",
+    "rollup_staged",
+    "running_sum",
+    "salted_join",
+    "session_pairs",
+    "sessionize",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

@@ -6568,10 +6568,9 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented ROUND-of-a-transcendental accepted-risk class the gated
     lm_score already rides; ln parity is sweep-tested).
 
-    r14-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against SAMPLE_RESERVOIR_ORACLE pinned in
-    tests/test_r15_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r14 window re-plan: exact value parity against
+    SAMPLE_RESERVOIR_ORACLE pinned in tests/test_r15_candidates.py at
+    two scales + cold-JVM before registration."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.sampling import (
         weighted_reservoir_per_group,
@@ -6620,10 +6619,9 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast offsets, never a single-partition global window), so a
     trainer cuts the best-first prefix at any token budget.
 
-    r14-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against CURRICULUM_ORDER_ORACLE pinned in
-    tests/test_r15_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r14 window re-plan: exact value parity against
+    CURRICULUM_ORDER_ORACLE pinned in tests/test_r15_candidates.py at
+    two scales + cold-JVM before registration."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.functions.text import quality_score, ws_tokens
     from chess_lakehouse_spark.operators.sampling import curriculum_order
@@ -6699,9 +6697,9 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never change the served truth — batch fold and stream fold must be
     indistinguishable at serve time).
 
-    r14-bound STAGING CANDIDATE — not yet registered: exact value
-    parity pinned in tests/test_r15_candidates.py at two scales +
-    cold-JVM; registration at a window re-plan is a dict + window edit.
+    Registered at the r14 window re-plan: exact value parity pinned in
+    tests/test_r15_candidates.py at two scales + cold-JVM before
+    registration.
     """
     import tempfile
 
@@ -6762,12 +6760,11 @@ def q_qc_card_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_overlap stay in their own gated queries (stated split, not a
     silent drop).
 
-    r14-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against QC_CARD_SIGNALS_ORACLE (built from the REGISTERED
-    gate_attribution / length_histogram / shard_skew / vocab_topk
-    oracle texts as CTEs — the definitions cannot drift) pinned in
-    tests/test_r15_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r14 window re-plan: exact value parity against
+    QC_CARD_SIGNALS_ORACLE (built from the REGISTERED gate_attribution /
+    length_histogram / shard_skew / vocab_topk oracle texts as CTEs —
+    the definitions cannot drift) pinned in tests/test_r15_candidates.py
+    at two scales + cold-JVM before registration."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.report import qc_card_signals_tall
 
@@ -6804,12 +6801,11 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     production). Probes are the same vec_id < {probes} rows the knn
     family uses; self-pairs excluded.
 
-    r14-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against KNN_PQ_ADC_ORACLE (each slice's k-means chain
-    unrolled on the sliced vectors — the knn_ivf_kmeans oracle
-    discipline) pinned in tests/test_r15_candidates.py at two scales +
-    cold-JVM; registration at a window re-plan is a dict + window
-    edit."""
+    Registered at the r14 window re-plan: exact value parity against
+    KNN_PQ_ADC_ORACLE (each slice's k-means chain unrolled on the
+    sliced vectors — the knn_ivf_kmeans oracle discipline) pinned in
+    tests/test_r15_candidates.py at two scales + cold-JVM before
+    registration."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.similarity import (
         pq_adc_topk,
@@ -6993,10 +6989,9 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure (Customer#000000111 vs #000001111 are trigram-identical),
     so the output exercises the full similarity range at every scale.
 
-    r14-bound STAGING CANDIDATE — not yet registered: exact value
-    parity against RECORD_LINKAGE_ORACLE pinned in
-    tests/test_r15_candidates.py at two scales + cold-JVM; registration
-    at a window re-plan is a dict + window edit."""
+    Registered at the r14 window re-plan: exact value parity against
+    RECORD_LINKAGE_ORACLE pinned in tests/test_r15_candidates.py at
+    two scales + cold-JVM before registration."""
     apply_runtime_conf(spark)
     from chess_lakehouse_spark.operators.linkage import (
         blocking_pairs,
@@ -7215,17 +7210,46 @@ ORACLES.update(
 )
 
 
+# registered at the r14 window re-plan (suite/__init__.py): six staged
+# candidates promoted verbatim from STAGED_CANDIDATES — sample_reservoir,
+# curriculum_order, stream_rollup, qc_card_signals, record_linkage,
+# knn_pq_adc (all staged in the r13 build session with two-scale exact
+# parity + cold-JVM ANSI + plan guards, tests/test_r15_candidates.py).
+# Same entries, same oracles. stream_rollup serves ROLLUP_STAGED_ORACLE
+# verbatim — the bloom_gate_table discipline: an ingestion path may
+# never change the served truth.
+QUERIES.update(
+    {
+        "sample_reservoir": q_sample_reservoir,
+        "curriculum_order": q_curriculum_order,
+        "stream_rollup": q_stream_rollup,
+        "qc_card_signals": q_qc_card_signals,
+        "record_linkage": q_record_linkage,
+        "knn_pq_adc": q_knn_pq_adc,
+    }
+)
+ORACLES.update(
+    {
+        "sample_reservoir": SAMPLE_RESERVOIR_ORACLE,
+        "curriculum_order": CURRICULUM_ORDER_ORACLE,
+        "stream_rollup": ROLLUP_STAGED_ORACLE,
+        "qc_card_signals": QC_CARD_SIGNALS_ORACLE,
+        "record_linkage": RECORD_LINKAGE_ORACLE,
+        "knn_pq_adc": KNN_PQ_ADC_ORACLE,
+    }
+)
+
+
 STAGED_CANDIDATES = {
-    # (the nine r13-plan entries — length_histogram, shard_skew,
-    # quantile_normalize, ann_recall, dedup_semdedup,
-    # tokenizer_fertility, stream_interval_join, heavy_hitters,
-    # lsh_recall — were promoted into QUERIES/ORACLES at the r13 window
-    # re-plan above; the eleven r12-plan and sixteen r11-plan entries
-    # landed at their re-plans before them)
-    # r14-BOUND (staged in r12, tests/test_r14_candidates.py: two-scale
-    # exact parity + cold-JVM ANSI + plan guards; these keep the
-    # manifest non-empty ACROSS the r13 promotion, so the r14 session
-    # can promote without having to build candidates in the same commit)
+    # (the six r14-plan entries — sample_reservoir, curriculum_order,
+    # stream_rollup, qc_card_signals, record_linkage, knn_pq_adc — were
+    # promoted into QUERIES/ORACLES at the r14 window re-plan above; the
+    # nine r13-plan, eleven r12-plan and sixteen r11-plan entries landed
+    # at their re-plans before them)
+    # r15-BOUND (staged in r12, tests/test_r14_candidates.py: two-scale
+    # exact parity + cold-JVM ANSI + plan guards; carried across the r13
+    # and r14 promotions — r15's window should take these first, they
+    # hold the oldest staged evidence)
     "stream_sessionize": (q_stream_sessionize, STREAM_SESSIONIZE_ORACLE),
     # the staged-lifecycle twin shares HEAVY_HITTERS_ORACLE verbatim —
     # the bloom_gate_table discipline: a serving layout may never
@@ -7235,18 +7259,7 @@ STAGED_CANDIDATES = {
         q_stream_dedup_watermark,
         STREAM_DEDUP_WATERMARK_ORACLE,
     ),
-    # staged in the r13 build session (tests/test_r15_candidates.py:
-    # same two-scale + cold-JVM + plan-guard discipline) — these keep
-    # the manifest stocked for the r14/r15 windows
-    "sample_reservoir": (q_sample_reservoir, SAMPLE_RESERVOIR_ORACLE),
-    "curriculum_order": (q_curriculum_order, CURRICULUM_ORDER_ORACLE),
-    # the streaming fold shares ROLLUP_STAGED_ORACLE verbatim — the
-    # bloom_gate_table discipline: an ingestion path may never change
-    # the served truth
-    "stream_rollup": (q_stream_rollup, ROLLUP_STAGED_ORACLE),
-    "qc_card_signals": (q_qc_card_signals, QC_CARD_SIGNALS_ORACLE),
-    "record_linkage": (q_record_linkage, RECORD_LINKAGE_ORACLE),
-    "knn_pq_adc": (q_knn_pq_adc, KNN_PQ_ADC_ORACLE),
+    # staged in the r13 build session (tests/test_r15_candidates.py) —
     # the audit shares its ground-truth CTEs with the queries it grades
     # (the ann_recall discipline)
     "pq_recall": (q_pq_recall, PQ_RECALL_ORACLE),
