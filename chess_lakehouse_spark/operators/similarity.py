@@ -1415,3 +1415,219 @@ def pq_adc_topk(
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= n)
     )
+
+
+def publish_ivfpq_index(
+    corpus: DataFrame,
+    out_dir: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks,
+    batch_id: str = "base",
+) -> None:
+    """Materialize the composed IVF+PQ lake index — the production ANN
+    layout of Jégou et al. 2011 (IVFADC) on the :func:`publish_ivf_index`
+    partition scheme: every vector is assigned to its IVF list (map-side
+    argmax, the shared :func:`_assign_lists`) AND encoded as ``m`` PQ
+    codes (:func:`pq_encode` — map-side literal argmax) in ONE scan, then
+    written Hive-partitioned ``batch_id=<id>/list_id=<n>`` with columns
+    (id, vec, n2, codes). A probe prunes to its lists (partition
+    filter), ADC-scores the survivors reading ONLY the m-int ``codes``
+    column (column pruning — the scan never materializes the raw
+    vectors), and exact-re-ranks a small shortlist against ``vec``. Both
+    models persist as sidecars (``_centroids``, ``_pq_codebooks``) so
+    append and serve can never assign or decode with different models
+    than the build; re-publish REPLACES the whole index atomically (the
+    publish_ivf_index centroid-consistency contract)."""
+    from chess_lakehouse_spark.operators.publish import (
+        _swap_lake_dirs,
+        write_partitioned,
+    )
+
+    _check_ivf_batch_id(batch_id)
+    spark = corpus.sparkSession
+    tmp = out_dir.rstrip("/") + ".compacting"
+    assigned = _assign_lists(corpus, id_col, vec_col, centroids)
+    codes = pq_encode(assigned, id_col, vec_col, codebooks)
+    write_partitioned(
+        assigned.join(codes, id_col),
+        f"{tmp}/batch_id={batch_id}",
+        ("list_id",),
+    )
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_centroids")
+    spark.createDataFrame(
+        [
+            (int(s), int(cid), [float(x) for x in cv])
+            for s, book in enumerate(codebooks)
+            for cid, cv in book
+        ],
+        "s int, cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_pq_codebooks")
+    _swap_lake_dirs(spark, tmp, out_dir.rstrip("/"), "publish_ivfpq_index")
+
+
+def read_pq_codebooks(spark, index_dir: str):
+    """Load the ``_pq_codebooks`` sidecar a publish stored — m codebooks,
+    each [(cid, centroid), ...] sorted by cid, the single source of truth
+    for every later encode/decode against this index."""
+    rows = spark.read.parquet(f"{index_dir}/_pq_codebooks").collect()  # m*k rows
+    by_s: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        by_s.setdefault(int(r["s"]), []).append((int(r["cid"]), list(r["centroid"])))
+    return [sorted(by_s[s]) for s in sorted(by_s)]
+
+
+def append_ivfpq_index(
+    delta: DataFrame,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    batch_id: str,
+) -> None:
+    """Fold NEW vectors into a published IVF+PQ index in O(delta):
+    assign lists AND encode codes with the index's OWN sidecar models
+    (build and append can never disagree — the append_ivf_index
+    contract), then rename-aside-swap the delta's ``batch_id=<id>``
+    tree. Retry-idempotent; reusing a batch_id REPLACES that batch
+    (corrected-re-delivery semantics); serve prunes across every batch
+    level unchanged."""
+    from chess_lakehouse_spark.operators.publish import (
+        _swap_lake_dirs,
+        write_partitioned,
+    )
+
+    _check_ivf_batch_id(batch_id)
+    if batch_id == "base":
+        raise ValueError("append_ivfpq_index: batch_id 'base' is the build's own")
+    spark = delta.sparkSession
+    centroids = read_ivf_centroids(spark, index_dir)
+    codebooks = read_pq_codebooks(spark, index_dir)
+    root = index_dir.rstrip("/")
+    tmp = f"{root}/.staging-batch_id={batch_id}"
+    assigned = _assign_lists(delta, id_col, vec_col, centroids)
+    codes = pq_encode(assigned, id_col, vec_col, codebooks)
+    write_partitioned(assigned.join(codes, id_col), tmp, ("list_id",))
+    _swap_lake_dirs(spark, tmp, f"{root}/batch_id={batch_id}", "append_ivfpq_index")
+
+
+def search_ivfpq_index(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks=None,
+    nprobe: int = 2,
+    pool: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """The composed production ANN read path over a published IVF+PQ
+    index — all three 100 TB cost cuts of the IVFADC system (Jégou et
+    al. 2011) in one serve:
+
+    1. **Partition pruning**: the probe's ``nprobe`` ranked lists reach
+       the scan as a PartitionFilter — (n_lists - nprobe)/n_lists of the
+       index directories are never listed, let alone read.
+    2. **ADC over codes only**: candidates in the probed lists are
+       scored with the asymmetric distance Σ_s dot(q_s, centroid of
+       code_s) reading ONLY the m-int ``codes`` column (column pruning:
+       the plan's ReadSchema carries codes, not the dim-double vector —
+       the scan byte cost drops by ~dim·8/m), shortlisted to ``pool``
+       per query (ROUND-6 ADC score, cand-id tie-break).
+    3. **Exact re-rank**: the |probes|·pool shortlist (broadcast) joins
+       back to the raw vectors of the SAME pruned partitions for the
+       exact rounded cosine and final top-k.
+
+    Models default to the index's own sidecars (the build's truth);
+    passing them explicitly skips the two sidecar reads. Self-pairs
+    excluded; returns (query_id, cand_id, sim, rk) with EXACT full-dim
+    sims — recall is governed by (nprobe, pool), priced by the
+    pq_recall/ann_recall audits."""
+    if pool < k:
+        raise ValueError(f"search_ivfpq_index: pool ({pool}) must be >= k ({k})")
+    if nprobe < 1:
+        raise ValueError(f"search_ivfpq_index: nprobe must be >= 1, got {nprobe}")
+    if centroids is None:
+        centroids = read_ivf_centroids(spark, index_dir)
+    if codebooks is None:
+        codebooks = read_pq_codebooks(spark, index_dir)
+    cent_rows = [(cid, list(cv), _py_dot(cv, cv)) for cid, cv in centroids]
+    cent_arr = _centroid_literal_array(cent_rows)
+    cbs = _pq_literals(codebooks)
+    m = len(cbs)
+    dim = sum(len(book[0][1]) for book in codebooks)
+    d = dim // m
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
+        ).withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        _ranked_lists(cent_arr, F.col("qv"), F.col("qn2")),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    probe_lists = sorted(
+        {r["list_id"] for r in p.select("list_id").distinct().collect()}
+    )
+    pruned = spark.read.parquet(index_dir).where(F.col("list_id").isin(probe_lists))
+    # ADC stage: codes column only — the raw vector never leaves the scan
+    enc = pruned.select(F.col(id_col).alias("cand_id"), "codes", "list_id")
+    terms = []
+    for s in range(m):
+        cent = F.element_at(
+            cbs[s], F.element_at(F.col("codes"), s + 1) + F.lit(1)
+        )["ccv"]
+        terms.append(dot(F.slice(F.col("qv"), s * d + 1, d), cent))
+    adc = F.round(sum(terms[1:], terms[0]), 6)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("sim_adc").desc(), F.col("cand_id").asc()
+    )
+    shortlist = (
+        enc.join(p, on="list_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", adc.alias("sim_adc"))
+        .withColumn("crk", F.row_number().over(wa))
+        .where(F.col("crk") <= pool)
+        .select("query_id", "cand_id")
+    )
+    cand_full = pruned.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    q_full = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
+        )
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(cand_full, "cand_id")
+        .join(q_full, "query_id")
+        .select("query_id", "cand_id", _paired_cosine().alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "sim", "rk")
+    )

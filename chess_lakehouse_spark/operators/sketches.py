@@ -513,3 +513,233 @@ def mg_state_total(spark, state_dir: str) -> int:
         .collect()[0]
     )
     return int(row["n"] or 0)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable rank/quantile sketch (the quantile complement of the MG/CMS/HLL
+# family): the random-sampling quantile summary of Agarwal, Cormode, Huang,
+# Phillips, Wei, Yi — "Mergeable Summaries" (PODS 2012, public; the
+# compactor-hierarchy refinement is Karnin-Lang-Liberty, FOCS 2016) — with
+# DETERMINISTIC md5 coins, the CMS discipline: every retained row is a pure
+# function of (seed, ids, values), so the state is engine-reproducible and a
+# DuckDB oracle gates the served quantiles exactly. The KLL compactor
+# hierarchy achieves a smaller constant for the same error; the sampled
+# member of the family is the one whose retained set SQL can recompute —
+# the trade this module makes everywhere (exact-integer auditability over
+# the last constant factor).
+#
+# Sketch: item x survives to level l iff the low l bits of its md5 hash are
+# zero (a geometric deterministic coin); the state keeps items with
+# level >= L where L is the smallest level putting the expected retained
+# count at or under k, and every retained item represents 2^L originals.
+# Samples are NESTED across levels (level >= L+1 implies >= L), which is
+# what makes the merge exact: re-filtering the union of partials to the
+# union's own L yields BIT-IDENTICAL state to a direct build — merge ==
+# rebuild is an equality, not an approximation (pinned in tests).
+# ---------------------------------------------------------------------------
+
+#: Levels are computed on the low 40 bits of the 60-bit md5 hash — 2^40
+#: originals per retained row at the cap, far past any realistic n/k.
+_RS_LEVEL_BITS = 40
+
+
+def _rs_level(id_col: Column, seed: int) -> Column:
+    """Deterministic geometric level: trailing-zero count of the low 40
+    bits of the md5-60bit hash of the row id (the portable-hash pillar:
+    Spark conv(substr(md5,1,15),16,10) == DuckDB CAST('0x'||... AS
+    BIGINT)). ``t & -t`` isolates the lowest set bit; its binary digit
+    length minus one is the trailing-zero count; an all-zero low word
+    takes the 40 cap."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|rsk|"), id_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = h % F.lit(2**_RS_LEVEL_BITS).cast("long")
+    low = t.bitwiseAND(-t)
+    return (
+        F.when(t == 0, F.lit(_RS_LEVEL_BITS))
+        .otherwise(F.length(F.conv(low, 10, 2)) - 1)
+        .cast("int")
+    )
+
+
+def _rs_lvl_for_n(n_name: str, k: int) -> Column:
+    """Smallest sampling level L with ceil(n/k) <= 2^L, in pure integer
+    arithmetic over the named count column: c = ceil(n/k) via integer
+    div; L = 0 if c <= 1 else bit_length(c - 1) (binary digit string
+    length — the log2_length_histogram pillar, exact at powers of
+    two)."""
+    c = F.expr(f"(({n_name}) + {k - 1}) div {k}")
+    return (
+        F.when(c <= 1, F.lit(0))
+        .otherwise(F.length(F.conv(c - 1, 10, 2)))
+        .cast("int")
+    )
+
+
+def rank_sketch_build(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    k: int,
+    by: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Build the per-group rank sketch: one row per RETAINED item —
+    (by..., id, value, level, lvl, n_total) where ``lvl`` is the group's
+    sampling level and ``n_total`` its full row count. Retained size is
+    ~k..2k per group regardless of group size; each retained row stands
+    for 2^lvl originals. Rows with a NULL value are excluded by stated
+    contract (a rank over NULL is undefined); a NULL GROUP key is its
+    own group — the group-meta join is NULL-safe (the
+    test_null_group_contracts.py discipline). Cost: one map-side level
+    computation + one |groups|-row aggregate broadcast back; no
+    data-volume shuffle, no global sort."""
+    if k < 1:
+        raise ValueError(f"rank_sketch_build: k must be >= 1, got {k}")
+    by = list(by or [])
+    reserved = {"level", "lvl", "n_total"} & {id_col, value_col, *by}
+    if reserved:
+        raise ValueError(
+            f"rank_sketch_build: column names {sorted(reserved)} are "
+            "reserved for the sketch state — rename the input columns"
+        )
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *by,
+        F.col(id_col),
+        F.col(value_col),
+        _rs_level(F.col(id_col), seed).alias("level"),
+    )
+    meta = base.groupBy(*by).agg(F.count(F.lit(1)).alias("n_total"))
+    meta = meta.select(
+        *[F.col(g).alias(f"__g{i}") for i, g in enumerate(by)],
+        F.col("n_total"),
+        _rs_lvl_for_n("n_total", k).alias("lvl"),
+    )
+    cond = F.lit(True)
+    for i, g in enumerate(by):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__g{i}"))
+    joined = base.join(F.broadcast(meta), cond) if by else base.crossJoin(
+        F.broadcast(meta)
+    )
+    return joined.where(F.col("level") >= F.col("lvl")).select(
+        *by, id_col, value_col, "level", "lvl", "n_total"
+    )
+
+
+def rank_sketch_merge(
+    states: list[DataFrame],
+    k: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Merge partial rank sketches (distributed builds over disjoint
+    batches) into the sketch a direct build over the union would
+    produce — EXACTLY: levels nest (level >= L' implies >= L for
+    L' >= L), so re-filtering the unioned retained rows to the union's
+    own sampling level yields bit-identical state (pinned merge==rebuild
+    in tests). Per group: n* = Σ partial n_total, L* = the level formula
+    at n* (>= every partial's lvl because n* >= each n_batch and the
+    formula is monotone). Input states must be disjoint batches of one
+    logical table (the mg/CMS batch contract)."""
+    if not states:
+        raise ValueError("rank_sketch_merge: need at least one state")
+    by = list(by or [])
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    per_batch = []
+    for i, s in enumerate(states):
+        per_batch.append(
+            s.groupBy(*by).agg(F.first("n_total").alias("n_b"))
+        )
+    nb = per_batch[0]
+    for p in per_batch[1:]:
+        nb = nb.unionByName(p)
+    meta = nb.groupBy(*by).agg(F.sum("n_b").alias("n_star"))
+    meta = meta.select(
+        *[F.col(g).alias(f"__g{i}") for i, g in enumerate(by)],
+        F.col("n_star"),
+        _rs_lvl_for_n("n_star", k).alias("lvl_star"),
+    )
+    cond = F.lit(True)
+    for i, g in enumerate(by):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__g{i}"))
+    joined = (
+        u.drop("lvl", "n_total").join(F.broadcast(meta), cond)
+        if by
+        else u.drop("lvl", "n_total").crossJoin(F.broadcast(meta))
+    )
+    return joined.where(F.col("level") >= F.col("lvl_star")).select(
+        *by,
+        *[c for c in u.columns if c not in by and c not in ("lvl", "n_total")],
+        F.col("lvl_star").alias("lvl"),
+        F.col("n_star").alias("n_total"),
+    )
+
+
+def rank_sketch_quantiles(
+    state: DataFrame,
+    id_col: str,
+    value_col: str,
+    qs_ppm: list[int],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Serve quantile estimates from a rank sketch: for each group and
+    probe q (ppm), the retained value at weighted rank ceil(q·W)/2^lvl
+    = the retained row at index ceil(q·R) in (value, id) order, R =
+    retained count — every retained row carries equal weight 2^lvl, so
+    the weighted cut collapses to an index into the SAMPLE, never the
+    data. One window over the ~2k-row-per-group state; rank error vs
+    the true quantile is the sketch's ~1/sqrt(k) sampling error (the
+    audit columns in the gated query measure it exactly). Returns
+    (by..., q_ppm, est_value, n_total, n_retained, lvl)."""
+    if not qs_ppm:
+        raise ValueError("rank_sketch_quantiles: need at least one probe")
+    for q in qs_ppm:
+        if not 0 < q <= 1_000_000:
+            raise ValueError(f"rank_sketch_quantiles: bad probe {q} ppm")
+    reserved = {"q_ppm", "est_value", "n_retained"} & {id_col, value_col, *(by or [])}
+    if reserved:
+        raise ValueError(
+            f"rank_sketch_quantiles: column names {sorted(reserved)} are "
+            "reserved for the served frame — rename the input columns"
+        )
+    from pyspark.sql.window import Window
+
+    by = list(by or [])
+    w = Window.partitionBy(*by).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = state.select(
+        *by,
+        F.col(value_col),
+        F.col(id_col),
+        F.col("lvl"),
+        F.col("n_total"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*by)).alias("n_retained"),
+    )
+    probes = F.explode(
+        F.array(*[F.lit(int(q)).cast("long") for q in qs_ppm])
+    ).alias("q_ppm")
+    return (
+        ranked.select(*ranked.columns, probes)
+        .where(
+            F.col("__rn")
+            == F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(q_ppm * n_retained + 999999) div 1000000"),
+            )
+        )
+        .select(
+            *by,
+            "q_ppm",
+            F.col(value_col).alias("est_value"),
+            "n_total",
+            "n_retained",
+            "lvl",
+        )
+    )

@@ -7175,6 +7175,420 @@ QC_CARD_SIGNALS_ORACLE = f"""
 """
 
 
+
+# ---------------------------------------------------------------------------
+# r15-bound staging candidates built in the r14 session
+# ---------------------------------------------------------------------------
+
+#: Rank-sketch staging constants: per-group retained-sample target k
+#: (16 puts the sampling level above 0 at BOTH parity scales — 25
+#: docs/source at sf0.01 -> lvl 1, 250 at sf0.1 -> lvl 4, so the gate
+#: exercises real subsampling, not the degenerate keep-everything
+#: sketch), the deterministic coin seed, and the served quantile probes.
+RSK_K = 16
+RSK_SEED = 0
+RSK_PROBES_PPM = [250_000, 500_000, 750_000, 900_000]
+
+
+def q_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable rank/quantile sketch, built + served + audited
+    (operators/sketches.py: rank_sketch_build/quantiles — the
+    random-sampling quantile summary of Agarwal et al., "Mergeable
+    Summaries", PODS 2012, the quantile complement of the gated MG/CMS
+    sketch family; KLL FOCS'16 is the compactor-hierarchy refinement of
+    the same family): per source, retain the ~k docs whose md5-geometric
+    level clears the group's sampling level, then serve quantile
+    estimates at {probes} ppm as exact index cuts into the retained
+    sample. The audit columns measure the sketch's true rank error
+    exactly — per (source, probe): the estimate's exact rank in the
+    FULL group, the target rank ceil(q*n), and |exact - target| in ppm
+    of n — the number that prices k against accuracy, the
+    heavy_hitters/ann_recall audit discipline. Deterministic md5 coins
+    make the retained set engine-reproducible (the CMS discipline), so
+    every served value is oracle-gated; merge == rebuild is EXACT
+    (nested levels) and pinned in tests. 100 TB shape: one map-side
+    level computation + one |groups|-row broadcast meta join + one
+    window over the ~k-per-group retained state; the audit join
+    broadcasts |groups|*|probes| rows against one corpus scan.
+
+    r15-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against RANK_SKETCH_ORACLE pinned in
+    tests/test_r16_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sketches import (
+        rank_sketch_build,
+        rank_sketch_quantiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = rank_sketch_build(
+        docs, "doc_id", "n_chars", k=RSK_K, by=["source"], seed=RSK_SEED
+    )
+    est = rank_sketch_quantiles(
+        state, "doc_id", "n_chars", RSK_PROBES_PPM, by=["source"]
+    )
+    e = F.broadcast(
+        est.select(
+            F.col("source").alias("__g"),
+            "q_ppm",
+            "est_value",
+            "n_total",
+            "n_retained",
+            "lvl",
+        )
+    )
+    audited = (
+        docs.where(F.col("n_chars").isNotNull())
+        .join(e, F.col("source").eqNullSafe(F.col("__g")))
+        .groupBy("__g", "q_ppm", "est_value", "n_total", "n_retained", "lvl")
+        .agg(
+            F.sum(
+                F.when(F.col("n_chars") <= F.col("est_value"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_rank")
+        )
+    )
+    target = F.expr("(q_ppm * n_total + 999999) div 1000000")
+    return audited.select(
+        F.col("__g").alias("source"),
+        "q_ppm",
+        "est_value",
+        "n_total",
+        "n_retained",
+        F.col("lvl").cast("int").alias("lvl"),
+        "exact_rank",
+        target.cast("long").alias("target_rank"),
+        F.expr(
+            "abs(exact_rank - ((q_ppm * n_total + 999999) div 1000000))"
+            " * 1000000 div n_total"
+        )
+        .cast("long")
+        .alias("rank_err_ppm"),
+    )
+
+
+q_rank_sketch.__doc__ = q_rank_sketch.__doc__.format(probes=RSK_PROBES_PPM)
+
+
+#: Canonical q_rank_sketch oracle: the md5-geometric level, the integer
+#: sampling-level formula, the retained-sample index cut and the exact
+#: rank audit all recomputed in DuckDB (portable-hash pillar:
+#: CAST('0x'||substr(md5,1,15) AS BIGINT) == Spark conv(...,16,10);
+#: bit-length via length(bin(x)) == Spark length(conv(x,10,2))).
+RANK_SKETCH_ORACLE = f"""
+    WITH d AS (
+      SELECT source, doc_id, n_chars,
+             CAST('0x' || substr(md5('{RSK_SEED}|rsk|' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    lv AS (
+      SELECT source, doc_id, n_chars,
+             CASE WHEN (h % 1099511627776) = 0 THEN 40
+                  ELSE length(bin((h % 1099511627776)
+                                  & -(h % 1099511627776))) - 1 END AS level
+      FROM d
+    ),
+    meta AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+             CASE WHEN (COUNT(*) + {RSK_K - 1}) // {RSK_K} <= 1 THEN 0
+                  ELSE length(bin((COUNT(*) + {RSK_K - 1}) // {RSK_K} - 1))
+             END AS lvl
+      FROM lv GROUP BY source
+    ),
+    ret AS (
+      SELECT lv.source, lv.doc_id, lv.n_chars, m.n_total, m.lvl
+      FROM lv JOIN meta m ON lv.source IS NOT DISTINCT FROM m.source
+      WHERE lv.level >= m.lvl
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars, n_total, lvl,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_ret
+      FROM ret
+    ),
+    est AS (
+      SELECT r.source, p.q_ppm, r.n_chars AS est_value, r.n_total,
+             r.n_ret AS n_retained, r.lvl
+      FROM r CROSS JOIN (
+        SELECT CAST(unnest([{", ".join(str(q) for q in RSK_PROBES_PPM)}])
+                    AS BIGINT) AS q_ppm) p
+      WHERE r.rn = greatest(1, (p.q_ppm * r.n_ret + 999999) // 1000000)
+    ),
+    ex AS (
+      SELECT e.source, e.q_ppm,
+             CAST(COUNT(*) FILTER (WHERE lv.n_chars <= e.est_value)
+                  AS BIGINT) AS exact_rank
+      FROM est e JOIN lv ON lv.source IS NOT DISTINCT FROM e.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source, e.q_ppm, e.est_value, e.n_total, e.n_retained,
+           CAST(e.lvl AS INT) AS lvl, ex.exact_rank,
+           CAST((e.q_ppm * e.n_total + 999999) // 1000000 AS BIGINT)
+             AS target_rank,
+           CAST(abs(ex.exact_rank
+                    - (e.q_ppm * e.n_total + 999999) // 1000000)
+                * 1000000 // e.n_total AS BIGINT) AS rank_err_ppm
+    FROM est e
+    JOIN ex ON ex.source IS NOT DISTINCT FROM e.source
+           AND ex.q_ppm = e.q_ppm
+"""
+
+
+#: Fellegi-Sunter staging constants: per-field (m, u) agreement
+#: probabilities in ppm — name trigram similarity is the discriminative
+#: field, segment/nation/balance carry the block structure — the
+#: integer log2-weights they derive (fs_weights_ppm, baked host-side so
+#: both engines consume the same literals), the name-agreement floor,
+#: the balance-agreement band, and the two decision thresholds.
+from chess_lakehouse_spark.operators.linkage import fs_weights_ppm
+
+FS_NAME_W = fs_weights_ppm(950_000, 50_000)
+FS_SEG_W = fs_weights_ppm(900_000, 200_000)
+FS_NAT_W = fs_weights_ppm(900_000, 40_000)
+FS_BAL_W = fs_weights_ppm(800_000, 100_000)
+FS_NAME_AGREE_PPM = 850_000
+FS_BAL_AGREE_CENTS = 50_000
+FS_LOWER_PPM = 0
+FS_UPPER_PPM = 6_000_000
+
+
+def q_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter match scoring over the staged record-linkage
+    comparison vectors (operators/linkage.py: fs_match_score — the
+    decision stage of Fellegi & Sunter JASA 1969, completing the r13
+    blocking + comparison pipeline): each field votes its integer-ppm
+    log2 likelihood-ratio weight (agreement weight when its predicate
+    holds, disagreement weight when it fails, 0 when incomparable), the
+    sum cuts into match / possible / nonmatch at the two thresholds.
+    Weights derive from per-field (m, u) probabilities via
+    fs_weights_ppm HOST-SIDE, so the distributed plan and the oracle
+    consume identical integer literals — zero float drift surface. Pure
+    column arithmetic over q_record_linkage's gated output: the
+    decision stage adds zero shuffles at any scale.
+
+    r15-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against LINKAGE_SCORE_ORACLE (built on RECORD_LINKAGE_ORACLE
+    verbatim as a CTE — the vectors cannot drift from the registered
+    query) pinned in tests/test_r16_candidates.py at two scales +
+    cold-JVM; registration at a window re-plan is a dict + window
+    edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.linkage import fs_match_score
+
+    base = q_record_linkage(spark, sf_dir)
+    return fs_match_score(
+        base,
+        [
+            (F.col("name_jac_ppm") >= FS_NAME_AGREE_PPM, *FS_NAME_W),
+            (F.col("seg_match"), *FS_SEG_W),
+            (F.col("nation_match"), *FS_NAT_W),
+            (F.col("bal_diff_cents") <= FS_BAL_AGREE_CENTS, *FS_BAL_W),
+        ],
+        lower_ppm=FS_LOWER_PPM,
+        upper_ppm=FS_UPPER_PPM,
+    )
+
+
+def _fs_case(pred: str, w: tuple[int, int]) -> str:
+    return (
+        f"CASE WHEN {pred} THEN CAST({w[0]} AS BIGINT)"
+        f" WHEN NOT ({pred}) THEN CAST({w[1]} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+#: Canonical q_linkage_score oracle — RECORD_LINKAGE_ORACLE verbatim as
+#: the vector CTE (the qc_card_signals composition discipline), the
+#: same baked integer weights, the same three-region cut.
+LINKAGE_SCORE_ORACLE = f"""
+    WITH base AS ({{record_linkage}}),
+    scored AS (
+      SELECT *,
+             {_fs_case(f"name_jac_ppm >= {FS_NAME_AGREE_PPM}", FS_NAME_W)}
+           + {_fs_case("seg_match", FS_SEG_W)}
+           + {_fs_case("nation_match", FS_NAT_W)}
+           + {_fs_case(f"bal_diff_cents <= {FS_BAL_AGREE_CENTS}", FS_BAL_W)}
+             AS score_ppm
+      FROM base
+    )
+    SELECT id_a, id_b, name_jac_ppm, seg_match, nation_match,
+           bal_diff_cents, score_ppm,
+           CASE WHEN score_ppm >= {FS_UPPER_PPM} THEN 'match'
+                WHEN score_ppm <= {FS_LOWER_PPM} THEN 'nonmatch'
+                ELSE 'possible' END AS decision
+    FROM scored
+"""
+LINKAGE_SCORE_ORACLE = LINKAGE_SCORE_ORACLE.format(
+    record_linkage=RECORD_LINKAGE_ORACLE
+)
+
+
+#: IVF+PQ composed-serving staging constants: probe list fan-out and
+#: the ADC shortlist size (the exact re-rank pool — TWO_STAGE_POOL, the
+#: same knob the gated two-stage serve uses).
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_dir(sf_dir: str) -> str:
+    return _scratch_dir("ivfpq", sf_dir)
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN read path, staged end to end
+    (operators/similarity.py: publish_ivfpq_index + search_ivfpq_index —
+    the IVFADC system of Jégou-Douze-Schmid TPAMI 2011): k-means-trained
+    IVF lists (the gated knn_ivf_kmeans trainer) + per-slice PQ
+    codebooks (the gated knn_pq_adc trainer) publish as ONE lake index
+    — Hive-partitioned by list_id with the m-int codes column beside
+    the raw vector — and the serve composes all three 100 TB cost cuts:
+    partition-prune to the probes' {nprobe} ranked lists, ADC-score the
+    survivors reading ONLY the codes column (column pruning — the scan
+    never materializes raw vectors), shortlist {pool} per query, exact
+    cosine re-rank for the final top-{k}. The index publishes once per
+    process under the _scratch_dir root (pure function of sf_dir — the
+    _feed_once discipline); every serve reads the published sidecar
+    models, never the in-session trainers, so build and serve cannot
+    drift.
+
+    r15-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against KNN_IVFPQ_ORACLE (the knn_ivf_kmeans chain and each
+    PQ slice chain unrolled in one SQL — assignment, codes, ADC
+    shortlist, exact re-rank) pinned in tests/test_r16_candidates.py at
+    two scales + cold-JVM; registration at a window re-plan is a dict +
+    window edit."""
+    import os
+
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.similarity import (
+        kmeans_fit,
+        pq_train,
+        publish_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = _ivfpq_dir(sf_dir)
+    idx = f"{root}/index"
+    marker = f"{root}/_published"
+    if not os.path.exists(marker):
+        cents = kmeans_fit(
+            emb, "vec_id", "embedding",
+            k=KMEANS_K, iters=KMEANS_ITERS, seed=KMEANS_SEED,
+        )
+        books = pq_train(
+            emb, "vec_id", "embedding",
+            m=PQ_M, k=PQ_K, iters=PQ_ITERS, seed=PQ_SEED,
+        )
+        publish_ivfpq_index(
+            emb, idx, "vec_id", "embedding", cents, books, batch_id="base"
+        )
+        open(marker, "w").close()
+    probes = emb.where(F.col("vec_id") < KNN_PROBES)
+    return search_ivfpq_index(
+        spark, idx, probes, "vec_id", "embedding",
+        nprobe=IVFPQ_NPROBE, pool=TWO_STAGE_POOL, k=KNN_K,
+    )
+
+
+q_knn_ivfpq.__doc__ = q_knn_ivfpq.__doc__.format(
+    nprobe=IVFPQ_NPROBE, pool=TWO_STAGE_POOL, k=KNN_K
+)
+
+
+def _ivfpq_oracle_sql() -> str:
+    """The composed IVFADC oracle: the knn_ivf_kmeans centroid chain
+    (c0 -> c1 -> c2, assignment, probe lists) and every PQ slice chain
+    (_pq_sub_ctes — shared generator, the definitions cannot drift)
+    unrolled in ONE statement, then the engine's exact serve algebra:
+    candidates = probed lists minus self, ADC = ROUND(sum of slice
+    dots, 6) with (ADC DESC, cand ASC) shortlist of TWO_STAGE_POOL,
+    exact-cosine re-rank top KNN_K."""
+    dim = 64
+    d = dim // PQ_M
+    slices = ",\n    ".join(
+        _pq_sub_ctes(s, s * d + 1, (s + 1) * d) for s in range(PQ_M)
+    )
+    enc_joins = "\n      ".join(
+        f"JOIN enc_{s} t{s} ON t{s}.vec_id = c.cand_id" for s in range(PQ_M)
+    )
+    cb_joins = "\n      ".join(
+        f"JOIN c1_{s} cs{s} ON cs{s}.cid = t{s}.code" for s in range(PQ_M)
+    )
+    adc_terms = " + ".join(
+        f"list_dot_product(c.qv[{s * d + 1}:{(s + 1) * d}], cs{s}.cv)"
+        for s in range(PQ_M)
+    )
+    cos = _COS.format(a="sh.qv", b="sh.cv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cid, v AS cv FROM (
+        SELECT v, row_number() OVER (
+          ORDER BY md5('{KMEANS_SEED}|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e
+      ) WHERE rn <= {KMEANS_K}
+    ),
+    {_kmeans_iter_ctes("c0", 1)},
+    {_kmeans_iter_ctes("c1", 2)},
+    assigned AS (
+      SELECT e.vec_id, e.v, a.cid AS list_id
+      FROM e, LATERAL (
+        SELECT c.cid FROM c2 c
+        ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC, c.cid ASC LIMIT 1
+      ) a
+    ),
+    ids AS (
+      SELECT vec_id, CAST(rn - 1 AS INT) AS cid FROM (
+        SELECT vec_id, row_number() OVER (
+          ORDER BY md5('{PQ_SEED}|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e
+      ) WHERE rn <= {PQ_K}
+    ),
+    {slices},
+    p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {KNN_PROBES}),
+    plists AS (
+      SELECT p.query_id, p.qv, a.cid AS list_id
+      FROM p, LATERAL (
+        SELECT c.cid FROM c2 c
+        ORDER BY {_COS.format(a="p.qv", b="c.cv")} DESC, c.cid ASC
+        LIMIT {IVFPQ_NPROBE}
+      ) a
+    ),
+    cand AS (
+      SELECT pl.query_id, pl.qv, t.vec_id AS cand_id, t.v AS cv
+      FROM plists pl
+      JOIN assigned t ON t.list_id = pl.list_id AND t.vec_id <> pl.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.qv, c.cand_id, c.cv,
+             ROUND({adc_terms}, 6) AS sim_adc
+      FROM cand c
+      {enc_joins}
+      {cb_joins}
+    ),
+    sh AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim_adc DESC, cand_id ASC) AS crk
+        FROM adc
+      ) WHERE crk <= {TWO_STAGE_POOL}
+    ),
+    s AS (SELECT sh.query_id, sh.cand_id, {cos} AS sim FROM sh)
+    SELECT query_id, cand_id, sim, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rk
+      FROM s
+    ) WHERE rk <= {KNN_K}
+"""
+
+
+KNN_IVFPQ_ORACLE = _ivfpq_oracle_sql()
+
+
 # registered at the r13 window re-plan (suite/__init__.py): nine staged
 # candidates promoted verbatim from STAGED_CANDIDATES — the four
 # r11-staged (length_histogram, shard_skew, quantile_normalize,
@@ -7263,4 +7677,14 @@ STAGED_CANDIDATES = {
     # the audit shares its ground-truth CTEs with the queries it grades
     # (the ann_recall discipline)
     "pq_recall": (q_pq_recall, PQ_RECALL_ORACLE),
+    # staged in the r14 build session (tests/test_r16_candidates.py:
+    # two-scale exact parity + cold-JVM ANSI + plan guards) — the
+    # quantile sketch completing the MG/CMS/HLL family, the
+    # Fellegi-Sunter decision stage completing the r13 linkage
+    # pipeline (oracle composes RECORD_LINKAGE_ORACLE verbatim), and
+    # the composed IVFADC lake serve gating the production ANN read
+    # path end to end
+    "rank_sketch": (q_rank_sketch, RANK_SKETCH_ORACLE),
+    "linkage_score": (q_linkage_score, LINKAGE_SCORE_ORACLE),
+    "knn_ivfpq": (q_knn_ivfpq, KNN_IVFPQ_ORACLE),
 }

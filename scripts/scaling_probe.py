@@ -1456,6 +1456,96 @@ def main() -> None:
 
             probe("pq_adc", factor, _pq)
 
+        if only_ops is None or {
+            "rank_sketch", "linkage_score", "knn_ivfpq"
+        } & only_ops:
+            # r14-staged candidates. rank_sketch: map-side md5 level +
+            # one |groups|-row broadcast meta join + a window over the
+            # ~k-per-group retained state + the broadcast audit join —
+            # scan-bound, expected linear. linkage_score: blocking pairs
+            # + one-field q-gram Jaccard + map-side FS scoring; the
+            # blocking key here GROWS with the corpus (doc_id div 16 —
+            # constant bucket size, the scale prescription from the r13
+            # fixed-cardinality analysis), so pairs grow linearly and
+            # the curve measures machinery, not output explosion.
+            # knn_ivfpq: both trainers + partitioned publish + pruned
+            # codes-only ADC + exact re-rank — linear in the scan,
+            # publish shuffle included.
+            from chess_lakehouse_spark.operators.linkage import (
+                blocking_pairs,
+                fs_match_score,
+                fs_weights_ppm,
+                pair_field_jaccard_ppm,
+            )
+            from chess_lakehouse_spark.operators.sketches import (
+                rank_sketch_build,
+                rank_sketch_quantiles,
+            )
+            from chess_lakehouse_spark.operators.similarity import (
+                kmeans_fit,
+                pq_train,
+                publish_ivfpq_index,
+                search_ivfpq_index,
+            )
+
+            def _rsk():
+                st = rank_sketch_build(
+                    docs, "doc_id", "n_chars", k=64, by=["source"], seed=0
+                )
+                return rank_sketch_quantiles(
+                    st, "doc_id", "n_chars",
+                    [250_000, 500_000, 750_000, 900_000], by=["source"],
+                ).count()
+
+            probe("rank_sketch", factor, _rsk)
+
+            def _lsc():
+                recs = docs.select(
+                    "doc_id",
+                    F.expr("doc_id div 16").alias("blk"),
+                    F.substring("text", 1, 48).alias("nm"),
+                    "lang",
+                )
+                pairs = blocking_pairs(
+                    recs,
+                    "doc_id",
+                    {"blk": [F.col("blk")],
+                     "blk_lang": [F.col("blk"), F.col("lang")]},
+                    max_bucket_size=1000,
+                )
+                vec = pair_field_jaccard_ppm(
+                    pairs, recs, "doc_id", "nm", q=3, out_col="nm_jac_ppm"
+                )
+                scored = fs_match_score(
+                    vec,
+                    [(F.col("nm_jac_ppm") >= 600_000,
+                      *fs_weights_ppm(900_000, 100_000))],
+                    lower_ppm=0,
+                    upper_ppm=2_000_000,
+                )
+                return scored.count()
+
+            probe("linkage_score", factor, _lsc)
+
+            def _ivfpq():
+                cents = kmeans_fit(
+                    emb, "vec_id", "embedding", k=8, iters=1, seed=0
+                )
+                books = pq_train(
+                    emb, "vec_id", "embedding", m=2, k=8, iters=1, seed=0
+                )
+                idx = tempfile.mkdtemp(prefix="ivfpqx_", dir=tmp) + "/index"
+                publish_ivfpq_index(
+                    emb, idx, "vec_id", "embedding", cents, books
+                )
+                pr = emb.where(F.col("vec_id") < 10)
+                return search_ivfpq_index(
+                    spark, idx, pr, "vec_id", "embedding", cents, books,
+                    nprobe=2, pool=20, k=5,
+                ).count()
+
+            probe("knn_ivfpq", factor, _ivfpq)
+
         if only_ops is None or {"pagerank_5it"} & only_ops:
             # PageRank over a synthetic host graph whose |V| and |E| both
             # grow with the corpus (md5-derived edges — near-uniform

@@ -218,3 +218,46 @@ def test_top_k_per_group_null_group(spark):
         ),
         _docs(spark),
     )
+
+
+def test_rank_sketch_null_group(spark):
+    """rank_sketch_build/quantiles (r14): the group-meta broadcast join
+    and the audit join are NULL-safe; the row hash keys on doc_id only,
+    so substitution commutes. Covers build, merge and serve."""
+    from chess_lakehouse_spark.operators.sketches import (
+        rank_sketch_build,
+        rank_sketch_merge,
+        rank_sketch_quantiles,
+    )
+
+    df = _docs(spark)
+    _assert_commutes(
+        lambda d: rank_sketch_build(d, "doc_id", "score", 3, by=["source"]), df
+    )
+    _assert_commutes(
+        lambda d: rank_sketch_merge(
+            [
+                rank_sketch_build(
+                    d.where(F.col("doc_id") % 2 == i),
+                    "doc_id",
+                    "score",
+                    3,
+                    by=["source"],
+                )
+                for i in range(2)
+            ],
+            k=3,
+            by=["source"],
+        ),
+        df,
+    )
+    _assert_commutes(
+        lambda d: rank_sketch_quantiles(
+            rank_sketch_build(d, "doc_id", "score", 3, by=["source"]),
+            "doc_id",
+            "score",
+            [500_000],
+            by=["source"],
+        ),
+        df,
+    )
