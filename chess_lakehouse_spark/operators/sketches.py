@@ -743,3 +743,52 @@ def rank_sketch_quantiles(
             "lvl",
         )
     )
+
+
+def write_rank_sketch_batch(partial: DataFrame, state_dir: str, batch_id) -> None:
+    """Stage one batch's rank-sketch partial (a :func:`rank_sketch_build`
+    over that batch's rows) as its own ``batch_id=<id>`` partition — the
+    module-wide replay-safe state layout (see ``write_mg_batch``): the
+    partial is a pure function of the batch, so a crash-replayed batch
+    republishes its OWN partition value-identically; publish rides the
+    rename-aside swap. Distinct ingests MUST use distinct batch_ids and
+    disjoint row sets (the mg/CMS batch contract — levels make the
+    MERGE exact only over disjoint builds)."""
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    root = state_dir.rstrip("/")
+    live = f"{root}/batch_id={batch_id}"
+    tmp = f"{root}/.staging-batch_id={batch_id}"
+    partial.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_lake_dirs(partial.sparkSession, tmp, live, "write_rank_sketch_batch")
+
+
+def rank_sketch_from_batches(
+    spark,
+    state_dir: str,
+    k: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Serve the merged rank sketch from staged batch partials with ZERO
+    raw-table access: read the ``batch_id=`` partitions, re-merge via
+    :func:`rank_sketch_merge` (per-group n* = Σ batch n, one re-filter
+    to the union's level — bit-identical to a direct build over the
+    union, the nesting property). The batch list is |batches|-bounded
+    (one distinct over the partition column, never data-volume)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        state = spark.read.parquet(state_dir.rstrip("/"))
+        batch_ids = sorted(
+            r["batch_id"] for r in state.select("batch_id").distinct().collect()
+        )  # |batches| rows
+    except AnalysisException as exc:
+        raise ValueError(
+            f"rank_sketch_from_batches: empty state at {state_dir}"
+        ) from exc
+    if not batch_ids:
+        raise ValueError(f"rank_sketch_from_batches: empty state at {state_dir}")
+    parts = [
+        state.where(F.col("batch_id") == b).drop("batch_id") for b in batch_ids
+    ]
+    return rank_sketch_merge(parts, k=k, by=by)

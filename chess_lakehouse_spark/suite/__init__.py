@@ -442,10 +442,18 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # arithmetic (tests/test_suite_order.py computes P dynamically).
 # COMMITTED r15 plan: bump the budget FIRST, then (1) the 6 age-bound
 # r11-green above MUST take slots; (2) register R of the staged
-# manifest, oldest staged evidence first (stream_sessionize,
-# heavy_hitters_staged, stream_dedup_watermark carried since r12, then
-# pq_recall and whatever the r14 build session stages); (3) fill the
-# remaining 50 - 6 - R slots with the stalest r12-green. Verify with
+# manifest, oldest staged evidence first — the manifest holds NINE
+# after the r14 build session: the three r12-staged carries
+# (stream_sessionize, heavy_hitters_staged, stream_dedup_watermark),
+# the r13-staged pq_recall, and five staged in r14 (rank_sketch,
+# linkage_score, knn_ivfpq, rank_sketch_staged, linkage_entities —
+# tests/test_r16_candidates.py: two-scale exact parity + cold-JVM ANSI
+# + plan guards each); (3) fill the remaining 50 - 6 - R slots with
+# the stalest r12-green. Registering R of the nine raises N to 156 + R
+# past the next P boundary only at R >= 45, so P stays 4 and the bound
+# stays 3 — there is NO self-balancing slack this round: the 6
+# age-bound rows plus R <= 9 registrations leave 50 - 6 - R >= 35
+# refresh slots, and the stalest r12-green MUST fill them. Verify with
 # tests/test_suite_order.py before committing, as always.
 WINDOW_BUDGETED_FOR = 14
 

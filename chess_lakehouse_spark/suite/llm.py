@@ -7225,48 +7225,7 @@ def q_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = rank_sketch_build(
         docs, "doc_id", "n_chars", k=RSK_K, by=["source"], seed=RSK_SEED
     )
-    est = rank_sketch_quantiles(
-        state, "doc_id", "n_chars", RSK_PROBES_PPM, by=["source"]
-    )
-    e = F.broadcast(
-        est.select(
-            F.col("source").alias("__g"),
-            "q_ppm",
-            "est_value",
-            "n_total",
-            "n_retained",
-            "lvl",
-        )
-    )
-    audited = (
-        docs.where(F.col("n_chars").isNotNull())
-        .join(e, F.col("source").eqNullSafe(F.col("__g")))
-        .groupBy("__g", "q_ppm", "est_value", "n_total", "n_retained", "lvl")
-        .agg(
-            F.sum(
-                F.when(F.col("n_chars") <= F.col("est_value"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("exact_rank")
-        )
-    )
-    target = F.expr("(q_ppm * n_total + 999999) div 1000000")
-    return audited.select(
-        F.col("__g").alias("source"),
-        "q_ppm",
-        "est_value",
-        "n_total",
-        "n_retained",
-        F.col("lvl").cast("int").alias("lvl"),
-        "exact_rank",
-        target.cast("long").alias("target_rank"),
-        F.expr(
-            "abs(exact_rank - ((q_ppm * n_total + 999999) div 1000000))"
-            " * 1000000 div n_total"
-        )
-        .cast("long")
-        .alias("rank_err_ppm"),
-    )
+    return _rank_sketch_audit(docs, state)
 
 
 q_rank_sketch.__doc__ = q_rank_sketch.__doc__.format(probes=RSK_PROBES_PPM)
@@ -7336,6 +7295,106 @@ RANK_SKETCH_ORACLE = f"""
     JOIN ex ON ex.source IS NOT DISTINCT FROM e.source
            AND ex.q_ppm = e.q_ppm
 """
+
+
+def _rank_sketch_audit(docs, state):
+    """The serve + exact-rank-error audit tail SHARED by q_rank_sketch
+    and q_rank_sketch_staged (one definition — the qc_signal_frames
+    discipline: a serving layout may never change the audit), from a
+    built/merged sketch state: quantile estimates at RSK_PROBES_PPM,
+    then the broadcast audit join measuring each estimate's true rank
+    against its target in exact ppm."""
+    from chess_lakehouse_spark.operators.sketches import rank_sketch_quantiles
+
+    est = rank_sketch_quantiles(
+        state, "doc_id", "n_chars", RSK_PROBES_PPM, by=["source"]
+    )
+    e = F.broadcast(
+        est.select(
+            F.col("source").alias("__g"),
+            "q_ppm",
+            "est_value",
+            "n_total",
+            "n_retained",
+            "lvl",
+        )
+    )
+    audited = (
+        docs.where(F.col("n_chars").isNotNull())
+        .join(e, F.col("source").eqNullSafe(F.col("__g")))
+        .groupBy("__g", "q_ppm", "est_value", "n_total", "n_retained", "lvl")
+        .agg(
+            F.sum(
+                F.when(F.col("n_chars") <= F.col("est_value"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_rank")
+        )
+    )
+    target = F.expr("(q_ppm * n_total + 999999) div 1000000")
+    return audited.select(
+        F.col("__g").alias("source"),
+        "q_ppm",
+        "est_value",
+        "n_total",
+        "n_retained",
+        F.col("lvl").cast("int").alias("lvl"),
+        "exact_rank",
+        target.cast("long").alias("target_rank"),
+        F.expr(
+            "abs(exact_rank - ((q_ppm * n_total + 999999) div 1000000))"
+            " * 1000000 div n_total"
+        )
+        .cast("long")
+        .alias("rank_err_ppm"),
+    )
+
+
+def q_rank_sketch_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged-lifecycle twin of q_rank_sketch (operators/sketches.py:
+    write_rank_sketch_batch + rank_sketch_from_batches — the
+    heavy_hitters_staged discipline): three disjoint ingest batches each
+    stage their OWN rank-sketch partial as a ``batch_id=`` partition
+    (rename-aside swap, crash-replay value-identical), the serve merges
+    the staged partials with ZERO raw-table access for the sketch state
+    (the audit tail still scans the corpus — that is the audit's job),
+    and the output passes the SAME oracle VERBATIM as the single-pass
+    build: the nesting property makes merge == rebuild an equality, so
+    a serving layout can never change the served quantiles — the
+    bloom_gate_table discipline, machine-enforced by the shared oracle.
+
+    r15-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against RANK_SKETCH_ORACLE (verbatim — the layout may never
+    change the verdict) pinned in tests/test_r16_candidates.py at two
+    scales + cold-JVM; registration at a window re-plan is a dict +
+    window edit."""
+    import os
+
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.sketches import (
+        rank_sketch_build,
+        rank_sketch_from_batches,
+        write_rank_sketch_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _scratch_dir("rsketch", sf_dir)
+    state_dir = f"{root}/state"
+    marker = f"{root}/_staged"
+    if not os.path.exists(marker):
+        for i in range(3):
+            part = rank_sketch_build(
+                docs.where(F.col("doc_id") % 3 == i),
+                "doc_id",
+                "n_chars",
+                k=RSK_K,
+                by=["source"],
+                seed=RSK_SEED,
+            )
+            write_rank_sketch_batch(part, state_dir, f"b{i}")
+        open(marker, "w").close()
+    state = rank_sketch_from_batches(spark, state_dir, k=RSK_K, by=["source"])
+    return _rank_sketch_audit(docs, state)
 
 
 #: Fellegi-Sunter staging constants: per-field (m, u) agreement
@@ -7425,6 +7484,94 @@ LINKAGE_SCORE_ORACLE = f"""
 LINKAGE_SCORE_ORACLE = LINKAGE_SCORE_ORACLE.format(
     record_linkage=RECORD_LINKAGE_ORACLE
 )
+
+
+def q_linkage_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END TO END — the full Fellegi-Sunter pipeline
+    closed with the fuse stage (blocking -> per-field comparison ->
+    match scoring -> transitive entity fusion): the staged
+    q_linkage_score's 'match' pairs feed the gated connected-components
+    operator (min-label canonical, operators/graph.py — the
+    dedup_clusters machinery reused on the ER graph), every customer
+    gets its entity id (component representative, own id for
+    singletons), plus the entity's member count and a canonical flag.
+    At sf0.001 the match graph is empty — the zero-edge serve is a
+    stated parity case (all singletons); sf0.01 carries real
+    multi-member entities. 100 TB shape: the edge list is match-pruned
+    (far below the corpus), components are the LSH-family hybrid
+    (driver union-find under the bound, distributed min-label loop
+    past it), membership is one groupBy + one keyed join.
+
+    r15-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against LINKAGE_ENTITIES_ORACLE (LINKAGE_SCORE_ORACLE
+    embedded verbatim + the recursive-CTE reachability oracle the
+    dedup_clusters gate uses) pinned in tests/test_r16_candidates.py at
+    two scales + cold-JVM; registration at a window re-plan is a dict +
+    window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.graph import connected_components
+
+    matches = (
+        q_linkage_score(spark, sf_dir)
+        .where(F.col("decision") == "match")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(matches)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ent = cust.join(
+        comp.select(F.col("id").alias("c_custkey"), "component"),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey",
+        F.coalesce("component", F.col("c_custkey")).alias("entity_id"),
+    )
+    sizes = ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        ent.join(sizes, "entity_id")
+        .select(
+            "c_custkey",
+            "entity_id",
+            "n_members",
+            (F.col("c_custkey") == F.col("entity_id")).alias("is_canonical"),
+        )
+    )
+
+
+#: Canonical q_linkage_entities oracle — LINKAGE_SCORE_ORACLE verbatim
+#: as the scored CTE, match-filtered edges, the recursive reachability
+#: fold the dedup_clusters gate uses, singleton fill + member counts.
+LINKAGE_ENTITIES_ORACLE = f"""
+    WITH RECURSIVE scored AS ({LINKAGE_SCORE_ORACLE}),
+    m AS (SELECT id_a, id_b FROM scored WHERE decision = 'match'),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM m
+      UNION
+      SELECT id_b, id_a FROM m
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    ent AS (
+      SELECT c.c_custkey,
+             COALESCE(p.component, c.c_custkey) AS entity_id
+      FROM customer c LEFT JOIN comp p ON p.id = c.c_custkey
+    ),
+    sizes AS (
+      SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM ent GROUP BY entity_id
+    )
+    SELECT e.c_custkey, e.entity_id, s.n_members,
+           e.c_custkey = e.entity_id AS is_canonical
+    FROM ent e JOIN sizes s USING (entity_id)
+"""
+
+
 
 
 #: IVF+PQ composed-serving staging constants: probe list fan-out and
@@ -7687,4 +7834,11 @@ STAGED_CANDIDATES = {
     "rank_sketch": (q_rank_sketch, RANK_SKETCH_ORACLE),
     "linkage_score": (q_linkage_score, LINKAGE_SCORE_ORACLE),
     "knn_ivfpq": (q_knn_ivfpq, KNN_IVFPQ_ORACLE),
+    # the staged-lifecycle twin serves RANK_SKETCH_ORACLE verbatim —
+    # the bloom_gate_table discipline: a serving layout may never
+    # change the audit verdict
+    "rank_sketch_staged": (q_rank_sketch_staged, RANK_SKETCH_ORACLE),
+    # entity fusion over the scored match graph — the full ER pipeline
+    # gated end to end; oracle embeds LINKAGE_SCORE_ORACLE verbatim
+    "linkage_entities": (q_linkage_entities, LINKAGE_ENTITIES_ORACLE),
 }
