@@ -792,3 +792,35 @@ def rank_sketch_from_batches(
         state.where(F.col("batch_id") == b).drop("batch_id") for b in batch_ids
     ]
     return rank_sketch_merge(parts, k=k, by=by)
+
+
+def compact_rank_sketch_state(
+    spark,
+    state_dir: str,
+    k: int,
+    by: list[str] | None = None,
+) -> None:
+    """Refold the accumulated rank-sketch batch partitions into ONE
+    ``batch_id=compacted`` partial — the ``compact_rollup`` REFOLD
+    semantics, NOT the row-preserving ``compact_stream_state`` merge:
+    a rank-sketch partial's rows carry their batch's per-group count
+    (``n_total``), so merging two batches' ROWS under one label would
+    leave two different counts per group and a later serve would pick
+    one arbitrarily (undercounting n*). The refold instead serves the
+    merge once (:func:`rank_sketch_merge` — exact by nesting) and
+    publishes the MERGED partial, whose uniform per-group n* makes it a
+    valid batch for every future merge. Rename-aside swap via a
+    temporary sibling root so a crash mid-compaction leaves the old
+    partitions readable."""
+    import shutil
+
+    from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
+
+    root = state_dir.rstrip("/")
+    merged = rank_sketch_from_batches(spark, root, k=k, by=by)
+    tmp_root = f"{root}.compacting"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_root}/batch_id=compacted"
+    )
+    _swap_lake_dirs(spark, tmp_root, root, "compact_rank_sketch_state")

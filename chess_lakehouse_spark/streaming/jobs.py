@@ -1875,3 +1875,48 @@ def stream_heavy_hitters(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_rank_sketch(
+    new_rows: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    value_col: str,
+    k: int,
+    by: list[str] | None = None,
+    seed: int = 0,
+) -> None:
+    """Streaming maintenance of the mergeable rank/quantile sketch
+    (operators/sketches.py — the eleventh stateful loop, the
+    stream_rollup structural-idempotency class): every micro-batch
+    builds its OWN rank-sketch partial (a pure function of the batch's
+    rows — deterministic md5 coins) and stages it as its own
+    ``batch_id=b<N>`` partition via the rename-aside swap. The fold
+    reads NO staged state, so a crash-replayed micro-batch republishes
+    its partition value-identically with no exclusion filter needed.
+    Serving stays :func:`rank_sketch_from_batches` on the same
+    directory — the merge is EXACT (nesting), so the streamed sketch
+    serves bit-identically to a batch build over the union (pinned in
+    tests/test_streaming.py). Compact with ``compact_rank_sketch_state``
+    (the REFOLD form — the row-preserving ``compact_stream_state`` merge
+    would mix per-batch counts and is NOT applicable to this state
+    layout; see the operator docstring)."""
+    from chess_lakehouse_spark.operators.sketches import (
+        rank_sketch_build,
+        write_rank_sketch_batch,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = rank_sketch_build(
+            batch_df, id_col, value_col, k=k, by=by, seed=seed
+        )
+        write_rank_sketch_batch(part, state_dir, f"b{batch_id}")
+
+    q = (
+        new_rows.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

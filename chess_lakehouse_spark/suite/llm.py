@@ -7003,7 +7003,12 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_nation_bal": [
             F.col("c_mktsegment"),
             F.col("c_nationkey"),
-            F.expr("CAST(c_acctbal AS INT) div 1000"),
+            # band the EXACT integer cents (the bal_diff_cents pillar),
+            # never CAST(double AS INT): DuckDB rounds that cast
+            # (half-even), Spark truncates, and the divergent balk keys
+            # produced a real sf0.1 row-set mismatch (r14 find) —
+            # integer div after half-away ROUND is portable
+            F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) div 100000"),
         ],
         "name_suffix": [F.substring("c_name", -3, 3)],
     }
@@ -7057,7 +7062,7 @@ RECORD_LINKAGE_ORACLE = f"""
     WITH recs AS (
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
              CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
-             CAST(c_acctbal AS INT) // 1000 AS balk,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS balk,
              substr(c_name, length(c_name) - 2, 3) AS sfx
       FROM customer
     ),
@@ -7093,32 +7098,31 @@ RECORD_LINKAGE_ORACLE = f"""
         SELECT * FROM p1 UNION ALL SELECT * FROM p2
       )
     ),
-    grams AS (
-      SELECT DISTINCT c_custkey AS id,
-             unnest(list_transform(range(1, length(c_name) - 1),
-                    i -> substr(c_name, CAST(i AS INT), 3))) AS g
-      FROM recs WHERE length(c_name) >= 3
-    ),
-    gcnt AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY id),
-    inter AS (
-      SELECT c.id_a, c.id_b, COUNT(*) AS m
-      FROM cand c
-      JOIN grams ga ON ga.id = c.id_a
-      JOIN grams gb ON gb.id = c.id_b AND gb.g = ga.g
-      GROUP BY 1, 2
+    glists AS (
+      -- one DISTINCT trigram LIST per record: the intersection is then a
+      -- per-PAIR list op, never a gram-level join — a shared gram like
+      -- '000' sits in nearly every customer name, so joining gram rows
+      -- (the first oracle form) exploded toward |corpus|^2 at sf0.1
+      SELECT c_custkey AS id,
+             CASE WHEN length(c_name) >= 3
+                  THEN list_distinct(list_transform(
+                         range(1, length(c_name) - 1),
+                         i -> substr(c_name, CAST(i AS INT), 3)))
+                  ELSE [] END AS gl
+      FROM recs
     ),
     vec AS (
       SELECT c.id_a, c.id_b,
-             CASE WHEN COALESCE(na.n, 0) + COALESCE(nb.n, 0)
-                       - COALESCE(i.m, 0) > 0
-                  THEN CAST((CAST(COALESCE(i.m, 0) AS HUGEINT) * 1000000)
-                       // (COALESCE(na.n, 0) + COALESCE(nb.n, 0)
-                           - COALESCE(i.m, 0)) AS BIGINT)
+             CASE WHEN len(ga.gl) + len(gb.gl)
+                       - len(list_intersect(ga.gl, gb.gl)) > 0
+                  THEN CAST((CAST(len(list_intersect(ga.gl, gb.gl))
+                                  AS HUGEINT) * 1000000)
+                       // (len(ga.gl) + len(gb.gl)
+                           - len(list_intersect(ga.gl, gb.gl))) AS BIGINT)
              END AS name_jac_ppm
       FROM cand c
-      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-      LEFT JOIN gcnt na ON na.id = c.id_a
-      LEFT JOIN gcnt nb ON nb.id = c.id_b
+      JOIN glists ga ON ga.id = c.id_a
+      JOIN glists gb ON gb.id = c.id_b
     )
     SELECT v.id_a, v.id_b, v.name_jac_ppm,
            a.c_mktsegment = b.c_mktsegment AS seg_match,

@@ -2187,3 +2187,84 @@ def test_stream_heavy_hitters_guarantees_replay_and_compaction(spark, tmp_path):
     compact_stream_state(spark, state, keep_recent=1)
     assert mg_state_total(spark, state) == n
     assert check_served() == base
+
+
+def test_stream_rank_sketch_equals_batch_and_replay(spark, tmp_path):
+    """Streaming rank-sketch maintenance (the eleventh stateful loop,
+    stream_rollup structural-idempotency class): fold two micro-batch
+    drops, serve == a direct single-pass build over the union (the
+    nesting property makes the merge EXACT); a restart with nothing new
+    changes nothing; the REFOLD compaction preserves the served state
+    bit-identically (the row-preserving compact_stream_state merge is
+    NOT applicable to this layout — per-batch counts would mix)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from chess_lakehouse_spark.operators.sketches import (
+        compact_rank_sketch_state,
+        rank_sketch_build,
+        rank_sketch_from_batches,
+    )
+    from chess_lakehouse_spark.streaming.jobs import stream_rank_sketch
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d1 = docs.where(F.col("doc_id") % 2 == 0)
+    d2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    state_dir = str(tmp_path / "state")
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, df):
+        staging = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0], drops / f"{name}.parquet"
+        )
+
+    def run():
+        static = spark.read.parquet(str(drops))
+        stream = spark.readStream.schema(static.schema).parquet(str(drops))
+        stream_rank_sketch(
+            stream, state_dir, ckpt, "doc_id", "n_chars", k=16, by=["source"]
+        )
+
+    land("d1", d1)
+    run()
+    land("d2", d2)
+    run()
+
+    cols = ["source", "doc_id", "n_chars", "level", "lvl", "n_total"]
+
+    def served():
+        return sorted(
+            tuple(r)
+            for r in rank_sketch_from_batches(spark, state_dir, 16, ["source"])
+            .select(*cols)
+            .collect()
+        )
+
+    want = sorted(
+        tuple(r)
+        for r in rank_sketch_build(docs, "doc_id", "n_chars", 16, ["source"])
+        .select(*cols)
+        .collect()
+    )
+    got = served()
+    assert got == want and len(got) > 0
+
+    # restart with no new files: a no-op on the staged state
+    run()
+    assert served() == want
+
+    # refold compaction: one batch partition, served state unchanged
+    compact_rank_sketch_state(spark, state_dir, k=16, by=["source"])
+    import os
+
+    assert sorted(os.listdir(state_dir)) == ["batch_id=compacted"] or [
+        d for d in os.listdir(state_dir) if d.startswith("batch_id=")
+    ] == ["batch_id=compacted"]
+    assert served() == want
