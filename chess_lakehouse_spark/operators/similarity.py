@@ -20,6 +20,7 @@ over query_id: the shuffle carries only candidate rows, already pruned.
 from __future__ import annotations
 
 import hashlib
+import shutil
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -840,6 +841,11 @@ def publish_ivf_index(
     _check_ivf_batch_id(batch_id)
     spark = corpus.sparkSession
     tmp = out_dir.rstrip("/") + ".compacting"
+    # A crashed earlier publish can leave stale partitions here (encoded
+    # under OLD centroids/codebooks); the rename-aside swap would promote
+    # them wholesale, silently mis-listing vectors — clear first (the
+    # compact_rank_sketch_state discipline).
+    shutil.rmtree(tmp, ignore_errors=True)
     write_partitioned(
         _assign_lists(corpus, id_col, vec_col, centroids),
         f"{tmp}/batch_id={batch_id}",
@@ -1448,6 +1454,11 @@ def publish_ivfpq_index(
     _check_ivf_batch_id(batch_id)
     spark = corpus.sparkSession
     tmp = out_dir.rstrip("/") + ".compacting"
+    # A crashed earlier publish can leave stale partitions here (encoded
+    # under OLD centroids/codebooks); the rename-aside swap would promote
+    # them wholesale, silently mis-listing vectors — clear first (the
+    # compact_rank_sketch_state discipline).
+    shutil.rmtree(tmp, ignore_errors=True)
     assigned = _assign_lists(corpus, id_col, vec_col, centroids)
     codes = pq_encode(assigned, id_col, vec_col, codebooks)
     write_partitioned(

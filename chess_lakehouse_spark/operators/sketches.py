@@ -590,11 +590,17 @@ def rank_sketch_build(
 ) -> DataFrame:
     """Build the per-group rank sketch: one row per RETAINED item —
     (by..., id, value, level, lvl, n_total) where ``lvl`` is the group's
-    sampling level and ``n_total`` its full row count. Retained size is
-    ~k..2k per group regardless of group size; each retained row stands
-    for 2^lvl originals. Rows with a NULL value are excluded by stated
-    contract (a rank over NULL is undefined); a NULL GROUP key is its
-    own group — the group-meta join is NULL-safe (the
+    sampling level and ``n_total`` its full row count — PLUS exactly one
+    META row per group (``level = -1``, NULL id/value) carrying the same
+    (lvl, n_total). The meta row is the group's count-of-record: a
+    (group, batch) whose retained set comes up empty (probability
+    ~e^(-k/2) per group-batch — rare but real across many streaming
+    micro-batches x groups) still contributes its count to every later
+    :func:`rank_sketch_merge`, which sums counts from meta rows ONLY.
+    Retained size is ~k..2k per group regardless of group size; each
+    retained row stands for 2^lvl originals. Rows with a NULL value are
+    excluded by stated contract (a rank over NULL is undefined); a NULL
+    GROUP key is its own group — the group-meta join is NULL-safe (the
     test_null_group_contracts.py discipline). Cost: one map-side level
     computation + one |groups|-row aggregate broadcast back; no
     data-volume shuffle, no global sort."""
@@ -625,9 +631,20 @@ def rank_sketch_build(
     joined = base.join(F.broadcast(meta), cond) if by else base.crossJoin(
         F.broadcast(meta)
     )
-    return joined.where(F.col("level") >= F.col("lvl")).select(
+    retained = joined.where(F.col("level") >= F.col("lvl")).select(
         *by, id_col, value_col, "level", "lvl", "n_total"
     )
+    id_t = dict(base.dtypes)[id_col]
+    val_t = dict(base.dtypes)[value_col]
+    meta_rows = meta.select(
+        *[F.col(f"__g{i}").alias(g) for i, g in enumerate(by)],
+        F.lit(None).cast(id_t).alias(id_col),
+        F.lit(None).cast(val_t).alias(value_col),
+        F.lit(-1).cast("int").alias("level"),
+        F.col("lvl"),
+        F.col("n_total"),
+    )
+    return retained.unionByName(meta_rows)
 
 
 def rank_sketch_merge(
@@ -640,24 +657,23 @@ def rank_sketch_merge(
     produce — EXACTLY: levels nest (level >= L' implies >= L for
     L' >= L), so re-filtering the unioned retained rows to the union's
     own sampling level yields bit-identical state (pinned merge==rebuild
-    in tests). Per group: n* = Σ partial n_total, L* = the level formula
-    at n* (>= every partial's lvl because n* >= each n_batch and the
-    formula is monotone). Input states must be disjoint batches of one
-    logical table (the mg/CMS batch contract)."""
+    in tests). Per group: n* = Σ partial n_total recovered from each
+    batch's META rows (``level = -1`` — present even for a batch whose
+    retained set is empty, so no batch's count can ever be silently
+    dropped), L* = the level formula at n* (>= every partial's lvl
+    because n* >= each n_batch and the formula is monotone). The output
+    carries its own fresh meta row per group, making it a valid batch
+    for every future merge. Input states must be disjoint batches of
+    one logical table (the mg/CMS batch contract)."""
     if not states:
         raise ValueError("rank_sketch_merge: need at least one state")
     by = list(by or [])
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)
-    per_batch = []
-    for i, s in enumerate(states):
-        per_batch.append(
-            s.groupBy(*by).agg(F.first("n_total").alias("n_b"))
-        )
-    nb = per_batch[0]
-    for p in per_batch[1:]:
-        nb = nb.unionByName(p)
+    nb = u.where(F.col("level") == -1).select(
+        *by, F.col("n_total").alias("n_b")
+    )
     meta = nb.groupBy(*by).agg(F.sum("n_b").alias("n_star"))
     meta = meta.select(
         *[F.col(g).alias(f"__g{i}") for i, g in enumerate(by)],
@@ -667,17 +683,34 @@ def rank_sketch_merge(
     cond = F.lit(True)
     for i, g in enumerate(by):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__g{i}"))
+    ret = u.where(F.col("level") >= 0).drop("lvl", "n_total")
     joined = (
-        u.drop("lvl", "n_total").join(F.broadcast(meta), cond)
+        ret.join(F.broadcast(meta), cond)
         if by
-        else u.drop("lvl", "n_total").crossJoin(F.broadcast(meta))
+        else ret.crossJoin(F.broadcast(meta))
     )
-    return joined.where(F.col("level") >= F.col("lvl_star")).select(
+    data_cols = [
+        c for c in u.columns if c not in by and c not in ("lvl", "n_total")
+    ]
+    merged_ret = joined.where(F.col("level") >= F.col("lvl_star")).select(
         *by,
-        *[c for c in u.columns if c not in by and c not in ("lvl", "n_total")],
+        *data_cols,
         F.col("lvl_star").alias("lvl"),
         F.col("n_star").alias("n_total"),
     )
+    types = dict(u.dtypes)
+    meta_rows = meta.select(
+        *[F.col(f"__g{i}").alias(g) for i, g in enumerate(by)],
+        *[
+            F.lit(-1).cast("int").alias(c)
+            if c == "level"
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in data_cols
+        ],
+        F.col("lvl_star").alias("lvl"),
+        F.col("n_star").alias("n_total"),
+    )
+    return merged_ret.unionByName(meta_rows)
 
 
 def rank_sketch_quantiles(
@@ -695,9 +728,20 @@ def rank_sketch_quantiles(
     data. One window over the ~2k-row-per-group state; rank error vs
     the true quantile is the sketch's ~1/sqrt(k) sampling error (the
     audit columns in the gated query measure it exactly). Returns
-    (by..., q_ppm, est_value, n_total, n_retained, lvl)."""
+    (by..., q_ppm, est_value, n_total, n_retained, lvl). Meta rows
+    (``level = -1``) never rank; a group whose retained set is EMPTY
+    (~e^(-k/2) per group-batch) has no sample to cut and is ABSENT from
+    the served frame — callers needing "group exists but empty" consult
+    the state's meta rows, which always carry that group's n_total.
+    Duplicate probes are rejected (each would silently duplicate its
+    output row)."""
     if not qs_ppm:
         raise ValueError("rank_sketch_quantiles: need at least one probe")
+    if len(set(qs_ppm)) != len(qs_ppm):
+        raise ValueError(
+            f"rank_sketch_quantiles: duplicate probes in {qs_ppm} — each "
+            "q_ppm cuts the sample once; dedupe the probe list"
+        )
     for q in qs_ppm:
         if not 0 < q <= 1_000_000:
             raise ValueError(f"rank_sketch_quantiles: bad probe {q} ppm")
@@ -710,6 +754,7 @@ def rank_sketch_quantiles(
     from pyspark.sql.window import Window
 
     by = list(by or [])
+    state = state.where(F.col("level") >= 0)
     w = Window.partitionBy(*by).orderBy(
         F.col(value_col).asc(), F.col(id_col).asc()
     )

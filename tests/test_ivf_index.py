@@ -238,3 +238,34 @@ def test_ivf_index_append_swap_publish_hidden_staging(spark, tmp_path):
     base_ids = {r[0] for r in old.select("vec_id").collect()}
     assert all(cand in base_ids for _, cand, _, _ in before)
     assert any(cand not in base_ids for _, cand, _, _ in again)
+
+
+def test_publish_clears_stale_staging_root(spark, tmp_path):
+    """r15 ADVICE regression: a crashed earlier publish can leave a
+    '<out>.compacting' root holding partitions encoded under OLD
+    centroids; the rename-aside swap would promote them wholesale. Both
+    IVF publishers must clear the staging root before writing."""
+    import os
+
+    from chess_lakehouse_spark.operators.similarity import (
+        pq_train,
+        publish_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1, seed=0)
+
+    for publish in ("ivf", "ivfpq"):
+        idx = str(tmp_path / publish)
+        stale = f"{idx}.compacting/batch_id=crashed/list_id=0"
+        os.makedirs(stale)
+        open(f"{stale}/junk.parquet", "w").write("stale")
+        if publish == "ivf":
+            publish_ivf_index(emb, idx, "vec_id", "embedding", cents)
+        else:
+            books = pq_train(emb, "vec_id", "embedding", m=4, k=4, iters=1, seed=0)
+            publish_ivfpq_index(emb, idx, "vec_id", "embedding", cents, books)
+        assert not os.path.exists(f"{idx}.compacting")
+        assert sorted(
+            d for d in os.listdir(idx) if d.startswith("batch_id=")
+        ) == ["batch_id=base"]

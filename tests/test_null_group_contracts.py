@@ -52,7 +52,7 @@ def _subst(df, col="source"):
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted((tuple(r) for r in df.collect()), key=str)
 
 
 def _assert_commutes(op, df, group_col="source"):

@@ -107,9 +107,14 @@ def test_rank_sketch_merge_equals_rebuild_exact(spark):
     ]
     merged = rank_sketch_merge(parts, k=16, by=["source"])
     cols = ["source", "doc_id", "n_chars", "level", "lvl", "n_total"]
-    a = sorted(tuple(r) for r in direct.select(*cols).collect())
-    b = sorted(tuple(r) for r in merged.select(*cols).collect())
+    a = sorted((tuple(r) for r in direct.select(*cols).collect()), key=str)
+    b = sorted((tuple(r) for r in merged.select(*cols).collect()), key=str)
     assert a == b and len(a) > 0
+    # the equality covers META rows too: the merge's per-group count-of-
+    # record (level = -1, summed from batch meta rows) must equal the
+    # direct build's — the zero-retained-batch undercount guard
+    n_groups = direct.select("source").distinct().count()
+    assert merged.where(F.col("level") == -1).count() == n_groups
 
 
 def test_rank_sketch_semantics(spark):
@@ -125,14 +130,20 @@ def test_rank_sketch_semantics(spark):
     rows = [(i, "g", i * 10) for i in range(1, 9)] + [(99, "g", None)]
     df = spark.createDataFrame(rows, "doc_id long, source string, v long")
     st = rank_sketch_build(df, "doc_id", "v", k=100, by=["source"])
-    got = sorted(r["doc_id"] for r in st.collect())
+    ret = st.where(F.col("level") >= 0).collect()
+    got = sorted(r["doc_id"] for r in ret)
     assert got == list(range(1, 9))  # NULL value dropped, all retained
     assert {r["lvl"] for r in st.collect()} == {0}
     assert {r["n_total"] for r in st.collect()} == {8}
+    # exactly one META row per group carries the count-of-record
+    meta = st.where(F.col("level") == -1).collect()
+    assert [(r["source"], r["doc_id"], r["v"], r["n_total"]) for r in meta] == [
+        ("g", None, None, 8)
+    ]
 
     # retained sets NEST: every k=4 retained row is a k=100 retained row
     st4 = rank_sketch_build(df, "doc_id", "v", k=4, by=["source"])
-    ids4 = {r["doc_id"] for r in st4.collect()}
+    ids4 = {r["doc_id"] for r in st4.where(F.col("level") >= 0).collect()}
     assert ids4 <= set(got)
 
     # serve: q=500000 over R retained rows picks index ceil(R/2)
@@ -149,8 +160,52 @@ def test_rank_sketch_semantics(spark):
         rank_sketch_quantiles(st, "doc_id", "v", [0])
     with pytest.raises(ValueError, match="at least one probe"):
         rank_sketch_quantiles(st, "doc_id", "v", [])
+    with pytest.raises(ValueError, match="duplicate probes"):
+        rank_sketch_quantiles(st, "doc_id", "v", [500_000, 500_000])
     with pytest.raises(ValueError, match="at least one state"):
         rank_sketch_merge([], k=4)
+
+
+def test_rank_sketch_zero_retained_batch_count_survives_merge(spark):
+    """The r15 ADVICE regression: a (group, batch) whose retained set is
+    EMPTY (every row's level below the batch's sampling level) must still
+    contribute its row count to the merged sketch via its meta row — the
+    pre-fix merge recovered counts from retained rows only and silently
+    undercounted n_total (wrong lvl*, wrong audit targets). Ids are
+    hand-picked by their deterministic md5 levels at seed 0: 1/2/4/6 are
+    level 0; 5/11/14/23 are level >= 3."""
+    from chess_lakehouse_spark.operators.sketches import (
+        rank_sketch_build,
+        rank_sketch_merge,
+        rank_sketch_quantiles,
+    )
+
+    mk = lambda ids: spark.createDataFrame(
+        [(i, "g", i * 10) for i in ids], "doc_id long, source string, v long"
+    )
+    # k=1, n=4 -> lvl = bit_length(ceil(4/1) - 1) = 2 > every level in A
+    a = rank_sketch_build(mk([1, 2, 4, 6]), "doc_id", "v", k=1, by=["source"])
+    assert a.where(F.col("level") >= 0).count() == 0  # the scenario is real
+    [am] = a.where(F.col("level") == -1).collect()
+    assert (am["n_total"], am["lvl"]) == (4, 2)
+
+    b = rank_sketch_build(mk([5, 11, 14, 23]), "doc_id", "v", k=1, by=["source"])
+    merged = rank_sketch_merge([a, b], k=1, by=["source"])
+    # n* counts BOTH batches; lvl* follows: bit_length(ceil(8/1) - 1) = 3
+    assert {r["n_total"] for r in merged.collect()} == {8}
+    assert {r["lvl"] for r in merged.collect()} == {3}
+    # and merge == rebuild still holds bit-identically
+    direct = rank_sketch_build(
+        mk([1, 2, 4, 6, 5, 11, 14, 23]), "doc_id", "v", k=1, by=["source"]
+    )
+    key = str
+    assert sorted(map(tuple, merged.collect()), key=key) == sorted(
+        map(tuple, direct.collect()), key=key
+    )
+    # a state whose ONLY rows for a group are meta (zero retained) serves
+    # no quantile for that group — absent, not wrong, per the documented
+    # contract
+    assert rank_sketch_quantiles(a, "doc_id", "v", [500_000], by=["source"]).count() == 0
 
 
 def test_rank_sketch_partitioning_invariance(spark):
@@ -163,7 +218,9 @@ def test_rank_sketch_partitioning_invariance(spark):
     b = rank_sketch_build(
         docs.repartition(13), "doc_id", "n_chars", k=16, by=["source"]
     )
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert sorted(map(tuple, a.collect()), key=str) == sorted(
+        map(tuple, b.collect()), key=str
+    )
 
 
 # ------------------------------------------------------------ linkage_score
@@ -504,8 +561,11 @@ def test_rank_sketch_staged_lifecycle(spark, tmp_path):
     served = rank_sketch_from_batches(spark, state_dir, k=16, by=["source"])
     direct = rank_sketch_build(docs, "doc_id", "n_chars", k=16, by=["source"])
     cols = ["source", "doc_id", "n_chars", "level", "lvl", "n_total"]
-    want = sorted(tuple(r) for r in direct.select(*cols).collect())
-    assert sorted(tuple(r) for r in served.select(*cols).collect()) == want
+    want = sorted((tuple(r) for r in direct.select(*cols).collect()), key=str)
+    assert (
+        sorted((tuple(r) for r in served.select(*cols).collect()), key=str)
+        == want
+    )
 
     # crash-replay: republishing batch b1 is value-identical
     part1 = rank_sketch_build(
@@ -514,7 +574,10 @@ def test_rank_sketch_staged_lifecycle(spark, tmp_path):
     )
     write_rank_sketch_batch(part1, state_dir, "b1")
     again = rank_sketch_from_batches(spark, state_dir, k=16, by=["source"])
-    assert sorted(tuple(r) for r in again.select(*cols).collect()) == want
+    assert (
+        sorted((tuple(r) for r in again.select(*cols).collect()), key=str)
+        == want
+    )
 
     with pytest.raises(ValueError, match="empty state"):
         rank_sketch_from_batches(

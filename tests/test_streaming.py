@@ -2241,17 +2241,25 @@ def test_stream_rank_sketch_equals_batch_and_replay(spark, tmp_path):
 
     def served():
         return sorted(
-            tuple(r)
-            for r in rank_sketch_from_batches(spark, state_dir, 16, ["source"])
-            .select(*cols)
-            .collect()
+            (
+                tuple(r)
+                for r in rank_sketch_from_batches(
+                    spark, state_dir, 16, ["source"]
+                )
+                .select(*cols)
+                .collect()
+            ),
+            key=str,
         )
 
     want = sorted(
-        tuple(r)
-        for r in rank_sketch_build(docs, "doc_id", "n_chars", 16, ["source"])
-        .select(*cols)
-        .collect()
+        (
+            tuple(r)
+            for r in rank_sketch_build(docs, "doc_id", "n_chars", 16, ["source"])
+            .select(*cols)
+            .collect()
+        ),
+        key=str,
     )
     got = served()
     assert got == want and len(got) > 0
