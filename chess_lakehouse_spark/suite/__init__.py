@@ -455,64 +455,103 @@ _ALL_ORACLES = {**core.ORACLES, **chess.ORACLES, **mm.ORACLES, **llm.ORACLES}
 # age-bound rows plus R <= 9 registrations leave 50 - 6 - R >= 35
 # refresh slots, and the stalest r12-green MUST fill them. Verify with
 # tests/test_suite_order.py before committing, as always.
-WINDOW_BUDGETED_FOR = 14
+#
+# r15 window (EXECUTED per the committed r14 plan above with R = 9;
+# ratchet bumped FIRST):
+#   1. the 9 queries NEW to the gate, never driver-verified — ALL nine
+#      staged candidates promoted verbatim from llm.py:STAGED_CANDIDATES
+#      at this re-plan, oldest staged evidence first per the committed
+#      plan: stream_sessionize, heavy_hitters_staged,
+#      stream_dedup_watermark (r12-staged, tests/test_r14_candidates.py),
+#      pq_recall (r13-staged, tests/test_r15_candidates.py), rank_sketch,
+#      linkage_score, knn_ivfpq, rank_sketch_staged, linkage_entities
+#      (r14-staged, tests/test_r16_candidates.py) — each with two-scale
+#      exact parity + cold-JVM ANSI + plan guards before promotion.
+#   2. the 6 queries whose newest green row is r11 (at the P - 1 = 3
+#      age bound, deferred from r14 per the committed plan):
+#      shipping_priority, source_kl, split_leakage_safe,
+#      substring_search, text_normalize, tfidf.
+#   3. 35 of the 50 queries whose newest green row is r12 — the stalest
+#      cohort, alphabetical: activity_islands … shard_assignments.
+#      9 + 6 + 35 = 50, zero rotation slack.
+# The 15 r12-green left out (alphabetical tail: sort_limit,
+# source_stats_pandas, text_langid, text_quality, tfidf_cosine,
+# token_count, token_entropy, udaf_gmean, udtf_bigrams, union_append,
+# upsample_epochs, user_growth, weighted_quantiles, window_topk,
+# winsorize) sit at age 3 = the P - 1 bound: the nine registrations
+# raise N to 165, so P stays ceil(165/50) = 4 and the bound stays 3
+# (tests/test_suite_order.py computes P dynamically).
+# COMMITTED r16 plan: bump the budget FIRST, then (1) the 15 age-bound
+# r12-green above MUST take slots; (2) register R of the staged
+# manifest, oldest staged evidence first — the manifest holds
+# knn_ivfpq_stream (staged in the r15 build session:
+# tests/test_r17_candidates.py, two-scale exact parity + cold-JVM ANSI
+# + plan guards) plus whatever later r15-session commits stage; (3)
+# fill the remaining 50 - 15 - R slots with the stalest r13-green,
+# alphabetical. Registering R <= ~35 keeps N = 165 + R under 200, so P
+# stays 4 and the bound stays 3: the 15 age-bound rows plus R
+# registrations leave 50 - 15 - R refresh slots, and the stalest
+# r13-green MUST fill them. Verify with tests/test_suite_order.py
+# before committing, as always.
+WINDOW_BUDGETED_FOR = 15
 
 _WINDOW_ORDER = [
-    # new to the gate in r14 — never driver-verified (the six promoted
-    # STAGED_CANDIDATES, newest-evidence first per the committed plan)
-    "sample_reservoir",
-    "curriculum_order",
-    "stream_rollup",
-    "qc_card_signals",
-    "record_linkage",
-    "knn_pq_adc",
-    # newest green row r11 — 44 of the 50 at the age bound, alphabetical
-    # (the 6 left out move to age 3 = the new P - 1 bound; r15 takes
-    # them first)
-    "anomaly_flags",
-    "anti_join",
-    "approx_stats",
-    "badwords_gate",
-    "bloom_gate",
-    "chess_enrich",
-    "classifier_serve",
-    "cms_freq",
-    "collect_set",
-    "corpus_overlap",
-    "cube",
-    "dedup_clusters",
-    "dedup_edit",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_priority",
-    "dedup_semantic",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "distinct_agg",
-    "doc_fingerprint",
-    "dup_matrix",
-    "event_transitions",
-    "exact_quantiles",
-    "except",
-    "funnel_steps",
-    "gapfill",
-    "gate_attribution",
-    "group_quantiles",
-    "intersect",
-    "knn_brute_force",
-    "knn_ivf",
-    "knn_lsh",
-    "knn_two_stage",
-    "lm_staged",
-    "pipeline_clean_corpus",
-    "pivot",
-    "range_join",
-    "rollup",
-    "rollup_staged",
-    "running_sum",
-    "salted_join",
-    "session_pairs",
-    "sessionize",
+    # new to the gate in r15 — never driver-verified (the nine promoted
+    # STAGED_CANDIDATES, oldest staged evidence first per the committed
+    # plan)
+    "stream_sessionize",
+    "heavy_hitters_staged",
+    "stream_dedup_watermark",
+    "pq_recall",
+    "rank_sketch",
+    "linkage_score",
+    "knn_ivfpq",
+    "rank_sketch_staged",
+    "linkage_entities",
+    # newest green row r11 — the 6 deferred from r14, at the age bound
+    "shipping_priority",
+    "source_kl",
+    "split_leakage_safe",
+    "substring_search",
+    "text_normalize",
+    "tfidf",
+    # newest green row r12 — 35 of the 50 stalest, alphabetical (the 15
+    # left out move to age 3 = the P - 1 bound; r16 takes them first)
+    "activity_islands",
+    "asof_join",
+    "asof_nearest",
+    "bloom_gate_table",
+    "bm25_batch",
+    "bm25_staged",
+    "budget_sample",
+    "canary_scan",
+    "chess_export",
+    "chunk_dedup",
+    "contamination_ngram",
+    "contamination_semantic",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_span",
+    "dq_check",
+    "dsir_topk",
+    "enrich_argmax",
+    "group_buckets",
+    "html_strip",
+    "interleave_sources",
+    "knn_ivf_kmeans",
+    "lateral_topk",
+    "merge_update",
+    "mm_frame_sample",
+    "paragraph_dedup",
+    "pareto_frontier",
+    "pii_scan",
+    "qc_count",
+    "robust_zscore",
+    "sample_temperature",
+    "scd2_versions",
+    "score_percentile",
+    "semi_join",
+    "shard_assignments",
 ]
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _WINDOW_ORDER}

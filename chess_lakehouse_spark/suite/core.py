@@ -758,7 +758,7 @@ ORACLES = {
         FROM events
     """,
     "events_hourly": """
-        SELECT CAST(epoch_us(date_trunc('hour', ts)) / 1000000 AS BIGINT) AS hour_epoch,
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS hour_epoch,
                event_type,
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
