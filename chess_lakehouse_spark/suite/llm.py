@@ -7809,6 +7809,250 @@ def q_knn_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Synchronous LPA rounds for the staged community-detection query —
+#: LPA converges in a few sweeps (Raghavan et al. 2007 report ~5); the
+#: fixed count is what makes the fixpoint SQL-unrollable.
+LPA_ITERS = 4
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation community detection over the
+    near-dup pair graph (operators/graph.py: label_propagation —
+    Raghavan et al. 2007, made engine-reproducible: synchronous rounds,
+    mode-of-neighbors update, (count DESC, label ASC) tie-break): the
+    SAME char-7-gram Jaccard pairs the registered dedup_ngram_jaccard
+    gates become an undirected graph, LPA_ITERS fixed sweeps vote every
+    node into its community (final label groups canonicalized to their
+    min MEMBER id), and each node returns with its community and the
+    community's member count. Contrast with the gated
+    dedup_clusters (connected components): CC floods reachability — one
+    bridge edge merges two dense groups; LPA's mode vote does not (the
+    divergence is pinned on a crafted two-clique bridge in tests) —
+    community structure vs component structure, the distinction a
+    crawl-source curation pipeline uses to weight SITES rather than
+    whole link-connected blobs. 100 TB shape: edges are threshold-pruned
+    far below the corpus; each sweep is one keyed join + one
+    map-combined (node, label) count + one argmax — the
+    pagerank/connected_components localCheckpoint skeleton, nothing on
+    the driver.
+
+    r16-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against GRAPH_COMMUNITIES_ORACLE (the registered
+    dedup_ngram_jaccard oracle embedded VERBATIM as the edge CTE — the
+    graph cannot drift from the gated pair query — + LPA_ITERS unrolled
+    vote/argmax CTE rounds, the kmeans/bpe unroll discipline) pinned in
+    tests/test_r17_candidates.py at two scales + cold-JVM; registration
+    at a window re-plan is a dict + window edit."""
+    apply_runtime_conf(spark)
+    from chess_lakehouse_spark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="source", n=7,
+        threshold=JACCARD_THRESHOLD,
+    )
+    comm = label_propagation(
+        pairs.select("id_a", "id_b"), n_iter=LPA_ITERS
+    )
+    sizes = comm.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return comm.join(F.broadcast(sizes), "community").select(
+        "node", "community", "n_members"
+    )
+
+
+def _graph_communities_oracle_sql() -> str:
+    """The registered dedup_ngram_jaccard oracle VERBATIM as the edge
+    CTE (graph == gated pairs, machine-enforced), then LPA_ITERS
+    unrolled synchronous rounds: vote = join labels to the symmetrized
+    edges + count, winner = row_number over (count DESC, label ASC)."""
+    rounds = []
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(f"""
+    v{i} AS (
+      SELECT n.node, p.l AS nl, COUNT(*) AS c
+      FROM nbr n JOIN l{i - 1} p ON p.node = n.nb
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, nl AS l FROM v{i}
+      QUALIFY row_number() OVER (
+        PARTITION BY node ORDER BY c DESC, nl ASC) = 1
+    )""")
+    last = f"l{LPA_ITERS}"
+    return f"""
+    WITH pairs AS ({ORACLES["dedup_ngram_jaccard"]}),
+    e AS (SELECT id_a, id_b FROM pairs),
+    nbr AS (
+      SELECT id_a AS node, id_b AS nb FROM e
+      UNION ALL
+      SELECT id_b AS node, id_a AS nb FROM e
+    ),
+    l0 AS (SELECT DISTINCT node, node AS l FROM nbr),
+    {",".join(rounds)},
+    canon AS (SELECT l, MIN(node) AS community FROM {last} GROUP BY 1),
+    lf AS (
+      SELECT t.node, c.community FROM {last} t JOIN canon c ON c.l = t.l
+    ),
+    m AS (
+      SELECT community, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM lf GROUP BY 1
+    )
+    SELECT lf.node, lf.community, m.n_members
+    FROM lf JOIN m ON m.community = lf.community
+"""
+
+
+GRAPH_COMMUNITIES_ORACLE = _graph_communities_oracle_sql()
+
+
+#: Unigram-LM trainer staging constants: max piece length, seed size for
+#: multi-char candidates, hard-EM rounds, and the kept multi-char pieces.
+UNI_MAX_LEN = 3
+UNI_SEED_MULTI = 40
+UNI_EM_ITERS = 2
+UNI_KEEP_MULTI = 12
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer induction over the
+    documents corpus by deterministic Viterbi hard-EM
+    (functions/unigram.py: unigram_lm_train — Kudo 2018, the EM
+    complement of the gated bpe_train's greedy merges): the corpus
+    collapses to the distinct-word frequency table, the seed vocabulary
+    is every substring <= {L} chars (all single chars + top {V0}
+    multi-char by weight), and each of the {T} EM rounds re-costs pieces
+    in integer micro-nats (the sweep-tested ROUND-of-ln-ratio pillar),
+    Viterbi-segments every distinct word with exact integer DP under the
+    (cost, piece-count, segmentation) total order, and re-counts usage.
+    Returns the final ranked vocabulary — all chars (coverage floor 1)
+    plus the top {KEEP} multi-char pieces — as (rk, piece, n). The
+    driver holds only the vocabulary (the kmeans/bpe discipline); each
+    round is one map-side codegen DP pass + one map-combined count over
+    the distributed word table.
+
+    r16-bound STAGING CANDIDATE — not yet registered: exact value
+    parity against UNIGRAM_TRAIN_ORACLE (seed weights, the in-engine
+    micro-nat costs, every EM round's Viterbi — a recursive-CTE
+    enumeration with the SAME total order — and the usage re-counts all
+    unrolled in one statement, the kmeans/bpe unroll discipline) pinned
+    in tests/test_r17_candidates.py at two scales + cold-JVM;
+    registration at a window re-plan is a dict + window edit."""
+    from chess_lakehouse_spark.functions.unigram import unigram_lm_train
+
+    apply_runtime_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_lm_train(
+        docs, "text",
+        max_piece_len=UNI_MAX_LEN, n_seed_multi=UNI_SEED_MULTI,
+        em_iters=UNI_EM_ITERS, n_keep_multi=UNI_KEEP_MULTI,
+    )
+    rows = [(i + 1, p, int(w)) for i, (p, w) in enumerate(vocab)]
+    return spark.createDataFrame(rows, "rk int, piece string, n bigint")
+
+
+q_unigram_train.__doc__ = q_unigram_train.__doc__.format(
+    L=UNI_MAX_LEN, V0=UNI_SEED_MULTI, T=UNI_EM_ITERS, KEEP=UNI_KEEP_MULTI
+)
+
+
+def _unigram_oracle_sql() -> str:
+    """The full hard-EM unroll in one DuckDB statement: seed weights
+    (substring multiplicity x word count), then per round — in-engine
+    micro-nat costs from the current weights, Viterbi by RECURSIVE-CTE
+    path enumeration (sound because the unique winner under the
+    (cost, k, seg) total order is what the engine's DP computes; path
+    count is bounded by word length and vocab hits), usage re-count,
+    and the char-floor/multi-drop weight update."""
+    ws = r"[ \t\n\r\f\x0B]+"
+    parts = [
+        f"""
+    WITH RECURSIVE w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '{ws}'),
+                      x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    sw AS (
+      SELECT piece, CAST(SUM(n) AS BIGINT) AS wt FROM (
+        SELECT w0.n, substring(w0.w, CAST(i.i AS INT), CAST(d.d AS INT)) AS piece
+        FROM w0, range(1, 256) i(i), range(1, {UNI_MAX_LEN + 1}) d(d)
+        WHERE i.i + d.d - 1 <= length(w0.w)
+      ) GROUP BY piece
+    ),
+    chars AS (SELECT piece, wt FROM sw WHERE length(piece) = 1),
+    multi0 AS (
+      SELECT piece, wt FROM sw WHERE length(piece) > 1
+      QUALIFY row_number() OVER (ORDER BY wt DESC, piece ASC) <= {UNI_SEED_MULTI}
+    ),
+    v0 AS (
+      SELECT piece, wt FROM chars UNION ALL SELECT piece, wt FROM multi0
+    )"""
+    ]
+    for r in range(1, UNI_EM_ITERS + 1):
+        pv = f"v{r - 1}"
+        parts.append(f"""
+    c{r} AS (
+      SELECT piece,
+             CAST(ROUND(ln(CAST((SELECT SUM(wt) FROM {pv}) AS DOUBLE)
+                           / CAST(wt AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+      FROM {pv}
+    ),
+    s{r} AS (
+      SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS c,
+             0 AS k, '' AS s
+      FROM w0
+      UNION ALL
+      SELECT t.w, t.pos + length(p.piece), t.c + p.cost, t.k + 1,
+             t.s || chr(31) || p.piece
+      FROM s{r} t JOIN c{r} p
+        ON substring(t.w, CAST(t.pos + 1 AS INT), length(p.piece)) = p.piece
+      WHERE t.pos < length(t.w)
+    ),
+    b{r} AS (
+      SELECT w, s FROM s{r} WHERE pos = length(w)
+      QUALIFY row_number() OVER (
+        PARTITION BY w ORDER BY c ASC, k ASC, s ASC) = 1
+    ),
+    u{r} AS (
+      SELECT piece, CAST(SUM(n) AS BIGINT) AS wt FROM (
+        SELECT w0.n,
+               unnest(list_filter(string_split(b{r}.s, chr(31)),
+                      x -> x <> '')) AS piece
+        FROM b{r} JOIN w0 ON w0.w = b{r}.w
+      ) GROUP BY piece
+    ),
+    v{r} AS (
+      SELECT c.piece,
+             CAST(greatest(COALESCE(u.wt, 0), 1) AS BIGINT) AS wt
+      FROM chars c LEFT JOIN u{r} u ON u.piece = c.piece
+      UNION ALL
+      SELECT m.piece, u.wt
+      FROM {pv} m JOIN u{r} u ON u.piece = m.piece
+      WHERE length(m.piece) > 1 AND u.wt > 0
+    )""")
+    vf = f"v{UNI_EM_ITERS}"
+    parts.append(f"""
+    kept AS (
+      SELECT piece, wt FROM {vf} WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, wt FROM (
+        SELECT piece, wt FROM {vf} WHERE length(piece) > 1
+        QUALIFY row_number() OVER (
+          ORDER BY wt DESC, piece ASC) <= {UNI_KEEP_MULTI}
+      )
+    )
+    SELECT CAST(row_number() OVER (ORDER BY wt DESC, piece ASC) AS INT) AS rk,
+           piece, wt AS n
+    FROM kept""")
+    return ",".join(parts)
+
+
+UNIGRAM_TRAIN_ORACLE = _unigram_oracle_sql()
+
+
 # registered at the r13 window re-plan (suite/__init__.py): nine staged
 # candidates promoted verbatim from STAGED_CANDIDATES — the four
 # r11-staged (length_histogram, shard_skew, quantile_normalize,
@@ -7926,4 +8170,16 @@ STAGED_CANDIDATES = {
     # stateful loop); serves KNN_IVFPQ_ORACLE verbatim: an ingestion
     # path may never change the served truth
     "knn_ivfpq_stream": (q_knn_ivfpq_stream, KNN_IVFPQ_ORACLE),
+    # deterministic LPA community detection over the gated near-dup pair
+    # graph — mode-of-neighbors vs connected_components' reachability
+    # flood (divergence pinned on a crafted two-clique bridge); oracle
+    # embeds the registered dedup_ngram_jaccard oracle verbatim as the
+    # edge CTE + LPA_ITERS unrolled vote rounds
+    "graph_communities": (q_graph_communities, GRAPH_COMMUNITIES_ORACLE),
+    # unigram-LM (SentencePiece-style) tokenizer induction by
+    # deterministic Viterbi hard-EM — the EM complement of the gated
+    # bpe_train; oracle unrolls seed weights, in-engine micro-nat costs,
+    # every EM round's Viterbi (recursive-CTE enumeration under the
+    # same total order) and the usage re-counts in one statement
+    "unigram_train": (q_unigram_train, UNIGRAM_TRAIN_ORACLE),
 }

@@ -146,3 +146,141 @@ def test_stream_ivfpq_append_equals_batch_publish_and_replay(spark, tmp_path):
         "vec_id", "embedding", batch_id="b0",
     )
     assert serve(streamed) == want
+
+
+# -------------------------------------------------------- graph_communities
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_graph_communities_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        GRAPH_COMMUNITIES_ORACLE,
+        STAGED_CANDIDATES,
+        q_graph_communities,
+    )
+
+    assert STAGED_CANDIDATES["graph_communities"][1] is GRAPH_COMMUNITIES_ORACLE
+    sdf = q_graph_communities(spark, sf_dir)
+    assert dict(sdf.dtypes) == {
+        "node": "bigint",
+        "community": "bigint",
+        "n_members": "bigint",
+    }
+    _assert_clean_plan(sdf)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["documents"], GRAPH_COMMUNITIES_ORACLE)
+    # every node labels into exactly one community; sizes are consistent
+    nodes = [r[0] for r in srows]
+    assert len(nodes) == len(set(nodes))
+    from collections import Counter
+
+    by_comm = Counter(r[1] for r in srows)
+    assert all(by_comm[c] == m for _, c, m in srows)
+
+
+def test_label_propagation_semantics(spark):
+    """Mode-vote semantics: a bridge between two triangles does NOT merge
+    them (each side's internal majority outvotes the single bridge
+    neighbor) while connected_components floods the whole thing into one
+    — the community-vs-component distinction the operator exists for.
+    Plus: determinism under repartitioning and the validation guards."""
+    from chess_lakehouse_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    # two triangles {0,1,2} and {10,11,12} joined by the bridge 2-10
+    edges = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, n_iter=4).collect()
+    }
+    # left triangle coalesces on 0, right on 10 — two communities survive
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[10], got[11], got[12]} == {10}
+    cc = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert len(set(cc.values())) == 1  # CC merges across the bridge
+
+    # partitioning invariance: same labelling from any physical layout
+    got2 = {
+        r["node"]: r["community"]
+        for r in label_propagation(df.repartition(7), n_iter=4).collect()
+    }
+    assert got2 == got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_iter must be >= 1"):
+        label_propagation(df, n_iter=0)
+    with _pytest.raises(ValueError, match="integral id"):
+        label_propagation(
+            spark.createDataFrame([("a", "b")], "id_a string, id_b string"),
+            n_iter=1,
+        )
+
+
+# ----------------------------------------------------------- unigram_train
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_unigram_train_matches_oracle_two_scales(spark, sf_dir):
+    from chess_lakehouse_spark.suite.llm import (
+        STAGED_CANDIDATES,
+        UNIGRAM_TRAIN_ORACLE,
+        q_unigram_train,
+    )
+
+    assert STAGED_CANDIDATES["unigram_train"][1] is UNIGRAM_TRAIN_ORACLE
+    sdf = q_unigram_train(spark, sf_dir)
+    assert dict(sdf.dtypes) == {"rk": "int", "piece": "string", "n": "bigint"}
+    srows = sorted(tuple(r) for r in sdf.collect())
+    assert len(srows) > 0
+    assert srows == _oracle_rows(sf_dir, ["documents"], UNIGRAM_TRAIN_ORACLE)
+    # coverage contract: every corpus character is in the vocabulary
+    pieces = {p for _, p, _ in srows}
+    chars = {c for _, p, _ in srows for c in p}
+    assert chars <= pieces
+
+
+def test_unigram_trainer_semantics(spark):
+    """Viterbi picks the cheaper multi-char piece over the char sum,
+    EM usage counts drive the final ranking, the result is invariant
+    under repartitioning, the segmenter round-trips (concat of pieces
+    rebuilds each word), and validation guards fire."""
+    from chess_lakehouse_spark.functions.unigram import (
+        unigram_lm_train,
+        unigram_segment,
+    )
+
+    rows = [(i, "abab cd") for i in range(50)] + [(99, "abab abab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = unigram_lm_train(
+        df, "text", max_piece_len=3, n_seed_multi=10, em_iters=2,
+        n_keep_multi=4,
+    )
+    d = dict(vocab)
+    # 'ab' dominates: every 'abab' word is two 'ab' pieces, never chars
+    assert "ab" in d and d["ab"] >= 2 * 51
+    # coverage: all chars present even when unused by best segmentations
+    assert {"a", "b", "c", "d"} <= set(d)
+
+    v2 = unigram_lm_train(
+        df.repartition(7), "text", max_piece_len=3, n_seed_multi=10,
+        em_iters=2, n_keep_multi=4,
+    )
+    assert v2 == vocab
+
+    seg = unigram_segment(df.limit(1), "text", vocab, 3)
+    [r] = seg.select("pieces").collect()
+    assert "".join(r["pieces"]) == "ababcd"
+
+    with pytest.raises(ValueError, match="max_piece_len"):
+        unigram_lm_train(df, "text", max_piece_len=1)
+    with pytest.raises(ValueError, match="em_iters"):
+        unigram_lm_train(df, "text", em_iters=0)
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        unigram_segment(df, "text", [], 3)
