@@ -1909,6 +1909,43 @@ def _feed_once(feed: str, write) -> None:
     open(marker, "w").close()
 
 
+#: State-partition count for the gated streaming drains. Measured r15
+#: (SCALE.md): the stream-stream interval join at 32 shuffle/state
+#: partitions cost 20-49 s per drain vs 5-9 s at 8 in the same process
+#: — per-micro-batch cost is dominated by per-state-partition
+#: checkpoint I/O (one state store + checksum checkpoint files per
+#: partition per stateful operator), which is also what made the
+#: streaming queries the most co-tenant-sensitive rows on the bench
+#: watchlist. The gated drains carry tiny per-batch volumes, so 8
+#: partitions bound the constant without touching parallelism that
+#: matters; at 100 TB/day the SAME knob is sized to the stream's actual
+#: volume (state partitioning is fixed at first checkpoint creation —
+#: size it at job birth, not suite-wide).
+STREAM_DRAIN_PARTITIONS = 8
+
+
+class _stream_drain_conf:
+    """Set spark.sql.shuffle.partitions to STREAM_DRAIN_PARTITIONS for
+    the duration of a streaming drain and restore it after (try/finally
+    via the context protocol) — the batch plans around the drain keep
+    the suite-wide setting. Conf is read at query START, so wrapping
+    .start()+awaitTermination() (foreachBatch folds included: their
+    batch jobs run inside the drain) is sufficient."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_DRAIN_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def _sklake_dir(sf_dir: str) -> str:
     return _scratch_dir("sklake", sf_dir) + "/docs"
 
@@ -6118,15 +6155,16 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = tempfile.mkdtemp(prefix="run_", dir=root)
     out_dir, ckpt = f"{run}/out", f"{run}/ckpt"
-    q = (
-        joined.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_drain_conf(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(
         "user_id long, imp_id long, click_id long, its_us long, cts_us long"
     ).parquet(out_dir)
@@ -6427,15 +6465,16 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = tempfile.mkdtemp(prefix="run_", dir=root)
     out_dir, ckpt = f"{run}/out", f"{run}/ckpt"
-    q = (
-        stream.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_drain_conf(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.schema(
             "user_id long, session_start_us long, session_end_us long,"
@@ -6530,15 +6569,16 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = tempfile.mkdtemp(prefix="ddw_run_", dir=root)
     out_dir, ckpt = f"{run}/out", f"{run}/ckpt"
-    q = (
-        stream.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_drain_conf(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(
         "event_id long, user_id long, ts_us long, event_type string,"
         " value double"
@@ -6752,7 +6792,8 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    stream_rollup(stream, rdir, ckpt)
+    with _stream_drain_conf(spark):
+        stream_rollup(stream, rdir, ckpt)
     return serve_rollup(spark, rdir, avg6=[("avg_value", "sum_value", "n_value")])
 
 
@@ -7800,7 +7841,10 @@ def q_knn_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(feed)
         )
-        stream_ivfpq_append(stream, idx, f"{root}/ckpt", "vec_id", "embedding")
+        with _stream_drain_conf(spark):
+            stream_ivfpq_append(
+                stream, idx, f"{root}/ckpt", "vec_id", "embedding"
+            )
         open(marker, "w").close()
     probes = emb.where(F.col("vec_id") < KNN_PROBES)
     return search_ivfpq_index(
