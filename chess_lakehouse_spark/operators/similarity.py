@@ -1320,23 +1320,97 @@ def pq_train(
     The PQ memory story this trains for: a dim-double corpus vector
     serves as ``m`` small integer codes (m bytes at k <= 256) — the
     100 TB ANN compression step between the IVF partition pruning and
-    the exact re-rank."""
-    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
+    the exact re-rank.
+
+    Plan shape (r15 optimization, arithmetic unchanged): the init draw
+    is slice-independent (md5(seed|id), id tie-break picks the same k
+    seed VECTORS for every slice), so one TakeOrdered job collects the
+    seed vectors and slices them driver-side; each training iteration
+    then updates ALL m codebooks in ONE corpus pass — per slice the
+    same literal-argmax assignment, posexplode and exact-DECIMAL mean,
+    but grouped by (slice, cid, pos) so the m per-slice jobs fuse into
+    a single map-combined aggregation (m scans + m shuffles → 1 + 1 per
+    iteration; the per-(slice,cid,pos) decimal sums are exact, so the
+    fused grouping is bit-identical to the per-slice runs)."""
+    if m < 1:
+        raise ValueError(f"pq_train: m must be >= 1, got {m}")
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
+    )
+    init_rows = (
+        vecs.select(
+            "vid",
+            "dv",
+            F.md5(
+                F.concat(F.lit(f"{seed}|"), F.col("vid").cast("string"))
+            ).alias("mk"),
+        )
+        .orderBy("mk", "vid")
+        .limit(k)
+        .collect()
+    )
+    if not init_rows:
         raise ValueError("pq_train: empty corpus")
-    dim = int(dim_row["d"])
-    if m < 1 or dim % m != 0:
+    dim = len(init_rows[0].dv)
+    if dim % m != 0:
         raise ValueError(
             f"pq_train: m={m} must divide the vector dim {dim}"
         )
     d = dim // m
-    books = []
-    for s in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(as_double(F.col(vec_col)), s * d + 1, d).alias("__sub"),
+    seeds = sorted(init_rows, key=lambda r: (r.mk, r.vid))
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (i, [float(x) for x in r.dv[s * d : (s + 1) * d]])
+            for i, r in enumerate(seeds)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        per_slice = []
+        for s in range(m):
+            cent_arr = _centroid_literal_array(
+                [(cid, cv, _py_dot(cv, cv)) for cid, cv in books[s]]
+            )
+            sub = F.slice(F.col("dv"), s * d + 1, d)
+            per_slice.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _ranked_lists(cent_arr, sub, dot(sub, sub))[0]["cid"].alias(
+                        "list_id"
+                    ),
+                    sub.alias("sv"),
+                )
+            )
+        mean_rows = (
+            vecs.select(F.explode(F.array(*per_slice)).alias("a"))
+            .select("a.s", "a.list_id", F.posexplode("a.sv").alias("pos", "val"))
+            .groupBy("s", "list_id", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mval")
+            )
+            .collect()
         )
-        books.append(kmeans_fit(sliced, id_col, "__sub", k=k, iters=iters, seed=seed))
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mean_rows:
+            by_key.setdefault((int(r.s), int(r.list_id)), {})[int(r.pos)] = float(
+                r.mval
+            )
+        books = [
+            [
+                (
+                    cid,
+                    [dd[p] for p in sorted(dd)]
+                    if (dd := by_key.get((s, cid)))
+                    else old,
+                )
+                for cid, old in books[s]
+            ]
+            for s in range(m)
+        ]
     return books
 
 

@@ -333,14 +333,15 @@ def test_heavy_hitters_staged_candidate_matches_oracle_two_scales(spark, sf_dir)
     mg_from_batches serve, N from mg_state_total) passes the SAME audit
     as the single-pass sketch — against HEAVY_HITTERS_ORACLE verbatim,
     the serving-layout-may-never-change-the-verdict discipline."""
+    from chess_lakehouse_spark import suite
     from chess_lakehouse_spark.suite.llm import (
         HEAVY_HITTERS_ORACLE,
-        STAGED_CANDIDATES,
         q_heavy_hitters_staged,
     )
 
-    # the manifest pins the verbatim oracle share
-    assert STAGED_CANDIDATES["heavy_hitters_staged"][1] is HEAVY_HITTERS_ORACLE
+    # promoted at the r15 window re-plan: the REGISTERED entry pins the
+    # verbatim oracle share (was the STAGED_CANDIDATES manifest pre-r15)
+    assert suite.ORACLES["heavy_hitters_staged"] is HEAVY_HITTERS_ORACLE
 
     sdf = q_heavy_hitters_staged(spark, sf_dir)
     assert dict(sdf.dtypes) == {

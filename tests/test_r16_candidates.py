@@ -435,17 +435,18 @@ def test_ivfpq_validation(spark, tmp_path):
 
 
 def test_new_candidates_in_manifest():
-    """The three r14-built candidates sit in STAGED_CANDIDATES with
-    their oracles, and linkage_score's oracle embeds the registered
+    """The three r14-built candidates were promoted to the REGISTERED
+    suite at the r15 window re-plan (they sat in STAGED_CANDIDATES
+    pre-promotion), and linkage_score's oracle embeds the registered
     record_linkage oracle verbatim (the composition discipline)."""
+    from chess_lakehouse_spark import suite
     from chess_lakehouse_spark.suite.llm import (
         LINKAGE_SCORE_ORACLE,
         RECORD_LINKAGE_ORACLE,
-        STAGED_CANDIDATES,
     )
 
     for name in ("rank_sketch", "linkage_score", "knn_ivfpq"):
-        assert name in STAGED_CANDIDATES, name
+        assert name in suite.ORACLES and name in suite.QUERIES, name
     assert RECORD_LINKAGE_ORACLE.strip() in LINKAGE_SCORE_ORACLE
 
 
@@ -526,13 +527,15 @@ def test_rank_sketch_staged_matches_oracle_two_scales(spark, sf_dir):
     the SAME audit as the single-pass build — against
     RANK_SKETCH_ORACLE verbatim, the serving-layout-may-never-change-
     the-verdict discipline."""
+    from chess_lakehouse_spark import suite
     from chess_lakehouse_spark.suite.llm import (
         RANK_SKETCH_ORACLE,
-        STAGED_CANDIDATES,
         q_rank_sketch_staged,
     )
 
-    assert STAGED_CANDIDATES["rank_sketch_staged"][1] is RANK_SKETCH_ORACLE
+    # promoted at the r15 window re-plan: the REGISTERED entry pins the
+    # verbatim oracle share (was the STAGED_CANDIDATES manifest pre-r15)
+    assert suite.ORACLES["rank_sketch_staged"] is RANK_SKETCH_ORACLE
     sdf = q_rank_sketch_staged(spark, sf_dir)
     _assert_clean_plan(sdf)
     srows = sorted(tuple(r) for r in sdf.collect())
