@@ -1125,20 +1125,34 @@ def bm25_batch(
     stats = lengths.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_d").alias("total_len")
     )
-    n_docs = stats.select("n_docs").scalar()
-    total_len = stats.select("total_len").scalar()
+    # (n_docs, total_len) ride a ONE-ROW broadcast cross join on the
+    # query-term frame instead of scalar subqueries: Catalyst planned
+    # the .scalar() form as THREE distinct subqueries (n_docs twice —
+    # idf and denom get separate ids — plus total_len), each re-running
+    # the corpus scan → explode → doc-length aggregation chain (r15
+    # plan audit). One row broadcast onto |query terms| rows is free.
+    n_docs = F.col("n_docs")
+    total_len = F.col("total_len")
 
     q_terms = _bm25_query_terms(queries, query_id_col, query_text_col)
     # postings restricted to terms ANY query uses (semi-join, term-keyed)
+    # — derive ``wanted`` BEFORE the stats cross join, or its corpus-scan
+    # subtree rides into the semi-join's build side
     wanted = q_terms.select("t").distinct()
     postings = (
         toks.join(wanted, "t", "left_semi")
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    q_terms = q_terms.crossJoin(F.broadcast(stats))
+    # dfreq=None: df is derived with a count-window over the SAME
+    # postings frame inside _bm25_score_rank. A separate
+    # postings.groupBy("t") subtree here is column-pruned differently
+    # by Catalyst, so ReuseExchange cannot dedupe it and the whole
+    # corpus-scan → explode → semi-join → aggregate chain executes
+    # TWICE (r15 plan audit: 7 corpus scans / 14 exchanges → 4 / 8).
     return _bm25_score_rank(
-        q_terms, postings, dfreq, lengths, n_docs, total_len, k, k1, b, precision
+        q_terms, postings, None, lengths, n_docs, total_len, k, k1, b, precision
     )
 
 
@@ -1172,7 +1186,13 @@ def _bm25_score_rank(
     :func:`bm25_from_index`: same idf integer-ratio log, per-term
     ROUND(·,precision), DECIMAL-exact sum, and (score DESC, doc_id) total
     order as the oracle template. ``n_docs``/``total_len`` are Columns
-    (scalar subqueries — stay lazy, no extra corpus action)."""
+    (1-row-broadcast stats columns or scalar subqueries — stay lazy, no
+    extra corpus action). ``dfreq=None`` derives the per-term document
+    frequency with a count-window over ``postings`` itself (identical
+    value: df(t) = number of postings rows for t) — the batch path's
+    choice, where a separate postings.groupBy("t") subtree would be
+    column-pruned differently and recompute the whole postings chain;
+    the staged path passes its materialized ``dfreq`` table instead."""
     from pyspark.sql.window import Window
 
     idf = F.round(
@@ -1189,9 +1209,15 @@ def _bm25_score_rank(
     # here the unbounded-hint class removed from tfidf/LM/PMI in r6, so
     # no hint: AQE's size estimate picks broadcast when it actually fits
     # (the per-query bm25_topk keeps its hint — one query's terms).
+    if dfreq is None:
+        postings = postings.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("t"))
+        )
+        with_df = q_terms.join(postings, "t")
+    else:
+        with_df = q_terms.join(postings, "t").join(dfreq, "t")
     scored = (
-        q_terms.join(postings, "t")
-        .join(dfreq, "t")
+        with_df
         .join(lengths, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(
@@ -1357,11 +1383,14 @@ def bm25_from_index(
     dfreq = spark.read.parquet(f"{index_dir}/dfreq")
     lengths = spark.read.parquet(f"{index_dir}/lengths")
     stats = spark.read.parquet(f"{index_dir}/stats")
-    n_docs = stats.select("n_docs").scalar()
-    total_len = stats.select("total_len").scalar()
+    # 1-row broadcast cross join (the bm25_batch form) instead of two
+    # scalar-subquery jobs over the stats table
+    n_docs = F.col("n_docs")
+    total_len = F.col("total_len")
 
     q_terms = _bm25_query_terms(queries, query_id_col, query_text_col)
     wanted = q_terms.select("t").distinct()
+    q_terms = q_terms.crossJoin(F.broadcast(stats.select("n_docs", "total_len")))
     # bounded-literal probe: LIMIT max+1 caps what ever reaches the driver
     term_rows = wanted.limit(max_pushdown_terms + 1).collect()
     if len(term_rows) <= max_pushdown_terms:

@@ -61,8 +61,10 @@ def main() -> int:
                     "formatted"
                 )
             )
-            out["exchanges"] = plan.count("(Exchange") + sum(
-                1 for ln in plan.splitlines() if ln.strip().startswith("Exchange")
+            import re
+
+            out["exchanges"] = len(
+                re.findall(r"\(\d+\) Exchange", plan)
             )
             if plans_dir:
                 Path(plans_dir).mkdir(parents=True, exist_ok=True)
