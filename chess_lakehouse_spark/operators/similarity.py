@@ -501,27 +501,47 @@ def sparse_cosine_pairs(
             .select("term")
         )
         w = w.join(keep, "term")
-    norms = w.groupBy("id").agg(
-        F.sum((F.col("w") * F.col("w")).cast("decimal(18,6)")).cast("double").alias("n2")
+    # Norms ride a count-window over the SAME weight frame instead of a
+    # separate groupBy("id") subtree + two keyed joins at the tail: the
+    # ``weights`` lineage (for tfidf: corpus scan → explode → tf/df
+    # aggregations → idf join) would otherwise execute a THIRD time for
+    # the norm table (r15 plan audit: the tfidf_cosine plan carried 16
+    # corpus scans; ReuseExchange dedupes the a/b self-join sides but
+    # not the differently-pruned norm subtree). The window's exact
+    # DECIMAL sum over each id partition is bit-identical to the
+    # groupBy sum, and blocking still only constrains which pairs are
+    # *generated* — the norm spans ALL kept terms of the doc.
+    from pyspark.sql.window import Window
+
+    w = w.withColumn(
+        "n2",
+        F.sum((F.col("w") * F.col("w")).cast("decimal(18,6)"))
+        .over(Window.partitionBy("id"))
+        .cast("double"),
     )
     join_keys = ["term"] if block_col is None else ["blk", "term"]
     pair_cols = ["term"] if block_col is None else ["term", "blk"]
-    a = w.select(F.col("id").alias("id_a"), *pair_cols, F.col("w").alias("wa"))
-    b = w.select(F.col("id").alias("id_b"), *pair_cols, F.col("w").alias("wb"))
+    a = w.select(
+        F.col("id").alias("id_a"), *pair_cols, F.col("w").alias("wa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = w.select(
+        F.col("id").alias("id_b"), *pair_cols, F.col("w").alias("wb"),
+        F.col("n2").alias("n2b"),
+    )
     dots = (
         a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast("decimal(18,6)")).cast("double").alias("dp")
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(18,6)")).cast("double").alias("dp"),
+            # constant per (id_a, id_b) — min() picks that constant
+            F.min("n2a").alias("n2a"),
+            F.min("n2b").alias("n2b"),
         )
     )
-    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2a"))
-    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2b"))
     return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
+        dots.select(
             "id_a",
             "id_b",
             F.round(F.col("dp") / F.sqrt(F.col("n2a") * F.col("n2b")), precision).alias("sim"),
