@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chess_lakehouse_spark.session import local_df
+
 from chess_lakehouse_spark.functions.text import WS_SPLIT as _WS_SPLIT
 
 #: End-of-word marker appended to each word's final symbol, so merges can
@@ -229,8 +231,8 @@ def build_token_vocab(
     vocab = global_sort_rank(toks, ["token"]).select(
         "token", F.col("__rank").cast("long").alias("token_id")
     )
-    unk_row = tokens_df.sparkSession.createDataFrame(
-        [(unk, 0)], "token string, token_id long"
+    unk_row = local_df(
+        tokens_df.sparkSession, [(unk, 0)], "token string, token_id long"
     )
     return unk_row.unionByName(vocab)
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chess_lakehouse_spark.session import local_df
+
 from chess_lakehouse_spark.operators.dedup import md5_hash64
 
 #: Small marker-token lists per language for the n-gram/stopword heuristic.
@@ -1485,7 +1487,8 @@ def build_substring_index(
     n_docs = (
         base.where(F.length("t") >= q).select("doc_id").distinct().count()
     )
-    base.sparkSession.createDataFrame(
+    local_df(
+        base.sparkSession,
         [(q, n_docs, bool(fold_case))], "q int, n_docs long, fold_case boolean"
     ).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
@@ -1542,7 +1545,8 @@ def append_substring_index(
     # meta/ swaps too: a straddling reader sees old-or-new meta, never a
     # deleted or half-written one (see the SCALE.md coordination contract)
     tmp_m = f"{index_dir}/meta.compacting"
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(q, n_docs, fold_case)], "q int, n_docs long, fold_case boolean"
     ).write.mode("overwrite").parquet(tmp_m)
     _swap_lake_dirs(spark, tmp_m, f"{index_dir}/meta", "append_substring_index")
@@ -1991,7 +1995,7 @@ def regex_search_from_index(
         postings = postings.where(F.col("g").isin(need))
     else:  # a pathological generated pattern: keyed semi-join instead of
         # an oversized isin literal — the intersection count is the same
-        need_df = spark.createDataFrame([(g,) for g in need], "g string")
+        need_df = local_df(spark, [(g,) for g in need], "g string")
         postings = postings.join(need_df, "g", "left_semi")
     cand = (
         postings.groupBy("doc_id")

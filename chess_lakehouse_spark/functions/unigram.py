@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chess_lakehouse_spark.session import local_df
+
 from chess_lakehouse_spark.functions.text import WS_SPLIT as _WS_SPLIT
 
 #: Segmentation-string separator in the Viterbi tie-break (unit
@@ -128,7 +130,7 @@ def _costs(spark, weighted: list[tuple[str, int]]) -> dict[str, int]:
     Spark-ln == DuckDB-ln pillar; every DP accumulation after this is
     exact integer addition."""
     total = sum(w for _, w in weighted)
-    wdf = spark.createDataFrame(sorted(weighted), "piece string, wt long")
+    wdf = local_df(spark, sorted(weighted), "piece string, wt long")
     rows = wdf.select(
         "piece",
         F.expr(

@@ -32,6 +32,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chess_lakehouse_spark.session import local_df
+
 #: Feature order — FIXED: the model dict records it, and serving folds
 #: coefficients positionally against these metric columns.
 QUALITY_FEATURES: tuple[str, ...] = (
@@ -228,7 +230,7 @@ def hashed_weights_from_tokens(
     rebuilds it from the same literals). Colliding tokens sum exactly:
     weights pass through DECIMAL(9,4) so the fold is order-independent."""
     rows = [(tok, float(w)) for tok, w in sorted(token_weights.items())]
-    wdf = spark.createDataFrame(rows, "tok string, w double")
+    wdf = local_df(spark, rows, "tok string, w double")
     return (
         wdf.groupBy(hashed_bucket(F.col("tok"), n_buckets).alias("bucket"))
         .agg(F.sum(F.col("w").cast("decimal(9,4)")).cast("double").alias("w"))
@@ -387,7 +389,8 @@ def save_hashed_classifier(weights: DataFrame, meta: dict, path: str) -> None:
     plus an (``_INTERCEPT_BUCKET``, intercept) sentinel row — no side
     JSON to drift from the weights."""
     spark = weights.sparkSession
-    sentinel = spark.createDataFrame(
+    sentinel = local_df(
+        spark,
         [(_INTERCEPT_BUCKET, float(meta["intercept"]), int(meta["n_buckets"]))],
         "bucket long, w double, n_buckets long",
     )

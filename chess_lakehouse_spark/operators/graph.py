@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chess_lakehouse_spark.session import local_df
+
 
 #: Edge-count ceiling for the driver-side fast path. Near-dup graphs are
 #: already LSH-pruned, so edge lists are usually far below this even when
@@ -93,8 +95,8 @@ def connected_components(
             if not head:
                 return spark.createDataFrame([], schema="id long, component long")
             pairs = [(r[0], r[1]) for r in head]
-            return spark.createDataFrame(
-                sorted(_driver_union_find(pairs)), schema="id long, component long"
+            return local_df(
+                spark, sorted(_driver_union_find(pairs)), "id long, component long"
             )
 
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(

@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chess_lakehouse_spark.session import local_df
+
 
 def write_partitioned(
     df: DataFrame,
@@ -709,7 +711,7 @@ def delete_rows(
     affected_vals = affected.collect()
     if not affected_vals:
         return
-    affected = spark.createDataFrame(affected_vals, affected.schema)
+    affected = local_df(spark, affected_vals, affected.schema)
 
     target = existing.join(F.broadcast(affected), on=list(partition_cols), how="left_semi")
     keep = target.join(keys.select(*key_cols), on=list(key_cols), how="left_anti")

@@ -15,6 +15,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chess_lakehouse_spark.session import local_df
+
 
 def align_and_union(dfs: Sequence[DataFrame]) -> DataFrame:
     """UNION ALL over per-source frames with schema alignment.
@@ -867,7 +869,7 @@ def exact_quantiles(
     if len(set(ppms)) != len(ppms):
         raise ValueError(f"exact_quantiles: duplicate quantiles in {list(qs)}")
     spark = df.sparkSession
-    qdf = spark.createDataFrame([(p,) for p in ppms], "q_ppm long")
+    qdf = local_df(spark, [(p,) for p in ppms], "q_ppm long")
     df = df.where(F.col(value_col).isNotNull())
     if by:
         from pyspark.sql.window import Window
@@ -961,7 +963,7 @@ def weighted_quantiles(
             f"{sorted(clash)}"
         )
     spark = df.sparkSession
-    qdf = spark.createDataFrame([(p,) for p in ppms], "q_ppm long")
+    qdf = local_df(spark, [(p,) for p in ppms], "q_ppm long")
     w = F.col(weight_col).cast("long")
     pts = df.where(
         F.col(value_col).isNotNull() & w.isNotNull() & (w > 0)
@@ -1461,7 +1463,8 @@ def funnel(
     # right-join the K-row step table so a step NO user reaches still
     # emits its n_users = 0 row (the one-row-per-step contract — and the
     # oracle's aggregate-without-GROUP-BY shape, which always emits)
-    step_rows = events.sparkSession.createDataFrame(
+    step_rows = local_df(
+        events.sparkSession,
         [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
     )
     counts = tagged.groupBy("step_idx", "step").agg(

@@ -66,6 +66,8 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chess_lakehouse_spark.session import local_df
+
 _AGGS = ("count", "countnn", "sum", "sum6", "min", "max", "hll")
 _BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._-]+$")
 
@@ -154,9 +156,9 @@ def _write_spec(spark: SparkSession, keys, measures, rollup_dir: str) -> None:
         (i, "measure", name, agg, col or "")
         for i, (name, agg, col) in enumerate(measures)
     ]
-    spark.createDataFrame(
-        rows, "pos int, kind string, name string, agg string, col string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{rollup_dir}/spec")
+    local_df(
+        spark, rows, "pos int, kind string, name string, agg string, col string"
+    ).write.mode("overwrite").parquet(f"{rollup_dir}/spec")
 
 
 def read_spec(spark: SparkSession, rollup_dir: str):

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from chess_lakehouse_spark.session import local_df
+
 
 def as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -871,10 +873,11 @@ def publish_ivf_index(
         f"{tmp}/batch_id={batch_id}",
         ("list_id",),
     )
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
         "cid int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_centroids")
+    ).write.mode("overwrite").parquet(f"{tmp}/_centroids")
     _swap_lake_dirs(spark, tmp, out_dir.rstrip("/"), "publish_ivf_index")
 
 
@@ -1560,18 +1563,20 @@ def publish_ivfpq_index(
         f"{tmp}/batch_id={batch_id}",
         ("list_id",),
     )
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
         "cid int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_centroids")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(f"{tmp}/_centroids")
+    local_df(
+        spark,
         [
             (int(s), int(cid), [float(x) for x in cv])
             for s, book in enumerate(codebooks)
             for cid, cv in book
         ],
         "s int, cid int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_pq_codebooks")
+    ).write.mode("overwrite").parquet(f"{tmp}/_pq_codebooks")
     _swap_lake_dirs(spark, tmp, out_dir.rstrip("/"), "publish_ivfpq_index")
 
 

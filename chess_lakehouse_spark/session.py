@@ -62,6 +62,27 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema, n_slices: int = 1):
+    """Driver-local bounded rows → DataFrame in ``n_slices`` partitions
+    (default ONE).
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the pickled rows
+    into ``defaultParallelism`` slices; every slice deserialized by a task
+    costs one Python-worker round trip, so a downstream single-task
+    consumer (``coalesce(1)`` sidecar writes, tiny spec tables) pays them
+    SEQUENTIALLY — measured r15: a 7-row rollup spec write cost ~5 s at
+    local[32] (32 handshakes) vs ~0.3 s at one slice. Every caller here
+    holds a list bounded by construction (spec rows, centroid literals,
+    merge lists, probe sets), so one partition is the right layout at any
+    corpus scale — these frames never carry data-proportional rows."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(1, int(n_slices))), schema
+    )
+
+
 def get_spark(
     app_name: str = "chess_lakehouse_spark",
     master: str | None = None,

@@ -29,6 +29,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from chess_lakehouse_spark.session import local_df
+
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
@@ -1699,7 +1701,8 @@ def substring_index_batch(
         from chess_lakehouse_spark.operators.publish import _swap_lake_dirs
 
         tmp_m = f"{index_dir}/meta.compacting"
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(q, None, bool(fold_case))], "q int, n_docs long, fold_case boolean"
         ).write.mode("overwrite").parquet(tmp_m)
         _swap_lake_dirs(spark, tmp_m, f"{index_dir}/meta", "substring_index_batch")

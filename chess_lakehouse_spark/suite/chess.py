@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from chess_lakehouse_spark.functions.chess import moves_normalize, timecontrol_normalize
 from chess_lakehouse_spark.plans.pipeline import enrich, export_combined
-from chess_lakehouse_spark.session import apply_runtime_conf
+from chess_lakehouse_spark.session import apply_runtime_conf, local_df
 
 # (Event, raw movetext, pre-set ECO, pre-set Opening)
 _GAMES = [
@@ -78,10 +78,10 @@ def q_chess_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill eco/Opening for NULL-Opening rows via the argmax contains-join
     (src/find-openings.ts:58-82) with deterministic tie-break."""
     apply_runtime_conf(spark)
-    games = spark.createDataFrame(
-        _GAMES, "Event string, movetext string, ECO string, Opening string"
+    games = local_df(
+        spark, _GAMES, "Event string, movetext string, ECO string, Opening string"
     ).withColumn("clean_movetext", moves_normalize("movetext"))
-    openings = spark.createDataFrame(_OPENINGS, "eco string, name string, pgn string, uci string")
+    openings = local_df(spark, _OPENINGS, "eco string, name string, pgn string, uci string")
     out = enrich(games, openings, "FixtureSource")
     return out.select("Event", "clean_movetext", "ECO", "Opening", "DataSource")
 
@@ -126,7 +126,8 @@ def q_chess_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene filter (src/export-to-parquet.ts:92-93), Elo int cast, TimeControl
     normalize-or-fallback, year/month derivation (:89-90)."""
     apply_runtime_conf(spark)
-    games = spark.createDataFrame(
+    games = local_df(
+        spark,
         _EXPORT_ROWS,
         "Event string, UTCDate string, WhiteElo string, TimeControl string, DataSource string",
     ).withColumn("clean_timecontrol", timecontrol_normalize("TimeControl"))

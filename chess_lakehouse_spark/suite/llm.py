@@ -44,7 +44,7 @@ from chess_lakehouse_spark.functions.urls import (
     TRACKING_PARAM_SUB_DUCKDB,
     WWW_RE,
 )
-from chess_lakehouse_spark.session import apply_runtime_conf
+from chess_lakehouse_spark.session import apply_runtime_conf, local_df
 
 NUM_PLANES = 8
 EMB_DIM = 64
@@ -1857,7 +1857,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", n_merges=BPE_MERGES)
     rows = [(i + 1, pa, pb) for i, (pa, pb) in enumerate(merges)]
-    return spark.createDataFrame(rows, "rk int, pa string, pb string")
+    return local_df(spark, rows, "rk int, pa string, pb string")
 
 
 #: One staging root per (process, kind) for the queries that stage a
@@ -8037,7 +8037,7 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         em_iters=UNI_EM_ITERS, n_keep_multi=UNI_KEEP_MULTI,
     )
     rows = [(i + 1, p, int(w)) for i, (p, w) in enumerate(vocab)]
-    return spark.createDataFrame(rows, "rk int, piece string, n bigint")
+    return local_df(spark, rows, "rk int, piece string, n bigint")
 
 
 q_unigram_train.__doc__ = q_unigram_train.__doc__.format(
