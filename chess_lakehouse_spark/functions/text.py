@@ -1133,20 +1133,17 @@ def bm25_batch(
     # idf and denom get separate ids — plus total_len), each re-running
     # the corpus scan → explode → doc-length aggregation chain (r15
     # plan audit). One row broadcast onto |query terms| rows is free.
-    n_docs = F.col("n_docs")
-    total_len = F.col("total_len")
+    n_docs = stats.select("n_docs").scalar()
+    total_len = stats.select("total_len").scalar()
 
     q_terms = _bm25_query_terms(queries, query_id_col, query_text_col)
     # postings restricted to terms ANY query uses (semi-join, term-keyed)
-    # — derive ``wanted`` BEFORE the stats cross join, or its corpus-scan
-    # subtree rides into the semi-join's build side
     wanted = q_terms.select("t").distinct()
     postings = (
         toks.join(wanted, "t", "left_semi")
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    q_terms = q_terms.crossJoin(F.broadcast(stats))
     # dfreq=None: df is derived with a count-window over the SAME
     # postings frame inside _bm25_score_rank. A separate
     # postings.groupBy("t") subtree here is column-pruned differently
@@ -1385,14 +1382,11 @@ def bm25_from_index(
     dfreq = spark.read.parquet(f"{index_dir}/dfreq")
     lengths = spark.read.parquet(f"{index_dir}/lengths")
     stats = spark.read.parquet(f"{index_dir}/stats")
-    # 1-row broadcast cross join (the bm25_batch form) instead of two
-    # scalar-subquery jobs over the stats table
-    n_docs = F.col("n_docs")
-    total_len = F.col("total_len")
+    n_docs = stats.select("n_docs").scalar()
+    total_len = stats.select("total_len").scalar()
 
     q_terms = _bm25_query_terms(queries, query_id_col, query_text_col)
     wanted = q_terms.select("t").distinct()
-    q_terms = q_terms.crossJoin(F.broadcast(stats.select("n_docs", "total_len")))
     # bounded-literal probe: LIMIT max+1 caps what ever reaches the driver
     term_rows = wanted.limit(max_pushdown_terms + 1).collect()
     if len(term_rows) <= max_pushdown_terms:
