@@ -74,13 +74,14 @@ def main() -> None:
 
     load_start = _loadavg()
     timings: dict[str, float] = {}
+    first_rep: dict[str, float] = {}
     failures: dict[str, str] = {}
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name, fn in suite.QUERIES.items():
         if only is not None and name not in only:
             continue
         best = None
-        for _ in range(reps):
+        for rep_no in range(reps):
             # operators persist intermediate frames; drop them between runs so
             # one run's cache does not skew the next run's memory budget
             spark.catalog.clearCache()
@@ -96,6 +97,12 @@ def main() -> None:
                 best = None
                 break
             elapsed = time.perf_counter() - start
+            if rep_no == 0:
+                # Audit record (additions-only, r15 verdict item 2): rep 1
+                # includes any once-per-process staged-artifact build for the
+                # *_staged family, so build+serve and serve-only (min) wall
+                # times are BOTH auditable in BENCH_FULL.json.
+                first_rep[name] = round(elapsed, 4)
             best = elapsed if best is None or elapsed < best else best
         if best is not None:
             # min over reps: wall-clock noise is one-sided, the min is the
@@ -121,6 +128,9 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
+    # Full audit record only (stripped from the compact line below): rep-1
+    # wall per query, so staged-build cost is never invisible in the record.
+    out["first_rep_sec"] = {k: first_rep[k] for k in timings if k in first_rep}
 
     # The harness records only a bounded tail of this process's stdout
     # (observed: BENCH_r04 captured 2000 chars and failed to parse the
@@ -137,6 +147,9 @@ def main() -> None:
 
     budget = 1800
     compact = dict(out)
+    # keep the printed one-line contract unchanged: the per-query rep-1 map
+    # lives in BENCH_FULL.json only
+    compact.pop("first_rep_sec", None)
     if failures:
         # failure messages can be long; the compact line carries only the
         # names (full messages stay in BENCH_FULL.json)

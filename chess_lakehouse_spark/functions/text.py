@@ -997,9 +997,28 @@ def bm25_topk(
         F.col(id_col).alias("id"),
         F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("t"),
     )
-    lengths = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_d"))
-    stats = lengths.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_d").alias("total_len")
+    # Map-side per-doc length (see bm25_batch: identical to the former
+    # explode+groupBy count under unique ids; n_d >= 1 matches explode's
+    # empty/NULL drop; cast keeps the BIGINT type).
+    lengths = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_d"),
+    ).where(F.col("n_d") >= 1)
+    # (n_docs, total_len) as unpartitioned-window columns over the lengths
+    # frame (same fix as bm25_batch): .scalar() planned THREE scalar
+    # subqueries, each re-running the corpus-scan → explode → doc-length
+    # chain; the window pass is over the compact (id, n_d) map-side
+    # projection.
+    from pyspark.sql.window import Window as _W
+
+    _wall = _W.partitionBy()
+    lengths = lengths.select(
+        "id",
+        "n_d",
+        F.count(F.lit(1)).over(_wall).alias("__n_docs"),
+        F.sum("n_d").over(_wall).alias("__total_len"),
     )
     term_arr = F.array(*[F.lit(t) for t in terms])
     postings = (
@@ -1009,8 +1028,8 @@ def bm25_topk(
     )
     dfreq = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
 
-    n_docs = stats.select("n_docs").scalar()
-    total_len = stats.select("total_len").scalar()
+    n_docs = F.col("__n_docs")
+    total_len = F.col("__total_len")
     idf = F.round(
         F.log((2 * n_docs + F.lit(2)).cast("double") / (2 * F.col("df") + 1).cast("double")),
         precision,
@@ -1123,18 +1142,45 @@ def bm25_batch(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("t"),
     )
-    lengths = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d"))
-    stats = lengths.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_d").alias("total_len")
+    # Per-doc length MAP-SIDE: n_d is the size of the (filtered) token
+    # array — no explode, no shuffle. Identical to the former
+    # explode+groupBy count because ids are unique per row (the engine-wide
+    # contract) and a doc appears in the exploded count iff it has >= 1
+    # token, which is exactly the n_d >= 1 guard (empty/NULL text sizes to
+    # 0/-1 and is excluded, matching explode's drop). Cast keeps the
+    # former BIGINT count type. Removes one full corpus-scan → explode →
+    # shuffle chain from the plan (guide §2.4).
+    lengths = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_d"),
+    ).where(F.col("n_d") >= 1)
+    # (n_docs, total_len) ride the lengths frame as unpartitioned-window
+    # columns, so the doc-length chain executes ONCE (the scoring join).
+    # History: .scalar() planned as THREE distinct scalar subqueries
+    # (n_docs twice — idf and denom get separate ids — plus total_len),
+    # each hosting its own corpus-scan → explode → aggregation chain (r15
+    # plan audit); the r15 1-row crossJoin fix planted a
+    # BroadcastNestedLoopJoin under the term chain and fenced 2-8× WORSE
+    # (reverted, OPTIMIZATION_r15.md §3). The window form is the
+    # sparse_cosine_pairs norms trick: same integers (count/sum over all
+    # lengths rows), no subquery, no BNLJ. The single-partition window
+    # pass is over the compact (doc_id, n_d) table — at 100 TB the staged
+    # path (bm25_from_index) serves stats from its materialized 1-row
+    # table instead, so this window never sees corpus-scale volume on the
+    # serving path.
+    from pyspark.sql.window import Window as _W
+
+    _wall = _W.partitionBy()
+    lengths = lengths.select(
+        "doc_id",
+        "n_d",
+        F.count(F.lit(1)).over(_wall).alias("__n_docs"),
+        F.sum("n_d").over(_wall).alias("__total_len"),
     )
-    # (n_docs, total_len) ride a ONE-ROW broadcast cross join on the
-    # query-term frame instead of scalar subqueries: Catalyst planned
-    # the .scalar() form as THREE distinct subqueries (n_docs twice —
-    # idf and denom get separate ids — plus total_len), each re-running
-    # the corpus scan → explode → doc-length aggregation chain (r15
-    # plan audit). One row broadcast onto |query terms| rows is free.
-    n_docs = stats.select("n_docs").scalar()
-    total_len = stats.select("total_len").scalar()
+    n_docs = F.col("__n_docs")
+    total_len = F.col("__total_len")
 
     q_terms = _bm25_query_terms(queries, query_id_col, query_text_col)
     # postings restricted to terms ANY query uses (semi-join, term-keyed)
@@ -1262,7 +1308,14 @@ def build_bm25_index(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")).alias("t"),
     )
-    lengths = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d"))
+    # Map-side per-doc length (see bm25_batch: identical values to the
+    # former explode+groupBy count under unique ids; same BIGINT schema).
+    lengths = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_d"),
+    ).where(F.col("n_d") >= 1)
     lengths.write.mode("overwrite").parquet(f"{index_dir}/lengths")
     postings = toks.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     write_clustered(postings, f"{index_dir}/postings", ["t"], n_files=n_posting_files)
@@ -1320,7 +1373,13 @@ def append_bm25_index(
     write_clustered(merged, tmp, ["t"], n_files=n_posting_files)
     _swap_lake_dirs(spark, tmp, f"{index_dir}/postings", "append_bm25_index")
 
-    new_lengths = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d"))
+    # Map-side per-doc length (see bm25_batch) — identical values/schema.
+    new_lengths = delta_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(ws_tokens(F.col(text_col)), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_d"),
+    ).where(F.col("n_d") >= 1)
     merged_lengths = (
         spark.read.parquet(f"{index_dir}/lengths")
         .join(delta_ids, "doc_id", "left_anti")
@@ -1382,8 +1441,6 @@ def bm25_from_index(
     dfreq = spark.read.parquet(f"{index_dir}/dfreq")
     lengths = spark.read.parquet(f"{index_dir}/lengths")
     stats = spark.read.parquet(f"{index_dir}/stats")
-    n_docs = stats.select("n_docs").scalar()
-    total_len = stats.select("total_len").scalar()
 
     q_terms = _bm25_query_terms(queries, query_id_col, query_text_col)
     wanted = q_terms.select("t").distinct()
@@ -1396,6 +1453,21 @@ def bm25_from_index(
     else:
         postings = postings.join(wanted, "t", "left_semi")
         dfreq = dfreq.join(wanted, "t", "left_semi")
+    # The materialized stats table is ONE row by construction
+    # (build_bm25_index writes a single global aggregate) — read it on
+    # the driver and inline the two integers as plan literals: the same
+    # bounded-literal-probe discipline as the term pushdown above. The
+    # .scalar() form planned THREE scalar-subquery instances (n_docs is
+    # referenced twice), each a separate subquery job; the r15 1-row
+    # crossJoin attempt planted a BroadcastNestedLoopJoin under the term
+    # chain and fenced 2-8× worse (OPTIMIZATION_r15.md §3), and a r16
+    # literal-key broadcast equi-join probe constant-folded back into the
+    # same BNLJ (plans/r16). Literals keep every value identical (the
+    # same integers enter the same expressions) with zero extra plan
+    # nodes.
+    stats_row = stats.head()
+    n_docs = F.lit(int(stats_row["n_docs"])).cast("bigint")
+    total_len = F.lit(int(stats_row["total_len"])).cast("bigint")
     return _bm25_score_rank(
         q_terms, postings, dfreq, lengths, n_docs, total_len, k, k1, b, precision
     )

@@ -15,8 +15,33 @@ DuckDB — parity-tested in tests/test_llm_ops.py).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+#: Monotonic per-process sequence for :func:`_stamp_lease` plan tokens.
+_LEASE_SEQ = itertools.count()
+
+
+def _stamp_lease(df: DataFrame) -> DataFrame:
+    """Stamp a unique-per-invocation literal column into a frame that is
+    about to be persisted under a :class:`_CacheLease`.
+
+    Spark's CacheManager keys cache entries by CANONICALIZED PLAN, and
+    ``unpersist`` removes entries by the same plan match. Two invocations
+    of the same operator over the same inputs build byte-identical plans,
+    so WITHOUT the token (a) the second ``persist()`` is a no-op against
+    the first invocation's entry, and (b) the first result's GC-time lease
+    release UNPERSISTS the entry the second invocation is still serving —
+    measured r16: bench rep 2 of dedup_ngram_jaccard ran uncached at
+    ~19-21 s vs ~3.5 s (the gram transform re-inlined 3× into scan filters
+    and AQE broadcast the exploded gram side). The token makes every
+    invocation's cached plan distinct; downstream consumers never select
+    ``__lease``, so results and consumer codegen are unchanged, and the
+    constant column RLE-compresses to nothing in the columnar cache."""
+    return df.withColumn("__lease", F.lit(next(_LEASE_SEQ)))
 
 
 class _CacheLease:
@@ -24,7 +49,9 @@ class _CacheLease:
 
     Attached to a returned result frame so the cached upstream is released
     exactly when the result is garbage-collected — no session-lifetime leak,
-    no premature unpersist before the caller's action runs.
+    no premature unpersist before the caller's action runs. Frames persisted
+    under a lease must be stamped with :func:`_stamp_lease` first — plan-keyed
+    unpersist is NOT invocation-scoped without it (see the token rationale).
     """
 
     def __init__(self, cached: DataFrame) -> None:
@@ -393,7 +420,7 @@ def hamming_near_pairs(
     """
     lease = None
     if persist_signatures:
-        sig = sig.persist()
+        sig = _stamp_lease(sig).persist()
         lease = _CacheLease(sig)
     a = _signature_bands(sig, id_col, hash_col, n_bits, band_bits, "id_a", "sim_a")
     b = _signature_bands(sig, id_col, hash_col, n_bits, band_bits, "id_b", "sim_b")
@@ -688,7 +715,8 @@ def ngram_jaccard_pairs(
             ).alias("garr"),
         )
         .select(id_col, "blk", F.size("garr").alias("n_g"), "garr")
-    ).persist()
+    )
+    garr = _stamp_lease(garr).persist()
     lease = _CacheLease(garr)
     grams = garr.select(id_col, "blk", "n_g", F.explode("garr").alias("gram"))
 
@@ -726,8 +754,14 @@ def ngram_jaccard_pairs(
     # means no post-aggregation join is needed at all.
     a = grams.select(F.col(id_col).alias("id_a"), "blk", "gram", F.col("n_g").alias("n_a"))
     b = grams.select(F.col(id_col).alias("id_b"), "blk", "gram", F.col("n_g").alias("n_b"))
+    # Pin the pair join to sort-merge: both sides are the corpus-scale
+    # exploded gram postings, so a broadcast is wrong BY CONSTRUCTION at
+    # any real scale — and when the cached gram frame's column-pruned size
+    # estimate drifts under autoBroadcastJoinThreshold, AQE builds a
+    # multi-million-row hash relation and fences 3× SLOWER even at sf0.1
+    # (r16 measured: 10-12 s BHJ vs 3.4 s SMJ on the same cache).
     inter = (
-        a.join(b, on=["blk", "gram"])
+        a.hint("merge").join(b, on=["blk", "gram"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
@@ -1628,6 +1662,7 @@ def exact_jaccard_pairs_ppm(
     max_pairs: int | None = None,
     sample_rate: float | None = None,
     sample_seed: int = 0,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """GROUND-TRUTH near-dup pairs: every unordered pair (id_a < id_b)
     whose EXACT word-k-shingle Jaccard reaches ``threshold_ppm``
@@ -1669,12 +1704,17 @@ def exact_jaccard_pairs_ppm(
       relative to the expansion it refuses); the shingle subtree is
       recomputed by the main job, the documented price of an opt-in
       guard without an implicit persist.
+    - ``shingles``: a caller-supplied (id, shingle) frame — MUST be
+      exactly ``word_shingles(df, id_col, text_col, k=k)`` (possibly
+      persisted); lets an audit that also runs the LSH path share one
+      shingle computation across both sides (r16: q_lsh_recall). When
+      given, ``sample_rate`` must already be applied by the caller.
     """
     if sample_rate is not None:
         from chess_lakehouse_spark.operators.sampling import hash_sample
 
         df = hash_sample(df, id_col, sample_rate, seed=sample_seed)
-    sh = word_shingles(df, id_col, text_col, k=k)
+    sh = shingles if shingles is not None else word_shingles(df, id_col, text_col, k=k)
     if max_pairs is not None:
         if max_pairs < 0:
             raise ValueError(

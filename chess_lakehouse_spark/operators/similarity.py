@@ -252,7 +252,7 @@ def kmeans_fit(
     """
     vecs = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
-    )
+    ).localCheckpoint()
     init_rows = (
         vecs.select(
             "vid", "dv", F.md5(F.concat(F.lit(f"{seed}|"), F.col("vid").cast("string"))).alias("mk")
@@ -632,13 +632,14 @@ def semantic_dedup(
     # the survivor anti-join); without a persist the k-centroid argmax fold
     # re-runs once per consumer — measured 3x assignment cost. Lifetime is
     # GC-tied to the returned frame (_CacheLease, as in ngram_jaccard).
-    from chess_lakehouse_spark.operators.dedup import _CacheLease
+    from chess_lakehouse_spark.operators.dedup import _CacheLease, _stamp_lease
 
     c = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
-    ).withColumn("list_id", _ranked_lists(cent_arr, F.col("v"), F.col("n2"))[0]["cid"]).persist()
+    ).withColumn("list_id", _ranked_lists(cent_arr, F.col("v"), F.col("n2"))[0]["cid"])
+    c = _stamp_lease(c).persist()
     lease = _CacheLease(c)
     a = c.select(
         F.col("vid").alias("id_a"), F.col("v").alias("qv"), F.col("n2").alias("qn2"), "list_id"
@@ -1359,7 +1360,7 @@ def pq_train(
         raise ValueError(f"pq_train: m must be >= 1, got {m}")
     vecs = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
-    )
+    ).localCheckpoint()
     init_rows = (
         vecs.select(
             "vid",
