@@ -49,6 +49,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Plain `spark.read.parquet` keeps the scan inside
     the vectorized Parquet reader with predicate pushdown + column pruning.
 
+    PRECONDITION (r15 ADVICE): a table path is schema-IMMUTABLE for the
+    lifetime of a Spark application — the memoized schema is served for
+    every subsequent read, and an explicit schema disables Spark's
+    inference/mismatch detection, so a same-path rewrite with a different
+    schema would read silent NULLs for renamed columns. The fixture lake
+    honors this by construction (TESTDATA.md: read-only per sf_dir); a
+    test that must rewrite a path should call :func:`clear_schema_cache`.
+
     events.ts is TIMESTAMP(NANOS) in the fixture Parquet; with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanosecond long
     and is converted here to a micro-precision timestamp — the same
@@ -62,7 +70,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _SCHEMA_CACHE[key] = schema
     df = spark.read.schema(schema).parquet(path)
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
+        # derive the ts type from the cached StructType — dict(df.dtypes)
+        # was one more JVM round-trip per events load (r16, guide §5)
+        ts_type = next(
+            (f.dataType.simpleString() for f in schema.fields if f.name == "ts"),
+            None,
+        )
         from pyspark.sql import functions as F
 
         if ts_type == "bigint":
@@ -75,6 +88,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # naive-epoch reading.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def clear_schema_cache() -> None:
+    """Drop every memoized schema (all sessions, all paths) — for tests or
+    tooling that rewrite a table path in place, which violates load_table's
+    immutability precondition."""
+    _SCHEMA_CACHE.clear()
 
 
 def load_tables(

@@ -209,10 +209,20 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     ctf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
-    total = ctf.agg(F.sum("ctf").alias("t")).scalar()  # scalar subquery, same plan
-    logp = ctf.select(
+    # total as an unpartitioned-window column over the vocabulary-sized
+    # ctf frame (r16, the bm25 trick): the .scalar() subquery re-executed
+    # the whole tokenize + vocabulary aggregation chain a second time;
+    # the window pass is over the vocab rows the log-prob projection
+    # reads anyway. Same integer, same double, same ROUND.
+    from pyspark.sql.window import Window as _W
+
+    logp = ctf.withColumn(
+        "__t", F.sum("ctf").over(_W.partitionBy())
+    ).select(
         "term",
-        F.round(F.log(F.col("ctf").cast("double") / total.cast("double")), 6).alias("lp"),
+        F.round(
+            F.log(F.col("ctf").cast("double") / F.col("__t").cast("double")), 6
+        ).alias("lp"),
     )
     from chess_lakehouse_spark.functions.exact import mean6, sum6_long
 
@@ -319,8 +329,14 @@ def lm_score_from(
 
     terms_tbl = spark.read.parquet(f"{lm_dir}/terms")
     stats = spark.read.parquet(f"{lm_dir}/stats")
-    total = stats.select("total").scalar()
-    vocab = stats.select("vocab").scalar()
+    # The staged stats table is ONE row by construction (build_lm writes a
+    # single global aggregate): read it on the driver and inline the two
+    # integers as plan literals — the bounded-literal-probe discipline
+    # (same r16 fix as bm25_from_index; the .scalar() form planned one
+    # subquery job per reference).
+    stats_row = stats.head()
+    total = F.lit(int(stats_row["total"])).cast("bigint")
+    vocab = F.lit(int(stats_row["vocab"])).cast("bigint")
     doc_terms = df.select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
@@ -792,12 +808,18 @@ def pmi_top_k(
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     uni = toks.select(F.explode("toks").alias("w"))
     cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    total_pairs = pairs.agg(F.count(F.lit(1)).alias("t")).scalar()
+    # total_pairs = Σ n_pair over the PRE-filter bigram counts, carried as
+    # an unpartitioned-window column (r16, the bm25 trick): the .scalar()
+    # subquery re-executed the whole bigram explode + count chain; the
+    # window pass is over the vocabulary²-bounded bigram count frame the
+    # scoring join reads anyway. Same integer into the same expressions.
     cb = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
+        .withColumn("__t", F.sum("n_pair").over(Window.partitionBy()))
         .where(F.col("n_pair") >= min_count)
     )
+    total_pairs = F.col("__t")
     c1 = cu.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
     c2 = cu.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
     # unigram tables are vocabulary-sized: keyed joins, no forced broadcast

@@ -1288,36 +1288,44 @@ def ann_recall_report(
     entirely still report (n_approx = 0, recall 0) via the left join
     from the exact side.
 
-    Plan: one equi-join on (query, cand) + three map-combined
-    aggregates, all keyed by query — |probes|-row output at any corpus
-    size."""
+    Plan (r16 rewrite, guide §2.4): ONE full-outer equi-join on
+    (query, cand) + ONE map-combined aggregate keyed by query. The former
+    three-aggregate + common-join formulation pruned the exact and approx
+    subtrees differently, so ReuseExchange could not dedupe them and BOTH
+    input chains (a full brute-force scoring pass on the exact side)
+    executed twice; counting presence markers over the single outer join
+    gives the same integers in one pass of each side. Queries present only
+    on the approx side are dropped (n_exact = 0) — exactly what the old
+    exact-side left join did. Inputs are ranked top-k frames, so (query,
+    cand) pairs are unique per side by construction — the counting
+    precondition. |probes|-row output at any corpus size."""
     q, c = query_col, cand_col
-    ex = exact.select(F.col(q).alias("__q"), F.col(c).alias("__c"))
-    ap = approx.select(F.col(q).alias("__q"), F.col(c).alias("__c"))
-    n_exact = ex.groupBy("__q").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact")
+    ex = exact.select(
+        F.col(q).alias("__q"), F.col(c).alias("__c"), F.lit(1).alias("__e")
     )
-    n_approx = ap.groupBy("__q").agg(
-        F.count(F.lit(1)).cast("long").alias("n_approx")
+    ap = approx.select(
+        F.col(q).alias("__q"), F.col(c).alias("__c"), F.lit(1).alias("__a")
     )
-    common = (
-        ex.join(ap, ["__q", "__c"])
+    per_q = (
+        ex.join(ap, ["__q", "__c"], "full_outer")
         .groupBy("__q")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    return (
-        n_exact.join(n_approx, "__q", "left")
-        .join(common, "__q", "left")
-        .select(
-            F.col("__q").alias(q),
-            "n_exact",
-            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
-            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
-            F.expr(
-                "CAST((coalesce(n_common, 0) * CAST(1000000 AS BIGINT))"
-                " div n_exact AS BIGINT)"
-            ).alias("recall_ppm"),
+        .agg(
+            F.count("__e").cast("long").alias("n_exact"),
+            F.count("__a").cast("long").alias("n_approx"),
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1))
+            .cast("long")
+            .alias("n_common"),
         )
+        .where(F.col("n_exact") >= 1)
+    )
+    return per_q.select(
+        F.col("__q").alias(q),
+        "n_exact",
+        "n_approx",
+        "n_common",
+        F.expr(
+            "CAST((n_common * CAST(1000000 AS BIGINT)) div n_exact AS BIGINT)"
+        ).alias("recall_ppm"),
     )
 
 

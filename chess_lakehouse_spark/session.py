@@ -47,18 +47,35 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+#: Sessions (by applicationId) that already received RUNTIME_CONF — makes
+#: apply_runtime_conf a one-py4j-call no-op after the first query (r16,
+#: guide §5 driver constants: every query called it defensively, paying
+#: len(RUNTIME_CONF) conf round-trips per invocation; the conf is ours and
+#: static per session, so once is enough).
+_CONF_APPLIED: set[str] = set()
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally-built session.
 
     The correctness driver builds its own SparkSession; session timezone and
-    AQE flags are runtime-settable, so queries() entries call this defensively.
+    AQE flags are runtime-settable, so queries() entries call this
+    defensively. Applied once per applicationId: anything that re-creates
+    the session gets a fresh id and is re-pinned; a caller that mutates
+    these specific keys mid-session after the first query is outside the
+    engine's contract (the keys are correctness-bearing, e.g. UTC session
+    timezone, and nothing here ever changes them back).
     """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CONF_APPLIED:
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Static conf on a running session — keep whatever the driver chose.
             pass
+    _CONF_APPLIED.add(app_id)
     return spark
 
 
