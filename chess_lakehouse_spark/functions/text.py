@@ -426,6 +426,16 @@ def winnow_fingerprints(
     codepoint 0x10FFFF × B^4 × k < 2^63 for k=5) — ~5 integer mults per
     gram in codegen where an md5-based hash costs a full digest, and
     portable because both engines compute identical integer arithmetic.
+
+    The codes array comes from ONE ``split(t, '')`` pass, not a
+    per-position ``substring(t, p, 1)``: UTF8String.substring walks from
+    byte 0 to find the p-th codepoint boundary, so the transform-over-
+    positions form is O(len²) per document (r16 measured: 2.1× slower on
+    the fixture corpus at avg 297 chars — worse the longer the docs).
+    Spark 4's ``split`` on the empty pattern is codepoint-aware and drops
+    the trailing empty match (``split('a😀b','')`` = ['a','😀','b']), so
+    ``ascii`` over its elements is value-identical to the substring form
+    for every input — equivalence pinned in tests.
     """
     base = 131
     poly = " + ".join(
@@ -438,7 +448,7 @@ def winnow_fingerprints(
         .where(F.length("t") >= k)
         .select(
             id_col,
-            F.expr("transform(sequence(1, length(t)), p -> ascii(substring(t, p, 1)))").alias(
+            F.expr("transform(split(t, ''), c -> ascii(c))").alias(
                 "codes"
             ),
         )

@@ -175,3 +175,58 @@ def test_bm25_from_index_inlined_stats(tmp_path, spark):
     # literal inlining leaves no scalar subquery in the serve plan
     plan = served._jdf.queryExecution().optimizedPlan().toString()
     assert "scalar-subquery" not in plan
+
+
+def test_winnow_codes_split_equals_substring_form(spark):
+    """r16 winnow rewrite: the per-codepoint codes array now comes from one
+    ``split(t, '')`` pass instead of length(t) × O(p) ``substring(t, p, 1)``
+    scans (2.1× on the fixture corpus). Values must be identical for every
+    input — including supplementary codepoints, where Spark 4's empty-pattern
+    split is codepoint-aware and drops the trailing empty match."""
+    from chess_lakehouse_spark.functions.text import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "aaaaaaa"),  # minimum length, all-identical grams
+        (3, "unicode façade naïve £10 😀 emoji and ASCII mixed"),
+        (4, "short"),  # below k=5? no: length 5 == k, single window
+        (5, "tabs\tand\nnewlines and  double  spaces"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(docs, "doc_id", "text", k=5, window=8)
+
+    # reference: the pre-r16 substring formulation, inlined verbatim
+    k, window, base = 5, 8, 131
+    poly = " + ".join(
+        f"element_at(codes, i + {j}) * CAST({base ** (k - 1 - j)} AS BIGINT)"
+        for j in range(k)
+    )
+    ref = (
+        docs.select("doc_id", F.col("text").alias("t"))
+        .where(F.length("t") >= k)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, length(t)), p -> ascii(substring(t, p, 1)))"
+            ).alias("codes"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, size(codes) - {k - 1}), i -> {poly})"
+            ).alias("hs"),
+        )
+        .select(
+            F.col("doc_id"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(hs) - 1) div {window} AS INT)), "
+                    f"w -> array_min(slice(hs, w * {window} + 1, {window})))"
+                )
+            ).alias("win_idx", "fingerprint"),
+        )
+        .select(
+            F.col("doc_id"), F.col("win_idx").cast("int").alias("win_idx"), "fingerprint"
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
