@@ -311,6 +311,19 @@ def incremental_near_dups(
     Cost model per batch: O(|new|) shingling + one band equi-join against
     the staged table + verification bounded by candidate count — fully
     incremental; the corpus text is touched only for candidates.
+
+    Execution (r16, guide §2.4): ``cand`` and the verification shingle
+    frame are persisted under invocation-scoped leases. Both are consumed
+    by multiple differently-pruned subtrees (cand: the corpus semi-join +
+    the verify pair list; the shingle union: per-doc counts twice + both
+    sides of the intersection join), and ReuseExchange cannot dedupe
+    across prunings — before the fix the whole band-join chain (new
+    shingles → minhash → bands ⋈ staged bands) executed ~5× per action
+    (24 exchanges in the r15 plan). Both frames are BOUNDED at any corpus
+    scale: candidates by the LSH collision count, the union by |new
+    batch| + |candidate corpus docs| — never full-corpus-sized, which is
+    why persisting here is safe where minhash_lsh_dedup's full-corpus
+    shingle frame deliberately is not.
     """
     new_sh = word_shingles(new_docs, id_col, text_col, k=k)
     new_sigs = minhash_signatures(new_sh, id_col, num_hashes=num_hashes)
@@ -331,6 +344,8 @@ def incremental_near_dups(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    cand = _stamp_lease(cand).persist()
+    cand_lease = _CacheLease(cand)
     cand_corpus = corpus_docs.join(
         cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "semi"
     )
@@ -339,11 +354,14 @@ def incremental_near_dups(
         F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
     )
     verified = jaccard_verify(
-        pairs, new_sh.unionByName(corpus_sh), id_col, threshold=threshold
+        pairs, new_sh.unionByName(corpus_sh.select(id_col, "shingle")), id_col,
+        threshold=threshold,
     )
-    return verified.select(
+    out = verified.select(
         F.col("id_a").alias("new_id"), F.col("id_b").alias("corpus_id"), "jaccard"
     )
+    out._incr_cache_leases = (cand_lease,)  # type: ignore[attr-defined]
+    return out
 
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
