@@ -492,14 +492,22 @@ def incremental_dedup_batch(
                     "(re-bootstrap the stage or pass the original num_hashes)"
                 )
             corpus_docs = spark.read.parquet(corpus_dir).where(not_self)
-            cross = incremental_near_dups(
+            inc = incremental_near_dups(
                 batch_df, corpus_sigs, corpus_docs, id_col, text_col,
                 k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold,
-            ).select(
+            )
+            cross = inc.select(
                 F.col("new_id").alias("id_a"),
                 F.col("corpus_id").alias("id_b"),
                 "jaccard",
                 F.lit("cross").alias("kind"),
+            )
+            # carry the candidate-cache lease onto the frame this job
+            # actually actions — a bare .select() would drop the last
+            # reference and unpersist the candidate frame before the
+            # pairs write runs (r16; see incremental_near_dups)
+            cross._incr_cache_leases = getattr(  # type: ignore[attr-defined]
+                inc, "_incr_cache_leases", ()
             )
         else:
             cross = intra.limit(0)
