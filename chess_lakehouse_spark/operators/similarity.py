@@ -250,9 +250,21 @@ def kmeans_fit(
     construction, like the centroid literals themselves). Returns
     ``[(cid, centroid_vector), ...]`` sorted by cid.
     """
-    vecs = corpus.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
-    ).localCheckpoint()
+    # Lazily persisted (not eagerly localCheckpoint'ed): the materialization
+    # folds into the init-collect job below instead of paying its own job,
+    # and every iteration job reads the cached blocks — one fewer driver
+    # round trip per fit with the same recompute-avoidance (r16, guide §5;
+    # fenced min-of-5: 3.3 s vs 3.6 s on knn_ivf_kmeans end-to-end). The
+    # fully-unrolled one-job form (oracle-style nested CTEs in one plan)
+    # fenced SLOWER (4.2 s) — the nested window/agg tree costs more than
+    # the saved job round trips — so iteration stays driver-sequenced.
+    from chess_lakehouse_spark.operators.dedup import _stamp_lease
+
+    vecs = _stamp_lease(
+        corpus.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
+        )
+    ).persist()
     init_rows = (
         vecs.select(
             "vid", "dv", F.md5(F.concat(F.lit(f"{seed}|"), F.col("vid").cast("string"))).alias("mk")
@@ -294,6 +306,7 @@ def kmeans_fit(
             )
             for cid, old in cents
         ]
+    vecs.unpersist()
     return cents
 
 
@@ -1366,9 +1379,15 @@ def pq_train(
     fused grouping is bit-identical to the per-slice runs)."""
     if m < 1:
         raise ValueError(f"pq_train: m must be >= 1, got {m}")
-    vecs = corpus.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
-    ).localCheckpoint()
+    # Lazy persist, not eager localCheckpoint — see kmeans_fit (the
+    # materialization rides the init-collect job; one fewer job per train).
+    from chess_lakehouse_spark.operators.dedup import _stamp_lease
+
+    vecs = _stamp_lease(
+        corpus.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
+        )
+    ).persist()
     init_rows = (
         vecs.select(
             "vid",
@@ -1443,6 +1462,7 @@ def pq_train(
             ]
             for s in range(m)
         ]
+    vecs.unpersist()
     return books
 
 

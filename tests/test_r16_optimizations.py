@@ -230,3 +230,31 @@ def test_winnow_codes_split_equals_substring_form(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_kmeans_pq_train_release_their_cache(spark):
+    """r16 trainer persist discipline: kmeans_fit/pq_train persist their
+    projected vectors lazily (the materialization rides the init-collect
+    job — one fewer driver job than the eager localCheckpoint they replace)
+    and must UNPERSIST before returning, so back-to-back fits in one
+    session never accumulate cached vector frames."""
+    from chess_lakehouse_spark.operators.similarity import kmeans_fit, pq_train
+
+    rows = [
+        (i, [float(i % 7) + 1.0, float((i * 3) % 5) + 0.5, 1.0, 0.5])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    jsc = spark.sparkContext._jsc.sc()
+    def n_cached():
+        return jsc.getRDDStorageInfo().__len__()
+
+    base = n_cached()
+    cents = kmeans_fit(df, "vec_id", "embedding", k=4, iters=2, seed=0)
+    assert len(cents) == 4 and all(len(cv) == 4 for _, cv in cents)
+    assert n_cached() == base, "kmeans_fit left a persisted frame behind"
+
+    books = pq_train(df, "vec_id", "embedding", m=2, k=4, iters=1, seed=0)
+    assert len(books) == 2
+    assert n_cached() == base, "pq_train left a persisted frame behind"
