@@ -44,6 +44,18 @@ def table_path(sf_dir: str, name: str) -> str:
 #: never reuses a stale entry.
 _SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
 
+#: Constructed DataFrame per (applicationId, path) — the un-executed scan
+#: frame itself, never rows. Even with the schema memo, rebuilding
+#: ``spark.read.schema(s).parquet(path)`` costs ~30-75 ms of py4j
+#: round-trips per call (the StructType ships to the JVM every time —
+#: measured r16), and DataFrames are IMMUTABLE: every downstream
+#: operation derives a new frame, so serving one shared instance per
+#: table path is behavior-identical. Same immutability precondition and
+#: applicationId keying as the schema memo; the entry is a logical plan
+#: only, so it pins no executor memory and is invisible to
+#: ``spark.catalog.clearCache()`` semantics (nothing is persisted).
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Plain `spark.read.parquet` keeps the scan inside
@@ -64,6 +76,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = table_path(sf_dir, name)
     key = (spark.sparkContext.applicationId, path)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
@@ -87,14 +102,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # LTZ-only — keep working, with values identical to DuckDB's
             # naive-epoch reading.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _DF_CACHE[key] = df
     return df
 
 
 def clear_schema_cache() -> None:
-    """Drop every memoized schema (all sessions, all paths) — for tests or
-    tooling that rewrite a table path in place, which violates load_table's
-    immutability precondition."""
+    """Drop every memoized schema AND constructed frame (all sessions, all
+    paths) — for tests or tooling that rewrite a table path in place, which
+    violates load_table's immutability precondition."""
     _SCHEMA_CACHE.clear()
+    _DF_CACHE.clear()
 
 
 def load_tables(

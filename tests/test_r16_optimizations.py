@@ -258,3 +258,26 @@ def test_kmeans_pq_train_release_their_cache(spark):
     books = pq_train(df, "vec_id", "embedding", m=2, k=4, iters=1, seed=0)
     assert len(books) == 2
     assert n_cached() == base, "pq_train left a persisted frame behind"
+
+
+def test_load_table_serves_one_frame_per_path(spark, tmp_path):
+    """r16 catalog DF memo: load_table returns ONE shared DataFrame object
+    per (application, path) — rebuilding read.schema(s).parquet(path) cost
+    ~30-75 ms of py4j round trips per call across ~500 calls/bench.
+    DataFrames are immutable so sharing is behavior-identical; the memo
+    must fall with clear_schema_cache() (the path-rewrite escape hatch)."""
+    from chess_lakehouse_spark import catalog
+
+    p = str(tmp_path / "memo.parquet")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    sf_dir, name = str(tmp_path), "memo"
+
+    a = catalog.load_table(spark, sf_dir, name)
+    b = catalog.load_table(spark, sf_dir, name)
+    assert a is b, "same path must serve the memoized frame"
+    assert a.count() == 5 and b.columns == ["id", "v"]
+
+    catalog.clear_schema_cache()
+    c = catalog.load_table(spark, sf_dir, name)
+    assert c is not a, "clear_schema_cache must drop the DF memo too"
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, a.collect()))
