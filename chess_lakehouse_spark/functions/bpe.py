@@ -40,8 +40,13 @@ def _word_symbols(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus -> distinct (word, n, syms) with syms = chars + EOW marker on
     the last char. One explode + one map-combined count; everything after
     operates on this vocabulary-bounded frame."""
+    from chess_lakehouse_spark.session import spread
+
     words = (
-        df.select(
+        # spread: the tokenize/explode map inherits the scan's single
+        # fixture-file partition without it (guide §2.5).
+        spread(df.select(F.col(text_col)))
+        .select(
             F.explode(
                 F.filter(
                     F.split(F.col(text_col), _WS_SPLIT), lambda w: w != ""
@@ -105,7 +110,11 @@ def bpe_train(
     """
     if n_merges < 1:
         raise ValueError(f"bpe_train: n_merges must be >= 1, got {n_merges}")
-    vocab = _word_symbols(df, text_col).localCheckpoint()
+    # Lazy persist, not eager localCheckpoint: materialization rides round
+    # 1's TakeOrdered job (the kmeans_fit/pq_train r16 discipline); the
+    # mid-loop lineage-truncation checkpoints below stay, lazily.
+    vocab0 = _word_symbols(df, text_col).persist()
+    vocab = vocab0
     merges: list[tuple[str, str]] = []
     for r in range(n_merges):
         pairs = vocab.select(
@@ -128,7 +137,8 @@ def bpe_train(
         merges.append((pa, pb))
         vocab = vocab.select("w", "n", _merge_expr(pa, pb).alias("syms"))
         if (r + 1) % _CHECKPOINT_EVERY == 0:
-            vocab = vocab.localCheckpoint()
+            vocab = vocab.localCheckpoint(eager=False)
+    vocab0.unpersist()
     return merges
 
 

@@ -50,8 +50,13 @@ _SEP = 31
 def _words(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus -> distinct (w, n) word frequency table (the bpe_train
     collapse; one explode + one map-combined count)."""
+    from chess_lakehouse_spark.session import spread
+
     return (
-        df.select(
+        # spread: the tokenize/explode map inherits the scan's single
+        # fixture-file partition without it (guide §2.5).
+        spread(df.select(F.col(text_col)))
+        .select(
             F.explode(
                 F.filter(F.split(F.col(text_col), _WS_SPLIT), lambda w: w != "")
             ).alias("w")
@@ -175,7 +180,9 @@ def unigram_lm_train(
         raise ValueError(f"unigram_lm_train: em_iters must be >= 1, got {em_iters}")
     if n_seed_multi < 1 or n_keep_multi < 1:
         raise ValueError("unigram_lm_train: seed/keep sizes must be >= 1")
-    words = _words(df, text_col).localCheckpoint()
+    # Lazy persist (the bpe_train/kmeans_fit r16 discipline): the
+    # materialization rides the seed-collect job instead of its own.
+    words = _words(df, text_col).persist()
     seed = _seed_weights(words, max_piece_len)
     chars = {
         r["piece"]: r["wt"]
@@ -189,6 +196,7 @@ def unigram_lm_train(
         .collect()
     }  # n_seed_multi rows
     if not chars:
+        words.unpersist()
         return []
     vocab = {**chars, **multi}
     for _ in range(em_iters):
@@ -213,6 +221,7 @@ def unigram_lm_train(
         multi = {p: w for p, w in vocab.items() if len(p) > 1}
     kept_multi = sorted(multi.items(), key=lambda x: (-x[1], x[0]))[:n_keep_multi]
     final = [(p, w) for p, w in vocab.items() if len(p) == 1] + kept_multi
+    words.unpersist()
     return sorted(final, key=lambda x: (-x[1], x[0]))
 
 

@@ -106,9 +106,14 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     with a CASE because Spark's ``sequence(1, 0)`` counts *down* ([1, 0])
     rather than returning an empty array.
     """
+    from chess_lakehouse_spark.session import spread
+
     toks = tokens(F.col(text_col))
     shingled = (
-        df.select(id_col, toks.alias("toks"))
+        # spread: tokenize + shingle explode is map-side work inheriting the
+        # scan's partitioning — ONE task on the single-file fixtures (guide
+        # §2.5; measured 1.8 s → 1.0 s through minhash_signatures).
+        spread(df.select(id_col, toks.alias("toks")), id_col)
         .where(F.size("toks") >= k)
         .select(
             id_col,
@@ -719,8 +724,18 @@ def ngram_jaccard_pairs(
     # per-consumer explode is narrow codegen on top of the cache (+0.4s
     # once, net -2.3s on the standalone query). At 100 TB the same choice
     # is what makes the staged-grams table compact on the lake.
+    from chess_lakehouse_spark.session import spread
+
     garr = (
-        df.select(id_col, F.col(block_col).alias("blk"), F.col(text_col).alias("t"))
+        # spread: the per-char xxhash64 gram extraction is the heavy map
+        # stage and inherits the scan's single fixture-file partition
+        # without it (guide §2.5; measured 4.3 s → 3.2 s end-to-end).
+        spread(
+            df.select(
+                id_col, F.col(block_col).alias("blk"), F.col(text_col).alias("t")
+            ),
+            id_col,
+        )
         .where(F.length("t") >= n)
         .select(
             id_col,
@@ -1424,8 +1439,12 @@ def edit_signatures(
     of q strings."""
     if q < 2:
         raise ValueError(f"edit_signatures: q must be >= 2, got {q}")
+    from chess_lakehouse_spark.session import spread
+
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        # spread: the positional-gram explode is the heavy map stage and
+        # inherits the scan's single fixture-file partition (guide §2.5).
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id")
         .where(F.col("t").isNotNull())
         .withColumn("len", F.length("t"))
     )

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from chess_lakehouse_spark.session import local_df
+from chess_lakehouse_spark.session import local_df, spread
 
 
 def as_double(arr: Column) -> Column:
@@ -76,7 +76,9 @@ def knn_brute_force(
             dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
         )
     )
-    c = corpus.select(
+    # spread: the per-pair cosine folds run map-side on the corpus scan's
+    # partitioning — ONE task on the single-file fixtures (guide §2.5).
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
@@ -137,7 +139,7 @@ def knn_lsh(
     the bucket id — per-bucket co-location at scale, AQE splits hot buckets.
     Returns (query_id, cand_id, sim, rk); probes with an empty bucket simply
     produce no rows (inner-join semantics)."""
-    c = corpus.select(
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
@@ -261,8 +263,11 @@ def kmeans_fit(
     from chess_lakehouse_spark.operators.dedup import _stamp_lease
 
     vecs = _stamp_lease(
-        corpus.select(
-            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
+        spread(
+            corpus.select(
+                F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
+            ),
+            "vid",
         )
     ).persist()
     init_rows = (
@@ -354,7 +359,7 @@ def knn_ivf(
     def ranked_lists(vec: Column, n2: Column) -> Column:
         return _ranked_lists(cent_arr, vec, n2)
 
-    c = corpus.select(
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
@@ -445,7 +450,7 @@ def knn_quantized(
             "query_id", "qq", int_dot(F.col("qq"), F.col("qq")).alias("qn2")
         )
     )
-    c = corpus.select(
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col).alias("cand_id"),
         quantize_int8(F.col(vec_col)).alias("cq"),
     ).select("cand_id", "cq", int_dot(F.col("cq"), F.col("cq")).alias("cn2"))
@@ -576,7 +581,12 @@ def cosine_near_pairs(
     sim >= threshold). The block equi-join bounds pair generation; the
     unblocked 100 TB path composes rhp_bucket as the block instead.
     Returns (id_a, id_b, sim)."""
-    a = vectors.select(
+    # spread the probe side: under the (AQE-chosen) broadcast of b this is
+    # the stream side carrying every per-pair fold — single-task on the
+    # one-file fixtures without it (guide §2.5).
+    a = spread(
+        vectors.select(F.col(id_col), F.col(vec_col), F.col(block_col)), id_col
+    ).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("qv"),
         dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
@@ -647,7 +657,7 @@ def semantic_dedup(
     # GC-tied to the returned frame (_CacheLease, as in ngram_jaccard).
     from chess_lakehouse_spark.operators.dedup import _CacheLease, _stamp_lease
 
-    c = corpus.select(
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         dot(F.col(vec_col), F.col(vec_col)).alias("n2"),
@@ -734,7 +744,8 @@ def semantic_contamination(
             id_alias, v, n2, F.posexplode(bands).alias("band", "blk")
         )
 
-    c = side(corpus, "corpus_id", "qv", "qn2")
+    # spread only the corpus side (the eval side is the broadcast side)
+    c = side(spread(corpus, id_col), "corpus_id", "qv", "qn2")
     e = side(evalset, "eval_id", "cv", "cn2")
     keys = ["blk"] if block_col is not None else ["band", "blk"]
     cand = c.join(e, on=keys)
@@ -1049,7 +1060,7 @@ def knn_two_stage(
         F.col(vec_col).alias("qv"),
         dot(F.col(vec_col), F.col(vec_col)).alias("qn2"),
     )
-    c = corpus.select(
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         dot(F.col(vec_col), F.col(vec_col)).alias("cn2"),
@@ -1384,8 +1395,11 @@ def pq_train(
     from chess_lakehouse_spark.operators.dedup import _stamp_lease
 
     vecs = _stamp_lease(
-        corpus.select(
-            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
+        spread(
+            corpus.select(
+                F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("dv")
+            ),
+            "vid",
         )
     ).persist()
     init_rows = (
@@ -1525,9 +1539,12 @@ def pq_adc_topk(
     m = len(cbs)
     dim = sum(len(book[0][1]) for book in codebooks)
     d = dim // m
-    enc = pq_encode(corpus, id_col, vec_col, codebooks).withColumnRenamed(
-        id_col, "cand_id"
-    )
+    # spread before encoding: both the per-slice argmax encoding and the
+    # ADC scoring run map-side on this frame's partitioning (guide §2.5).
+    enc = pq_encode(
+        spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col),
+        id_col, vec_col, codebooks,
+    ).withColumnRenamed(id_col, "cand_id")
     q = probes.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv")
     )
